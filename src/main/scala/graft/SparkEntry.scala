@@ -1,13 +1,326 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.store.VectorStore
+import graft.store.VectorStore.pointsSql
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every entry in [[queries]] has a matching DuckDB oracle in
+  * [[oracleSql]] (same column names, same ordering, aggregates rounded
+  * identically on both sides).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("vs_search_topk")(spark, "/root/testdata/sf0.001")
+
+  private type QFn = (SparkSession, String) => DataFrame
+
+  private final case class Q(fn: QFn, sql: Option[String])
+
+  // ---------------------------------------------------------------
+  // Relational / analytics core (SURVEY §2 #28–31)
+  // ---------------------------------------------------------------
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+
+  private val relational: Seq[(String, Q)] = Seq(
+    "q_scan_filter" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+                col("l_shipdate") <  ts("1997-01-01 00:00:00") &&
+                col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+             count(lit(1)).as("n")),
+      Some("""SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    "q1_agg" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+             round(sum("l_extendedprice"), 2).as("sum_base_price"),
+             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+             round(avg("l_quantity"), 4).as("avg_qty"),
+             round(avg("l_discount"), 4).as("avg_disc"),
+             count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_quantity),2) AS sum_qty,
+             |       round(sum(l_extendedprice),2) AS sum_base_price,
+             |       round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             |       round(avg(l_quantity),4) AS avg_qty,
+             |       round(avg(l_discount),4) AS avg_disc,
+             |       CAST(count(*) AS BIGINT) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    "q3_join_topk" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+        val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             |FROM customer JOIN orders ON c_custkey=o_custkey
+             |              JOIN lineitem ON l_orderkey=o_orderkey
+             |WHERE c_mktsegment='BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+             |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    "q5_multi_join" -> Q(
+      (s, d) => {
+        val dims = Tables.supplier(s, d)
+          .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+                col("n_regionkey") === col("r_regionkey"))
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+                  col("o_orderdate") <  ts("1997-01-01 00:00:00"))
+        Tables.lineitem(s, d)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(dims),
+                col("l_suppkey") === col("s_suppkey") &&
+                col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             |FROM customer JOIN orders ON c_custkey=o_custkey
+             |              JOIN lineitem ON l_orderkey=o_orderkey
+             |              JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+             |              JOIN nation ON s_nationkey=n_nationkey
+             |              JOIN region ON n_regionkey=r_regionkey
+             |WHERE r_name='ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    "q_window_rank" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("p_brand")
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        Tables.part(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 2)
+          .select("p_brand", "p_partkey", "rn")
+          .orderBy("p_brand", "rn")
+      },
+      Some("""SELECT p_brand, p_partkey, rn FROM (
+             |  SELECT p_brand, p_partkey,
+             |         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+             |  FROM part) WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin)))
+
+  // ---------------------------------------------------------------
+  // Events: sessionize + tumbling windows (SURVEY §2 #32–33)
+  // ---------------------------------------------------------------
+
+  private val eventsQ: Seq[(String, Q)] = Seq(
+    // `ts` is read as epoch-nanos Long (Tables.events) — gap and window
+    // arithmetic is exact integer math on both engines.
+    "ev_sessionize" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(1800000000000L), 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id,
+             |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+             |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    "ev_window_agg" -> Q(
+      (s, d) => Tables.events(s, d)
+        .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("hour_bucket", "event_type"),
+      Some("""SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, event_type,
+             |       CAST(count(*) AS BIGINT) AS n, round(sum(value),4) AS sum_value
+             |FROM events GROUP BY hour_bucket, event_type
+             |ORDER BY hour_bucket, event_type""".stripMargin)))
+
+  // ---------------------------------------------------------------
+  // Vector store: the reference's Qdrant surface (SURVEY §2 #1–12)
+  // ---------------------------------------------------------------
+
+  /** DuckDB-side cosine score identical to VectorFunctions.score. */
+  private def sqlScore(v: String, q: String): String =
+    s"round(list_cosine_similarity($v::DOUBLE[], $q), 6) + 0.0"
+
+  private val vectorStore: Seq[(String, Q)] = Seq(
+    "vs_search_topk" -> Q(
+      (s, d) => VectorStore.search(
+        VectorStore.points(s, d), userId = 2,
+        qdf = VectorStore.queryVecOf(s, d, 42), limit = 10),
+      Some(s"""$pointsSql,
+              |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
+              |SELECT vector_id, doc_id, title, ${sqlScore("p.embedding", "q.qv")} AS score
+              |FROM points p, q WHERE p.user_id = 2
+              |ORDER BY score DESC, vector_id LIMIT 10""".stripMargin)),
+
+    "vs_search_threshold" -> Q(
+      (s, d) => VectorStore.searchThreshold(
+        VectorStore.points(s, d), VectorStore.queryVecOf(s, d, 7), 0.15),
+      Some(s"""$pointsSql,
+              |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
+              |SELECT * FROM (
+              |  SELECT user_id, vector_id, ${sqlScore("p.embedding", "q.qv")} AS score
+              |  FROM points p, q)
+              |WHERE score >= 0.15 ORDER BY score DESC, vector_id""".stripMargin)),
+
+    "vs_search_on_docs" -> Q(
+      (s, d) => VectorStore.search(
+        VectorStore.points(s, d), userId = 2,
+        qdf = VectorStore.queryVecOf(s, d, 42), limit = 5,
+        docIds = Seq(10L, 26L, 42L)),
+      Some(s"""$pointsSql,
+              |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
+              |SELECT vector_id, doc_id, title, ${sqlScore("p.embedding", "q.qv")} AS score
+              |FROM points p, q WHERE p.user_id = 2 AND doc_id IN (10, 26, 42)
+              |ORDER BY score DESC, vector_id LIMIT 5""".stripMargin)),
+
+    "vs_scroll_collection" -> Q(
+      (s, d) => VectorStore.scroll(VectorStore.points(s, d), 3, 20),
+      Some(s"""$pointsSql
+              |SELECT vector_id, doc_id, chunk_id, title FROM points
+              |WHERE user_id = 3 ORDER BY vector_id LIMIT 20""".stripMargin)),
+
+    "vs_scroll_doc" -> Q(
+      (s, d) => VectorStore.scrollDoc(VectorStore.points(s, d), 7, 7, 20),
+      Some(s"""$pointsSql
+              |SELECT vector_id, doc_id, chunk_id, title FROM points
+              |WHERE user_id = 7 AND doc_id = 7 ORDER BY vector_id LIMIT 20""".stripMargin)),
+
+    "vs_scroll_docs" -> Q(
+      (s, d) => VectorStore.scrollDocs(VectorStore.points(s, d), 3,
+        Seq(3L, 55L, 99L), 20),
+      Some(s"""$pointsSql
+              |SELECT vector_id, doc_id, chunk_id, title FROM points
+              |WHERE user_id = 3 AND doc_id IN (3, 55, 99)
+              |ORDER BY vector_id LIMIT 20""".stripMargin)),
+
+    "vs_delete_doc" -> Q(
+      (s, d) => VectorStore.deleteDoc(VectorStore.points(s, d), 1, 17)
+        .agg(count(lit(1)).as("n"), sum("vector_id").as("sum_vid")),
+      Some(s"""$pointsSql
+              |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vector_id) AS BIGINT) AS sum_vid
+              |FROM points WHERE NOT (user_id = 1 AND doc_id = 17)""".stripMargin)),
+
+    "vs_delete_by_title" -> Q(
+      (s, d) => VectorStore.deleteDocByTitle(VectorStore.points(s, d), 1, "t33")
+        .agg(count(lit(1)).as("n"), sum("vector_id").as("sum_vid")),
+      Some(s"""$pointsSql
+              |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vector_id) AS BIGINT) AS sum_vid
+              |FROM points WHERE NOT (user_id = 1 AND title = 't33')""".stripMargin)),
+
+    "vs_delete_by_ids" -> Q(
+      (s, d) => VectorStore.deleteByIds(VectorStore.points(s, d), 5, Seq(5L, 13L, 21L))
+        .agg(count(lit(1)).as("n"), sum("vector_id").as("sum_vid")),
+      Some(s"""$pointsSql
+              |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vector_id) AS BIGINT) AS sum_vid
+              |FROM points WHERE NOT (user_id = 5 AND vector_id IN (5, 13, 21))""".stripMargin)),
+
+    "vs_upsert_merge" -> Q(
+      (s, d) => {
+        val pts = VectorStore.points(s, d)
+        val batch = pts.filter(col("user_id") === 2 && col("doc_id") < 20)
+          .withColumn("vector_id", col("vector_id") + 10000)
+          .withColumn("embedding", transform(col("embedding"), x => -x))
+        VectorStore.upsert(pts, batch)
+          .agg(count(lit(1)).as("n"), sum("vector_id").as("sum_vid"),
+               round(sum(element_at(col("embedding"), 1).cast("double")), 4).as("s1"))
+      },
+      Some(s"""$pointsSql,
+              |batch AS (
+              |  SELECT user_id, vector_id + 10000 AS vector_id, doc_id, chunk_id, title,
+              |         list_transform(embedding, x -> -x) AS embedding
+              |  FROM points WHERE user_id = 2 AND doc_id < 20),
+              |u AS (SELECT *, 0 AS _src FROM points UNION ALL SELECT *, 1 AS _src FROM batch),
+              |m AS (SELECT *, row_number() OVER (
+              |        PARTITION BY user_id, doc_id, chunk_id
+              |        ORDER BY _src DESC, vector_id) AS rn FROM u)
+              |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vector_id) AS BIGINT) AS sum_vid,
+              |       round(sum(CAST(embedding[1] AS DOUBLE)),4) AS s1
+              |FROM m WHERE rn = 1""".stripMargin)),
+
+    "vs_update_vector" -> Q(
+      (s, d) => {
+        val nv = VectorStore.queryVecOf(s, d, 7)
+          .select(transform(col("q"), x => -x).as("newv"))
+        VectorStore.points(s, d).crossJoin(broadcast(nv))
+          .withColumn("embedding",
+            when(col("user_id") === 2 && col("doc_id") === 42 && col("chunk_id") === 42,
+                 col("newv")).otherwise(col("embedding")))
+          .agg(count(lit(1)).as("n"),
+               round(sum(element_at(col("embedding"), 1).cast("double")), 4).as("s1"))
+      },
+      Some(s"""$pointsSql
+              |SELECT CAST(count(*) AS BIGINT) AS n, round(sum(CAST(e1 AS DOUBLE)),4) AS s1
+              |FROM (
+              |  SELECT CASE WHEN user_id = 2 AND doc_id = 42 AND chunk_id = 42
+              |              THEN list_transform((SELECT embedding FROM embeddings WHERE vec_id = 7), x -> -x)[1]
+              |              ELSE embedding[1] END AS e1
+              |  FROM points)""".stripMargin)),
+
+    "vs_list_collections" -> Q(
+      (s, d) => VectorStore.listCollections(VectorStore.points(s, d)),
+      Some(s"""$pointsSql
+              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+              |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              |FROM points GROUP BY user_id ORDER BY user_id""".stripMargin)))
+
+  // ---------------------------------------------------------------
+
+  private val defs: Seq[(String, Q)] = relational ++ eventsQ ++ vectorStore
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    defs.collect { case (n, Q(_, Some(sql))) => n -> sql }.toMap
+
+  /** Headline subset used by Bench. */
+  def headline: Seq[String] = Seq(
+    "q1_agg", "q3_join_topk", "q5_multi_join", "q_scan_filter",
+    "ev_sessionize", "ev_window_agg",
+    "vs_search_topk", "vs_search_threshold", "vs_upsert_merge")
 }

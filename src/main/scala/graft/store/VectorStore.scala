@@ -1,0 +1,186 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Spark-native re-expression of the reference's Qdrant collection
+  * handler (reference: app/core/document_ingestor.py — per-user
+  * collections of {id, vector, payload{DocId, ChunkId, Title}} with
+  * COSINE distance).
+  *
+  * A collection here is a DataFrame with the canonical point schema
+  * `(user_id bigint, vector_id bigint, doc_id bigint, chunk_id bigint,
+  * title string, embedding array<float>)`. At production scale the
+  * backing parquet is partitioned by `user_id`, so every per-user
+  * operator below is a partition-pruned scan; deletes/upserts rewrite
+  * only the touched user partitions (dynamic partition overwrite).
+  *
+  * All mutating ops are pure DataFrame → DataFrame transforms
+  * (last-writer-wins merge, anti-join deletes); nothing collects to
+  * the driver.
+  */
+object VectorStore {
+
+  /** Canonical point-set derived from the `embeddings` test table
+    * (SURVEY.md §3): user_id = vec_id % 8, doc_id = vec_id % 100,
+    * chunk_id = vec_id, title = 't' || doc_id.
+    */
+  def points(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      (col("vec_id") % 8).as("user_id"),
+      col("vec_id").as("vector_id"),
+      (col("vec_id") % 100).as("doc_id"),
+      col("vec_id").as("chunk_id"),
+      concat(lit("t"), col("vec_id") % 100).as("title"),
+      col("embedding"))
+
+  /** SQL prelude mirroring [[points]] for the DuckDB oracles. */
+  val pointsSql: String =
+    """WITH points AS (
+      |  SELECT vec_id % 8 AS user_id, vec_id AS vector_id,
+      |         vec_id % 100 AS doc_id, vec_id AS chunk_id,
+      |         't' || (vec_id % 100) AS title, embedding
+      |  FROM embeddings
+      |)""".stripMargin
+
+  // ---- collection listing (reference :559 list_collections) -------
+
+  /** Collections with point/doc counts (reference returns just names;
+    * stats come free from the same scan).
+    */
+  def listCollections(coll: DataFrame): DataFrame =
+    coll.groupBy("user_id")
+      .agg(count(lit(1)).as("n_points"),
+           countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("user_id")
+
+  // ---- scroll (reference :410/:438/:475/:515) ---------------------
+
+  /** Paged listing of a user's collection, `vector_id`-ordered.
+    * Partition-pruned + `limit` ⇒ a LocalLimit per partition then a
+    * single-partition GlobalLimit — no full sort at scale.
+    */
+  def scroll(coll: DataFrame, userId: Long, limit: Int): DataFrame =
+    coll.filter(col("user_id") === userId)
+      .select("vector_id", "doc_id", "chunk_id", "title")
+      .orderBy("vector_id")
+      .limit(limit)
+
+  def scrollDoc(coll: DataFrame, userId: Long, docId: Long, limit: Int): DataFrame =
+    coll.filter(col("user_id") === userId && col("doc_id") === docId)
+      .select("vector_id", "doc_id", "chunk_id", "title")
+      .orderBy("vector_id")
+      .limit(limit)
+
+  def scrollChunk(coll: DataFrame, userId: Long, docId: Long, chunkId: Long,
+                  limit: Int): DataFrame =
+    coll.filter(col("user_id") === userId && col("doc_id") === docId &&
+                col("chunk_id") === chunkId)
+      .select("vector_id", "doc_id", "chunk_id", "title")
+      .orderBy("vector_id")
+      .limit(limit)
+
+  /** Doc-set scroll; empty set matches everything (reference :527 — an
+    * empty `should` filter matches all).
+    */
+  def scrollDocs(coll: DataFrame, userId: Long, docIds: Seq[Long],
+                 limit: Int): DataFrame = {
+    val base = coll.filter(col("user_id") === userId)
+    val filtered =
+      if (docIds.isEmpty) base else base.filter(col("doc_id").isin(docIds: _*))
+    filtered.select("vector_id", "doc_id", "chunk_id", "title")
+      .orderBy("vector_id")
+      .limit(limit)
+  }
+
+  // ---- deletes (reference :146/:169/:192/:218/:239/:260) ----------
+
+  def deleteDoc(coll: DataFrame, userId: Long, docId: Long): DataFrame =
+    coll.filter(!(col("user_id") === userId && col("doc_id") === docId))
+
+  def deleteDocByTitle(coll: DataFrame, userId: Long, title: String): DataFrame =
+    coll.filter(!(col("user_id") === userId && col("title") === title))
+
+  def deleteChunk(coll: DataFrame, userId: Long, docId: Long, chunkId: Long): DataFrame =
+    coll.filter(!(col("user_id") === userId && col("doc_id") === docId &&
+                  col("chunk_id") === chunkId))
+
+  def deleteByIds(coll: DataFrame, userId: Long, vectorIds: Seq[Long]): DataFrame =
+    coll.filter(!(col("user_id") === userId && col("vector_id").isin(vectorIds: _*)))
+
+  def deleteCollection(coll: DataFrame, userId: Long): DataFrame =
+    coll.filter(col("user_id") =!= userId)
+
+  // ---- upsert / update (reference :89/:114/:290) ------------------
+
+  /** Bulk upsert with last-writer-wins on (user_id, doc_id, chunk_id):
+    * the batch replaces existing points with the same key. One shuffle
+    * on the merge key; at scale this is a partition-overwrite of only
+    * the user partitions present in the batch.
+    */
+  def upsert(coll: DataFrame, batch: DataFrame): DataFrame = {
+    val merged = coll.withColumn("_src", lit(0))
+      .unionByName(batch.withColumn("_src", lit(1)))
+    val w = Window.partitionBy("user_id", "doc_id", "chunk_id")
+      .orderBy(col("_src").desc, col("vector_id"))
+    merged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src")
+  }
+
+  /** In-place vector replacement keyed by (user_id, doc_id, chunk_id)
+    * (reference :290 update_vector). Pure projection — no shuffle.
+    */
+  def updateVector(coll: DataFrame, userId: Long, docId: Long, chunkId: Long,
+                   newVec: Column): DataFrame =
+    coll.withColumn("embedding",
+      when(col("user_id") === userId && col("doc_id") === docId &&
+           col("chunk_id") === chunkId, newVec)
+        .otherwise(col("embedding")))
+
+  // ---- search (reference :332/:366) -------------------------------
+
+  /** Cosine top-k within one user's collection with optional score
+    * threshold and doc-id restriction. `qdf` is a 1-row frame with the
+    * query vector in column `q` (broadcast cross-joined, so the scan
+    * side never shuffles). The plan is filter(pruned) → score →
+    * TakeOrderedAndProject: a per-partition k-heap, shuffling only k
+    * rows per partition — no global sort at 100 TB.
+    */
+  def search(coll: DataFrame, userId: Long, qdf: DataFrame, limit: Int,
+             scoreThreshold: Double = Double.NegativeInfinity,
+             docIds: Seq[Long] = Nil): DataFrame = {
+    val base = coll.filter(col("user_id") === userId)
+    val restricted =
+      if (docIds.isEmpty) base else base.filter(col("doc_id").isin(docIds: _*))
+    val scored = restricted.crossJoin(broadcast(qdf))
+      .select(col("vector_id"), col("doc_id"), col("title"),
+              score(col("embedding"), col("q")).as("score"))
+    val thresholded =
+      if (scoreThreshold.isNegInfinity) scored
+      else scored.filter(col("score") >= scoreThreshold)
+    thresholded.orderBy(col("score").desc, col("vector_id")).limit(limit)
+  }
+
+  /** Global (all-collections) threshold scan — returns every point
+    * scoring ≥ threshold, no limit. Embarrassingly parallel.
+    */
+  def searchThreshold(coll: DataFrame, qdf: DataFrame,
+                      scoreThreshold: Double): DataFrame =
+    coll.crossJoin(broadcast(qdf))
+      .select(col("user_id"), col("vector_id"),
+              score(col("embedding"), col("q")).as("score"))
+      .filter(col("score") >= scoreThreshold)
+      .orderBy(col("score").desc, col("vector_id"))
+
+  /** The query vector for `vec_id = id` as a broadcastable 1-row frame
+    * (column `q`). Used with crossJoin(broadcast(...)) so the scan
+    * side never shuffles.
+    */
+  def queryVecOf(s: SparkSession, dir: String, id: Long): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") === id)
+      .select(col("embedding").as("q"))
+}

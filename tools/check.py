@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: runs each oracle
+SQL from oracle_sql.json in DuckDB over the sf-dir parquet tables and
+compares against the Spark parquet dumped by graft.Verify.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0.0:
+            return 0.0
+        return v
+    if isinstance(v, int):
+        return float(v) if False else v
+    return v
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            o = con.sql(sql)
+            ocols, orows = [c.lower() for c in o.columns], o.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        s = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        scols, srows = [c.lower() for c in s.columns], s.fetchall()
+        if sorted(ocols) != sorted(scols):
+            print(f"FAIL {name}: cols oracle={sorted(ocols)} spark={sorted(scols)}")
+            n_fail += 1
+            continue
+        co, cs = canon(orows, ocols), canon(srows, scols)
+        if co == cs:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows oracle={len(orows)} spark={len(srows)}")
+            for i, (a, b) in enumerate(zip(co, cs)):
+                if a != b:
+                    print(f"  first diff at {i}:\n    oracle={a}\n    spark ={b}")
+                    break
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
