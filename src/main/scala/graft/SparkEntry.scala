@@ -306,8 +306,239 @@ object SparkEntry {
               |FROM points GROUP BY user_id ORDER BY user_id""".stripMargin)))
 
   // ---------------------------------------------------------------
+  // Dedup family (SURVEY §2 #17–22)
+  // ---------------------------------------------------------------
 
-  private val defs: Seq[(String, Q)] = relational ++ eventsQ ++ vectorStore
+  private def docsUnder(s: SparkSession, d: String, lim: Int) =
+    Tables.documents(s, d).filter(col("doc_id") < lim)
+
+  private val dedup: Seq[(String, Q)] = {
+    import graft.dedup.Dedup
+    Seq(
+      "dedup_exact" -> Q(
+        (s, d) => Dedup.exact(Tables.documents(s, d)),
+        Some("""SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
+               |       CAST(count(*) AS BIGINT) AS n_dups
+               |FROM documents GROUP BY h ORDER BY h""".stripMargin)),
+
+      "dedup_ngram_jaccard" -> Q(
+        (s, d) => Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25),
+        Some(s"""WITH s AS (
+                |${graft.text.TextPrimitives.charShinglesSql("documents", "doc_id", "text", 5, "doc_id < 120")}),
+                |c AS (SELECT doc_id, count(*) AS cnt FROM s GROUP BY doc_id),
+                |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+                |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY da, db)
+                |SELECT da, db, round(j, 4) AS jaccard FROM (
+                |  SELECT da, db, ni * 1.0 / (ca.cnt + cb.cnt - ni) AS j
+                |  FROM i JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
+                |WHERE j >= 0.25 ORDER BY da, db""".stripMargin)),
+
+      "dedup_minhash_sig" -> Q(
+        (s, d) => Dedup.minhashSignatures(docsUnder(s, d, 200), 5, 8),
+        Some(s"""WITH sig AS (
+                |${Dedup.minhashSigSql(5, 8, "doc_id < 200")})
+                |SELECT * FROM sig ORDER BY doc_id""".stripMargin)),
+
+      "dedup_minhash_lsh" -> Q(
+        (s, d) => Dedup.minhashLshPairs(
+          Dedup.minhashSignatures(docsUnder(s, d, 200), 5, 8), 8, 2),
+        Some {
+          val bandSelects = (0 until 4).map { b =>
+            s"SELECT doc_id, $b AS b, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS bv FROM sig"
+          }.mkString(" UNION ALL ")
+          s"""WITH sig AS (
+             |${Dedup.minhashSigSql(5, 8, "doc_id < 200")}),
+             |bands AS ($bandSelects)
+             |SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+             |FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+             |ORDER BY da, db""".stripMargin
+        }),
+
+      "dedup_simhash" -> Q(
+        (s, d) => Dedup.simhashPairs(docsUnder(s, d, 200), 6),
+        Some(s"""WITH sig AS (
+                |${Dedup.simhashSql("doc_id < 200")})
+                |SELECT da, db, dist FROM (
+                |  SELECT a.doc_id AS da, b.doc_id AS db,
+                |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+                |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+                |WHERE dist <= 6 ORDER BY da, db""".stripMargin)),
+
+      "dedup_embed_cosine" -> Q(
+        (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), 0.4),
+        Some("""SELECT va, vb, score FROM (
+               |  SELECT a.vec_id AS va, b.vec_id AS vb,
+               |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) + 0.0 AS score
+               |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+               |WHERE score >= 0.4 ORDER BY va, vb""".stripMargin)))
+  }
+
+  // ---------------------------------------------------------------
+  // Text analysis (SURVEY §2 #23–26) + embedder invariant (#13)
+  // ---------------------------------------------------------------
+
+  private val textQ: Seq[(String, Q)] = {
+    import graft.text.TextAnalytics
+    val stopList = TextAnalytics.Stopwords.map(w => s"'$w'").mkString(",")
+    Seq(
+      "text_token_count" -> Q(
+        (s, d) => TextAnalytics.tokenCounts(Tables.documents(s, d)),
+        Some("""SELECT doc_id,
+               |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
+               |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+      "text_quality" -> Q(
+        (s, d) => TextAnalytics.qualityScores(Tables.documents(s, d)),
+        Some(s"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                |  round((least(n_tok, 100) / 100.0) *
+                |        (1.0 - punct_cnt * 1.0 / greatest(n_chars, 1)) *
+                |        (0.2 + 0.8 * (stop_cnt * 1.0 / greatest(n_tok, 1))), 4) AS quality
+                |FROM (
+                |  SELECT doc_id, length(text) AS n_chars,
+                |         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+                |         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                |             t -> t IN ($stopList))) AS stop_cnt,
+                |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
+                |  FROM documents)
+                |ORDER BY doc_id""".stripMargin)),
+
+      "text_langid" -> Q(
+        (s, d) => TextAnalytics.languageId(Tables.documents(s, d)),
+        Some(TextAnalytics.languageIdSql)),
+
+      "text_fingerprint" -> Q(
+        (s, d) => TextAnalytics.fingerprints(Tables.documents(s, d)),
+        Some(s"""WITH s AS (
+                |${graft.text.TextPrimitives.charShinglesSql("documents", "doc_id", "text", 4)})
+                |SELECT doc_id, CAST(min(hm) AS BIGINT) AS fp_min,
+                |       CAST(max(hm) AS BIGINT) AS fp_max,
+                |       CAST(count(*) AS BIGINT) AS n_shingles
+                |FROM (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS hm FROM s)
+                |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+      "emb_norm_invariant" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.sqNorm
+          graft.embed.HashEmbedder.embedDocs(Tables.documents(s, d), "doc_id", "text", 64)
+            .filter(abs(sqrt(sqNorm(col("embedding"))) - 1.0) < 1e-9)
+            .agg(count(lit(1)).as("n"))
+        },
+        Some("SELECT CAST(count(*) AS BIGINT) AS n FROM documents")))
+  }
+
+  // ---------------------------------------------------------------
+  // ANN: brute force / LSH / IVF (SURVEY §2 #14–16)
+  // ---------------------------------------------------------------
+
+  private val sqlCos = "round(list_cosine_similarity(%s, %s), 6) + 0.0"
+
+  private val annQ: Seq[(String, Q)] = {
+    import graft.ann.Ann
+    Seq(
+      "ann_topk_batch" -> Q(
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+          val q = emb.filter(col("vec_id") <= 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          Ann.bruteForceTopK(emb, q, 5)
+        },
+        Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               |           FROM embeddings WHERE vec_id <= 4),
+               |sc AS (SELECT qid, e.vec_id,
+               |              round(list_cosine_similarity(e.embedding::DOUBLE[], qv), 6) + 0.0 AS score
+               |       FROM embeddings e, q WHERE e.vec_id <> qid)
+               |SELECT qid, vec_id, score, rnk FROM (
+               |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+               |  FROM sc)
+               |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
+      "ann_lsh_bucketed" -> Q(
+        (s, d) => Ann.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L),
+          nPlanes = 6, dim = 64, probeDist = 1, k = 3),
+        Some("""WITH planes AS (
+               |  SELECT p, list_transform(generate_series(0, 63), dd ->
+               |    (('0x' || substr(md5(concat_ws('_', 'pl', p, dd)), 1, 15))::BIGINT % 2001 - 1000) / 1000.0) AS w
+               |  FROM generate_series(0, 5) t(p)),
+               |sig AS (
+               |  SELECT vec_id,
+               |         CAST(sum(CASE WHEN list_inner_product(embedding::DOUBLE[], w) > 0
+               |                       THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
+               |  FROM embeddings, planes GROUP BY vec_id),
+               |q AS (SELECT s.vec_id AS qid, e.embedding::DOUBLE[] AS qv, s.bucket AS qb
+               |      FROM sig s JOIN embeddings e USING (vec_id) WHERE s.vec_id IN (0, 1, 2)),
+               |cand AS (
+               |  SELECT qid, e.vec_id,
+               |         round(list_cosine_similarity(e.embedding::DOUBLE[], qv), 6) + 0.0 AS score
+               |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id, q
+               |  WHERE e.vec_id <> qid AND bit_count(xor(s.bucket, qb)) <= 1)
+               |SELECT qid, vec_id, score, rnk FROM (
+               |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+               |  FROM cand)
+               |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)),
+
+      "ann_ivf_probe" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.score
+          val emb = Tables.embeddings(s, d)
+          val cents = emb.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+          val wAssign = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))
+          val scored = emb.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("embedding"), col("cid"),
+                    score(col("embedding"), col("cv")).as("cs"))
+            .withColumn("rn", row_number().over(wAssign))
+          val assigned = scored.filter(col("rn") === 1)
+            .select(col("vec_id"), col("embedding"), col("cid"))
+          val probes = scored.filter(col("vec_id") === 42 && col("rn") <= 2)
+            .select(col("cid").as("pcid"))
+          val q = emb.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+          val wTop = Window.orderBy(col("score").desc, col("vec_id"))
+          assigned.join(broadcast(probes), col("cid") === col("pcid"))
+            .filter(col("vec_id") =!= 42)
+            .crossJoin(broadcast(q))
+            .select(col("vec_id"), col("cid"), score(col("embedding"), col("qv")).as("score"))
+            .withColumn("rnk", row_number().over(wTop).cast("long"))
+            .filter(col("rnk") <= 5)
+            .orderBy("rnk")
+        },
+        Some("""WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+               |               FROM embeddings WHERE vec_id < 4),
+               |scored AS (
+               |  SELECT e.vec_id, e.embedding, c.cid,
+               |         row_number() OVER (PARTITION BY e.vec_id
+               |           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) + 0.0 DESC, c.cid) AS rn
+               |  FROM embeddings e, cents c),
+               |assigned AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
+               |probes AS (SELECT cid AS pcid FROM scored WHERE vec_id = 42 AND rn <= 2),
+               |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
+               |SELECT vec_id, cid, score, rnk FROM (
+               |  SELECT a.vec_id, a.cid,
+               |         round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) + 0.0 AS score,
+               |         CAST(row_number() OVER (
+               |           ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) + 0.0 DESC, a.vec_id) AS BIGINT) AS rnk
+               |  FROM assigned a, probes, q
+               |  WHERE a.cid = pcid AND a.vec_id <> 42)
+               |WHERE rnk <= 5 ORDER BY rnk""".stripMargin)))
+  }
+
+  // ---------------------------------------------------------------
+  // Multimodal (SURVEY §2 #27)
+  // ---------------------------------------------------------------
+
+  private val multimodalQ: Seq[(String, Q)] = Seq(
+    "mm_binary_meta" -> Q(
+      (s, d) => graft.multimodal.Multimodal.binaryMeta(Tables.documents(s, d)),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |       hm % 1024 + 1 AS width, (hm // 1024) % 1024 + 1 AS height
+             |FROM (SELECT doc_id, text, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hm
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)))
+
+  // ---------------------------------------------------------------
+
+  private val defs: Seq[(String, Q)] =
+    relational ++ eventsQ ++ vectorStore ++ dedup ++ textQ ++ annQ ++ multimodalQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap
@@ -322,5 +553,7 @@ object SparkEntry {
   def headline: Seq[String] = Seq(
     "q1_agg", "q3_join_topk", "q5_multi_join", "q_scan_filter",
     "ev_sessionize", "ev_window_agg",
-    "vs_search_topk", "vs_search_threshold", "vs_upsert_merge")
+    "vs_search_topk", "vs_search_threshold", "vs_upsert_merge",
+    "ann_topk_batch", "dedup_minhash_lsh", "dedup_exact",
+    "text_token_count", "text_quality")
 }

@@ -1,0 +1,82 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{md5Long, score}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers:
+  * - [[bruteForceTopK]]: exact cosine top-k for a query batch — the
+  *   correctness baseline. Scan-side never shuffles (queries are
+  *   broadcast); ranking shuffles only candidate rows per query.
+  * - [[lshTopK]]: random-hyperplane LSH signatures + multiprobe
+  *   (hamming ≤ 1) candidate pruning. At scale the signature is a
+  *   write-time cluster column, so candidate scans are pruned I/O.
+  * - IVF (see SparkEntry `ann_ivf_probe`): coarse-quantizer cells +
+  *   nprobe cell search.
+  *
+  * Plane weights derive from md5 so the DuckDB oracle reproduces the
+  * exact same signatures.
+  */
+object Ann {
+
+  /** Exact cosine top-k for each query vector in `queries`
+    * (qid, qv). Output: qid, vec_id, score, rnk.
+    */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), score(col("embedding"), col("qv")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
+  /** nPlanes deterministic random hyperplanes: (p, w: array<double>),
+    * w[d] = (md5Long("pl_p_d") mod 2001 − 1000)/1000 ∈ [−1, 1].
+    */
+  def planes(s: SparkSession, nPlanes: Int, dim: Int): DataFrame =
+    s.range(0, nPlanes).select(col("id").as("p"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        d => (md5Long(concat_ws("_", lit("pl"), col("id"), d)) % 2001 - lit(1000)) / 1000.0)
+        .as("w"))
+
+  /** LSH signature per vector: bit p of `bucket` = sign of the
+    * projection onto plane p. One broadcast-join + one groupBy.
+    */
+  def signatures(emb: DataFrame, planesDf: DataFrame): DataFrame = {
+    val proj = aggregate(
+      zip_with(col("embedding"), col("w"), (x, y) => x.cast("double") * y),
+      lit(0.0), (a, v) => a + v)
+    emb.crossJoin(broadcast(planesDf))
+      .select(col("vec_id"), col("p"), proj.as("proj"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("proj") > 0, pow(lit(2.0), col("p"))).otherwise(0.0))
+        .cast("long").as("bucket"))
+  }
+
+  /** Multiprobe LSH top-k: candidates share a signature bucket with
+    * the query up to hamming distance `probeDist`; exact cosine
+    * rescoring of candidates only.
+    */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], nPlanes: Int, dim: Int,
+              probeDist: Int, k: Int): DataFrame = {
+    val s = emb.sparkSession
+    val sig = signatures(emb, planes(s, nPlanes, dim))
+    val withSig = emb.join(sig, "vec_id")
+    val q = withSig.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+              col("bucket").as("qb"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    withSig.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid") &&
+              expr("bit_count(bucket ^ qb)") <= probeDist)
+      .select(col("qid"), col("vec_id"), score(col("embedding"), col("qv")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+}

@@ -1,0 +1,152 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{md5Long, score}
+import graft.text.TextPrimitives
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Every operator is a shuffle-bounded DataFrame transform:
+  * - exact: one hash-groupBy (map-side partial agg).
+  * - MinHash: shingle explode → one groupBy computing all k mins in a
+  *   single pass (no per-hash-function shuffle).
+  * - LSH bands: shuffle carries only (band, band_hash) pairs, never
+  *   full shingle sets — the 100 TB-safe candidate generation.
+  * - SimHash: one groupBy with 32 conditional sums → 19,900-pair
+  *   bounded self-join on the small signature table.
+  *
+  * The hash family is md5-based so the DuckDB oracle can reproduce it
+  * bit-for-bit (see VectorFunctions.md5Long).
+  */
+object Dedup {
+
+  val P: Long = 2147483647L // 2^31 - 1, MinHash modulus
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("h")
+
+  /** Pairwise n-gram Jaccard ≥ threshold over a bounded doc subset.
+    * j = |A∩B| / (|A|+|B|-|A∩B|) computed from exact integer counts,
+    * so the threshold compare is engine-exact.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = TextPrimitives.charShingles(docs, "doc_id", "text", n)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+    val a = sh.toDF("da", "sh")
+    val b = sh.toDF("db", "sh")
+    val inter = a.join(b, Seq("sh")).filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+    inter
+      .join(cnt.toDF("da", "na"), "da")
+      .join(cnt.toDF("db", "nb"), "db")
+      .withColumn("j", col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")))
+      .filter(col("j") >= threshold)
+      .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  /** k MinHash values per doc in ONE pass over the shingle set:
+    * m_j = min over shingles of ((a_j·h + b_j) mod P), h = md5Long mod P,
+    * a_j = 2j+1, b_j = 7919j+13. Output: doc_id, m0..m{k-1}.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val sh = TextPrimitives.charShingles(docs, "doc_id", "text", n)
+      .withColumn("hm", md5Long(col("sh")) % P)
+    val mins = (0 until k).map { j =>
+      min((col("hm") * (2 * j + 1) + (7919L * j + 13)) % P).as(s"m$j")
+    }
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*).orderBy("doc_id")
+  }
+
+  /** SQL mirror of [[minhashSignatures]] (CTE producing the same cols). */
+  def minhashSigSql(n: Int, k: Int, where: String): String = {
+    val mins = (0 until k).map { j =>
+      s"CAST(min((hm * ${2 * j + 1} + ${7919L * j + 13}) % $P) AS BIGINT) AS m$j"
+    }.mkString(", ")
+    s"""SELECT doc_id, $mins FROM (
+       |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % $P AS hm FROM (
+       |    ${TextPrimitives.charShinglesSql("documents", "doc_id", "text", n, where)}))
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  /** Banded MinHash-LSH candidate pairs: k-signature split into bands
+    * of `rows` values; docs sharing any band are candidates. The
+    * shuffle key is (band_index, band_value) — constant bytes per doc.
+    */
+  def minhashLshPairs(sig: DataFrame, k: Int, rows: Int): DataFrame = {
+    val nBands = k / rows
+    val bandCols = (0 until nBands).map { b =>
+      concat_ws("_", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+    }
+    val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("b", "bv")))
+    val a = bands.toDF("da", "b", "bv")
+    val bb = bands.toDF("db", "b", "bv")
+    a.join(bb, Seq("b", "bv")).filter(col("da") < col("db"))
+      .select("da", "db").distinct().orderBy("da", "db")
+  }
+
+  /** 32-bit SimHash per doc: bit i set iff Σ_tokens (2·bit_i(h(tok))−1)
+    * is positive (token multiplicity = weight). One explode + one
+    * groupBy with 32 conditional sums.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        explode(TextPrimitives.tokens(col("text"))).as("tok"))
+      .withColumn("ht", md5Long(col("tok")))
+    val sums = (0 until 32).map { i =>
+      sum(when(shiftright(col("ht"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$i")
+    }
+    val agg = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val sh = (0 until 32).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** SQL mirror of [[simhash]] (CTE producing doc_id, simhash). */
+  def simhashSql(where: String): String = {
+    val sums = (0 until 32).map { i =>
+      s"sum(CASE WHEN (ht >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(", ")
+    val bits = (0 until 32).map { i =>
+      s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM (
+       |  SELECT doc_id, $sums FROM (
+       |    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS ht FROM (
+       |      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |      FROM documents WHERE $where))
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist. */
+  def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    val sig = simhash(docs)
+    val a = sig.toDF("da", "ha")
+    val b = sig.toDF("db", "hb")
+    a.join(b, col("da") < col("db"))
+      .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("dist") <= maxDist)
+      .select("da", "db", "dist")
+      .orderBy("da", "db")
+  }
+
+  /** Embedding-cosine near-dup pairs (score is the canonical rounded
+    * cosine, so the threshold compare matches the oracle exactly).
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("score", score(col("ea"), col("eb")))
+      .filter(col("score") >= threshold)
+      .select("va", "vb", "score")
+      .orderBy("va", "vb")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.embed
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.md5Long
+
+/** Deterministic feature-hashing text embedder — the Spark-native
+  * stand-in for the reference's external embedding service
+  * (reference: app/core/document_ingestor.py:605 — POST /vectorizer).
+  *
+  * Each token hashes to (bucket, ±1 sign) via md5; the doc vector is
+  * the signed bucket-count histogram, L2-normalized. Fully
+  * distributed: one explode + one groupBy (map-side combinable), no
+  * UDFs, no driver state. [[embedText]] reproduces the exact same
+  * vector on the driver for query-by-text parity.
+  */
+object HashEmbedder {
+
+  val DefaultDim = 64
+
+  /** (idCol, embedding array<double> L2-normalized) per document.
+    * `dim` must be a power of two (sign bit = bit log2(dim) of the
+    * token hash — avoids a >2^53 long/double division).
+    */
+  def embedDocs(docs: DataFrame, idCol: String, textCol: String,
+                dim: Int = DefaultDim): DataFrame = {
+    require(Integer.bitCount(dim) == 1, s"dim must be a power of two, got $dim")
+    val shift = Integer.numberOfTrailingZeros(dim)
+    val tok = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+    val h = md5Long(col("tok"))
+    val buckets = tok
+      .select(col(idCol), (h % dim).as("b"),
+              when(shiftright(h, shift).bitwiseAND(lit(1L)) === 0L, 1.0)
+                .otherwise(-1.0).as("sgn"))
+      .groupBy(idCol, "b").agg(sum("sgn").as("v"))
+      .groupBy(idCol)
+      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
+    val raw = transform(sequence(lit(0), lit(dim - 1)),
+      i => coalesce(element_at(col("m"), i), lit(0.0)))
+    val nrm = sqrt(aggregate(raw, lit(0.0), (a, v) => a + v * v))
+    buckets.select(col(idCol),
+      when(nrm === 0.0, raw).otherwise(transform(raw, v => v / nrm)).as("embedding"))
+  }
+
+  /** Driver-side twin of [[embedDocs]] for embedding a query string —
+    * must produce the identical vector (spec-tested).
+    */
+  def embedText(text: String, dim: Int = DefaultDim): Array[Double] = {
+    require(Integer.bitCount(dim) == 1, s"dim must be a power of two, got $dim")
+    val shift = Integer.numberOfTrailingZeros(dim)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val v = new Array[Double](dim)
+    text.trim.toLowerCase.split("\\s+").foreach { tok =>
+      md.reset()
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val b = (h % dim).toInt
+      val sgn = if (((h >> shift) & 1L) == 0L) 1.0 else -1.0
+      v(b) += sgn
+    }
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    if (nrm == 0.0) v else v.map(_ / nrm)
+  }
+}

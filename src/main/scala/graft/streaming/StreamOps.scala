@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the event operators: the same
+  * semantics as the batch `ev_sessionize` / `ev_window_agg` queries,
+  * expressed as incremental plans (SURVEY §2 #34).
+  *
+  * Inputs use the events schema with `ts` as epoch-nanos Long (see
+  * Tables.events). Spec-tested via MemoryStream; not oracle-able
+  * (DuckDB has no incremental executor).
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionState(sessionId: Long, lastTs: Long, count: Long)
+
+  final case class SessionUpdate(user_id: Long, session_id: Long, n_events: Long)
+
+  val GapNanos: Long = 1800L * 1000 * 1000 * 1000
+
+  /** Tumbling 1h windowed counts with a 30min watermark. `ts` nanos →
+    * timestamp for the watermark clock; at scale this is a streaming
+    * partial-agg with state keyed by (window, event_type).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("event_time", "30 minutes")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  /** Gap-based sessionization with explicit keyed state
+    * (mapGroupsWithState): emits the running session id + count per
+    * user on every micro-batch. State is O(1) per user — safe for
+    * billions of keys with state-store backing.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (userId, evts, state: GroupState[SessionState]) =>
+          val sorted = evts.toSeq.sortBy(e => (e.ts, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          sorted.foreach { e =>
+            st =
+              if (st.lastTs == Long.MinValue || e.ts - st.lastTs > GapNanos)
+                SessionState(st.sessionId + 1, e.ts, 1L)
+              else st.copy(lastTs = e.ts, count = st.count + 1)
+          }
+          state.update(st)
+          SessionUpdate(userId, st.sessionId, st.count)
+      }
+  }
+
+  /** Convenience: run [[windowedCounts]] on a memory sink in append
+    * mode (used by specs and as API documentation).
+    */
+  def startToMemory(df: DataFrame, name: String, mode: OutputMode =
+      OutputMode.Append): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.md5Long
+
+/** Text-analysis operators (token counting, quality scoring,
+  * language-ID, fingerprinting) as single-pass narrow transforms —
+  * no shuffle except fingerprint's shingle groupBy.
+  *
+  * Formulas are written with the exact same association order as the
+  * DuckDB oracles so double arithmetic agrees bit-for-bit.
+  */
+object TextAnalytics {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** Language lexica for the n-gram/stopword language-ID heuristic. */
+  val Lexica: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "une"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Whitespace + BPE-ish regex token counts per doc. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+
+  /** Quality score ∈ [0,1] from token count, punctuation ratio, and
+    * stopword ratio: score = (min(n_tok,100)/100) · (1 − punct/chars)
+    * · (0.2 + 0.8·stop/n_tok).
+    */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val toks = TextPrimitives.tokens(col("text"))
+    docs.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(toks).as("n_tok"),
+        countIn(toks, Stopwords).as("stop_cnt"),
+        size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).as("punct_cnt"))
+      .select(
+        col("doc_id"),
+        col("n_tok").cast("long").as("n_tok"),
+        round(
+          (least(col("n_tok"), lit(100)) / lit(100.0)) *
+          (lit(1.0) - col("punct_cnt") * lit(1.0) / greatest(col("n_chars"), lit(1))) *
+          (lit(0.2) + lit(0.8) * (col("stop_cnt") * lit(1.0) / greatest(col("n_tok"), lit(1)))),
+          4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-lexicon language ID: argmax lexicon hits with fixed
+    * priority en > es > de > fr on ties; 'und' (undetermined) when no
+    * lexicon hits at all.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = TextPrimitives.tokens(col("text"))
+    val hits = Lexica.map { case (lang, words) => lang -> countIn(toks, words) }
+    val Seq(en, es, de, fr) = hits.map(_._2)
+    val pred = when(en + es + de + fr === 0, lit("und"))
+      .when(en >= greatest(es, de, fr), lit("en"))
+      .when(es >= greatest(de, fr), lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+    docs.select(col("doc_id"), pred.as("pred_lang"), col("lang"))
+      .withColumn("is_match", (col("pred_lang") === col("lang")).cast("long"))
+      .drop("lang")
+      .orderBy("doc_id")
+  }
+
+  /** SQL mirror of [[languageId]]'s prediction for DuckDB. */
+  def languageIdSql: String = {
+    def cnt(words: Seq[String]) =
+      s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val Seq(en, es, de, fr) = Lexica.map { case (_, w) => cnt(w) }
+    s"""SELECT doc_id, pred_lang, CAST(pred_lang = lang AS BIGINT) AS is_match FROM (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN $en + $es + $de + $fr = 0 THEN 'und'
+       |         WHEN $en >= greatest($es, $de, $fr) THEN 'en'
+       |         WHEN $es >= greatest($de, $fr) THEN 'es'
+       |         WHEN $de >= $fr THEN 'de'
+       |         ELSE 'fr' END AS pred_lang
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Min-sketch fingerprint over 4-gram shingles: (min, max, distinct
+    * count) of the 60-bit rolling shingle hashes — a winnowing-style
+    * content signature.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    TextPrimitives.charShingles(docs, "doc_id", "text", 4)
+      .withColumn("hm", md5Long(col("sh")))
+      .groupBy("doc_id")
+      .agg(min("hm").as("fp_min"), max("hm").as("fp_max"),
+           count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
+}

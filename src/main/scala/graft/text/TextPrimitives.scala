@@ -1,0 +1,35 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared text primitives: tokenization and character shingling.
+  * Kept as pure Catalyst expressions (split/explode/substr) so the
+  * shuffle-heavy dedup pipelines stay inside whole-stage codegen.
+  */
+object TextPrimitives {
+
+  /** Whitespace tokens of the trimmed, lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Explode distinct lowercase character n-grams:
+    * (idCol, sh). For texts shorter than n a single short shingle is
+    * produced (substr is clamped), matching the DuckDB oracle's
+    * `substr(t, i, n)` over `generate_series(1, greatest(len-n+1,1))`.
+    */
+  def charShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), lower(trim(col(textCol))).as("t"))
+      .withColumn("i", explode(sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1)))))
+      .selectExpr(idCol, s"substr(t, i, $n) AS sh")
+      .distinct()
+
+  /** SQL fragment mirroring [[charShingles]] for DuckDB oracles:
+    * a CTE body producing (idCol, sh), distinct.
+    */
+  def charShinglesSql(table: String, idCol: String, textCol: String, n: Int,
+                      where: String = "TRUE"): String =
+    s"""SELECT DISTINCT $idCol, substr(t, i, $n) AS sh FROM (
+       |  SELECT $idCol, lower(trim($textCol)) AS t,
+       |         unnest(generate_series(1, greatest(len(trim($textCol)) - ${n - 1}, 1))) AS i
+       |  FROM $table WHERE $where)""".stripMargin
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+
+class AnnSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  test("brute force topk: k rows per query, rank 1 is the max score") {
+    val q = emb.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val res = Ann.bruteForceTopK(emb, q, 5).collect()
+    assert(res.length == 15)
+    res.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rnk"))
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sortBy(-_)))
+    }
+  }
+
+  test("LSH multiprobe recall vs brute force is meaningful") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val q = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Ann.bruteForceTopK(emb, q, 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val approx = Ann.lshTopK(emb, qids, nPlanes = 4, dim = 64, probeDist = 2, k = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // random-hyperplane LSH with wide probes on 500 vectors: expect
+    // a sizable fraction of true neighbors, far above random chance
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
+  test("signatures are stable across evaluations") {
+    val s1 = Ann.signatures(emb, Ann.planes(spark, 6, 64)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = Ann.signatures(emb, Ann.planes(spark, 6, 64)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+  }
+}

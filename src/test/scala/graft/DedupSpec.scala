@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup groups identical texts") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val res = Dedup.exact(docs).collect()
+    assert(res.length == 2)
+    val dup = res.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("identical docs have identical minhash signatures and jaccard 1") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "spark scale vector engine test"),
+                   (2L, "spark scale vector engine test"),
+                   (3L, "completely different content here")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, 5, 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)).toSeq).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+    val j = Dedup.ngramJaccard(docs, 5, 0.5).collect()
+    assert(j.exists(r => r.getAs[Long]("da") == 1L && r.getAs[Long]("db") == 2L &&
+      r.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("lsh pairs contain the identical pair") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "spark scale vector engine test"),
+                   (2L, "spark scale vector engine test"),
+                   (3L, "completely different content here")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(Dedup.minhashSignatures(docs, 5, 8), 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("simhash distance 0 for identical docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"),
+                   (2L, "alpha beta gamma delta"),
+                   (3L, "zz yy xx ww vv uu tt")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, 0).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getAs[Long]("dist") == 0L))
+  }
+
+  test("embedding near-dup finds self-similar clusters") {
+    val res = Dedup.embeddingNearDup(Tables.embeddings(spark, sfDir), 0.4)
+    assert(res.count() > 0)
+    assert(res.filter(col("score") < 0.4).count() == 0)
+  }
+}

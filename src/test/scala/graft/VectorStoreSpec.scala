@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.store.VectorStore
+
+class VectorStoreSpec extends SparkSpec {
+
+  private def pts = VectorStore.points(spark, sfDir)
+
+  test("search returns k results ordered by score desc") {
+    val res = VectorStore.search(pts, 2, VectorStore.queryVecOf(spark, sfDir, 42), 10)
+      .collect()
+    assert(res.length == 10)
+    val scores = res.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    // vec 42 itself is in user 2's collection and must rank first (cos=1)
+    assert(res.head.getAs[Long]("vector_id") == 42L)
+    assert(res.head.getAs[Double]("score") == 1.0)
+  }
+
+  test("search threshold filters and docIds restrict") {
+    val res = VectorStore.search(pts, 2, VectorStore.queryVecOf(spark, sfDir, 42),
+      limit = 100, scoreThreshold = 0.9)
+    assert(res.count() == 1) // only the identical vector
+    val restricted = VectorStore.search(pts, 2, VectorStore.queryVecOf(spark, sfDir, 42),
+      limit = 100, docIds = Seq(10L))
+    assert(restricted.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(10L))
+  }
+
+  test("upsert replaces points with matching key and keeps others") {
+    val before = pts.count()
+    val batch = pts.filter(col("user_id") === 2 && col("doc_id") === 2)
+      .withColumn("vector_id", col("vector_id") + 9000)
+    val after = VectorStore.upsert(pts, batch)
+    assert(after.count() == before)
+    // the replaced keys now carry the batch's vector_ids
+    val replaced = after.filter(col("user_id") === 2 && col("doc_id") === 2)
+      .select("vector_id").collect().map(_.getLong(0))
+    assert(replaced.forall(_ >= 9000))
+  }
+
+  test("delete family removes exactly the targeted points") {
+    val n = pts.count()
+    val nDoc = pts.filter(col("user_id") === 1 && col("doc_id") === 17).count()
+    assert(VectorStore.deleteDoc(pts, 1, 17).count() == n - nDoc)
+    val nIds = pts.filter(col("user_id") === 5 && col("vector_id").isin(5L, 13L)).count()
+    assert(VectorStore.deleteByIds(pts, 5, Seq(5L, 13L)).count() == n - nIds)
+    assert(VectorStore.deleteCollection(pts, 3).filter(col("user_id") === 3).count() == 0)
+  }
+
+  test("scrollDocs with empty doc set scans the whole collection") {
+    val all = VectorStore.scrollDocs(pts, 3, Nil, 1000).count()
+    val direct = pts.filter(col("user_id") === 3).count()
+    assert(all == direct)
+  }
+
+  test("updateVector changes only the targeted key") {
+    val nv = VectorStore.queryVecOf(spark, sfDir, 7)
+      .select(transform(col("q"), x => -x).as("newv"))
+    val updated = pts.crossJoin(broadcast(nv))
+      .withColumn("embedding",
+        when(col("user_id") === 2 && col("doc_id") === 42 && col("chunk_id") === 42,
+          col("newv")).otherwise(col("embedding")))
+    val changed = updated.filter(col("chunk_id") === 42)
+      .select(element_at(col("embedding"), 1)).head().getFloat(0)
+    val orig7 = pts.filter(col("vector_id") === 7)
+      .select(element_at(col("embedding"), 1)).head().getFloat(0)
+    assert(changed == -orig7)
+  }
+}
