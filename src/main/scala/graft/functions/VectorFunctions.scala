@@ -17,26 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision. */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in double precision (native codegen'd expression). */
+  def dotProduct(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
-  /** Σ aᵢ² in double precision. */
-  def sqNorm(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+  /** Σ aᵢ² in double precision (native codegen'd expression). */
+  def sqNorm(a: Column): Column = VectorExpressions.sqNorm(a)
 
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(sqNorm(a))
 
-  /** cosine(a, b) = a·b / (‖a‖‖b‖); 0.0 when either vector is zero. */
-  def cosineSim(a: Column, b: Column): Column = {
-    val na = sqNorm(a)
-    val nb = sqNorm(b)
+  /** cosine(a, b) = a·b / (‖a‖‖b‖); 0.0 when either vector is zero
+    * (native codegen'd expression).
+    */
+  def cosineSim(a: Column, b: Column): Column = VectorExpressions.cosine(a, b)
+
+  /** Reference HOF formulation of cosine — numerically identical to
+    * [[cosineSim]] (spec-asserted); kept for cross-checking the
+    * native expression.
+    */
+  def cosineSimHof(a: Column, b: Column): Column = {
+    val dot = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
     when(na === 0.0 || nb === 0.0, lit(0.0))
-      .otherwise(dotProduct(a, b) / sqrt(na * nb))
+      .otherwise(dot / sqrt(na * nb))
   }
 
   /** cosine rounded to 6 decimals — the canonical "score" used by every

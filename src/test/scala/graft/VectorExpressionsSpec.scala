@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorExpressions, VectorFunctions}
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sfDir).limit(100)
+
+  test("native cosine is bit-identical to the HOF formulation") {
+    val q = graft.store.VectorStore.queryVecOf(spark, sfDir, 7)
+    val both = emb.crossJoin(broadcast(q)).select(
+      col("vec_id"),
+      VectorExpressions.cosine(col("embedding"), col("q")).as("native"),
+      VectorFunctions.cosineSimHof(col("embedding"), col("q")).as("hof"))
+    val rows = both.collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"vec ${r.getLong(0)}: native=${r.getDouble(1)} hof=${r.getDouble(2)}")
+    }
+  }
+
+  test("native expressions work on double arrays and mixed types") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorExpressions.dot(col("a"), col("b")).as("d"),
+      VectorExpressions.sqNorm(col("a")).as("n")).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 14.0)
+  }
+
+  test("SQL registration: cosine_similarity usable from spark.sql") {
+    VectorExpressions.register(spark)
+    spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      """SELECT cosine_similarity(a.embedding, b.embedding) AS c
+        |FROM emb_v a JOIN emb_v b ON a.vec_id = 0 AND b.vec_id = 0""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("null inputs yield null, zero vectors yield 0.0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(Array(0.0f, 0.0f)), Array(1.0f, 2.0f)), (None, Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+    val rows = df.select(VectorExpressions.cosine(col("a"), col("b")).as("c")).collect()
+    assert(rows(0).getDouble(0) == 0.0)
+    assert(rows(1).isNullAt(0))
+  }
+}
