@@ -24,8 +24,29 @@ object Ann {
 
   /** Exact cosine top-k for each query vector in `queries`
     * (qid, qv). Output: qid, vec_id, score, rnk.
+    *
+    * Uses the TopK partial aggregate: each map task keeps only k
+    * candidates per query, so the shuffle is k rows per partition per
+    * query — no global sort, no full candidate shuffle (see
+    * graft.ops.TopK).
     */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val agg = graft.ops.TopK.topk(k)
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), score(col("embedding"), col("qv")).as("score"), col("vec_id"))
+      .groupBy("qid")
+      .agg(agg(col("score"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("vec_id"), col("col.score").as("score"),
+              (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Window-function formulation of [[bruteForceTopK]] — shuffles all
+    * candidates; kept as the semantic reference (spec cross-checked).
+    */
+  def bruteForceTopKWindow(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
     emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))

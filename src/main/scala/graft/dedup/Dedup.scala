@@ -83,10 +83,16 @@ object Dedup {
     val bandCols = (0 until nBands).map { b =>
       concat_ws("_", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
     }
+    // group docs per (band, bucket) then explode the member list into
+    // pairs — the signature pipeline runs ONCE (a naive self-join
+    // would execute it twice) and the shuffle carries one row per
+    // non-empty bucket.
     val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("b", "bv")))
-    val a = bands.toDF("da", "b", "bv")
-    val bb = bands.toDF("db", "b", "bv")
-    a.join(bb, Seq("b", "bv")).filter(col("da") < col("db"))
+    bands.groupBy("b", "bv").agg(collect_list("doc_id").as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("da"), col("ds"))
+      .select(col("da"), explode(col("ds")).as("db"))
+      .filter(col("da") < col("db"))
       .select("da", "db").distinct().orderBy("da", "db")
   }
 

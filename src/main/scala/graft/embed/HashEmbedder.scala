@@ -29,16 +29,17 @@ object HashEmbedder {
     val tok = docs.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
     val h = md5Long(col("tok"))
+    // one groupBy with dim conditional sums: a single map-side
+    // combinable shuffle, fully codegen'd (no map materialization)
+    val sums = (0 until dim).map(i =>
+      sum(when(col("b") === i, col("sgn")).otherwise(0.0)).as(s"v$i"))
     val buckets = tok
       .select(col(idCol), (h % dim).as("b"),
               when(shiftright(h, shift).bitwiseAND(lit(1L)) === 0L, 1.0)
                 .otherwise(-1.0).as("sgn"))
-      .groupBy(idCol, "b").agg(sum("sgn").as("v"))
-      .groupBy(idCol)
-      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
-    val raw = transform(sequence(lit(0), lit(dim - 1)),
-      i => coalesce(element_at(col("m"), i), lit(0.0)))
-    val nrm = sqrt(aggregate(raw, lit(0.0), (a, v) => a + v * v))
+      .groupBy(idCol).agg(sums.head, sums.tail: _*)
+    val raw = array((0 until dim).map(i => col(s"v$i")): _*)
+    val nrm = sqrt(graft.functions.VectorFunctions.sqNorm(raw))
     buckets.select(col(idCol),
       when(nrm === 0.0, raw).otherwise(transform(raw, v => v / nrm)).as("embedding"))
   }

@@ -33,6 +33,17 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("TopK aggregate matches the window formulation exactly") {
+    val q = emb.filter(col("vec_id") <= 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val viaAgg = Ann.bruteForceTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val viaWin = Ann.bruteForceTopKWindow(emb, q, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+                 r.getAs[Double]("score"), r.getAs[Long]("rnk")))
+    assert(viaAgg.toSeq == viaWin.toSeq)
+  }
+
   test("signatures are stable across evaluations") {
     val s1 = Ann.signatures(emb, Ann.planes(spark, 6, 64)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
