@@ -164,6 +164,17 @@ object SparkEntry {
              |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
              |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
 
+    "ev_json_extract" -> Q(
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "ev_window_agg" -> Q(
       (s, d) => Tables.events(s, d)
         .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
@@ -297,6 +308,20 @@ object SparkEntry {
               |              THEN list_transform((SELECT embedding FROM embeddings WHERE vec_id = 7), x -> -x)[1]
               |              ELSE embedding[1] END AS e1
               |  FROM points)""".stripMargin)),
+
+    "vs_scroll_chunk" -> Q(
+      (s, d) => VectorStore.scrollChunk(VectorStore.points(s, d), 7, 7, 207, 20),
+      Some(s"""$pointsSql
+              |SELECT vector_id, doc_id, chunk_id, title FROM points
+              |WHERE user_id = 7 AND doc_id = 7 AND chunk_id = 207
+              |ORDER BY vector_id LIMIT 20""".stripMargin)),
+
+    "vs_delete_chunk" -> Q(
+      (s, d) => VectorStore.deleteChunk(VectorStore.points(s, d), 7, 7, 207)
+        .agg(count(lit(1)).as("n"), sum("vector_id").as("sum_vid")),
+      Some(s"""$pointsSql
+              |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vector_id) AS BIGINT) AS sum_vid
+              |FROM points WHERE NOT (user_id = 7 AND doc_id = 7 AND chunk_id = 207)""".stripMargin)),
 
     "vs_list_collections" -> Q(
       (s, d) => VectorStore.listCollections(VectorStore.points(s, d)),

@@ -1,0 +1,57 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent backing for vector collections: parquet partitioned by
+  * `user_id` — the Spark-native equivalent of the reference's
+  * per-user Qdrant collections (reference: document_ingestor.py:68).
+  *
+  * Why this layout at 100 TB:
+  * - per-user operators (search/scroll/delete) become partition-pruned
+  *   scans — Spark never touches other users' files;
+  * - upsert/delete rewrite ONLY the touched user partitions (dynamic
+  *   partition overwrite), not the table;
+  * - collection listing is a filesystem metadata operation.
+  */
+object CollectionStorage {
+
+  /** Write a full collection table, partitioned per user. */
+  def write(points: DataFrame, path: String): Unit =
+    points.write
+      .partitionBy("user_id")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
+  /** Load the collection table (partition pruning applies to any
+    * subsequent `user_id` filter — spec-asserted on the plan).
+    * Partition-column type inference reads `user_id` as int; cast it
+    * back to the canonical long.
+    */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .withColumn("user_id", col("user_id").cast("long"))
+
+  /** Overwrite only the user partitions present in `changed` —
+    * the scale-safe mutation path for upsert/delete outcomes.
+    */
+  def overwriteUserPartitions(changed: DataFrame, path: String): Unit = {
+    val spark = changed.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      changed.write
+        .partitionBy("user_id")
+        .mode(SaveMode.Overwrite)
+        .parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Collection names = partition values — metadata-only at scale. */
+  def listUserIds(spark: SparkSession, path: String): Seq[Long] =
+    load(spark, path).select("user_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+}

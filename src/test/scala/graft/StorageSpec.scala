@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.store.{CollectionStorage, DocumentStore, VectorStore}
+
+class StorageSpec extends SparkSpec {
+
+  test("partitioned write + load: per-user reads are partition-pruned") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/coll"
+    val pts = VectorStore.points(spark, sfDir)
+    CollectionStorage.write(pts, dir)
+    val loaded = CollectionStorage.load(spark, dir)
+    assert(loaded.count() == pts.count())
+    val pruned = loaded.filter(col("user_id") === 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("user_id"),
+      s"expected partition pruning in:\n$plan")
+    assert(pruned.count() == pts.filter(col("user_id") === 3).count())
+  }
+
+  test("dynamic partition overwrite touches only changed users") {
+    val dir = Files.createTempDirectory("graft-coll2").toString + "/coll"
+    val pts = VectorStore.points(spark, sfDir)
+    CollectionStorage.write(pts, dir)
+    // delete doc 17 from user 1's collection, rewrite ONLY user 1
+    val after = VectorStore.deleteDoc(pts, 1, 17).filter(col("user_id") === 1)
+    CollectionStorage.overwriteUserPartitions(after, dir)
+    val reloaded = CollectionStorage.load(spark, dir)
+    assert(reloaded.filter(col("user_id") === 1 && col("doc_id") === 17).count() == 0)
+    // other partitions untouched
+    assert(reloaded.filter(col("user_id") =!= 1).count() ==
+      pts.filter(col("user_id") =!= 1).count())
+    assert(CollectionStorage.listUserIds(spark, dir) == (0L to 7L))
+  }
+
+  test("DocumentStore: upsert text chunks then find them by text query") {
+    val s = spark
+    import s.implicits._
+    val chunks = Seq(
+      (1L, 10L, 0L, "doc-a", "spark engines scale vector search across clusters"),
+      (1L, 10L, 1L, "doc-a", "minhash shingles deduplicate web corpora"),
+      (1L, 11L, 0L, "doc-b", "streaming watermarks bound state growth"),
+      (2L, 20L, 0L, "doc-c", "unrelated text about cooking pasta"))
+      .toDF("user_id", "doc_id", "chunk_id", "title", "text")
+    val empty = chunks.limit(0)
+      .withColumn("vector_id", lit(0L))
+      .withColumn("embedding", typedlit(Seq.empty[Double]))
+      .select("user_id", "vector_id", "doc_id", "chunk_id", "title", "embedding")
+    val coll = DocumentStore.upsertChunks(empty, chunks)
+    assert(coll.count() == 4)
+    val hits = DocumentStore.searchByText(coll, 1L,
+      "spark engines scale vector search across clusters", limit = 2).collect()
+    assert(hits.head.getAs[Long]("doc_id") == 10L)
+    assert(hits.head.getAs[Long]("vector_id") != 0L)
+    assert(hits.head.getAs[Double]("score") == 1.0)
+    // doc-filtered search only sees doc 11
+    val onDoc = DocumentStore.searchByTextOnDocs(coll, 1L, Seq(11L),
+      "streaming watermarks", limit = 5).collect()
+    assert(onDoc.map(_.getAs[Long]("doc_id")).toSet == Set(11L))
+  }
+
+  test("DocumentStore.updateChunk re-embeds in place") {
+    val s = spark
+    import s.implicits._
+    val chunks = Seq(
+      (1L, 10L, 0L, "doc-a", "original text about databases"))
+      .toDF("user_id", "doc_id", "chunk_id", "title", "text")
+    val empty = chunks.limit(0)
+      .withColumn("vector_id", lit(0L))
+      .withColumn("embedding", typedlit(Seq.empty[Double]))
+      .select("user_id", "vector_id", "doc_id", "chunk_id", "title", "embedding")
+    val coll = DocumentStore.upsertChunks(empty, chunks)
+    val updated = DocumentStore.updateChunk(coll, 1L, 10L, 0L, "fresh text about lasers")
+    val hit = DocumentStore.searchByText(updated, 1L, "fresh text about lasers", 1).head()
+    assert(hit.getAs[Double]("score") == 1.0)
+  }
+}
