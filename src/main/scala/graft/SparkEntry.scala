@@ -442,6 +442,33 @@ object SparkEntry {
                 |FROM (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS hm FROM s)
                 |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+      // The reference's flagship flow (search_query: text → vector →
+      // cosine top-k), oracle'd end-to-end: DuckDB reproduces the
+      // feature-hash embedder AND the cosine, bit-for-bit.
+      "text_search_e2e" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.score
+          val raw = graft.embed.HashEmbedder.embedDocsRaw(
+            Tables.documents(s, d), "doc_id", "text", 64)
+          val q = raw.filter(col("doc_id") === 3).select(col("embedding").as("qv"))
+          raw.crossJoin(broadcast(q))
+            .select(col("doc_id"), score(col("embedding"), col("qv")).as("score"))
+            .orderBy(col("score").desc, col("doc_id"))
+            .limit(10)
+        },
+        Some {
+          val (dot, na, nb) = graft.embed.HashEmbedder.cosineTermsSql(64)
+          s"""WITH sums AS (
+             |${graft.embed.HashEmbedder.rawSumsSql(64)}),
+             |q AS (SELECT * FROM sums WHERE doc_id = 3)
+             |SELECT doc_id,
+             |       round(CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+             |                  ELSE dot / sqrt(na * nb) END, 6) + 0.0 AS score
+             |FROM (SELECT s.doc_id, ($dot) AS dot, ($na) AS na, ($nb) AS nb
+             |      FROM sums s, q)
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+        }),
+
       "emb_norm_invariant" -> Q(
         (s, d) => {
           import graft.functions.VectorFunctions.sqNorm

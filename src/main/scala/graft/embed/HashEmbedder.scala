@@ -23,7 +23,19 @@ object HashEmbedder {
     * token hash — avoids a >2^53 long/double division).
     */
   def embedDocs(docs: DataFrame, idCol: String, textCol: String,
-                dim: Int = DefaultDim): DataFrame = {
+                dim: Int = DefaultDim): DataFrame =
+    embedDocsImpl(docs, idCol, textCol, dim, normalize = true)
+
+  /** Un-normalized signed bucket counts — cosine over these equals
+    * cosine over the normalized vectors but is bit-reproducible in
+    * plain SQL (used by the text_search_e2e oracle).
+    */
+  def embedDocsRaw(docs: DataFrame, idCol: String, textCol: String,
+                   dim: Int = DefaultDim): DataFrame =
+    embedDocsImpl(docs, idCol, textCol, dim, normalize = false)
+
+  private def embedDocsImpl(docs: DataFrame, idCol: String, textCol: String,
+                            dim: Int, normalize: Boolean): DataFrame = {
     require(Integer.bitCount(dim) == 1, s"dim must be a power of two, got $dim")
     val shift = Integer.numberOfTrailingZeros(dim)
     val tok = docs.select(col(idCol),
@@ -39,10 +51,40 @@ object HashEmbedder {
                 .otherwise(-1.0).as("sgn"))
       .groupBy(idCol).agg(sums.head, sums.tail: _*)
     val raw = array((0 until dim).map(i => col(s"v$i")): _*)
-    val nrm = sqrt(graft.functions.VectorFunctions.sqNorm(raw))
-    buckets.select(col(idCol),
-      when(nrm === 0.0, raw).otherwise(transform(raw, v => v / nrm)).as("embedding"))
+    if (!normalize) buckets.select(col(idCol), raw.as("embedding"))
+    else {
+      val nrm = sqrt(graft.functions.VectorFunctions.sqNorm(raw))
+      buckets.select(col(idCol),
+        when(nrm === 0.0, raw).otherwise(transform(raw, v => v / nrm)).as("embedding"))
+    }
   }
+
+  /** DuckDB CTE body computing the same raw signed bucket sums as
+    * [[embedDocsRaw]] — columns (doc_id, v0..v{dim-1}). Token-order
+    * independent (sums of ±1.0 are exact in double).
+    */
+  def rawSumsSql(dim: Int, table: String = "documents"): String = {
+    require(Integer.bitCount(dim) == 1)
+    val shift = Integer.numberOfTrailingZeros(dim)
+    val sums = (0 until dim)
+      .map(i => s"sum(CASE WHEN b = $i THEN sgn ELSE 0.0 END) AS v$i").mkString(", ")
+    s"""SELECT doc_id, $sums FROM (
+       |  SELECT doc_id, h % $dim AS b,
+       |         CASE WHEN (h >> $shift) & 1 = 0 THEN 1.0 ELSE -1.0 END AS sgn FROM (
+       |    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM (
+       |      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |      FROM $table)))
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  /** SQL cosine between two raw-sum rows (aliases `s` and `q`) with
+    * the exact accumulation order of the native CosineSimilarity
+    * expression (left-assoc i = 0..dim−1).
+    */
+  def cosineTermsSql(dim: Int): (String, String, String) = (
+    (0 until dim).map(i => s"s.v$i * q.v$i").mkString(" + "),
+    (0 until dim).map(i => s"s.v$i * s.v$i").mkString(" + "),
+    (0 until dim).map(i => s"q.v$i * q.v$i").mkString(" + "))
 
   /** Driver-side twin of [[embedDocs]] for embedding a query string —
     * must produce the identical vector (spec-tested).
