@@ -50,6 +50,35 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** [[ngramJaccard]] with a document-frequency cap on shingles: a
+    * shingle present in more than `maxDf` docs is dropped before the
+    * intersection join. At web scale a handful of stop-shingles
+    * ("the ", " and ") appear in nearly every document; without the
+    * cap the equi-join key for such a shingle fans out to |docs|²
+    * rows in a single reducer — the classic skew death. Capping
+    * bounds every join key's fan-out at maxDf² and barely moves the
+    * Jaccard estimate (spec-asserted against the uncapped version on
+    * docs without hot shingles).
+    */
+  def ngramJaccardCapped(docs: DataFrame, n: Int, threshold: Double,
+                         maxDf: Int): DataFrame = {
+    val sh0 = TextPrimitives.charShingles(docs, "doc_id", "text", n)
+    val df = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sh = sh0.join(df.filter(col("df") <= maxDf), "sh").drop("df")
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+    val a = sh.select(col("doc_id").as("da"), col("sh"))
+    val b = sh.select(col("doc_id").as("db"), col("sh"))
+    val inter = a.join(b, Seq("sh")).filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+    inter
+      .join(cnt.toDF("da", "na"), "da")
+      .join(cnt.toDF("db", "nb"), "db")
+      .withColumn("j", col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")))
+      .filter(col("j") >= threshold)
+      .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
   /** k MinHash values per doc in ONE pass over the shingle set:
     * m_j = min over shingles of ((a_j·h + b_j) mod P), h = md5Long mod P,
     * a_j = 2j+1, b_j = 7919j+13. Output: doc_id, m0..m{k-1}.
