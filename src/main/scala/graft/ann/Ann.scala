@@ -79,6 +79,52 @@ object Ann {
         .cast("long").as("bucket"))
   }
 
+  /** Deterministic Lloyd's k-means over the embedding column — the
+    * real coarse quantizer behind IVF (ann_ivf_probe uses fixed seed
+    * vectors; this refines them). Classic Spark pattern: broadcast
+    * centroids, one groupBy per iteration, k×dim doubles of driver
+    * state (like MLlib's implementation).
+    * Returns (cid, cv: array<double>).
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val s = emb.sparkSession
+    var cents = emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        val arr = r.getSeq[Any](1).map {
+          case f: java.lang.Float  => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+        }.toArray
+        (i.toLong, arr)
+      }
+    val dim = cents.head._2.length
+    (0 until iters).foreach { _ =>
+      import s.implicits._
+      val cdf = broadcast(cents.toSeq.toDF("cid", "cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("d").asc, col("cid"))
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
+      val agg = emb.crossJoin(cdf)
+        .withColumn("d", graft.functions.VectorExpressions.sqNorm(col("embedding")) +
+          graft.functions.VectorExpressions.sqNorm(col("cv")) -
+          graft.functions.VectorExpressions.dot(col("embedding"), col("cv")) * 2)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      cents = agg.map { r =>
+        val n = r.getAs[Long]("n").toDouble
+        val cid = r.getAs[Long]("cid")
+        (cid, (0 until dim).map(i => r.getAs[Double](s"s$i") / n).toArray)
+      }.sortBy(_._1)
+    }
+    import s.implicits._
+    cents.toSeq.toDF("cid", "cv")
+  }
+
   /** Multiprobe LSH top-k: candidates share a signature bucket with
     * the query up to hamming distance `probeDist`; exact cosine
     * rescoring of candidates only.

@@ -61,6 +61,58 @@ object Multimodal {
     }
   }
 
+  /** STUB feature extractor: binary payload → 64-d float embedding
+    * (deterministic from bytes; a real deployment runs a vision/audio
+    * model here). Output plugs straight into Ann/VectorStore search.
+    */
+  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 64): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { it =>
+      // model weights would load here, once per partition
+      it.map { r =>
+        val v = new Array[Float](dim)
+        var h = 1125899906842597L
+        var i = 0
+        while (i < r.media.length) {
+          h = 31 * h + (r.media(i) & 0xff)
+          v(((h & Long.MaxValue) % dim).toInt) += (if ((h & 64) == 0) 1f else -1f)
+          i += 1
+        }
+        var n = 0.0; var j = 0
+        while (j < dim) { n += v(j) * v(j); j += 1 }
+        val inv = if (n == 0.0) 0f else (1.0 / math.sqrt(n)).toFloat
+        j = 0
+        while (j < dim) { v(j) *= inv; j += 1 }
+        (r.doc_id, v)
+      }
+    }.toDF("doc_id", "embedding")
+  }
+
+  /** STUB resize: re-derive target-box metadata (a real deployment
+    * transcodes the payload; the partition-batched shape is the same).
+    */
+  def resizeStub(meta: Dataset[MediaMeta], maxSide: Long): Dataset[MediaMeta] = {
+    val s = meta.sparkSession
+    import s.implicits._
+    meta.map { m =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(m.width, m.height))
+      m.copy(width = math.max(1L, (m.width * scale).toLong),
+             height = math.max(1L, (m.height * scale).toLong))
+    }
+  }
+
+  /** STUB frame sampler: one row per sampled frame index (every
+    * `stride`-th frame), the fan-out shape of real video pipelines.
+    */
+  def sampleFrames(meta: Dataset[MediaMeta], stride: Long): DataFrame = {
+    val s = meta.sparkSession
+    import s.implicits._
+    meta.filter(_.kind == "video").flatMap { m =>
+      (0L until m.n_frames by stride).map(f => (m.doc_id, f))
+    }.toDF("doc_id", "frame_idx")
+  }
+
   /** Oracle-able metadata extraction in pure Catalyst expressions
     * (md5-derived fake dimensions — same numbers as the DuckDB twin).
     */

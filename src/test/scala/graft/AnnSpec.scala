@@ -44,6 +44,35 @@ class AnnSpec extends SparkSpec {
     assert(viaAgg.toSeq == viaWin.toSeq)
   }
 
+  test("kmeans refinement reduces IVF assignment cost") {
+    import graft.functions.VectorExpressions
+    def inertia(cents: org.apache.spark.sql.DataFrame): Double = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("d").asc, col("cid"))
+      emb.crossJoin(broadcast(cents))
+        .withColumn("d", VectorExpressions.sqNorm(col("embedding")) +
+          VectorExpressions.sqNorm(col("cv")) -
+          VectorExpressions.dot(col("embedding"), col("cv")) * 2)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .agg(sum("d")).head().getDouble(0)
+    }
+    val c1 = Ann.kmeansCentroids(emb, 8, 1)
+    val c4 = Ann.kmeansCentroids(emb, 8, 4)
+    val (i1, i4) = (inertia(c1), inertia(c4))
+    assert(i4 <= i1 + 1e-9, s"inertia rose: $i1 -> $i4")
+  }
+
+  test("LSH bucket as partition column: probe scans are pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString + "/idx"
+    val sig = Ann.signatures(emb, Ann.planes(spark, 4, 64))
+    emb.join(sig, "vec_id").write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val probe = idx.filter(col("bucket") === 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket pruning in:\n$plan")
+  }
+
   test("signatures are stable across evaluations") {
     val s1 = Ann.signatures(emb, Ann.planes(spark, 6, 64)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -19,4 +19,32 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.decodeMeta(media).collect()
     assert(metas.sortBy(_.doc_id).sameElements(again.sortBy(_.doc_id)))
   }
+
+  test("feature extraction yields unit vectors usable by ANN search") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.asMediaTable(Tables.documents(spark, sfDir).limit(50))
+    val feats = Multimodal.extractFeatures(media)
+    val norms = feats.select(
+      sqrt(graft.functions.VectorFunctions.sqNorm(col("embedding"))).as("n"))
+      .collect().map(_.getDouble(0))
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-5))
+    // plugs into the ANN operator unchanged
+    val withId = feats.withColumnRenamed("doc_id", "vec_id")
+    val q = withId.limit(1).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = graft.ann.Ann.bruteForceTopK(withId, q, 3).collect()
+    assert(top.length == 3)
+  }
+
+  test("resize bounds dimensions; frame sampling fans out videos") {
+    val media = Multimodal.asMediaTable(Tables.documents(spark, sfDir).limit(60))
+    val meta = Multimodal.decodeMeta(media)
+    val resized = Multimodal.resizeStub(meta, 256).collect()
+    resized.foreach { m =>
+      assert(m.width <= 256 && m.height <= 256 && m.width >= 1 && m.height >= 1)
+    }
+    val frames = Multimodal.sampleFrames(meta, stride = 10)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= 24))
+  }
 }
