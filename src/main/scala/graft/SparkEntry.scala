@@ -201,7 +201,7 @@ object SparkEntry {
         qdf = VectorStore.queryVecOf(s, d, 42), limit = 10),
       Some(s"""$pointsSql,
               |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
-              |SELECT vector_id, doc_id, title, ${sqlScore("p.embedding", "q.qv")} AS score
+              |SELECT vector_id, doc_id, chunk_id, title, ${sqlScore("p.embedding", "q.qv")} AS score
               |FROM points p, q WHERE p.user_id = 2
               |ORDER BY score DESC, vector_id LIMIT 10""".stripMargin)),
 
@@ -222,7 +222,7 @@ object SparkEntry {
         docIds = Seq(10L, 26L, 42L)),
       Some(s"""$pointsSql,
               |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
-              |SELECT vector_id, doc_id, title, ${sqlScore("p.embedding", "q.qv")} AS score
+              |SELECT vector_id, doc_id, chunk_id, title, ${sqlScore("p.embedding", "q.qv")} AS score
               |FROM points p, q WHERE p.user_id = 2 AND doc_id IN (10, 26, 42)
               |ORDER BY score DESC, vector_id LIMIT 5""".stripMargin)),
 

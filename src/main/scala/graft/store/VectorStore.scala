@@ -157,7 +157,7 @@ object VectorStore {
     val restricted =
       if (docIds.isEmpty) base else base.filter(col("doc_id").isin(docIds: _*))
     val scored = restricted.crossJoin(broadcast(qdf))
-      .select(col("vector_id"), col("doc_id"), col("title"),
+      .select(col("vector_id"), col("doc_id"), col("chunk_id"), col("title"),
               score(col("embedding"), col("q")).as("score"))
     val thresholded =
       if (scoreThreshold.isNegInfinity) scored
