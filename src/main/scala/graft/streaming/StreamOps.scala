@@ -65,4 +65,30 @@ object StreamOps {
   def startToMemory(df: DataFrame, name: String, mode: OutputMode =
       OutputMode.Append): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  /** Continuous vector ingestion: a stream of points (the reference's
+    * per-request HTTP upserts, reference routes.py:109/150) becomes a
+    * micro-batched merge into the partitioned collection store. Each
+    * micro-batch is one last-writer-wins upsert + dynamic partition
+    * overwrite of ONLY the touched user partitions — bounded work per
+    * batch regardless of total collection size.
+    */
+  def startCollectionIngest(points: DataFrame, collectionPath: String,
+                            checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    points.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try graft.store.CollectionStorage.load(spark, collectionPath)
+              .filter(org.apache.spark.sql.functions.col("user_id")
+                .isin(batch.select("user_id").distinct()
+                  .collect().map(_.getLong(0)).toSeq: _*))
+          catch { case _: org.apache.spark.sql.AnalysisException => batch.limit(0) }
+        val merged = graft.store.VectorStore.upsert(existing, batch)
+        graft.store.CollectionStorage.overwriteUserPartitions(merged, collectionPath)
+      }
+      .start()
 }

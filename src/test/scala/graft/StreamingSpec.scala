@@ -5,7 +5,13 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.{Event, SessionUpdate}
 
+object StreamingSpec {
+  final case class Point(user_id: Long, vector_id: Long, doc_id: Long,
+                         chunk_id: Long, title: String, embedding: Seq[Double])
+}
+
 class StreamingSpec extends SparkSpec {
+  import StreamingSpec.Point
 
   private val H = 3600L * 1000 * 1000 * 1000 // 1h in nanos
 
@@ -29,6 +35,35 @@ class StreamingSpec extends SparkSpec {
       assert(last.user_id == 100L)
       assert(last.session_id == 2L)
       assert(last.n_events == 1L)
+    } finally query.stop()
+  }
+
+  test("streaming collection ingest: micro-batches merge into the partitioned store") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val (collPath, ckpt) = (base + "/coll", base + "/ckpt")
+    val input = MemoryStream[Point]
+    val query = StreamOps.startCollectionIngest(input.toDF(), collPath, ckpt)
+    try {
+      input.addData(
+        Point(1, 101, 10, 0, "a", Seq(1.0, 0.0)),
+        Point(2, 201, 20, 0, "b", Seq(0.0, 1.0)))
+      query.processAllAvailable()
+      assert(graft.store.CollectionStorage.load(s, collPath).count() == 2)
+      // second batch: replaces (1,10,0), adds (1,11,0)
+      input.addData(
+        Point(1, 102, 10, 0, "a2", Seq(0.5, 0.5)),
+        Point(1, 103, 11, 0, "c", Seq(0.9, 0.1)))
+      query.processAllAvailable()
+      val coll = graft.store.CollectionStorage.load(s, collPath)
+      assert(coll.count() == 3)
+      val replaced = coll.filter(
+        org.apache.spark.sql.functions.col("doc_id") === 10).collect()
+      assert(replaced.length == 1 && replaced.head.getAs[Long]("vector_id") == 102L)
+      // user 2 untouched by the second batch
+      assert(coll.filter(org.apache.spark.sql.functions.col("user_id") === 2).count() == 1)
     } finally query.stop()
   }
 
