@@ -113,6 +113,60 @@ object SparkEntry {
              |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    "q_semi_anti" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).select(col("o_custkey"))
+        val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        withOrders.agg(count(lit(1)).as("n_with"))
+          .crossJoin(withoutOrders.agg(count(lit(1)).as("n_without")))
+      },
+      Some("""SELECT
+             |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+             |   WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+             |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without""".stripMargin)),
+
+    "q17_avg_subquery" -> Q(
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val avgQty = l.groupBy(col("l_partkey").as("ap"))
+          .agg((avg("l_quantity") * 0.5).as("half_avg"))
+        l.join(broadcast(avgQty), col("l_partkey") === col("ap"))
+          .filter(col("l_quantity") < col("half_avg"))
+          .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+               count(lit(1)).as("n"))
+      },
+      Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem l
+             |JOIN (SELECT l_partkey AS ap, avg(l_quantity) * 0.5 AS half_avg
+             |      FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.ap
+             |WHERE l.l_quantity < a.half_avg""".stripMargin)),
+
+    "q_distinct_agg" -> Q(
+      (s, d) => Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(countDistinct(col("s_suppkey")).as("n_supp"),
+             round(sum("s_acctbal"), 2).as("total_bal"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_supp,
+             |       round(sum(s_acctbal), 2) AS total_bal
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // approx sketch: HLL internals differ per engine, so no value
+    // oracle — the driver records a rows-only check; the error bound
+    // vs exact is spec-asserted (RelationalSpec).
+    "q_approx_distinct" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .orderBy("l_returnflag"),
+      None),
+
     "q_window_rank" -> Q(
       (s, d) => {
         val w = Window.partitionBy("p_brand")
