@@ -83,13 +83,25 @@ object Dedup {
     * m_j = min over shingles of ((a_j·h + b_j) mod P), h = md5Long mod P,
     * a_j = 2j+1, b_j = 7919j+13. Output: doc_id, m0..m{k-1}.
     */
-  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val sh = TextPrimitives.charShingles(docs, "doc_id", "text", n)
-      .withColumn("hm", md5Long(col("sh")) % P)
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame =
+    minhashSignaturesOver(
+      TextPrimitives.charShingles(docs, "doc_id", "text", n), k)
+
+  /** MinHash over token w-shingles (see TextPrimitives.tokenShingles)
+    * — preferred for digit-heavy / small-alphabet corpora where char
+    * n-grams over-collide.
+    */
+  def minhashSignaturesTokens(docs: DataFrame, nTokens: Int, k: Int): DataFrame =
+    minhashSignaturesOver(
+      TextPrimitives.tokenShingles(docs, "doc_id", "text", nTokens), k)
+
+  /** k mins over a prepared (doc_id, sh) shingle frame. */
+  def minhashSignaturesOver(sh: DataFrame, k: Int): DataFrame = {
+    val hashed = sh.withColumn("hm", md5Long(col("sh")) % P)
     val mins = (0 until k).map { j =>
       min((col("hm") * (2 * j + 1) + (7919L * j + 13)) % P).as(s"m$j")
     }
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*).orderBy("doc_id")
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*).orderBy("doc_id")
   }
 
   /** SQL mirror of [[minhashSignatures]] (CTE producing the same cols). */

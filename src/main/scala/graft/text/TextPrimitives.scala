@@ -23,6 +23,17 @@ object TextPrimitives {
       .selectExpr(idCol, s"substr(t, i, $n) AS sh")
       .distinct()
 
+  /** Distinct n-token w-shingles (idCol, sh) — the standard dedup
+    * basis for natural text, where character n-grams over-collide
+    * (e.g. digit-heavy corpora).
+    */
+  def tokenShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
+        i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))).as("sh"))
+      .distinct()
+
   /** SQL fragment mirroring [[charShingles]] for DuckDB oracles:
     * a CTE body producing (idCol, sh), distinct.
     */

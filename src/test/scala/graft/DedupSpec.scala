@@ -54,6 +54,21 @@ class DedupSpec extends SparkSpec {
       r.getAs[Long]("dist") == 0L))
   }
 
+  test("token w-shingles and token minhash behave like the char variant") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"),
+                   (2L, "alpha beta gamma delta"),
+                   (3L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val sh = graft.text.TextPrimitives.tokenShingles(docs, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1).collect().map(_.getString(1)).toSet
+    assert(sh == Set("alpha beta", "beta gamma", "gamma delta"))
+    val sig = Dedup.minhashSignaturesTokens(docs, 2, 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
   test("embedding near-dup finds self-similar clusters") {
     val res = Dedup.embeddingNearDup(Tables.embeddings(spark, sfDir), 0.4)
     assert(res.count() > 0)
