@@ -418,6 +418,14 @@ object SparkEntry {
                 |${Dedup.minhashSigSql(5, 8, "doc_id < 200")})
                 |SELECT * FROM sig ORDER BY doc_id""".stripMargin)),
 
+      "dedup_minhash_tok" -> Q(
+        (s, d) => Dedup.minhashSignaturesTokens(docsUnder(s, d, 200), 2, 8),
+        Some(s"""WITH sig AS (
+                |${Dedup.minhashOverSql(
+                   graft.text.TextPrimitives.tokenShinglesSql(
+                     "documents", "doc_id", "text", 2, "doc_id < 200"), 8)})
+                |SELECT * FROM sig ORDER BY doc_id""".stripMargin)),
+
       "dedup_minhash_lsh" -> Q(
         (s, d) => Dedup.minhashLshPairs(
           Dedup.minhashSignatures(docsUnder(s, d, 200), 5, 8), 8, 2),

@@ -104,16 +104,21 @@ object Dedup {
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*).orderBy("doc_id")
   }
 
-  /** SQL mirror of [[minhashSignatures]] (CTE producing the same cols). */
-  def minhashSigSql(n: Int, k: Int, where: String): String = {
+  /** SQL mirror of [[minhashSignaturesOver]] over any shingle CTE. */
+  def minhashOverSql(shCte: String, k: Int): String = {
     val mins = (0 until k).map { j =>
       s"CAST(min((hm * ${2 * j + 1} + ${7919L * j + 13}) % $P) AS BIGINT) AS m$j"
     }.mkString(", ")
     s"""SELECT doc_id, $mins FROM (
        |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % $P AS hm FROM (
-       |    ${TextPrimitives.charShinglesSql("documents", "doc_id", "text", n, where)}))
+       |    $shCte))
        |GROUP BY doc_id""".stripMargin
   }
+
+  /** SQL mirror of [[minhashSignatures]] (CTE producing the same cols). */
+  def minhashSigSql(n: Int, k: Int, where: String): String =
+    minhashOverSql(
+      TextPrimitives.charShinglesSql("documents", "doc_id", "text", n, where), k)
 
   /** Banded MinHash-LSH candidate pairs: k-signature split into bands
     * of `rows` values; docs sharing any band are candidates. The

@@ -34,6 +34,17 @@ object TextPrimitives {
         i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))).as("sh"))
       .distinct()
 
+  /** SQL fragment mirroring [[tokenShingles]] for DuckDB oracles
+    * (1-based end-inclusive DuckDB list slice toks[i+1 : i+n] ==
+    * Spark slice(toks, i+1, n)).
+    */
+  def tokenShinglesSql(table: String, idCol: String, textCol: String, n: Int,
+                       where: String = "TRUE"): String =
+    s"""SELECT DISTINCT $idCol, array_to_string(toks[i+1:i+$n], ' ') AS sh FROM (
+       |  SELECT $idCol, toks, unnest(generate_series(0, greatest(len(toks) - $n, 0))) AS i FROM (
+       |    SELECT $idCol, regexp_split_to_array(lower(trim($textCol)), '\\s+') AS toks
+       |    FROM $table WHERE $where))""".stripMargin
+
   /** SQL fragment mirroring [[charShingles]] for DuckDB oracles:
     * a CTE body producing (idCol, sh), distinct.
     */
