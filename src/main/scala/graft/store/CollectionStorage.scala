@@ -50,6 +50,29 @@ object CollectionStorage {
     }
   }
 
+  /** Compact a collection in place: streaming micro-batch ingestion
+    * accretes one small file per batch per user; periodic compaction
+    * rewrites each user partition into one file. Same
+    * dynamic-partition-overwrite path as mutations — only data files
+    * move, the table stays readable throughout.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    // hash-repartition on user_id: each user's rows land in exactly
+    // one task → one data file per user partition after the write
+    val all = load(spark, path).repartition(col("user_id"))
+    overwriteUserPartitions(all, path)
+  }
+
+  /** Data file count per user partition (compaction observability). */
+  def fileCounts(spark: SparkSession, path: String): Map[Long, Int] = {
+    val base = new java.io.File(path)
+    base.listFiles(f => f.isDirectory && f.getName.startsWith("user_id="))
+      .map { d =>
+        val uid = d.getName.stripPrefix("user_id=").toLong
+        uid -> d.listFiles(f => f.getName.endsWith(".parquet")).length
+      }.toMap
+  }
+
   /** Collection names = partition values — metadata-only at scale. */
   def listUserIds(spark: SparkSession, path: String): Seq[Long] =
     load(spark, path).select("user_id").distinct()

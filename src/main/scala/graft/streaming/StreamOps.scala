@@ -66,6 +66,22 @@ object StreamOps {
       OutputMode.Append): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
 
+  /** Streaming ANN: score a stream of query vectors (qid, qv) against
+    * a static collection and emit top-k per query per micro-batch —
+    * the online-serving face of the engine (the reference's
+    * search_query endpoint, as a continuous pipeline).
+    */
+  def startStreamingSearch(queries: DataFrame, collection: DataFrame, k: Int)
+                          (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          onBatch(graft.ann.Ann.bruteForceTopK(collection, batch, k))
+      }
+      .start()
+
   /** Continuous vector ingestion: a stream of points (the reference's
     * per-request HTTP upserts, reference routes.py:109/150) becomes a
     * micro-batched merge into the partitioned collection store. Each

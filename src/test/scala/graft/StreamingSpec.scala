@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.{Event, SessionUpdate}
@@ -65,6 +66,52 @@ class StreamingSpec extends SparkSpec {
       // user 2 untouched by the second batch
       assert(coll.filter(org.apache.spark.sql.functions.col("user_id") === 2).count() == 1)
     } finally query.stop()
+  }
+
+  test("streaming search: query stream scored against static collection") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val coll = Tables.embeddings(s, sfDir)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val input = MemoryStream[Long]
+    val queries = input.toDF().join(coll, col("value") === col("vec_id"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val query = StreamOps.startStreamingSearch(queries, coll, 3) { res =>
+      res.collect().foreach(r =>
+        buf.add((r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Long]("rnk"))))
+    }
+    try {
+      input.addData(5L, 9L)
+      query.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = buf.asScala.toSet
+      // matches the batch answer exactly
+      val q = coll.filter(col("vec_id").isin(5L, 9L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val want = graft.ann.Ann.bruteForceTopK(coll, q, 3).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Long]("rnk"))).toSet
+      assert(got == want && got.size == 6)
+    } finally query.stop()
+  }
+
+  test("append ingestion accretes small files; compaction merges them") {
+    val s = spark
+    import s.implicits._
+    val collPath = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString + "/coll"
+    // append-mode writes (insert-only ingestion) leave one file per
+    // batch per user — the small-file problem compaction solves
+    (1 to 4).foreach { i =>
+      Seq((1L, 100L + i, 10L + i, 0L, "t", Seq(1.0, 0.0)))
+        .toDF("user_id", "vector_id", "doc_id", "chunk_id", "title", "embedding")
+        .write.partitionBy("user_id").mode("append").parquet(collPath)
+    }
+    val before = graft.store.CollectionStorage.fileCounts(s, collPath)(1L)
+    assert(before == 4, s"expected 4 small files, got $before")
+    graft.store.CollectionStorage.compact(s, collPath)
+    assert(graft.store.CollectionStorage.fileCounts(s, collPath)(1L) == 1)
+    assert(graft.store.CollectionStorage.load(s, collPath).count() == 4)
   }
 
   test("streaming windowed counts aggregate by hour and type") {
