@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.{Ann, Pq}
+
+class PqSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sfDir)
+  private val cfg = Pq.Config(dim = 64, m = 8, k = 16, iters = 2)
+
+  test("codes are m small integers (the 32x compression claim)") {
+    val codebook = Pq.train(emb.limit(200), cfg)
+    assert(codebook.count() == cfg.m * cfg.k)
+    val encoded = Pq.encode(emb.limit(200), codebook, cfg)
+    val row = encoded.head()
+    val codes = row.getSeq[Long](1)
+    assert(codes.length == cfg.m)
+    assert(codes.forall(c => c >= 0 && c < cfg.k))
+    assert(encoded.count() == 200)
+  }
+
+  test("ADC + exact re-rank recovers most true neighbors") {
+    val codebook = Pq.train(emb, cfg)
+    val encoded = Pq.encode(emb, codebook, cfg)
+    val qdf = graft.store.VectorStore.queryVecOf(spark, sfDir, 11)
+    val pq = Pq.search(emb, encoded, codebook, qdf, cfg, candidates = 50, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val q = emb.filter(col("vec_id") === 11)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Ann.bruteForceTopK(emb, q, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet + 11L // pq search includes the query itself
+    val recall = (pq intersect exact).size.toDouble / 10
+    assert(recall >= 0.5, s"recall=$recall pq=$pq exact=$exact")
+  }
+}
