@@ -113,6 +113,76 @@ object SparkEntry {
              |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    "q7_year_volume" -> Q(
+      (s, d) => {
+        val n = Tables.nation(s, d)
+          .filter(col("n_name").isin("NATION_3", "NATION_7"))
+        Tables.lineitem(s, d)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("volume"))
+          .orderBy("n_name", "l_year")
+      },
+      Some("""SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |       round(sum(l_extendedprice*(1-l_discount)),2) AS volume
+             |FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
+             |              JOIN nation ON s_nationkey=n_nationkey
+             |WHERE n_name IN ('NATION_3','NATION_7')
+             |GROUP BY n_name, l_year ORDER BY n_name, l_year""".stripMargin)),
+
+    "q12_cond_agg" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+                col("l_shipdate") <  ts("1998-01-01 00:00:00"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+               .otherwise(0)).as("high_line_count"),
+             sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+               .otherwise(0)).as("low_line_count"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey=l_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    "q14_promo_ratio" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= ts("1997-09-01 00:00:00") &&
+                col("l_shipdate") <  ts("1997-10-01 00:00:00"))
+        .agg(round(
+          sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(0.0)) * 100.0 /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_revenue")),
+      Some("""SELECT round(
+             |  sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) * 100.0 /
+             |  sum(l_extendedprice*(1-l_discount)), 4) AS promo_revenue
+             |FROM lineitem JOIN part ON l_partkey=p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin)),
+
+    "q19_disjunct" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+           col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+           col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+           col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+             count(lit(1)).as("n")),
+      Some("""SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem JOIN part ON l_partkey=p_partkey
+             |WHERE (p_brand='Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand='Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand='Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
     "q_semi_anti" -> Q(
       (s, d) => {
         val c = Tables.customer(s, d)
