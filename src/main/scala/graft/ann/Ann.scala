@@ -125,6 +125,30 @@ object Ann {
     cents.toSeq.toDF("cid", "cv")
   }
 
+  /** Assign each vector to its nearest centroid: (vec_id, cid).
+    * Broadcast centroids + windowed argmin — one narrow pass.
+    */
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("d").asc, col("cid"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("d",
+        graft.functions.VectorExpressions.sqNorm(col("embedding")) +
+          graft.functions.VectorExpressions.sqNorm(col("cv")) -
+          graft.functions.VectorExpressions.dot(col("embedding"), col("cv")) * 2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** The query's `nprobe` nearest cells: (cid). */
+  def probeCells(cents: DataFrame, qdf: DataFrame, nprobe: Int): DataFrame =
+    cents.crossJoin(broadcast(qdf))
+      .withColumn("d",
+        graft.functions.VectorExpressions.sqNorm(col("q")) +
+          graft.functions.VectorExpressions.sqNorm(col("cv")) -
+          graft.functions.VectorExpressions.dot(col("q"), col("cv")) * 2)
+      .orderBy(col("d").asc, col("cid")).limit(nprobe)
+      .select(col("cid"))
+
   /** Multiprobe LSH top-k: candidates share a signature bucket with
     * the query up to hamming distance `probeDist`; exact cosine
     * rescoring of candidates only.

@@ -76,8 +76,27 @@ object Pq {
       .groupBy("vec_id").agg(sum("part").as("approx"))
       .orderBy(col("approx").desc, col("vec_id")).limit(candidates)
     // exact re-rank of the survivors
+    rerank(approx.select("vec_id"), emb, qdf, k)
+  }
+
+  /** IVF-PQ: the FAISS-style composition — coarse k-means cells prune
+    * the candidate set to `nprobe` cells, PQ/ADC ranks inside them,
+    * exact re-rank finishes. At scale `cells.cid` is a partition
+    * column, so the probe reads only nprobe/ncells of the index.
+    */
+  def ivfSearch(emb: DataFrame, cells: DataFrame, encoded: DataFrame,
+                codebook: DataFrame, cents: DataFrame, qdf: DataFrame,
+                cfg: Config, nprobe: Int, candidates: Int, k: Int): DataFrame = {
+    val probed = encoded
+      .join(cells, "vec_id")
+      .join(broadcast(Ann.probeCells(cents, qdf, nprobe)), "cid")
+    search(emb, probed.drop("cid"), codebook, qdf, cfg, candidates, k)
+  }
+
+  private def rerank(ids: DataFrame, emb: DataFrame, qdf: DataFrame,
+                     k: Int): DataFrame = {
     import graft.functions.VectorFunctions.score
-    approx.join(emb, "vec_id").crossJoin(broadcast(qdf))
+    ids.join(emb, "vec_id").crossJoin(broadcast(qdf))
       .select(col("vec_id"), score(col("embedding"), col("q")).as("score"))
       .orderBy(col("score").desc, col("vec_id")).limit(k)
   }

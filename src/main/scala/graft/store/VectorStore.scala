@@ -57,6 +57,16 @@ object VectorStore {
            countDistinct(col("doc_id")).as("n_docs"))
       .orderBy("user_id")
 
+  /** Output projection: the canonical metadata triple, plus an
+    * arbitrary `payload` map column when the collection carries one
+    * (reference metadata is Dict[str, Any]; the service itself only
+    * ever reads DocId/ChunkId/Title — document_ingestor.py:974).
+    */
+  private def outCols(df: DataFrame): Seq[Column] = {
+    val base = Seq(col("vector_id"), col("doc_id"), col("chunk_id"), col("title"))
+    if (df.columns.contains("payload")) base :+ col("payload") else base
+  }
+
   // ---- scroll (reference :410/:438/:475/:515) ---------------------
 
   /** Paged listing of a user's collection, `vector_id`-ordered.
@@ -65,13 +75,13 @@ object VectorStore {
     */
   def scroll(coll: DataFrame, userId: Long, limit: Int): DataFrame =
     coll.filter(col("user_id") === userId)
-      .select("vector_id", "doc_id", "chunk_id", "title")
+      .select(outCols(coll): _*)
       .orderBy("vector_id")
       .limit(limit)
 
   def scrollDoc(coll: DataFrame, userId: Long, docId: Long, limit: Int): DataFrame =
     coll.filter(col("user_id") === userId && col("doc_id") === docId)
-      .select("vector_id", "doc_id", "chunk_id", "title")
+      .select(outCols(coll): _*)
       .orderBy("vector_id")
       .limit(limit)
 
@@ -79,7 +89,7 @@ object VectorStore {
                   limit: Int): DataFrame =
     coll.filter(col("user_id") === userId && col("doc_id") === docId &&
                 col("chunk_id") === chunkId)
-      .select("vector_id", "doc_id", "chunk_id", "title")
+      .select(outCols(coll): _*)
       .orderBy("vector_id")
       .limit(limit)
 
@@ -91,7 +101,7 @@ object VectorStore {
     val base = coll.filter(col("user_id") === userId)
     val filtered =
       if (docIds.isEmpty) base else base.filter(col("doc_id").isin(docIds: _*))
-    filtered.select("vector_id", "doc_id", "chunk_id", "title")
+    filtered.select(outCols(coll): _*)
       .orderBy("vector_id")
       .limit(limit)
   }
@@ -157,8 +167,7 @@ object VectorStore {
     val restricted =
       if (docIds.isEmpty) base else base.filter(col("doc_id").isin(docIds: _*))
     val scored = restricted.crossJoin(broadcast(qdf))
-      .select(col("vector_id"), col("doc_id"), col("chunk_id"), col("title"),
-              score(col("embedding"), col("q")).as("score"))
+      .select(outCols(coll) :+ score(col("embedding"), col("q")).as("score"): _*)
     val thresholded =
       if (scoreThreshold.isNegInfinity) scored
       else scored.filter(col("score") >= scoreThreshold)

@@ -19,6 +19,27 @@ class PqSpec extends SparkSpec {
     assert(encoded.count() == 200)
   }
 
+  test("IVF-PQ: probe-pruned ADC still recovers neighbors") {
+    val codebook = Pq.train(emb, cfg)
+    val encoded = Pq.encode(emb, codebook, cfg)
+    val cents = Ann.kmeansCentroids(emb, 16, 2)
+    val cells = Ann.assignCells(emb, cents)
+    val qdf = graft.store.VectorStore.queryVecOf(spark, sfDir, 11)
+    val pq = Pq.ivfSearch(emb, cells, encoded, codebook, cents, qdf, cfg,
+        nprobe = 6, candidates = 50, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val q = emb.filter(col("vec_id") === 11)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Ann.bruteForceTopK(emb, q, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet + 11L
+    val recall = (pq intersect exact).size.toDouble / 10
+    assert(recall >= 0.3, s"recall=$recall")
+    // the probe actually pruned: candidate universe < full collection
+    val probedCells = Ann.probeCells(cents, qdf, 6)
+    val nCand = cells.join(probedCells, "cid").count()
+    assert(nCand < emb.count())
+  }
+
   test("ADC + exact re-rank recovers most true neighbors") {
     val codebook = Pq.train(emb, cfg)
     val encoded = Pq.encode(emb, codebook, cfg)

@@ -54,6 +54,26 @@ class VectorStoreSpec extends SparkSpec {
     assert(all == direct)
   }
 
+  test("arbitrary payload maps flow through scroll, search, and mutations") {
+    val s = spark
+    import s.implicits._
+    val withPayload = pts.withColumn("payload",
+      map(lit("source"), concat(lit("s"), col("doc_id") % 3),
+          lit("lang"), lit("en")))
+    val scrolled = graft.store.VectorStore.scroll(withPayload, 3, 5).collect()
+    assert(scrolled.forall(r =>
+      r.getAs[Map[String, String]]("payload").keySet == Set("source", "lang")))
+    val found = graft.store.VectorStore.search(withPayload, 2,
+      graft.store.VectorStore.queryVecOf(spark, sfDir, 42), 3).collect()
+    assert(found.forall(_.getAs[Map[String, String]]("payload")("lang") == "en"))
+    // mutations preserve the column
+    val afterDelete = graft.store.VectorStore.deleteDoc(withPayload, 1, 17)
+    assert(afterDelete.columns.contains("payload"))
+    val merged = graft.store.VectorStore.upsert(withPayload,
+      withPayload.filter(col("user_id") === 2).limit(2))
+    assert(merged.columns.contains("payload"))
+  }
+
   test("updateVector changes only the targeted key") {
     val nv = VectorStore.queryVecOf(spark, sfDir, 7)
       .select(transform(col("q"), x => -x).as("newv"))
