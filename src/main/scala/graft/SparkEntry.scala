@@ -299,6 +299,25 @@ object SparkEntry {
              |       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    "ev_error_rate" -> Q(
+      (s, d) => {
+        val isErr = when(col("event_type") === "error", 1).otherwise(0)
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(isErr).as("n_errors"))
+          .filter(col("n_events") >= 20)
+          .withColumn("err_rate",
+            round(col("n_errors") * lit(1.0) / col("n_events"), 4))
+          .orderBy(col("err_rate").desc, col("user_id"))
+          .limit(5)
+      },
+      Some("""SELECT user_id, n_events, n_errors,
+             |       round(n_errors * 1.0 / n_events, 4) AS err_rate FROM (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+             |  FROM events GROUP BY user_id HAVING count(*) >= 20)
+             |ORDER BY err_rate DESC, user_id LIMIT 5""".stripMargin)),
+
     "ev_window_agg" -> Q(
       (s, d) => Tables.events(s, d)
         .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
@@ -660,6 +679,38 @@ object SparkEntry {
                |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
                |  FROM cand)
                |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)),
+
+      // embedding analytics: per-label centroid + intra-cluster
+      // cohesion (training-data quality / drift monitoring)
+      "emb_label_cohesion" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.cosineSim
+          val emb = Tables.embeddings(s, d)
+          val dims = emb.select(col("label"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          val cent = dims.groupBy("label", "i")
+            .agg(avg(col("x").cast("double")).as("ax"))
+            .groupBy("label")
+            .agg(transform(sort_array(collect_list(struct(col("i"), col("ax")))),
+              e => e.getField("ax")).as("cv"))
+          emb.join(broadcast(cent), "label")
+            .select(col("label"), cosineSim(col("embedding"), col("cv")).as("c"))
+            .groupBy("label")
+            .agg(count(lit(1)).as("n"), round(avg("c"), 4).as("cohesion"))
+            .orderBy("label")
+        },
+        Some("""WITH dims AS (
+               |  SELECT label, unnest(embedding) AS x,
+               |         generate_subscripts(embedding, 1) AS i
+               |  FROM embeddings),
+               |cent AS (
+               |  SELECT label, list(ax ORDER BY i) AS cv FROM (
+               |    SELECT label, i, avg(x) AS ax FROM dims GROUP BY label, i)
+               |  GROUP BY label)
+               |SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+               |       round(avg(list_cosine_similarity(e.embedding::DOUBLE[], c.cv)), 4) AS cohesion
+               |FROM embeddings e JOIN cent c ON e.label = c.label
+               |GROUP BY e.label ORDER BY e.label""".stripMargin)),
 
       "ann_ivf_probe" -> Q(
         (s, d) => {
