@@ -784,11 +784,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     defs.collect { case (n, Q(_, Some(sql))) => n -> sql }.toMap
 
-  /** Headline subset used by Bench. */
+  /** Headline subset (ExplainDump default + documentation). */
   def headline: Seq[String] = Seq(
     "q1_agg", "q3_join_topk", "q5_multi_join", "q_scan_filter",
     "ev_sessionize", "ev_window_agg",
     "vs_search_topk", "vs_search_threshold", "vs_upsert_merge",
-    "ann_topk_batch", "dedup_minhash_lsh", "dedup_exact",
-    "text_token_count", "text_quality")
+    "ann_topk_batch", "dedup_minhash_lsh", "dedup_minhash_tok",
+    "dedup_exact", "text_token_count", "text_quality",
+    "text_search_e2e", "emb_label_cohesion")
 }

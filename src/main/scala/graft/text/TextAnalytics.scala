@@ -59,7 +59,8 @@ object TextAnalytics {
 
   /** Stopword-lexicon language ID: argmax lexicon hits with fixed
     * priority en > es > de > fr on ties; 'und' (undetermined) when no
-    * lexicon hits at all.
+    * lexicon hits at all. When the input carries a `lang` ground-truth
+    * column an `is_match` eval column is emitted too.
     */
   def languageId(docs: DataFrame): DataFrame = {
     val toks = TextPrimitives.tokens(col("text"))
@@ -70,10 +71,13 @@ object TextAnalytics {
       .when(es >= greatest(de, fr), lit("es"))
       .when(de >= fr, lit("de"))
       .otherwise(lit("fr"))
-    docs.select(col("doc_id"), pred.as("pred_lang"), col("lang"))
-      .withColumn("is_match", (col("pred_lang") === col("lang")).cast("long"))
-      .drop("lang")
-      .orderBy("doc_id")
+    if (docs.columns.contains("lang"))
+      docs.select(col("doc_id"), pred.as("pred_lang"), col("lang"))
+        .withColumn("is_match", (col("pred_lang") === col("lang")).cast("long"))
+        .drop("lang")
+        .orderBy("doc_id")
+    else
+      docs.select(col("doc_id"), pred.as("pred_lang")).orderBy("doc_id")
   }
 
   /** SQL mirror of [[languageId]]'s prediction for DuckDB. */

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression guard: the properties that make the engine
+  * scale (pushdown, pruning, broadcast, per-partition heaps, map-side
+  * partial top-k) are asserted on the physical plans so a future
+  * refactor can't silently trade them away.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("scan filters reach parquet and schemas are pruned") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    // only the 4 needed columns are read
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp"), p)
+  }
+
+  test("vector search is broadcast + TakeOrderedAndProject (no global sort)") {
+    val p = plan("vs_search_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortExec"), p)
+  }
+
+  test("batched ANN uses the map-side partial TopK aggregate") {
+    val p = plan("ann_topk_batch")
+    assert(p.contains("partial_topkaggregator"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("dim-table joins broadcast, fact side never exchanges before filter") {
+    val p = plan("q5_multi_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val q3 = plan("q3_join_topk")
+    assert(q3.contains("BroadcastHashJoin"), q3)
+  }
+
+  test("events sessionize pushes nothing to a driver collect") {
+    // executable plan exists and is a pure window+agg pipeline
+    val p = plan("ev_sessionize")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+}
