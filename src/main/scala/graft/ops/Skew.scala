@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities.
+  *
+  * [[saltedAgg]] is the classic two-phase aggregation: when one group
+  * key holds a disproportionate share of rows (a viral document id, a
+  * null-ish default key), the single reducer for that key becomes the
+  * straggler. Salting splits each key into `salt` sub-keys for a
+  * partial aggregate, then merges the partials — every reducer gets
+  * at most 1/salt of the hottest key.
+  */
+object Skew {
+
+  /** Two-phase count/sum aggregate over a possibly-skewed key.
+    * Phase 1 groups by (key, random-ish salt from a row hash), phase
+    * 2 merges the partials by key. Result is identical to the direct
+    * groupBy (spec-asserted) with bounded per-reducer fan-in.
+    */
+  def saltedAgg(df: DataFrame, key: String, salt: Int,
+                sumCol: Option[String] = None): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(salt)))
+    val partial = sumCol match {
+      case Some(c) => salted.groupBy(col(key), col("_salt"))
+        .agg(count(lit(1)).as("_n"), sum(col(c)).as("_s"))
+      case None => salted.groupBy(col(key), col("_salt"))
+        .agg(count(lit(1)).as("_n"))
+    }
+    sumCol match {
+      case Some(_) => partial.groupBy(col(key))
+        .agg(sum("_n").as("n"), sum("_s").as("total"))
+      case None => partial.groupBy(col(key)).agg(sum("_n").as("n"))
+    }
+  }
+}
