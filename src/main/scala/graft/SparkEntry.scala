@@ -620,6 +620,42 @@ object SparkEntry {
              |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
         }),
 
+      // corpus statistics: token-bigram frequencies (non-distinct —
+      // true occurrence counts, unlike the dedup shingle sets)
+      "text_bigram_freq" -> Q(
+        (s, d) => {
+          val toks = graft.text.TextPrimitives.tokens(col("text"))
+          Tables.documents(s, d)
+            .select(explode(transform(
+              sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+              i => concat_ws(" ", slice(toks, i + lit(1), lit(2))))).as("bigram"))
+            .groupBy("bigram").agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("bigram"))
+            .limit(20)
+        },
+        Some("""SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM (
+               |  SELECT array_to_string(toks[i+1:i+2], ' ') AS bigram FROM (
+               |    SELECT toks, unnest(generate_series(0, greatest(len(toks) - 2, 0))) AS i FROM (
+               |      SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+               |      FROM documents)))
+               |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+
+      "text_length_stats" -> Q(
+        (s, d) => Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+               round(avg(length(col("text"))), 4).as("avg_len"),
+               round(stddev(length(col("text"))), 4).as("sd_len"),
+               min(length(col("text"))).cast("long").as("min_len"),
+               max(length(col("text"))).cast("long").as("max_len"))
+          .orderBy("lang"),
+        Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               |       round(avg(length(text)), 4) AS avg_len,
+               |       round(stddev_samp(length(text)), 4) AS sd_len,
+               |       CAST(min(length(text)) AS BIGINT) AS min_len,
+               |       CAST(max(length(text)) AS BIGINT) AS max_len
+               |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
       "emb_norm_invariant" -> Q(
         (s, d) => {
           import graft.functions.VectorFunctions.sqNorm
