@@ -42,6 +42,27 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("interpreted (non-codegen) path matches the codegen path") {
+    val conf = spark.conf
+    val prevWS = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFM = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val q = graft.store.VectorStore.queryVecOf(spark, sfDir, 7)
+    def run(): Array[(Long, Double)] =
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"), VectorExpressions.cosine(col("embedding"), col("q")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val codegen = run()
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = run()
+      assert(codegen.toSeq == interpreted.toSeq)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", prevWS)
+      conf.set("spark.sql.codegen.factoryMode", prevFM)
+    }
+  }
+
   test("null inputs yield null, zero vectors yield 0.0") {
     val s = spark
     import s.implicits._
