@@ -177,8 +177,41 @@ object Dedup {
        |  GROUP BY doc_id)""".stripMargin
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxDist. */
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist, via the
+    * pigeonhole band index: split the 32 bits into maxDist+1 blocks —
+    * two hashes within maxDist MUST share at least one exact block,
+    * so candidates are generated by an equi-join on (block, value)
+    * instead of an O(n²) cross product. Result is IDENTICAL to the
+    * quadratic formulation (spec-asserted); only the join shape
+    * changes — the 100 TB-safe version.
+    */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    val nB = maxDist + 1
+    val sig = simhash(docs)
+    val bandCols = (0 until nB).map { b =>
+      val lo = b * 32 / nB
+      val hi = (b + 1) * 32 / nB
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+    }
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("b", "bv")))
+    bands.groupBy("b", "bv")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b2"))
+      .filter(col("a.doc_id") < col("b2.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b2.doc_id").as("db"),
+        expr("CAST(bit_count(a.simhash ^ b2.simhash) AS BIGINT)").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+      .orderBy("da", "db")
+  }
+
+  /** Quadratic reference formulation of [[simhashPairs]] (kept for
+    * the equivalence spec).
+    */
+  def simhashPairsQuadratic(docs: DataFrame, maxDist: Int): DataFrame = {
     val sig = simhash(docs)
     val a = sig.toDF("da", "ha")
     val b = sig.toDF("db", "hb")

@@ -69,6 +69,16 @@ class DedupSpec extends SparkSpec {
     assert(sig(1L) != sig(3L))
   }
 
+  test("banded simhash pairs equal the quadratic formulation") {
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 150)
+    val banded = Dedup.simhashPairs(docs, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val quad = Dedup.simhashPairsQuadratic(docs, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == quad)
+    assert(banded.nonEmpty)
+  }
+
   test("embedding near-dup finds self-similar clusters") {
     val res = Dedup.embeddingNearDup(Tables.embeddings(spark, sfDir), 0.4)
     assert(res.count() > 0)
