@@ -222,6 +222,34 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Scalable embedding near-dup: random-hyperplane signatures with
+    * multiprobe expansion (each vector's bucket exploded to its
+    * hamming-1 neighborhood) feed an EQUI-join — no cross product —
+    * then exact cosine rescoring keeps precision at 1.0. Identical
+    * vectors always share their exact bucket, so true duplicates are
+    * never missed; lower-similarity pairs are found with LSH
+    * probability (spec-asserted on planted duplicates).
+    */
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double,
+                          nPlanes: Int, dim: Int): DataFrame = {
+    import graft.ann.Ann
+    val sig = Ann.signatures(emb, Ann.planes(emb.sparkSession, nPlanes, dim))
+    val withSig = emb.join(sig, "vec_id")
+    // probe keys: own bucket + each single-bit flip
+    val flips = lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))
+    val probes = withSig.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("bucket"), explode(array(flips: _*)).as("flip"))
+      .select(col("va"), col("ea"), col("bucket").bitwiseXOR(col("flip")).as("pb"))
+    val targets = withSig.select(col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("bucket").as("pb"))
+    probes.join(targets, Seq("pb"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"), score(col("ea"), col("eb")).as("score"))
+      .filter(col("score") >= threshold)
+      .distinct()
+      .orderBy("va", "vb")
+  }
+
   /** Embedding-cosine near-dup pairs (score is the canonical rounded
     * cosine, so the threshold compare matches the oracle exactly).
     */

@@ -69,6 +69,22 @@ class DedupSpec extends SparkSpec {
     assert(sig(1L) != sig(3L))
   }
 
+  test("LSH embedding near-dup: finds all planted duplicates, no false positives") {
+    val base = Tables.embeddings(spark, sfDir).limit(200)
+    // plant exact duplicates with shifted ids
+    val dups = base.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    val corpus = base.unionByName(dups.select(base.columns.map(col): _*))
+    val found = Dedup.embeddingNearDupLsh(corpus, 0.999, nPlanes = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair surfaces (identical vectors share their bucket)
+    (0L until 20L).foreach(i => assert(found.contains((i, i + 10000)), s"missing $i"))
+    // precision 1.0: the exact rescoring admits nothing below threshold
+    val scores = Dedup.embeddingNearDupLsh(corpus, 0.999, 8, 64)
+      .collect().map(_.getAs[Double]("score"))
+    assert(scores.forall(_ >= 0.999))
+  }
+
   test("banded simhash pairs equal the quadratic formulation") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 150)
     val banded = Dedup.simhashPairs(docs, 6).collect()
