@@ -530,6 +530,29 @@ object SparkEntry {
              |ORDER BY da, db""".stripMargin
         }),
 
+      // canonical-doc assignment: transitive closure of the LSH dup
+      // graph (DuckDB oracle via recursive CTE)
+      "dedup_clusters" -> Q(
+        (s, d) => Dedup.connectedComponents(
+          docsUnder(s, d, 200),
+          Dedup.minhashLshPairs(
+            Dedup.minhashSignatures(docsUnder(s, d, 200), 5, 8), 8, 2)),
+        Some(s"""WITH RECURSIVE sig AS (
+                |${Dedup.minhashSigSql(5, 8, "doc_id < 200")}),
+                |bands AS (${(0 until 4).map(b =>
+                   s"SELECT doc_id, $b AS b, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS bv FROM sig")
+                   .mkString(" UNION ALL ")}),
+                |pairs AS (
+                |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+                |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+                |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db, da FROM pairs),
+                |reach(src, lbl) AS (
+                |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+                |  UNION
+                |  SELECT e.da, r.lbl FROM reach r JOIN edges e ON e.db = r.src)
+                |SELECT src AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+                |FROM reach GROUP BY src ORDER BY src""".stripMargin)),
+
       "dedup_simhash" -> Q(
         (s, d) => Dedup.simhashPairs(docsUnder(s, d, 200), 6),
         Some(s"""WITH sig AS (

@@ -222,6 +222,41 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Connected components over a duplicate-pair graph: every doc gets
+    * the min doc_id of its transitive duplicate cluster — the
+    * canonical-document assignment that finishes a dedup pipeline
+    * (pairs alone under-delete transitive chains A~B~C).
+    *
+    * Iterative min-label propagation (the GraphX-style pattern): each
+    * round joins labels across edges and keeps the per-doc min; runs
+    * until a fixpoint (checked with a cheap changed-count) or
+    * maxIters. Rounds needed = graph diameter, which for dup clusters
+    * is tiny.
+    */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame,
+                          maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("da"), col("db"))
+      .union(pairs.select(col("db"), col("da")))
+      .toDF("src", "dst")
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val prop = edges.join(labels, col("dst") === col("doc_id"))
+        .select(col("src").as("doc_id"), col("cluster"))
+      val next = labels.unionByName(prop)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .count()
+      labels = next.localCheckpoint() // cut the growing lineage
+      converged = changed == 0
+      iter += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** Scalable embedding near-dup: random-hyperplane signatures with
     * multiprobe expansion (each vector's bucket exploded to its
     * hamming-1 neighborhood) feed an EQUI-join — no cross product —

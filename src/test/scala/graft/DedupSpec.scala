@@ -69,6 +69,17 @@ class DedupSpec extends SparkSpec {
     assert(sig(1L) != sig(3L))
   }
 
+  test("connected components resolve transitive duplicate chains") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
+    val cc = Dedup.connectedComponents(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+                     5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("LSH embedding near-dup: finds all planted duplicates, no false positives") {
     val base = Tables.embeddings(spark, sfDir).limit(200)
     // plant exact duplicates with shifted ids
