@@ -235,10 +235,14 @@ object Dedup {
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
                           maxIters: Int = 10): DataFrame = {
+    // materialize the edge list ONCE — the pair pipeline behind it
+    // (shingle → minhash → bands) must not recompute every iteration
     val edges = pairs.select(col("da"), col("db"))
       .union(pairs.select(col("db"), col("da")))
       .toDF("src", "dst")
+      .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
