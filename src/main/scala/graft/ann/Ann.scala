@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.{md5Long, score}
@@ -79,6 +79,37 @@ object Ann {
         .cast("long").as("bucket"))
   }
 
+  /** The same md5-derived plane weights as [[planes]], computed on the
+    * driver (they are constants — nPlanes×dim doubles, independent of
+    * the data), so the signature can be a map-side column.
+    */
+  def planeWeights(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    def md5Long60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    Array.tabulate(nPlanes)(p => Array.tabulate(dim)(d =>
+      (md5Long60(s"pl_${p}_$d") % 2001 - 1000) / 1000.0))
+  }
+
+  /** Map-side formulation of [[signatures]]: the bucket is a pure
+    * projection (one codegen'd dot product per plane against a literal
+    * weight array) — zero shuffles, zero joins, and no per-vector
+    * signature table to equi-join back. Identical values
+    * (spec-asserted): both accumulate the projection in double,
+    * left-to-right.
+    */
+  def bucketCol(emb: Column, nPlanes: Int, dim: Int): Column =
+    planeWeights(nPlanes, dim).zipWithIndex.map { case (w, p) =>
+      when(graft.functions.VectorExpressions.dot(emb, typedLit(w.toSeq)) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** emb plus its `bucket` column, computed map-side. */
+  def withBucket(emb: DataFrame, nPlanes: Int, dim: Int): DataFrame =
+    emb.withColumn("bucket", bucketCol(col("embedding"), nPlanes, dim))
+
   /** Deterministic Lloyd's k-means over the embedding column — the
     * real coarse quantizer behind IVF (ann_ivf_probe uses fixed seed
     * vectors; this refines them). Classic Spark pattern: broadcast
@@ -155,19 +186,61 @@ object Ann {
     */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], nPlanes: Int, dim: Int,
               probeDist: Int, k: Int): DataFrame = {
-    val s = emb.sparkSession
-    val sig = signatures(emb, planes(s, nPlanes, dim))
-    val withSig = emb.join(sig, "vec_id")
+    // buckets are a map-side projection (bucketCol) and ranking is the
+    // map-side partial TopK aggregate, so the only shuffles are the
+    // tiny query broadcast and k rows per partition per query.
+    val withSig = withBucket(emb, nPlanes, dim)
     val q = withSig.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
               col("bucket").as("qb"))
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    val agg = graft.ops.TopK.topk(k)
     withSig.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid") &&
               expr("bit_count(bucket ^ qb)") <= probeDist)
-      .select(col("qid"), col("vec_id"), score(col("embedding"), col("qv")).as("score"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+      .select(col("qid"), score(col("embedding"), col("qv")).as("score"), col("vec_id"))
+      .groupBy("qid")
+      .agg(agg(col("score"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("vec_id"), col("col.score").as("score"),
+              (col("pos") + 1).cast("long").as("rnk"))
       .orderBy("qid", "rnk")
+  }
+
+  /** IVF probe, map-side: seed centroids (vec_id < nCents) are folded
+    * into ONE broadcast row holding the centroid array; nearest-cell
+    * assignment is then a per-row array_sort over that array — no
+    * per-vector window shuffle, no row_number over the full collection.
+    * The sort key (1−score, cid) reproduces `ORDER BY score DESC, cid`
+    * exactly (score ∈ [−1,1] rounded, so 1−score is monotone and never
+    * −0.0). Final top-k is TakeOrderedAndProject.
+    */
+  def ivfProbe(emb: DataFrame, nCents: Int, qid: Long, nprobe: Int,
+               k: Int): DataFrame = {
+    def nearestKey(v: Column) = element_at(array_sort(transform(col("cents"),
+      e => struct((lit(1.0) - score(v, e.getField("cv"))).as("ns"),
+                  e.getField("cid").as("cid")))), 1)
+    val centsRow = emb.filter(col("vec_id") < nCents)
+      .agg(sort_array(collect_list(
+        struct(col("vec_id").as("cid"), col("embedding").as("cv")))).as("cents"))
+    // the query's nprobe nearest cells, as one broadcast row
+    val q = emb.filter(col("vec_id") === qid)
+      .select(col("embedding").as("qv"))
+      .crossJoin(broadcast(centsRow))
+      .select(col("qv"), transform(
+        slice(array_sort(transform(col("cents"),
+          e => struct((lit(1.0) - score(col("qv"), e.getField("cv"))).as("ns"),
+                      e.getField("cid").as("cid")))), 1, nprobe),
+        x => x.getField("cid")).as("pcids"))
+    val w = Window.orderBy(col("score").desc, col("vec_id"))
+    emb.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), col("embedding"),
+              nearestKey(col("embedding")).getField("cid").as("cid"))
+      .crossJoin(broadcast(q))
+      .filter(array_contains(col("pcids"), col("cid")))
+      .select(col("vec_id"), col("cid"), score(col("embedding"), col("qv")).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .orderBy("rnk")
   }
 }

@@ -248,14 +248,18 @@ object Dedup {
     while (iter < maxIters && !converged) {
       val prop = edges.join(labels, col("dst") === col("doc_id"))
         .select(col("src").as("doc_id"), col("cluster"))
-      val next = labels.unionByName(prop)
-        .groupBy("doc_id").agg(min("cluster").as("cluster"))
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.cluster") =!= col("o.cluster"))
-        .count()
-      labels = next.localCheckpoint() // cut the growing lineage
-      converged = changed == 0
+      // carry the previous label through the same aggregation (each doc
+      // has exactly one labels row, so min(prev) = its old cluster):
+      // convergence is read off the checkpointed result instead of
+      // recomputing the whole round a second time.
+      val next = labels.select(col("doc_id"), col("cluster"),
+          col("cluster").as("prev"))
+        .unionByName(prop.withColumn("prev", lit(Long.MaxValue)))
+        .groupBy("doc_id")
+        .agg(min("cluster").as("cluster"), min("prev").as("prev"))
+        .localCheckpoint() // one job; also cuts the growing lineage
+      converged = next.filter(col("cluster") =!= col("prev")).count() == 0
+      labels = next.select("doc_id", "cluster")
       iter += 1
     }
     labels.orderBy("doc_id")

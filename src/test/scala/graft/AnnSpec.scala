@@ -73,6 +73,44 @@ class AnnSpec extends SparkSpec {
       s"expected bucket pruning in:\n$plan")
   }
 
+  test("map-side bucket column equals the shuffle signature formulation") {
+    val viaAgg = Ann.signatures(emb, Ann.planes(spark, 6, 64)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = Ann.withBucket(emb, 6, 64).select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaCol)
+  }
+
+  test("ivfProbe matches the window-based reference formulation") {
+    import graft.functions.VectorFunctions.score
+    import org.apache.spark.sql.expressions.Window
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+              score(col("embedding"), col("cv")).as("cs"))
+      .withColumn("rn", row_number().over(wAssign))
+    val assigned = scored.filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val probes = scored.filter(col("vec_id") === 42 && col("rn") <= 2)
+      .select(col("cid").as("pcid"))
+    val q = emb.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+    val wTop = Window.orderBy(col("score").desc, col("vec_id"))
+    val ref = assigned.join(broadcast(probes), col("cid") === col("pcid"))
+      .filter(col("vec_id") =!= 42)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cid"), score(col("embedding"), col("qv")).as("score"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val opt = Ann.ivfProbe(emb, nCents = 4, qid = 42L, nprobe = 2, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(opt.toSeq == ref.toSeq)
+  }
+
   test("signatures are stable across evaluations") {
     val s1 = Ann.signatures(emb, Ann.planes(spark, 6, 64)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
