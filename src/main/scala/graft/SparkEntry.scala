@@ -237,6 +237,123 @@ object SparkEntry {
         .orderBy("l_returnflag"),
       None),
 
+    // EXISTS/semi-join shape (TPC-H Q4): orders with at least one
+    // late-shipped lineitem, counted by priority
+    "q4_priority_exists" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+             |FROM orders WHERE EXISTS (
+             |  SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey
+             |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // returned-item revenue ranking (TPC-H Q10 shape)
+    "q10_returns" -> Q(
+      (s, d) => Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some("""SELECT c_custkey, c_name, n_name,
+             |       round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+             |              JOIN customer ON o_custkey=c_custkey
+             |              JOIN nation ON c_nationkey=n_nationkey
+             |WHERE l_returnflag='R'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // distinct-supplier counts per brand/type (TPC-H Q16 shape;
+    // partsupp emulated by lineitem's (partkey, suppkey) pairs)
+    "q16_supplier_cnt" -> Q(
+      (s, d) => Tables.part(s, d).filter(col("p_brand") =!= "Brand#45")
+        .join(Tables.lineitem(s, d).select("l_partkey", "l_suppkey"),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type")),
+      Some("""SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM part JOIN lineitem ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#45'
+             |GROUP BY p_brand, p_type
+             |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin)),
+
+    // large-volume orders (TPC-H Q18 shape: HAVING-subquery + join)
+    "q18_big_orders" -> Q(
+      (s, d) => {
+        val big = Tables.lineitem(s, d).groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sq")).filter(col("sq") > 250)
+        big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("total_price"),
+            round(col("sq"), 2).as("sum_qty"))
+          .orderBy(col("sum_qty").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, round(o_totalprice,2) AS total_price,
+             |       round(sq,2) AS sum_qty
+             |FROM (SELECT l_orderkey, sum(l_quantity) AS sq FROM lineitem
+             |      GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+             |JOIN orders ON l_orderkey=o_orderkey
+             |JOIN customer ON o_custkey=c_custkey
+             |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // ROLLUP subtotals + grand total
+    "agg_rollup" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |       coalesce(l_linestatus, 'ALL') AS ls,
+             |       CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity),2) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // exact interpolated percentiles per group (events.value)
+    "stat_percentiles" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             expr("percentile(value, array(0.5D, 0.95D))").as("ps"))
+        .select(col("event_type"), col("n"),
+                round(element_at(col("ps"), 1), 4).as("p50"),
+                round(element_at(col("ps"), 2), 4).as("p95"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       round(quantile_cont(value, 0.5), 4) AS p50,
+             |       round(quantile_cont(value, 0.95), 4) AS p95
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // salted two-phase aggregation: identical result to a plain
+    // groupBy (the oracle), but hot keys fan out over 16 salt
+    // buckets in phase 1 — the skew-safe shape for power-law keys
+    "agg_salted_hot" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"), pmod(col("event_id"), lit(16)).as("salt"))
+        .agg(count(lit(1)).as("c"), sum("value").as("sv"))
+        .groupBy("event_type")
+        .agg(sum("c").as("n"), round(sum("sv"), 4).as("sum_value"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "q_window_rank" -> Q(
       (s, d) => {
         val w = Window.partitionBy("p_brand")
@@ -317,6 +434,79 @@ object SparkEntry {
              |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
              |  FROM events GROUP BY user_id HAVING count(*) >= 20)
              |ORDER BY err_rate DESC, user_id LIMIT 5""".stripMargin)),
+
+    // as-of join: each error event matched to the latest click at or
+    // before it (per user) — union + one ordered window pass, no
+    // inequality join (graft.ops.Joins.asofJoin)
+    "ev_asof_join" -> Q(
+      (s, d) => {
+        // µs resolution both sides: DuckDB truncates the nanos parquet
+        // to µs TIMESTAMP, so the oracle can't see sub-µs digits
+        val ev = Tables.events(s, d)
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ats"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), expr("ts DIV 1000").as("bts"), col("event_id"))
+          .groupBy("user_id", "bts").agg(max("event_id").as("click_id"))
+        graft.ops.Joins.asofJoin(errs, clicks, Seq("user_id"), "ats", "bts")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_err"),
+               count(col("asof.bts")).as("n_matched"),
+               sum(col("ats") - col("asof.bts")).as("sum_lag_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH a AS (SELECT user_id, event_id, epoch_us(ts) AS ats
+             |           FROM events WHERE event_type = 'error'),
+             |b AS (SELECT user_id, epoch_us(ts) AS bts, max(event_id) AS click_id
+             |      FROM events WHERE event_type = 'click' GROUP BY user_id, bts),
+             |j AS (SELECT a.user_id, a.ats, b.bts
+             |      FROM a ASOF LEFT JOIN b
+             |        ON a.user_id = b.user_id AND a.ats >= b.bts)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_err,
+             |       CAST(count(bts) AS BIGINT) AS n_matched,
+             |       CAST(sum(ats - bts) AS BIGINT) AS sum_lag_us
+             |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // range join: clicks attributed to the 5-minute window before each
+    // purchase — bucketed equi-join, not a nested-loop BETWEEN join
+    // (graft.ops.Joins.rangeJoinBucketed)
+    "ev_range_join" -> Q(
+      (s, d) => {
+        // µs resolution both sides (see ev_asof_join)
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), expr("ts DIV 1000").as("cts"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"),
+                  (expr("ts DIV 1000") - lit(300000000L)).as("st"),
+                  expr("ts DIV 1000").as("en"))
+        val pairs = graft.ops.Joins.rangeJoinBucketed(
+          clicks, purch, Seq("user_id"), "cts", "st", "en", 300000000L)
+        val pu = purch.groupBy("user_id").agg(count(lit(1)).as("n_purch"))
+        val pp = pairs.groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"), countDistinct("pid").as("n_purch_matched"))
+        pu.join(pp, Seq("user_id"), "left")
+          .select(col("user_id"), col("n_purch"),
+                  coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+                  coalesce(col("n_purch_matched"), lit(0L)).as("n_purch_matched"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, epoch_us(ts) AS cts
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pts
+             |      FROM events WHERE event_type = 'purchase'),
+             |pairs AS (SELECT p.user_id, p.pid FROM p JOIN c
+             |          ON p.user_id = c.user_id
+             |         AND c.cts BETWEEN p.pts - 300000000 AND p.pts),
+             |pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purch
+             |       FROM p GROUP BY user_id),
+             |pp AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             |              CAST(count(DISTINCT pid) AS BIGINT) AS n_purch_matched
+             |       FROM pairs GROUP BY user_id)
+             |SELECT pu.user_id, n_purch, coalesce(n_pairs, 0) AS n_pairs,
+             |       coalesce(n_purch_matched, 0) AS n_purch_matched
+             |FROM pu LEFT JOIN pp ON pu.user_id = pp.user_id
+             |ORDER BY pu.user_id""".stripMargin)),
 
     "ev_window_agg" -> Q(
       (s, d) => Tables.events(s, d)
@@ -643,6 +833,42 @@ object SparkEntry {
              |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
         }),
 
+      // fixed-size/overlap chunker — produces the (doc_id, chunk_id)
+      // keys the reference's ingest surface expects
+      "text_chunking" -> Q(
+        (s, d) => graft.text.Chunker.chunkDocs(Tables.documents(s, d), 500, 400)
+          .select(col("doc_id"), col("chunk_id"),
+                  length(col("chunk")).cast("long").as("chunk_len"),
+                  graft.functions.VectorFunctions.md5Long(col("chunk")).as("h"))
+          .orderBy("doc_id", "chunk_id"),
+        Some("""SELECT doc_id, CAST((st - 1) // 400 AS BIGINT) AS chunk_id,
+               |       CAST(length(ck) AS BIGINT) AS chunk_len,
+               |       ('0x' || substr(md5(ck), 1, 15))::BIGINT AS h
+               |FROM (SELECT doc_id, st, substring(text, st, 500) AS ck
+               |      FROM (SELECT doc_id, text,
+               |                   unnest(generate_series(1, length(text), 400)) AS st
+               |            FROM documents))
+               |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+      // BM25 lexical retrieval (k1=1.2, b=0.75) — keyword-side
+      // complement to the vector search
+      "text_bm25" -> Q(
+        (s, d) => graft.text.Bm25.search(
+          Tables.documents(s, d), Seq("spark", "hash", "merge"), 10),
+        Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+               |              FROM documents),
+               |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+               |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+               |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+               |       FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+               |       WHERE tok IN ('spark', 'hash', 'merge') GROUP BY doc_id, tok),
+               |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+               |SELECT doc_id,
+               |       round(sum((ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)) /
+               |                 (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+               |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+               |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)),
+
       // corpus statistics: token-bigram frequencies (non-distinct —
       // true occurrence counts, unlike the dedup shingle sets)
       "text_bigram_freq" -> Q(
@@ -770,6 +996,30 @@ object SparkEntry {
                |       round(avg(list_cosine_similarity(e.embedding::DOUBLE[], c.cv)), 4) AS cohesion
                |FROM embeddings e JOIN cent c ON e.label = c.label
                |GROUP BY e.label ORDER BY e.label""".stripMargin)),
+
+      // int8 scalar quantization of the embedding column (integer
+      // code outputs — the compare is exact by construction)
+      "vec_scalar_quant" -> Q(
+        (s, d) => graft.ann.Quant.encode(Tables.embeddings(s, d))
+          .select(col("vec_id"),
+                  aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+                  array_min(col("codes")).as("code_min"),
+                  array_max(col("codes")).as("code_max"))
+          .orderBy("vec_id"),
+        Some("""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               |                     unnest(embedding) AS x
+               |              FROM embeddings),
+               |p AS (SELECT i, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx
+               |      FROM dims GROUP BY i),
+               |codes AS (SELECT vec_id,
+               |                 CASE WHEN mx = mn THEN 0
+               |                      ELSE CAST(round((x::DOUBLE - mn) / (mx - mn) * 255.0) AS BIGINT)
+               |                 END AS c
+               |          FROM dims JOIN p USING (i))
+               |SELECT vec_id, CAST(sum(c) AS BIGINT) AS code_sum,
+               |       CAST(min(c) AS BIGINT) AS code_min,
+               |       CAST(max(c) AS BIGINT) AS code_max
+               |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
 
       "ann_ivf_probe" -> Q(
         (s, d) => Ann.ivfProbe(Tables.embeddings(s, d),

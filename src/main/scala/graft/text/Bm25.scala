@@ -1,0 +1,38 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval over the documents table — the keyword-side
+  * complement to the reference's vector search (hybrid retrieval needs
+  * both). Okapi BM25 with the standard k1/b parameterization.
+  *
+  * Shuffle shape at scale: one explode+groupBy for term frequencies
+  * (map-side combined), df and corpus stats are tiny broadcast sides.
+  * Constants are written as literals (2.2 = k1+1) so an external
+  * oracle reproduces the arithmetic bit-for-bit.
+  */
+object Bm25 {
+
+  /** Top-k docs by BM25 for a bag of query terms (k1=1.2, b=0.75).
+    * Output: doc_id, bm25 (rounded to 4).
+    */
+  def search(docs: DataFrame, terms: Seq[String], topK: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextPrimitives.tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("s"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(topK)
+  }
+}
