@@ -325,6 +325,99 @@ object SparkEntry {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 
+    // PIVOT with explicit values (no distinct-collect job — the
+    // scale-safe pivot) vs conditional-aggregation oracle
+    "agg_pivot" -> Q(
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables.events(s, d).groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // CUBE over two dims
+    "agg_cube" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+                coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+                col("n"), col("total"))
+        .orderBy("st", "pri"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+             |       coalesce(o_orderpriority, 'ALL') AS pri,
+             |       CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice),2) AS total
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY st, pri""".stripMargin)),
+
+    // sliding-frame window aggregate (7-row moving average per user);
+    // µs timestamps both sides (see ev_asof_join)
+    "win_moving_avg" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ats"), col("event_id")).rowsBetween(-6, 0)
+        Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("event_id"),
+                  expr("ts DIV 1000").as("ats"), col("value"))
+          .withColumn("mavg", round(avg("value").over(w), 4))
+          .select("user_id", "event_id", "ats", "mavg")
+          .orderBy("user_id", "ats", "event_id")
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ats,
+             |       round(avg(value) OVER (
+             |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mavg
+             |FROM events WHERE user_id < 5
+             |ORDER BY user_id, ats, event_id""".stripMargin)),
+
+    // ntile quartiles over a global ordering
+    "win_ntile" -> Q(
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(s, d)
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .groupBy("quartile")
+          .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
+          .orderBy("quartile")
+      },
+      Some("""SELECT quartile, CAST(count(*) AS BIGINT) AS n,
+             |       round(avg(c_acctbal), 4) AS avg_bal
+             |FROM (SELECT c_acctbal, ntile(4) OVER (
+             |        ORDER BY c_acctbal DESC, c_custkey) AS quartile
+             |      FROM customer)
+             |GROUP BY quartile ORDER BY quartile""".stripMargin)),
+
+    // top-n per group via the bounded TopK partial aggregate — the
+    // same operator that powers batched ANN, on a relational column
+    "top2_per_nation" -> Q(
+      (s, d) => {
+        val agg = graft.ops.TopK.topk(2)
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(agg(col("s_acctbal"), col("s_suppkey")).as("top"))
+          .select(col("n_name"), posexplode(col("top")))
+          .select(col("n_name"), col("col.id").as("s_suppkey"),
+                  col("col.score").as("acctbal"),
+                  (col("pos") + 1).cast("long").as("rnk"))
+          .orderBy("n_name", "rnk")
+      },
+      Some("""SELECT n_name, s_suppkey, acctbal, rnk FROM (
+             |  SELECT n_name, s_suppkey, s_acctbal AS acctbal,
+             |         CAST(row_number() OVER (PARTITION BY n_name
+             |           ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rnk
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+             |WHERE rnk <= 2 ORDER BY n_name, rnk""".stripMargin)),
+
     // exact interpolated percentiles per group (events.value)
     "stat_percentiles" -> Q(
       (s, d) => Tables.events(s, d)
@@ -833,6 +926,23 @@ object SparkEntry {
              |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
         }),
 
+      // deterministic hash-based train/val/test split (stable across
+      // runs/partitioning — never rand())
+      "samp_hash_split" -> Q(
+        (s, d) => graft.ops.Sampling.hashSplit(Tables.documents(s, d), "doc_id", 80, 10)
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
+          .orderBy("split"),
+        Some("""SELECT split, CAST(count(*) AS BIGINT) AS n,
+               |       CAST(sum(doc_id) AS BIGINT) AS sum_id FROM (
+               |  SELECT doc_id,
+               |         CASE WHEN b < 80 THEN 'train'
+               |              WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+               |  FROM (SELECT doc_id,
+               |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+               |        FROM documents))
+               |GROUP BY split ORDER BY split""".stripMargin)),
+
       // fixed-size/overlap chunker — produces the (doc_id, chunk_id)
       // keys the reference's ingest surface expects
       "text_chunking" -> Q(
@@ -996,6 +1106,23 @@ object SparkEntry {
                |       round(avg(list_cosine_similarity(e.embedding::DOUBLE[], c.cv)), 4) AS cohesion
                |FROM embeddings e JOIN cent c ON e.label = c.label
                |GROUP BY e.label ORDER BY e.label""".stripMargin)),
+
+      // deterministic per-label balanced sampling (class rebalancing
+      // for training sets)
+      "samp_stratified" -> Q(
+        (s, d) => graft.ops.Sampling.stratified(
+            Tables.embeddings(s, d), "label", "vec_id", 20)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), sum("vec_id").as("sum_vid"))
+          .orderBy("label"),
+        Some("""SELECT label, CAST(count(*) AS BIGINT) AS n,
+               |       CAST(sum(vec_id) AS BIGINT) AS sum_vid FROM (
+               |  SELECT label, vec_id, row_number() OVER (
+               |    PARTITION BY label
+               |    ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+               |             vec_id) AS rn
+               |  FROM embeddings)
+               |WHERE rn <= 20 GROUP BY label ORDER BY label""".stripMargin)),
 
       // int8 scalar quantization of the embedding column (integer
       // code outputs — the compare is exact by construction)

@@ -42,7 +42,10 @@ object HashEmbedder {
       explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
     val h = md5Long(col("tok"))
     // one groupBy with dim conditional sums: a single map-side
-    // combinable shuffle, fully codegen'd (no map materialization)
+    // combinable shuffle, fully codegen'd (no map materialization).
+    // NOTE a two-phase (doc,bucket) sparse aggregation measures 3×
+    // SLOWER here at dim=64 (interpreted map_from_entries/element_at
+    // beats codegen only at much larger dim) — keep the wide agg.
     val sums = (0 until dim).map(i =>
       sum(when(col("b") === i, col("sgn")).otherwise(0.0)).as(s"v$i"))
     val buckets = tok
