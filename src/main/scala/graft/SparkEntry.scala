@@ -1187,6 +1187,44 @@ object SparkEntry {
              |       hm % 1024 + 1 AS width, (hm // 1024) % 1024 + 1 AS height
              |FROM (SELECT doc_id, text, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hm
              |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // video frame-sampling fan-out (every 30th frame) as a pure
+    // Catalyst explode — the oracle-able twin of
+    // Multimodal.sampleFrames' mapPartitions shape
+    "mm_frame_sample" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 2) // kind = video
+        .select(col("doc_id"),
+                (graft.functions.VectorFunctions.md5Long(col("text")) % 240 + 1).as("n_frames"))
+        .select(col("doc_id"),
+                explode(sequence(lit(0L), col("n_frames") - 1, lit(30L))).as("frame_idx"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 30)) AS BIGINT) AS frame_idx
+             |FROM (SELECT doc_id,
+             |             ('0x' || substr(md5(text), 1, 15))::BIGINT % 240 + 1 AS n_frames
+             |      FROM documents WHERE doc_id % 3 = 2)
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // resize-to-box metadata math (max side 256, aspect preserved) —
+    // floor() made explicit on both sides (DuckDB CAST rounds)
+    "mm_resize_box" -> Q(
+      (s, d) => graft.multimodal.Multimodal.binaryMeta(Tables.documents(s, d))
+        .withColumn("scale",
+          least(lit(1.0), lit(256.0) / greatest(col("width"), col("height"))))
+        .select(col("doc_id"), col("width"), col("height"),
+                greatest(lit(1L), floor(col("width") * col("scale")).cast("long")).as("new_w"),
+                greatest(lit(1L), floor(col("height") * col("scale")).cast("long")).as("new_h"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, width, height,
+             |       greatest(1, CAST(floor(width * scale) AS BIGINT)) AS new_w,
+             |       greatest(1, CAST(floor(height * scale) AS BIGINT)) AS new_h
+             |FROM (SELECT doc_id, width, height,
+             |             least(1.0, 256.0 / greatest(width, height)) AS scale
+             |      FROM (SELECT doc_id, hm % 1024 + 1 AS width,
+             |                   (hm // 1024) % 1024 + 1 AS height
+             |            FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hm
+             |                  FROM documents)))
              |ORDER BY doc_id""".stripMargin)))
 
   // ---------------------------------------------------------------

@@ -59,6 +59,38 @@ object StreamOps {
       }
   }
 
+  final case class HashedDoc(doc_id: Long, h: String)
+
+  final case class SeenState(keep_id: Long, n_dups: Long)
+
+  /** Streaming exact dedup of an ingest firehose: state keyed by
+    * content hash; only the FIRST document with a given hash is
+    * emitted, later arrivals (across and within micro-batches) only
+    * bump the duplicate counter. State is O(1) per distinct hash —
+    * the streaming face of the batch `dedup_exact` operator, for
+    * pipelines that must drop dups before paying storage/embedding
+    * cost. Within a batch the smallest doc_id wins (same tie-break as
+    * the batch operator).
+    */
+  def streamingDedup(docs: Dataset[HashedDoc]): Dataset[HashedDoc] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.groupByKey(_.h)
+      .flatMapGroupsWithState[SeenState, HashedDoc](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (h, it, state: GroupState[SeenState]) =>
+          val batch = it.toSeq.sortBy(_.doc_id)
+          state.getOption match {
+            case Some(seen) =>
+              state.update(seen.copy(n_dups = seen.n_dups + batch.size))
+              Iterator.empty
+            case None =>
+              state.update(SeenState(batch.head.doc_id, (batch.size - 1).toLong))
+              Iterator.single(HashedDoc(batch.head.doc_id, h))
+          }
+      }
+  }
+
   /** Convenience: run [[windowedCounts]] on a memory sink in append
     * mode (used by specs and as API documentation).
     */

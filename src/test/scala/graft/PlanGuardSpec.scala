@@ -41,6 +41,18 @@ class PlanGuardSpec extends SparkSpec {
     assert(q3.contains("BroadcastHashJoin"), q3)
   }
 
+  test("as-of join plans as one window pass, never a nested-loop join") {
+    val p = plan("ev_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("range join plans as an equi-join, never a nested-loop join") {
+    val p = plan("ev_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("events sessionize pushes nothing to a driver collect") {
     // executable plan exists and is a pure window+agg pipeline
     val p = plan("ev_sessionize")

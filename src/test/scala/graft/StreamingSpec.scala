@@ -134,4 +134,25 @@ class StreamingSpec extends SparkSpec {
       assert(rows(1).getString(0) == "view" && rows(1).getLong(1) == 1L)
     } finally query.stop()
   }
+
+  test("streaming dedup: only first-seen hashes are emitted, across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import StreamOps.HashedDoc
+    val input = MemoryStream[HashedDoc]
+    val query = StreamOps.streamingDedup(input.toDS())
+      .writeStream.format("memory").queryName("sdedup").outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: two distinct hashes + one in-batch dup (higher id loses)
+      input.addData(HashedDoc(10, "ha"), HashedDoc(11, "hb"), HashedDoc(12, "ha"))
+      query.processAllAvailable()
+      // batch 2: cross-batch dup of ha + a new hash
+      input.addData(HashedDoc(13, "ha"), HashedDoc(14, "hc"))
+      query.processAllAvailable()
+      val rows = s.sql("SELECT doc_id, h FROM sdedup ORDER BY doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((10L, "ha"), (11L, "hb"), (14L, "hc")))
+    } finally query.stop()
+  }
 }
