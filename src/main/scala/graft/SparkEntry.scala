@@ -325,6 +325,71 @@ object SparkEntry {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 
+    // left outer join with null-aware counting: customers with zero
+    // orders survive into the 0 bucket
+    "q_outer_join" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders"),
+      Some("""SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers FROM (
+             |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey)
+             |GROUP BY n_orders ORDER BY n_orders""".stripMargin)),
+
+    // set operators: INTERSECT / EXCEPT / UNION over yearly customer
+    // cohorts
+    "q_set_ops" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def cohort(y: String) = o
+          .filter(col("o_orderdate") >= ts(s"$y-01-01 00:00:00") &&
+                  col("o_orderdate") < ts(s"${y.toInt + 1}-01-01 00:00:00"))
+          .select("o_custkey").distinct()
+        val c96 = cohort("1996"); val c97 = cohort("1997")
+        c96.intersect(c97).agg(count(lit(1)).as("n_both"))
+          .crossJoin(c96.except(c97).agg(count(lit(1)).as("n_only96")))
+          .crossJoin(c96.union(c97).distinct().agg(count(lit(1)).as("n_union")))
+      },
+      Some("""WITH c96 AS (SELECT DISTINCT o_custkey FROM orders
+             |             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |               AND o_orderdate < TIMESTAMP '1997-01-01'),
+             |c97 AS (SELECT DISTINCT o_custkey FROM orders
+             |        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |          AND o_orderdate < TIMESTAMP '1998-01-01')
+             |SELECT
+             |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM c96 INTERSECT SELECT * FROM c97)) AS n_both,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c97)) AS n_only96,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM c96 UNION SELECT * FROM c97)) AS n_union""".stripMargin)),
+
+    // time-series gap filling: dense per-user hour spine (sequence +
+    // left join), zero-filled counts — µs hours both sides
+    "ts_gap_fill" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("user_id") < 3)
+          .select(col("user_id"), expr("ts DIV 1000 DIV 3600000000").as("hour"))
+        val counts = ev.groupBy("user_id", "hour").agg(count(lit(1)).as("cnt"))
+        val span = ev.groupBy("user_id").agg(min("hour").as("h0"), max("hour").as("h1"))
+        span.select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+          .join(counts, Seq("user_id", "hour"), "left")
+          .select(col("user_id"), col("hour"), coalesce(col("cnt"), lit(0L)).as("n"))
+          .orderBy("user_id", "hour")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour
+             |           FROM events WHERE user_id < 3),
+             |c AS (SELECT user_id, hour, CAST(count(*) AS BIGINT) AS cnt
+             |      FROM e GROUP BY user_id, hour),
+             |s AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+             |      FROM e GROUP BY user_id),
+             |h AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM s)
+             |SELECT h.user_id, h.hour, coalesce(cnt, 0) AS n
+             |FROM h LEFT JOIN c ON h.user_id = c.user_id AND h.hour = c.hour
+             |ORDER BY h.user_id, h.hour""".stripMargin)),
+
     // PIVOT with explicit values (no distinct-collect job — the
     // scale-safe pivot) vs conditional-aggregation oracle
     "agg_pivot" -> Q(
