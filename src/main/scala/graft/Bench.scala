@@ -13,6 +13,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // production-recommended: coalesce small shuffle partitions to
+      // the target size instead of keeping max parallelism — fewer
+      // tasks per tiny stage here, same plans at scale
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -444,6 +444,26 @@ object SparkEntry {
              |FROM events WHERE user_id < 5
              |ORDER BY user_id, ats, event_id""".stripMargin)),
 
+    // RANGE window frame (peers by value, not row count): running
+    // 1h-lookback sum per user — µs timestamps both sides
+    "win_range_frame" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ats"))
+          .rangeBetween(-3600000000L, 0)
+        Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("event_id"),
+                  expr("ts DIV 1000").as("ats"), col("value"))
+          .withColumn("hr_sum", round(sum("value").over(w), 4))
+          .select("user_id", "event_id", "ats", "hr_sum")
+          .orderBy("user_id", "ats", "event_id")
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ats,
+             |       round(sum(value) OVER (
+             |         PARTITION BY user_id ORDER BY epoch_us(ts)
+             |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS hr_sum
+             |FROM events WHERE user_id < 5
+             |ORDER BY user_id, ats, event_id""".stripMargin)),
+
     // ntile quartiles over a global ordering
     "win_ntile" -> Q(
       (s, d) => {
@@ -814,6 +834,17 @@ object SparkEntry {
               |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vector_id) AS BIGINT) AS sum_vid
               |FROM points WHERE NOT (user_id = 7 AND doc_id = 7 AND chunk_id = 207)""".stripMargin)),
 
+    // delete all data in a collection (reference document_ingestor
+    // :260/:277 — drop the whole user partition)
+    "vs_delete_all" -> Q(
+      (s, d) => VectorStore.deleteCollection(VectorStore.points(s, d), 4)
+        .agg(count(lit(1)).as("n"), sum("vector_id").as("sum_vid"),
+             countDistinct("user_id").as("n_users")),
+      Some(s"""$pointsSql
+              |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vector_id) AS BIGINT) AS sum_vid,
+              |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              |FROM points WHERE user_id <> 4""".stripMargin)),
+
     "vs_list_collections" -> Q(
       (s, d) => VectorStore.listCollections(VectorStore.points(s, d)),
       Some(s"""$pointsSql
@@ -900,6 +931,28 @@ object SparkEntry {
                 |  SELECT e.da, r.lbl FROM reach r JOIN edges e ON e.db = r.src)
                 |SELECT src AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
                 |FROM reach GROUP BY src ORDER BY src""".stripMargin)),
+
+      // fuzzy near-dup by edit distance on document prefixes (exact
+      // integer distances — Spark and DuckDB levenshtein agree)
+      "dedup_levenshtein" -> Q(
+        (s, d) => {
+          val p = docsUnder(s, d, 80)
+            .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+          val a = p.toDF("da", "pa")
+          val b = p.toDF("db", "pb")
+          a.crossJoin(b).filter(col("da") < col("db"))
+            .select(col("da"), col("db"),
+                    levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+            .filter(col("dist") <= 25)
+            .orderBy("da", "db")
+        },
+        Some("""SELECT a.doc_id AS da, b.doc_id AS db,
+               |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+               |FROM (SELECT doc_id, substring(text, 1, 40) AS p FROM documents WHERE doc_id < 80) a
+               |JOIN (SELECT doc_id, substring(text, 1, 40) AS p FROM documents WHERE doc_id < 80) b
+               |  ON a.doc_id < b.doc_id
+               |WHERE levenshtein(a.p, b.p) <= 25
+               |ORDER BY da, db""".stripMargin)),
 
       "dedup_simhash" -> Q(
         (s, d) => Dedup.simhashPairs(docsUnder(s, d, 200), 6),
