@@ -1362,9 +1362,12 @@ object SparkEntry {
   /** Headline subset (ExplainDump default + documentation). */
   def headline: Seq[String] = Seq(
     "q1_agg", "q3_join_topk", "q5_multi_join", "q_scan_filter",
-    "ev_sessionize", "ev_window_agg",
+    "ev_sessionize", "ev_window_agg", "ev_asof_join", "ev_range_join",
     "vs_search_topk", "vs_search_threshold", "vs_upsert_merge",
-    "ann_topk_batch", "dedup_minhash_lsh", "dedup_minhash_tok",
+    "ann_topk_batch", "ann_ivf_probe", "ann_lsh_bucketed",
+    "dedup_minhash_lsh", "dedup_minhash_tok", "dedup_clusters",
     "dedup_exact", "text_token_count", "text_quality",
-    "text_search_e2e", "emb_label_cohesion")
+    "text_search_e2e", "text_bm25", "text_chunking",
+    "emb_label_cohesion", "vec_scalar_quant", "samp_hash_split",
+    "agg_pivot")
 }

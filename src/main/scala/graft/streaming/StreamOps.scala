@@ -91,6 +91,25 @@ object StreamOps {
       }
   }
 
+  /** Stream-static as-of enrichment: every micro-batch of events is
+    * matched to the latest static reference row at-or-before it
+    * (graft.ops.Joins.asofJoin per batch) — the online feature-join
+    * shape (e.g. enrich a live event with the most recent model
+    * snapshot / price point). Static side stays a pruned scan; per
+    * batch the cost is one keyed shuffle of the batch + static side.
+    */
+  def startAsofEnrich(stream: DataFrame, static: DataFrame,
+                      keys: Seq[String], lts: String, rts: String)
+                     (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          onBatch(graft.ops.Joins.asofJoin(batch, static, keys, lts, rts))
+      }
+      .start()
+
   /** Convenience: run [[windowedCounts]] on a memory sink in append
     * mode (used by specs and as API documentation).
     */

@@ -155,4 +155,26 @@ class StreamingSpec extends SparkSpec {
       assert(rows.toSeq == Seq((10L, "ha"), (11L, "hb"), (14L, "hc")))
     } finally query.stop()
   }
+
+  test("stream-static as-of enrichment matches per-batch asofJoin") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val static = Seq((1L, 100L, "v1"), (1L, 300L, "v2"), (2L, 50L, "w1"))
+      .toDF("user_id", "bts", "snapshot")
+    val input = MemoryStream[(Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val query = StreamOps.startAsofEnrich(
+      input.toDF().toDF("user_id", "ts"), static, Seq("user_id"), "ts", "bts") { b =>
+      got ++= b.select("user_id", "ts", "asof.snapshot").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+                   if (r.isNullAt(2)) null else r.getString(2)))
+    }
+    try {
+      input.addData((1L, 200L), (1L, 400L), (2L, 10L))
+      query.processAllAvailable()
+      assert(got.sortBy(t => (t._1, t._2)).toSeq == Seq(
+        (1L, 200L, "v1"), (1L, 400L, "v2"), (2L, 10L, null)))
+    } finally query.stop()
+  }
 }
