@@ -325,6 +325,28 @@ object SparkEntry {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 
+    // national market share per ship-year (TPC-H Q8 shape: ratio of
+    // conditional to total revenue inside one aggregation)
+    "q8_market_share" -> Q(
+      (s, d) => {
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        Tables.lineitem(s, d)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(round(
+            sum(when(col("n_name") === "NATION_3", rev).otherwise(0.0)) / sum(rev),
+            6).as("share"))
+          .orderBy("l_year")
+      },
+      Some("""SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |       round(sum(CASE WHEN n_name = 'NATION_3'
+             |                      THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) /
+             |             sum(l_extendedprice*(1-l_discount)), 6) AS share
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |              JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY l_year ORDER BY l_year""".stripMargin)),
+
     // left outer join with null-aware counting: customers with zero
     // orders survive into the 0 bucket
     "q_outer_join" -> Q(
@@ -1097,6 +1119,71 @@ object SparkEntry {
                |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
                |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)),
 
+      // vocabulary building: ranked token frequencies (the tokenizer-
+      // training precursor)
+      "text_vocab" -> Q(
+        (s, d) => {
+          val w = Window.orderBy(col("n").desc, col("tok"))
+          Tables.documents(s, d)
+            .select(explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("n"))
+            .withColumn("rank", row_number().over(w).cast("long"))
+            .filter(col("rank") <= 50)
+            .orderBy("rank")
+        },
+        Some("""SELECT tok, n, rank FROM (
+               |  SELECT tok, CAST(count(*) AS BIGINT) AS n,
+               |         CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS BIGINT) AS rank
+               |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+               |        FROM documents)
+               |  GROUP BY tok)
+               |WHERE rank <= 50 ORDER BY rank""".stripMargin)),
+
+      // collocation mining: PMI of frequent bigrams (corpus statistics
+      // for tokenizer/quality work); counts are exact integers, PMI a
+      // deterministic function of them
+      "text_pmi" -> Q(
+        (s, d) => {
+          val toks = graft.text.TextPrimitives.tokens(col("text"))
+          val docs = Tables.documents(s, d)
+          val uni = docs.select(explode(toks).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          val totals = uni.agg(sum("cnt").cast("double").as("t"))
+          val bi = docs
+            .select(explode(when(size(toks) === 1, array()).otherwise(
+              zip_with(slice(toks, lit(1), size(toks) - 1),
+                       slice(toks, lit(2), size(toks) - 1),
+                       (a, b) => struct(a.as("w1"), b.as("w2"))))).as("bg"))
+            .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+            .agg(count(lit(1)).as("nb"))
+          val btotal = bi.agg(sum("nb").cast("double").as("bt"))
+          bi.filter(col("nb") >= 50)
+            .join(broadcast(uni.toDF("w1", "c1")), "w1")
+            .join(broadcast(uni.toDF("w2", "c2")), "w2")
+            .crossJoin(broadcast(totals)).crossJoin(broadcast(btotal))
+            .select(col("w1"), col("w2"), col("nb"),
+              round(log((col("nb") / col("bt")) /
+                ((col("c1") / col("t")) * (col("c2") / col("t")))), 4).as("pmi"))
+            .orderBy(col("pmi").desc, col("w1"), col("w2"))
+            .limit(20)
+        },
+        Some("""WITH toks AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+               |              FROM documents),
+               |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+               |        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+               |totals AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tt FROM uni),
+               |bi AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS nb
+               |       FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+               |       GROUP BY w1, w2),
+               |btotal AS (SELECT CAST(sum(nb) AS DOUBLE) AS bt FROM bi)
+               |SELECT w1, w2, nb,
+               |       round(ln((nb / bt) / ((c1 / tt) * (c2 / tt))), 4) AS pmi
+               |FROM bi JOIN (SELECT tok AS w1, cnt AS c1 FROM uni) USING (w1)
+               |        JOIN (SELECT tok AS w2, cnt AS c2 FROM uni) USING (w2),
+               |     totals, btotal
+               |WHERE nb >= 50
+               |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
+
       // corpus statistics: token-bigram frequencies (non-distinct —
       // true occurrence counts, unlike the dedup shingle sets)
       "text_bigram_freq" -> Q(
@@ -1246,6 +1333,38 @@ object SparkEntry {
                |             vec_id) AS rn
                |  FROM embeddings)
                |WHERE rn <= 20 GROUP BY label ORDER BY label""".stripMargin)),
+
+      // leave-one-out 1-NN label accuracy (embedding-quality metric
+      // for labeled training data); integer counts — exact compare
+      "emb_knn_accuracy" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.score
+          val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+          val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+                           col("label").as("la"))
+          val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+                           col("label").as("lb"))
+          a.crossJoin(b).filter(col("va") =!= col("vb"))
+            .select(col("va"), col("la"), col("vb"), col("lb"),
+              (lit(1.0) - score(col("ea"), col("eb"))).as("ns"))
+            .groupBy("va", "la")
+            // min of (1-score, vb, lb) == nearest by (score desc, vb)
+            .agg(min(struct(col("ns"), col("vb"), col("lb"))).as("m"))
+            .groupBy("la")
+            .agg(count(lit(1)).as("n"),
+                 sum(when(col("la") === col("m.lb"), 1L).otherwise(0L)).as("n_correct"))
+            .orderBy("la")
+        },
+        Some("""WITH e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 300),
+               |p AS (SELECT a.vec_id AS va, a.label AS la, b.label AS lb, b.vec_id AS vb,
+               |             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) + 0.0 AS s
+               |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+               |nn AS (SELECT la, lb FROM (
+               |  SELECT *, row_number() OVER (PARTITION BY va ORDER BY s DESC, vb) AS rn
+               |  FROM p) WHERE rn = 1)
+               |SELECT la, CAST(count(*) AS BIGINT) AS n,
+               |       CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+               |FROM nn GROUP BY la ORDER BY la""".stripMargin)),
 
       // int8 scalar quantization of the embedding column (integer
       // code outputs — the compare is exact by construction)
