@@ -157,6 +157,52 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Thread-local MD5 used by [[Md5Long60]] (MessageDigest is not
+    * thread-safe; one instance per executor thread, reused).
+    */
+  object Md5 {
+    private val tl = ThreadLocal.withInitial[java.security.MessageDigest](
+      () => java.security.MessageDigest.getInstance("MD5"))
+
+    /** First 15 hex digits (= top 60 bits) of md5 as a non-negative
+      * Long — bit-identical to `conv(substring(md5(x),1,15),16,10)`
+      * without the hex-string round-trip.
+      */
+    def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+      val d = tl.get(); d.reset()
+      val b = d.digest(s.getBytes)
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
+      (h << 4) | ((b(7) & 0xf0L) >> 4)
+    }
+  }
+
+  /** Codegen'd 60-bit md5 hash of a string — the hash family basis
+    * (MinHash/SimHash/fingerprints/splits). Skips the md5-hex →
+    * substring → conv(16,10) chain (two string allocs + a radix parse
+    * per row) while producing the same value, so every oracle keeps
+    * matching (spec-asserted against the conv formulation).
+    */
+  case class Md5Long60(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "md5_long60"
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+    override def nullSafeEval(c: Any): Any =
+      Md5.hash60(c.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorExpressions.Md5.hash60($c)")
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // ---- Column API -------------------------------------------------
 
   def cosine(a: Column, b: Column): Column =
@@ -169,6 +215,9 @@ object VectorExpressions {
 
   def sqNorm(a: Column): Column =
     ColumnBridge.column(SqNorm(ColumnBridge.expression(a)))
+
+  def md5Long60(a: Column): Column =
+    ColumnBridge.column(Md5Long60(ColumnBridge.expression(a)))
 
   /** Register as SQL functions (cosine_similarity, dot_product,
     * sq_norm) on a session.

@@ -63,10 +63,16 @@ object VectorFunctions {
       (acc, v) => acc + v)
 
   /** First-15-hex-digits of md5 as a non-negative Long — a portable
-    * 60-bit hash both Spark (`conv(substr(md5(x),1,15),16,10)`) and
-    * DuckDB (`('0x' || substr(md5(x),1,15))::BIGINT`) compute
-    * identically. Basis for MinHash/SimHash/fingerprints.
+    * 60-bit hash both Spark and DuckDB
+    * (`('0x' || substr(md5(x),1,15))::BIGINT`) compute identically.
+    * Basis for MinHash/SimHash/fingerprints. Native codegen'd
+    * expression (digest bytes → long, no hex round-trip); the
+    * original `conv(substring(md5(x),1,15),16,10)` formulation is
+    * kept as [[md5LongConv]] for the equivalence spec.
     */
-  def md5Long(c: Column): Column =
+  def md5Long(c: Column): Column = VectorExpressions.md5Long60(c)
+
+  /** Built-in-functions formulation of [[md5Long]] (spec reference). */
+  def md5LongConv(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 }

@@ -63,6 +63,24 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native md5 long60 equals the conv(substring(md5)) formulation") {
+    val sp = spark
+    import sp.implicits._
+    // corpus strings (incl. empty + unicode-ish) and synthetic ids
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text").as("s"))
+      .union(spark.range(1000).select(concat(lit("id_"), col("id")).as("s")))
+      .union(Seq("", " ", "é☃", "a\nb").toDF("s"))
+    val diffs = docs.select(
+        VectorFunctions.md5Long(col("s")).as("a"),
+        VectorFunctions.md5LongConv(col("s")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diffs == 0)
+    // non-negative 60-bit range
+    val mn = docs.select(min(VectorFunctions.md5Long(col("s")))).head().getLong(0)
+    assert(mn >= 0L)
+  }
+
   test("null inputs yield null, zero vectors yield 0.0") {
     val s = spark
     import s.implicits._
