@@ -48,9 +48,18 @@ object ScaleDedup {
     val planted = pairs
       .filter(col("db") === col("da") + 1 && col("db") % 100 === 99).count()
     val expected = n / 100
+
+    // canonical-doc assignment over the full dup graph
+    val t2 = System.nanoTime()
+    val cc = graft.dedup.Dedup.connectedComponents(corpus, pairs)
+    val nCanonical = cc.filter(col("doc_id") === col("cluster")).count()
+    val tCc = (System.nanoTime() - t2) / 1e9
+
     println(f"""{"metric":"scale_dedup","n_docs":$n,"sig_sec":$tSig%.2f,""" +
-      f""""lsh_sec":$tLsh%.2f,"docs_per_sec":${n / (tSig + tLsh)}%.0f,""" +
-      f""""cand_pairs":$nPairs,"planted_recall":${planted.toDouble / expected}%.3f}""")
+      f""""lsh_sec":$tLsh%.2f,"cc_sec":$tCc%.2f,""" +
+      f""""docs_per_sec":${n / (tSig + tLsh + tCc)}%.0f,""" +
+      f""""cand_pairs":$nPairs,"n_canonical":$nCanonical,""" +
+      f""""planted_recall":${planted.toDouble / expected}%.3f}""")
     spark.stop()
   }
 }

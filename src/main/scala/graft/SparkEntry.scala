@@ -1184,6 +1184,40 @@ object SparkEntry {
                |WHERE nb >= 50
                |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
 
+      // the reference's ingest+search path end-to-end: chunk →
+      // deterministic embed → cosine top-k over (DocId, ChunkId) keys
+      "text_chunk_search" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.score
+          val chunks = graft.text.Chunker.chunkDocs(
+              Tables.documents(s, d).filter(col("doc_id") < 200), 500, 400)
+            .select((col("doc_id") * 1000 + col("chunk_id")).as("ckey"), col("chunk"))
+          val raw = graft.embed.HashEmbedder.embedDocsRaw(chunks, "ckey", "chunk", 64)
+          val q = raw.filter(col("ckey") === 3000).select(col("embedding").as("qv"))
+          raw.crossJoin(broadcast(q))
+            .select(col("ckey"), score(col("embedding"), col("qv")).as("score"))
+            .orderBy(col("score").desc, col("ckey"))
+            .limit(10)
+        },
+        Some {
+          val (dot, na, nb) = graft.embed.HashEmbedder.cosineTermsSql(64)
+          s"""WITH chunks AS (
+             |  SELECT doc_id * 1000 + (st - 1) // 400 AS doc_id,
+             |         substring(text, st, 500) AS text
+             |  FROM (SELECT doc_id, text,
+             |               unnest(generate_series(1, length(text), 400)) AS st
+             |        FROM documents WHERE doc_id < 200)),
+             |sums AS (
+             |${graft.embed.HashEmbedder.rawSumsSql(64, "chunks")}),
+             |q AS (SELECT * FROM sums WHERE doc_id = 3000)
+             |SELECT ckey,
+             |       round(CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+             |                  ELSE dot / sqrt(na * nb) END, 6) + 0.0 AS score
+             |FROM (SELECT s.doc_id AS ckey, ($dot) AS dot, ($na) AS na, ($nb) AS nb
+             |      FROM sums s, q)
+             |ORDER BY score DESC, ckey LIMIT 10""".stripMargin
+        }),
+
       // corpus statistics: token-bigram frequencies (non-distinct —
       // true occurrence counts, unlike the dedup shingle sets)
       "text_bigram_freq" -> Q(
@@ -1389,6 +1423,42 @@ object SparkEntry {
                |       CAST(min(c) AS BIGINT) AS code_min,
                |       CAST(max(c) AS BIGINT) AS code_max
                |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+      // one Lloyd's step of the IVF coarse quantizer, oracled: nearest
+      // seed centroid by squared L2 (ties → smallest cid), then
+      // per-cell re-centering (first two dims shown)
+      "ann_kmeans_step" -> Q(
+        (s, d) => {
+          import graft.functions.VectorExpressions.{sqNorm, dot => vdot}
+          val emb = Tables.embeddings(s, d)
+          val centsRow = emb.filter(col("vec_id") < 8)
+            .agg(sort_array(collect_list(
+              struct(col("vec_id").as("cid"), col("embedding").as("cv")))).as("cents"))
+          emb.crossJoin(broadcast(centsRow))
+            .withColumn("key", element_at(array_sort(transform(col("cents"),
+              e => struct(
+                (sqNorm(col("embedding")) + sqNorm(e.getField("cv")) -
+                  vdot(col("embedding"), e.getField("cv")) * 2).as("dd"),
+                e.getField("cid").as("cid")))), 1))
+            .select(col("vec_id"), col("embedding"), col("key.cid").as("cid"))
+            .groupBy("cid")
+            .agg(count(lit(1)).as("n"),
+                 round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("c0"),
+                 round(avg(element_at(col("embedding"), 2).cast("double")), 6).as("c1"))
+            .orderBy("cid")
+        },
+        Some("""WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+               |               FROM embeddings WHERE vec_id < 8),
+               |a AS (SELECT e.vec_id, e.embedding, cid,
+               |        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               |          list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) +
+               |          list_inner_product(cv, cv) -
+               |          list_inner_product(e.embedding::DOUBLE[], cv) * 2, cid) AS rn
+               |      FROM embeddings e, cents)
+               |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+               |       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c0,
+               |       round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS c1
+               |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin)),
 
       "ann_ivf_probe" -> Q(
         (s, d) => Ann.ivfProbe(Tables.embeddings(s, d),
