@@ -708,6 +708,55 @@ object SparkEntry {
              |FROM pu LEFT JOIN pp ON pu.user_id = pp.user_id
              |ORDER BY pu.user_id""".stripMargin)),
 
+    // ordered funnel: signup → first click after signup → first
+    // purchase after that click, per user (µs both sides)
+    "ev_funnel" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ats"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ats").as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ats") >= col("t1"))
+          .groupBy("user_id").agg(min("ats").as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ats") >= col("t2"))
+          .groupBy("user_id").agg(min("ats").as("t3"))
+        s1.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ats FROM events),
+             |s1 AS (SELECT user_id, min(ats) AS t1 FROM ev
+             |       WHERE event_type = 'signup' GROUP BY user_id),
+             |s2 AS (SELECT ev.user_id, min(ats) AS t2 FROM ev JOIN s1 USING (user_id)
+             |       WHERE event_type = 'click' AND ats >= t1 GROUP BY ev.user_id),
+             |s3 AS (SELECT ev.user_id, min(ats) AS t3 FROM ev JOIN s2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND ats >= t2 GROUP BY ev.user_id)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_after,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_after""".stripMargin)),
+
+    // cohort retention: users active in their first day who return in
+    // any of days 2..7 (µs days both sides)
+    "ev_retention" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+        val d0 = ev.groupBy("user_id").agg(min("day").as("day0"))
+        val ret = ev.join(d0, "user_id")
+          .filter(col("day") > col("day0") && col("day") <= col("day0") + 7)
+          .select("user_id").distinct()
+        d0.agg(count(lit(1)).as("n_users"))
+          .crossJoin(ret.agg(count(lit(1)).as("n_retained")))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+             |d0 AS (SELECT user_id, min(day) AS day0 FROM ev GROUP BY user_id),
+             |ret AS (SELECT DISTINCT ev.user_id FROM ev JOIN d0 USING (user_id)
+             |        WHERE day > day0 AND day <= day0 + 7)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d0) AS n_users,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM ret) AS n_retained""".stripMargin)),
+
     "ev_window_agg" -> Q(
       (s, d) => Tables.events(s, d)
         .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
