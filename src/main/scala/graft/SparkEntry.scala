@@ -1267,6 +1267,51 @@ object SparkEntry {
              |ORDER BY score DESC, ckey LIMIT 10""".stripMargin
         }),
 
+      // corpus bigram LM quality scoring: avg add-one-smoothed
+      // log P(w2|w1) per doc — the LM-perplexity-style quality filter
+      "text_lm_score" -> Q(
+        (s, d) => {
+          val toks = graft.text.TextPrimitives.tokens(col("text"))
+          val docs = Tables.documents(s, d)
+          def bigrams(df: DataFrame) = df
+            .select(col("doc_id"), explode(when(size(toks) === 1, array()).otherwise(
+              zip_with(slice(toks, lit(1), size(toks) - 1),
+                       slice(toks, lit(2), size(toks) - 1),
+                       (a, b) => struct(a.as("w1"), b.as("w2"))))).as("bg"))
+            .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          val uni = docs.select(explode(toks).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("c1"))
+          val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+          val bi = bigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
+          bigrams(docs.filter(col("doc_id") < 100))
+            .join(broadcast(bi), Seq("w1", "w2"))
+            .join(broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
+            .crossJoin(broadcast(vocab))
+            .select(col("doc_id"),
+              log((col("nb") + lit(1.0)) / (col("c1") + col("v"))).as("lp"))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_bigrams"), round(avg("lp"), 4).as("lm_score"))
+            .orderBy("doc_id")
+        },
+        Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+               |              FROM documents),
+               |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+               |        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+               |vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+               |allbg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+               |          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+               |                FROM toks)),
+               |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb
+               |       FROM allbg GROUP BY w1, w2)
+               |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               |       round(avg(ln((nb + 1.0) / (c1 + v))), 4) AS lm_score
+               |FROM (SELECT a.doc_id, ln((nb + 1.0) / (c1 + v)) AS lp, nb, c1, v
+               |      FROM allbg a JOIN bi USING (w1, w2)
+               |                   JOIN (SELECT tok AS w1, c1 FROM uni) USING (w1),
+               |           vocab
+               |      WHERE a.doc_id < 100)
+               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
       // corpus statistics: token-bigram frequencies (non-distinct —
       // true occurrence counts, unlike the dedup shingle sets)
       "text_bigram_freq" -> Q(
