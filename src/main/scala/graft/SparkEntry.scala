@@ -412,6 +412,28 @@ object SparkEntry {
              |FROM h LEFT JOIN c ON h.user_id = c.user_id AND h.hour = c.hour
              |ORDER BY h.user_id, h.hour""".stripMargin)),
 
+    // above-average holders with no orders (TPC-H Q22 shape:
+    // uncorrelated avg subquery + anti join)
+    "q22_no_orders" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg(avg("c_acctbal").as("ab"))
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("ab"))
+          .join(Tables.orders(s, d).select(col("o_custkey")),
+                col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("total_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(c_acctbal), 2) AS total_bal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // PIVOT with explicit values (no distinct-collect job — the
     // scale-safe pivot) vs conditional-aggregation oracle
     "agg_pivot" -> Q(
@@ -1114,6 +1136,48 @@ object SparkEntry {
              |      FROM sums s, q)
              |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
         }),
+
+      // the whole training-data prep pipeline as ONE Catalyst plan:
+      // exact dedup → quality filter → deterministic split → stats
+      // (operators composing is the point — no materialization
+      // boundaries between stages)
+      "pipe_e2e_prep" -> Q(
+        (s, d) => {
+          val docs = Tables.documents(s, d)
+          val keep = graft.dedup.Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+          val deduped = docs.join(keep, "doc_id")
+          val q = graft.text.TextAnalytics.qualityScores(deduped)
+            .filter(col("quality") >= 0.3).select("doc_id", "n_tok")
+          graft.ops.Sampling.hashSplit(q, "doc_id", 80, 10)
+            .groupBy("split")
+            .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"),
+                 sum("n_tok").as("sum_tok"))
+            .orderBy("split")
+        },
+        Some(s"""WITH keep AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+                |              FROM documents GROUP BY md5(text)),
+                |dd AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+                |q AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                |        round((least(n_tok, 100) / 100.0) *
+                |              (1.0 - punct_cnt * 1.0 / greatest(n_chars, 1)) *
+                |              (0.2 + 0.8 * (stop_cnt * 1.0 / greatest(n_tok, 1))), 4) AS quality
+                |      FROM (SELECT doc_id, length(text) AS n_chars,
+                |                   len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+                |                   len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                |                       t -> t IN ($stopList))) AS stop_cnt,
+                |                   len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
+                |            FROM dd)),
+                |f AS (SELECT doc_id, n_tok FROM q WHERE quality >= 0.3),
+                |sp AS (SELECT doc_id, n_tok,
+                |              CASE WHEN b < 80 THEN 'train'
+                |                   WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+                |       FROM (SELECT doc_id, n_tok,
+                |               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+                |             FROM f))
+                |SELECT split, CAST(count(*) AS BIGINT) AS n,
+                |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                |       CAST(sum(n_tok) AS BIGINT) AS sum_tok
+                |FROM sp GROUP BY split ORDER BY split""".stripMargin)),
 
       // deterministic hash-based train/val/test split (stable across
       // runs/partitioning — never rand())
