@@ -730,6 +730,16 @@ object SparkEntry {
              |FROM pu LEFT JOIN pp ON pu.user_id = pp.user_id
              |ORDER BY pu.user_id""".stripMargin)),
 
+    // fixed-width histogram of a measure column (20 × 25-unit bins)
+    "ev_histogram" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(least(floor(col("value") / 25.0), lit(19.0)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("bin"),
+      Some("""SELECT CAST(least(floor(value / 25.0), 19.0) AS BIGINT) AS bin,
+             |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // ordered funnel: signup → first click after signup → first
     // purchase after that click, per user (µs both sides)
     "ev_funnel" -> Q(
@@ -1525,6 +1535,23 @@ object SparkEntry {
                |             vec_id) AS rn
                |  FROM embeddings)
                |WHERE rn <= 20 GROUP BY label ORDER BY label""".stripMargin)),
+
+      // per-dimension mean/spread of the embedding column — the
+      // distribution-drift monitor for embedding pipelines
+      "emb_dim_stats" -> Q(
+        (s, d) => Tables.embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy(col("i").cast("long").as("i"))
+          .agg(count(lit(1)).as("n"),
+               round(avg(col("x").cast("double")), 6).as("mean"),
+               round(stddev(col("x").cast("double")), 6).as("sd"))
+          .orderBy("i"),
+        Some("""SELECT CAST(i - 1 AS BIGINT) AS i, CAST(count(*) AS BIGINT) AS n,
+               |       round(avg(x), 6) AS mean, round(stddev_samp(x), 6) AS sd
+               |FROM (SELECT generate_subscripts(embedding, 1) AS i,
+               |             CAST(unnest(embedding) AS DOUBLE) AS x
+               |      FROM embeddings)
+               |GROUP BY i ORDER BY i""".stripMargin)),
 
       // leave-one-out 1-NN label accuracy (embedding-quality metric
       // for labeled training data); integer counts — exact compare
