@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.store.VectorStore
@@ -1644,6 +1644,70 @@ object SparkEntry {
                |       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c0,
                |       round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS c1
                |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin)),
+
+      // product-quantization ADC search, oracled: 4×16-d subspaces,
+      // codebooks = seed-vector slices, per-subspace argmin codes,
+      // asymmetric distance = Σ_s d(q_s, c_{s,code_s}), top-5.
+      // All sums explicitly left-associated on both engines.
+      "vec_pq_adc" -> Q(
+        (s, d) => {
+          import graft.functions.VectorExpressions.{sqNorm, dot => vdot}
+          val emb = Tables.embeddings(s, d)
+          val dsub = 16
+          def sub(c: Column, si: Int) = slice(c, lit(si * dsub + 1), lit(dsub))
+          def sqd(a: Column, b: Column) = sqNorm(a) + sqNorm(b) - vdot(a, b) * 2
+          val centCols = (0 until 4).map(si =>
+            sort_array(collect_list(struct(col("vec_id").as("cid"),
+              sub(col("embedding"), si).as("cv")))).as(s"c$si"))
+          val centsRow = emb.filter(col("vec_id") < 4)
+            .agg(centCols.head, centCols.tail: _*)
+          val q = emb.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+          def termFor(si: Int): Column = {
+            val key = element_at(array_sort(transform(col(s"c$si"),
+              e => struct(sqd(sub(col("embedding"), si), e.getField("cv")).as("dd"),
+                          e.getField("cid").as("cid")))), 1)
+            sqd(sub(col("qv"), si),
+                element_at(col(s"c$si"),
+                  (key.getField("cid") + 1).cast("int")).getField("cv"))
+          }
+          val adc = ((termFor(0) + termFor(1)) + termFor(2)) + termFor(3)
+          val w = Window.orderBy(col("adc").asc, col("vec_id"))
+          emb.filter(col("vec_id") =!= 42)
+            .crossJoin(broadcast(centsRow)).crossJoin(broadcast(q))
+            .select(col("vec_id"), (round(adc, 6) + lit(0.0)).as("adc"))
+            .orderBy(col("adc").asc, col("vec_id")).limit(5)
+            .withColumn("rnk", row_number().over(w).cast("long"))
+            .orderBy("rnk")
+        },
+        Some {
+          def ip(a: String, b: String) = s"list_inner_product($a, $b)"
+          def sl(v: String) = s"$v[s.s*16+1 : s.s*16+16]"
+          def sqdSql(a: String, b: String) =
+            s"${ip(sl(a), sl(a))} + ${ip(sl(b), sl(b))} - ${ip(sl(a), sl(b))} * 2"
+          s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 4),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 42),
+             |sub AS (SELECT x.vec_id, s.s, c.cid, ${sqdSql("x.v", "c.v")} AS dd
+             |        FROM e x, generate_series(0, 3) s(s), cents c
+             |        WHERE x.vec_id <> 42),
+             |chosen AS (SELECT vec_id, s, cid FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+             |  FROM sub) WHERE rn = 1),
+             |qd AS (SELECT s.s, c.cid, ${sqdSql("q.qv", "c.v")} AS dq
+             |       FROM q, generate_series(0, 3) s(s), cents c),
+             |t AS (SELECT vec_id,
+             |        max(CASE WHEN s = 0 THEN dq END) AS t0,
+             |        max(CASE WHEN s = 1 THEN dq END) AS t1,
+             |        max(CASE WHEN s = 2 THEN dq END) AS t2,
+             |        max(CASE WHEN s = 3 THEN dq END) AS t3
+             |      FROM chosen JOIN qd USING (s, cid) GROUP BY vec_id)
+             |SELECT vec_id, adc, rnk FROM (
+             |  SELECT vec_id, round(((t0 + t1) + t2) + t3, 6) + 0.0 AS adc,
+             |         CAST(row_number() OVER (
+             |           ORDER BY round(((t0 + t1) + t2) + t3, 6) + 0.0, vec_id) AS BIGINT) AS rnk
+             |  FROM t)
+             |WHERE rnk <= 5 ORDER BY rnk""".stripMargin
+        }),
 
       "ann_ivf_probe" -> Q(
         (s, d) => Ann.ivfProbe(Tables.embeddings(s, d),
