@@ -34,6 +34,19 @@ object StreamOps {
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** Session windows via the built-in `session_window` (dynamic-gap
+    * merging inside the engine's streaming state store) — the
+    * declarative sibling of [[sessionize]]; works identically over a
+    * batch DataFrame (spec asserts it matches the window-lag
+    * formulation's session structure).
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("event_time", gap)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Gap-based sessionization with explicit keyed state
     * (mapGroupsWithState): emits the running session id + count per
     * user on every micro-batch. State is O(1) per user — safe for

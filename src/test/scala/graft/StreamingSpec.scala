@@ -156,6 +156,23 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session_window (batch) matches the window-lag sessionize structure") {
+    val ev = Tables.events(spark, sfDir)
+    val viaSw = StreamOps.sessionWindowCounts(ev)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_sessions"),
+        org.apache.spark.sql.functions.sum("n_events").as("n_ev"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaLag = SparkEntry.queries("ev_sessionize")(spark, sfDir)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_sessions"),
+        org.apache.spark.sql.functions.sum("n_events").as("n_ev"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaSw == viaLag)
+  }
+
   test("stream-static as-of enrichment matches per-batch asofJoin") {
     val s = spark
     import s.implicits._
