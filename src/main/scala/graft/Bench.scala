@@ -21,19 +21,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup (not timed): run every query once at the tiny sf0.001 so
-    // whole-stage codegen compilation + JIT for each plan shape happens
-    // before the clock starts. The timed pass below still reads the
-    // target-SF data cold — only JVM state is warm, as on a long-lived
-    // cluster.
+    // Headline queries per the driver contract (the representative
+    // flagship of each operator family); SPARK_GRAFT_BENCH_ALL=1 times
+    // the full inventory instead (the correctness gate always covers
+    // every query regardless).
+    val benchSet: Seq[String] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+        SparkEntry.queries.keys.toSeq.sorted
+      else SparkEntry.headline.sorted
+    // Warmup (not timed): run each benched query once at the tiny
+    // sf0.001 so whole-stage codegen compilation + JIT for each plan
+    // shape happens before the clock starts. The timed pass below
+    // still reads the target-SF data cold — only JVM state is warm,
+    // as on a long-lived cluster.
     spark.range(1000000).selectExpr("sum(id)").collect()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.values.foreach { fn =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => }
+    benchSet.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir).count()
+      catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = benchSet.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
