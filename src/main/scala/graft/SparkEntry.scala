@@ -730,6 +730,54 @@ object SparkEntry {
              |FROM pu LEFT JOIN pp ON pu.user_id = pp.user_id
              |ORDER BY pu.user_id""".stripMargin)),
 
+    // ordered string aggregation (deterministic: sorted before join)
+    "q_string_agg" -> Q(
+      (s, d) => Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("s_acctbal") > 9000)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+             array_join(sort_array(collect_list(col("s_name"))), ",").as("names"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+             |       string_agg(s_name, ',' ORDER BY s_name) AS names
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE s_acctbal > 9000
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // correlation / covariance per group
+    "stat_corr" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+             round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             |       round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // z-score outlier counting per event type (3σ rule)
+    "ev_outliers" -> Q(
+      (s, d) => {
+        val stats = Tables.events(s, d).groupBy(col("event_type").as("et"))
+          .agg(avg("value").as("mu"), stddev("value").as("sd"))
+        Tables.events(s, d)
+          .join(broadcast(stats), col("event_type") === col("et"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(when(abs((col("value") - col("mu")) / col("sd")) > 3, 1L)
+                 .otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH stats AS (SELECT event_type AS et, avg(value) AS mu, stddev_samp(value) AS sd
+             |               FROM events GROUP BY event_type)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN abs((value - mu) / sd) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM events JOIN stats ON event_type = et
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // fixed-width histogram of a measure column (20 × 25-unit bins)
     "ev_histogram" -> Q(
       (s, d) => Tables.events(s, d)
