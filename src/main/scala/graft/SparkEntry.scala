@@ -1031,6 +1031,33 @@ object SparkEntry {
                 |  FROM i JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
                 |WHERE j >= 0.25 ORDER BY da, db""".stripMargin)),
 
+      // asymmetric shingle containment |A∩B|/|A| — catches documents
+      // embedded inside larger ones, which symmetric Jaccard misses
+      "dedup_containment" -> Q(
+        (s, d) => {
+          val sh = graft.text.TextPrimitives.charShingles(docsUnder(s, d, 120), "doc_id", "text", 5)
+          val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+          val a = sh.toDF("da", "sh")
+          val b = sh.toDF("db", "sh")
+          a.join(b, Seq("sh")).filter(col("da") =!= col("db"))
+            .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+            .join(cnt.toDF("da", "na"), "da")
+            .withColumn("c", col("ni") * lit(1.0) / col("na"))
+            .filter(col("c") >= 0.6)
+            .select(col("da"), col("db"), round(col("c"), 4).as("containment"))
+            .orderBy("da", "db")
+        },
+        Some(s"""WITH s AS (
+                |${graft.text.TextPrimitives.charShinglesSql("documents", "doc_id", "text", 5, "doc_id < 120")}),
+                |c AS (SELECT doc_id, count(*) AS cnt FROM s GROUP BY doc_id),
+                |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+                |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+                |      GROUP BY da, db)
+                |SELECT da, db, round(cc, 4) AS containment FROM (
+                |  SELECT da, db, ni * 1.0 / ca.cnt AS cc
+                |  FROM i JOIN c ca ON ca.doc_id = da)
+                |WHERE cc >= 0.6 ORDER BY da, db""".stripMargin)),
+
       "dedup_minhash_sig" -> Q(
         (s, d) => Dedup.minhashSignatures(docsUnder(s, d, 200), 5, 8),
         Some(s"""WITH sig AS (
