@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VectorExpressions.{CosineSimilarity, DotProduct, SqNorm}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.functions.VectorExpressions.{CosineSimilarity, DotProduct, Md5Long60, SqNorm}
 
 /** SparkSessionExtensions entry point: makes the native vector
   * functions available to pure-SQL users of any session configured
@@ -24,5 +25,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sq_norm"),
       info("sq_norm"),
       (es: Seq[Expression]) => SqNorm(es.head)))
+    ext.injectFunction((FunctionIdentifier("md5_long60"),
+      info("md5_long60"),
+      (es: Seq[Expression]) => Md5Long60(es.head)))
+    // topk(score, id, k): bounded map-side partial top-k aggregate —
+    // the same hot path the Column API uses (ops/TopK.scala). k must
+    // be a literal (it sizes the aggregation buffer at plan time).
+    ext.injectFunction((FunctionIdentifier("topk"),
+      info("topk"),
+      (es: Seq[Expression]) => {
+        val k = es(2) match {
+          case Literal(v: Number, _) => v.intValue()
+          case other => throw new IllegalArgumentException(
+            s"topk(score, id, k): k must be an integer literal, got $other")
+        }
+        ColumnBridge.aggregatorExpression(
+          new graft.ops.TopK.TopKAggregator(k),
+          org.apache.spark.sql.Encoders.product[graft.ops.TopK.ScoredId],
+          Seq(es(0), es(1)))
+      }))
   }
 }

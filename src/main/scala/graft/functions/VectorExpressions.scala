@@ -8,6 +8,34 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
+/** Thread-local MD5 used by [[VectorExpressions.Md5Long60]]
+  * (MessageDigest is not thread-safe; one instance per executor
+  * thread, reused).
+  *
+  * Top-level object on purpose: generated code calls
+  * `graft.functions.Md5Hash.hash60(...)` and only top-level objects
+  * get static forwarders Janino can resolve — a nested object
+  * compiles to `Outer$Inner$` with no forwarder and the whole stage
+  * silently falls back to interpreted execution.
+  */
+object Md5Hash {
+  private val tl = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex digits (= top 60 bits) of md5 as a non-negative
+    * Long — bit-identical to `conv(substring(md5(x),1,15),16,10)`
+    * without the hex-string round-trip.
+    */
+  def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = tl.get(); d.reset()
+    val b = d.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
+    (h << 4) | ((b(7) & 0xf0L) >> 4)
+  }
+}
+
 /** Native Catalyst expressions for the vector hot path.
   *
   * The higher-order-function formulation (VectorFunctions.cosineSim)
@@ -157,27 +185,6 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
-  /** Thread-local MD5 used by [[Md5Long60]] (MessageDigest is not
-    * thread-safe; one instance per executor thread, reused).
-    */
-  object Md5 {
-    private val tl = ThreadLocal.withInitial[java.security.MessageDigest](
-      () => java.security.MessageDigest.getInstance("MD5"))
-
-    /** First 15 hex digits (= top 60 bits) of md5 as a non-negative
-      * Long — bit-identical to `conv(substring(md5(x),1,15),16,10)`
-      * without the hex-string round-trip.
-      */
-    def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-      val d = tl.get(); d.reset()
-      val b = d.digest(s.getBytes)
-      var h = 0L
-      var i = 0
-      while (i < 7) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
-      (h << 4) | ((b(7) & 0xf0L) >> 4)
-    }
-  }
-
   /** Codegen'd 60-bit md5 hash of a string — the hash family basis
     * (MinHash/SimHash/fingerprints/splits). Skips the md5-hex →
     * substring → conv(16,10) chain (two string allocs + a radix parse
@@ -194,11 +201,11 @@ object VectorExpressions {
         s"$prettyName requires a string input, got ${child.dataType.sql}")
 
     override def nullSafeEval(c: Any): Any =
-      Md5.hash60(c.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      Md5Hash.hash60(c.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
-        c => s"graft.functions.VectorExpressions.Md5.hash60($c)")
+        c => s"graft.functions.Md5Hash.hash60($c)")
 
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }

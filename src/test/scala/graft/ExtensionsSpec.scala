@@ -9,6 +9,37 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("extension-injected md5_long60 and topk work from pure SQL") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.graftbridge.ColumnBridge.installFunctions(ext, spark)
+    spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("docs_ext")
+
+    // md5_long60 == the conv(substring(md5)) formulation
+    val diffs = spark.sql(
+      """SELECT count(*) AS n FROM docs_ext
+        |WHERE md5_long60(text) <>
+        |      cast(conv(substring(md5(text), 1, 15), 16, 10) AS bigint)""".stripMargin)
+      .head().getLong(0)
+    assert(diffs == 0)
+
+    // topk(score, id, k) == ORDER BY score DESC, id LIMIT k
+    val viaAgg = spark.sql(
+      """SELECT inline(topk(cast(doc_id AS double) % 97, doc_id, 5))
+        |FROM docs_ext""".stripMargin)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val viaSort = spark.sql(
+      """SELECT cast(doc_id AS double) % 97 AS score, doc_id FROM docs_ext
+        |ORDER BY score DESC, doc_id LIMIT 5""".stripMargin)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(viaAgg == viaSort)
+
+    // k must be a literal
+    intercept[Exception] {
+      spark.sql("SELECT topk(1.0, doc_id, doc_id) FROM docs_ext").collect()
+    }
+  }
+
   test("capped ngram jaccard matches uncapped when no shingle is hot") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
     val total = docs.count().toInt

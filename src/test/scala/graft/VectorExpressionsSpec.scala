@@ -81,6 +81,36 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(mn >= 0L)
   }
 
+  test("md5Long compiles under CODEGEN_ONLY (no interpreted fallback)") {
+    // Regression for the round-2 verdict: Md5Long60's generated code
+    // referenced a nested Scala object with no static forwarder, so
+    // Janino failed and the whole hash family silently ran
+    // interpreted. CODEGEN_ONLY + fallback=false turn that silent
+    // fallback into a test failure.
+    val conf = spark.conf
+    val prevFM = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val prevFB = conf.get("spark.sql.codegen.fallback", "true")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = Tables.documents(spark, sfDir)
+        .select(VectorFunctions.md5Long(col("text")).as("h"))
+        .filter(col("h") >= 0L).count()
+      assert(n > 0)
+      // the cosine/dot/sqNorm family too, same guarantee
+      val q = graft.store.VectorStore.queryVecOf(spark, sfDir, 7)
+      val c = emb.crossJoin(broadcast(q))
+        .select(VectorExpressions.cosine(col("embedding"), col("q")).as("c"),
+          VectorExpressions.dot(col("embedding"), col("q")).as("d"),
+          VectorExpressions.sqNorm(col("q")).as("n"))
+        .count()
+      assert(c == 100)
+    } finally {
+      conf.set("spark.sql.codegen.factoryMode", prevFM)
+      conf.set("spark.sql.codegen.fallback", prevFB)
+    }
+  }
+
   test("null inputs yield null, zero vectors yield 0.0") {
     val s = spark
     import s.implicits._
