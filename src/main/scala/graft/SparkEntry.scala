@@ -508,12 +508,17 @@ object SparkEntry {
              |FROM events WHERE user_id < 5
              |ORDER BY user_id, ats, event_id""".stripMargin)),
 
-    // ntile quartiles over a global ordering
+    // ntile quartiles over a global ordering — scale path: a global
+    // window would sort the whole table in ONE task; instead rank via
+    // the range-partitioned distributed sort (ops/Ranking.scala) and
+    // derive the quartile arithmetically from (rank, n).
     "win_ntile" -> Q(
       (s, d) => {
-        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-        Tables.customer(s, d)
-          .withColumn("quartile", ntile(4).over(w).cast("long"))
+        val cust = Tables.customer(s, d).select("c_acctbal", "c_custkey")
+        val n = cust.count()
+        graft.ops.Ranking
+          .withGlobalRank(cust, "rank", col("c_acctbal").desc, col("c_custkey"))
+          .withColumn("quartile", graft.ops.Ranking.ntileFromRank("rank", n, 4))
           .groupBy("quartile")
           .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
           .orderBy("quartile")
@@ -1321,12 +1326,17 @@ object SparkEntry {
       // training precursor)
       "text_vocab" -> Q(
         (s, d) => {
+          // orderBy+limit plans as TakeOrderedAndProject (bounded
+          // per-partition heaps); rank is assigned AFTER the top-50 is
+          // bounded, so the only global window runs over ≤50 rows —
+          // a web-scale vocab (100M+ distinct tokens) never converges
+          // on one task.
           val w = Window.orderBy(col("n").desc, col("tok"))
           Tables.documents(s, d)
             .select(explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
             .groupBy("tok").agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("tok")).limit(50)
             .withColumn("rank", row_number().over(w).cast("long"))
-            .filter(col("rank") <= 50)
             .orderBy("rank")
         },
         Some("""SELECT tok, n, rank FROM (

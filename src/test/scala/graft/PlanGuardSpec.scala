@@ -53,6 +53,23 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("win_ntile never plans a single-partition global window") {
+    val p = plan("win_ntile")
+    // ranking runs through the distributed range-sort + zipWithIndex
+    // path (ops/Ranking.scala); no Window, no SinglePartition exchange
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("text_vocab bounds the top-50 before any global window") {
+    val p = plan("text_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the window must consume the bounded top-50, i.e. sit ABOVE
+    // TakeOrderedAndProject in the tree (formatted explain lists
+    // parents before children, so the Window line comes first)
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p)
+  }
+
   test("events sessionize pushes nothing to a driver collect") {
     // executable plan exists and is a pure window+agg pipeline
     val p = plan("ev_sessionize")
