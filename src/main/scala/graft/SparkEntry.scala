@@ -1116,19 +1116,12 @@ object SparkEntry {
                 |FROM reach GROUP BY src ORDER BY src""".stripMargin)),
 
       // fuzzy near-dup by edit distance on document prefixes (exact
-      // integer distances — Spark and DuckDB levenshtein agree)
+      // integer distances — Spark and DuckDB levenshtein agree).
+      // Blocked scale path: positional-unigram prefix filter feeds an
+      // equi-join; exact levenshtein runs only on candidates
+      // (Dedup.levenshteinPairs, equivalence spec vs the quadratic).
       "dedup_levenshtein" -> Q(
-        (s, d) => {
-          val p = docsUnder(s, d, 80)
-            .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
-          val a = p.toDF("da", "pa")
-          val b = p.toDF("db", "pb")
-          a.crossJoin(b).filter(col("da") < col("db"))
-            .select(col("da"), col("db"),
-                    levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
-            .filter(col("dist") <= 25)
-            .orderBy("da", "db")
-        },
+        (s, d) => Dedup.levenshteinPairs(docsUnder(s, d, 80), 40, 25, q = 1),
         Some("""SELECT a.doc_id AS da, b.doc_id AS db,
                |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
                |FROM (SELECT doc_id, substring(text, 1, 40) AS p FROM documents WHERE doc_id < 80) a
@@ -1639,16 +1632,24 @@ object SparkEntry {
                |GROUP BY i ORDER BY i""".stripMargin)),
 
       // leave-one-out 1-NN label accuracy (embedding-quality metric
-      // for labeled training data); integer counts — exact compare
+      // for labeled training data); integer counts — exact compare.
+      // Scale shape: the QUERY sample (300 vecs) is the broadcast
+      // side, the corpus is streamed once, and min-struct partial-
+      // aggregates map-side — per-task state is O(|queries|), the
+      // corpus never shuffles. At 100 TB the sample stays bounded
+      // while the corpus side grows; ann/Ann.knn1Lsh is the spec'd
+      // candidate-pruned variant when the query set is itself large.
       "emb_knn_accuracy" -> Q(
         (s, d) => {
           import graft.functions.VectorFunctions.score
-          val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-          val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
-                           col("label").as("la"))
-          val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-                           col("label").as("lb"))
-          a.crossJoin(b).filter(col("va") =!= col("vb"))
+          val corpus = Tables.embeddings(s, d)
+            .select(col("vec_id").as("vb"), col("embedding").as("eb"),
+                    col("label").as("lb"))
+          val queries = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+            .select(col("vec_id").as("va"), col("embedding").as("ea"),
+                    col("label").as("la"))
+          corpus.crossJoin(broadcast(queries))
+            .filter(col("va") =!= col("vb"))
             .select(col("va"), col("la"), col("vb"), col("lb"),
               (lit(1.0) - score(col("ea"), col("eb"))).as("ns"))
             .groupBy("va", "la")
@@ -1662,7 +1663,7 @@ object SparkEntry {
         Some("""WITH e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 300),
                |p AS (SELECT a.vec_id AS va, a.label AS la, b.label AS lb, b.vec_id AS vb,
                |             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) + 0.0 AS s
-               |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+               |      FROM e a, embeddings b WHERE a.vec_id <> b.vec_id),
                |nn AS (SELECT la, lb FROM (
                |  SELECT *, row_number() OVER (PARTITION BY va ORDER BY s DESC, vb) AS rn
                |  FROM p) WHERE rn = 1)

@@ -206,6 +206,52 @@ object Ann {
       .orderBy("qid", "rnk")
   }
 
+  /** Leave-one-out 1-NN for EVERY vector via LSH candidate pruning:
+    * multiprobe (hamming ≤ 1) bucket equi-join generates candidates,
+    * exact cosine rescoring picks the nearest, and vectors whose probe
+    * neighborhood is empty fall back to an exact broadcast pass — so
+    * every vector gets an answer. Compute is O(Σ bucket-pair sizes),
+    * not n²: the all-queries variant of the sampled
+    * [[graft.SparkEntry emb_knn_accuracy]] shape. Approximate by
+    * design (the true NN can hash > 1 bit away); agreement with the
+    * exact answer is spec-measured on the test corpus.
+    * Returns (va, la, vb, lb, ns) — query, its label, nearest
+    * neighbour, its label, 1 − cosine.
+    */
+  def knn1Lsh(emb: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    val withSig = withBucket(emb, nPlanes, dim)
+    val flips = lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))
+    val probes = withSig.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("label").as("la"), col("bucket"),
+        explode(array(flips: _*)).as("flip"))
+      .select(col("va"), col("ea"), col("la"),
+              col("bucket").bitwiseXOR(col("flip")).as("pb"))
+    val targets = withSig.select(col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("label").as("lb"), col("bucket").as("pb"))
+    val nn = probes.join(targets, Seq("pb"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("la"),
+        (lit(1.0) - score(col("ea"), col("eb"))).as("ns"), col("vb"), col("lb"))
+      .groupBy("va", "la")
+      .agg(min(struct(col("ns"), col("vb"), col("lb"))).as("m"))
+    // exact fallback for vectors alone in their whole probe set
+    val missed = emb.join(nn.select(col("va").as("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("va"), col("embedding").as("ea"),
+              col("label").as("la"))
+    val corpus = emb.select(col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("label").as("lb"))
+    val rescue = corpus.crossJoin(broadcast(missed))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("la"),
+        (lit(1.0) - score(col("ea"), col("eb"))).as("ns"), col("vb"), col("lb"))
+      .groupBy("va", "la")
+      .agg(min(struct(col("ns"), col("vb"), col("lb"))).as("m"))
+    nn.unionByName(rescue)
+      .select(col("va"), col("la"), col("m.vb").as("vb"),
+              col("m.lb").as("lb"), col("m.ns").as("ns"))
+      .orderBy("va")
+  }
+
   /** IVF probe, map-side: seed centroids (vec_id < nCents) are folded
     * into ONE broadcast row holding the centroid array; nearest-cell
     * assignment is then a per-row array_sort over that array — no

@@ -222,6 +222,87 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Positional q-grams of `c`: the k-th occurrence of gram g becomes
+    * the set element "g#k", turning the gram MULTISET into a set whose
+    * intersections equal multiset intersections — required for the
+    * edit-distance overlap bound below.
+    */
+  private def qgrams(c: Column, q: Int): Column =
+    when(length(c) < q, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(c) - q + 1),
+        i => c.substr(i, lit(q))))
+
+  /** Edit-distance near-dup with ED-Join-style candidate blocking:
+    * identical output to [[levenshteinPairsQuadratic]] (spec-asserted)
+    * without the unbounded cross product.
+    *
+    * Theory: one edit operation changes at most q positional q-grams,
+    * so ed(a,b) ≤ t ⇒ their positional-gram sets share ≥ max(|A|,|B|)
+    * − q·t grams. Prefix filter: order all grams globally by
+    * (document frequency asc, gram) — rare first — and keep each
+    * doc's first q·t+1 grams; any qualifying pair MUST collide on at
+    * least one prefix gram, so candidates come from an EQUI-join on
+    * (prefix gram), never an n² cross product. Docs too short for the
+    * bound to bite (< q·t+q chars: a bounded-size class) fall back to
+    * a broadcast pairing against everything, which keeps the operator
+    * exact at any threshold. Exact levenshtein then runs only on
+    * candidates. The rare-first canonical order doubles as skew
+    * control: hot grams land at the back of prefixes, so join keys
+    * stay low-fan-out.
+    */
+  def levenshteinPairs(docs: DataFrame, prefixLen: Int, maxDist: Int,
+                       q: Int = 2): DataFrame = {
+    val p = docs.select(col("doc_id"), substring(col("text"), 1, prefixLen).as("p"))
+    val pi = q * maxDist + 1
+    val rawGrams = p.select(col("doc_id"),
+      posexplode(qgrams(col("p"), q)).as(Seq("pos", "g0")))
+    val grams = rawGrams
+      .withColumn("k", row_number().over(
+        Window.partitionBy("doc_id", "g0").orderBy("pos")))
+      .select(col("doc_id"), concat_ws("#", col("g0"), col("k")).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefixGrams = grams.join(dfreq, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      .filter(col("rn") <= pi)
+      .select("doc_id", "g")
+    val c1 = prefixGrams.toDF("da", "g")
+      .join(prefixGrams.toDF("db", "g"), "g")
+      .filter(col("da") < col("db"))
+      .select("da", "db")
+    // strings with fewer than q·t+1 grams: overlap bound is vacuous —
+    // pair them with every doc (the class is bounded: length < q·t+q)
+    val shortIds = p.filter(length(col("p")) <= q * maxDist + q - 1)
+      .select(col("doc_id").as("sid"))
+    val c2 = p.select(col("doc_id").as("oid")).crossJoin(broadcast(shortIds))
+      .filter(col("oid") =!= col("sid"))
+      .select(least(col("oid"), col("sid")).as("da"),
+              greatest(col("oid"), col("sid")).as("db"))
+    c1.union(c2).distinct()
+      .join(p.toDF("da", "pa"), "da")
+      .join(p.toDF("db", "pb"), "db")
+      .filter(abs(length(col("pa")) - length(col("pb"))) <= maxDist)
+      .select(col("da"), col("db"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("da", "db")
+  }
+
+  /** Quadratic reference formulation of [[levenshteinPairs]] (kept for
+    * the equivalence spec).
+    */
+  def levenshteinPairsQuadratic(docs: DataFrame, prefixLen: Int,
+                                maxDist: Int): DataFrame = {
+    val p = docs.select(col("doc_id"), substring(col("text"), 1, prefixLen).as("p"))
+    val a = p.toDF("da", "pa")
+    val b = p.toDF("db", "pb")
+    a.crossJoin(b).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("da", "db")
+  }
+
   /** Connected components over a duplicate-pair graph: every doc gets
     * the min doc_id of its transitive duplicate cluster — the
     * canonical-document assignment that finishes a dedup pipeline

@@ -111,6 +111,36 @@ class AnnSpec extends SparkSpec {
     assert(opt.toSeq == ref.toSeq)
   }
 
+  test("knn1Lsh: complete, never beats exact, finds planted duplicates") {
+    import graft.functions.VectorFunctions.score
+    val base = emb.filter(col("vec_id") < 150)
+    // plant exact duplicates: identical vectors always share their
+    // bucket, so LSH must return them as 1-NN with ns = 0
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"),
+              col("label"))
+    val e = base.unionByName(planted)
+    val lsh = Ann.knn1Lsh(e, nPlanes = 6, dim = 64)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getDouble(4)))).toMap
+    // exact reference
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val exact = a.crossJoin(b).filter(col("va") =!= col("vb"))
+      .select(col("va"), (lit(1.0) - score(col("ea"), col("eb"))).as("ns"), col("vb"))
+      .groupBy("va").agg(min(struct(col("ns"), col("vb"))).as("m"))
+      .select(col("va"), col("m.vb"), col("m.ns")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // completeness: one answer per vector (fallback catches the rest)
+    assert(lsh.keySet == exact.keySet)
+    // the candidate-pruned NN can never be CLOSER than the true NN
+    lsh.foreach { case (v, (_, ns)) => assert(ns >= exact(v)._2 - 1e-12, s"v=$v") }
+    // every planted duplicate is found exactly (identical bucket)
+    (0L until 20L).foreach { v =>
+      assert(lsh(v + 10000)._1 == v && lsh(v + 10000)._2 == 0.0, s"planted $v")
+      assert(lsh(v)._1 == v + 10000, s"planted reverse $v")
+    }
+  }
+
   test("signatures are stable across evaluations") {
     val s1 = Ann.signatures(emb, Ann.planes(spark, 6, 64)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

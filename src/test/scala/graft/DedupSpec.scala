@@ -96,6 +96,22 @@ class DedupSpec extends SparkSpec {
     assert(scores.forall(_ >= 0.999))
   }
 
+  test("blocked levenshtein pairs equal the quadratic formulation") {
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 120)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // q=1 gram path active (prefix 40 > q*t+q-1 = 25)
+    assert(asSet(Dedup.levenshteinPairs(docs, 40, 25, q = 1)) ==
+           asSet(Dedup.levenshteinPairsQuadratic(docs, 40, 25)))
+    // tight threshold, q=2 gram path with real pruning
+    assert(asSet(Dedup.levenshteinPairs(docs, 40, 15, q = 2)) ==
+           asSet(Dedup.levenshteinPairsQuadratic(docs, 40, 15)))
+    // q=2 at t=25: every doc is below the vacuity bound → broadcast
+    // short-path fallback must still reproduce the exact answer
+    assert(asSet(Dedup.levenshteinPairs(docs, 40, 25, q = 2)) ==
+           asSet(Dedup.levenshteinPairsQuadratic(docs, 40, 25)))
+  }
+
   test("banded simhash pairs equal the quadratic formulation") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 150)
     val banded = Dedup.simhashPairs(docs, 6).collect()

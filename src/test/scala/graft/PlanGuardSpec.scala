@@ -70,6 +70,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p)
   }
 
+  test("knn accuracy broadcasts the query sample, corpus never shuffles pre-agg") {
+    val p = plan("emb_knn_accuracy")
+    assert(p.contains("BroadcastExchange"), p)
+    // map-side partial min bounds the shuffle at |queries| rows/task
+    assert(p.contains("partial_min") || p.contains("partial min"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("events sessionize pushes nothing to a driver collect") {
     // executable plan exists and is a pure window+agg pipeline
     val p = plan("ev_sessionize")
