@@ -308,39 +308,65 @@ object Dedup {
     * canonical-document assignment that finishes a dedup pipeline
     * (pairs alone under-delete transitive chains A~B~C).
     *
-    * Iterative min-label propagation (the GraphX-style pattern): each
-    * round joins labels across edges and keeps the per-doc min; runs
-    * until a fixpoint (checked with a cheap changed-count) or
-    * maxIters. Rounds needed = graph diameter, which for dup clusters
-    * is tiny.
+    * Star-contraction rounds (the MapReduce-CC family): every node of
+    * the pair graph adopts the representative h(v) = min(v, N(v)),
+    * edges are rewritten onto representatives, and self-loops /
+    * duplicate edges drop out. Dense dup clusters contract to a single
+    * node in one round, so the edge set shrinks geometrically and the
+    * surviving rounds track only the longest chain — for the random
+    * id-order of hash-collision chains that is O(log chain), not
+    * O(diameter) like plain min-label propagation.
+    *
+    * Driver-side cost is ONE job per round: the rewritten edge set is
+    * marked `localCheckpoint(eager = false)` and the emptiness count
+    * is its first use, so materialization and the convergence check
+    * share a single action. The label table is a pure pointer-
+    * composition chain over the (tiny, checkpointed) per-round h
+    * tables and is materialized once at the end.
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
                           maxIters: Int = 10): DataFrame = {
-    // materialize the edge list ONCE — the pair pipeline behind it
-    // (shingle → minhash → bands) must not recompute every iteration
-    val edges = pairs.select(col("da"), col("db"))
-      .union(pairs.select(col("db"), col("da")))
+    // materialize the pair pipeline ONCE (shingle → minhash → bands
+    // must not recompute every iteration — or twice for the symmetric
+    // union: both directions derive from the same persisted result)
+    val p0 = pairs.select(col("da"), col("db")).localCheckpoint()
+    var edges = p0
+      .union(p0.select(col("db"), col("da")))
       .toDF("src", "dst")
-      .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
-      .localCheckpoint()
     var iter = 0
-    var converged = false
-    while (iter < maxIters && !converged) {
-      val prop = edges.join(labels, col("dst") === col("doc_id"))
-        .select(col("src").as("doc_id"), col("cluster"))
-      // carry the previous label through the same aggregation (each doc
-      // has exactly one labels row, so min(prev) = its old cluster):
-      // convergence is read off the checkpointed result instead of
-      // recomputing the whole round a second time.
-      val next = labels.select(col("doc_id"), col("cluster"),
-          col("cluster").as("prev"))
-        .unionByName(prop.withColumn("prev", lit(Long.MaxValue)))
-        .groupBy("doc_id")
-        .agg(min("cluster").as("cluster"), min("prev").as("prev"))
-        .localCheckpoint() // one job; also cuts the growing lineage
-      converged = next.filter(col("cluster") =!= col("prev")).count() == 0
-      labels = next.select("doc_id", "cluster")
+    var done = false
+    // one contraction: (edges, labels) → (rewritten edges, labels)
+    def contract(): Unit = {
+      // h(x) = min(x, N(x)) for every node of the current graph
+      // (symmetric edges ⇒ every node appears as src)
+      val h = edges.groupBy("src").agg(min("dst").as("md"))
+        .select(col("src").as("x"), least(col("src"), col("md")).as("hx"))
+        .localCheckpoint(eager = false) // persisted by this round's count
+      // compose the pointer: cluster := h(cluster). Invariant: a
+      // cluster value is either a node of the current graph (covered
+      // by h) or a terminal component-min (kept by the left join) —
+      // a node only leaves the graph one round AFTER every pointer to
+      // it was rewritten to its h.
+      labels = labels.join(h, labels("cluster") === h("x"), "left")
+        .select(col("doc_id"),
+                coalesce(col("hx"), col("cluster")).as("cluster"))
+      edges = edges
+        .join(h.select(col("x").as("src"), col("hx").as("s2")), "src")
+        .join(h.select(col("x").as("dst"), col("hx").as("d2")), "dst")
+        .select(col("s2").as("src"), col("d2").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(eager = false)
+    }
+    while (iter < maxIters && !done) {
+      // two contractions per driver round-trip: the emptiness count is
+      // the only action, and it materializes both checkpoints at once
+      contract(); contract()
+      val t0 = System.nanoTime()
+      done = edges.count() == 0
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $iter ${(System.nanoTime() - t0) / 1e9}%.3f s done=$done")
       iter += 1
     }
     labels.orderBy("doc_id")
