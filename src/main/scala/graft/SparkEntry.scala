@@ -864,7 +864,7 @@ object SparkEntry {
   private val vectorStore: Seq[(String, Q)] = Seq(
     "vs_search_topk" -> Q(
       (s, d) => VectorStore.search(
-        VectorStore.points(s, d), userId = 2,
+        VectorStore.pointsPartitioned(s, d), userId = 2,
         qdf = VectorStore.queryVecOf(s, d, 42), limit = 10),
       Some(s"""$pointsSql,
               |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
@@ -874,7 +874,7 @@ object SparkEntry {
 
     "vs_search_threshold" -> Q(
       (s, d) => VectorStore.searchThreshold(
-        VectorStore.points(s, d), VectorStore.queryVecOf(s, d, 7), 0.15),
+        VectorStore.pointsPartitioned(s, d), VectorStore.queryVecOf(s, d, 7), 0.15),
       Some(s"""$pointsSql,
               |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
               |SELECT * FROM (
@@ -884,7 +884,7 @@ object SparkEntry {
 
     "vs_search_on_docs" -> Q(
       (s, d) => VectorStore.search(
-        VectorStore.points(s, d), userId = 2,
+        VectorStore.pointsPartitioned(s, d), userId = 2,
         qdf = VectorStore.queryVecOf(s, d, 42), limit = 5,
         docIds = Seq(10L, 26L, 42L)),
       Some(s"""$pointsSql,
@@ -894,19 +894,19 @@ object SparkEntry {
               |ORDER BY score DESC, vector_id LIMIT 5""".stripMargin)),
 
     "vs_scroll_collection" -> Q(
-      (s, d) => VectorStore.scroll(VectorStore.points(s, d), 3, 20),
+      (s, d) => VectorStore.scroll(VectorStore.pointsPartitioned(s, d), 3, 20),
       Some(s"""$pointsSql
               |SELECT vector_id, doc_id, chunk_id, title FROM points
               |WHERE user_id = 3 ORDER BY vector_id LIMIT 20""".stripMargin)),
 
     "vs_scroll_doc" -> Q(
-      (s, d) => VectorStore.scrollDoc(VectorStore.points(s, d), 7, 7, 20),
+      (s, d) => VectorStore.scrollDoc(VectorStore.pointsPartitioned(s, d), 7, 7, 20),
       Some(s"""$pointsSql
               |SELECT vector_id, doc_id, chunk_id, title FROM points
               |WHERE user_id = 7 AND doc_id = 7 ORDER BY vector_id LIMIT 20""".stripMargin)),
 
     "vs_scroll_docs" -> Q(
-      (s, d) => VectorStore.scrollDocs(VectorStore.points(s, d), 3,
+      (s, d) => VectorStore.scrollDocs(VectorStore.pointsPartitioned(s, d), 3,
         Seq(3L, 55L, 99L), 20),
       Some(s"""$pointsSql
               |SELECT vector_id, doc_id, chunk_id, title FROM points
@@ -914,21 +914,21 @@ object SparkEntry {
               |ORDER BY vector_id LIMIT 20""".stripMargin)),
 
     "vs_delete_doc" -> Q(
-      (s, d) => VectorStore.deleteDoc(VectorStore.points(s, d), 1, 17)
+      (s, d) => VectorStore.deleteDoc(VectorStore.pointsPartitioned(s, d), 1, 17)
         .agg(count(lit(1)).as("n"), sum("vector_id").as("sum_vid")),
       Some(s"""$pointsSql
               |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vector_id) AS BIGINT) AS sum_vid
               |FROM points WHERE NOT (user_id = 1 AND doc_id = 17)""".stripMargin)),
 
     "vs_delete_by_title" -> Q(
-      (s, d) => VectorStore.deleteDocByTitle(VectorStore.points(s, d), 1, "t33")
+      (s, d) => VectorStore.deleteDocByTitle(VectorStore.pointsPartitioned(s, d), 1, "t33")
         .agg(count(lit(1)).as("n"), sum("vector_id").as("sum_vid")),
       Some(s"""$pointsSql
               |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vector_id) AS BIGINT) AS sum_vid
               |FROM points WHERE NOT (user_id = 1 AND title = 't33')""".stripMargin)),
 
     "vs_delete_by_ids" -> Q(
-      (s, d) => VectorStore.deleteByIds(VectorStore.points(s, d), 5, Seq(5L, 13L, 21L))
+      (s, d) => VectorStore.deleteByIds(VectorStore.pointsPartitioned(s, d), 5, Seq(5L, 13L, 21L))
         .agg(count(lit(1)).as("n"), sum("vector_id").as("sum_vid")),
       Some(s"""$pointsSql
               |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vector_id) AS BIGINT) AS sum_vid
@@ -936,7 +936,7 @@ object SparkEntry {
 
     "vs_upsert_merge" -> Q(
       (s, d) => {
-        val pts = VectorStore.points(s, d)
+        val pts = VectorStore.pointsPartitioned(s, d)
         val batch = pts.filter(col("user_id") === 2 && col("doc_id") < 20)
           .withColumn("vector_id", col("vector_id") + 10000)
           .withColumn("embedding", transform(col("embedding"), x => -x))
@@ -961,7 +961,7 @@ object SparkEntry {
       (s, d) => {
         val nv = VectorStore.queryVecOf(s, d, 7)
           .select(transform(col("q"), x => -x).as("newv"))
-        VectorStore.points(s, d).crossJoin(broadcast(nv))
+        VectorStore.pointsPartitioned(s, d).crossJoin(broadcast(nv))
           .withColumn("embedding",
             when(col("user_id") === 2 && col("doc_id") === 42 && col("chunk_id") === 42,
                  col("newv")).otherwise(col("embedding")))
@@ -977,14 +977,14 @@ object SparkEntry {
               |  FROM points)""".stripMargin)),
 
     "vs_scroll_chunk" -> Q(
-      (s, d) => VectorStore.scrollChunk(VectorStore.points(s, d), 7, 7, 207, 20),
+      (s, d) => VectorStore.scrollChunk(VectorStore.pointsPartitioned(s, d), 7, 7, 207, 20),
       Some(s"""$pointsSql
               |SELECT vector_id, doc_id, chunk_id, title FROM points
               |WHERE user_id = 7 AND doc_id = 7 AND chunk_id = 207
               |ORDER BY vector_id LIMIT 20""".stripMargin)),
 
     "vs_delete_chunk" -> Q(
-      (s, d) => VectorStore.deleteChunk(VectorStore.points(s, d), 7, 7, 207)
+      (s, d) => VectorStore.deleteChunk(VectorStore.pointsPartitioned(s, d), 7, 7, 207)
         .agg(count(lit(1)).as("n"), sum("vector_id").as("sum_vid")),
       Some(s"""$pointsSql
               |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vector_id) AS BIGINT) AS sum_vid
@@ -993,7 +993,7 @@ object SparkEntry {
     // delete all data in a collection (reference document_ingestor
     // :260/:277 — drop the whole user partition)
     "vs_delete_all" -> Q(
-      (s, d) => VectorStore.deleteCollection(VectorStore.points(s, d), 4)
+      (s, d) => VectorStore.deleteCollection(VectorStore.pointsPartitioned(s, d), 4)
         .agg(count(lit(1)).as("n"), sum("vector_id").as("sum_vid"),
              countDistinct("user_id").as("n_users")),
       Some(s"""$pointsSql
@@ -1002,7 +1002,7 @@ object SparkEntry {
               |FROM points WHERE user_id <> 4""".stripMargin)),
 
     "vs_list_collections" -> Q(
-      (s, d) => VectorStore.listCollections(VectorStore.points(s, d)),
+      (s, d) => VectorStore.listCollections(VectorStore.pointsPartitioned(s, d)),
       Some(s"""$pointsSql
               |SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
               |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs

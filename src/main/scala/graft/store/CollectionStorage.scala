@@ -63,13 +63,19 @@ object CollectionStorage {
     overwriteUserPartitions(all, path)
   }
 
-  /** Data file count per user partition (compaction observability). */
+  /** Data file count per user partition (compaction observability).
+    * Uses the Hadoop FileSystem API, so it works against any
+    * configured store (HDFS, s3a, local), not just the local FS.
+    */
   def fileCounts(spark: SparkSession, path: String): Map[Long, Int] = {
-    val base = new java.io.File(path)
-    base.listFiles(f => f.isDirectory && f.getName.startsWith("user_id="))
-      .map { d =>
-        val uid = d.getName.stripPrefix("user_id=").toLong
-        uid -> d.listFiles(f => f.getName.endsWith(".parquet")).length
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(base)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("user_id="))
+      .map { st =>
+        val uid = st.getPath.getName.stripPrefix("user_id=").toLong
+        uid -> fs.listStatus(st.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet"))
       }.toMap
   }
 

@@ -37,6 +37,27 @@ object VectorStore {
       concat(lit("t"), col("vec_id") % 100).as("title"),
       col("embedding"))
 
+  /** [[points]] served from a MATERIALIZED user-partitioned parquet
+    * collection: the derivation is written once per (JVM, dir) via
+    * [[CollectionStorage.write]] and subsequent reads are real
+    * partitioned-table scans — so every per-user vs_* operator
+    * exercises PartitionFilters in its measured plan, exactly as a
+    * production collection would. Row set is identical to [[points]]
+    * (the oracles are unchanged).
+    */
+  def pointsPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val path = materializedDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_coll_").toString
+      CollectionStorage.write(points(s, dir), out)
+      out
+    })
+    CollectionStorage.load(s, path).select(
+      col("user_id"), col("vector_id"), col("doc_id"),
+      col("chunk_id"), col("title"), col("embedding"))
+  }
+  private val materializedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** SQL prelude mirroring [[points]] for the DuckDB oracles. */
   val pointsSql: String =
     """WITH points AS (

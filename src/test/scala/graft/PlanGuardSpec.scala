@@ -28,6 +28,15 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("SortExec"), p)
   }
 
+  test("per-user vector ops scan a partitioned collection with PartitionFilters") {
+    // the measured path reads the materialized user-partitioned table:
+    // the user_id predicate must prune partitions, not filter rows
+    val p = plan("vs_search_topk")
+    assert(p.contains("PartitionFilters") && p.contains("user_id"), p)
+    val ps = plan("vs_scroll_doc")
+    assert(ps.contains("PartitionFilters") && ps.contains("user_id"), ps)
+  }
+
   test("batched ANN uses the map-side partial TopK aggregate") {
     val p = plan("ann_topk_batch")
     assert(p.contains("partial_topkaggregator"), p)
