@@ -905,6 +905,16 @@ object SparkEntry {
               |SELECT vector_id, doc_id, chunk_id, title FROM points
               |WHERE user_id = 7 AND doc_id = 7 ORDER BY vector_id LIMIT 20""".stripMargin)),
 
+    // keyset pagination: page 2 of user 3's collection, resuming
+    // after cursor vector_id = 100
+    "vs_scroll_cursor" -> Q(
+      (s, d) => VectorStore.scrollAfter(
+        VectorStore.pointsPartitioned(s, d), 3, 100, 20),
+      Some(s"""$pointsSql
+              |SELECT vector_id, doc_id, chunk_id, title FROM points
+              |WHERE user_id = 3 AND vector_id > 100
+              |ORDER BY vector_id LIMIT 20""".stripMargin)),
+
     "vs_scroll_docs" -> Q(
       (s, d) => VectorStore.scrollDocs(VectorStore.pointsPartitioned(s, d), 3,
         Seq(3L, 55L, 99L), 20),

@@ -83,4 +83,28 @@ object CollectionStorage {
   def listUserIds(spark: SparkSession, path: String): Seq[Long] =
     load(spark, path).select("user_id").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
+
+  /** Ensure a collection exists before any data arrives (reference
+    * ensure_collection, document_ingestor.py:70): an empty user
+    * partition is just its directory — a pure filesystem-metadata
+    * operation, no Spark job. Idempotent.
+    */
+  def ensureCollection(spark: SparkSession, path: String, userId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/user_id=$userId")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+    ()
+  }
+
+  /** Collection listing from partition DIRECTORIES — unlike
+    * [[listUserIds]] this sees empty collections created by
+    * [[ensureCollection]], and never runs a job.
+    */
+  def listCollectionDirs(spark: SparkSession, path: String): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(base)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("user_id="))
+      .map(_.getPath.getName.stripPrefix("user_id=").toLong)
+      .sorted.toSeq
+  }
 }

@@ -114,6 +114,20 @@ object VectorStore {
       .orderBy("vector_id")
       .limit(limit)
 
+  /** Keyset-paged scroll: the page of `limit` points with `vector_id >
+    * cursor` (the reference scroll returns an offset cursor,
+    * document_ingestor.py:410–436; keyset is the scale-safe
+    * equivalent — the cursor predicate pushes down to the scan, so
+    * page N never re-reads pages 1..N-1). The caller feeds the last
+    * row's vector_id back as the next cursor.
+    */
+  def scrollAfter(coll: DataFrame, userId: Long, cursor: Long,
+                  limit: Int): DataFrame =
+    coll.filter(col("user_id") === userId && col("vector_id") > cursor)
+      .select(outCols(coll): _*)
+      .orderBy("vector_id")
+      .limit(limit)
+
   /** Doc-set scroll; empty set matches everything (reference :527 — an
     * empty `should` filter matches all).
     */
@@ -139,7 +153,12 @@ object VectorStore {
     coll.filter(!(col("user_id") === userId && col("doc_id") === docId &&
                   col("chunk_id") === chunkId))
 
-  def deleteByIds(coll: DataFrame, userId: Long, vectorIds: Seq[Long]): DataFrame =
+  /** Point-id delete. Ids are opaque (`Seq[Any]`): bigint ids and
+    * uuid-style string ids (the reference's point ids are uuid4,
+    * document_ingestor.py:89–144) go through the same path —
+    * nothing in the store depends on ids being integers.
+    */
+  def deleteByIds(coll: DataFrame, userId: Long, vectorIds: Seq[Any]): DataFrame =
     coll.filter(!(col("user_id") === userId && col("vector_id").isin(vectorIds: _*)))
 
   def deleteCollection(coll: DataFrame, userId: Long): DataFrame =

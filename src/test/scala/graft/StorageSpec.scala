@@ -34,6 +34,26 @@ class StorageSpec extends SparkSpec {
     assert(CollectionStorage.listUserIds(spark, dir) == (0L to 7L))
   }
 
+  test("ensureCollection: empty collection exists, lists, and loads") {
+    val dir = Files.createTempDirectory("graft-coll3").toString + "/coll"
+    val pts = VectorStore.points(spark, sfDir).filter(col("user_id") < 2)
+    CollectionStorage.write(pts, dir)
+    // create an empty collection for a brand-new user
+    CollectionStorage.ensureCollection(spark, dir, 42L)
+    CollectionStorage.ensureCollection(spark, dir, 42L) // idempotent
+    assert(CollectionStorage.listCollectionDirs(spark, dir) == Seq(0L, 1L, 42L))
+    // the table still loads; the empty collection holds zero points
+    val loaded = CollectionStorage.load(spark, dir)
+    assert(loaded.filter(col("user_id") === 42).count() == 0)
+    assert(loaded.count() == pts.count())
+    // data written later lands in the pre-created collection
+    val incoming = pts.filter(col("user_id") === 0)
+      .withColumn("user_id", lit(42L))
+    CollectionStorage.overwriteUserPartitions(incoming, dir)
+    assert(CollectionStorage.load(spark, dir)
+      .filter(col("user_id") === 42).count() == incoming.count())
+  }
+
   test("DocumentStore: upsert text chunks then find them by text query") {
     val s = spark
     import s.implicits._

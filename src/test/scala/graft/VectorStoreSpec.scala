@@ -48,6 +48,41 @@ class VectorStoreSpec extends SparkSpec {
     assert(VectorStore.deleteCollection(pts, 3).filter(col("user_id") === 3).count() == 0)
   }
 
+  test("keyset scroll pages the collection without overlap or gaps") {
+    val page1 = VectorStore.scrollAfter(pts, 3, -1L, 5).collect()
+    assert(page1.length == 5)
+    val cursor = page1.last.getAs[Long]("vector_id")
+    val page2 = VectorStore.scrollAfter(pts, 3, cursor, 5).collect()
+    // pages are disjoint and contiguous in vector_id order
+    val ids = (page1 ++ page2).map(_.getAs[Long]("vector_id"))
+    assert(ids.distinct.length == 10 && ids.sameElements(ids.sorted))
+    val firstTen = VectorStore.scroll(pts, 3, 10).collect()
+      .map(_.getAs[Long]("vector_id"))
+    assert(ids.sameElements(firstTen))
+  }
+
+  test("uuid-style string point ids flow through merge, delete, and scroll") {
+    // same collection, ids re-keyed to opaque hex strings — nothing in
+    // the store may depend on ids being integers (reference point ids
+    // are uuid4, document_ingestor.py:89-144)
+    val spts = pts.withColumn("vector_id", md5(concat(lit("id-"), col("vector_id"))))
+    val n = spts.count()
+    val twoIds = spts.filter(col("user_id") === 5)
+      .select("vector_id").limit(2).collect().map(_.getString(0)).toSeq
+    assert(VectorStore.deleteByIds(spts, 5, twoIds).count() == n - 2)
+    val batch = spts.filter(col("user_id") === 2 && col("doc_id") === 2)
+      .withColumn("vector_id", md5(concat(lit("new-"), col("vector_id"))))
+    val merged = VectorStore.upsert(spts, batch)
+    assert(merged.count() == n) // LWW on (user, doc, chunk): no growth
+    val replaced = merged.filter(col("user_id") === 2 && col("doc_id") === 2)
+      .select("vector_id").collect().map(_.getString(0))
+    val batchIds = batch.select("vector_id").collect().map(_.getString(0)).toSet
+    assert(replaced.forall(batchIds.contains))
+    // scroll orders lexicographically over string ids — still stable paging
+    val page = VectorStore.scroll(spts, 3, 10).collect().map(_.getString(0))
+    assert(page.sameElements(page.sorted))
+  }
+
   test("scrollDocs with empty doc set scans the whole collection") {
     val all = VectorStore.scrollDocs(pts, 3, Nil, 1000).count()
     val direct = pts.filter(col("user_id") === 3).count()
