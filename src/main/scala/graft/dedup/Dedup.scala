@@ -261,15 +261,23 @@ object Dedup {
         Window.partitionBy("doc_id", "g0").orderBy("pos")))
       .select(col("doc_id"), concat_ws("#", col("g0"), col("k")).as("g"))
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    // the prefix index is read twice by the candidate self-join:
+    // persist it on first use instead of recomputing the gram windows
     val prefixGrams = grams.join(dfreq, "g")
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
       .filter(col("rn") <= pi)
       .select("doc_id", "g")
+      .localCheckpoint(eager = false)
     val c1 = prefixGrams.toDF("da", "g")
       .join(prefixGrams.toDF("db", "g"), "g")
       .filter(col("da") < col("db"))
       .select("da", "db")
+    if (sys.env.contains("GRAFT_LEV_DEBUG")) {
+      val t0 = System.nanoTime()
+      println(s"[lev] c1 candidates: ${c1.count()} " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
+    }
     // strings with fewer than q·t+1 grams: overlap bound is vacuous —
     // pair them with every doc (the class is bounded: length < q·t+q)
     val shortIds = p.filter(length(col("p")) <= q * maxDist + q - 1)
