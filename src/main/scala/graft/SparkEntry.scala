@@ -793,6 +793,25 @@ object SparkEntry {
              |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
              |FROM events GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    // heavy hitters via a mergeable Space-Saving sketch: m counters
+    // per map task, m rows per partition through the shuffle — the
+    // 100 TB answer to "top tokens" without grouping every distinct
+    // key. Oracled on the bounded event_type domain, where m exceeds
+    // the true distinct count and the sketch is provably exact
+    // (err = 0); the N/m frequency + error-bound guarantees on a
+    // genuinely-sketched domain are covered by HeavyHittersSpec.
+    "ev_heavy_hitters" -> Q(
+      (s, d) => Tables.events(s, d)
+        .agg(graft.ops.HeavyHitters.heavyHitters(64)(col("event_type")).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.key").as("key"), col("h.count").as("count"),
+          col("h.err").as("err"))
+        .orderBy(col("count").desc, col("key")),
+      Some("""SELECT event_type AS key, CAST(count(*) AS BIGINT) AS count,
+             |       CAST(0 AS BIGINT) AS err
+             |FROM events GROUP BY event_type
+             |ORDER BY count DESC, key""".stripMargin)),
+
     // ordered funnel: signup → first click after signup → first
     // purchase after that click, per user (µs both sides)
     "ev_funnel" -> Q(
@@ -1099,6 +1118,32 @@ object SparkEntry {
              |bands AS ($bandSelects)
              |SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
              |FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+             |ORDER BY da, db""".stripMargin
+        }),
+
+      // incremental dedup: a NEW batch (doc_id 150–249) screened
+      // against the EXISTING corpus (doc_id < 150) — the corpus
+      // signature table is precomputed once, only batch signatures are
+      // computed per increment, candidates come from the band
+      // equi-join (batch×corpus never materializes)
+      "dedup_incremental" -> Q(
+        (s, d) => Dedup.minhashLshPairsIncremental(
+          Dedup.minhashSignatures(docsUnder(s, d, 150), 5, 8),
+          Dedup.minhashSignatures(Tables.documents(s, d)
+            .filter(col("doc_id") >= 150 && col("doc_id") < 250), 5, 8),
+          8, 2),
+        Some {
+          def bandSelects(src: String) = (0 until 4).map { b =>
+            s"SELECT doc_id, $b AS b, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS bv FROM $src"
+          }.mkString(" UNION ALL ")
+          s"""WITH sigc AS (
+             |${Dedup.minhashSigSql(5, 8, "doc_id < 150")}),
+             |sigb AS (
+             |${Dedup.minhashSigSql(5, 8, "doc_id >= 150 AND doc_id < 250")}),
+             |bc AS (${bandSelects("sigc")}),
+             |bb AS (${bandSelects("sigb")})
+             |SELECT DISTINCT c.doc_id AS da, b2.doc_id AS db
+             |FROM bc c JOIN bb b2 ON c.b = b2.b AND c.bv = b2.bv
              |ORDER BY da, db""".stripMargin
         }),
 

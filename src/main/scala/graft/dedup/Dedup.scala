@@ -142,6 +142,31 @@ object Dedup {
       .select("da", "db").distinct().orderBy("da", "db")
   }
 
+  /** Incremental MinHash-LSH: candidate pairs of a NEW batch against
+    * an EXISTING corpus signature table — the daily-increment shape at
+    * 100 TB. The corpus signatures are precomputed and persist with
+    * the collection (band values are write-time bucket columns), only
+    * the batch's signatures are computed per run, and candidates come
+    * from the (band, bucket) equi-join — batch×corpus never
+    * materializes, and the corpus side is touched once regardless of
+    * how many increments have landed before.
+    * Output: (da = corpus doc, db = batch doc), distinct.
+    */
+  def minhashLshPairsIncremental(corpusSig: DataFrame, batchSig: DataFrame,
+                                 k: Int, rows: Int): DataFrame = {
+    val nBands = k / rows
+    def bands(sig: DataFrame, idAs: String) = {
+      val bandCols = (0 until nBands).map { b =>
+        concat_ws("_", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+      }
+      sig.select(col("doc_id").as(idAs),
+        posexplode(array(bandCols: _*)).as(Seq("b", "bv")))
+    }
+    bands(corpusSig, "da").join(bands(batchSig, "db"), Seq("b", "bv"))
+      .filter(col("da") =!= col("db"))
+      .select("da", "db").distinct().orderBy("da", "db")
+  }
+
   /** 32-bit SimHash per doc: bit i set iff Σ_tokens (2·bit_i(h(tok))−1)
     * is positive (token multiplicity = weight). One explode + one
     * groupBy with 32 conditional sums.

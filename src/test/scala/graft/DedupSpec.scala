@@ -96,6 +96,19 @@ class DedupSpec extends SparkSpec {
     assert(scores.forall(_ >= 0.999))
   }
 
+  test("incremental LSH pairs equal the cross-subset of full-corpus pairs") {
+    val all = Tables.documents(spark, sfDir).filter(col("doc_id") < 250)
+    val full = Dedup.minhashLshPairs(Dedup.minhashSignatures(all, 5, 8), 8, 2)
+      .filter(col("da") < 150 && col("db") >= 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.minhashLshPairsIncremental(
+      Dedup.minhashSignatures(all.filter(col("doc_id") < 150), 5, 8),
+      Dedup.minhashSignatures(all.filter(col("doc_id") >= 150), 5, 8), 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full)
+    assert(inc.nonEmpty) // testdata plants near-dups across the split
+  }
+
   test("blocked levenshtein pairs equal the quadratic formulation") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 120)
     def asSet(df: org.apache.spark.sql.DataFrame) =
