@@ -1238,6 +1238,32 @@ object SparkEntry {
         (s, d) => TextAnalytics.languageId(Tables.documents(s, d)),
         Some(TextAnalytics.languageIdSql)),
 
+      // Gopher-style repetition filters: top-unigram/bigram fractions,
+      // type-token ratio, duplicated-trigram fraction per doc
+      "text_repetition" -> Q(
+        (s, d) => TextAnalytics.repetitionStats(Tables.documents(s, d)),
+        Some(TextAnalytics.repetitionStatsSql)),
+
+      // benchmark decontamination: train docs sharing any 8-token
+      // shingle with the held-out eval slice (doc_id % 20 == 0)
+      "text_decontam" -> Q(
+        (s, d) => {
+          val docs = Tables.documents(s, d)
+          TextAnalytics.contamination(
+            docs.filter(col("doc_id") % 20 =!= 0),
+            docs.filter(col("doc_id") % 20 === 0), 8)
+        },
+        Some(s"""WITH tsh AS (
+                |${graft.text.TextPrimitives.tokenShinglesSql("documents", "doc_id", "text", 8, "doc_id % 20 <> 0")}),
+                |bsh AS (SELECT DISTINCT sh FROM (
+                |${graft.text.TextPrimitives.tokenShinglesSql("documents", "doc_id", "text", 8, "doc_id % 20 = 0")}))
+                |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                |       CAST(count(b.sh) AS BIGINT) AS n_hit,
+                |       round(count(b.sh) / count(*), 4) AS hit_frac,
+                |       CAST(count(b.sh) > 0 AS INTEGER) AS contaminated
+                |FROM tsh t LEFT JOIN bsh b USING (sh)
+                |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
       "text_fingerprint" -> Q(
         (s, d) => TextAnalytics.fingerprints(Tables.documents(s, d)),
         Some(s"""WITH s AS (

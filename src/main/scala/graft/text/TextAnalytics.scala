@@ -108,4 +108,62 @@ object TextAnalytics {
       .agg(min("hm").as("fp_min"), max("hm").as("fp_max"),
            count(lit(1)).as("n_shingles"))
       .orderBy("doc_id")
+
+  /** Gopher-style repetition metrics per doc (Rae et al. 2021 §A1.1,
+    * adapted to token streams): top-unigram fraction, type-token
+    * ratio, top-bigram fraction, and the fraction of trigram
+    * occurrences that are duplicated. Three (doc, gram) count
+    * aggregates joined on doc_id — every stage keyed by doc, map-side
+    * combinable, no global state.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def gramCounts(n: Int) =
+      TextPrimitives.tokenGrams(docs, "doc_id", "text", n)
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val uni = gramCounts(1).groupBy("doc_id").agg(
+      round(max("c") / sum("c"), 4).as("top_tok_frac"),
+      round(count(lit(1)) / sum("c"), 4).as("ttr"))
+    val bi = gramCounts(2).groupBy("doc_id").agg(
+      round(max("c") / sum("c"), 4).as("top_bigram_frac"))
+    val tri = gramCounts(3).groupBy("doc_id").agg(
+      round(coalesce(sum(when(col("c") > 1, col("c"))), lit(0)) / sum("c"), 4)
+        .as("dup_trigram_frac"))
+    uni.join(bi, Seq("doc_id")).join(tri, Seq("doc_id")).orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[repetitionStats]]. */
+  def repetitionStatsSql: String = {
+    def grams(n: Int) = TextPrimitives.tokenGramsSql("documents", "doc_id", "text", n)
+    s"""WITH uni AS (SELECT doc_id, g, count(*) AS c FROM (${grams(1)}) GROUP BY doc_id, g),
+       |bi  AS (SELECT doc_id, g, count(*) AS c FROM (${grams(2)}) GROUP BY doc_id, g),
+       |tri AS (SELECT doc_id, g, count(*) AS c FROM (${grams(3)}) GROUP BY doc_id, g),
+       |u AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top_tok_frac,
+       |             round(count(*) / sum(c), 4) AS ttr FROM uni GROUP BY doc_id),
+       |b AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_frac
+       |      FROM bi GROUP BY doc_id),
+       |t AS (SELECT doc_id, round(coalesce(sum(c) FILTER (WHERE c > 1), 0) / sum(c), 4)
+       |             AS dup_trigram_frac FROM tri GROUP BY doc_id)
+       |SELECT u.doc_id, top_tok_frac, ttr, top_bigram_frac, dup_trigram_frac
+       |FROM u JOIN b USING (doc_id) JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Benchmark decontamination: flag training docs sharing any
+    * n-token shingle with an eval/benchmark set (the 13-gram-overlap
+    * family, n scaled to this corpus). The benchmark shingle set is
+    * orders of magnitude smaller than the corpus, so it broadcasts
+    * and the corpus side streams map-side — the only shuffle is the
+    * per-doc count aggregate, keyed by doc_id.
+    */
+  def contamination(train: DataFrame, bench: DataFrame, n: Int): DataFrame = {
+    val t = TextPrimitives.tokenShingles(train, "doc_id", "text", n)
+    val b = TextPrimitives.tokenShingles(bench, "doc_id", "text", n)
+      .select("sh").distinct().withColumn("hit", lit(1))
+    t.join(broadcast(b), Seq("sh"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit") / col("n_grams"), 4).as("hit_frac"),
+        (col("n_hit") > 0).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
 }

@@ -45,6 +45,25 @@ object TextPrimitives {
        |    SELECT $idCol, regexp_split_to_array(lower(trim($textCol)), '\\s+') AS toks
        |    FROM $table WHERE $where))""".stripMargin
 
+  /** Non-distinct n-token grams with multiplicity (idCol, g) — the
+    * basis for repetition metrics, where duplicate grams are the
+    * signal rather than noise. 1-token docs emit the lone token
+    * (slice is clamped), matching [[tokenGramsSql]].
+    */
+  def tokenGrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
+        i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))).as("g"))
+
+  /** SQL fragment mirroring [[tokenGrams]] for DuckDB oracles. */
+  def tokenGramsSql(table: String, idCol: String, textCol: String, n: Int,
+                    where: String = "TRUE"): String =
+    s"""SELECT $idCol, array_to_string(toks[i+1:i+$n], ' ') AS g FROM (
+       |  SELECT $idCol, toks, unnest(generate_series(0, greatest(len(toks) - $n, 0))) AS i FROM (
+       |    SELECT $idCol, regexp_split_to_array(lower(trim($textCol)), '\\s+') AS toks
+       |    FROM $table WHERE $where))""".stripMargin
+
   /** SQL fragment mirroring [[charShingles]] for DuckDB oracles:
     * a CTE body producing (idCol, sh), distinct.
     */

@@ -56,4 +56,42 @@ class TextOpsSpec extends SparkSpec {
                       max(array_max(col("codes"))).as("mx")).head()
     assert(row.getAs[Long]("mn") >= 0 && row.getAs[Long]("mx") <= 255)
   }
+
+  test("repetition stats: degenerate repeated doc vs all-distinct doc") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (0L, "x x x x x x"),             // one token 6×
+      (1L, "a b c d e f"),             // all distinct
+      (2L, "a b a b a b")              // alternating pair
+    ).toDF("doc_id", "text")
+    val st = graft.text.TextAnalytics.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0: every gram identical
+    assert(st(0L).getDouble(1) == 1.0 && st(0L).getDouble(2) == round4(1.0 / 6))
+    assert(st(0L).getDouble(3) == 1.0 && st(0L).getDouble(4) == 1.0)
+    // doc 1: no repetition anywhere
+    assert(st(1L).getDouble(1) == round4(1.0 / 6) && st(1L).getDouble(2) == 1.0)
+    assert(st(1L).getDouble(3) == round4(1.0 / 5) && st(1L).getDouble(4) == 0.0)
+    // doc 2: 2 types / 6 tokens; bigrams = [ab,ba,ab,ba,ab] → top 3/5;
+    // trigrams = [aba,bab,aba,bab] all duplicated
+    assert(st(2L).getDouble(1) == 0.5 && st(2L).getDouble(2) == round4(2.0 / 6))
+    assert(st(2L).getDouble(3) == round4(3.0 / 5) && st(2L).getDouble(4) == 1.0)
+  }
+
+  test("contamination: only docs sharing an n-gram with the bench set flag") {
+    val sp = spark; import sp.implicits._
+    val train = Seq(
+      (0L, "p q r s t u v w x y"),     // contains the bench 4-gram r s t u
+      (1L, "a b c d e f g h i j")      // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "r s t u")).toDF("doc_id", "text")
+    val out = graft.text.TextAnalytics.contamination(train, bench, 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Int]("contaminated") == 1 && out(0L).getLong(2) == 1L)
+    assert(out(0L).getLong(1) == 7L) // 10 tokens → 7 4-gram shingles
+    assert(out(1L).getAs[Int]("contaminated") == 0 && out(1L).getLong(2) == 0L)
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
