@@ -1065,6 +1065,24 @@ object SparkEntry {
                 |  FROM i JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
                 |WHERE j >= 0.25 ORDER BY da, db""".stripMargin)),
 
+      // skew-safe Jaccard: shingles above the document-frequency cap
+      // are dropped before the intersection join, bounding every join
+      // key's fan-out at maxDf² (stop-shingle skew death at web scale)
+      "dedup_jaccard_capped" -> Q(
+        (s, d) => Dedup.ngramJaccardCapped(docsUnder(s, d, 120), 5, 0.25, 92),
+        Some(s"""WITH s0 AS (
+                |${graft.text.TextPrimitives.charShinglesSql("documents", "doc_id", "text", 5, "doc_id < 120")}),
+                |s AS (SELECT s0.doc_id, s0.sh FROM s0 JOIN (
+                |        SELECT sh FROM s0 GROUP BY sh HAVING count(*) <= 92) ok
+                |      ON s0.sh = ok.sh),
+                |c AS (SELECT doc_id, count(*) AS cnt FROM s GROUP BY doc_id),
+                |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+                |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY da, db)
+                |SELECT da, db, round(j, 4) AS jaccard FROM (
+                |  SELECT da, db, ni * 1.0 / (ca.cnt + cb.cnt - ni) AS j
+                |  FROM i JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
+                |WHERE j >= 0.25 ORDER BY da, db""".stripMargin)),
+
       // asymmetric shingle containment |A∩B|/|A| — catches documents
       // embedded inside larger ones, which symmetric Jaccard misses
       "dedup_containment" -> Q(
@@ -1359,6 +1377,30 @@ object SparkEntry {
                |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
                |        FROM documents))
                |GROUP BY split ORDER BY split""".stripMargin)),
+
+      // domain-mix reweighting: per-source keep rates (training-mix
+      // shaping), deterministic salted-hash acceptance — map-side
+      // filter, no join, rerun-stable
+      "samp_domain_mix" -> Q(
+        (s, d) => {
+          val rateBp = (substring(col("source"), 4, 10).cast("int") % 5 + 1) * 2000
+          Tables.documents(s, d)
+            .withColumn("kept",
+              graft.ops.Sampling.domainWeighted(col("doc_id"), rateBp).cast("int"))
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_total"), sum("kept").cast("long").as("n_kept"),
+                 max(rateBp).cast("long").as("rate_bp"))
+            .orderBy("source")
+        },
+        Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+               |       CAST(sum(kept) AS BIGINT) AS n_kept,
+               |       CAST(max(rate_bp) AS BIGINT) AS rate_bp FROM (
+               |  SELECT source,
+               |         (CAST(substr(source, 4) AS INTEGER) % 5 + 1) * 2000 AS rate_bp,
+               |         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+               |              < (CAST(substr(source, 4) AS INTEGER) % 5 + 1) * 2000 AS INTEGER) AS kept
+               |  FROM documents)
+               |GROUP BY source ORDER BY source""".stripMargin)),
 
       // fixed-size/overlap chunker — produces the (doc_id, chunk_id)
       // keys the reference's ingest surface expects

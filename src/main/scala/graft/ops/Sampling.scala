@@ -26,6 +26,21 @@ object Sampling {
         .when(splitBucket(col(idCol)) < pTrain + pVal, "val")
         .otherwise("test"))
 
+  /** Domain-mix reweighting: keep each row with probability
+    * `rate(group)` using a salted content-stable hash as the
+    * acceptance draw — the deterministic form of temperature/mixture
+    * resampling over data sources when shaping a training mix.
+    * Pure map-side filter (the rate is a column expression, no join,
+    * no shuffle); re-runs and repartitioning keep exactly the same
+    * rows.
+    */
+  def domainWeighted(idCol: Column, rateBp: Column): Column = {
+    // md5Long is a non-negative 60-bit value, so plain % stays in
+    // [0, 10000); rateBp is the keep rate in basis points of 10000
+    val draw = md5Long(concat(lit("mix:"), idCol.cast("string"))) % 10000
+    draw < rateBp
+  }
+
   /** At most `perGroup` rows per group, chosen by hash order (a
     * deterministic uniform draw within each group). The shuffle
     * carries only group partitions; at scale swap the window for the
