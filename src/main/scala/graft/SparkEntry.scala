@@ -1188,6 +1188,55 @@ object SparkEntry {
                 |SELECT src AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
                 |FROM reach GROUP BY src ORDER BY src""".stripMargin)),
 
+      // canonical selection: per duplicate cluster keep the highest-
+      // quality member — clusters + quality composed into the actual
+      // keep/drop decision a training pipeline ships
+      "dedup_keep_best" -> Q(
+        (s, d) => Dedup.keepBest(
+          Dedup.connectedComponents(
+            docsUnder(s, d, 200),
+            Dedup.minhashLshPairs(
+              Dedup.minhashSignatures(docsUnder(s, d, 200), 5, 8), 8, 2)),
+          graft.text.TextAnalytics.qualityScores(docsUnder(s, d, 200))),
+        Some {
+          val stopList = graft.text.TextAnalytics.Stopwords.map(w => s"'$w'").mkString(",")
+          s"""WITH RECURSIVE sig AS (
+             |${Dedup.minhashSigSql(5, 8, "doc_id < 200")}),
+             |bands AS (${(0 until 4).map(b =>
+                s"SELECT doc_id, $b AS b, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS bv FROM sig")
+                .mkString(" UNION ALL ")}),
+             |pairs AS (
+             |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+             |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+             |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db, da FROM pairs),
+             |reach(src, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+             |  UNION
+             |  SELECT e.da, r.lbl FROM reach r JOIN edges e ON e.db = r.src),
+             |cc AS (SELECT src AS doc_id, min(lbl) AS cluster FROM reach GROUP BY src),
+             |q AS (
+             |  SELECT doc_id,
+             |    round((least(n_tok, 100) / 100.0) *
+             |          (1.0 - punct_cnt * 1.0 / greatest(n_chars, 1)) *
+             |          (0.2 + 0.8 * (stop_cnt * 1.0 / greatest(n_tok, 1))), 4) AS quality
+             |  FROM (
+             |    SELECT doc_id, length(text) AS n_chars,
+             |           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+             |           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             |               t -> t IN ($stopList))) AS stop_cnt,
+             |           len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
+             |    FROM documents WHERE doc_id < 200)),
+             |j AS (
+             |  SELECT cc.doc_id, cluster, quality, row_number() OVER (
+             |    PARTITION BY cluster ORDER BY quality DESC, cc.doc_id) AS rn
+             |  FROM cc JOIN q USING (doc_id))
+             |SELECT CAST(cluster AS BIGINT) AS cluster,
+             |       CAST(count(*) AS BIGINT) AS n_members,
+             |       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+             |       max(quality) AS best_quality
+             |FROM j GROUP BY cluster ORDER BY cluster""".stripMargin
+        }),
+
       // fuzzy near-dup by edit distance on document prefixes (exact
       // integer distances — Spark and DuckDB levenshtein agree).
       // Blocked scale path: positional-unigram prefix filter feeds an

@@ -104,6 +104,29 @@ object Dedup {
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*).orderBy("doc_id")
   }
 
+  /** Map-side MinHash signature: the same m0..m{k-1} as
+    * [[minhashSignatures]] but computed per ROW with higher-order
+    * functions — no explode, no groupBy, no shuffle. This is the form
+    * a streaming pipeline needs (stateful operators can't sit behind
+    * a streaming aggregation) and the form a 100 TB batch scan
+    * prefers when the doc text is already in hand (signature becomes
+    * a scan-side projection). Spec asserts bit-equality with the
+    * shuffle formulation.
+    */
+  def minhashSignaturesMapSide(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val t = lower(trim(col("text")))
+    val shs = array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+      i => t.substr(i, lit(n))))
+    val mins = (0 until k).map { j =>
+      array_min(transform(col("hms"),
+        hm => (hm * (2 * j + 1) + (7919L * j + 13)) % P)).as(s"m$j")
+    }
+    docs.select(col("doc_id"),
+        transform(shs, sh => md5Long(sh) % P).as("hms"))
+      .select(col("doc_id") +: mins: _*)
+  }
+
   /** SQL mirror of [[minhashSignaturesOver]] over any shingle CTE. */
   def minhashOverSql(shCte: String, k: Int): String = {
     val mins = (0 until k).map { j =>
@@ -403,6 +426,27 @@ object Dedup {
       iter += 1
     }
     labels.orderBy("doc_id")
+  }
+
+  /** Canonical-document selection policy: within each duplicate
+    * cluster keep the highest-quality member (ties → lowest doc_id).
+    * `labels` is (doc_id, cluster) from [[connectedComponents]];
+    * `quality` is (doc_id, quality). The per-cluster window is
+    * bounded by cluster size (dup clusters are small by
+    * construction), so the shuffle is keyed and skew-free — this is
+    * the step that turns a dup GRAPH into the actual training-set
+    * drop list.
+    */
+  def keepBest(labels: DataFrame, quality: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("quality").desc, col("doc_id"))
+    labels.join(quality.select("doc_id", "quality"), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+           max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+           max("quality").as("best_quality"))
+      .orderBy("cluster")
   }
 
   /** Scalable embedding near-dup: random-hyperplane signatures with

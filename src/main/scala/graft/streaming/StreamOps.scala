@@ -104,6 +104,62 @@ object StreamOps {
       }
   }
 
+  final case class BandKey(b: Int, bv: String, doc_id: Long)
+
+  final case class BucketState(ids: Array[Long])
+
+  final case class DupCand(da: Long, db: Long)
+
+  /** Band keys for the streaming near-dup: map-side MinHash signature
+    * (Dedup.minhashSignaturesMapSide — no shuffle) split into
+    * `k / rows` banded values per doc. The whole transform is a
+    * scan-side projection, so the only stateful stage in the query is
+    * the bucket state below.
+    */
+  def bandKeys(docs: DataFrame, n: Int, k: Int, rows: Int): DataFrame = {
+    val nBands = k / rows
+    val bandCols = (0 until nBands).map { b =>
+      concat_ws("_", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+    }
+    graft.dedup.Dedup.minhashSignaturesMapSide(docs, n, k)
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("b", "bv")))
+  }
+
+  /** Streaming MinHash-LSH near-dup: state keyed by (band, band
+    * value) holds the doc ids seen in that bucket; every new arrival
+    * emits a candidate pair against each resident — the incremental
+    * face of the batch `dedup_minhash_lsh` operator, for catching
+    * near-duplicates at ingest time before they reach storage.
+    * Pairs may repeat across bands and micro-batches (buckets are
+    * independent); consumers `distinct()` downstream, exactly like
+    * the batch banded join. `maxPerBucket` caps state per bucket —
+    * beyond it new arrivals still pair against the capped residents
+    * (recall within a bucket degrades gracefully instead of state
+    * growing unboundedly; a bucket that hot is a stop-shingle
+    * pathology, see ngramJaccardCapped).
+    */
+  def streamingNearDup(bands: Dataset[BandKey], maxPerBucket: Int = 1024)
+      : Dataset[DupCand] = {
+    val s = bands.sparkSession
+    import s.implicits._
+    bands.groupByKey(bk => (bk.b, bk.bv))
+      .flatMapGroupsWithState[BucketState, DupCand](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[BucketState]) =>
+          var ids = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+          val out = Seq.newBuilder[DupCand]
+          it.toSeq.map(_.doc_id).distinct.sorted.foreach { id =>
+            if (!ids.contains(id)) {
+              ids.foreach(prev =>
+                out += DupCand(math.min(prev, id), math.max(prev, id)))
+              if (ids.length < maxPerBucket) ids = ids :+ id
+            }
+          }
+          state.update(BucketState(ids))
+          out.result().iterator
+      }
+  }
+
   /** Stream-static as-of enrichment: every micro-batch of events is
     * matched to the latest static reference row at-or-before it
     * (graft.ops.Joins.asofJoin per batch) — the online feature-join

@@ -109,6 +109,14 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty) // testdata plants near-dups across the split
   }
 
+  test("map-side minhash signature is bit-equal to the shuffle formulation") {
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
+    val a = Dedup.minhashSignatures(docs, 5, 8).collect().map(_.toSeq)
+    val b = Dedup.minhashSignaturesMapSide(docs, 5, 8)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
   test("blocked levenshtein pairs equal the quadratic formulation") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 120)
     def asSet(df: org.apache.spark.sql.DataFrame) =

@@ -194,4 +194,33 @@ class StreamingSpec extends SparkSpec {
         (1L, 200L, "v1"), (1L, 400L, "v2"), (2L, 10L, null)))
     } finally query.stop()
   }
+
+  test("streaming LSH near-dup emits the batch candidate pairs across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = Tables.documents(s, sfDir).filter(col("doc_id") < 150)
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = graft.dedup.Dedup.minhashLshPairs(
+        graft.dedup.Dedup.minhashSignatures(docs, 5, 8), 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val input = MemoryStream[(Long, String)]
+    val query = StreamOps.streamingNearDup(
+        StreamOps.bandKeys(input.toDF().toDF("doc_id", "text"), 5, 8, 2)
+          .as[StreamOps.BandKey])
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (first, second) = rows.partition(_._1 < 75)
+      input.addData(first.toSeq)
+      query.processAllAvailable()
+      input.addData(second.toSeq)
+      query.processAllAvailable()
+      val got = s.sql("SELECT DISTINCT da, db FROM neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+      assert(got.nonEmpty) // testdata plants near-dups under doc_id 150
+    } finally query.stop()
+  }
 }
