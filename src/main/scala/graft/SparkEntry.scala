@@ -2039,7 +2039,46 @@ object SparkEntry {
              |                   (hm // 1024) % 1024 + 1 AS height
              |            FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hm
              |                  FROM documents)))
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // audio segmentation: fixed 10s windows from (sample_rate,
+    // n_samples) metadata with tail-padding flag — the fan-out an
+    // ASR/audio-embedding pipeline feeds to its decoder (decode
+    // itself stubbed; md5-derived fake metadata, same as mm_binary_meta)
+    "mm_audio_windows" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 1) // kind = audio
+        .select(col("doc_id"), graft.functions.VectorFunctions.md5Long(col("text")).as("hm"))
+        .selectExpr("doc_id",
+          "element_at(array(8000L, 16000L, 44100L), CAST(hm % 3 AS INT) + 1) AS sr",
+          "hm % 2000000 + 1 AS n_samples")
+        .selectExpr("doc_id", "sr", "n_samples", "sr * 10 AS win",
+          "(n_samples + sr * 10 - 1) DIV (sr * 10) AS n_win")
+        .select(col("doc_id"), col("sr"), col("n_samples"),
+          explode(sequence(lit(0L), col("n_win") - 1)).as("win_idx"),
+          col("win"), col("n_win"))
+        .select(col("doc_id"), col("sr"), col("n_samples"), col("win_idx"),
+          (col("win_idx") * col("win")).as("start_sample"),
+          least(col("win_idx") * col("win") + col("win"), col("n_samples")).as("end_sample"),
+          (col("win_idx") === col("n_win") - 1 && col("n_samples") % col("win") =!= 0)
+            .cast("int").as("padded"))
+        .orderBy("doc_id", "win_idx"),
+      Some("""SELECT doc_id, sr, n_samples, win_idx,
+             |       win_idx * win AS start_sample,
+             |       least(win_idx * win + win, n_samples) AS end_sample,
+             |       CAST(win_idx = n_win - 1 AND n_samples % win <> 0 AS INTEGER) AS padded
+             |FROM (
+             |  SELECT doc_id, sr, n_samples, win, n_win,
+             |         CAST(unnest(generate_series(0, n_win - 1)) AS BIGINT) AS win_idx
+             |  FROM (
+             |    SELECT doc_id, sr, n_samples, sr * 10 AS win,
+             |           (n_samples + sr * 10 - 1) // (sr * 10) AS n_win
+             |    FROM (
+             |      SELECT doc_id, CAST(([8000, 16000, 44100])[CAST(hm % 3 AS INTEGER) + 1] AS BIGINT) AS sr,
+             |             hm % 2000000 + 1 AS n_samples
+             |      FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hm
+             |            FROM documents WHERE doc_id % 3 = 1))))
+             |ORDER BY doc_id, win_idx""".stripMargin)))
 
   // ---------------------------------------------------------------
 
