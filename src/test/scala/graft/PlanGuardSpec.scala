@@ -93,4 +93,27 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
+
+  test("decontamination broadcasts the bench shingles, corpus never exchanges pre-agg") {
+    val p = plan("text_decontam")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("domain-mix sampling is a map-side filterless scan into one agg") {
+    val p = plan("samp_domain_mix")
+    // no join anywhere: the rate is an expression, not a lookup table
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("heavy hitters aggregates map-side (partial before the exchange)") {
+    val p = plan("ev_heavy_hitters")
+    assert(p.contains("partial_heavyhittersaggregator"), p)
+  }
+
+  test("incremental dedup is an equi-join on band buckets, no cross product") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
