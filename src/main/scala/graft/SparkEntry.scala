@@ -1305,6 +1305,27 @@ object SparkEntry {
         (s, d) => TextAnalytics.languageId(Tables.documents(s, d)),
         Some(TextAnalytics.languageIdSql)),
 
+      // C4-style text normalization: casefold, strip punctuation,
+      // collapse whitespace — pure map-side projection; the content
+      // hash of the normalized form is the exact-dedup key a cleaned
+      // corpus would use
+      "text_normalize" -> Q(
+        (s, d) => {
+          val norm = trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[.,;:!?]", ""), "\\s+", " "))
+          Tables.documents(s, d)
+            .select(col("doc_id"), length(norm).cast("long").as("n_chars_norm"),
+                    graft.functions.VectorFunctions.md5Long(norm).as("h_norm"))
+            .orderBy("doc_id")
+        },
+        Some("""SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars_norm,
+               |       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS h_norm
+               |FROM (SELECT doc_id,
+               |        trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'),
+               |             '\s+', ' ', 'g')) AS norm
+               |      FROM documents)
+               |ORDER BY doc_id""".stripMargin)),
+
       // Gopher-style repetition filters: top-unigram/bigram fractions,
       // type-token ratio, duplicated-trigram fraction per doc
       "text_repetition" -> Q(

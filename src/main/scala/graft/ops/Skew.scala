@@ -35,4 +35,22 @@ object Skew {
       case None => partial.groupBy(col(key)).agg(sum("_n").as("n"))
     }
   }
+
+  /** Salted equi-join for a skewed LEFT side: each left row gets a
+    * pseudo-random salt in [0, salt); the right side is replicated
+    * `salt` times with every salt value. The join key becomes
+    * (key, salt), so the hottest key's rows spread across `salt`
+    * reducers instead of one straggler. Use when the right side is
+    * too big to broadcast but small enough to replicate `salt`×
+    * (the classic middle ground; result is identical to the plain
+    * join, spec-asserted).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(salt)))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salt - 1L))))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
 }

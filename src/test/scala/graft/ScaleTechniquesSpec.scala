@@ -21,6 +21,23 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("salted join equals the plain join, spread over salt sub-keys") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+    val plain = li.join(ord, "l_orderkey")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("q")).head()
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", salt = 8)
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("q")).head()
+    assert(plain.getLong(0) == salted.getLong(0))
+    assert(math.abs(plain.getDouble(1) - salted.getDouble(1)) < 1e-6)
+    // no broadcast: the point of salting is the non-broadcastable case
+    val p = Skew.saltedJoin(li, ord, "l_orderkey", 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("_salt"), p)
+  }
+
   test("bucketed tables join without an exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh.contains("graft-wh"), s"warehouse should be temp: $wh")
