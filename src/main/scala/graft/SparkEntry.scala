@@ -434,6 +434,156 @@ object SparkEntry {
              |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // forecast revenue change (TPC-H Q6: pure filter + agg, the
+    // pushdown-everything query)
+    "q6_forecast" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+                col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+                col("l_discount").between(0.02, 0.04) &&
+                col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin)),
+
+    // customer order-count distribution (TPC-H Q13: outer join →
+    // two-level aggregation)
+    "q13_cust_dist" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") =!= "1-URGENT")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+             |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // top supplier by revenue window (TPC-H Q15: agg view + global
+    // max as a broadcast 1-row frame — never a global sort)
+    "q15_top_supplier" -> Q(
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+                  col("l_shipdate") < ts("1996-04-01 00:00:00"))
+          .groupBy(col("l_suppkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_revenue"))
+        rev.crossJoin(broadcast(rev.agg(max("total_revenue").as("mr"))))
+          .filter(col("total_revenue") === col("mr"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // waiting-supplier shape (TPC-H Q21: per-order EXISTS another
+    // supplier + NOT EXISTS another supplier matching the predicate;
+    // returnflag stands in for the missing commit/receipt dates)
+    "q21_shape" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_returnflag")
+        val l1 = li.filter(col("l_returnflag") === "R")
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+        val others = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+        val othersR = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+        l1
+          .join(others.distinct(),
+            col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+            "left_semi")
+          .join(othersR.distinct(),
+            col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+            "left_anti")
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(10)
+      },
+      Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+             |FROM lineitem l1
+             |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+             |JOIN supplier ON s_suppkey = l1.l_suppkey
+             |WHERE l1.l_returnflag = 'R'
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_returnflag = 'R')
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)),
+
+    // analytic-window breadth: lead/lag/percent_rank/cume_dist per
+    // customer order history (partitioned — never global)
+    "win_analytics" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d).filter(col("o_custkey") < 50)
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag("o_totalprice", 1).over(w).as("prev_price"),
+            lead("o_totalprice", 1).over(w).as("next_price"),
+            round(percent_rank().over(
+              Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))), 4)
+              .as("pr"),
+            round(cume_dist().over(
+              Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))), 4)
+              .as("cd"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  lag(o_totalprice, 1) OVER w1 AS prev_price,
+             |  lead(o_totalprice, 1) OVER w1 AS next_price,
+             |  round(percent_rank() OVER w2, 4) AS pr,
+             |  round(cume_dist() OVER w2, 4) AS cd
+             |FROM orders WHERE o_custkey < 50
+             |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |       w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // explicit GROUPING SETS with grouping_id disambiguation
+    "agg_grouping_sets" -> Q(
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |       CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                |       CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+                |       CAST(count(*) AS BIGINT) AS n,
+                |       round(sum(l_quantity), 2) AS qty
+                |FROM graft_li_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+             |       CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(l_quantity), 2) AS qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)),
+
     // PIVOT with explicit values (no distinct-collect job — the
     // scale-safe pivot) vs conditional-aggregation oracle
     "agg_pivot" -> Q(
