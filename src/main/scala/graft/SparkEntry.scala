@@ -2016,6 +2016,62 @@ object SparkEntry {
 
       // int8 scalar quantization of the embedding column (integer
       // code outputs — the compare is exact by construction)
+      // 1-bit binary quantization: sign bits packed into two 32-bit
+      // halves (no sign-bit ambiguity across engines), Hamming
+      // distance by xor+popcount — 64 dims in 8 bytes, a 32× scan-
+      // I/O cut for the candidate pass of a binary-quantized index
+      "vec_binary_quant" -> Q(
+        (s, d) => {
+          def pack(off: Int) = aggregate(
+            sequence(lit(0), lit(31)), lit(0L),
+            (acc, i) => acc + when(
+              element_at(col("embedding"), i + lit(off + 1)) > 0,
+              pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
+          val packed = Tables.embeddings(s, d)
+            .select(col("vec_id"), pack(0).as("lo"), pack(32).as("hi"))
+          val q = packed.filter(col("vec_id") === 7)
+            .select(col("lo").as("qlo"), col("hi").as("qhi"))
+          packed.crossJoin(broadcast(q))
+            .filter(col("vec_id") =!= 7)
+            .select(col("vec_id"),
+              (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+               bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long").as("ham"))
+            .orderBy(col("ham"), col("vec_id")).limit(10)
+        },
+        Some("""WITH packed AS (
+               |  SELECT vec_id,
+               |    CAST(list_sum(list_transform(generate_series(0, 31),
+               |      i -> CASE WHEN embedding[i + 1] > 0 THEN power(2.0, i) ELSE 0.0 END)) AS BIGINT) AS lo,
+               |    CAST(list_sum(list_transform(generate_series(0, 31),
+               |      i -> CASE WHEN embedding[i + 33] > 0 THEN power(2.0, i) ELSE 0.0 END)) AS BIGINT) AS hi
+               |  FROM embeddings),
+               |q AS (SELECT lo AS qlo, hi AS qhi FROM packed WHERE vec_id = 7)
+               |SELECT vec_id,
+               |       CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS BIGINT) AS ham
+               |FROM packed, q WHERE vec_id <> 7
+               |ORDER BY ham, vec_id LIMIT 10""".stripMargin)),
+
+      // Matryoshka truncation: search on the 16-dim prefix of the
+      // embedding (MRL-style nested representation) — 4× cheaper
+      // candidate scoring with the same plan shape as full-dim search
+      "vec_matryoshka" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.score
+          val emb = Tables.embeddings(s, d)
+            .select(col("vec_id"), slice(col("embedding"), 1, 16).as("e16"))
+          val q = emb.filter(col("vec_id") === 7).select(col("e16").as("q16"))
+          emb.crossJoin(broadcast(q))
+            .filter(col("vec_id") =!= 7)
+            .select(col("vec_id"),
+              (round(score(col("e16"), col("q16")), 6) + lit(0.0)).as("score"))
+            .orderBy(col("score").desc, col("vec_id")).limit(10)
+        },
+        Some("""WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS e16 FROM embeddings),
+               |q AS (SELECT e16 AS q16 FROM e WHERE vec_id = 7)
+               |SELECT vec_id, round(list_cosine_similarity(e16, q16), 6) + 0.0 AS score
+               |FROM e, q WHERE vec_id <> 7
+               |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+
       "vec_scalar_quant" -> Q(
         (s, d) => graft.ann.Quant.encode(Tables.embeddings(s, d))
           .select(col("vec_id"),
