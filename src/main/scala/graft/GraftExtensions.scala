@@ -28,6 +28,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("md5_long60"),
       info("md5_long60"),
       (es: Seq[Expression]) => Md5Long60(es.head)))
+    // bloom_filter_agg / might_contain: Spark ships these for its
+    // internal runtime-filter rewrite but does not register them for
+    // SQL users; injecting them lets a pure-SQL pipeline build a
+    // bloom filter on a dimension's keys and prune a fact scan
+    // before the join (see ops/Skew.bloomPrune for the Column form).
+    // Usage: might_contain((SELECT bloom_filter_agg(xxhash64(k), n, bits)
+    //        FROM dim), xxhash64(k))
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg"),
+      (es: Seq[Expression]) => es.length match {
+        case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es.head)
+        case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es.head, es(1))
+        case _ => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es.head, es(1), es(2))
+      }))
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      info("might_contain"),
+      (es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es.head, es(1))))
+
     // topk(score, id, k): bounded map-side partial top-k aggregate —
     // the same hot path the Column API uses (ops/TopK.scala). k must
     // be a literal (it sizes the aggregation buffer at plan time).

@@ -36,6 +36,31 @@ object Skew {
     }
   }
 
+  /** Bloom-filter pre-join pruning: build a bloom filter over the
+    * small side's join keys (distributed build, driver-merged sketch
+    * of `numBits/8` bytes), then filter the big side map-side BEFORE
+    * the join shuffle. No false negatives — every matching row
+    * survives (spec-asserted); non-matching rows shuffle with
+    * probability ≈ fpp instead of 1. This is the manual form of
+    * Spark's runtime-filter rewrite, usable when the optimizer can't
+    * prove the selectivity (e.g. the small side is a filtered
+    * subquery of a non-partitioned source).
+    */
+  def bloomPrune(big: DataFrame, small: DataFrame, key: String,
+                 expectedItems: Long, fpp: Double): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    big.filter(ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(col(key).cast("long")))))
+  }
+
   /** Salted equi-join for a skewed LEFT side: each left row gets a
     * pseudo-random salt in [0, salt); the right side is replicated
     * `salt` times with every salt value. The join key becomes

@@ -40,6 +40,28 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("extension-injected bloom_filter_agg/might_contain prune from pure SQL") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.graftbridge.ColumnBridge.installFunctions(ext, spark)
+    spark.read.parquet(s"$sfDir/orders.parquet").createOrReplaceTempView("ord_bf")
+    spark.read.parquet(s"$sfDir/lineitem.parquet").createOrReplaceTempView("li_bf")
+    val exact = spark.sql(
+      """SELECT count(*) FROM li_bf WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM ord_bf WHERE o_totalprice > 400000)""".stripMargin)
+      .head().getLong(0)
+    val viaBloom = spark.sql(
+      """SELECT count(*) FROM li_bf
+        |WHERE might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(o_orderkey), 10000L, 80000L)
+        |   FROM ord_bf WHERE o_totalprice > 400000),
+        |  xxhash64(l_orderkey))
+        |  AND l_orderkey IN (SELECT o_orderkey FROM ord_bf WHERE o_totalprice > 400000)""".stripMargin)
+      .head().getLong(0)
+    // the bloom pre-filter must not lose any matching row
+    assert(viaBloom == exact && exact > 0)
+  }
+
   test("capped ngram jaccard matches uncapped when no shingle is hot") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
     val total = docs.count().toInt

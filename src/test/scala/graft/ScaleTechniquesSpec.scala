@@ -38,6 +38,23 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(p.contains("_salt"), p)
   }
 
+  test("bloom pruning keeps every matching key and drops most others") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val dim = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 400000) // selective small side
+      .select(col("o_orderkey").as("l_orderkey"))
+    val matching = li.join(dim, Seq("l_orderkey"), "left_semi").count()
+    assert(matching > 0)
+    val pruned = Skew.bloomPrune(li, dim, "l_orderkey",
+      expectedItems = 10000, fpp = 0.01)
+    // no false negatives: the semi-join over the pruned side is intact
+    assert(pruned.join(dim, Seq("l_orderkey"), "left_semi").count() == matching)
+    // and the pruned scan is a small superset, nowhere near the full table
+    val total = li.count()
+    val kept = pruned.count()
+    assert(kept >= matching && kept < total / 2, s"kept=$kept of $total, matching=$matching")
+  }
+
   test("bucketed tables join without an exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh.contains("graft-wh"), s"warehouse should be temp: $wh")
