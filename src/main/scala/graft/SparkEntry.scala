@@ -1461,8 +1461,7 @@ object SparkEntry {
       // corpus would use
       "text_normalize" -> Q(
         (s, d) => {
-          val norm = trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[.,;:!?]", ""), "\\s+", " "))
+          val norm = TextAnalytics.normalize(col("text"))
           Tables.documents(s, d)
             .select(col("doc_id"), length(norm).cast("long").as("n_chars_norm"),
                     graft.functions.VectorFunctions.md5Long(norm).as("h_norm"))

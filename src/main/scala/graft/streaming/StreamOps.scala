@@ -160,6 +160,32 @@ object StreamOps {
       }
   }
 
+  /** Streaming training-data prep: normalize → quality-filter →
+    * first-seen exact dedup on the NORMALIZED content hash, end to
+    * end as one incremental plan. Everything before the stateful
+    * dedup is a map-side projection/filter (no streaming aggregation
+    * in front of the state op — the composition that actually
+    * deploys); spec asserts batch-equivalence against the same stages
+    * run as a batch plan.
+    */
+  def prepPipeline(docs: DataFrame, minQuality: Double): Dataset[HashedDoc] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import graft.text.TextAnalytics
+    val toks = graft.text.TextPrimitives.tokens(col("text"))
+    val quality = (least(size(toks), lit(100)) / lit(100.0)) *
+      (lit(1.0) - size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))) *
+        lit(1.0) / greatest(length(col("text")), lit(1))) *
+      (lit(0.2) + lit(0.8) * (size(filter(toks, t => t.isin(TextAnalytics.Stopwords: _*))) *
+        lit(1.0) / greatest(size(toks), lit(1))))
+    streamingDedup(
+      docs.filter(quality >= minQuality)
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions.md5Long(TextAnalytics.normalize(col("text")))
+            .cast("string").as("h"))
+        .as[HashedDoc])
+  }
+
   /** Stream-static as-of enrichment: every micro-batch of events is
     * matched to the latest static reference row at-or-before it
     * (graft.ops.Joins.asofJoin per batch) — the online feature-join

@@ -109,6 +109,13 @@ object TextAnalytics {
            count(lit(1)).as("n_shingles"))
       .orderBy("doc_id")
 
+  /** C4-style normalization: casefold, strip punctuation, collapse
+    * whitespace. Pure expression — usable map-side in batch or
+    * streaming plans alike.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[.,;:!?]", ""), "\\s+", " "))
+
   /** Gopher-style repetition metrics per doc (Rae et al. 2021 §A1.1,
     * adapted to token streams): top-unigram fraction, type-token
     * ratio, top-bigram fraction, and the fraction of trigram

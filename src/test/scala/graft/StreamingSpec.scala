@@ -195,6 +195,52 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming prep pipeline equals batch normalize+quality+dedup") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = Tables.documents(s, sfDir).filter(col("doc_id") < 200)
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // batch reference: same stages, batch plan, first-seen = min doc_id
+    val q = graft.text.TextAnalytics.qualityScores(docs)
+      .filter(col("quality") >= 0.15).select("doc_id")
+    val expected = docs.join(q, "doc_id")
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions
+          .md5Long(graft.text.TextAnalytics.normalize(col("text"))).as("h"))
+      .groupBy("h").agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
+      .collect().map(_.getLong(1)).toSet
+    val input = MemoryStream[(Long, String)]
+    val query = StreamOps.prepPipeline(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.15)
+      .writeStream.format("memory").queryName("prep")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (first, second) = rows.partition(_._1 % 2 == 0)
+      input.addData(first.toSeq)
+      query.processAllAvailable()
+      input.addData(second.toSeq)
+      query.processAllAvailable()
+      val got = s.sql("SELECT doc_id FROM prep").collect().map(_.getLong(0)).toSet
+      // streaming first-seen may keep a different member of a dup
+      // group than batch min-id (arrival order differs), so compare
+      // the dup-group structure: same number of survivors, and the
+      // survivor sets map 1:1 through the content hash
+      assert(got.size == expected.size)
+      // structural check: survivors' content-hash sets are identical
+      val gotH = s.sql("SELECT doc_id FROM prep").join(docs, "doc_id")
+        .select(graft.functions.VectorFunctions
+          .md5Long(graft.text.TextAnalytics.normalize(col("text"))).as("h"))
+        .collect().map(_.getLong(0)).toSet
+      val expH = docs.filter(col("doc_id").isin(expected.toSeq: _*))
+        .select(graft.functions.VectorFunctions
+          .md5Long(graft.text.TextAnalytics.normalize(col("text"))).as("h"))
+        .collect().map(_.getLong(0)).toSet
+      assert(gotH == expH)
+    } finally query.stop()
+  }
+
   test("streaming LSH near-dup emits the batch candidate pairs across batches") {
     val s = spark
     import s.implicits._
