@@ -1041,6 +1041,42 @@ object SparkEntry {
               |FROM points p, q WHERE p.user_id = 2
               |ORDER BY score DESC, vector_id LIMIT 10""".stripMargin)),
 
+    // grouped search (the "search groups" API): best chunk per doc,
+    // top-5 docs — per-doc bounded window, never global
+    "vs_search_grouped" -> Q(
+      (s, d) => VectorStore.searchGrouped(
+        VectorStore.pointsPartitioned(s, d), userId = 2,
+        qdf = VectorStore.queryVecOf(s, d, 42), groups = 5),
+      Some(s"""$pointsSql,
+              |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
+              |SELECT doc_id, vector_id, chunk_id, score FROM (
+              |  SELECT doc_id, vector_id, chunk_id, score,
+              |         row_number() OVER (PARTITION BY doc_id
+              |                            ORDER BY score DESC, vector_id) AS rn
+              |  FROM (SELECT p.doc_id, p.vector_id, p.chunk_id,
+              |               ${sqlScore("p.embedding", "q.qv")} AS score
+              |        FROM points p, q WHERE p.user_id = 2))
+              |WHERE rn = 1 ORDER BY score DESC, doc_id LIMIT 5""".stripMargin)),
+
+    // recommend by example (positive/negative point ids): query =
+    // mean(pos) − mean(neg), association order fixed for the oracle;
+    // examples excluded from results
+    "vs_recommend" -> Q(
+      (s, d) => VectorStore.recommend(
+        VectorStore.pointsPartitioned(s, d), userId = 2,
+        posIds = Seq(10L, 18L), negIds = Seq(34L), limit = 10),
+      Some(s"""$pointsSql,
+              |rec AS (
+              |  SELECT list_transform(generate_series(1, len(a.embedding)),
+              |           i -> (a.embedding[i] + b.embedding[i]) / 2.0 - c.embedding[i]) AS qv
+              |  FROM (SELECT embedding FROM embeddings WHERE vec_id = 10) a,
+              |       (SELECT embedding FROM embeddings WHERE vec_id = 18) b,
+              |       (SELECT embedding FROM embeddings WHERE vec_id = 34) c)
+              |SELECT vector_id, doc_id, ${sqlScore("p.embedding", "rec.qv")} AS score
+              |FROM points p, rec
+              |WHERE p.user_id = 2 AND p.vector_id NOT IN (10, 18, 34)
+              |ORDER BY score DESC, vector_id LIMIT 10""".stripMargin)),
+
     "vs_search_threshold" -> Q(
       (s, d) => VectorStore.searchThreshold(
         VectorStore.pointsPartitioned(s, d), VectorStore.queryVecOf(s, d, 7), 0.15),
@@ -1536,6 +1572,53 @@ object SparkEntry {
              |FROM (SELECT s.doc_id, ($dot) AS dot, ($na) AS na, ($nb) AS nb
              |      FROM sums s, q)
              |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+        }),
+
+      // hybrid retrieval: BM25 top-20 ⊕ embedding-cosine top-20 fused
+      // by reciprocal rank (1/(60+r)) — the calibration-free lexical+
+      // vector combination; both inputs bounded before fusion
+      "text_hybrid_rrf" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.score
+          val docs = Tables.documents(s, d)
+          val lex = graft.text.Bm25.search(docs, Seq("spark", "hash", "merge"), 20)
+          val raw = graft.embed.HashEmbedder.embedDocsRaw(docs, "doc_id", "text", 64)
+          val qv = raw.filter(col("doc_id") === 3).select(col("embedding").as("qv"))
+          val vec = raw.crossJoin(broadcast(qv))
+            .select(col("doc_id"), score(col("embedding"), col("qv")).as("score"))
+            .orderBy(col("score").desc, col("doc_id")).limit(20)
+          graft.text.Hybrid.rrf(lex, vec, "doc_id", "bm25", "score", 60, 10)
+        },
+        Some {
+          val (dot, na, nb) = graft.embed.HashEmbedder.cosineTermsSql(64)
+          s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+             |              FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+             |       WHERE tok IN ('spark', 'hash', 'merge') GROUP BY doc_id, tok),
+             |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+             |lex AS (SELECT doc_id,
+             |               round(sum((ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)) /
+             |                         (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+             |        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+             |        GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+             |sums AS (
+             |${graft.embed.HashEmbedder.rawSumsSql(64)}),
+             |q AS (SELECT * FROM sums WHERE doc_id = 3),
+             |vec AS (SELECT doc_id,
+             |               round(CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+             |                          ELSE dot / sqrt(na * nb) END, 6) + 0.0 AS score
+             |        FROM (SELECT s.doc_id, ($dot) AS dot, ($na) AS na, ($nb) AS nb
+             |              FROM sums s, q)
+             |        ORDER BY score DESC, doc_id LIMIT 20),
+             |lr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM lex),
+             |vr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM vec)
+             |SELECT coalesce(lr.doc_id, vr.doc_id) AS doc_id,
+             |       round(coalesce(1.0 / (60 + lr.r), 0) + coalesce(1.0 / (60 + vr.r), 0), 6) AS rrf
+             |FROM lr FULL JOIN vr ON lr.doc_id = vr.doc_id
+             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
         }),
 
       // the whole training-data prep pipeline as ONE Catalyst plan:

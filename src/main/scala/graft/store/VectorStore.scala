@@ -214,6 +214,63 @@ object VectorStore {
     thresholded.orderBy(col("score").desc, col("vector_id")).limit(limit)
   }
 
+  /** Grouped search (the vector-DB "search groups" API): the single
+    * best-scoring chunk PER DOCUMENT, then the top `groups` documents.
+    * The per-doc window is bounded by chunks-per-doc (small by
+    * construction) and partitioned by doc_id — never global; the
+    * final ordering is a bounded TakeOrdered over one row per doc.
+    */
+  def searchGrouped(coll: DataFrame, userId: Long, qdf: DataFrame,
+                    groups: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("vector_id"))
+    coll.filter(col("user_id") === userId)
+      .crossJoin(broadcast(qdf))
+      .select(col("doc_id"), col("vector_id"), col("chunk_id"),
+              score(col("embedding"), col("q")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(groups)
+  }
+
+  /** Recommend by example (the vector-DB recommend API): the query
+    * vector is mean(positive examples) − mean(negative examples),
+    * folded left-to-right over 1-row broadcast frames so the float
+    * association order is fixed (oracle-exact); example points are
+    * excluded from the results.
+    */
+  def recommend(coll: DataFrame, userId: Long, posIds: Seq[Long],
+                negIds: Seq[Long], limit: Int): DataFrame = {
+    require(posIds.nonEmpty)
+    val base = coll.filter(col("user_id") === userId)
+    def vecOf(id: Long, as: String) =
+      base.filter(col("vector_id") === id).select(col("embedding").as(as))
+    def sumOf(ids: Seq[Long], tag: String): (DataFrame, Column) = {
+      val frames = ids.zipWithIndex.map { case (id, i) => vecOf(id, s"_${tag}$i") }
+      val joined = frames.reduceLeft((a, b) => a.crossJoin(broadcast(b)))
+      val summed = ids.indices.map(i => col(s"_${tag}$i"))
+        .reduceLeft((a, b) => zip_with(a, b, (x, y) => x + y))
+      (joined, summed)
+    }
+    val (posF, posSum) = sumOf(posIds, "p")
+    val posAvg = transform(posSum, x => x / posIds.size.toDouble)
+    val (qFrame, rec) =
+      if (negIds.isEmpty) (posF.select(posAvg.as("q")), col("q"))
+      else {
+        val (negF, negSum) = sumOf(negIds, "n")
+        val negAvg = transform(negSum, x => x / negIds.size.toDouble)
+        (posF.crossJoin(broadcast(negF))
+          .select(zip_with(posAvg, negAvg, (p, n) => p - n).as("q")), col("q"))
+      }
+    base.filter(!col("vector_id").isin(posIds ++ negIds: _*))
+      .crossJoin(broadcast(qFrame))
+      .select(col("vector_id"), col("doc_id"),
+              score(col("embedding"), rec).as("score"))
+      .orderBy(col("score").desc, col("vector_id"))
+      .limit(limit)
+  }
+
   /** Global (all-collections) threshold scan — returns every point
     * scoring ≥ threshold, no limit. Embarrassingly parallel.
     */
