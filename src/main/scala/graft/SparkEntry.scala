@@ -2413,5 +2413,8 @@ object SparkEntry {
     "dedup_exact", "text_token_count", "text_quality",
     "text_search_e2e", "text_bm25", "text_chunking",
     "emb_label_cohesion", "vec_scalar_quant", "samp_hash_split",
-    "agg_pivot", "q_window_rank", "vec_pq_adc", "pipe_e2e_prep")
+    "agg_pivot", "q_window_rank", "vec_pq_adc", "pipe_e2e_prep",
+    // round-3 flagship additions
+    "text_hybrid_rrf", "vs_search_grouped", "vs_recommend",
+    "dedup_incremental", "text_decontam", "ev_heavy_hitters")
 }

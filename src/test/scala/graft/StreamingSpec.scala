@@ -195,6 +195,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("collection ingest recovers from its checkpoint after a restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val (collPath, ckpt) = (base + "/coll", base + "/ckpt")
+    val input = MemoryStream[Point]
+    val q1 = StreamOps.startCollectionIngest(input.toDF(), collPath, ckpt)
+    try {
+      input.addData(
+        Point(1, 101, 10, 0, "a", Seq(1.0, 0.0)),
+        Point(2, 201, 20, 0, "b", Seq(0.0, 1.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // new query, same checkpoint: committed batches are not re-applied,
+    // new batches land — the micro-batch merge is restart-safe
+    val q2 = StreamOps.startCollectionIngest(input.toDF(), collPath, ckpt)
+    try {
+      input.addData(Point(1, 102, 11, 0, "c", Seq(0.5, 0.5)))
+      q2.processAllAvailable()
+      val rows = graft.store.CollectionStorage.load(s, collPath)
+        .select("user_id", "vector_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 101L), (2L, 201L), (1L, 102L)))
+    } finally q2.stop()
+  }
+
   test("streaming prep pipeline equals batch normalize+quality+dedup") {
     val s = spark
     import s.implicits._

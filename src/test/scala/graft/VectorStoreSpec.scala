@@ -27,6 +27,43 @@ class VectorStoreSpec extends SparkSpec {
     assert(restricted.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(10L))
   }
 
+  test("tenant isolation: no surface ever returns another user's points") {
+    // the property the reference's per-user collections exist for
+    val q = VectorStore.queryVecOf(spark, sfDir, 42)
+    (0L until 8L).foreach { u =>
+      val hit = VectorStore.search(pts, u, q, limit = 1000)
+        .select("vector_id").collect().map(_.getLong(0))
+      assert(hit.nonEmpty && hit.forall(_ % 8 == u), s"user $u leaked")
+    }
+    val grouped = VectorStore.searchGrouped(pts, 3, q, groups = 100)
+      .select("vector_id").collect().map(_.getLong(0))
+    assert(grouped.forall(_ % 8 == 3))
+    val rec = VectorStore.recommend(pts, 2, Seq(10L, 18L), Seq(34L), 1000)
+      .select("vector_id").collect().map(_.getLong(0))
+    assert(rec.forall(_ % 8 == 2) && !rec.exists(Set(10L, 18L, 34L)))
+  }
+
+  test("edge cases: empty search, nonexistent deletes, scroll past end") {
+    val q = VectorStore.queryVecOf(spark, sfDir, 42)
+    // user with no points: every read surface returns empty, no error
+    assert(VectorStore.search(pts, 999, q, 10).count() == 0)
+    assert(VectorStore.scroll(pts, 999, 10).count() == 0)
+    // deleting ids that don't exist is a no-op
+    val before = pts.count()
+    assert(VectorStore.deleteByIds(pts, 2, Seq(99999991L, 99999992L)).count() == before)
+    // keyset scroll past the last id is empty
+    val maxId = pts.filter(col("user_id") === 2)
+      .agg(max("vector_id")).head().getLong(0)
+    assert(VectorStore.scrollAfter(pts, 2, maxId, 10).count() == 0)
+  }
+
+  test("recommend without negatives equals mean-of-positives search") {
+    val rec = VectorStore.recommend(pts, 2, Seq(10L, 18L), Nil, 5).collect()
+    assert(rec.length == 5 && !rec.map(_.getAs[Long]("vector_id")).exists(Set(10L, 18L)))
+    val scores = rec.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+  }
+
   test("upsert replaces points with matching key and keeps others") {
     val before = pts.count()
     val batch = pts.filter(col("user_id") === 2 && col("doc_id") === 2)
