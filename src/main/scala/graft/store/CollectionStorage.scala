@@ -79,6 +79,57 @@ object CollectionStorage {
       }.toMap
   }
 
+  // ---- snapshot versions ------------------------------------------
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Snapshot versions present under a versioned collection root. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, path)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted.toSeq
+  }
+
+  /** Write the next snapshot version of a collection. Readers of any
+    * existing version are untouched (old `v=N` directories are
+    * immutable once written) and a version becomes visible only when
+    * its directory write completes — the cheap file-layout form of
+    * snapshot isolation + time travel, with no transaction log.
+    * Dynamic-partition-overwrite mutations stay available WITHIN a
+    * version; versioning bounds the blast radius of a bad pipeline
+    * run to "roll back = read the previous v".
+    */
+  def writeSnapshot(points: DataFrame, path: String): Long = {
+    val next = versions(points.sparkSession, path).lastOption.getOrElse(-1L) + 1
+    write(points, s"$path/v=$next")
+    next
+  }
+
+  /** Load a snapshot (default: latest). */
+  def loadSnapshot(spark: SparkSession, path: String,
+                   version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshots under $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"snapshot v=$v not in $vs")
+    load(spark, s"$path/v=$v")
+  }
+
+  /** Drop snapshots older than the newest `keep` (retention). */
+  def expireSnapshots(spark: SparkSession, path: String, keep: Int): Seq[Long] = {
+    val vs = versions(spark, path)
+    val drop = vs.dropRight(keep)
+    val fs = fsOf(spark, path)
+    drop.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$path/v=$v"), true))
+    drop
+  }
+
   /** Collection names = partition values — metadata-only at scale. */
   def listUserIds(spark: SparkSession, path: String): Seq[Long] =
     load(spark, path).select("user_id").distinct()

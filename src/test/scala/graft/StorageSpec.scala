@@ -54,6 +54,29 @@ class StorageSpec extends SparkSpec {
       .filter(col("user_id") === 42).count() == incoming.count())
   }
 
+  test("snapshot versions: time travel, rollback read, retention") {
+    val s = spark
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/coll"
+    val pts = graft.store.VectorStore.points(s, sfDir)
+    val v0 = graft.store.CollectionStorage.writeSnapshot(pts, base)
+    val v1 = graft.store.CollectionStorage.writeSnapshot(
+      graft.store.VectorStore.deleteCollection(pts, 3), base)
+    assert(v0 == 0L && v1 == 1L)
+    val latest = graft.store.CollectionStorage.loadSnapshot(s, base)
+    assert(latest.filter(col("user_id") === 3).count() == 0)
+    // time travel: v0 still has user 3 (old versions immutable)
+    val old = graft.store.CollectionStorage.loadSnapshot(s, base, Some(0L))
+    assert(old.filter(col("user_id") === 3).count() > 0)
+    assert(old.count() == pts.count())
+    // retention: keep only the newest
+    val dropped = graft.store.CollectionStorage.expireSnapshots(s, base, keep = 1)
+    assert(dropped == Seq(0L))
+    assert(graft.store.CollectionStorage.versions(s, base) == Seq(1L))
+    intercept[IllegalArgumentException] {
+      graft.store.CollectionStorage.loadSnapshot(s, base, Some(0L))
+    }
+  }
+
   test("DocumentStore: upsert text chunks then find them by text query") {
     val s = spark
     import s.implicits._
