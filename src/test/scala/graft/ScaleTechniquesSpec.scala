@@ -55,6 +55,26 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(kept >= matching && kept < total / 2, s"kept=$kept of $total, matching=$matching")
   }
 
+  test("totally-ordered export: ranges disjoint across partitions, sorted within") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.ops.Export.totallyOrdered(docs, 4, col("doc_id"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan) // sampled splits, no single reducer
+    val perPart = out.select(col("doc_id"),
+        org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .collect().map(r => (r.getInt(1), r.getLong(0)))
+    val byPart = perPart.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (p, rows) => (p, rows.map(_._2).toSeq) }
+    // sorted within each partition
+    byPart.foreach { case (_, ids) => assert(ids == ids.sorted) }
+    // disjoint, increasing ranges across partitions
+    byPart.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a.last <= b.head)
+      case _ =>
+    }
+    assert(byPart.map(_._2.size).sum == docs.count())
+  }
+
   test("bucketed tables join without an exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh.contains("graft-wh"), s"warehouse should be temp: $wh")
