@@ -914,6 +914,72 @@ object SparkEntry {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // z-score outlier counting per event type (3σ rule)
+    // robust outliers: median absolute deviation (3×MAD rule) —
+    // immune to the heavy tail that inflates stddev in ev_outliers;
+    // med/mad rounded to 6 BEFORE the comparison so the boundary
+    // test is bit-identical in both engines
+    "stat_mad" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val med = ev.groupBy(col("event_type").as("et"))
+          .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+        val mad = ev.join(broadcast(med), col("event_type") === col("et"))
+          .select(col("event_type").as("et2"), abs(col("value") - col("med")).as("dev"))
+          .groupBy("et2")
+          .agg(round(expr("percentile(dev, 0.5D)"), 6).as("mad"))
+        ev.join(broadcast(med), col("event_type") === col("et"))
+          .join(broadcast(mad), col("event_type") === col("et2"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max("med").as("med"), max("mad").as("mad"),
+               sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+                 .otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH med AS (SELECT event_type AS et, round(quantile_cont(value, 0.5), 6) AS med
+             |             FROM events GROUP BY event_type),
+             |mad AS (SELECT event_type AS et2, round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+             |        FROM events JOIN med ON event_type = et GROUP BY event_type)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(med) AS med, max(mad) AS mad,
+             |       CAST(sum(CASE WHEN abs(value - med) > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM events JOIN med ON event_type = et JOIN mad ON event_type = et2
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // OHLC resampling: 1h bars per event type (open/close by first/
+    // last event in the bar, ties broken by event_id; per-bar windows
+    // are bounded, never global)
+    "ts_ohlc" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("value"), col("event_id"),
+                  expr("ts DIV 1000").as("ats"))
+          .withColumn("bucket", expr("ats DIV 3600000000"))
+        val wo = Window.partitionBy("event_type", "bucket")
+          .orderBy(col("ats"), col("event_id"))
+        val wc = Window.partitionBy("event_type", "bucket")
+          .orderBy(col("ats").desc, col("event_id").desc)
+        ev.withColumn("ro", row_number().over(wo))
+          .withColumn("rc", row_number().over(wc))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n"),
+               max(when(col("ro") === 1, col("value"))).as("open"),
+               round(max("value"), 4).as("high"),
+               round(min("value"), 4).as("low"),
+               max(when(col("rc") === 1, col("value"))).as("close"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+             |       max(CASE WHEN ro = 1 THEN value END) AS open,
+             |       round(max(value), 4) AS high, round(min(value), 4) AS low,
+             |       max(CASE WHEN rc = 1 THEN value END) AS close
+             |FROM (
+             |  SELECT event_type, value, epoch_us(ts) // 3600000000 AS bucket,
+             |         row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000
+             |                            ORDER BY epoch_us(ts), event_id) AS ro,
+             |         row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000
+             |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rc
+             |  FROM events)
+             |GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin)),
+
     "ev_outliers" -> Q(
       (s, d) => {
         val stats = Tables.events(s, d).groupBy(col("event_type").as("et"))
