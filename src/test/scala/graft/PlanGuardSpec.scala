@@ -116,4 +116,22 @@ class PlanGuardSpec extends SparkSpec {
     val p = plan("dedup_incremental")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("grouped search windows per doc and bounds the final ordering") {
+    val p = plan("vs_search_grouped")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the rank window is partitioned by doc_id — never a global sort
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    assert(p.contains("PartitionFilters") && p.contains("user_id"), p)
+  }
+
+  test("hybrid RRF ranks only bounded lists (three TakeOrdered bounds)") {
+    val p = plan("text_hybrid_rrf")
+    // both retrieval legs are bounded top-20 BEFORE their rank
+    // windows, and the fusion itself is a bounded top-10 — so the
+    // plan carries (at least) three TakeOrderedAndProject nodes and
+    // its global rank windows only ever see ≤20 rows
+    val takes = "TakeOrderedAndProject".r.findAllIn(p).size
+    assert(takes >= 3, s"expected >=3 TakeOrderedAndProject, got $takes\n$p")
+  }
 }

@@ -195,6 +195,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("heavy-hitters sketch aggregates incrementally across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val types = Seq("click", "view", "click", "purchase", "click", "view")
+    val input = MemoryStream[String]
+    val query = input.toDF().toDF("event_type")
+      .agg(graft.ops.HeavyHitters.heavyHitters(16)(col("event_type")).as("hh"))
+      .writeStream.format("memory").queryName("hhstream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(types.take(3))
+      query.processAllAvailable()
+      input.addData(types.drop(3))
+      query.processAllAvailable()
+      val last = s.sql("SELECT explode(hh) AS h FROM hhstream")
+        .select("h.key", "h.count", "h.err").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // m exceeds the domain → exact counts with zero error, merged
+      // across the two micro-batches
+      assert(last.toSet == Set(("click", 3L, 0L), ("view", 2L, 0L), ("purchase", 1L, 0L)))
+    } finally query.stop()
+  }
+
   test("collection ingest recovers from its checkpoint after a restart") {
     val s = spark
     import s.implicits._
