@@ -2113,6 +2113,34 @@ object SparkEntry {
 
       // per-dimension mean/spread of the embedding column — the
       // distribution-drift monitor for embedding pipelines
+      // one matrix-free power-iteration step toward the top principal
+      // direction: v' ∝ Σ_rows x·(x·v₀), v₀ = e₀ — distributed linear
+      // algebra as a per-dimension sum aggregate (the Krylov/momentum
+      // building block for drift monitoring without MLlib), rounded
+      // before normalization so both engines normalize identical sums
+      "emb_power_iter" -> Q(
+        (s, d) => {
+          val sums = Tables.embeddings(s, d)
+            .select(posexplode(col("embedding")).as(Seq("i", "x")),
+                    element_at(col("embedding"), 1).cast("double").as("x0"))
+            .groupBy(col("i").cast("long").as("i"))
+            .agg(round(sum(col("x").cast("double") * col("x0")), 4).as("sj"))
+          val norm = sums.agg(round(sqrt(sum(col("sj") * col("sj"))), 4).as("nn"))
+          sums.crossJoin(broadcast(norm))
+            .select(col("i"), col("sj"), round(col("sj") / col("nn"), 6).as("vj"))
+            .orderBy("i")
+        },
+        Some("""WITH sums AS (
+               |  SELECT CAST(i - 1 AS BIGINT) AS i, round(sum(x * x0), 4) AS sj
+               |  FROM (SELECT generate_subscripts(embedding, 1) AS i,
+               |               CAST(unnest(embedding) AS DOUBLE) AS x,
+               |               CAST(embedding[1] AS DOUBLE) AS x0
+               |        FROM embeddings)
+               |  GROUP BY i),
+               |norm AS (SELECT round(sqrt(sum(sj * sj)), 4) AS nn FROM sums)
+               |SELECT i, sj, round(sj / nn, 6) AS vj
+               |FROM sums, norm ORDER BY i""".stripMargin)),
+
       "emb_dim_stats" -> Q(
         (s, d) => Tables.embeddings(s, d)
           .select(posexplode(col("embedding")).as(Seq("i", "x")))
