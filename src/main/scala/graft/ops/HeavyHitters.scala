@@ -66,22 +66,26 @@ object HeavyHitters {
     override def merge(a: Sketch, b: Sketch): Sketch = {
       if (a.keys.isEmpty) return b
       if (b.keys.isEmpty) return a
-      val acc = collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-      var i = 0
-      while (i < a.keys.length) {
-        acc(a.keys(i)) = (a.counts(i), a.errs(i)); i += 1
+      // A key absent from a FULL sketch may have been evicted holding
+      // up to that sketch's minimum counter — the absent side must
+      // contribute its min as (count=min, err=min), not 0, or merged
+      // counts undercount the truth (the mergeable-summaries
+      // construction; caught by HeavyHittersPropSpec). A non-full
+      // sketch never evicted, so absence there is a true zero.
+      val minA = if (a.keys.length >= m) a.counts.min else 0L
+      val minB = if (b.keys.length >= m) b.counts.min else 0L
+      val inA = a.keys.zipWithIndex.toMap
+      val inB = b.keys.zipWithIndex.toMap
+      val acc = (a.keys ++ b.keys).distinct.map { k =>
+        val (ca, ea) = inA.get(k)
+          .map(i => (a.counts(i), a.errs(i))).getOrElse((minA, minA))
+        val (cb, eb) = inB.get(k)
+          .map(i => (b.counts(i), b.errs(i))).getOrElse((minB, minB))
+        (k, (ca + cb, ea + eb))
       }
-      i = 0
-      while (i < b.keys.length) {
-        val prev = acc.get(b.keys(i))
-        acc(b.keys(i)) = prev match {
-          case Some((c, e)) => (c + b.counts(i), e + b.errs(i))
-          case None         => (b.counts(i), b.errs(i))
-        }
-        i += 1
-      }
-      val kept = acc.toArray.sortBy { case (k, (c, _)) => (-c, k) }.take(m)
-      Sketch(kept.map(_._1), kept.map(_._2._1), kept.map(_._2._2))
+      val kept = acc.sortBy { case (k, (c, _)) => (-c, k) }.take(m)
+      Sketch(kept.map(_._1).toArray, kept.map(_._2._1).toArray,
+             kept.map(_._2._2).toArray)
     }
 
     override def finish(s: Sketch): Seq[Item] =
