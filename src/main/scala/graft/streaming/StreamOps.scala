@@ -160,6 +160,24 @@ object StreamOps {
       }
   }
 
+  /** Streaming windowed top-k ("trending now"): per-hour event counts
+    * per user, then the k most active users per hour — TWO chained
+    * stateful aggregations (Spark 3.4+ append-mode support for
+    * stacked time-window aggregates), with the second stage's state
+    * bounded at k rows per window by the TopK partial aggregate. The
+    * shuffle between stages carries one row per (window, user); the
+    * sink receives k rows per window when the watermark closes it.
+    */
+  def windowedTopUsers(events: DataFrame, k: Int): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("event_time", "30 minutes")
+      .groupBy(window(col("event_time"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("window"), "1 hour"))
+      .agg(graft.ops.TopK.topk(k)(col("n").cast("double"), col("user_id"))
+        .as("top_users"))
+
   /** Streaming training-data prep: normalize → quality-filter →
     * first-seen exact dedup on the NORMALIZED content hash, end to
     * end as one incremental plan. Everything before the stateful

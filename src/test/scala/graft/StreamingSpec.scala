@@ -195,6 +195,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("chained windowed top-k: most active users per closed hour window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamOps.windowedTopUsers(input.toDF(), k = 2)
+      .writeStream.format("memory").queryName("topusers")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 0: user 1 ×3, user 2 ×2, user 3 ×1
+      input.addData(
+        Event(1, 0L, 1, "click", 1.0), Event(2, 1L * 60 * 1000000000L, 1, "view", 1.0),
+        Event(3, 2L * 60 * 1000000000L, 1, "click", 1.0),
+        Event(4, 3L * 60 * 1000000000L, 2, "click", 1.0),
+        Event(5, 4L * 60 * 1000000000L, 2, "view", 1.0),
+        Event(6, 5L * 60 * 1000000000L, 3, "click", 1.0))
+      query.processAllAvailable()
+      // advance past hour 0 + 30min watermark so the window closes
+      input.addData(Event(7, 2 * H, 9, "click", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(8, 4 * H, 9, "click", 1.0))
+      query.processAllAvailable()
+      val rows = s.sql(
+        """SELECT window.start, inline(top_users) FROM topusers""").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getDouble(1), r.getLong(2)))
+      val hour0 = rows.filter(_._1 == 0L).map(t => (t._2, t._3)).toSeq
+      assert(hour0 == Seq((3.0, 1L), (2.0, 2L)), s"got ${rows.toSeq}")
+    } finally query.stop()
+  }
+
   test("heavy-hitters sketch aggregates incrementally across micro-batches") {
     val s = spark
     import s.implicits._
