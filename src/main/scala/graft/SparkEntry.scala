@@ -950,6 +950,40 @@ object SparkEntry {
              |FROM events JOIN med ON event_type = et JOIN mad ON event_type = et2
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // mergeable approximate-quantile sketch (deterministic KLL/MRL
+    // compactors, ops/QuantileSketch.scala): the sketch shuffles
+    // O(k·log(n/k)) values per partition instead of sorting the group.
+    // The oracled subset is bounded (≤ k values per group), where the
+    // sketch is provably EXACT under any partitioning and matches
+    // DuckDB quantile_disc bit-for-bit — the ev_heavy_hitters pattern;
+    // the rank-error bound under real compaction is property-tested
+    // (QuantileSketchPropSpec)
+    "stat_approx_quantiles" -> Q(
+      (s, d) => {
+        val qagg = graft.ops.QuantileSketch.approxQuantiles(
+          1024, Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        Tables.events(s, d).filter(col("user_id") < 40)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), qagg(col("value")).as("qs"))
+          .select(col("event_type"), col("n"),
+            element_at(col("qs"), 1).as("q10"),
+            element_at(col("qs"), 2).as("q25"),
+            element_at(col("qs"), 3).as("q50"),
+            element_at(col("qs"), 4).as("q75"),
+            element_at(col("qs"), 5).as("q90"),
+            element_at(col("qs"), 6).as("q99"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       quantile_disc(value, 0.1) AS q10,
+             |       quantile_disc(value, 0.25) AS q25,
+             |       quantile_disc(value, 0.5) AS q50,
+             |       quantile_disc(value, 0.75) AS q75,
+             |       quantile_disc(value, 0.9) AS q90,
+             |       quantile_disc(value, 0.99) AS q99
+             |FROM events WHERE user_id < 40
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // OHLC resampling: 1h bars per event type (open/close by first/
     // last event in the bar, ties broken by event_id; per-bar windows
     // are bounded, never global)
