@@ -69,6 +69,12 @@ object Bench {
     // one-time write
     try graft.store.VectorStore.pointsPartitioned(spark, sfDir).count()
     catch { case _: Throwable => }
+    // same for the ANN indexes: the bucket/cell-partitioned tables are
+    // write-time state; the timed queries measure pruned probes
+    try {
+      graft.ann.AnnIndex.lshPartitioned(spark, sfDir, 6, 64).count()
+      graft.ann.AnnIndex.ivfPartitioned(spark, sfDir, 4).count()
+    } catch { case _: Throwable => }
     def time(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }

@@ -2070,9 +2070,12 @@ object SparkEntry {
                |  FROM sc)
                |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
+      // served from the bucket-PARTITIONED materialized index: the
+      // probe neighborhood equi-joins the partition column, so the
+      // measured plan prunes unprobed buckets (plan-guarded)
       "ann_lsh_bucketed" -> Q(
-        (s, d) => Ann.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L),
-          nPlanes = 6, dim = 64, probeDist = 1, k = 3),
+        (s, d) => graft.ann.AnnIndex.lshTopKIndexed(s, d, Seq(0L, 1L, 2L),
+          nPlanes = 6, dim = 64, k = 3),
         Some("""WITH planes AS (
                |  SELECT p, list_transform(generate_series(0, 63), dd ->
                |    (('0x' || substr(md5(concat_ws('_', 'pl', p, dd)), 1, 15))::BIGINT % 2001 - 1000) / 1000.0) AS w
@@ -2408,8 +2411,10 @@ object SparkEntry {
              |WHERE rnk <= 5 ORDER BY rnk""".stripMargin
         }),
 
+      // served from the cell-PARTITIONED materialized index: probed
+      // cells equi-join the partition column (pruned I/O, plan-guarded)
       "ann_ivf_probe" -> Q(
-        (s, d) => Ann.ivfProbe(Tables.embeddings(s, d),
+        (s, d) => graft.ann.AnnIndex.ivfProbeIndexed(s, d,
           nCents = 4, qid = 42L, nprobe = 2, k = 5),
         Some("""WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
                |               FROM embeddings WHERE vec_id < 4),

@@ -125,6 +125,17 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("user_id"), p)
   }
 
+  test("ANN queries read a partitioned index with pruning on the probe column") {
+    // the LSH probe neighborhood / IVF probe cells equi-join the
+    // PARTITION column of the materialized index, so the scan must
+    // carry a dynamic partition-pruning filter — unprobed buckets and
+    // cells are never opened
+    val p = plan("ann_lsh_bucketed")
+    assert(p.contains("dynamicpruningexpression(bucket"), p)
+    val pi = plan("ann_ivf_probe")
+    assert(pi.contains("dynamicpruningexpression(cid"), pi)
+  }
+
   test("hybrid RRF ranks only bounded lists (three TakeOrdered bounds)") {
     val p = plan("text_hybrid_rrf")
     // both retrieval legs are bounded top-20 BEFORE their rank
