@@ -28,6 +28,24 @@ class EmbedderSpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-9))
   }
 
+  test("embedder seam: chunk→embed→search runs unchanged on both implementations") {
+    import graft.embed.{CharFreqEmbedder, Embedder, HashingEmbedder}
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 50)
+    // query text = the exact content of doc 3's first chunk: with a
+    // correct embedDocs/embedText parity the self-match MUST rank
+    // first with score 1.0 — for EVERY implementation of the trait
+    val queryText = graft.text.Chunker.chunkDocs(docs, 500, 400)
+      .filter(col("doc_id") === 3 && col("chunk_id") === 0)
+      .select("chunk").head().getString(0)
+    Seq(new HashingEmbedder(), new CharFreqEmbedder()).foreach { e =>
+      val top = Embedder.chunkEmbedSearch(docs, e, 500, 400, queryText, 5)
+        .collect()
+      assert(top.length == 5, e.getClass.getSimpleName)
+      assert(top.head.getAs[Long]("ckey") == 3000L, e.getClass.getSimpleName)
+      assert(top.head.getAs[Double]("score") == 1.0, e.getClass.getSimpleName)
+    }
+  }
+
   test("query-by-text: self-match scores 1.0") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") === 3)
     val text = docs.select("text").head().getString(0)
