@@ -39,6 +39,8 @@ object ColumnBridge {
     * the exact extension builders against the shared test session.
     */
   def installFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
-      spark: org.apache.spark.sql.SparkSession): Unit =
+      spark: org.apache.spark.sql.SparkSession): Unit = {
     ext.registerFunctions(spark.sessionState.functionRegistry)
+    ext.registerTableFunctions(spark.sessionState.tableFunctionRegistry)
+  }
 }

@@ -62,6 +62,80 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaBloom == exact && exact > 0)
   }
 
+  test("extension-injected heavy_hitters and approx_quantiles work from pure SQL") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.graftbridge.ColumnBridge.installFunctions(ext, spark)
+    Tables.events(spark, sfDir).createOrReplaceTempView("ev_ext")
+
+    // m = 8 exceeds the 5-type domain → the sketch is exact, err = 0
+    val viaSketch = spark.sql(
+      """SELECT inline(heavy_hitters(event_type, 8)) FROM ev_ext""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = spark.sql(
+      """SELECT event_type, count(*) AS c FROM ev_ext
+        |GROUP BY event_type ORDER BY c DESC, event_type""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), 0L))
+    assert(viaSketch.toSeq == exact.toSeq)
+
+    // k = 4096 exceeds the bounded subset → exact median under the
+    // quantile_disc rank rule (r-th smallest, r = max(ceil(p·n), 1))
+    val med = spark.sql(
+      """SELECT element_at(approx_quantiles(value, 4096, 0.5), 1)
+        |FROM ev_ext WHERE user_id < 10""".stripMargin).head().getDouble(0)
+    val vals = spark.sql("SELECT value FROM ev_ext WHERE user_id < 10")
+      .collect().map(_.getDouble(0)).sorted
+    assert(med == vals(math.ceil(0.5 * vals.length).toInt - 1))
+  }
+
+  test("extension-injected asof_join / range_join / minhash_sigs TVFs match the Column API") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.graftbridge.ColumnBridge.installFunctions(ext, spark)
+    val ev = Tables.events(spark, sfDir).filter(col("user_id") < 20)
+    ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id").createOrReplaceTempView("tvf_l")
+    ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("rv"))
+      .createOrReplaceTempView("tvf_r")
+
+    val viaSql = spark.sql(
+      """SELECT user_id, event_id, asof.rv AS rv
+        |FROM asof_join('tvf_l', 'tvf_r', 'user_id', 'ts', 'ts')""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    val viaApi = graft.ops.Joins.asofJoin(
+        spark.table("tvf_l"), spark.table("tvf_r"), Seq("user_id"), "ts", "ts")
+      .select(col("user_id"), col("event_id"), col("asof.rv").as("rv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), (col("ts") - 3600000000000L).as("st"),
+              col("ts").as("en"), col("event_id").as("iid"))
+      .createOrReplaceTempView("tvf_iv")
+    val rjSql = spark.sql(
+      """SELECT user_id, event_id, iid
+        |FROM range_join('tvf_l', 'tvf_iv', 'user_id', 'ts', 'st', 'en',
+        |                600000000000)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rjApi = graft.ops.Joins.rangeJoinBucketed(
+        spark.table("tvf_l"), spark.table("tvf_iv"),
+        Seq("user_id"), "ts", "st", "en", 600000000000L)
+      .select("user_id", "event_id", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rjSql == rjApi && rjSql.nonEmpty)
+
+    Tables.documents(spark, sfDir).filter(col("doc_id") < 50)
+      .createOrReplaceTempView("tvf_docs")
+    val mhSql = spark.sql(
+      "SELECT * FROM minhash_sigs('tvf_docs', 'doc_id', 'text', 5, 8)")
+      .collect().map(_.toSeq).toSet
+    val mhApi = graft.dedup.Dedup.minhashSignatures(
+        spark.table("tvf_docs"), 5, 8)
+      .collect().map(_.toSeq).toSet
+    assert(mhSql == mhApi && mhSql.size == 50)
+  }
+
   test("capped ngram jaccard matches uncapped when no shingle is hot") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
     val total = docs.count().toInt
