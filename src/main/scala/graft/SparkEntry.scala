@@ -1808,6 +1808,31 @@ object SparkEntry {
                |  FROM documents)
                |GROUP BY source ORDER BY source""".stripMargin)),
 
+      // global uniform m-sample as a mergeable bottom-k (the
+      // deterministic distributed reservoir): m smallest content
+      // hashes win; plans as TakeOrderedAndProject (m rows per
+      // partition shuffle)
+      "samp_bottomk" -> Q(
+        (s, d) => graft.ops.Sampling.bottomK(Tables.documents(s, d), "doc_id", 20)
+          .select("doc_id", "h", "source"),
+        Some("""SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+               |       source
+               |FROM documents ORDER BY h, doc_id LIMIT 20""".stripMargin)),
+
+      // weighted sample without replacement via exponential clocks
+      // (A-ES): P(selected) ∝ n_chars, no global weight total needed;
+      // clock rounded before selection so both engines pick the same
+      // winners
+      "samp_weighted" -> Q(
+        (s, d) => graft.ops.Sampling.weightedSample(
+            Tables.documents(s, d), "doc_id", col("n_chars"), 20)
+          .select("doc_id", "clock", "n_chars"),
+        Some("""SELECT doc_id,
+               |       round(-ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               |                  % 1000000 + 1) / 1000000.0) / n_chars, 6) AS clock,
+               |       n_chars
+               |FROM documents ORDER BY clock, doc_id LIMIT 20""".stripMargin)),
+
       // fixed-size/overlap chunker — produces the (doc_id, chunk_id)
       // keys the reference's ingest surface expects
       "text_chunking" -> Q(

@@ -41,6 +41,37 @@ object Sampling {
     draw < rateBp
   }
 
+  /** Global uniform m-sample as a mergeable bottom-k: the m rows with
+    * the smallest content-stable hash win. Plans as
+    * TakeOrderedAndProject — each map task keeps an m-heap and the
+    * heaps merge, so the shuffle is m rows per partition: the
+    * distributed equivalent of reservoir sampling, but deterministic
+    * under re-runs, repartitioning, and incremental appends (a
+    * rand()-based reservoir is none of those).
+    */
+  def bottomK(df: DataFrame, idCol: String, m: Int): DataFrame =
+    df.withColumn("h", md5Long(col(idCol).cast("string")))
+      .orderBy(col("h"), col(idCol))
+      .limit(m)
+
+  /** Deterministic weighted sample without replacement (the
+    * exponential-clocks scheme, a.k.a. A-ES — Efraimidis & Spirakis,
+    * IPL 2006): each row draws u ∈ (0,1] from its content-stable hash
+    * and receives clock −ln(u)/w; the m smallest clocks win, giving
+    * inclusion probability proportional to w without any global
+    * weight total. Same mergeable bottom-k execution as [[bottomK]].
+    * The clock is rounded to 6 decimals BEFORE selection (id
+    * tiebreak), so the winner set is bit-identical across engines.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     m: Int): DataFrame = {
+    val u = (md5Long(concat(lit("ws:"), col(idCol).cast("string"))) % 1000000L
+      + 1L) / lit(1000000.0)
+    df.withColumn("clock", round(-log(u) / weight, 6))
+      .orderBy(col("clock"), col(idCol))
+      .limit(m)
+  }
+
   /** At most `perGroup` rows per group, chosen by hash order (a
     * deterministic uniform draw within each group). The shuffle
     * carries only group partitions; at scale swap the window for the
