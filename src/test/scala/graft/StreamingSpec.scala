@@ -249,6 +249,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("quantile sketch aggregates incrementally across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Double]
+    val query = input.toDF().toDF("v")
+      .agg(graft.ops.QuantileSketch.approxQuantiles(64, Seq(0.5, 0.9))(col("v"))
+        .as("qs"))
+      .writeStream.format("memory").queryName("qsketch")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(5.0, 1.0, 3.0)
+      query.processAllAvailable()
+      input.addData(2.0, 4.0, 6.0)
+      query.processAllAvailable()
+      val qs = s.sql("SELECT element_at(qs, 1), element_at(qs, 2) FROM qsketch")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      // n = 6 ≤ k → exact under the quantile_disc rank rule, merged
+      // across the two micro-batches: r(0.5) = 3 → 3.0, r(0.9) = 6 → 6.0
+      assert(qs.last == ((3.0, 6.0)), qs.toSeq)
+    } finally query.stop()
+  }
+
   test("collection ingest recovers from its checkpoint after a restart") {
     val s = spark
     import s.implicits._
