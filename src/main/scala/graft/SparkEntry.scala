@@ -1767,6 +1767,36 @@ object SparkEntry {
                 |       CAST(sum(n_tok) AS BIGINT) AS sum_tok
                 |FROM sp GROUP BY split ORDER BY split""".stripMargin)),
 
+      // sequence packing for pretraining batches: concat-then-chunk
+      // layout — each doc is assigned the 512-token context window its
+      // first token lands in; the global prefix sum is a two-level
+      // scan (bounded per-block windows + a blockSize-reduced offset
+      // table), never a full-data global window (ops/Packing.scala)
+      "pipe_pack_sequences" -> Q(
+        (s, d) => {
+          val toks = Tables.documents(s, d).select(col("doc_id"),
+            size(graft.text.TextPrimitives.tokens(col("text"))).cast("long").as("n_tok"))
+          graft.ops.Packing.packSequences(toks, "doc_id", "n_tok", 512L, 100L)
+            .groupBy("pack_id")
+            .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tok"),
+                 min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+            .orderBy("pack_id")
+        },
+        Some("""WITH t AS (
+               |  SELECT doc_id,
+               |         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok
+               |  FROM documents),
+               |o AS (
+               |  SELECT doc_id, n_tok,
+               |         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+               |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+               |  FROM t)
+               |SELECT off // 512 AS pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+               |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+               |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+               |       CAST(max(doc_id) AS BIGINT) AS last_doc
+               |FROM o GROUP BY pack_id ORDER BY pack_id""".stripMargin)),
+
       // deterministic hash-based train/val/test split (stable across
       // runs/partitioning — never rand())
       "samp_hash_split" -> Q(
@@ -2121,6 +2151,38 @@ object SparkEntry {
                |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
                |  FROM cand)
                |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)),
+
+      // contrastive hard-negative mining: for each anchor, the
+      // highest-cosine vector with a DIFFERENT label — the negative a
+      // contrastive/triplet trainer wants. Same bounded TopK partial
+      // aggregate as batched search (k=1 row per partition per anchor)
+      "emb_hard_negatives" -> Q(
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+          val anchors = emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+                    col("label").as("qlab"))
+          val agg = graft.ops.TopK.topk(1)
+          emb.crossJoin(broadcast(anchors))
+            .filter(col("label") =!= col("qlab"))
+            .select(col("qid"),
+              graft.functions.VectorFunctions.score(col("embedding"), col("qv")).as("score"),
+              col("vec_id"))
+            .groupBy("qid")
+            .agg(agg(col("score"), col("vec_id")).as("top"))
+            .select(col("qid"), explode(col("top")))
+            .select(col("qid"), col("col.id").as("vec_id"), col("col.score").as("score"))
+            .orderBy("qid")
+        },
+        Some("""WITH a AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlab
+               |           FROM embeddings WHERE vec_id < 10),
+               |sc AS (SELECT qid, e.vec_id,
+               |              round(list_cosine_similarity(e.embedding::DOUBLE[], qv), 6) + 0.0 AS score
+               |       FROM embeddings e, a WHERE e.label <> a.qlab)
+               |SELECT qid, vec_id, score FROM (
+               |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+               |  FROM sc)
+               |WHERE rn = 1 ORDER BY qid""".stripMargin)),
 
       // embedding analytics: per-label centroid + intra-cluster
       // cohesion (training-data quality / drift monitoring)

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining batches: documents are laid out
+  * consecutively in a token stream (id order) and each one is
+  * assigned the context window its first token lands in —
+  * pack_id = exclusive-prefix-sum(tokens) DIV capacity, the
+  * concat-then-chunk packing GPT-style pipelines use.
+  *
+  * The global prefix sum is the textbook two-level scan, not a global
+  * window: a bounded per-block running sum (block = id DIV blockSize,
+  * keyed window) plus a cumulative offset over the per-block totals —
+  * a frame already reduced by a factor of blockSize. At 100 TB the
+  * reduced frame is rows/blockSize (one more level of the same scan
+  * if even that is large); nothing ever moves the full data to one
+  * partition.
+  */
+object Packing {
+
+  /** (idCol, tok, pack_id) for every row; `tokCol` must be a
+    * non-negative integral token count.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokCol: String,
+                    capacity: Long, blockSize: Long): DataFrame = {
+    val withBlk = docs.select(col(idCol),
+      col(tokCol).cast("long").as("tok"),
+      expr(s"$idCol DIV $blockSize").as("_blk"))
+    val wIn = Window.partitionBy("_blk").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlk = Window.orderBy("_blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-block totals: rows/blockSize rows — the reduced second level
+    val offsets = withBlk.groupBy("_blk").agg(sum("tok").as("_bt"))
+      .withColumn("_boff", coalesce(sum("_bt").over(wBlk), lit(0L)))
+      .select("_blk", "_boff")
+    withBlk.withColumn("_cum", sum("tok").over(wIn))
+      .join(broadcast(offsets), "_blk")
+      .select(col(idCol), col("tok"),
+        expr(s"(_boff + _cum - tok) DIV $capacity").as("pack_id"))
+  }
+}

@@ -23,7 +23,10 @@ class WindowGuardSpec extends SparkSpec {
     * - RRF rank fusion over two ≤20-row retrieval lists (Hybrid.scala)
     */
   private val allowed = Set(
-    "ann_ivf_probe", "text_vocab", "vec_pq_adc", "text_hybrid_rrf")
+    "ann_ivf_probe", "text_vocab", "vec_pq_adc", "text_hybrid_rrf",
+    // second level of the two-level prefix-sum scan: its input is the
+    // per-block total table, already reduced by blockSize (Packing)
+    "pipe_pack_sequences")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
