@@ -85,13 +85,21 @@ object Bench {
       val ts = (1 to runs).map(_ => time(name)).sorted
       name -> (ts(ts.size / 2), ts.head, ts.last)
     }
-    val qs = results.map { case (k, (med, _, _)) => s"\"$k\":$med" }
+    // Medians at 3 decimals: the final line must stay well under the
+    // driver's tail-capture window (~2 KB) or it records parsed:null
+    // and the next round's baseline compare goes blind (this exact
+    // failure hit rounds 5-6). Full [min,max] spreads go to an EARLIER
+    // stdout line; only the compact summary is last.
+    val qs = results.map { case (k, (med, _, _)) => f""""$k":$med%.3f""" }
       .mkString("{", ",", "}")
     val spread = results
       .map { case (k, (_, lo, hi)) => f""""$k":[$lo%.3f,$hi%.3f]""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    // shared-set subtotal vs the newest committed bench artifact
+    // shared-set subtotal vs the newest committed bench artifact;
+    // when that artifact's "parsed" is null (truncated tail, rounds
+    // 5-6), fall back to scraping "name":seconds pairs from its raw
+    // "tail" string so the regression detector still sees something
     val baseline = try {
       val repo = new java.io.File(".")
       val benchFiles = repo.listFiles()
@@ -99,16 +107,29 @@ object Bench {
       if (benchFiles.isEmpty) "null"
       else {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val prev = mapper.readTree(benchFiles.last).path("parsed").path("queries")
-        val shared = results.filter { case (k, _) => prev.has(k) }
-        val prevSub = shared.map { case (k, _) => prev.get(k).asDouble() }.sum
+        val root = mapper.readTree(benchFiles.last)
+        val prevNode = root.path("parsed").path("queries")
+        val prev: Map[String, Double] =
+          if (prevNode.isObject) {
+            import scala.jdk.CollectionConverters._
+            prevNode.fieldNames().asScala
+              .map(k => k -> prevNode.get(k).asDouble()).toMap
+          } else {
+            val tail = root.path("tail").asText("")
+            """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+              .findAllMatchIn(tail)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        val shared = results.filter { case (k, _) => prev.contains(k) }
+        val prevSub = shared.map { case (k, _) => prev(k) }.sum
         val nowSub = shared.map(_._2._1).sum
         f"""{"file":"${benchFiles.last.getName}","shared_n":${shared.size},""" +
           f""""prev_subtotal":$prevSub%.3f,"now_subtotal":$nowSub%.3f}"""
       }
     } catch { case _: Throwable => "null" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-      s""""queries":$qs,"spread":$spread,"baseline":$baseline,"sf":"$sfDir"}""")
+    println(s"""{"detail":"spread","runs":$runs,"spread":$spread}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,""" +
+      s""""queries":$qs,"baseline":$baseline,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1791,7 +1791,7 @@ object SparkEntry {
                |         coalesce(sum(n_tok) OVER (ORDER BY doc_id
                |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
                |  FROM t)
-               |SELECT off // 512 AS pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+               |SELECT CAST(off // 512 AS BIGINT) AS pack_id, CAST(count(*) AS BIGINT) AS n_docs,
                |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
                |       CAST(min(doc_id) AS BIGINT) AS first_doc,
                |       CAST(max(doc_id) AS BIGINT) AS last_doc
@@ -1876,7 +1876,7 @@ object SparkEntry {
                |       ('0x' || substr(md5(ck), 1, 15))::BIGINT AS h
                |FROM (SELECT doc_id, st, substring(text, st, 500) AS ck
                |      FROM (SELECT doc_id, text,
-               |                   unnest(generate_series(1, length(text), 400)) AS st
+               |                   unnest(generate_series(1, greatest(length(text), 1), 400)) AS st
                |            FROM documents))
                |ORDER BY doc_id, chunk_id""".stripMargin)),
 

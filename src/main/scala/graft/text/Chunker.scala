@@ -22,7 +22,7 @@ object Chunker {
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(stride > 0 && size >= stride, s"need 0 < stride <= size")
     docs.select(col(idCol),
-        posexplode(sequence(lit(1), length(col(textCol)), lit(stride)))
+        posexplode(sequence(lit(1), greatest(length(col(textCol)), lit(1)), lit(stride)))
           .as(Seq("chunk_id", "start")),
         col(textCol))
       .select(col(idCol), col("chunk_id").cast("long"),

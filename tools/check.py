@@ -49,10 +49,26 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
             continue
+        otypes = [str(t).upper() for t in o.types]
         s = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
         scols, srows = [c.lower() for c in s.columns], s.fetchall()
+        stypes = [str(t).upper() for t in s.types]
         if sorted(ocols) != sorted(scols):
             print(f"FAIL {name}: cols oracle={sorted(ocols)} spark={sorted(scols)}")
+            n_fail += 1
+            continue
+        # Type-faithfulness gate: the driver's hasher hashes the TYPED
+        # representation, so a DuckDB-widened oracle type (windowed
+        # sum -> HUGEINT, avg/decimal math -> DECIMAL) fails there even
+        # when fetchall() values coerce equal here. Compare per-column
+        # type names and fail on any mismatch.
+        omap = dict(zip(ocols, otypes))
+        smap = dict(zip(scols, stypes))
+        tdiff = [(c, omap[c], smap[c]) for c in sorted(omap)
+                 if omap[c] != smap[c]]
+        if tdiff:
+            print(f"FAIL {name}: type mismatch "
+                  + "; ".join(f"{c}: oracle={ot} spark={st}" for c, ot, st in tdiff))
             n_fail += 1
             continue
         co, cs = canon(orows, ocols), canon(srows, scols)
