@@ -1861,7 +1861,8 @@ object SparkEntry {
                |       round(-ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                |                  % 1000000 + 1) / 1000000.0) / n_chars, 6) AS clock,
                |       n_chars
-               |FROM documents ORDER BY clock, doc_id LIMIT 20""".stripMargin)),
+               |FROM documents WHERE n_chars > 0
+               |ORDER BY clock, doc_id LIMIT 20""".stripMargin)),
 
       // fixed-size/overlap chunker — produces the (doc_id, chunk_id)
       // keys the reference's ingest surface expects

@@ -62,12 +62,16 @@ object Sampling {
     * weight total. Same mergeable bottom-k execution as [[bottomK]].
     * The clock is rounded to 6 decimals BEFORE selection (id
     * tiebreak), so the winner set is bit-identical across engines.
+    * Rows with w <= 0 (or null) have zero inclusion probability in
+    * A-ES and are excluded up front — also keeps the clock division
+    * from tripping ANSI divide-by-zero on degenerate rows.
     */
   def weightedSample(df: DataFrame, idCol: String, weight: Column,
                      m: Int): DataFrame = {
     val u = (md5Long(concat(lit("ws:"), col(idCol).cast("string"))) % 1000000L
       + 1L) / lit(1000000.0)
-    df.withColumn("clock", round(-log(u) / weight, 6))
+    df.filter(weight > lit(0))
+      .withColumn("clock", round(-log(u) / weight, 6))
       .orderBy(col("clock"), col(idCol))
       .limit(m)
   }
