@@ -49,6 +49,9 @@ object HeavyHitters {
       Sketch(Array.empty, Array.empty, Array.empty)
 
     override def reduce(s: Sketch, key: String): Sketch = {
+      // SQL aggregate semantics: null inputs don't contribute (and a
+      // null key would NPE the (count desc, key) orderings below)
+      if (key == null) return s
       val i = indexOf(s, key)
       if (i >= 0) { s.counts(i) += 1; s }
       else if (s.keys.length < m)

@@ -75,6 +75,101 @@ class RobustnessSurfaceSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def writeEmb(rows: Seq[(Long, Array[Float], Int)], extra: Seq[org.apache.spark.sql.Row] = Nil): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-robust-emb").toString
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, v, l) =>
+        org.apache.spark.sql.Row(i, v, l) } ++ extra, 2), embSchema)
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  // queries that read ONLY the embeddings table (AnnIndex-serving ones
+  // excluded: they materialize partitioned indexes, covered elsewhere)
+  private val embQueries = Seq(
+    "dedup_embed_cosine", "ann_topk_batch", "emb_hard_negatives",
+    "emb_label_cohesion", "samp_stratified", "emb_power_iter",
+    "emb_dim_stats", "emb_knn_accuracy", "vec_binary_quant",
+    "vec_matryoshka", "vec_scalar_quant", "ann_kmeans_step", "vec_pq_adc")
+
+  test("embeddings-only queries execute on degenerate vectors") {
+    // zero-norm vector (cosine denominators), constant vector,
+    // and a null embedding row — the rows a real embedding job's
+    // failures leave behind
+    val base = (0L until 8L).map { i =>
+      (i, Array.tabulate(64)(j => if (j == i.toInt % 64) 1.0f else 0.01f * j), (i % 3).toInt)
+    }
+    val dirty = writeEmb(
+      base ++ Seq((8L, Array.fill(64)(0.0f), 0), (9L, Array.fill(64)(2.0f), 1)),
+      extra = Seq(org.apache.spark.sql.Row(10L, null, 2)))
+    val failures = embQueries.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, dirty).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("embeddings-only queries execute on an EMPTY embeddings table") {
+    val empty = writeEmb(Seq.empty)
+    val failures = embQueries.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, empty).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  private val evSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def writeEvents(rows: Seq[org.apache.spark.sql.Row]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-robust-ev").toString
+    // ts written as plain INT64 epoch-nanos; Tables.events reads the
+    // driver's TIMESTAMP(NANOS) as long too, so the loader sees the
+    // same shape either way
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), evSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val evQueries = Seq(
+    "ts_gap_fill", "agg_pivot", "win_moving_avg", "win_range_frame",
+    "stat_percentiles", "agg_salted_hot", "ev_sessionize", "ev_json_extract",
+    "ev_error_rate", "ev_asof_join", "ev_range_join", "stat_mad",
+    "stat_approx_quantiles", "ts_ohlc", "ev_outliers", "ev_histogram",
+    "ev_heavy_hitters", "ev_funnel", "ev_retention", "ev_window_agg")
+
+  test("events-only queries execute on degenerate events") {
+    import org.apache.spark.sql.Row
+    val h = 3600L * 1000000000L
+    val dirty = writeEvents(Seq(
+      Row(0L, 0L, 1L, "click", 1.0, """{"page":"a"}"""),
+      Row(1L, h, 1L, "click", 1.0, "not json"),          // malformed props
+      Row(2L, h, 1L, null, null, null),                  // null type/value/props
+      Row(3L, 2 * h, 2L, "purchase", -5.0, "{}"),        // negative value
+      Row(4L, 2 * h, 2L, "purchase", 0.0, """{"page":null}"""),
+      Row(5L, 2 * h, 2L, "error", Double.NaN, """{"page":"b"}"""))) // NaN value
+    val failures = evQueries.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, dirty).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("events-only queries execute on an EMPTY events table") {
+    val empty = writeEvents(Seq.empty)
+    val failures = evQueries.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, empty).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("BM25 tolerates empty corpus and absent terms") {
     import graft.text.Bm25
     val docs = Tables.documents(spark, dirtyDir)
