@@ -1970,6 +1970,66 @@ object SparkEntry {
                |WHERE nb >= 50
                |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
 
+      // PII redaction (emails / phones / IPv4 → placeholder tokens) —
+      // the scrub stage before text leaves the ingest boundary. The
+      // synthetic corpus carries no PII, so the query seeds
+      // deterministic doc_id-derived PII into each doc first; the
+      // redaction itself (pattern set, application order, counts) is
+      // what's under test, and the oracle rebuilds the same seeded
+      // text and applies the same RE2-compatible patterns.
+      "text_pii_redact" -> Q(
+        (s, d) => {
+          val seeded = Tables.documents(s, d).select(col("doc_id"),
+            concat(col("text"),
+              lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.com call 555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+              lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+              lit(" host 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), ((col("doc_id") * 3) % 256).cast("string")).as("text"))
+          graft.text.Pii.redact(seeded)
+            .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+              graft.functions.VectorFunctions.md5Long(col("redacted")).as("h"))
+            .orderBy("doc_id")
+        },
+        Some("""WITH seeded AS (
+               |  SELECT doc_id,
+               |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+               |              || '@mail.example.com call 555-'
+               |              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+               |              || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+               |              || ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+               |              || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) AS text
+               |  FROM documents)
+               |SELECT doc_id,
+               |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               |       CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+               |       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+               |       ('0x' || substr(md5(
+               |         regexp_replace(regexp_replace(regexp_replace(text,
+               |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               |           '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+               |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')), 1, 15))::BIGINT AS h
+               |FROM seeded ORDER BY doc_id""".stripMargin)),
+
+      // per-doc top-3 terms by tf-idf (keyword extraction; BM25's
+      // corpus-side complement)
+      "text_tfidf" -> Q(
+        (s, d) => graft.text.TextAnalytics.tfidfTopTerms(Tables.documents(s, d), 3),
+        Some("""WITH tf AS (
+               |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+               |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+               |        FROM documents)
+               |  GROUP BY doc_id, tok),
+               |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+               |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+               |SELECT doc_id, tok, tf, df, tfidf, rank FROM (
+               |  SELECT doc_id, tok, tf, df, round(tf * ln(n / df), 4) AS tfidf,
+               |         CAST(row_number() OVER (PARTITION BY doc_id
+               |              ORDER BY round(tf * ln(n / df), 4) DESC, tok) AS BIGINT) AS rank
+               |  FROM tf JOIN df USING (tok), n)
+               |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
       // the reference's ingest+search path end-to-end: chunk →
       // deterministic embed → cosine top-k over (DocId, ChunkId) keys
       "text_chunk_search" -> Q(

@@ -154,6 +154,33 @@ object TextAnalytics {
        |FROM u JOIN b USING (doc_id) JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-doc top-k terms by tf-idf (keyword extraction — the
+    * complement of BM25's query-side scoring): tf = in-doc count,
+    * idf = ln(N/df) over the corpus. Plan shape: two hash aggregates
+    * (tf keyed by (doc, tok), df keyed by tok), a join on tok (AQE
+    * broadcasts the df side when the vocab is small; shuffles on tok
+    * when it isn't — both fine at 100 TB since df is vocab-sized,
+    * not corpus-sized), and a PER-DOC window for the top-k (never
+    * global). Rank orders by (ROUNDED tfidf desc, tok) so the winner
+    * set is engine-exact.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextPrimitives.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n") / col("df")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "tok", "tf", "df", "tfidf", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Benchmark decontamination: flag training docs sharing any
     * n-token shingle with an eval/benchmark set (the 13-gram-overlap
     * family, n scaled to this corpus). The benchmark shingle set is

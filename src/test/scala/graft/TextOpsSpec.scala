@@ -92,6 +92,43 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L).getAs[Int]("contaminated") == 0 && out(1L).getLong(2) == 0L)
   }
 
+  test("PII redaction replaces emails/phones/IPs and counts per category") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (0L, "mail me at jo.doe+x@sub.example.org or jo@ex.io thanks"),
+      (1L, "call 555-123-4567 from 10.0.0.1 now"),
+      (2L, "no pii here, just words and 12345 and a.b"),   // negatives
+      (3L, "v4 999.999.999.999 still matches the shape"),  // shape, not validity
+      (4L, "")).toDF("doc_id", "text")
+    val out = graft.text.Pii.redact(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("n_email") == 2 &&
+      out(0L).getAs[String]("redacted") == "mail me at [EMAIL] or [EMAIL] thanks")
+    assert(out(1L).getAs[Long]("n_phone") == 1 && out(1L).getAs[Long]("n_ip") == 1 &&
+      out(1L).getAs[String]("redacted") == "call [PHONE] from [IP] now")
+    assert(out(2L).getAs[Long]("n_email") == 0 && out(2L).getAs[Long]("n_phone") == 0 &&
+      out(2L).getAs[Long]("n_ip") == 0 &&
+      out(2L).getAs[String]("redacted") == "no pii here, just words and 12345 and a.b")
+    // the pattern family is shape-based (like every regex scrubber);
+    // out-of-range octets still redact — better safe for PII
+    assert(out(3L).getAs[Long]("n_ip") == 1)
+    assert(out(4L).getAs[String]("redacted") == "")
+  }
+
+  test("tf-idf top terms: corpus-unique terms outrank ubiquitous ones") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (0L, "common common rare0 rare0 rare0"),
+      (1L, "common rare1"),
+      (2L, "common rare2")).toDF("doc_id", "text")
+    val out = graft.text.TextAnalytics.tfidfTopTerms(docs, 2).collect()
+    val top = out.filter(_.getLong(5) == 1L).map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "common" appears in all 3 docs -> idf ln(1) = 0 -> never the top term
+    assert(top == Map(0L -> "rare0", 1L -> "rare1", 2L -> "rare2"))
+    val common = out.filter(_.getString(1) == "common")
+    assert(common.forall(_.getDouble(4) == 0.0))
+  }
+
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
