@@ -1864,6 +1864,38 @@ object SparkEntry {
                |FROM documents WHERE n_chars > 0
                |ORDER BY clock, doc_id LIMIT 20""".stripMargin)),
 
+      // greedy token-budget corpus selection: highest-quality docs
+      // admitted first until the token budget fills (the mixing step
+      // of a pretraining data build). Ordering is (ROUNDED quality
+      // desc, doc_id) so both engines pick the identical prefix; the
+      // running total is the score-bucketed two-level scan
+      // (ops/Packing.scala), never a full-data global window.
+      "samp_token_budget" -> Q(
+        (s, d) => graft.ops.Packing.selectByTokenBudget(
+            graft.text.TextAnalytics.qualityScores(Tables.documents(s, d)),
+            "doc_id", "n_tok", "quality", 10000L)
+          .orderBy("cum_tok"),
+        Some({
+          val stopList = graft.text.TextAnalytics.Stopwords.map(w => s"'$w'").mkString(",")
+          s"""WITH q AS (
+             |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             |         round((least(n_tok, 100) / 100.0) *
+             |               (1.0 - punct_cnt * 1.0 / greatest(n_chars, 1)) *
+             |               (0.2 + 0.8 * (stop_cnt * 1.0 / greatest(n_tok, 1))), 4) AS quality
+             |  FROM (
+             |    SELECT doc_id, length(text) AS n_chars,
+             |           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+             |           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             |               t -> t IN ($stopList))) AS stop_cnt,
+             |           len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
+             |    FROM documents)),
+             |o AS (SELECT doc_id, quality, n_tok AS tok,
+             |             CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tok
+             |      FROM q)
+             |SELECT doc_id, quality, tok, cum_tok FROM o
+             |WHERE cum_tok - tok < 10000 ORDER BY cum_tok""".stripMargin
+        })),
+
       // fixed-size/overlap chunker — produces the (doc_id, chunk_id)
       // keys the reference's ingest surface expects
       "text_chunking" -> Q(

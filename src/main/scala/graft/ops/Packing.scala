@@ -41,4 +41,46 @@ object Packing {
       .select(col(idCol), col("tok"),
         expr(s"(_boff + _cum - tok) DIV $capacity").as("pack_id"))
   }
+
+  /** Greedy token-budget corpus selection (the data-mixing step of a
+    * pretraining build): take documents in (score desc, id) order
+    * until `budget` tokens are admitted; a doc is kept iff the budget
+    * is not yet exhausted when its first token arrives (same
+    * convention as [[packSequences]]' window assignment, so the last
+    * admitted doc may overflow the budget).
+    *
+    * Same two-level scan as packing, with the block key derived from
+    * the SCORE instead of the id: block = floor(score·buckets) (capped
+    * to [0, buckets-1]), so (block desc, score desc, id) is exactly
+    * the global selection order. The within-block running sum is a
+    * keyed window; the cross-block offset is a window over ≤`buckets`
+    * rows — constant at any corpus size. `scoreCol` must be rounded
+    * before the call (engines must agree on order, and a raw double's
+    * last ulp may differ).
+    *
+    * Output: (idCol, scoreCol, tok, cum_tok) for kept docs, cum_tok =
+    * inclusive running total in selection order (strictly increasing,
+    * so it is a unique sort key when tok > 0).
+    */
+  def selectByTokenBudget(docs: DataFrame, idCol: String, tokCol: String,
+                          scoreCol: String, budget: Long,
+                          buckets: Int = 100): DataFrame = {
+    val blk = greatest(least(floor(col(scoreCol) * buckets),
+      lit(buckets - 1)), lit(0)).cast("long")
+    val d = docs.select(col(idCol), col(tokCol).cast("long").as("tok"),
+      col(scoreCol), blk.as("_blk"))
+    val wIn = Window.partitionBy("_blk")
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlk = Window.orderBy(col("_blk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("_blk").agg(sum("tok").as("_bt"))
+      .withColumn("_boff", coalesce(sum("_bt").over(wBlk), lit(0L)))
+      .select("_blk", "_boff")
+    d.withColumn("_cum", sum("tok").over(wIn))
+      .join(broadcast(offsets), "_blk")
+      .withColumn("cum_tok", col("_boff") + col("_cum"))
+      .filter(col("cum_tok") - col("tok") < budget)
+      .select(col(idCol), col(scoreCol), col("tok"), col("cum_tok"))
+  }
 }

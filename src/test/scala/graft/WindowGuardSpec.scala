@@ -26,7 +26,10 @@ class WindowGuardSpec extends SparkSpec {
     "ann_ivf_probe", "text_vocab", "vec_pq_adc", "text_hybrid_rrf",
     // second level of the two-level prefix-sum scan: its input is the
     // per-block total table, already reduced by blockSize (Packing)
-    "pipe_pack_sequences")
+    "pipe_pack_sequences",
+    // same scan with score-derived blocks: the global window runs
+    // over the ≤100-row bucket-total table (Packing.selectByTokenBudget)
+    "samp_token_budget")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
