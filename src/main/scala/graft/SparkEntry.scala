@@ -2218,6 +2218,38 @@ object SparkEntry {
                |  FROM sc)
                |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
+      // MMR diversified re-ranking (λ=0.5): relevant-but-diverse top-5
+      // out of a top-20 cosine pool — the greedy loop is a pure
+      // Catalyst HOF over the one packed candidate array
+      // (ann/Mmr.scala); the oracle unrolls the same 5 greedy steps as
+      // chained CTEs with identical rounding and id tie-breaks
+      "ann_mmr_rerank" -> Q(
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+          val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+          graft.ann.Mmr.rerank(emb.filter(col("vec_id") =!= 0), q, 20, 5, 0.5)
+        },
+        Some({
+          val steps = (1 to 5).map { n =>
+            s"""s$n AS (SELECT c.vec_id, c.sim, c.emb, $n AS rank
+               |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${n - 1})
+               |  ORDER BY round(0.5 * c.sim - 0.5 * coalesce(
+               |    (SELECT max(round(list_cosine_similarity(c.emb, s.emb), 6)) FROM sel${n - 1} s),
+               |    0.0), 6) DESC, c.vec_id
+               |  LIMIT 1),
+               |sel$n AS (SELECT * FROM sel${n - 1} UNION ALL SELECT * FROM s$n)"""
+          }.mkString(",\n")
+          s"""WITH qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+             |cand AS (SELECT vec_id,
+             |                round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) + 0.0 AS sim,
+             |                embedding::DOUBLE[] AS emb
+             |         FROM embeddings, qv WHERE vec_id <> 0
+             |         ORDER BY sim DESC, vec_id LIMIT 20),
+             |sel0 AS (SELECT vec_id, sim, emb, 0 AS rank FROM cand WHERE false),
+             |$steps
+             |SELECT CAST(rank AS BIGINT) AS rank, vec_id, sim FROM sel5 ORDER BY rank""".stripMargin
+        })),
+
       // served from the bucket-PARTITIONED materialized index: the
       // probe neighborhood equi-joins the partition column, so the
       // measured plan prunes unprobed buckets (plan-guarded)

@@ -148,4 +148,40 @@ class AnnSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(s1 == s2)
   }
+
+  test("MMR matches a reference greedy implementation on real data") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val out = graft.ann.Mmr.rerank(emb.filter(col("vec_id") =!= 0), q, 20, 5, 0.5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+
+    // reference: same top-20 pool, same rounding, greedy in plain Scala
+    val qv = emb.filter(col("vec_id") === 0).collect().head
+      .getSeq[Float](1).map(_.toDouble).toArray
+    val pool = emb.filter(col("vec_id") =!= 0).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .map { case (id, v) => (id, round6(cos(v, qv)) + 0.0, v) }
+      .sortBy { case (id, s, _) => (-s, id) }.take(20)
+    var sel = Vector.empty[(Long, Double, Array[Double])]
+    (1 to 5).foreach { _ =>
+      val best = pool.filterNot(c => sel.exists(_._1 == c._1))
+        .map { c =>
+          val div = if (sel.isEmpty) 0.0
+            else sel.map(s => round6(cos(c._3, s._3))).max
+          (round6(0.5 * c._2 - 0.5 * div), c)
+        }
+        .minBy { case (m, c) => (-m, c._1) }
+      sel = sel :+ best._2
+    }
+    assert(out == sel.map(_._1), s"spark=$out ref=${sel.map(_._1)}")
+    // rank 1 is the plain cosine top-1; the set is diverse (no dup ids)
+    assert(out.head == pool.head._1)
+    assert(out.distinct.size == 5)
+  }
 }
