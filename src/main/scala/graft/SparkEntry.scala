@@ -2403,6 +2403,38 @@ object SparkEntry {
                |      FROM embeddings)
                |GROUP BY i ORDER BY i""".stripMargin)),
 
+      // per-dim z-score whitening (drift correction before indexing /
+      // contrastive training): stats collapse to ONE broadcast array
+      // row, the whitening is a per-row transform HOF — the corpus is
+      // scanned once, never exploded through a shuffle (the oracle's
+      // explode-join-regroup is the same math, not the same plan)
+      "emb_whiten" -> Q(
+        (s, d) => graft.embed.Whitening.whiten(Tables.embeddings(s, d))
+          .select(col("vec_id"),
+            element_at(col("z"), 1).as("z1"),
+            element_at(col("z"), 2).as("z2"),
+            round(sqrt(aggregate(col("z"), lit(0.0), (acc, v) => acc + v * v)), 6)
+              .as("znorm"))
+          .orderBy("vec_id"),
+        Some("""WITH st AS (
+               |  SELECT i, round(avg(x), 6) AS mean,
+               |         round(coalesce(stddev_samp(x), 0.0), 6) AS sd
+               |  FROM (SELECT generate_subscripts(embedding, 1) AS i,
+               |               CAST(unnest(embedding) AS DOUBLE) AS x
+               |        FROM embeddings)
+               |  GROUP BY i),
+               |z AS (
+               |  SELECT e.vec_id, s.i,
+               |         CASE WHEN s.sd = 0 THEN 0.0
+               |              ELSE round((CAST(e.embedding[s.i] AS DOUBLE) - s.mean) / s.sd, 6)
+               |         END AS z
+               |  FROM embeddings e JOIN st s ON true)
+               |SELECT vec_id,
+               |       max(CASE WHEN i = 1 THEN z END) AS z1,
+               |       max(CASE WHEN i = 2 THEN z END) AS z2,
+               |       round(sqrt(sum(z * z)), 6) AS znorm
+               |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
       // leave-one-out 1-NN label accuracy (embedding-quality metric
       // for labeled training data); integer counts — exact compare.
       // Scale shape: the QUERY sample (300 vecs) is the broadcast
@@ -2768,5 +2800,8 @@ object SparkEntry {
     "dedup_incremental", "text_decontam", "ev_heavy_hitters",
     // round-5: keep-best composes on the shared label table built by
     // dedup_clusters — benched to prove the composition is ~free
-    "dedup_keep_best")
+    "dedup_keep_best",
+    // round-7 additions: PII scrub (pure map), tf-idf keyword
+    // extraction, token-budget mixing, MMR diversified re-rank
+    "text_pii_redact", "text_tfidf", "samp_token_budget", "ann_mmr_rerank")
 }

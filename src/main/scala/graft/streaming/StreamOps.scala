@@ -178,18 +178,24 @@ object StreamOps {
       .agg(graft.ops.TopK.topk(k)(col("n").cast("double"), col("user_id"))
         .as("top_users"))
 
-  /** Streaming training-data prep: normalize → quality-filter →
-    * first-seen exact dedup on the NORMALIZED content hash, end to
-    * end as one incremental plan. Everything before the stateful
-    * dedup is a map-side projection/filter (no streaming aggregation
-    * in front of the state op — the composition that actually
-    * deploys); spec asserts batch-equivalence against the same stages
-    * run as a batch plan.
+  /** Streaming training-data prep: PII scrub → normalize →
+    * quality-filter → first-seen exact dedup on the NORMALIZED
+    * content hash of the SCRUBBED text, end to end as one incremental
+    * plan. Everything before the stateful dedup is a map-side
+    * projection/filter (no streaming aggregation in front of the
+    * state op — the composition that actually deploys); spec asserts
+    * batch-equivalence against the same stages run as a batch plan.
+    * Scrub-before-hash matters: two docs differing only in the PII
+    * they leak are the same training document.
     */
-  def prepPipeline(docs: DataFrame, minQuality: Double): Dataset[HashedDoc] = {
+  def prepPipeline(docs: DataFrame, minQuality: Double,
+                   rules: Seq[graft.text.Pii.Rule] = graft.text.Pii.defaultRules)
+      : Dataset[HashedDoc] = {
     val s = docs.sparkSession
     import s.implicits._
     import graft.text.TextAnalytics
+    val scrubbed = graft.text.Pii.redact(docs, "text", rules)
+      .select(col("doc_id"), col("redacted").as("text"))
     val toks = graft.text.TextPrimitives.tokens(col("text"))
     val quality = (least(size(toks), lit(100)) / lit(100.0)) *
       (lit(1.0) - size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))) *
@@ -197,7 +203,7 @@ object StreamOps {
       (lit(0.2) + lit(0.8) * (size(filter(toks, t => t.isin(TextAnalytics.Stopwords: _*))) *
         lit(1.0) / greatest(size(toks), lit(1))))
     streamingDedup(
-      docs.filter(quality >= minQuality)
+      scrubbed.filter(quality >= minQuality)
         .select(col("doc_id"),
           graft.functions.VectorFunctions.md5Long(TextAnalytics.normalize(col("text")))
             .cast("string").as("h"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.{Event, SessionUpdate}
@@ -299,17 +299,25 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
-  test("streaming prep pipeline equals batch normalize+quality+dedup") {
+  test("streaming prep pipeline equals batch scrub+normalize+quality+dedup") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
+    // seed deterministic PII so the scrub stage has real work: docs
+    // differing only in their leaked email must dedup to one survivor
     val docs = Tables.documents(s, sfDir).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" reach me at u"), col("doc_id").cast("string"),
+          lit("@leak.example.com or 555-123-4567")).as("text"))
     val rows = docs.select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    // batch reference: same stages, batch plan, first-seen = min doc_id
-    val q = graft.text.TextAnalytics.qualityScores(docs)
+    // batch reference: same stages (scrub first), batch plan,
+    // first-seen = min doc_id
+    val scrubbed = graft.text.Pii.redact(docs)
+      .select(col("doc_id"), col("redacted").as("text"))
+    val q = graft.text.TextAnalytics.qualityScores(scrubbed)
       .filter(col("quality") >= 0.15).select("doc_id")
-    val expected = docs.join(q, "doc_id")
+    val expected = scrubbed.join(q, "doc_id")
       .select(col("doc_id"),
         graft.functions.VectorFunctions
           .md5Long(graft.text.TextAnalytics.normalize(col("text"))).as("h"))
@@ -333,11 +341,11 @@ class StreamingSpec extends SparkSpec {
       // survivor sets map 1:1 through the content hash
       assert(got.size == expected.size)
       // structural check: survivors' content-hash sets are identical
-      val gotH = s.sql("SELECT doc_id FROM prep").join(docs, "doc_id")
+      val gotH = s.sql("SELECT doc_id FROM prep").join(scrubbed, "doc_id")
         .select(graft.functions.VectorFunctions
           .md5Long(graft.text.TextAnalytics.normalize(col("text"))).as("h"))
         .collect().map(_.getLong(0)).toSet
-      val expH = docs.filter(col("doc_id").isin(expected.toSeq: _*))
+      val expH = scrubbed.filter(col("doc_id").isin(expected.toSeq: _*))
         .select(graft.functions.VectorFunctions
           .md5Long(graft.text.TextAnalytics.normalize(col("text"))).as("h"))
         .collect().map(_.getLong(0)).toSet
