@@ -1864,6 +1864,52 @@ object SparkEntry {
                |FROM documents WHERE n_chars > 0
                |ORDER BY clock, doc_id LIMIT 20""".stripMargin)),
 
+      // deterministic token-dropout augmentation (1-in-10): the
+      // hash-of-(doc_id, position) dropout mask is reproducible across
+      // runs AND engines — the oracle rebuilds the same augmented text
+      "aug_token_dropout" -> Q(
+        (s, d) => graft.text.TextAnalytics
+          .tokenDropout(Tables.documents(s, d), 10)
+          .orderBy("doc_id"),
+        Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+               |           FROM documents),
+               |e AS (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok FROM t),
+               |k AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS aug,
+               |             count(*) AS n_kept
+               |      FROM e
+               |      WHERE ('0x' || substr(md5('aug:' || CAST(doc_id AS VARCHAR) || ':'
+               |              || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 10 <> 0
+               |      GROUP BY doc_id)
+               |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_orig,
+               |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+               |       ('0x' || substr(md5(coalesce(k.aug, '')), 1, 15))::BIGINT AS h_aug
+               |FROM t LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+      // temperature (α=0.5) language rebalancing: kept counts ∝
+      // sqrt(original counts), smallest language kept fully — sqrt is
+      // IEEE-exact cross-engine where pow(x, 1/T) is not, so the
+      // integer keep thresholds match bit-for-bit
+      "samp_temperature" -> Q(
+        (s, d) => graft.ops.Sampling
+          .temperatureRebalance(Tables.documents(s, d), "lang", "doc_id")
+          .groupBy("lang")
+          .agg(max("n_orig").as("n_orig"), max("thr").as("thr"),
+               count(lit(1)).as("n_kept"))
+          .orderBy("lang"),
+        Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_orig
+               |           FROM documents GROUP BY lang),
+               |m AS (SELECT min(n_orig) AS n_min FROM c),
+               |r AS (SELECT lang, n_orig,
+               |             CAST(floor(round(sqrt(CAST(n_min AS DOUBLE) / n_orig), 6)
+               |                  * 1000000) AS BIGINT) AS thr
+               |      FROM c, m)
+               |SELECT lang, max(r.n_orig) AS n_orig, max(r.thr) AS thr,
+               |       CAST(count(*) AS BIGINT) AS n_kept
+               |FROM documents d JOIN r USING (lang)
+               |WHERE ('0x' || substr(md5('ts:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               |      % 1000000 < thr
+               |GROUP BY lang ORDER BY lang""".stripMargin)),
+
       // greedy token-budget corpus selection: highest-quality docs
       // admitted first until the token budget fills (the mixing step
       // of a pretraining data build). Ordering is (ROUNDED quality

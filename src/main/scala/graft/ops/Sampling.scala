@@ -76,6 +76,32 @@ object Sampling {
       .limit(m)
   }
 
+  /** Temperature-based source rebalancing at α = 0.5 (the
+    * multilingual "alpha sampling" of multilingual-pretraining
+    * pipelines): downsample each source so kept counts are
+    * proportional to sqrt(original counts) — the smallest source is
+    * kept fully, dominant sources are squashed. α is fixed at 0.5
+    * because sqrt is IEEE-correctly-rounded (bit-identical across
+    * engines) where pow(x, 1/T) is not — the keep thresholds are
+    * therefore exactly reproducible. Per-row decision is a
+    * content-stable hash against the per-source integer threshold;
+    * the threshold table is tiny and broadcasts.
+    * Output: all input columns + n_orig (source size) + thr.
+    */
+  def temperatureRebalance(df: DataFrame, srcCol: String,
+                           idCol: String): DataFrame = {
+    val counts = df.groupBy(srcCol).agg(count(lit(1)).as("n_orig"))
+    val minN = counts.agg(min("n_orig").as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("thr",
+        floor(round(sqrt(col("n_min").cast("double") / col("n_orig")), 6)
+          * 1000000).cast("long"))
+      .select(col(srcCol), col("n_orig"), col("thr"))
+    df.join(broadcast(rates), srcCol)
+      .filter(pmod(md5Long(concat(lit("ts:"), col(idCol).cast("string"))),
+        lit(1000000L)) < col("thr"))
+  }
+
   /** At most `perGroup` rows per group, chosen by hash order (a
     * deterministic uniform draw within each group). The shuffle
     * carries only group partitions; at scale swap the window for the

@@ -154,6 +154,25 @@ object TextAnalytics {
        |FROM u JOIN b USING (doc_id) JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic token-dropout augmentation: drop every token whose
+    * content-stable hash of (doc_id, position) lands in 1/`dropOneIn`
+    * of the hash space — the text-side analogue of feature dropout,
+    * reproducible across runs/engines (no RNG state, so the same doc
+    * always augments the same way — the property that makes augmented
+    * corpora diffable and cacheable). Pure per-row map: zero shuffle.
+    * Output: doc_id, n_orig, n_kept, h_aug (hash of the augmented
+    * text).
+    */
+  def tokenDropout(docs: DataFrame, dropOneIn: Int): DataFrame =
+    docs.select(col("doc_id"), TextPrimitives.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_orig"),
+        filter(col("t"), (_, i) =>
+          pmod(md5Long(concat(lit("aug:"), col("doc_id").cast("string"),
+            lit(":"), i.cast("string"))), lit(dropOneIn)) =!= 0).as("kept"))
+      .select(col("doc_id"), col("n_orig"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5Long(concat_ws(" ", col("kept"))).as("h_aug"))
+
   /** Per-doc top-k terms by tf-idf (keyword extraction — the
     * complement of BM25's query-side scoring): tf = in-doc count,
     * idf = ln(N/df) over the corpus. Plan shape: two hash aggregates

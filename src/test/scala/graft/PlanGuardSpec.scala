@@ -145,4 +145,36 @@ class PlanGuardSpec extends SparkSpec {
     val takes = "TakeOrderedAndProject".r.findAllIn(p).size
     assert(takes >= 3, s"expected >=3 TakeOrderedAndProject, got $takes\n$p")
   }
+
+  test("PII scrub is a pure map: no exchange except the output sort") {
+    val p = plan("text_pii_redact")
+    assert(!p.contains("BroadcastExchange") && !p.contains("HashAggregate"), p)
+    // exactly the one range-partitioned exchange the ORDER BY contract
+    // requires — redaction itself never shuffles
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected only the output-sort exchange:\n$p")
+  }
+
+  test("MMR pool is a bounded TakeOrdered; the greedy step adds no shuffle") {
+    val p = plan("ann_mmr_rerank")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+  }
+
+  test("whitening broadcasts one stats row and never explodes the fact scan") {
+    val p = plan("emb_whiten")
+    assert(p.contains("BroadcastExchange"), p)
+    // the only Generate (posexplode) is on the stats-building branch,
+    // which aggregates straight down to 64 rows — the whitened output
+    // branch is scan → broadcast-join → project
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("token-budget selection's only global window is the bucket table") {
+    val p = plan("samp_token_budget")
+    // per-block running sums partition by _blk; the cross-block offset
+    // window sees <=100 bucket rows via the broadcast side
+    assert(p.contains("windowspecdefinition(_blk"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }

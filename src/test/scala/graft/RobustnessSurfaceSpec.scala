@@ -56,7 +56,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "text_chunking", "text_bm25", "text_vocab", "text_pmi",
     "text_chunk_search", "text_lm_score", "text_bigram_freq",
     "text_length_stats", "text_pii_redact", "text_tfidf",
-    "samp_token_budget",
+    "samp_token_budget", "aug_token_dropout", "samp_temperature",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows")
 

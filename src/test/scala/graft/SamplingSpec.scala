@@ -45,6 +45,39 @@ class SamplingSpec extends SparkSpec {
       .orderBy("cum_tok").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("temperature rebalance keeps the smallest source fully, squashes large ones") {
+    val out = Sampling.temperatureRebalance(docs, "lang", "doc_id")
+      .groupBy("lang").agg(max("n_orig").as("n_orig"),
+        max("thr").as("thr"), count(lit(1)).as("n_kept"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val minLang = out.minBy(_._2._1)._1
+    assert(out(minLang)._2 == 1000000L) // keep-all threshold
+    // kept/orig ratio decreases as source size grows (alpha < 1)
+    val bySize = out.values.toSeq.sortBy(_._1)
+    bySize.sliding(2).foreach { case Seq((n1, t1, _), (n2, t2, _)) =>
+      assert(t1 >= t2, s"thresholds must fall with size: $out")
+    }
+    // kept counts land near n_orig * thr / 1e6 (hash uniformity)
+    out.values.foreach { case (n, t, k) =>
+      val exp = n * t / 1000000.0
+      assert(math.abs(k - exp) <= math.max(10.0, 0.35 * exp), s"$out")
+    }
+  }
+
+  test("token dropout is deterministic and drops ~1/10") {
+    val sp = spark; import sp.implicits._
+    val doc = Seq((7L, (1 to 200).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r1 = graft.text.TextAnalytics.tokenDropout(doc, 10).collect().head
+    val r2 = graft.text.TextAnalytics.tokenDropout(doc.repartition(5), 10)
+      .collect().head
+    assert(r1.getLong(1) == 200L)
+    assert(r1.getLong(2) == r2.getLong(2) && r1.getLong(3) == r2.getLong(3))
+    val kept = r1.getLong(2)
+    assert(kept > 150 && kept < 200, s"kept $kept of 200")
+  }
+
   test("stratified sample caps every group and is deterministic") {
     val s1 = Sampling.stratified(emb, "label", "vec_id", 20)
     val byLabel = s1.groupBy("label").agg(count(lit(1)).as("n")).collect()
