@@ -1864,6 +1864,60 @@ object SparkEntry {
                |FROM documents WHERE n_chars > 0
                |ORDER BY clock, doc_id LIMIT 20""".stripMargin)),
 
+      // the full curation pipeline as ONE Catalyst plan: PII scrub →
+      // quality filter → temperature (α=0.5) language rebalance →
+      // greedy token-budget selection → per-language summary. Every
+      // stage is the library operator (Pii.redact, qualityScores,
+      // temperatureRebalance, selectByTokenBudget); the oracle chains
+      // the same stages as CTEs. No stage materializes — Catalyst
+      // fuses scrub+quality into the scan projection.
+      "pipe_curate" -> Q(
+        (s, d) => {
+          val docs = Tables.documents(s, d)
+          val scrubbed = graft.text.Pii.redact(docs)
+            .select(col("doc_id"), col("redacted").as("text"))
+          val q = graft.text.TextAnalytics.qualityScores(scrubbed)
+            .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+            .filter(col("quality") >= 0.1)
+          val surv = graft.ops.Sampling.temperatureRebalance(q, "lang", "doc_id")
+          val kept = graft.ops.Packing.selectByTokenBudget(
+            surv, "doc_id", "n_tok", "quality", 8000L)
+          kept.join(surv.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(count(lit(1)).as("n_kept"), sum("tok").as("sum_tok"))
+            .orderBy("lang")
+        },
+        Some({
+          val stopList = graft.text.TextAnalytics.Stopwords.map(w => s"'$w'").mkString(",")
+          s"""WITH q AS (
+             |  SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+             |         round((least(n_tok, 100) / 100.0) *
+             |               (1.0 - punct_cnt * 1.0 / greatest(n_chars, 1)) *
+             |               (0.2 + 0.8 * (stop_cnt * 1.0 / greatest(n_tok, 1))), 4) AS quality
+             |  FROM (
+             |    SELECT doc_id, lang, length(text) AS n_chars,
+             |           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+             |           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             |               t -> t IN ($stopList))) AS stop_cnt,
+             |           len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
+             |    FROM documents)),
+             |f AS (SELECT * FROM q WHERE quality >= 0.1),
+             |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_orig FROM f GROUP BY lang),
+             |m AS (SELECT min(n_orig) AS n_min FROM c),
+             |r AS (SELECT lang, CAST(floor(round(sqrt(CAST(n_min AS DOUBLE) / n_orig), 6)
+             |             * 1000000) AS BIGINT) AS thr FROM c, m),
+             |t AS (SELECT f.* FROM f JOIN r USING (lang)
+             |      WHERE ('0x' || substr(md5('ts:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |            % 1000000 < thr),
+             |o AS (SELECT doc_id, lang, n_tok,
+             |             CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS cum
+             |      FROM t)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+             |       CAST(sum(n_tok) AS BIGINT) AS sum_tok
+             |FROM o WHERE cum - n_tok < 8000
+             |GROUP BY lang ORDER BY lang""".stripMargin
+        })),
+
       // deterministic token-dropout augmentation (1-in-10): the
       // hash-of-(doc_id, position) dropout mask is reproducible across
       // runs AND engines — the oracle rebuilds the same augmented text

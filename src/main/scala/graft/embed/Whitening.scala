@@ -28,15 +28,20 @@ object Whitening {
       .groupBy(col("i"))
       .agg(round(avg(col("x").cast("double")), 6).as("mean"),
            round(coalesce(stddev(col("x").cast("double")), lit(0.0)), 6).as("sd"))
+    // two PLAIN double arrays (not an array of structs): the per-row
+    // hot loop then does two flat element_at reads per dim instead of
+    // a struct field extraction — measurably cheaper at 64×N elements
     val statsArr = stats
       .agg(array_sort(collect_list(struct(col("i"), col("mean"), col("sd"))))
         .as("st"))
+      .select(transform(col("st"), s => s("mean")).as("means"),
+              transform(col("st"), s => s("sd")).as("sds"))
     emb.crossJoin(broadcast(statsArr))
       .select(col("vec_id"),
         transform(col("embedding"), (x, i) => {
-          val s = get(col("st"), i)
-          when(s("sd") === 0.0, lit(0.0))
-            .otherwise(round((x.cast("double") - s("mean")) / s("sd"), 6))
+          val sd = get(col("sds"), i)
+          when(sd === 0.0, lit(0.0))
+            .otherwise(round((x.cast("double") - get(col("means"), i)) / sd, 6))
         }).as("z"))
   }
 }

@@ -51,7 +51,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "text_token_count", "text_quality", "text_langid", "text_normalize",
     "text_repetition", "text_decontam", "text_fingerprint",
     "text_search_e2e", "text_hybrid_rrf",
-    "pipe_e2e_prep", "pipe_pack_sequences",
+    "pipe_e2e_prep", "pipe_pack_sequences", "pipe_curate",
     "samp_hash_split", "samp_domain_mix", "samp_bottomk", "samp_weighted",
     "text_chunking", "text_bm25", "text_vocab", "text_pmi",
     "text_chunk_search", "text_lm_score", "text_bigram_freq",

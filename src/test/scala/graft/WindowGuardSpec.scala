@@ -29,7 +29,9 @@ class WindowGuardSpec extends SparkSpec {
     "pipe_pack_sequences",
     // same scan with score-derived blocks: the global window runs
     // over the ≤100-row bucket-total table (Packing.selectByTokenBudget)
-    "samp_token_budget")
+    "samp_token_budget",
+    // composes selectByTokenBudget — same ≤100-row bucket-total window
+    "pipe_curate")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
