@@ -2409,6 +2409,47 @@ object SparkEntry {
                |  FROM sc)
                |WHERE rn = 1 ORDER BY qid""".stripMargin)),
 
+      // contrastive TRIPLET mining (anchor, hardest positive, hardest
+      // negative): pos = least-similar same-label (the pair the model
+      // must pull together), neg = most-similar cross-label (the pair
+      // it must push apart). Arg-min/max via struct-ordered min/max
+      // aggregates — deterministic ties (score, then id), single scan,
+      // map-side partials; anchors broadcast
+      "emb_triplets" -> Q(
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+          val anchors = emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+                    col("label").as("qlab"))
+          val scored = emb.crossJoin(broadcast(anchors))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("qlab"), col("label"), col("vec_id"),
+              graft.functions.VectorFunctions.score(col("embedding"), col("qv")).as("sc"))
+          val pos = scored.filter(col("label") === col("qlab"))
+            .groupBy("qid").agg(min(struct(col("sc"), col("vec_id"))).as("p"))
+            .select(col("qid"), col("p.vec_id").as("pos_id"),
+                    col("p.sc").as("pos_score"))
+          val neg = scored.filter(col("label") =!= col("qlab"))
+            .groupBy("qid")
+            .agg(max(struct(col("sc"), (-col("vec_id")).as("nid"))).as("n"))
+            .select(col("qid"), (-col("n.nid")).as("neg_id"),
+                    col("n.sc").as("neg_score"))
+          pos.join(neg, "qid").orderBy("qid")
+        },
+        Some("""WITH a AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlab
+               |           FROM embeddings WHERE vec_id < 10),
+               |sc AS (SELECT qid, qlab, e.label, e.vec_id,
+               |              round(list_cosine_similarity(e.embedding::DOUBLE[], qv), 6) + 0.0 AS sc
+               |       FROM embeddings e, a WHERE e.vec_id <> qid),
+               |p AS (SELECT qid, vec_id AS pos_id, sc AS pos_score FROM (
+               |        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sc ASC, vec_id ASC) AS rn
+               |        FROM sc WHERE label = qlab) WHERE rn = 1),
+               |n AS (SELECT qid, vec_id AS neg_id, sc AS neg_score FROM (
+               |        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id ASC) AS rn
+               |        FROM sc WHERE label <> qlab) WHERE rn = 1)
+               |SELECT qid, pos_id, pos_score, neg_id, neg_score
+               |FROM p JOIN n USING (qid) ORDER BY qid""".stripMargin)),
+
       // embedding analytics: per-label centroid + intra-cluster
       // cohesion (training-data quality / drift monitoring)
       "emb_label_cohesion" -> Q(

@@ -96,7 +96,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "emb_label_cohesion", "samp_stratified", "emb_power_iter",
     "emb_dim_stats", "emb_knn_accuracy", "vec_binary_quant",
     "vec_matryoshka", "vec_scalar_quant", "ann_kmeans_step", "vec_pq_adc",
-    "ann_mmr_rerank", "emb_whiten")
+    "ann_mmr_rerank", "emb_whiten", "emb_triplets")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
