@@ -1136,6 +1136,20 @@ object SparkEntry {
   private def sqlScore(v: String, q: String): String =
     s"round(list_cosine_similarity($v::DOUBLE[], $q), 6) + 0.0"
 
+  /** Unrolled k-step greedy MMR as chained CTEs over a `cand`
+    * (vec_id, sim, emb) CTE — mirrors graft.ann.Mmr.rerank's rounding
+    * and id tie-breaks exactly. Caller supplies `cand` and `sel0`.
+    */
+  private def mmrUnrolledSql(k: Int): String = (1 to k).map { n =>
+    s"""s$n AS (SELECT c.vec_id, c.sim, c.emb, $n AS rank
+       |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${n - 1})
+       |  ORDER BY round(0.5 * c.sim - 0.5 * coalesce(
+       |    (SELECT max(round(list_cosine_similarity(c.emb, s.emb), 6)) FROM sel${n - 1} s),
+       |    0.0), 6) DESC, c.vec_id
+       |  LIMIT 1),
+       |sel$n AS (SELECT * FROM sel${n - 1} UNION ALL SELECT * FROM s$n)"""
+  }.mkString(",\n")
+
   private val vectorStore: Seq[(String, Q)] = Seq(
     "vs_search_topk" -> Q(
       (s, d) => VectorStore.search(
@@ -1163,6 +1177,31 @@ object SparkEntry {
               |               ${sqlScore("p.embedding", "q.qv")} AS score
               |        FROM points p, q WHERE p.user_id = 2))
               |WHERE rn = 1 ORDER BY score DESC, doc_id LIMIT 5""".stripMargin)),
+
+    // diversified search on the collection path: the reference's
+    // search_query + MMR (λ=0.5) over a top-20 pool from the user's
+    // partition-pruned collection — "ten near-copy chunks" becomes
+    // five relevant-but-distinct ones
+    "vs_search_mmr" -> Q(
+      (s, d) => {
+        val pts = VectorStore.pointsPartitioned(s, d)
+          .filter(col("user_id") === 2)
+          .select(col("vector_id").as("vec_id"), col("embedding"))
+        val q = VectorStore.queryVecOf(s, d, 42).select(col("q").as("qv"))
+        graft.ann.Mmr.rerank(pts, q, 20, 5, 0.5)
+          .select(col("rank"), col("vec_id").as("vector_id"), col("sim"))
+      },
+      Some(s"""$pointsSql,
+              |qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42),
+              |cand AS (SELECT p.vector_id AS vec_id,
+              |                ${sqlScore("p.embedding", "qv.qv")} AS sim,
+              |                p.embedding::DOUBLE[] AS emb
+              |         FROM points p, qv WHERE p.user_id = 2
+              |         ORDER BY sim DESC, vec_id LIMIT 20),
+              |sel0 AS (SELECT vec_id, sim, emb, 0 AS rank FROM cand WHERE false),
+              |${mmrUnrolledSql(5)}
+              |SELECT CAST(rank AS BIGINT) AS rank, vec_id AS vector_id, sim
+              |FROM sel5 ORDER BY rank""".stripMargin)),
 
     // recommend by example (positive/negative point ids): query =
     // mean(pos) − mean(neg), association order fixed for the oracle;
@@ -2329,16 +2368,7 @@ object SparkEntry {
           val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
           graft.ann.Mmr.rerank(emb.filter(col("vec_id") =!= 0), q, 20, 5, 0.5)
         },
-        Some({
-          val steps = (1 to 5).map { n =>
-            s"""s$n AS (SELECT c.vec_id, c.sim, c.emb, $n AS rank
-               |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${n - 1})
-               |  ORDER BY round(0.5 * c.sim - 0.5 * coalesce(
-               |    (SELECT max(round(list_cosine_similarity(c.emb, s.emb), 6)) FROM sel${n - 1} s),
-               |    0.0), 6) DESC, c.vec_id
-               |  LIMIT 1),
-               |sel$n AS (SELECT * FROM sel${n - 1} UNION ALL SELECT * FROM s$n)"""
-          }.mkString(",\n")
+        Some(
           s"""WITH qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
              |cand AS (SELECT vec_id,
              |                round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) + 0.0 AS sim,
@@ -2346,9 +2376,9 @@ object SparkEntry {
              |         FROM embeddings, qv WHERE vec_id <> 0
              |         ORDER BY sim DESC, vec_id LIMIT 20),
              |sel0 AS (SELECT vec_id, sim, emb, 0 AS rank FROM cand WHERE false),
-             |$steps
+             |${mmrUnrolledSql(5)}
              |SELECT CAST(rank AS BIGINT) AS rank, vec_id, sim FROM sel5 ORDER BY rank""".stripMargin
-        })),
+        )),
 
       // served from the bucket-PARTITIONED materialized index: the
       // probe neighborhood equi-joins the partition column, so the
