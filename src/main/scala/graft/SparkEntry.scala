@@ -1117,6 +1117,77 @@ object SparkEntry {
              |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d0) AS n_users,
              |       (SELECT CAST(count(*) AS BIGINT) FROM ret) AS n_retained""".stripMargin)),
 
+    // event-type transition matrix (Markov chain over each user's
+    // ordered event stream): lead() inside the per-user partition is
+    // bounded by session length; transition probabilities come from a
+    // broadcast per-from_type total join, NOT a global window — the
+    // counts table is |event_type|² rows regardless of corpus size
+    "ev_transitions" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("to_type", lead("event_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy("from_type").agg(sum("n").as("tot"))
+        pairs.join(broadcast(totals), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+                  round(col("n") / col("tot"), 4).as("p"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH tr AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |        FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+             |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY from_type)
+             |SELECT from_type, to_type, n, round(n * 1.0 / tot, 4) AS p
+             |FROM cnt JOIN tot USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // higher-moment distribution stats (skewness / excess kurtosis)
+    // per group, computed from raw power sums in ONE hash aggregate —
+    // the formulas are written identically on both sides so the
+    // engines agree bit-for-bit after rounding (built-in skewness()
+    // differs between engines on sample-vs-population convention)
+    "stat_moments" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+             sum("value").as("s1"),
+             sum(pow(col("value"), 2)).as("s2"),
+             sum(pow(col("value"), 3)).as("s3"),
+             sum(pow(col("value"), 4)).as("s4"))
+        .select(col("event_type"), col("n").cast("long").as("n_rows"),
+                round(col("s1") / col("n"), 4).as("mean"),
+                round(col("s2") / col("n") - pow(col("s1") / col("n"), 2), 4).as("var_pop"),
+                round((col("s3") / col("n")
+                       - lit(3) * (col("s1") / col("n")) * (col("s2") / col("n"))
+                       + lit(2) * pow(col("s1") / col("n"), 3))
+                      / pow(col("s2") / col("n") - pow(col("s1") / col("n"), 2), 1.5), 4).as("skew"),
+                round((col("s4") / col("n")
+                       - lit(4) * (col("s1") / col("n")) * (col("s3") / col("n"))
+                       + lit(6) * pow(col("s1") / col("n"), 2) * (col("s2") / col("n"))
+                       - lit(3) * pow(col("s1") / col("n"), 4))
+                      / pow(col("s2") / col("n") - pow(col("s1") / col("n"), 2), 2) - lit(3), 4).as("kurt"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+             |       round(s1 / n, 4) AS mean,
+             |       round(s2 / n - pow(s1 / n, 2), 4) AS var_pop,
+             |       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+             |             / pow(s2 / n - pow(s1 / n, 2), 1.5), 4) AS skew,
+             |       round((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * pow(s1 / n, 2) * (s2 / n)
+             |              - 3 * pow(s1 / n, 4))
+             |             / pow(s2 / n - pow(s1 / n, 2), 2) - 3, 4) AS kurt
+             |FROM (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             |             sum(value) AS s1, sum(pow(value, 2)) AS s2,
+             |             sum(pow(value, 3)) AS s3, sum(pow(value, 4)) AS s4
+             |      FROM events GROUP BY event_type)
+             |ORDER BY event_type""".stripMargin)),
+
     "ev_window_agg" -> Q(
       (s, d) => Tables.events(s, d)
         .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
@@ -1597,7 +1668,29 @@ object SparkEntry {
                |  SELECT a.vec_id AS va, b.vec_id AS vb,
                |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) + 0.0 AS score
                |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-               |WHERE score >= 0.4 ORDER BY va, vb""".stripMargin)))
+               |WHERE score >= 0.4 ORDER BY va, vb""".stripMargin)),
+
+      // SemDeDup: coarse-cluster, then keep-first greedy drop inside
+      // each cell — the quadratic scan never leaves a cell, so the
+      // shuffle is one equi-join on cid (cells ∝ √N keeps them bounded)
+      "dedup_semantic" -> Q(
+        (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d), 4, 0.4),
+        Some("""WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+               |               FROM embeddings WHERE vec_id < 4),
+               |scored AS (
+               |  SELECT e.vec_id, e.embedding, c.cid,
+               |         row_number() OVER (PARTITION BY e.vec_id
+               |           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) + 0.0 DESC, c.cid) AS rn
+               |  FROM embeddings e, cents c),
+               |a AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
+               |drp AS (SELECT DISTINCT x.cid, y.vec_id AS vb
+               |        FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+               |        WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) + 0.0 >= 0.4),
+               |n AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM a GROUP BY cid),
+               |dn AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dropped FROM drp GROUP BY cid)
+               |SELECT n.cid, n_vecs, CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_dropped,
+               |       round(coalesce(n_dropped, 0) * 1.0 / n_vecs, 4) AS drop_frac
+               |FROM n LEFT JOIN dn USING (cid) ORDER BY n.cid""".stripMargin)))
   }
 
   // ---------------------------------------------------------------
@@ -1629,6 +1722,52 @@ object SparkEntry {
                 |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
                 |  FROM documents)
                 |ORDER BY doc_id""".stripMargin)),
+
+      // CCNet-style perplexity bucketing (Wenzek et al. 2020), with the
+      // cheap quality score standing in for the LM: per-language tercile
+      // cutoffs are computed as ONE tiny aggregate (|lang| rows),
+      // broadcast back, and every doc binned map-side — no per-language
+      // global window, so the shape survives a skewed 100 TB corpus
+      "text_ccnet_bins" -> Q(
+        (s, d) => {
+          val docs = Tables.documents(s, d)
+          val q = TextAnalytics.qualityScores(docs)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+          val cuts = q.groupBy("lang")
+            .agg(expr("percentile(quality, array(0.3333333333333333D, 0.6666666666666666D))").as("cs"))
+            .select(col("lang"), round(element_at(col("cs"), 1), 6).as("c1"),
+                    round(element_at(col("cs"), 2), 6).as("c2"))
+          q.join(broadcast(cuts), "lang")
+            .withColumn("bin",
+              when(col("quality") <= col("c1"), lit("tail"))
+                .when(col("quality") <= col("c2"), lit("middle"))
+                .otherwise(lit("head")))
+            .groupBy("lang", "bin")
+            .agg(count(lit(1)).as("n"), round(avg("quality"), 4).as("avg_q"))
+            .orderBy("lang", "bin")
+        },
+        Some(s"""WITH q AS (
+                |  SELECT doc_id, lang,
+                |         round((least(n_tok, 100) / 100.0) *
+                |               (1.0 - punct_cnt * 1.0 / greatest(n_chars, 1)) *
+                |               (0.2 + 0.8 * (stop_cnt * 1.0 / greatest(n_tok, 1))), 4) AS quality
+                |  FROM (
+                |    SELECT doc_id, lang, length(text) AS n_chars,
+                |           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+                |           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                |               t -> t IN ($stopList))) AS stop_cnt,
+                |           len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
+                |    FROM documents)),
+                |cuts AS (SELECT lang,
+                |                round(quantile_cont(quality, 0.3333333333333333), 6) AS c1,
+                |                round(quantile_cont(quality, 0.6666666666666666), 6) AS c2
+                |         FROM q GROUP BY lang)
+                |SELECT lang,
+                |       CASE WHEN quality <= c1 THEN 'tail'
+                |            WHEN quality <= c2 THEN 'middle' ELSE 'head' END AS bin,
+                |       CAST(count(*) AS BIGINT) AS n, round(avg(quality), 4) AS avg_q
+                |FROM q JOIN cuts USING (lang)
+                |GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin)),
 
       "text_langid" -> Q(
         (s, d) => TextAnalytics.languageId(Tables.documents(s, d)),

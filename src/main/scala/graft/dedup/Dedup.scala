@@ -518,4 +518,38 @@ object Dedup {
       .select("va", "vb", "score")
       .orderBy("va", "vb")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
+    * embeddings, then inside each cell drop every vector whose cosine
+    * to a LOWER-id cell-mate is >= threshold (keep-first greedy — the
+    * paper's "keep one per ε-ball" applied in id order so the result
+    * is deterministic). The quadratic pair scan is confined to a cell;
+    * at corpus scale nCents grows ∝ √N so cell size stays bounded, and
+    * the per-cell join is an equi-join on cid — no global shuffle of
+    * pairs. Centroid convention matches AnnIndex.ivfProbeIndexed: the
+    * nCents lowest vec_ids act as deterministic centroids.
+    * Returns per-cell (cid, n_vecs, n_dropped, drop_frac).
+    */
+  def semanticDedup(emb: DataFrame, nCents: Int, threshold: Double): DataFrame = {
+    val cents = emb.filter(col("vec_id") < nCents)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // nearest centroid: window is bounded (nCents rows per vec_id)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(score(col("embedding"), col("cv")).desc, col("cid"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val a = assigned.select(col("cid"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val dropped = a.join(b, "cid")
+      .filter(col("va") < col("vb") && score(col("ea"), col("eb")) >= threshold)
+      .select(col("cid"), col("vb")).distinct()
+    assigned.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      .join(dropped.groupBy("cid").agg(count(lit(1)).as("n_dropped")), Seq("cid"), "left")
+      .na.fill(0L, Seq("n_dropped"))
+      .select(col("cid"), col("n_vecs"), col("n_dropped"),
+              round(col("n_dropped") / col("n_vecs"), 4).as("drop_frac"))
+      .orderBy("cid")
+  }
 }
