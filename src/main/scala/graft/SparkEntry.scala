@@ -1670,6 +1670,48 @@ object SparkEntry {
                |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
                |WHERE score >= 0.4 ORDER BY va, vb""".stripMargin)),
 
+      // exact-substring dedup at n-gram granularity (the suffix-array
+      // pass of RefinedWeb/Gopher, re-expressed relationally): hash
+      // every 8-token window, count distinct docs per window hash, and
+      // report per-doc coverage by cross-doc duplicated spans. Explode
+      // is map-side; the only shuffles are the groupBy on the gram hash
+      // and one equi-join back — both scale linearly with token count
+      "dedup_span_ngrams" -> Q(
+        (s, d) => {
+          val t = graft.text.TextPrimitives.tokens(col("text"))
+          val grams = Tables.documents(s, d)
+            .select(col("doc_id"), t.as("t"))
+            .select(col("doc_id"), explode(
+              when(size(col("t")) >= 8,
+                transform(sequence(lit(1), size(col("t")) - 7),
+                  i => graft.functions.VectorFunctions.md5Long(
+                    concat_ws(" ", slice(col("t"), i, lit(8))))))
+              .otherwise(array().cast("array<bigint>"))).as("g"))
+          val dc = grams.groupBy("g").agg(countDistinct("doc_id").as("ndocs"))
+          grams.filter(col("doc_id") < 100)
+            .join(dc, "g")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_grams"),
+                 sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+            .select(col("doc_id"), col("n_grams"), col("n_dup"),
+                    round(col("n_dup") / col("n_grams"), 4).as("dup_frac"))
+            .orderBy("doc_id")
+        },
+        Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+               |              FROM documents),
+               |grams AS (SELECT doc_id,
+               |                 ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT AS g
+               |          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+               |                FROM toks)),
+               |dc AS (SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+               |       FROM grams GROUP BY g)
+               |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               |       CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               |       round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_frac
+               |FROM grams JOIN dc USING (g)
+               |WHERE doc_id < 100
+               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
       // SemDeDup: coarse-cluster, then keep-first greedy drop inside
       // each cell — the quadratic scan never leaves a cell, so the
       // shuffle is one equi-join on cid (cells ∝ √N keeps them bounded)
@@ -2173,6 +2215,56 @@ object SparkEntry {
              |SELECT doc_id, quality, tok, cum_tok FROM o
              |WHERE cum_tok - tok < 10000 ORDER BY cum_tok""".stripMargin
         })),
+
+      // DSIR-style importance weighting (Xie et al. 2023,
+      // arXiv:2302.03169): hashed-unigram bucket counts for a target
+      // domain (lang='en') vs the full corpus give a 64-row log-
+      // likelihood-ratio table; every document scores as the sum of
+      // its tokens' LLRs. The ratio table is broadcast, the per-doc
+      // score is one map-side join + hash agg, and the final top-k is
+      // a TakeOrderedAndProject — nothing here grows with corpus size
+      // except the linear token scan
+      "samp_importance" -> Q(
+        (s, d) => {
+          val t = graft.text.TextPrimitives.tokens(col("text"))
+          val tok = Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), explode(t).as("tok"))
+            .withColumn("b", graft.functions.VectorFunctions.md5Long(col("tok")) % 64)
+          val src = tok.groupBy("b").agg(count(lit(1)).as("cs"))
+          val tgt = tok.filter(col("lang") === "en")
+            .groupBy("b").agg(count(lit(1)).as("ct"))
+          val probs = src.join(tgt, Seq("b"), "left")
+            .na.fill(0L, Seq("ct"))
+            .crossJoin(broadcast(src.agg(sum("cs").as("ts"))))
+            .crossJoin(broadcast(tgt.agg(sum("ct").as("tt"))))
+            .select(col("b"),
+              (log((col("ct") + lit(1.0)) / (col("tt") + lit(64.0)))
+               - log((col("cs") + lit(1.0)) / (col("ts") + lit(64.0)))).as("llr"))
+          tok.join(broadcast(probs), "b")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_tok"), round(sum("llr"), 4).as("w"))
+            .orderBy(col("w").desc, col("doc_id"))
+            .limit(20)
+        },
+        Some("""WITH tb AS (
+               |  SELECT doc_id, lang,
+               |         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b
+               |  FROM (SELECT doc_id, lang,
+               |               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+               |        FROM documents)),
+               |src AS (SELECT b, CAST(count(*) AS BIGINT) AS cs FROM tb GROUP BY b),
+               |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+               |        FROM tb WHERE lang = 'en' GROUP BY b),
+               |tot AS (SELECT (SELECT CAST(sum(cs) AS BIGINT) FROM src) AS ts,
+               |               (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS tt),
+               |probs AS (SELECT b,
+               |                 ln((coalesce(ct, 0) + 1.0) / (tt + 64.0))
+               |               - ln((cs + 1.0) / (ts + 64.0)) AS llr
+               |          FROM src LEFT JOIN tgt USING (b), tot)
+               |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, round(sum(llr), 4) AS w
+               |FROM tb JOIN probs USING (b)
+               |GROUP BY doc_id
+               |ORDER BY w DESC, doc_id LIMIT 20""".stripMargin)),
 
       // fixed-size/overlap chunker — produces the (doc_id, chunk_id)
       // keys the reference's ingest surface expects
