@@ -2266,6 +2266,30 @@ object SparkEntry {
                |GROUP BY doc_id
                |ORDER BY w DESC, doc_id LIMIT 20""".stripMargin)),
 
+      // length-bucketed batch shaping: cut batches of 8 inside token-
+      // length bands — reports the padding waste a trainer would eat;
+      // windows are bounded by the band width (see Packing.scaladoc)
+      "pipe_bucket_batches" -> Q(
+        (s, d) => graft.ops.Packing.bucketedBatches(
+          Tables.documents(s, d).select(col("doc_id"),
+            size(graft.text.TextPrimitives.tokens(col("text"))).cast("long").as("n_tok")),
+          "doc_id", "n_tok", 16L, 8, 8),
+        Some("""WITH d AS (SELECT doc_id AS id,
+               |                  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS tok
+               |           FROM documents),
+               |r AS (SELECT id, tok, least(tok // 16, 7) AS bucket,
+               |             row_number() OVER (PARTITION BY least(tok // 16, 7)
+               |                                ORDER BY tok, id) AS rn
+               |      FROM d),
+               |bb AS (SELECT bucket, (rn - 1) // 8 AS batch_idx,
+               |              count(*) AS bn, max(tok) AS mx, sum(tok) AS st
+               |       FROM r GROUP BY bucket, batch_idx)
+               |SELECT bucket, CAST(count(*) AS BIGINT) AS n_batches,
+               |       CAST(sum(bn) AS BIGINT) AS n_docs,
+               |       CAST(sum(bn * mx - st) AS BIGINT) AS pad_tokens,
+               |       round(sum(bn * mx - st) * 1.0 / sum(bn * mx), 4) AS pad_frac
+               |FROM bb GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
       // fixed-size/overlap chunker — produces the (doc_id, chunk_id)
       // keys the reference's ingest surface expects
       "text_chunking" -> Q(

@@ -83,4 +83,41 @@ object Packing {
       .filter(col("cum_tok") - col("tok") < budget)
       .select(col(idCol), col(scoreCol), col("tok"), col("cum_tok"))
   }
+
+  /** Length-bucketed batch shaping (the padding-waste killer for
+    * variable-length training batches): bucket sequences by token-
+    * length band, order each bucket by (tok, id), and cut batches of
+    * `batchSize` sequences. Batch position is again a two-level scan —
+    * a row_number inside the (bucket, tok) partition plus an offset
+    * window over the distinct (bucket, tok) count rows, a frame of at
+    * most bucketWidth rows per bucket — so no window ever sees more
+    * than a token-band's worth of rows regardless of corpus size.
+    *
+    * Returns per-bucket batching stats: (bucket, n_batches, n_docs,
+    * pad_tokens, pad_frac) where padding assumes each batch pads to
+    * its own max length.
+    */
+  def bucketedBatches(docs: DataFrame, idCol: String, tokCol: String,
+                      bucketWidth: Long, nBuckets: Int,
+                      batchSize: Int): DataFrame = {
+    val d = docs.select(col(idCol).as("id"), col(tokCol).cast("long").as("tok"))
+      .withColumn("_bkt", least(expr(s"tok DIV $bucketWidth"), lit(nBuckets - 1L)))
+    val wIn = Window.partitionBy("_bkt", "tok").orderBy("id")
+    val wOff = Window.partitionBy("_bkt").orderBy("tok")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("_bkt", "tok").agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum("_c").over(wOff), lit(0L)))
+      .select("_bkt", "tok", "_off")
+    d.withColumn("_rin", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("_bkt", "tok"))
+      .withColumn("batch_idx", expr(s"(_off + _rin - 1) DIV $batchSize"))
+      .groupBy("_bkt", "batch_idx")
+      .agg(count(lit(1)).as("bn"), max("tok").as("mx"), sum("tok").as("st"))
+      .groupBy(col("_bkt").as("bucket"))
+      .agg(count(lit(1)).as("n_batches"), sum("bn").as("n_docs"),
+           sum(col("bn") * col("mx") - col("st")).as("pad_tokens"),
+           round(sum(col("bn") * col("mx") - col("st")) /
+                 sum(col("bn") * col("mx")), 4).as("pad_frac"))
+      .orderBy("bucket")
+  }
 }
