@@ -57,6 +57,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "text_chunk_search", "text_lm_score", "text_bigram_freq",
     "text_length_stats", "text_pii_redact", "text_tfidf",
     "samp_token_budget", "aug_token_dropout", "samp_temperature",
+    "text_ccnet_bins", "dedup_span_ngrams", "samp_importance",
+    "pipe_bucket_batches",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows")
 
@@ -96,7 +98,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "emb_label_cohesion", "samp_stratified", "emb_power_iter",
     "emb_dim_stats", "emb_knn_accuracy", "vec_binary_quant",
     "vec_matryoshka", "vec_scalar_quant", "ann_kmeans_step", "vec_pq_adc",
-    "ann_mmr_rerank", "emb_whiten", "emb_triplets")
+    "ann_mmr_rerank", "emb_whiten", "emb_triplets", "dedup_semantic")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
@@ -144,7 +146,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_percentiles", "agg_salted_hot", "ev_sessionize", "ev_json_extract",
     "ev_error_rate", "ev_asof_join", "ev_range_join", "stat_mad",
     "stat_approx_quantiles", "ts_ohlc", "ev_outliers", "ev_histogram",
-    "ev_heavy_hitters", "ev_funnel", "ev_retention", "ev_window_agg")
+    "ev_heavy_hitters", "ev_funnel", "ev_retention", "ev_window_agg",
+    "ev_transitions", "stat_moments")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
