@@ -1670,6 +1670,52 @@ object SparkEntry {
                |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
                |WHERE score >= 0.4 ORDER BY va, vb""".stripMargin)),
 
+      // train/test contamination audit: the LSH near-dup candidate
+      // pairs crossed with the deterministic hash split — counts of
+      // candidate pairs that straddle split boundaries are exactly the
+      // leakage a decontamination pass must remove. Pure composition
+      // of two existing primitives; the split column is a map-side
+      // expression, so the only added cost is two equi-joins against
+      // the (doc_id, split) projection
+      "pipe_split_leakage" -> Q(
+        (s, d) => {
+          val pairs = Dedup.minhashLshPairs(
+            Dedup.minhashSignatures(docsUnder(s, d, 200), 5, 8), 8, 2)
+          val splits = graft.ops.Sampling
+            .hashSplit(Tables.documents(s, d), "doc_id", 80, 10)
+            .select(col("doc_id"), col("split"))
+          pairs
+            .join(splits.select(col("doc_id").as("da"), col("split").as("split_a")), "da")
+            .join(splits.select(col("doc_id").as("db"), col("split").as("split_b")), "db")
+            .filter(col("split_a") =!= col("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(count(lit(1)).as("n_pairs"))
+            .orderBy("split_a", "split_b")
+        },
+        Some {
+          val bandSelects = (0 until 4).map { b =>
+            s"SELECT doc_id, $b AS b, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS bv FROM sig"
+          }.mkString(" UNION ALL ")
+          s"""WITH sig AS (
+             |${Dedup.minhashSigSql(5, 8, "doc_id < 200")}),
+             |bands AS ($bandSelects),
+             |pr AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+             |       FROM bands a JOIN bands b2
+             |         ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+             |sp AS (SELECT doc_id,
+             |              CASE WHEN b < 80 THEN 'train'
+             |                   WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |       FROM (SELECT doc_id,
+             |               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+             |             FROM documents))
+             |SELECT sa.split AS split_a, sb.split AS split_b,
+             |       CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM pr JOIN sp sa ON pr.da = sa.doc_id
+             |        JOIN sp sb ON pr.db = sb.doc_id
+             |WHERE sa.split <> sb.split
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        }),
+
       // exact-substring dedup at n-gram granularity (the suffix-array
       // pass of RefinedWeb/Gopher, re-expressed relationally): hash
       // every 8-token window, count distinct docs per window hash, and
@@ -2328,6 +2374,51 @@ object SparkEntry {
 
       // vocabulary building: ranked token frequencies (the tokenizer-
       // training precursor)
+      // Zipf's-law fit over the top-100 vocabulary: closed-form least
+      // squares of ln(freq) on ln(rank). The regression runs on a
+      // TakeOrdered-bounded 100-row frame (same rank-after-limit shape
+      // as text_vocab), and the slope/intercept/r2 formulas are written
+      // identically on both engines — no built-in regr_* whose
+      // numeric path could differ
+      "text_zipf_fit" -> Q(
+        (s, d) => {
+          val w = Window.orderBy(col("freq").desc, col("tok"))
+          val xy = Tables.documents(s, d)
+            .select(explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("freq"))
+            .orderBy(col("freq").desc, col("tok")).limit(100)
+            .withColumn("r", row_number().over(w))
+            .select(log(col("r")).as("x"), log(col("freq")).as("y"))
+          val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+                      (col("n") * col("sxx") - col("sx") * col("sx"))
+          xy.agg(count(lit(1)).cast("double").as("n"),
+                 sum("x").as("sx"), sum("y").as("sy"),
+                 sum(col("x") * col("y")).as("sxy"),
+                 sum(col("x") * col("x")).as("sxx"),
+                 sum(col("y") * col("y")).as("syy"))
+            .select(col("n").cast("long").as("n_terms"),
+              round(slope, 4).as("slope"),
+              round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"),
+              round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2)
+                    / ((col("n") * col("sxx") - col("sx") * col("sx"))
+                       * (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+        },
+        Some("""WITH vocab AS (
+               |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+               |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+               |        FROM documents)
+               |  GROUP BY tok ORDER BY freq DESC, tok LIMIT 100),
+               |xy AS (SELECT ln(row_number() OVER (ORDER BY freq DESC, tok)) AS x,
+               |              ln(freq) AS y FROM vocab),
+               |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+               |             sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM xy)
+               |SELECT CAST(n AS BIGINT) AS n_terms,
+               |       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
+               |       round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) AS intercept,
+               |       round(pow(n*sxy - sx*sy, 2)
+               |             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS r2
+               |FROM s""".stripMargin)),
+
       "text_vocab" -> Q(
         (s, d) => {
           // orderBy+limit plans as TakeOrderedAndProject (bounded

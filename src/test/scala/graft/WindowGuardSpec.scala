@@ -24,6 +24,8 @@ class WindowGuardSpec extends SparkSpec {
     */
   private val allowed = Set(
     "ann_ivf_probe", "text_vocab", "vec_pq_adc", "text_hybrid_rrf",
+    // rank-after-limit over the TakeOrdered top-100 vocab (Zipf fit)
+    "text_zipf_fit",
     // second level of the two-level prefix-sum scan: its input is the
     // per-block total table, already reduced by blockSize (Packing)
     "pipe_pack_sequences",
