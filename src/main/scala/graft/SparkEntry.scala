@@ -1117,6 +1117,50 @@ object SparkEntry {
              |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d0) AS n_users,
              |       (SELECT CAST(count(*) AS BIGINT) FROM ret) AS n_retained""".stripMargin)),
 
+    // bounded-lookback EWMA per user (the streaming-safe form of
+    // exponential smoothing): 8 explicit lag terms with weights
+    // α(1-α)^k, α=0.5, normalized over the lags actually present.
+    // A truly recursive EWMA is order-dependent and non-mergeable;
+    // the bounded form is a fixed-size window expression — per-user
+    // partitions, 8-row frames, identical left-associated arithmetic
+    // on both engines
+    "ev_ewma_bounded" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val terms = (0 to 7).map { k =>
+          val lv = if (k == 0) col("value") else lag(col("value"), k).over(w)
+          val wk = lit(0.5 * math.pow(0.5, k))
+          (when(lv.isNotNull, lv * wk).otherwise(lit(0.0)),
+           when(lv.isNotNull, wk).otherwise(lit(0.0)))
+        }
+        val num = terms.map(_._1).reduceLeft(_ + _)
+        val den = terms.map(_._2).reduceLeft(_ + _)
+        ev.withColumn("ewma", round(num / den, 4))
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("event_id"), round(col("value"), 4).as("v"),
+                  col("ewma"))
+          .orderBy("user_id", "event_id")
+      },
+      Some {
+        val lags = (0 to 7).map { k =>
+          val lv = if (k == 0) "value"
+                   else s"lag(value, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+          (s"l$k", lv, 0.5 * math.pow(0.5, k))
+        }
+        val defs = lags.map { case (n, e, _) => s"$e AS $n" }.mkString(", ")
+        val num = lags.map { case (n, _, w) => s"CASE WHEN $n IS NOT NULL THEN $n * $w ELSE 0.0 END" }
+          .mkString(" + ")
+        val den = lags.map { case (n, _, w) => s"CASE WHEN $n IS NOT NULL THEN $w ELSE 0.0 END" }
+          .mkString(" + ")
+        s"""SELECT user_id, event_id, round(value, 4) AS v,
+           |       round(($num) / ($den), 4) AS ewma
+           |FROM (SELECT user_id, event_id, value, $defs FROM events)
+           |WHERE user_id < 20
+           |ORDER BY user_id, event_id""".stripMargin
+      }),
+
     // event-type transition matrix (Markov chain over each user's
     // ordered event stream): lead() inside the per-user partition is
     // bounded by session length; transition probabilities come from a
@@ -2374,6 +2418,43 @@ object SparkEntry {
 
       // vocabulary building: ranked token frequencies (the tokenizer-
       // training precursor)
+      // inverted-index construction for the 20 highest-df terms:
+      // per-term posting lists ("doc:tf" in doc order) built from one
+      // (term, doc) hash agg + a semi-join against the TakeOrdered
+      // term list. Posting materialization is bounded by a term's doc
+      // frequency — a web-scale index would segment postings per
+      // partition, which is this same plan with a (term, shard) key
+      "text_postings" -> Q(
+        (s, d) => {
+          val t = graft.text.TextPrimitives.tokens(col("text"))
+          val tf = Tables.documents(s, d)
+            .select(col("doc_id"), explode(t).as("term"))
+            .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+          val stats = tf.groupBy("term")
+            .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+                 array_join(transform(array_sort(collect_list(
+                     struct(col("doc_id"), col("tf")))),
+                   e => concat_ws(":", e.getField("doc_id"), e.getField("tf"))),
+                   ",").as("postings"))
+          val top = tf.groupBy("term").agg(count(lit(1)).as("df2"))
+            .orderBy(col("df2").desc, col("term")).limit(20)
+          stats.join(top, Seq("term"), "left_semi")
+            .select(col("term"), col("df"), col("cf"), col("postings"))
+            .orderBy(col("df").desc, col("term"))
+        },
+        Some("""WITH tf AS (
+               |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+               |  FROM (SELECT doc_id,
+               |               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+               |        FROM documents)
+               |  GROUP BY term, doc_id),
+               |stats AS (
+               |  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+               |         string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+               |  FROM tf GROUP BY term)
+               |SELECT term, df, cf, postings FROM stats
+               |ORDER BY df DESC, term LIMIT 20""".stripMargin)),
+
       // Zipf's-law fit over the top-100 vocabulary: closed-form least
       // squares of ln(freq) on ln(rank). The regression runs on a
       // TakeOrdered-bounded 100-row frame (same rank-after-limit shape
