@@ -177,4 +177,50 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(_blk"), p)
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("DSIR weighting broadcasts the 64-row LLR table, top-k is TakeOrdered") {
+    val p = plan("samp_importance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("span-ngram dedup joins grams by hash, never a cross product") {
+    val p = plan("dedup_span_ngrams")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("SemDeDup's pair scan is an equi-join on the cell id") {
+    val p = plan("dedup_semantic")
+    // the only nested-loop is the broadcast of the tiny centroid set;
+    // cell-mate pairs must come from a hash join on cid
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("CCNet binning broadcasts per-language cutoffs") {
+    val p = plan("text_ccnet_bins")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("transition matrix gets probabilities from a broadcast totals join") {
+    val p = plan("ev_transitions")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bounded EWMA collapses all 8 lags into one window pass") {
+    val p = plan("ev_ewma_bounded")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows <= 2, s"expected one WindowExec (plus header ref):\n$p")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+  }
+
+  test("postings build bounds the term list with TakeOrdered, no cross product") {
+    val p = plan("text_postings")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
