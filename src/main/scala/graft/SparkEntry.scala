@@ -1137,7 +1137,11 @@ object SparkEntry {
         }
         val num = terms.map(_._1).reduceLeft(_ + _)
         val den = terms.map(_._2).reduceLeft(_ + _)
-        ev.withColumn("ewma", round(num / den, 4))
+        // all-lags-null (e.g. a user whose every value is NULL) makes
+        // den 0 → NULL the smoothed value on both engines instead of
+        // inheriting a 0/0 convention
+        ev.withColumn("ewma",
+            when(den === 0, lit(null).cast("double")).otherwise(round(num / den, 4)))
           .filter(col("user_id") < 20)
           .select(col("user_id"), col("event_id"), round(col("value"), 4).as("v"),
                   col("ewma"))
@@ -1155,7 +1159,8 @@ object SparkEntry {
         val den = lags.map { case (n, _, w) => s"CASE WHEN $n IS NOT NULL THEN $w ELSE 0.0 END" }
           .mkString(" + ")
         s"""SELECT user_id, event_id, round(value, 4) AS v,
-           |       round(($num) / ($den), 4) AS ewma
+           |       CASE WHEN ($den) = 0 THEN NULL
+           |            ELSE round(($num) / ($den), 4) END AS ewma
            |FROM (SELECT user_id, event_id, value, $defs FROM events)
            |WHERE user_id < 20
            |ORDER BY user_id, event_id""".stripMargin
@@ -1198,34 +1203,47 @@ object SparkEntry {
     // engines agree bit-for-bit after rounding (built-in skewness()
     // differs between engines on sample-vs-population convention)
     "stat_moments" -> Q(
-      (s, d) => Tables.events(s, d)
-        .groupBy("event_type")
-        .agg(count(lit(1)).cast("double").as("n"),
-             sum("value").as("s1"),
-             sum(pow(col("value"), 2)).as("s2"),
-             sum(pow(col("value"), 3)).as("s3"),
-             sum(pow(col("value"), 4)).as("s4"))
-        .select(col("event_type"), col("n").cast("long").as("n_rows"),
-                round(col("s1") / col("n"), 4).as("mean"),
-                round(col("s2") / col("n") - pow(col("s1") / col("n"), 2), 4).as("var_pop"),
-                round((col("s3") / col("n")
-                       - lit(3) * (col("s1") / col("n")) * (col("s2") / col("n"))
-                       + lit(2) * pow(col("s1") / col("n"), 3))
-                      / pow(col("s2") / col("n") - pow(col("s1") / col("n"), 2), 1.5), 4).as("skew"),
-                round((col("s4") / col("n")
-                       - lit(4) * (col("s1") / col("n")) * (col("s3") / col("n"))
-                       + lit(6) * pow(col("s1") / col("n"), 2) * (col("s2") / col("n"))
-                       - lit(3) * pow(col("s1") / col("n"), 4))
-                      / pow(col("s2") / col("n") - pow(col("s1") / col("n"), 2), 2) - lit(3), 4).as("kurt"))
-        .orderBy("event_type"),
+      (s, d) => {
+        // zero-variance guard: a constant group makes the skew/kurt
+        // denominators 0 (and cancellation can drive the var slightly
+        // NEGATIVE); both engines NULL the moments when var ≤ 0 so the
+        // divide-by-zero semantics of neither engine ever surface.
+        // The predicate is the SAME double arithmetic on both sides,
+        // so it flips identically.
+        val vr = col("s2") / col("n") - pow(col("s1") / col("n"), 2)
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("double").as("n"),
+               sum("value").as("s1"),
+               sum(pow(col("value"), 2)).as("s2"),
+               sum(pow(col("value"), 3)).as("s3"),
+               sum(pow(col("value"), 4)).as("s4"))
+          .select(col("event_type"), col("n").cast("long").as("n_rows"),
+                  round(col("s1") / col("n"), 4).as("mean"),
+                  round(vr, 4).as("var_pop"),
+                  when(vr <= 0, lit(null).cast("double")).otherwise(
+                    round((col("s3") / col("n")
+                           - lit(3) * (col("s1") / col("n")) * (col("s2") / col("n"))
+                           + lit(2) * pow(col("s1") / col("n"), 3))
+                          / pow(vr, 1.5), 4)).as("skew"),
+                  when(vr <= 0, lit(null).cast("double")).otherwise(
+                    round((col("s4") / col("n")
+                           - lit(4) * (col("s1") / col("n")) * (col("s3") / col("n"))
+                           + lit(6) * pow(col("s1") / col("n"), 2) * (col("s2") / col("n"))
+                           - lit(3) * pow(col("s1") / col("n"), 4))
+                          / pow(vr, 2) - lit(3), 4)).as("kurt"))
+          .orderBy("event_type")
+      },
       Some("""SELECT event_type, CAST(n AS BIGINT) AS n_rows,
              |       round(s1 / n, 4) AS mean,
              |       round(s2 / n - pow(s1 / n, 2), 4) AS var_pop,
+             |       CASE WHEN s2 / n - pow(s1 / n, 2) <= 0 THEN NULL ELSE
              |       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
-             |             / pow(s2 / n - pow(s1 / n, 2), 1.5), 4) AS skew,
+             |             / pow(s2 / n - pow(s1 / n, 2), 1.5), 4) END AS skew,
+             |       CASE WHEN s2 / n - pow(s1 / n, 2) <= 0 THEN NULL ELSE
              |       round((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * pow(s1 / n, 2) * (s2 / n)
              |              - 3 * pow(s1 / n, 4))
-             |             / pow(s2 / n - pow(s1 / n, 2), 2) - 3, 4) AS kurt
+             |             / pow(s2 / n - pow(s1 / n, 2), 2) - 3, 4) END AS kurt
              |FROM (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
              |             sum(value) AS s1, sum(pow(value, 2)) AS s2,
              |             sum(pow(value, 3)) AS s3, sum(pow(value, 4)) AS s4
@@ -2470,19 +2488,28 @@ object SparkEntry {
             .orderBy(col("freq").desc, col("tok")).limit(100)
             .withColumn("r", row_number().over(w))
             .select(log(col("r")).as("x"), log(col("freq")).as("y"))
-          val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
-                      (col("n") * col("sxx") - col("sx") * col("sx"))
+          // degenerate-corpus guards, mirrored in the oracle: a vocab
+          // of ≤1 terms makes sxx*n - sx² = 0 (slope undefined), and a
+          // constant-frequency vocab makes n*syy - sy² = 0 (r2
+          // undefined) — NULL both rather than inherit either engine's
+          // divide-by-zero convention. Same double arithmetic both
+          // sides, so the predicates flip identically.
+          val dx = col("n") * col("sxx") - col("sx") * col("sx")
+          val dy = col("n") * col("syy") - col("sy") * col("sy")
+          val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / dx
           xy.agg(count(lit(1)).cast("double").as("n"),
                  sum("x").as("sx"), sum("y").as("sy"),
                  sum(col("x") * col("y")).as("sxy"),
                  sum(col("x") * col("x")).as("sxx"),
                  sum(col("y") * col("y")).as("syy"))
             .select(col("n").cast("long").as("n_terms"),
-              round(slope, 4).as("slope"),
-              round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"),
-              round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2)
-                    / ((col("n") * col("sxx") - col("sx") * col("sx"))
-                       * (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+              when(dx === 0, lit(null).cast("double"))
+                .otherwise(round(slope, 4)).as("slope"),
+              when(dx === 0, lit(null).cast("double"))
+                .otherwise(round((col("sy") - slope * col("sx")) / col("n"), 4)).as("intercept"),
+              when(dx === 0 || dy === 0, lit(null).cast("double"))
+                .otherwise(round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2)
+                    / (dx * dy), 4)).as("r2"))
         },
         Some("""WITH vocab AS (
                |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
@@ -2494,10 +2521,13 @@ object SparkEntry {
                |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
                |             sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM xy)
                |SELECT CAST(n AS BIGINT) AS n_terms,
-               |       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
-               |       round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) AS intercept,
-               |       round(pow(n*sxy - sx*sy, 2)
-               |             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS r2
+               |       CASE WHEN n*sxx - sx*sx = 0 THEN NULL ELSE
+               |         round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) END AS slope,
+               |       CASE WHEN n*sxx - sx*sx = 0 THEN NULL ELSE
+               |         round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) END AS intercept,
+               |       CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL ELSE
+               |         round(pow(n*sxy - sx*sy, 2)
+               |               / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) END AS r2
                |FROM s""".stripMargin)),
 
       "text_vocab" -> Q(

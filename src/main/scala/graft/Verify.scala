@@ -10,6 +10,9 @@ object Verify {
     val (sfDir, outDir, nameFilter) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(',').toSeq))
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir> [namePrefix,namePrefix,...]")
+        sys.exit(2)
     }
     def keep(name: String): Boolean =
       nameFilter.forall(_.exists(name.startsWith))

@@ -58,7 +58,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "text_length_stats", "text_pii_redact", "text_tfidf",
     "samp_token_budget", "aug_token_dropout", "samp_temperature",
     "text_ccnet_bins", "dedup_span_ngrams", "samp_importance",
-    "pipe_bucket_batches",
+    "pipe_bucket_batches", "text_zipf_fit", "text_postings",
+    "pipe_split_leakage",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows")
 
@@ -147,7 +148,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_error_rate", "ev_asof_join", "ev_range_join", "stat_mad",
     "stat_approx_quantiles", "ts_ohlc", "ev_outliers", "ev_histogram",
     "ev_heavy_hitters", "ev_funnel", "ev_retention", "ev_window_agg",
-    "ev_transitions", "stat_moments")
+    "ev_transitions", "stat_moments", "ev_ewma_bounded")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
