@@ -87,11 +87,28 @@ object Packing {
   /** Length-bucketed batch shaping (the padding-waste killer for
     * variable-length training batches): bucket sequences by token-
     * length band, order each bucket by (tok, id), and cut batches of
-    * `batchSize` sequences. Batch position is again a two-level scan —
-    * a row_number inside the (bucket, tok) partition plus an offset
-    * window over the distinct (bucket, tok) count rows, a frame of at
-    * most bucketWidth rows per bucket — so no window ever sees more
-    * than a token-band's worth of rows regardless of corpus size.
+    * `batchSize` sequences. Batch position is a THREE-level scan, so
+    * every window partition is bounded at any length distribution
+    * (a length-concentrated corpus — tweets, titles — can put most of
+    * the corpus on one exact token count, so a plain row_number over
+    * (bucket, tok) would funnel it into one task):
+    *
+    *  1. row_number inside (_bkt, tok, id DIV blockSize) — ids are
+    *     unique, so ≤ blockSize rows per partition;
+    *  2. a running offset over the per-(bkt, tok) BLOCK totals —
+    *     a frame already reduced by a factor of blockSize (one more
+    *     level of the same scan if even that is large);
+    *  3. a running offset over the per-bucket distinct-tok totals —
+    *     ≤ bucketWidth rows per frame for every band but the last.
+    *
+    * Last-band story (deliberate): `least(tok DIV width, nBuckets-1)`
+    * lumps every sequence ≥ width·(nBuckets-1) tokens into the final
+    * band, so level 3's frame there is bounded by the number of
+    * DISTINCT lengths in the tail, not by bucketWidth. Training
+    * corpora are truncated to a max sequence length, so callers should
+    * size nBuckets = ceil(max_len / bucketWidth), which restores the
+    * width bound everywhere; even untruncated, the frame is distinct
+    * lengths (≤ max observed length), never row count.
     *
     * Returns per-bucket batching stats: (bucket, n_batches, n_docs,
     * pad_tokens, pad_frac) where padding assumes each batch pads to
@@ -99,18 +116,33 @@ object Packing {
     */
   def bucketedBatches(docs: DataFrame, idCol: String, tokCol: String,
                       bucketWidth: Long, nBuckets: Int,
-                      batchSize: Int): DataFrame = {
+                      batchSize: Int, blockSize: Long = 1L << 20): DataFrame = {
     val d = docs.select(col(idCol).as("id"), col(tokCol).cast("long").as("tok"))
       .withColumn("_bkt", least(expr(s"tok DIV $bucketWidth"), lit(nBuckets - 1L)))
-    val wIn = Window.partitionBy("_bkt", "tok").orderBy("id")
+      .withColumn("_blk", expr(s"id DIV $blockSize"))
+    // level 1: bounded by blockSize (ids unique within a block)
+    val wIn = Window.partitionBy("_bkt", "tok", "_blk").orderBy("id")
+    // level 2: frame = blocks touching this (bkt, tok) — rows/blockSize
+    val wBlk = Window.partitionBy("_bkt", "tok").orderBy("_blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // level 3: frame = distinct toks in the band — ≤ bucketWidth (see
+    // last-band note above)
     val wOff = Window.partitionBy("_bkt").orderBy("tok")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = d.groupBy("_bkt", "tok").agg(count(lit(1)).as("_c"))
-      .withColumn("_off", coalesce(sum("_c").over(wOff), lit(0L)))
+    val blkCounts = d.groupBy("_bkt", "tok", "_blk").agg(count(lit(1)).as("_c"))
+    val blkOffsets = blkCounts
+      .withColumn("_boff", coalesce(sum("_c").over(wBlk), lit(0L)))
+      .select("_bkt", "tok", "_blk", "_boff")
+    val offsets = blkCounts.groupBy("_bkt", "tok").agg(sum("_c").as("_tc"))
+      .withColumn("_off", coalesce(sum("_tc").over(wOff), lit(0L)))
       .select("_bkt", "tok", "_off")
+    // blkOffsets is rows/blockSize — a shuffle equi-join, NOT a
+    // broadcast; offsets is one row per distinct (band, length),
+    // bounded by the length range — broadcast
     d.withColumn("_rin", row_number().over(wIn))
+      .join(blkOffsets, Seq("_bkt", "tok", "_blk"))
       .join(broadcast(offsets), Seq("_bkt", "tok"))
-      .withColumn("batch_idx", expr(s"(_off + _rin - 1) DIV $batchSize"))
+      .withColumn("batch_idx", expr(s"(_off + _boff + _rin - 1) DIV $batchSize"))
       .groupBy("_bkt", "batch_idx")
       .agg(count(lit(1)).as("bn"), max("tok").as("mx"), sum("tok").as("st"))
       .groupBy(col("_bkt").as("bucket"))

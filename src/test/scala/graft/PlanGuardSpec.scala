@@ -178,6 +178,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("bucketed batching's row_number runs inside id-blocks (three-level scan)") {
+    val p = plan("pipe_bucket_batches")
+    // the level-1 row_number must partition by (_bkt, tok, _blk): a
+    // length-concentrated corpus puts billions of rows on one exact
+    // token count, and only the id-block key bounds that partition
+    val rn = p.linesIterator.filter(_.contains("row_number()")).mkString("\n")
+    assert(rn.contains("_blk"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("DSIR weighting broadcasts the 64-row LLR table, top-k is TakeOrdered") {
     val p = plan("samp_importance")
     assert(p.contains("BroadcastHashJoin"), p)

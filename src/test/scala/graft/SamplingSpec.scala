@@ -45,6 +45,27 @@ class SamplingSpec extends SparkSpec {
       .orderBy("cum_tok").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("bucketed batching is invariant to block size and physical layout") {
+    val sp = spark; import sp.implicits._
+    // length-concentrated corpus: 40 of 50 docs share ONE exact token
+    // count — the shape that would funnel a (bucket, tok) row_number
+    // into a single partition without the id-block level
+    val rows = (0L until 50L).map { i =>
+      val tok = if (i < 40) 17L else 3L + (i % 7)
+      (i, tok)
+    }
+    val d = rows.toDF("doc_id", "n_tok")
+    def run(blockSize: Long, part: Int) = graft.ops.Packing
+      .bucketedBatches(d.repartition(part), "doc_id", "n_tok",
+        bucketWidth = 8L, nBuckets = 4, batchSize = 8, blockSize = blockSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val single = run(1L << 20, 3) // one block: the pre-split reference
+    assert(run(4L, 3) == single)  // 13 blocks over the hot token count
+    assert(run(4L, 11) == single) // and invariant under layout
+    assert(run(1L, 5) == single)  // degenerate 1-row blocks
+  }
+
   test("temperature rebalance keeps the smallest source fully, squashes large ones") {
     val out = Sampling.temperatureRebalance(docs, "lang", "doc_id")
       .groupBy("lang").agg(max("n_orig").as("n_orig"),
