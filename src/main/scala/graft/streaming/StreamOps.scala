@@ -178,6 +178,63 @@ object StreamOps {
       .agg(graft.ops.TopK.topk(k)(col("n").cast("double"), col("user_id"))
         .as("top_users"))
 
+  final case class EwmaEvent(event_id: Long, ts: Long, user_id: Long,
+                             value: Option[Double])
+
+  /** Ring of the last `lags-1` observed values per user, most recent
+    * first; `mask(i)` false marks a null observation (which still
+    * OCCUPIES a lag slot — matching the batch operator's row-based
+    * `lag()`).
+    */
+  final case class EwmaRing(vals: Array[Double], mask: Array[Boolean])
+
+  final case class EwmaPoint(user_id: Long, event_id: Long,
+                             v: Option[Double], ewma: Option[Double])
+
+  /** Streaming twin of the batch `ev_ewma_bounded` smoother: the
+    * 8-lag bounded EWMA per user as keyed state. The bounded-lookback
+    * form was chosen in the batch operator precisely because it
+    * streams: state is the last 7 observations per user — O(1) per
+    * key — where a truly recursive EWMA's value depends on the entire
+    * history. Weights are α(1-α)^k over the lags whose value is
+    * non-null, renormalized (all-null window → null, same guard as
+    * the batch query). Assumes per-user in-order arrival (the
+    * sessionize contract); emits one smoothed point per input event.
+    */
+  def streamingEwma(events: Dataset[EwmaEvent], alpha: Double = 0.5,
+                    lags: Int = 8): Dataset[EwmaPoint] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaRing, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[EwmaRing]) =>
+          var ring: Vector[Option[Double]] = state.getOption match {
+            case Some(r) =>
+              r.vals.lazyZip(r.mask).map((v, m) => if (m) Some(v) else None).toVector
+            case None => Vector.empty
+          }
+          val out = it.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+            val win = (e.value +: ring).take(lags)
+            var num = 0.0; var den = 0.0
+            win.zipWithIndex.foreach { case (ov, k) =>
+              val w = alpha * math.pow(1 - alpha, k)
+              ov.foreach { v => num += v * w; den += w }
+            }
+            val ewma =
+              if (den == 0) None
+              else if ((num / den).isNaN || (num / den).isInfinite) Some(num / den)
+              else Some(java.math.BigDecimal.valueOf(num / den)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+            ring = (e.value +: ring).take(lags - 1)
+            EwmaPoint(e.user_id, e.event_id, e.value, ewma)
+          }
+          state.update(EwmaRing(ring.map(_.getOrElse(0.0)).toArray,
+            ring.map(_.isDefined).toArray))
+          out.iterator
+      }
+  }
+
   /** Streaming training-data prep: PII scrub → normalize →
     * quality-filter → first-seen exact dedup on the NORMALIZED
     * content hash of the SCRUBBED text, end to end as one incremental

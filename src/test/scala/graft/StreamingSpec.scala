@@ -353,6 +353,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming bounded EWMA equals the batch ev_ewma_bounded query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.types._
+    // deterministic corpus incl. a NULL value (occupies a lag slot)
+    val rng = new scala.util.Random(42)
+    val evRows = for (u <- 0L until 5L; i <- 0L until 12L) yield {
+      val v: java.lang.Double =
+        if (u == 1L && i == 3L) null
+        else math.round(rng.nextDouble() * 10000) / 100.0
+      (u * 100 + i, i * H + u, u, v)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(evRows.map { case (id, ts, u, v) =>
+        org.apache.spark.sql.Row(id, ts, u, "click", v, "{}") }, 3), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ev_ewma_bounded")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val input = MemoryStream[StreamOps.EwmaEvent]
+    val query = StreamOps.streamingEwma(input.toDS())
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val evts = evRows.map { case (id, ts, u, v) =>
+        StreamOps.EwmaEvent(id, ts, u, Option(v).map(_.doubleValue)) }
+      // three micro-batches, per-user in event-time order (the
+      // operator's arrival contract): the 8-lag ring must carry
+      // smoothing state across the batch boundaries
+      Seq(evts.filter(_.event_id % 100 < 4),
+          evts.filter(e => e.event_id % 100 >= 4 && e.event_id % 100 < 8),
+          evts.filter(_.event_id % 100 >= 8)).foreach { b =>
+        input.addData(b); query.processAllAvailable()
+      }
+      val got = s.sql("SELECT user_id, event_id, ewma FROM ewma").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      assert(got == batch)
+    } finally query.stop()
+  }
+
   test("streaming LSH near-dup emits the batch candidate pairs across batches") {
     val s = spark
     import s.implicits._
