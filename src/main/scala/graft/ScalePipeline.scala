@@ -67,12 +67,44 @@ object ScalePipeline {
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       graft.ann.Mmr.rerank(e.filter(col("vec_id") =!= 0), q, 50, 10, 0.5).collect()
     }
+    // span-ngram exact-substring dedup (the dedup_span_ngrams plan at
+    // corpus scale): ~43 8-gram hashes per 50-token doc → one groupBy
+    // on the gram hash + one equi-join back, both linear in tokens
+    val tSpan = time {
+      val t = graft.text.TextPrimitives.tokens(col("text"))
+      val grams = d.select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"), explode(
+          when(size(col("t")) >= 8,
+            transform(sequence(lit(1), size(col("t")) - 7),
+              i => graft.functions.VectorFunctions.md5Long(
+                concat_ws(" ", slice(col("t"), i, lit(8))))))
+          .otherwise(array().cast("array<bigint>"))).as("g"))
+      val dc = grams.groupBy("g").agg(countDistinct("doc_id").as("ndocs"))
+      grams.join(dc, "g").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+             sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .agg(sum("n_dup"), count(lit(1))).collect()
+    }
+    // length-bucketed batching on a length-CONCENTRATED corpus (80%
+    // of docs share one exact token count — the shape the id-block
+    // level exists for; a two-level scan would straggle here)
+    val tBatch = time {
+      val lens = d.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 8, lit(512L))
+          .otherwise(pmod(xxhash64(col("doc_id")), lit(1024)))
+          .cast("long").as("n_tok"))
+      graft.ops.Packing.bucketedBatches(lens, "doc_id", "n_tok",
+        bucketWidth = 64L, nBuckets = 16, batchSize = 32,
+        blockSize = 1L << 16).collect()
+    }
 
     println(f"""{"metric":"scale_pipeline","n_docs":$nDocs,"n_vecs":$nVecs,""" +
       f""""pii_sec":$tPii%.3f,"pii_docs_per_sec":${nDocs / tPii}%.0f,""" +
       f""""budget_sec":$tBudget%.3f,"budget_docs_per_sec":${nDocs / tBudget}%.0f,""" +
       f""""whiten_sec":$tWhiten%.3f,"whiten_vecs_per_sec":${nVecs / tWhiten}%.0f,""" +
-      f""""mmr_sec":$tMmr%.3f,"mmr_vecs_per_sec":${nVecs / tMmr}%.0f}""")
+      f""""mmr_sec":$tMmr%.3f,"mmr_vecs_per_sec":${nVecs / tMmr}%.0f,""" +
+      f""""span_sec":$tSpan%.3f,"span_grams_per_sec":${nDocs * 43 / tSpan}%.0f,""" +
+      f""""batch_sec":$tBatch%.3f,"batch_docs_per_sec":${nDocs / tBatch}%.0f}""")
     spark.stop()
   }
 }
