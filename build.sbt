@@ -31,3 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// NOTE: `sbt console` cannot host a working SparkSession here — the
+// in-process REPL classloader breaks Scala runtime reflection
+// ("Prohibited package name: java.sql") when deriving encoders. The
+// README walkthrough is therefore a compiled main:
+//   sbt "runMain graft.examples.ReadmeExample"   (forked, add-opens applied)

@@ -27,10 +27,26 @@ object CollectionStorage {
     * subsequent `user_id` filter — spec-asserted on the plan).
     * Partition-column type inference reads `user_id` as int; cast it
     * back to the canonical long.
+    *
+    * A store that holds only [[ensureCollection]]-created empty
+    * partition dirs (or nothing at all) has no parquet footer to
+    * infer a schema from — that is the reference's create-collection→
+    * first-upsert window, so it loads as an EMPTY canonical frame
+    * rather than failing.
     */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    try spark.read.parquet(path)
       .withColumn("user_id", col("user_id").cast("long"))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+             e.getMessage.contains("PATH_NOT_FOUND") =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id BIGINT, vector_id BIGINT, doc_id BIGINT, " +
+            "chunk_id BIGINT, title STRING, embedding ARRAY<DOUBLE>"))
+    }
 
   /** Overwrite only the user partitions present in `changed` —
     * the scale-safe mutation path for upsert/delete outcomes.

@@ -1,0 +1,52 @@
+#!/usr/bin/env bash
+# Snapshot gate runner: executes the three gates (sbt test, Verify +
+# DuckDB oracle, Bench) and appends a one-line gate-summary record to
+# PROGRESS.jsonl — the audit trail that lets a later reader confirm
+# WHICH gates ran green at each snapshot without re-deriving it from
+# CI noise. Usage: tools/snapshot.sh <round> [--skip-test] [--all]
+#   --skip-test  reuse the last sbt-test line (when the suite just ran)
+#   --all        bench the FULL query inventory, not the headline set
+set -uo pipefail
+cd "$(dirname "$0")/.."
+round=${1:?usage: tools/snapshot.sh <round> [--skip-test] [--all]}
+shift || true
+skip_test=0; bench_all=""
+for a in "$@"; do
+  case "$a" in
+    --skip-test) skip_test=1 ;;
+    --all) bench_all=1 ;;
+  esac
+done
+
+if [ "$skip_test" = 1 ] && [ -f /tmp/graft_last_test_line ]; then
+  test_line=$(cat /tmp/graft_last_test_line)
+else
+  test_line=$(sbt -batch test 2>&1 | grep -E "Tests: succeeded" | tail -1 \
+    | sed 's/^\[info\] //')
+  echo "$test_line" > /tmp/graft_last_test_line
+fi
+
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/snapshot_vout" \
+  >/dev/null 2>&1
+verify_line=$(python3 tools/check.py /root/testdata/sf0.01 /tmp/snapshot_vout \
+  | tail -1)
+
+bench_raw=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_ALL=$bench_all sbt -batch "runMain graft.Bench" 2>&1 \
+  | grep '"metric"' | tail -1 | sed 's/^\[info\] //')
+
+python3 - "$round" "$test_line" "$verify_line" "$bench_raw" <<'EOF'
+import json, sys, time
+_, rnd, t, v, b = sys.argv
+try:
+    d = json.loads(b)
+    bench = {"total_sec": d.get("value"), "n_queries": len(d.get("queries", {})),
+             "baseline": d.get("baseline")}
+except Exception:
+    bench = {"raw": b[:300]}
+rec = {"ts": time.time(), "round": int(rnd),
+       "gate_summary": {"sbt_test": t, "verify": v, "bench": bench}}
+with open("PROGRESS.jsonl", "a") as f:
+    f.write(json.dumps(rec) + "\n")
+print("gate_summary appended:", json.dumps(rec["gate_summary"], indent=None)[:400])
+EOF
