@@ -1250,6 +1250,77 @@ object SparkEntry {
              |      FROM events GROUP BY event_type)
              |ORDER BY event_type""".stripMargin)),
 
+    // winsorized robust aggregation: per-type p01/p99 cutoffs as ONE
+    // tiny aggregate broadcast back (the text_ccnet_bins shape on the
+    // measure axis), values clipped map-side — the outlier-tolerant
+    // mean a metrics pipeline reports next to the raw one. Cutoffs
+    // rounded to 6 before the comparison so an interpolation ulp
+    // can't flip a boundary row on one engine only
+    "ev_winsorize" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cuts = ev.groupBy("event_type")
+          .agg(expr("percentile(value, array(0.01D, 0.99D))").as("ps"))
+          .select(col("event_type"), round(element_at(col("ps"), 1), 6).as("lo"),
+                  round(element_at(col("ps"), 2), 6).as("hi"))
+        ev.join(broadcast(cuts), "event_type")
+          .select(col("event_type"), col("value"),
+                  greatest(least(col("value"), col("hi")), col("lo")).as("wv"),
+                  when(col("value") < col("lo") || col("value") > col("hi"), 1)
+                    .otherwise(0).as("clipped"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("clipped").as("n_clipped"),
+               round(avg("value"), 4).as("mean_raw"),
+               round(avg("wv"), 4).as("mean_wins"))
+          .orderBy("event_type")
+      },
+      Some("""WITH cuts AS (
+             |  SELECT event_type, round(quantile_cont(value, 0.01), 6) AS lo,
+             |         round(quantile_cont(value, 0.99), 6) AS hi
+             |  FROM events GROUP BY event_type)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+             |       round(avg(value), 4) AS mean_raw,
+             |       round(avg(greatest(least(value, hi), lo)), 4) AS mean_wins
+             |FROM events JOIN cuts USING (event_type)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // last-touch attribution: every purchase credited to the campaign
+    // (props.k mod 10) of the user's latest click at or before it —
+    // one RUNNING per-user window (last(...ignoreNulls) over an
+    // incremental frame, O(1) per row in WindowExec), then a tiny
+    // groupBy; no self-join, no inequality join
+    "ev_attribution" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+                  col("value"),
+                  get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .withColumn("lck",
+            last(when(col("event_type") === "click", col("k")), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "purchase")
+          .select(coalesce(pmod(col("lck"), lit(10)), lit(-1L)).as("campaign"),
+                  col("value"))
+          .groupBy("campaign")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("revenue"))
+          .orderBy("campaign")
+      },
+      Some("""WITH a AS (
+             |  SELECT event_type, value,
+             |         last_value(CASE WHEN event_type = 'click'
+             |                    THEN json_extract_string(props, '$.k')::BIGINT END
+             |                    IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lck
+             |  FROM events)
+             |SELECT coalesce(lck % 10, -1) AS campaign,
+             |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS revenue
+             |FROM a WHERE event_type = 'purchase'
+             |GROUP BY campaign ORDER BY campaign""".stripMargin)),
+
     "ev_window_agg" -> Q(
       (s, d) => Tables.events(s, d)
         .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
@@ -1698,6 +1769,33 @@ object SparkEntry {
              |       max(quality) AS best_quality
              |FROM j GROUP BY cluster ORDER BY cluster""".stripMargin
         }),
+
+      // dup-cluster size histogram (the dedup audit chart: how much of
+      // the corpus sits in clusters of 1, 2, 3… members) — two tiny
+      // aggregates ON TOP of the shared CC label table, so the audit
+      // is ~free once dedup_clusters has run
+      "dedup_cluster_sizes" -> Q(
+        (s, d) => Dedup.clusterLabelsShared(docsUnder(s, d, 200), d, 5, 8, 2)
+          .groupBy("cluster").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("sz"),
+        Some(s"""WITH RECURSIVE sig AS (
+                |${Dedup.minhashSigSql(5, 8, "doc_id < 200")}),
+                |bands AS (${(0 until 4).map(b =>
+                   s"SELECT doc_id, $b AS b, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS bv FROM sig")
+                   .mkString(" UNION ALL ")}),
+                |pairs AS (
+                |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+                |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+                |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db, da FROM pairs),
+                |reach(src, lbl) AS (
+                |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+                |  UNION
+                |  SELECT e.da, r.lbl FROM reach r JOIN edges e ON e.db = r.src),
+                |cc AS (SELECT src AS doc_id, min(lbl) AS cluster FROM reach GROUP BY src),
+                |szs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM cc GROUP BY cluster)
+                |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+                |FROM szs GROUP BY sz ORDER BY sz""".stripMargin)),
 
       // fuzzy near-dup by edit distance on document prefixes (exact
       // integer distances — Spark and DuckDB levenshtein agree).
@@ -2529,6 +2627,219 @@ object SparkEntry {
                |         round(pow(n*sxy - sx*sy, 2)
                |               / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) END AS r2
                |FROM s""".stripMargin)),
+
+      // per-language character-class profile (script/encoding drift
+      // monitor): four regex strip-counts per doc — pure map — then a
+      // |lang|-row aggregate. The scan projects only (lang, text)
+      "text_charclass" -> Q(
+        (s, d) => {
+          val t = col("text")
+          val n = greatest(length(t), lit(1)).cast("double")
+          Tables.documents(s, d)
+            .select(col("lang"),
+              (length(regexp_replace(t, "[^A-Za-z]", "")) / n).as("alpha"),
+              (length(regexp_replace(t, "[^0-9]", "")) / n).as("digit"),
+              (length(regexp_replace(t, "[^ \\t\\n\\r]", "")) / n).as("space"),
+              (length(regexp_replace(t, "[^A-Z]", "")) / n).as("upper"))
+            .groupBy("lang")
+            .agg(count(lit(1)).as("n_docs"),
+                 round(avg("alpha"), 4).as("avg_alpha"),
+                 round(avg("digit"), 4).as("avg_digit"),
+                 round(avg("space"), 4).as("avg_space"),
+                 round(avg("upper"), 4).as("avg_upper"))
+            .orderBy("lang")
+        },
+        Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               |       round(avg(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n), 4) AS avg_alpha,
+               |       round(avg(length(regexp_replace(text, '[^0-9]', '', 'g')) / n), 4) AS avg_digit,
+               |       round(avg(length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) / n), 4) AS avg_space,
+               |       round(avg(length(regexp_replace(text, '[^A-Z]', '', 'g')) / n), 4) AS avg_upper
+               |FROM (SELECT lang, text,
+               |             CAST(greatest(length(text), 1) AS DOUBLE) AS n
+               |      FROM documents)
+               |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+      // Flesch reading-ease per doc (readability as a quality signal):
+      // sentences = [.!?]+ runs (min 1), syllables = [aeiouy]+ vowel
+      // groups — all regex counts, pure map, no shuffle before the
+      // bounded output sort
+      "text_readability" -> Q(
+        (s, d) => {
+          val words = size(graft.text.TextPrimitives.tokens(col("text"))).cast("double")
+          val sents = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1)).cast("double")
+          val sylls = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("double")
+          Tables.documents(s, d).filter(col("doc_id") < 100)
+            .select(col("doc_id"), words.cast("long").as("n_words"),
+                    sents.cast("long").as("n_sent"), sylls.cast("long").as("n_syll"),
+                    round(lit(206.835) - lit(1.015) * (words / sents)
+                          - lit(84.6) * (sylls / greatest(words, lit(1.0))), 4).as("flesch"))
+            .orderBy("doc_id")
+        },
+        Some("""SELECT doc_id, CAST(words AS BIGINT) AS n_words,
+               |       CAST(sents AS BIGINT) AS n_sent, CAST(sylls AS BIGINT) AS n_syll,
+               |       round(206.835 - 1.015 * (words / sents)
+               |             - 84.6 * (sylls / greatest(words, 1.0)), 4) AS flesch
+               |FROM (
+               |  SELECT doc_id,
+               |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS words,
+               |         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS sents,
+               |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS sylls
+               |  FROM documents WHERE doc_id < 100)
+               |ORDER BY doc_id""".stripMargin)),
+
+      // per-doc token Shannon entropy (repetition/diversity signal the
+      // Gopher filters threshold on): H = ln(n) − Σ c·ln(c) / n from
+      // ONE (doc, tok) hash agg + one per-doc agg — no windows
+      "text_entropy" -> Q(
+        (s, d) => {
+          val tf = Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id"),
+              explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
+            .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          tf.groupBy("doc_id")
+            .agg(sum("c").as("n"), count(lit(1)).as("n_types"),
+                 sum(col("c") * log(col("c"))).as("clc"))
+            .select(col("doc_id"), col("n").as("n_tok"), col("n_types"),
+                    round(log(col("n")) - col("clc") / col("n"), 4).as("entropy"))
+            .orderBy("doc_id")
+        },
+        Some("""WITH tf AS (
+               |  SELECT doc_id, tok, count(*) AS c
+               |  FROM (SELECT doc_id,
+               |               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+               |        FROM documents WHERE doc_id < 200)
+               |  GROUP BY doc_id, tok)
+               |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+               |       CAST(count(*) AS BIGINT) AS n_types,
+               |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+               |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+      // per-language type-token ratio (vocabulary richness): one
+      // explode + one expand-based distinct agg, |lang| output rows
+      "text_ttr" -> Q(
+        (s, d) => Tables.documents(s, d)
+          .select(col("lang"),
+            explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_tok"), countDistinct("tok").as("n_types"))
+          .withColumn("ttr", round(col("n_types") / col("n_tok").cast("double"), 4))
+          .orderBy("lang"),
+        Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_tok,
+               |       CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+               |       round(count(DISTINCT tok) / CAST(count(*) AS DOUBLE), 4) AS ttr
+               |FROM (SELECT lang,
+               |             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+               |      FROM documents)
+               |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+      // Gopher-style rule bundle (Rae et al. 2021 §A1.1, the doc-level
+      // KEEP/DROP decision): word count, mean word length, alpha-word
+      // fraction, stopword floor — every rule a map-side HOF over the
+      // token array, the keep flag their conjunction
+      "text_gopher_rules" -> Q(
+        (s, d) => {
+          val toks = graft.text.TextPrimitives.tokens(col("text"))
+          val nW = size(toks).cast("double")
+          val mwl = length(concat_ws("", toks)) / greatest(nW, lit(1.0))
+          val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))) / greatest(nW, lit(1.0))
+          val stopCnt = size(filter(toks,
+            t => t.isin(graft.text.TextAnalytics.Stopwords: _*)))
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id"), nW.cast("long").as("n_words"),
+                    round(mwl, 4).as("mean_wlen"),
+                    round(alphaFrac, 4).as("alpha_frac"),
+                    stopCnt.cast("long").as("stop_cnt"),
+                    (nW >= 5 && mwl >= 3 && mwl <= 10 &&
+                     alphaFrac >= 0.8 && stopCnt >= 2).cast("int").as("keep"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val stopList = graft.text.TextAnalytics.Stopwords.map(w => s"'$w'").mkString(",")
+          s"""SELECT doc_id, CAST(n_w AS BIGINT) AS n_words,
+             |       round(mwl, 4) AS mean_wlen, round(af, 4) AS alpha_frac,
+             |       CAST(sc AS BIGINT) AS stop_cnt,
+             |       CAST(n_w >= 5 AND mwl >= 3 AND mwl <= 10
+             |            AND af >= 0.8 AND sc >= 2 AS INTEGER) AS keep
+             |FROM (
+             |  SELECT doc_id, n_w,
+             |         length(array_to_string(toks, '')) / greatest(n_w, 1.0) AS mwl,
+             |         len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+             |           / greatest(n_w, 1.0) AS af,
+             |         len(list_filter(toks, t -> t IN ($stopList))) AS sc
+             |  FROM (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS n_w
+             |        FROM (SELECT doc_id,
+             |                regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+             |              FROM documents WHERE doc_id < 200)))
+             |ORDER BY doc_id""".stripMargin
+        }),
+
+      // per-source data card (the summary table a dataset release
+      // ships): docs, tokens, char stats, language spread, median
+      // length — ONE grouped pass over the corpus, |source| rows out
+      "pipe_data_card" -> Q(
+        (s, d) => Tables.documents(s, d)
+          .select(col("source"), col("lang"), col("n_chars"),
+            size(graft.text.TextPrimitives.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tok"),
+               round(avg("n_chars"), 2).as("avg_chars"),
+               countDistinct("lang").as("n_langs"),
+               round(expr("percentile(nt, 0.5D)"), 1).as("p50_tok"))
+          .orderBy("source"),
+        Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               |       CAST(sum(nt) AS BIGINT) AS n_tok,
+               |       round(avg(n_chars), 2) AS avg_chars,
+               |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               |       round(quantile_cont(nt, 0.5), 1) AS p50_tok
+               |FROM (SELECT source, lang, n_chars,
+               |             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS nt
+               |      FROM documents)
+               |GROUP BY source ORDER BY source""".stripMargin)),
+
+      // exact Gini coefficient of per-doc token counts per source
+      // (length-concentration audit), computed FROM GROUPED COUNTS:
+      // rank sums over a run of c tied values collapse to
+      // c·F + c(c+1)/2, so the only window runs over the DISTINCT
+      // length values of a source (the bucketedBatches level-3 bound),
+      // never the docs — integer arithmetic end to end until one
+      // final division
+      "stat_gini" -> Q(
+        (s, d) => {
+          val grp = Tables.documents(s, d)
+            .select(col("source"),
+              size(graft.text.TextPrimitives.tokens(col("text"))).cast("long").as("x"))
+            .groupBy("source", "x").agg(count(lit(1)).as("c"))
+          val w = Window.partitionBy("source").orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          grp.withColumn("f", coalesce(sum("c").over(w), lit(0L)))
+            .withColumn("rs", expr("x * (c * f + (c * (c + 1)) DIV 2)"))
+            .groupBy("source")
+            .agg(sum("c").as("n"), sum(expr("x * c")).as("sx"), sum("rs").as("srx"))
+            .select(col("source"), col("n"),
+              when(col("sx") === 0, lit(null).cast("double"))
+                .otherwise(round(lit(2.0) * col("srx") / (col("n") * col("sx"))
+                  - (col("n") + lit(1.0)) / col("n"), 4)).as("gini"))
+            .orderBy("source")
+        },
+        Some("""WITH grp AS (
+               |  SELECT source, x, CAST(count(*) AS BIGINT) AS c
+               |  FROM (SELECT source,
+               |          CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS x
+               |        FROM documents)
+               |  GROUP BY source, x),
+               |cum AS (
+               |  SELECT source, x, c,
+               |         coalesce(sum(c) OVER (PARTITION BY source ORDER BY x
+               |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f
+               |  FROM grp),
+               |agg AS (
+               |  SELECT source, CAST(sum(c) AS BIGINT) AS n, sum(x * c) AS sx,
+               |         sum(x * (c * f + (c * (c + 1)) // 2)) AS srx
+               |  FROM cum GROUP BY source)
+               |SELECT source, n,
+               |       CASE WHEN sx = 0 THEN NULL ELSE
+               |         round(2.0 * srx / (n * sx) - (n + 1.0) / n, 4) END AS gini
+               |FROM agg ORDER BY source""".stripMargin)),
 
       "text_vocab" -> Q(
         (s, d) => {

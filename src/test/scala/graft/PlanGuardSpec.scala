@@ -178,6 +178,26 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("winsorize gets its cutoffs from a broadcast, never a sort-merge join") {
+    val p = plan("ev_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("attribution is one running per-user window, no self-join") {
+    val p = plan("ev_attribution")
+    val nJoins = "Join".r.findAllIn(p).length
+    assert(nJoins == 0, s"expected no joins, plan:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("gini's only window runs over grouped distinct lengths, partitioned by source") {
+    val p = plan("stat_gini")
+    val w = p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(w.contains("source"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed batching's row_number runs inside id-blocks (three-level scan)") {
     val p = plan("pipe_bucket_batches")
     // the level-1 row_number must partition by (_bkt, tok, _blk): a

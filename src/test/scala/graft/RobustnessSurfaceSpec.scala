@@ -59,7 +59,9 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "samp_token_budget", "aug_token_dropout", "samp_temperature",
     "text_ccnet_bins", "dedup_span_ngrams", "samp_importance",
     "pipe_bucket_batches", "text_zipf_fit", "text_postings",
-    "pipe_split_leakage",
+    "pipe_split_leakage", "text_charclass", "text_readability",
+    "text_entropy", "text_ttr", "text_gopher_rules", "pipe_data_card",
+    "stat_gini", "dedup_cluster_sizes",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows")
 
@@ -148,7 +150,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_error_rate", "ev_asof_join", "ev_range_join", "stat_mad",
     "stat_approx_quantiles", "ts_ohlc", "ev_outliers", "ev_histogram",
     "ev_heavy_hitters", "ev_funnel", "ev_retention", "ev_window_agg",
-    "ev_transitions", "stat_moments", "ev_ewma_bounded")
+    "ev_transitions", "stat_moments", "ev_ewma_bounded",
+    "ev_winsorize", "ev_attribution")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

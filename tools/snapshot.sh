@@ -31,9 +31,14 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/snapshot_vout" \
 verify_line=$(python3 tools/check.py /root/testdata/sf0.01 /tmp/snapshot_vout \
   | tail -1)
 
-bench_raw=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_BENCH_ALL=$bench_all sbt -batch "runMain graft.Bench" 2>&1 \
-  | grep '"metric"' | tail -1 | sed 's/^\[info\] //')
+bench_out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_ALL=$bench_all sbt -batch "runMain graft.Bench" 2>&1)
+bench_raw=$(echo "$bench_out" | grep '"metric"' | tail -1 | sed 's/^\[info\] //')
+# full-inventory runs are committed as the round's comparison floor
+if [ "$bench_all" = 1 ]; then
+  { echo "$bench_out" | grep '"detail"' | tail -1 | sed 's/^\[info\] //'
+    echo "$bench_raw"; } > "BENCH_FULL_r$(printf '%02d' "$round").jsonl"
+fi
 
 python3 - "$round" "$test_line" "$verify_line" "$bench_raw" <<'EOF'
 import json, sys, time
