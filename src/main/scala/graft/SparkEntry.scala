@@ -2841,6 +2841,92 @@ object SparkEntry {
                |         round(2.0 * srx / (n * sx) - (n + 1.0) / n, 4) END AS gini
                |FROM agg ORDER BY source""".stripMargin)),
 
+      // deterministic curriculum interleave: round-robin the sources
+      // in (rank-within-source, source) order so a training run sees
+      // every source early and repeatably. The per-source rank uses
+      // Packing.boundedRowNumber (id-block two-level scan — a hot
+      // source never funnels one window partition); the source-index
+      // rank is the only global window and runs over the ≤|sources|
+      // distinct-source table
+      "pipe_interleave" -> Q(
+        (s, d) => {
+          val docs = Tables.documents(s, d).select(col("source"), col("doc_id"))
+          val ranked = graft.ops.Packing.boundedRowNumber(
+            docs, Seq("source"), "doc_id", 1L << 20, "r")
+          val srcs = docs.groupBy("source").agg(count(lit(1)).as("_n"))
+          val sidx = srcs
+            .withColumn("sidx", row_number().over(Window.orderBy("source")))
+            .select(col("source"), col("sidx").cast("long").as("sidx"))
+          val ns = srcs.agg(count(lit(1)).as("ns"))
+          ranked.join(broadcast(sidx), "source").crossJoin(broadcast(ns))
+            .select(((col("r") - 1) * col("ns") + col("sidx")).as("pos"),
+                    col("source"), col("doc_id"))
+            .orderBy("pos").limit(100)
+        },
+        Some("""WITH r AS (
+               |  SELECT source, doc_id,
+               |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+               |  FROM documents),
+               |s AS (SELECT source,
+               |             CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS sidx
+               |      FROM (SELECT DISTINCT source FROM documents)),
+               |t AS (SELECT CAST(count(*) AS BIGINT) AS ns
+               |      FROM (SELECT DISTINCT source FROM documents))
+               |SELECT CAST((r - 1) * ns + sidx AS BIGINT) AS pos, source, doc_id
+               |FROM r JOIN s USING (source), t
+               |ORDER BY pos LIMIT 100""".stripMargin)),
+
+      // two-sample Kolmogorov–Smirnov drift test between the en and
+      // non-en token-length distributions, exact from GROUPED counts:
+      // ecdfs as running sums over the distinct length values (the
+      // stat_gini bound — values, never rows), D = max gap, the
+      // α=0.05 threshold 1.358·sqrt((n+m)/nm). The drift gate a
+      // pipeline runs between ingest batches
+      "samp_ks_test" -> Q(
+        (s, d) => {
+          val g = Tables.documents(s, d)
+            .select(size(graft.text.TextPrimitives.tokens(col("text")))
+                      .cast("long").as("x"),
+                    when(col("lang") === "en", 1L).otherwise(0L).as("en"))
+            .groupBy("x")
+            .agg(sum("en").as("ce"), sum(lit(1L) - col("en")).as("cr"))
+          val w = Window.orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val tot = g.agg(sum("ce").as("ne"), sum("cr").as("nr"))
+          val dmax = g
+            .withColumn("fe", sum("ce").over(w))
+            .withColumn("fr", sum("cr").over(w))
+            .crossJoin(broadcast(tot))
+            .groupBy("ne", "nr")
+            .agg(max(abs(col("fe").cast("double") / col("ne")
+                         - col("fr").cast("double") / col("nr"))).as("d"))
+          dmax.select(col("ne").as("n_en"), col("nr").as("n_rest"),
+              round(col("d"), 4).as("d"),
+              round(lit(1.358) * sqrt((col("ne") + col("nr"))
+                / (col("ne").cast("double") * col("nr"))), 4).as("crit"))
+            .withColumn("reject", (col("d") > col("crit")).cast("int"))
+        },
+        Some("""WITH g AS (
+               |  SELECT x, CAST(sum(en) AS BIGINT) AS ce,
+               |         CAST(sum(1 - en) AS BIGINT) AS cr
+               |  FROM (SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS x,
+               |               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+               |        FROM documents)
+               |  GROUP BY x),
+               |c AS (SELECT x, ce, cr,
+               |             sum(ce) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fe,
+               |             sum(cr) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fr
+               |      FROM g),
+               |t AS (SELECT CAST(sum(ce) AS BIGINT) AS ne, CAST(sum(cr) AS BIGINT) AS nr FROM g),
+               |dm AS (SELECT ne, nr,
+               |              max(abs(CAST(fe AS DOUBLE) / ne - CAST(fr AS DOUBLE) / nr)) AS d
+               |       FROM c, t GROUP BY ne, nr)
+               |SELECT ne AS n_en, nr AS n_rest, round(d, 4) AS d,
+               |       round(1.358 * sqrt((ne + nr) / (CAST(ne AS DOUBLE) * nr)), 4) AS crit,
+               |       CAST(round(d, 4) > round(1.358 * sqrt((ne + nr) / (CAST(ne AS DOUBLE) * nr)), 4)
+               |            AS INTEGER) AS reject
+               |FROM dm""".stripMargin)),
+
       "text_vocab" -> Q(
         (s, d) => {
           // orderBy+limit plans as TakeOrderedAndProject (bounded

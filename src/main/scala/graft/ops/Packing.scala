@@ -84,6 +84,33 @@ object Packing {
       .select(col(idCol), col(scoreCol), col("tok"), col("cum_tok"))
   }
 
+  /** `row_number() OVER (PARTITION BY partCols ORDER BY idCol)` with
+    * every window partition BOUNDED — the reusable form of the
+    * two-level scan the packing/batching operators use. Level 1 ranks
+    * inside (partCols, idCol DIV blockSize) — ≤ blockSize rows when
+    * ids are unique; level 2 is a running offset over the per-key
+    * block totals, a frame already reduced by a factor of blockSize.
+    * Use wherever a plain per-key row_number would straggle on a hot
+    * key (curriculum interleave, export numbering, dedup tie-breaks).
+    * `idCol` must be unique and integral.
+    */
+  def boundedRowNumber(df: DataFrame, partCols: Seq[String], idCol: String,
+                       blockSize: Long, out: String): DataFrame = {
+    val keyed = df.withColumn("_brn_blk", expr(s"$idCol DIV $blockSize"))
+    val blkKey = partCols :+ "_brn_blk"
+    val wIn = Window.partitionBy(blkKey.map(col): _*).orderBy(idCol)
+    val wBlk = Window.partitionBy(partCols.map(col): _*).orderBy("_brn_blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(blkKey.map(col): _*)
+      .agg(count(lit(1)).as("_brn_c"))
+      .withColumn("_brn_off", coalesce(sum("_brn_c").over(wBlk), lit(0L)))
+      .select((blkKey :+ "_brn_off").map(col): _*)
+    keyed.withColumn("_brn_rin", row_number().over(wIn))
+      .join(offs, blkKey)
+      .withColumn(out, col("_brn_off") + col("_brn_rin"))
+      .drop("_brn_blk", "_brn_rin", "_brn_off")
+  }
+
   /** Length-bucketed batch shaping (the padding-waste killer for
     * variable-length training batches): bucket sequences by token-
     * length band, order each bucket by (tok, id), and cut batches of

@@ -235,6 +235,44 @@ object StreamOps {
       }
   }
 
+  final case class AttrEvent(event_id: Long, ts: Long, user_id: Long,
+                             event_type: String, value: Double, k: Long)
+
+  final case class LastClick(k: Long, set: Boolean)
+
+  final case class Attribution(user_id: Long, event_id: Long,
+                               campaign: Long, value: Double)
+
+  /** Streaming twin of the batch `ev_attribution` query: last-touch
+    * attribution as keyed state — the per-user state is ONE value
+    * (the latest click's campaign key), updated on clicks and read on
+    * purchases, so memory is O(users) regardless of event volume.
+    * Same arrival contract as [[sessionize]] (per-user in-order);
+    * emits one attributed row per purchase.
+    */
+  def streamingAttribution(events: Dataset[AttrEvent]): Dataset[Attribution] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[LastClick]) =>
+          var lc = state.getOption.getOrElse(LastClick(0L, set = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          it.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "click" => lc = LastClick(e.k, set = true)
+              case "purchase" =>
+                out += Attribution(uid, e.event_id,
+                  if (lc.set) math.floorMod(lc.k, 10L) else -1L, e.value)
+              case _ => ()
+            }
+          }
+          state.update(lc)
+          out.iterator
+      }
+  }
+
   /** Streaming training-data prep: PII scrub → normalize →
     * quality-filter → first-seen exact dedup on the NORMALIZED
     * content hash of the SCRUBBED text, end to end as one incremental

@@ -61,7 +61,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "pipe_bucket_batches", "text_zipf_fit", "text_postings",
     "pipe_split_leakage", "text_charclass", "text_readability",
     "text_entropy", "text_ttr", "text_gopher_rules", "pipe_data_card",
-    "stat_gini", "dedup_cluster_sizes",
+    "stat_gini", "dedup_cluster_sizes", "pipe_interleave", "samp_ks_test",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows")
 

@@ -66,6 +66,23 @@ class SamplingSpec extends SparkSpec {
     assert(run(1L, 5) == single)  // degenerate 1-row blocks
   }
 
+  test("boundedRowNumber equals a plain per-key row_number at any block size") {
+    val sp = spark; import sp.implicits._
+    // hot key: 45 of 60 rows share one key
+    val rows = (0L until 60L).map(i => (if (i < 45) "hot" else s"k${i % 5}", i))
+    val d = rows.toDF("k", "id")
+    val expected = d.withColumn("r",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    for (bs <- Seq(1L, 4L, 1L << 20); parts <- Seq(3, 11)) {
+      val got = graft.ops.Packing
+        .boundedRowNumber(d.repartition(parts), Seq("k"), "id", bs, "r")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected, s"blockSize=$bs parts=$parts")
+    }
+  }
+
   test("temperature rebalance keeps the smallest source fully, squashes large ones") {
     val out = Sampling.temperatureRebalance(docs, "lang", "doc_id")
       .groupBy("lang").agg(max("n_orig").as("n_orig"),

@@ -400,6 +400,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming last-touch attribution equals the batch ev_attribution query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.types._
+    val rng = new scala.util.Random(7)
+    val types = Seq("click", "view", "purchase", "error")
+    val evRows = for (u <- 0L until 6L; i <- 0L until 20L) yield {
+      val t = types(rng.nextInt(types.length))
+      (u * 100 + i, i * H + u, u, t,
+       math.round(rng.nextDouble() * 10000) / 100.0, rng.nextInt(100).toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(evRows.map { case (id, ts, u, t, v, k) =>
+        org.apache.spark.sql.Row(id, ts, u, t, v, s"""{"k": $k}""") }, 3), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ev_attribution")(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val input = MemoryStream[StreamOps.AttrEvent]
+    val query = StreamOps.streamingAttribution(input.toDS())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val evts = evRows.map { case (id, ts, u, t, v, k) =>
+        StreamOps.AttrEvent(id, ts, u, t, v, k) }
+      // two micro-batches split on event time: the last-click state
+      // must carry across the boundary
+      Seq(evts.filter(_.event_id % 100 < 10),
+          evts.filter(_.event_id % 100 >= 10)).foreach { b =>
+        input.addData(b); query.processAllAvailable()
+      }
+      val got = s.sql(
+        "SELECT campaign, count(*) AS n, round(sum(value), 4) AS revenue " +
+        "FROM attr GROUP BY campaign").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == batch)
+    } finally query.stop()
+  }
+
   test("streaming LSH near-dup emits the batch candidate pairs across batches") {
     val s = spark
     import s.implicits._

@@ -33,7 +33,13 @@ class WindowGuardSpec extends SparkSpec {
     // over the ≤100-row bucket-total table (Packing.selectByTokenBudget)
     "samp_token_budget",
     // composes selectByTokenBudget — same ≤100-row bucket-total window
-    "pipe_curate")
+    "pipe_curate",
+    // source-index rank over the grouped distinct-source table
+    // (≤|sources| rows; the per-source doc rank is boundedRowNumber)
+    "pipe_interleave",
+    // ecdf running sums over DISTINCT token-length values (the
+    // stat_gini bound: values, never rows)
+    "samp_ks_test")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
