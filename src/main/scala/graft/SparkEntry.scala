@@ -1204,51 +1204,52 @@ object SparkEntry {
     // differs between engines on sample-vs-population convention)
     "stat_moments" -> Q(
       (s, d) => {
-        // zero-variance guard: a constant group makes the skew/kurt
-        // denominators 0 (and cancellation can drive the var slightly
-        // NEGATIVE); both engines NULL the moments when var ≤ 0 so the
-        // divide-by-zero semantics of neither engine ever surface.
-        // The predicate is the SAME double arithmetic on both sides,
-        // so it flips identically.
-        val vr = col("s2") / col("n") - pow(col("s1") / col("n"), 2)
-        Tables.events(s, d)
+        // TWO-PASS centered moments: a per-type mean (tiny broadcast)
+        // then sums of (v − μ)^k. Raw power sums cancel catastrophically
+        // on large-mean data (Σv⁴ − 4μΣv³ + … subtracts huge nearly-
+        // equal terms); the centered form keeps every addend small, so
+        // the 4-decimal round is stable under Spark's nondeterministic
+        // partial-agg order. The broadcast μ is ROUNDED to 6 so both
+        // engines center on the identical value. Zero-variance guard:
+        // a constant group NULLs skew/kurt on both engines rather than
+        // surfacing either's divide-by-zero convention.
+        val ev = Tables.events(s, d)
+        val mus = ev.groupBy("event_type")
+          .agg(round(sum("value") / count(lit(1)), 6).as("mu"))
+        val vr = col("m2s") / col("n")
+        ev.join(broadcast(mus), "event_type")
           .groupBy("event_type")
-          .agg(count(lit(1)).cast("double").as("n"),
-               sum("value").as("s1"),
-               sum(pow(col("value"), 2)).as("s2"),
-               sum(pow(col("value"), 3)).as("s3"),
-               sum(pow(col("value"), 4)).as("s4"))
+          .agg(count(lit(1)).cast("double").as("n"), max("mu").as("mu"),
+               sum(pow(col("value") - col("mu"), 2)).as("m2s"),
+               sum(pow(col("value") - col("mu"), 3)).as("m3s"),
+               sum(pow(col("value") - col("mu"), 4)).as("m4s"))
           .select(col("event_type"), col("n").cast("long").as("n_rows"),
-                  round(col("s1") / col("n"), 4).as("mean"),
+                  round(col("mu"), 4).as("mean"),
                   round(vr, 4).as("var_pop"),
                   when(vr <= 0, lit(null).cast("double")).otherwise(
-                    round((col("s3") / col("n")
-                           - lit(3) * (col("s1") / col("n")) * (col("s2") / col("n"))
-                           + lit(2) * pow(col("s1") / col("n"), 3))
-                          / pow(vr, 1.5), 4)).as("skew"),
+                    round((col("m3s") / col("n")) / pow(vr, 1.5), 4)).as("skew"),
                   when(vr <= 0, lit(null).cast("double")).otherwise(
-                    round((col("s4") / col("n")
-                           - lit(4) * (col("s1") / col("n")) * (col("s3") / col("n"))
-                           + lit(6) * pow(col("s1") / col("n"), 2) * (col("s2") / col("n"))
-                           - lit(3) * pow(col("s1") / col("n"), 4))
-                          / pow(vr, 2) - lit(3), 4)).as("kurt"))
+                    round((col("m4s") / col("n")) / pow(vr, 2) - lit(3), 4)).as("kurt"))
           .orderBy("event_type")
       },
-      Some("""SELECT event_type, CAST(n AS BIGINT) AS n_rows,
-             |       round(s1 / n, 4) AS mean,
-             |       round(s2 / n - pow(s1 / n, 2), 4) AS var_pop,
-             |       CASE WHEN s2 / n - pow(s1 / n, 2) <= 0 THEN NULL ELSE
-             |       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
-             |             / pow(s2 / n - pow(s1 / n, 2), 1.5), 4) END AS skew,
-             |       CASE WHEN s2 / n - pow(s1 / n, 2) <= 0 THEN NULL ELSE
-             |       round((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * pow(s1 / n, 2) * (s2 / n)
-             |              - 3 * pow(s1 / n, 4))
-             |             / pow(s2 / n - pow(s1 / n, 2), 2) - 3, 4) END AS kurt
-             |FROM (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-             |             sum(value) AS s1, sum(pow(value, 2)) AS s2,
-             |             sum(pow(value, 3)) AS s3, sum(pow(value, 4)) AS s4
-             |      FROM events GROUP BY event_type)
-             |ORDER BY event_type""".stripMargin)),
+      Some("""WITH mus AS (
+             |  SELECT event_type, round(sum(value) / count(*), 6) AS mu
+             |  FROM events GROUP BY event_type),
+             |cm AS (
+             |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n, max(mu) AS mu,
+             |         sum(pow(value - mu, 2)) AS m2s,
+             |         sum(pow(value - mu, 3)) AS m3s,
+             |         sum(pow(value - mu, 4)) AS m4s
+             |  FROM events JOIN mus USING (event_type)
+             |  GROUP BY event_type)
+             |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+             |       round(mu, 4) AS mean,
+             |       round(m2s / n, 4) AS var_pop,
+             |       CASE WHEN m2s / n <= 0 THEN NULL ELSE
+             |         round((m3s / n) / pow(m2s / n, 1.5), 4) END AS skew,
+             |       CASE WHEN m2s / n <= 0 THEN NULL ELSE
+             |         round((m4s / n) / pow(m2s / n, 2) - 3, 4) END AS kurt
+             |FROM cm ORDER BY event_type""".stripMargin)),
 
     // winsorized robust aggregation: per-type p01/p99 cutoffs as ONE
     // tiny aggregate broadcast back (the text_ccnet_bins shape on the
@@ -1320,6 +1321,63 @@ object SparkEntry {
              |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS revenue
              |FROM a WHERE event_type = 'purchase'
              |GROUP BY campaign ORDER BY campaign""".stripMargin)),
+
+    // RFM segmentation: per-user purchase frequency/monetary rolled
+    // into quintile scores against GLOBAL cutoffs computed as one
+    // 1-row aggregate and broadcast (the text_ccnet_bins idiom on the
+    // user axis); recency reported as average days-since-last-purchase
+    // per segment. Cutoffs rounded to 6 so an interpolation ulp can't
+    // move a user across a quintile edge on one engine only
+    "ev_rfm" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val mx = ev.agg(max("ts").as("mts"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("f"), round(sum("value"), 6).as("m"),
+               max("ts").as("uts"))
+        val cuts = pur.agg(
+            expr("percentile(f, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fc"),
+            expr("percentile(m, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mc"))
+          .select((1 to 4).flatMap(k => Seq(
+            round(element_at(col("fc"), k), 6).as(s"fc$k"),
+            round(element_at(col("mc"), k), 6).as(s"mc$k"))): _*)
+        def score(v: Column, p: String): Column =
+          when(v <= col(p + "1"), 1).when(v <= col(p + "2"), 2)
+            .when(v <= col(p + "3"), 3).when(v <= col(p + "4"), 4).otherwise(5)
+        pur.crossJoin(broadcast(cuts)).crossJoin(broadcast(mx))
+          .select(score(col("f"), "fc").as("fscore"),
+                  score(col("m"), "mc").as("mscore"),
+                  expr("(mts - uts) DIV 86400000000000").as("rdays"))
+          .groupBy("fscore", "mscore")
+          .agg(count(lit(1)).as("n_users"),
+               round(avg("rdays"), 2).as("avg_recency_days"))
+          .orderBy("fscore", "mscore")
+      },
+      Some("""WITH pur AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS f,
+             |         round(sum(value), 6) AS m, max(epoch_ns(ts)) AS uts
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+             |mx AS (SELECT max(epoch_ns(ts)) AS mts FROM events),
+             |cuts AS (SELECT round(quantile_cont(f, 0.2), 6) AS fc1,
+             |                round(quantile_cont(f, 0.4), 6) AS fc2,
+             |                round(quantile_cont(f, 0.6), 6) AS fc3,
+             |                round(quantile_cont(f, 0.8), 6) AS fc4,
+             |                round(quantile_cont(m, 0.2), 6) AS mc1,
+             |                round(quantile_cont(m, 0.4), 6) AS mc2,
+             |                round(quantile_cont(m, 0.6), 6) AS mc3,
+             |                round(quantile_cont(m, 0.8), 6) AS mc4
+             |         FROM pur)
+             |SELECT fscore, mscore, CAST(count(*) AS BIGINT) AS n_users,
+             |       round(avg(rdays), 2) AS avg_recency_days
+             |FROM (
+             |  SELECT CASE WHEN f <= fc1 THEN 1 WHEN f <= fc2 THEN 2
+             |              WHEN f <= fc3 THEN 3 WHEN f <= fc4 THEN 4 ELSE 5 END AS fscore,
+             |         CASE WHEN m <= mc1 THEN 1 WHEN m <= mc2 THEN 2
+             |              WHEN m <= mc3 THEN 3 WHEN m <= mc4 THEN 4 ELSE 5 END AS mscore,
+             |         (mts - uts) // 86400000000000 AS rdays
+             |  FROM pur, cuts, mx)
+             |GROUP BY fscore, mscore ORDER BY fscore, mscore""".stripMargin)),
 
     "ev_window_agg" -> Q(
       (s, d) => Tables.events(s, d)
@@ -3424,6 +3482,31 @@ object SparkEntry {
         Some("""SELECT CAST(i - 1 AS BIGINT) AS i, CAST(count(*) AS BIGINT) AS n,
                |       round(avg(x), 6) AS mean, round(stddev_samp(x), 6) AS sd
                |FROM (SELECT generate_subscripts(embedding, 1) AS i,
+               |             CAST(unnest(embedding) AS DOUBLE) AS x
+               |      FROM embeddings)
+               |GROUP BY i ORDER BY i""".stripMargin)),
+
+      // embedding drift A/B: per-dimension mean shift between two
+      // halves of the corpus (old batch vs new batch stand-in:
+      // vec_id parity) — ONE conditional aggregate per dim; the
+      // monitor a re-embedding rollout watches. Shift computed from
+      // the ROUNDED means so both engines subtract identical values
+      "emb_drift" -> Q(
+        (s, d) => Tables.embeddings(s, d)
+          .select((col("vec_id") % 2).cast("int").as("h"),
+                  posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy(col("i").cast("long").as("i"))
+          .agg(round(avg(when(col("h") === 0, col("x").cast("double"))), 6).as("mean_a"),
+               round(avg(when(col("h") === 1, col("x").cast("double"))), 6).as("mean_b"))
+          .withColumn("shift", round(col("mean_a") - col("mean_b"), 6))
+          .orderBy("i"),
+        Some("""SELECT CAST(i - 1 AS BIGINT) AS i,
+               |       round(avg(CASE WHEN h = 0 THEN x END), 6) AS mean_a,
+               |       round(avg(CASE WHEN h = 1 THEN x END), 6) AS mean_b,
+               |       round(round(avg(CASE WHEN h = 0 THEN x END), 6)
+               |             - round(avg(CASE WHEN h = 1 THEN x END), 6), 6) AS shift
+               |FROM (SELECT CAST(vec_id % 2 AS INTEGER) AS h,
+               |             generate_subscripts(embedding, 1) AS i,
                |             CAST(unnest(embedding) AS DOUBLE) AS x
                |      FROM embeddings)
                |GROUP BY i ORDER BY i""".stripMargin)),

@@ -101,7 +101,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "emb_label_cohesion", "samp_stratified", "emb_power_iter",
     "emb_dim_stats", "emb_knn_accuracy", "vec_binary_quant",
     "vec_matryoshka", "vec_scalar_quant", "ann_kmeans_step", "vec_pq_adc",
-    "ann_mmr_rerank", "emb_whiten", "emb_triplets", "dedup_semantic")
+    "ann_mmr_rerank", "emb_whiten", "emb_triplets", "dedup_semantic",
+    "emb_drift")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
@@ -151,7 +152,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_approx_quantiles", "ts_ohlc", "ev_outliers", "ev_histogram",
     "ev_heavy_hitters", "ev_funnel", "ev_retention", "ev_window_agg",
     "ev_transitions", "stat_moments", "ev_ewma_bounded",
-    "ev_winsorize", "ev_attribution")
+    "ev_winsorize", "ev_attribution", "ev_rfm")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
