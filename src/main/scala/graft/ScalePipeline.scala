@@ -98,13 +98,33 @@ object ScalePipeline {
         blockSize = 1L << 16).collect()
     }
 
+    // boundedRowNumber vs a plain per-key row_number on a hot-keyed
+    // corpus (80% of rows share ONE key): the plain window funnels
+    // the hot key into a single sorting task; the id-block scan keeps
+    // every partition <= blockSize
+    val hotKeyed = spark.range(5L * nDocs).select(
+      when(pmod(col("id"), lit(10)) < 8, lit("hot"))
+        .otherwise(concat(lit("k"), pmod(col("id"), lit(64)).cast("string"))).as("k"),
+      col("id"))
+    hotKeyed.count() // materialize plan shape cost out of the timings
+    val tBrn = time {
+      graft.ops.Packing.boundedRowNumber(hotKeyed, Seq("k"), "id", 1L << 16, "r")
+        .agg(max("r"), count(lit(1))).collect()
+    }
+    val tPlainRn = time {
+      hotKeyed.withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")))
+        .agg(max("r"), count(lit(1))).collect()
+    }
+
     println(f"""{"metric":"scale_pipeline","n_docs":$nDocs,"n_vecs":$nVecs,""" +
       f""""pii_sec":$tPii%.3f,"pii_docs_per_sec":${nDocs / tPii}%.0f,""" +
       f""""budget_sec":$tBudget%.3f,"budget_docs_per_sec":${nDocs / tBudget}%.0f,""" +
       f""""whiten_sec":$tWhiten%.3f,"whiten_vecs_per_sec":${nVecs / tWhiten}%.0f,""" +
       f""""mmr_sec":$tMmr%.3f,"mmr_vecs_per_sec":${nVecs / tMmr}%.0f,""" +
       f""""span_sec":$tSpan%.3f,"span_grams_per_sec":${nDocs * 43 / tSpan}%.0f,""" +
-      f""""batch_sec":$tBatch%.3f,"batch_docs_per_sec":${nDocs / tBatch}%.0f}""")
+      f""""batch_sec":$tBatch%.3f,"batch_docs_per_sec":${nDocs / tBatch}%.0f,""" +
+      f""""brn_sec":$tBrn%.3f,"plain_rn_sec":$tPlainRn%.3f,"brn_rows":${5L * nDocs}}""")
     spark.stop()
   }
 }

@@ -3839,6 +3839,49 @@ object SparkEntry {
              |                  FROM documents)))
              |ORDER BY doc_id""".stripMargin)),
 
+    // ViT-style patch grid: resize to 224 max-side (same math as
+    // mm_resize_box), then fan out one row per 16x16 patch with pixel
+    // offsets and edge-clipped extents — the coordinate plan an image
+    // encoder's decode stage consumes. Explode is map-side; per-image
+    // fan-out is bounded by (224/16)^2 = 196 patches
+    "mm_patch_grid" -> Q(
+      (s, d) => graft.multimodal.Multimodal.binaryMeta(Tables.documents(s, d))
+        .filter(col("doc_id") < 30)
+        .withColumn("scale",
+          least(lit(1.0), lit(224.0) / greatest(col("width"), col("height"))))
+        .select(col("doc_id"),
+          greatest(lit(1L), floor(col("width") * col("scale")).cast("long")).as("w"),
+          greatest(lit(1L), floor(col("height") * col("scale")).cast("long")).as("h"))
+        .withColumn("npx", expr("(w + 15) DIV 16"))
+        .select(col("doc_id"), col("w"), col("h"), col("npx"),
+          explode(sequence(lit(0L), col("npx") * expr("(h + 15) DIV 16") - 1)).as("p"))
+        .select(col("doc_id"), col("w"), col("h"), col("p"),
+          (pmod(col("p"), col("npx")) * 16).as("x0"),
+          (expr("p DIV npx") * 16).as("y0"),
+          least(lit(16L), col("w") - pmod(col("p"), col("npx")) * 16).as("pw"),
+          least(lit(16L), col("h") - expr("p DIV npx") * 16).as("ph"))
+        .orderBy("doc_id", "p"),
+      Some("""SELECT doc_id, w, h, p,
+             |       (p % npx) * 16 AS x0, (p // npx) * 16 AS y0,
+             |       least(16, w - (p % npx) * 16) AS pw,
+             |       least(16, h - (p // npx) * 16) AS ph
+             |FROM (
+             |  SELECT doc_id, w, h, npx,
+             |         CAST(unnest(generate_series(0, npx * ((h + 15) // 16) - 1)) AS BIGINT) AS p
+             |  FROM (
+             |    SELECT doc_id, w, h, (w + 15) // 16 AS npx
+             |    FROM (
+             |      SELECT doc_id,
+             |             greatest(1, CAST(floor(width * scale) AS BIGINT)) AS w,
+             |             greatest(1, CAST(floor(height * scale) AS BIGINT)) AS h
+             |      FROM (SELECT doc_id, width, height,
+             |                   least(1.0, 224.0 / greatest(width, height)) AS scale
+             |            FROM (SELECT doc_id, hm % 1024 + 1 AS width,
+             |                         (hm // 1024) % 1024 + 1 AS height
+             |                  FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hm
+             |                        FROM documents WHERE doc_id < 30))))))
+             |ORDER BY doc_id, p""".stripMargin)),
+
     // audio segmentation: fixed 10s windows from (sample_rate,
     // n_samples) metadata with tail-padding flag — the fan-out an
     // ASR/audio-embedding pipeline feeds to its decoder (decode

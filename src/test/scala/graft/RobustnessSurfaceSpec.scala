@@ -63,7 +63,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "text_entropy", "text_ttr", "text_gopher_rules", "pipe_data_card",
     "stat_gini", "dedup_cluster_sizes", "pipe_interleave", "samp_ks_test",
     "emb_norm_invariant",
-    "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows")
+    "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
+    "mm_patch_grid")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
