@@ -1379,6 +1379,38 @@ object SparkEntry {
              |  FROM pur, cuts, mx)
              |GROUP BY fscore, mscore ORDER BY fscore, mscore""".stripMargin)),
 
+    // Benford first-digit audit (fraud/data-quality screen): leading
+    // digit via floor(v / 10^floor(log10 v)) — exact for powers of 10
+    // on both engines (Java documents log10(10^n) = n; glibc is
+    // correctly rounded) — vs the Benford expectation log10(1 + 1/d),
+    // with the per-digit chi-square contribution. One hash agg + a
+    // 1-row broadcast total; 9 output rows
+    "ev_benford" -> Q(
+      (s, d) => {
+        val pos = Tables.events(s, d).filter(col("value") > 0)
+          .select(floor(col("value") / pow(lit(10.0), floor(log10(col("value")))))
+            .cast("long").as("digit"))
+        val tot = pos.agg(count(lit(1)).cast("double").as("n"))
+        val expP = round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+        pos.groupBy("digit").agg(count(lit(1)).as("obs"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("obs"),
+            round(col("obs") / col("n"), 4).as("obs_p"), expP.as("exp_p"),
+            round(col("n") * pow(col("obs") / col("n") - expP, 2) / expP, 4)
+              .as("chi2_term"))
+          .orderBy("digit")
+      },
+      Some("""WITH pos AS (
+             |  SELECT CAST(floor(value / pow(10.0, floor(log10(value)))) AS BIGINT) AS digit
+             |  FROM events WHERE value > 0),
+             |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pos)
+             |SELECT digit, CAST(count(*) AS BIGINT) AS obs,
+             |       round(count(*) / n, 4) AS obs_p,
+             |       round(log10(1.0 + 1.0 / digit), 6) AS exp_p,
+             |       round(n * pow(count(*) / n - round(log10(1.0 + 1.0 / digit), 6), 2)
+             |             / round(log10(1.0 + 1.0 / digit), 6), 4) AS chi2_term
+             |FROM pos, tot GROUP BY digit, n ORDER BY digit""".stripMargin)),
+
     "ev_window_agg" -> Q(
       (s, d) => Tables.events(s, d)
         .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
@@ -2933,6 +2965,33 @@ object SparkEntry {
                |SELECT CAST((r - 1) * ns + sidx AS BIGINT) AS pos, source, doc_id
                |FROM r JOIN s USING (source), t
                |ORDER BY pos LIMIT 100""".stripMargin)),
+
+      // word2vec negative-sampling table (Mikolov et al. 2013): the
+      // unigram^0.75 distribution as (token, weight, draws-per-1M) —
+      // one vocab agg + a 1-row broadcast normalizer + TakeOrdered;
+      // the table a skip-gram trainer samples negatives from
+      "samp_negative_sampling" -> Q(
+        (s, d) => {
+          val vocab = Tables.documents(s, d)
+            .select(explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("c"))
+          val tot = vocab.agg(sum(pow(col("c"), 0.75)).as("z"))
+          vocab.crossJoin(broadcast(tot))
+            .select(col("tok"), col("c"),
+              round(pow(col("c"), 0.75) / col("z"), 8).as("p"),
+              round(pow(col("c"), 0.75) / col("z") * 1000000, 0).cast("long").as("n_per_m"))
+            .orderBy(col("c").desc, col("tok")).limit(50)
+        },
+        Some("""WITH vocab AS (
+               |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+               |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+               |        FROM documents)
+               |  GROUP BY tok),
+               |tot AS (SELECT sum(pow(c, 0.75)) AS z FROM vocab)
+               |SELECT tok, c, round(pow(c, 0.75) / z, 8) AS p,
+               |       CAST(round(pow(c, 0.75) / z * 1000000, 0) AS BIGINT) AS n_per_m
+               |FROM vocab, tot
+               |ORDER BY c DESC, tok LIMIT 50""".stripMargin)),
 
       // two-sample Kolmogorov–Smirnov drift test between the en and
       // non-en token-length distributions, exact from GROUPED counts:
