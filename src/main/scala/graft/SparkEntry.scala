@@ -4013,5 +4013,10 @@ object SparkEntry {
     "dedup_keep_best",
     // round-7 additions: PII scrub (pure map), tf-idf keyword
     // extraction, token-budget mixing, MMR diversified re-rank
-    "text_pii_redact", "text_tfidf", "samp_token_budget", "ann_mmr_rerank")
+    "text_pii_redact", "text_tfidf", "samp_token_budget", "ann_mmr_rerank",
+    // round-8 flagships: broadcast-cutoff winsorize, zero-join
+    // attribution, grouped-count Gini, KS drift gate, curriculum
+    // interleave (boundedRowNumber), per-doc entropy
+    "ev_winsorize", "ev_attribution", "stat_gini", "samp_ks_test",
+    "pipe_interleave", "text_entropy")
 }
