@@ -1455,6 +1455,28 @@ object SparkEntry {
               |FROM points p, q WHERE p.user_id = 2
               |ORDER BY score DESC, vector_id LIMIT 10""".stripMargin)),
 
+    // multi-tenant batched search: one query per user (vec 40+u),
+    // every tenant served by ONE job — user_id equi-join + the
+    // map-side-bounded TopK aggregate per user; no global sort
+    "vs_search_all" -> Q(
+      (s, d) => {
+        val qs = Tables.embeddings(s, d)
+          .filter(col("vec_id") >= 40 && col("vec_id") < 48)
+          .select((col("vec_id") % 8).as("user_id"), col("embedding").as("q"))
+        VectorStore.searchAll(VectorStore.pointsPartitioned(s, d), qs, 3)
+      },
+      Some(s"""$pointsSql,
+              |q AS (SELECT vec_id % 8 AS user_id, embedding::DOUBLE[] AS qv
+              |      FROM embeddings WHERE vec_id >= 40 AND vec_id < 48),
+              |sc AS (SELECT p.user_id, p.vector_id,
+              |              ${sqlScore("p.embedding", "q.qv")} AS score
+              |       FROM points p JOIN q USING (user_id))
+              |SELECT user_id, rnk, vector_id, score FROM (
+              |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+              |              ORDER BY score DESC, vector_id) AS BIGINT) AS rnk
+              |  FROM sc)
+              |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin)),
+
     // grouped search (the "search groups" API): best chunk per doc,
     // top-5 docs — per-doc bounded window, never global
     "vs_search_grouped" -> Q(

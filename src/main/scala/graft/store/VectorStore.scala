@@ -214,6 +214,28 @@ object VectorStore {
     thresholded.orderBy(col("score").desc, col("vector_id")).limit(limit)
   }
 
+  /** Multi-tenant batched search: EVERY user's query answered in one
+    * job — `queries` (user_id, q) joins the collection on user_id (a
+    * broadcast when the query batch is small; co-partitioned with the
+    * collection layout otherwise, so each tenant's scan stays pruned)
+    * and the per-user top-k comes from the map-side-bounded TopK
+    * aggregate, never a global sort. The serving shape for "run the
+    * nightly search for all tenants". Output: (user_id, rnk,
+    * vector_id, score), rnk 1..k per user.
+    */
+  def searchAll(coll: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val agg = graft.ops.TopK.topk(k)
+    coll.join(broadcast(queries), "user_id")
+      .select(col("user_id"), score(col("embedding"), col("q")).as("score"),
+              col("vector_id"))
+      .groupBy("user_id")
+      .agg(agg(col("score"), col("vector_id")).as("top"))
+      .select(col("user_id"), posexplode(col("top")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("rnk"),
+              col("col.id").as("vector_id"), col("col.score").as("score"))
+      .orderBy("user_id", "rnk")
+  }
+
   /** Grouped search (the vector-DB "search groups" API): the single
     * best-scoring chunk PER DOCUMENT, then the top `groups` documents.
     * The per-doc window is bounded by chunks-per-doc (small by

@@ -178,6 +178,15 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("multi-tenant search is broadcast-join + partial TopK, no global candidate sort") {
+    val p = plan("vs_search_all")
+    assert(p.contains("partial_topkaggregator"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only sort is the k*users output ordering, bounded by design;
+    // candidates must never hit a window
+    assert(!p.contains("Window"), p)
+  }
+
   test("winsorize gets its cutoffs from a broadcast, never a sort-merge join") {
     val p = plan("ev_winsorize")
     assert(p.contains("BroadcastHashJoin"), p)
