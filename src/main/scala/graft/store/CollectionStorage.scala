@@ -127,6 +127,32 @@ object CollectionStorage {
     next
   }
 
+  /** Diff two snapshot versions: one full-outer join on the point key
+    * (user_id, vector_id) classifying every point as added / removed /
+    * updated (same key, different embedding or title) / unchanged —
+    * the audit a pipeline runs before promoting a rebuilt collection.
+    * Returns (change, n) counts; the join is an equi-join on the key,
+    * so it scales with the snapshot size, not its square.
+    */
+  def diffSnapshots(spark: SparkSession, path: String,
+                    vOld: Long, vNew: Long): DataFrame = {
+    def keyed(v: Long) = loadSnapshot(spark, path, Some(v))
+      .select(col("user_id"), col("vector_id"), col("title"),
+        hash(col("embedding")).as("eh"))
+    val o = keyed(vOld).withColumnRenamed("title", "t_old")
+      .withColumnRenamed("eh", "eh_old")
+    val n = keyed(vNew).withColumnRenamed("title", "t_new")
+      .withColumnRenamed("eh", "eh_new")
+    o.join(n, Seq("user_id", "vector_id"), "full_outer")
+      .select(when(col("eh_old").isNull, lit("added"))
+        .when(col("eh_new").isNull, lit("removed"))
+        .when(col("eh_old") =!= col("eh_new") || col("t_old") =!= col("t_new"),
+          lit("updated"))
+        .otherwise(lit("unchanged")).as("change"))
+      .groupBy("change").agg(count(lit(1)).as("n"))
+      .orderBy("change")
+  }
+
   /** Load a snapshot (default: latest). */
   def loadSnapshot(spark: SparkSession, path: String,
                    version: Option[Long] = None): DataFrame = {

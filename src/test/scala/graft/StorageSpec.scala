@@ -54,6 +54,27 @@ class StorageSpec extends SparkSpec {
       .filter(col("user_id") === 42).count() == incoming.count())
   }
 
+  test("snapshot diff classifies added/removed/updated/unchanged points") {
+    val s = spark
+    val base = java.nio.file.Files.createTempDirectory("graft-diff").toString + "/coll"
+    val pts = graft.store.VectorStore.points(s, sfDir)
+    graft.store.CollectionStorage.writeSnapshot(pts, base)
+    // v1: drop user 3's points, retitle user 2's, keep the rest
+    val v1 = pts.filter(col("user_id") =!= 3)
+      .withColumn("title", org.apache.spark.sql.functions
+        .when(col("user_id") === 2, org.apache.spark.sql.functions.lit("re"))
+        .otherwise(col("title")))
+    graft.store.CollectionStorage.writeSnapshot(v1, base)
+    val d = graft.store.CollectionStorage.diffSnapshots(s, base, 0L, 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byUser = pts.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d("removed") == byUser(3L))
+    assert(d("updated") == byUser(2L))
+    assert(d.getOrElse("added", 0L) == 0L)
+    assert(d("unchanged") == pts.count() - byUser(3L) - byUser(2L))
+  }
+
   test("snapshot versions: time travel, rollback read, retention") {
     val s = spark
     val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/coll"
