@@ -347,6 +347,39 @@ object SparkEntry {
              |              JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY l_year ORDER BY l_year""".stripMargin)),
 
+    // period-over-period growth: nation×year revenue (one hash agg)
+    // then lag() inside the per-nation partition — the window input is
+    // the AGGREGATED frame (|nations|·|years| rows), never the fact
+    // table, so the lag partition is bounded by the year range
+    "q_yoy_growth" -> Q(
+      (s, d) => {
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        val w = Window.partitionBy("n_name").orderBy("l_year")
+        Tables.lineitem(s, d)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(round(sum(rev), 2).as("revenue"))
+          .withColumn("prev", lag("revenue", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("n_name"), col("l_year"), col("revenue"),
+                  round((col("revenue") - col("prev")) / col("prev"), 4).as("yoy"))
+          .orderBy("n_name", "l_year")
+      },
+      Some("""WITH r AS (
+             |  SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |         round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |                JOIN nation ON s_nationkey = n_nationkey
+             |  GROUP BY n_name, l_year),
+             |g AS (SELECT n_name, l_year, revenue,
+             |             lag(revenue) OVER (PARTITION BY n_name ORDER BY l_year) AS prev
+             |      FROM r)
+             |SELECT n_name, l_year, revenue,
+             |       round((revenue - prev) / prev, 4) AS yoy
+             |FROM g WHERE prev IS NOT NULL
+             |ORDER BY n_name, l_year""".stripMargin)),
+
     // left outer join with null-aware counting: customers with zero
     // orders survive into the 0 bucket
     "q_outer_join" -> Q(
@@ -1410,6 +1443,37 @@ object SparkEntry {
              |       round(n * pow(count(*) / n - round(log10(1.0 + 1.0 / digit), 6), 2)
              |             / round(log10(1.0 + 1.0 / digit), 6), 4) AS chi2_term
              |FROM pos, tot GROUP BY digit, n ORDER BY digit""".stripMargin)),
+
+    // DAU / rolling-7-day WAU: daily active users from one distinct
+    // agg; the weekly window is NOT a sliding distinct (not
+    // decomposable) but a bounded 7-way fan-out of the (day, user)
+    // DISTINCT pairs — each pair contributes to 7 target days, then
+    // one distinct agg per target day. Shuffle scales with active
+    // (day, user) pairs, never raw events
+    "ev_dau_wau" -> Q(
+      (s, d) => {
+        val du = Tables.events(s, d)
+          .select(expr("ts DIV 86400000000000").as("day"), col("user_id"))
+          .distinct()
+        val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+        val wau = du
+          .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+                  col("user_id"))
+          .groupBy("day").agg(countDistinct("user_id").as("wau"))
+        dau.join(wau, "day").orderBy("day")
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+             |  FROM events),
+             |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+             |        FROM du GROUP BY day),
+             |fan AS (SELECT CAST(unnest(generate_series(day, day + 6)) AS BIGINT) AS day,
+             |               user_id
+             |        FROM du),
+             |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+             |        FROM fan GROUP BY day)
+             |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+             |ORDER BY day""".stripMargin)),
 
     "ev_window_agg" -> Q(
       (s, d) => Tables.events(s, d)

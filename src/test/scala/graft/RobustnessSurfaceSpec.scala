@@ -154,7 +154,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_approx_quantiles", "ts_ohlc", "ev_outliers", "ev_histogram",
     "ev_heavy_hitters", "ev_funnel", "ev_retention", "ev_window_agg",
     "ev_transitions", "stat_moments", "ev_ewma_bounded",
-    "ev_winsorize", "ev_attribution", "ev_rfm", "ev_benford")
+    "ev_winsorize", "ev_attribution", "ev_rfm", "ev_benford",
+    "ev_dau_wau")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
