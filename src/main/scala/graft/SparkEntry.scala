@@ -1297,9 +1297,14 @@ object SparkEntry {
           .agg(expr("percentile(value, array(0.01D, 0.99D))").as("ps"))
           .select(col("event_type"), round(element_at(col("ps"), 1), 6).as("lo"),
                   round(element_at(col("ps"), 2), 6).as("hi"))
+        // NULL measurements stay NULL: least/greatest SKIP nulls on
+        // both engines, so an unguarded clip would impute hi for a
+        // missing value and silently inflate mean_wins
         ev.join(broadcast(cuts), "event_type")
           .select(col("event_type"), col("value"),
-                  greatest(least(col("value"), col("hi")), col("lo")).as("wv"),
+                  when(col("value").isNull, lit(null).cast("double"))
+                    .otherwise(greatest(least(col("value"), col("hi")), col("lo")))
+                    .as("wv"),
                   when(col("value") < col("lo") || col("value") > col("hi"), 1)
                     .otherwise(0).as("clipped"))
           .groupBy("event_type")
@@ -1315,7 +1320,8 @@ object SparkEntry {
              |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |       CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
              |       round(avg(value), 4) AS mean_raw,
-             |       round(avg(greatest(least(value, hi), lo)), 4) AS mean_wins
+             |       round(avg(CASE WHEN value IS NULL THEN NULL
+             |                 ELSE greatest(least(value, hi), lo) END), 4) AS mean_wins
              |FROM events JOIN cuts USING (event_type)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
@@ -1350,7 +1356,7 @@ object SparkEntry {
              |           OVER (PARTITION BY user_id ORDER BY ts, event_id
              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lck
              |  FROM events)
-             |SELECT coalesce(lck % 10, -1) AS campaign,
+             |SELECT coalesce(((lck % 10) + 10) % 10, -1) AS campaign,
              |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS revenue
              |FROM a WHERE event_type = 'purchase'
              |GROUP BY campaign ORDER BY campaign""".stripMargin)),
@@ -1365,10 +1371,14 @@ object SparkEntry {
       (s, d) => {
         val ev = Tables.events(s, d)
         val mx = ev.agg(max("ts").as("mts"))
+        // a user whose every purchase value is NULL has m = NULL and
+        // would fall through all quintile predicates to otherwise(5) —
+        // exclude unknown-revenue users instead of mis-ranking them top
         val pur = ev.filter(col("event_type") === "purchase")
           .groupBy("user_id")
           .agg(count(lit(1)).as("f"), round(sum("value"), 6).as("m"),
                max("ts").as("uts"))
+          .filter(col("m").isNotNull)
         val cuts = pur.agg(
             expr("percentile(f, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fc"),
             expr("percentile(m, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mc"))
@@ -1390,7 +1400,8 @@ object SparkEntry {
       Some("""WITH pur AS (
              |  SELECT user_id, CAST(count(*) AS BIGINT) AS f,
              |         round(sum(value), 6) AS m, max(epoch_ns(ts)) AS uts
-             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+             |  HAVING sum(value) IS NOT NULL),
              |mx AS (SELECT max(epoch_ns(ts)) AS mts FROM events),
              |cuts AS (SELECT round(quantile_cont(f, 0.2), 6) AS fc1,
              |                round(quantile_cont(f, 0.4), 6) AS fc2,
@@ -1420,7 +1431,10 @@ object SparkEntry {
     // 1-row broadcast total; 9 output rows
     "ev_benford" -> Q(
       (s, d) => {
-        val pos = Tables.events(s, d).filter(col("value") > 0)
+        // NaN > 0 is TRUE on both engines, and DuckDB errors on
+        // CAST(NaN AS BIGINT) — screen NaN out explicitly
+        val pos = Tables.events(s, d)
+          .filter(col("value") > 0 && !isnan(col("value")))
           .select(floor(col("value") / pow(lit(10.0), floor(log10(col("value")))))
             .cast("long").as("digit"))
         val tot = pos.agg(count(lit(1)).cast("double").as("n"))
@@ -1435,7 +1449,7 @@ object SparkEntry {
       },
       Some("""WITH pos AS (
              |  SELECT CAST(floor(value / pow(10.0, floor(log10(value)))) AS BIGINT) AS digit
-             |  FROM events WHERE value > 0),
+             |  FROM events WHERE value > 0 AND NOT isnan(value)),
              |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pos)
              |SELECT digit, CAST(count(*) AS BIGINT) AS obs,
              |       round(count(*) / n, 4) AS obs_p,
@@ -1455,7 +1469,11 @@ object SparkEntry {
         val du = Tables.events(s, d)
           .select(expr("ts DIV 86400000000000").as("day"), col("user_id"))
           .distinct()
-        val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+        // du is already distinct on (day, user): dau is a plain count
+        // (no second distinct expand); only the wau branch needs
+        // countDistinct because the fan-out duplicates users across
+        // target days
+        val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
         val wau = du
           .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
                   col("user_id"))
@@ -1465,7 +1483,7 @@ object SparkEntry {
       Some("""WITH du AS (
              |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
              |  FROM events),
-             |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+             |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
              |        FROM du GROUP BY day),
              |fan AS (SELECT CAST(unnest(generate_series(day, day + 6)) AS BIGINT) AS day,
              |               user_id
@@ -2977,8 +2995,8 @@ object SparkEntry {
       // rank sums over a run of c tied values collapse to
       // c·F + c(c+1)/2, so the only window runs over the DISTINCT
       // length values of a source (the bucketedBatches level-3 bound),
-      // never the docs — integer arithmetic end to end until one
-      // final division
+      // never the docs — counts stay integral; the rank sums go
+      // through double (see below) so huge sources can't wrap a Long
       "stat_gini" -> Q(
         (s, d) => {
           val grp = Tables.documents(s, d)
@@ -2987,8 +3005,14 @@ object SparkEntry {
             .groupBy("source", "x").agg(count(lit(1)).as("c"))
           val w = Window.partitionBy("source").orderBy("x")
             .rowsBetween(Window.unboundedPreceding, -1)
+          // rank sums go through DOUBLE: at a 1e9-doc source the
+          // c·F terms pass 1e18 and a Long product would wrap
+          // silently (the relative error doubles introduce is ~1e-16,
+          // invisible after the 4-decimal round; identical on both
+          // engines)
           grp.withColumn("f", coalesce(sum("c").over(w), lit(0L)))
-            .withColumn("rs", expr("x * (c * f + (c * (c + 1)) DIV 2)"))
+            .withColumn("rs",
+              expr("x * (CAST(c AS DOUBLE) * f + (CAST(c AS DOUBLE) * (c + 1)) / 2)"))
             .groupBy("source")
             .agg(sum("c").as("n"), sum(expr("x * c")).as("sx"), sum("rs").as("srx"))
             .select(col("source"), col("n"),
@@ -3010,7 +3034,7 @@ object SparkEntry {
                |  FROM grp),
                |agg AS (
                |  SELECT source, CAST(sum(c) AS BIGINT) AS n, sum(x * c) AS sx,
-               |         sum(x * (c * f + (c * (c + 1)) // 2)) AS srx
+               |         sum(x * (CAST(c AS DOUBLE) * f + (CAST(c AS DOUBLE) * (c + 1)) / 2)) AS srx
                |  FROM cum GROUP BY source)
                |SELECT source, n,
                |       CASE WHEN sx = 0 THEN NULL ELSE

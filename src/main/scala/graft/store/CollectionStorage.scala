@@ -29,18 +29,19 @@ object CollectionStorage {
     * back to the canonical long.
     *
     * A store that holds only [[ensureCollection]]-created empty
-    * partition dirs (or nothing at all) has no parquet footer to
-    * infer a schema from — that is the reference's create-collection→
-    * first-upsert window, so it loads as an EMPTY canonical frame
-    * rather than failing.
+    * partition dirs has no parquet footer to infer a schema from —
+    * that is the reference's create-collection→first-upsert window,
+    * so it loads as an EMPTY canonical frame rather than failing.
+    * A MISSING path still fails fast: ensureCollection creates the
+    * directories, so path-not-found is a caller bug (a typo'd store
+    * path must not read as a legitimately empty collection).
     */
   def load(spark: SparkSession, path: String): DataFrame =
     try spark.read.parquet(path)
       .withColumn("user_id", col("user_id").cast("long"))
     catch {
       case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-             e.getMessage.contains("PATH_NOT_FOUND") =>
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(
@@ -143,11 +144,13 @@ object CollectionStorage {
       .withColumnRenamed("eh", "eh_old")
     val n = keyed(vNew).withColumnRenamed("title", "t_new")
       .withColumnRenamed("eh", "eh_new")
+    // null-safe title compare (<=>): a NULL→value retitle must read
+    // as updated, not fall through a three-valued =!= to unchanged
     o.join(n, Seq("user_id", "vector_id"), "full_outer")
       .select(when(col("eh_old").isNull, lit("added"))
         .when(col("eh_new").isNull, lit("removed"))
-        .when(col("eh_old") =!= col("eh_new") || col("t_old") =!= col("t_new"),
-          lit("updated"))
+        .when(col("eh_old") =!= col("eh_new") ||
+              !(col("t_old") <=> col("t_new")), lit("updated"))
         .otherwise(lit("unchanged")).as("change"))
       .groupBy("change").agg(count(lit(1)).as("n"))
       .orderBy("change")

@@ -215,17 +215,20 @@ object VectorStore {
   }
 
   /** Multi-tenant batched search: EVERY user's query answered in one
-    * job — `queries` (user_id, q) joins the collection on user_id (a
-    * broadcast when the query batch is small; co-partitioned with the
-    * collection layout otherwise, so each tenant's scan stays pruned)
-    * and the per-user top-k comes from the map-side-bounded TopK
+    * job — `queries` (user_id, q) joins the collection on user_id and
+    * the per-user top-k comes from the map-side-bounded TopK
     * aggregate, never a global sort. The serving shape for "run the
-    * nightly search for all tenants". Output: (user_id, rnk,
-    * vector_id, score), rnk 1..k per user.
+    * nightly search for all tenants". Set `broadcastQueries = false`
+    * when the query batch is itself large (one query per user at
+    * millions of users won't fit a driver broadcast): the join then
+    * shuffles on user_id, co-partitioned with the collection layout.
+    * Output: (user_id, rnk, vector_id, score), rnk 1..k per user.
     */
-  def searchAll(coll: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def searchAll(coll: DataFrame, queries: DataFrame, k: Int,
+                broadcastQueries: Boolean = true): DataFrame = {
     val agg = graft.ops.TopK.topk(k)
-    coll.join(broadcast(queries), "user_id")
+    val qs = if (broadcastQueries) broadcast(queries) else queries
+    coll.join(qs, "user_id")
       .select(col("user_id"), score(col("embedding"), col("q")).as("score"),
               col("vector_id"))
       .groupBy("user_id")

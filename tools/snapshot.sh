@@ -18,18 +18,26 @@ for a in "$@"; do
   esac
 done
 
+fail=0
 if [ "$skip_test" = 1 ] && [ -f /tmp/graft_last_test_line ]; then
   test_line=$(cat /tmp/graft_last_test_line)
 else
   test_line=$(sbt -batch test 2>&1 | grep -E "Tests: succeeded" | tail -1 \
     | sed 's/^\[info\] //')
-  echo "$test_line" > /tmp/graft_last_test_line
+  # a compile error or aborted run produces NO summary line — record
+  # the failure loudly instead of an empty string that reads as fine
+  if [ -z "$test_line" ]; then test_line="GATE FAILED: no test summary (compile error or aborted run)"; fail=1
+  else echo "$test_line" > /tmp/graft_last_test_line; fi
 fi
+case "$test_line" in *"failed 0"*|"GATE FAILED"*) : ;; *) fail=1 ;; esac
 
-sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/snapshot_vout" \
-  >/dev/null 2>&1
+if ! sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/snapshot_vout" \
+    > /tmp/snapshot_verify.log 2>&1; then
+  fail=1
+fi
 verify_line=$(python3 tools/check.py /root/testdata/sf0.01 /tmp/snapshot_vout \
   | tail -1)
+case "$verify_line" in *" 0 fail") : ;; *) fail=1; verify_line="GATE FAILED: $verify_line" ;; esac
 
 bench_out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_ALL=$bench_all sbt -batch "runMain graft.Bench" 2>&1)
@@ -55,3 +63,6 @@ with open("PROGRESS.jsonl", "a") as f:
     f.write(json.dumps(rec) + "\n")
 print("gate_summary appended:", json.dumps(rec["gate_summary"], indent=None)[:400])
 EOF
+# non-zero exit when any gate failed, so callers can't mistake a
+# red snapshot for a green one
+exit "$fail"
