@@ -1493,6 +1493,35 @@ object SparkEntry {
              |SELECT day, dau, wau FROM dau JOIN wau USING (day)
              |ORDER BY day""".stripMargin)),
 
+    // signup→purchase conversion latency: first event of each type per
+    // user (two tiny per-user aggs), then hour-latency percentiles —
+    // the funnel-timing complement to ev_funnel's ordering counts
+    "ev_conversion_lag" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def firstOf(t: String, as: String) = ev
+          .filter(col("event_type") === t)
+          .groupBy("user_id").agg(min("ts").as(as))
+        firstOf("signup", "su").join(firstOf("purchase", "pu"), "user_id")
+          .filter(col("pu") >= col("su"))
+          .select(((col("pu") - col("su")) / lit(3600000000000.0)).as("h"))
+          .agg(count(lit(1)).as("n_converted"),
+               expr("percentile(h, array(0.5D, 0.9D))").as("ps"))
+          .select(col("n_converted"),
+                  round(element_at(col("ps"), 1), 4).as("p50_h"),
+                  round(element_at(col("ps"), 2), 4).as("p90_h"))
+      },
+      Some("""WITH su AS (SELECT user_id, min(epoch_ns(ts)) AS su
+             |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |pu AS (SELECT user_id, min(epoch_ns(ts)) AS pu
+             |       FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+             |h AS (SELECT (pu - su) / 3600000000000.0 AS h
+             |      FROM su JOIN pu USING (user_id) WHERE pu >= su)
+             |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             |       round(quantile_cont(h, 0.5), 4) AS p50_h,
+             |       round(quantile_cont(h, 0.9), 4) AS p90_h
+             |FROM h""".stripMargin)),
+
     "ev_window_agg" -> Q(
       (s, d) => Tables.events(s, d)
         .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
@@ -2214,6 +2243,40 @@ object SparkEntry {
       "text_langid" -> Q(
         (s, d) => TextAnalytics.languageId(Tables.documents(s, d)),
         Some(TextAnalytics.languageIdSql)),
+
+      // language-ID confusion matrix: the heuristic's predictions vs
+      // the corpus's ground-truth lang column, with per-true-language
+      // recall fractions. The only window runs over the aggregated
+      // |langs|×|preds| confusion cells
+      "text_langid_eval" -> Q(
+        (s, d) => {
+          val docs = Tables.documents(s, d)
+          val w = Window.partitionBy("lang")
+          TextAnalytics.languageId(docs)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+            .withColumn("frac", round(col("n") / sum("n").over(w), 4))
+            .orderBy("lang", "pred_lang")
+        },
+        Some {
+          def cnt(words: Seq[String]) =
+            s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+              s"t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+          val Seq(en, es, de, fr) = TextAnalytics.Lexica.map { case (_, w) => cnt(w) }
+          s"""WITH p AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN $en + $es + $de + $fr = 0 THEN 'und'
+             |         WHEN $en >= greatest($es, $de, $fr) THEN 'en'
+             |         WHEN $es >= greatest($de, $fr) THEN 'es'
+             |         WHEN $de >= $fr THEN 'de'
+             |         ELSE 'fr' END AS pred_lang
+             |  FROM documents),
+             |c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+             |      FROM p GROUP BY lang, pred_lang)
+             |SELECT lang, pred_lang, n,
+             |       round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 4) AS frac
+             |FROM c ORDER BY lang, pred_lang""".stripMargin
+        }),
 
       // C4-style text normalization: casefold, strip punctuation,
       // collapse whitespace — pure map-side projection; the content
