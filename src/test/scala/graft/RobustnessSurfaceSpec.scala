@@ -62,7 +62,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "pipe_split_leakage", "text_charclass", "text_readability",
     "text_entropy", "text_ttr", "text_gopher_rules", "pipe_data_card",
     "stat_gini", "dedup_cluster_sizes", "pipe_interleave", "samp_ks_test",
-    "samp_negative_sampling", "text_langid_eval",
+    "samp_negative_sampling", "text_langid_eval", "dedup_lsh_eval",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
     "mm_patch_grid")
