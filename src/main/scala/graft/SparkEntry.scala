@@ -1493,6 +1493,36 @@ object SparkEntry {
              |SELECT day, dau, wau FROM dau JOIN wau USING (day)
              |ORDER BY day""".stripMargin)),
 
+    // Pareto concentration: what share of all events comes from the
+    // top-decile users — the skew audit that motivates every salted
+    // aggregation in this engine. Cutoff = one 1-row percentile
+    // aggregate broadcast back (rounded to 6, the quintile idiom)
+    "ev_pareto" -> Q(
+      (s, d) => {
+        val cnt = Tables.events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("n"))
+        val cut = cnt.agg(round(expr("percentile(n, 0.9D)"), 6).as("c"),
+                          sum("n").as("tot"), count(lit(1)).as("n_users"))
+        cnt.crossJoin(broadcast(cut))
+          .groupBy("c", "tot", "n_users")
+          .agg(sum(when(col("n") >= col("c"), col("n")).otherwise(0L)).as("te"),
+               sum(when(col("n") >= col("c"), 1L).otherwise(0L)).as("top_users"))
+          .select(col("n_users"), col("top_users"),
+                  round(col("te") / col("tot").cast("double"), 4).as("top_share"),
+                  round(col("c"), 4).as("p90_cut"))
+      },
+      Some("""WITH cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+             |             FROM events GROUP BY user_id),
+             |cut AS (SELECT round(quantile_cont(n, 0.9), 6) AS c,
+             |               CAST(sum(n) AS BIGINT) AS tot,
+             |               CAST(count(*) AS BIGINT) AS n_users FROM cnt)
+             |SELECT n_users,
+             |       CAST(sum(CASE WHEN n >= c THEN 1 ELSE 0 END) AS BIGINT) AS top_users,
+             |       round(sum(CASE WHEN n >= c THEN n ELSE 0 END)
+             |             / CAST(tot AS DOUBLE), 4) AS top_share,
+             |       round(c, 4) AS p90_cut
+             |FROM cnt, cut GROUP BY n_users, c, tot""".stripMargin)),
+
     // signup→purchase conversion latency: first event of each type per
     // user (two tiny per-user aggs), then hour-latency percentiles —
     // the funnel-timing complement to ev_funnel's ordering counts
@@ -1879,6 +1909,25 @@ object SparkEntry {
              |            ELSE round(n_hit * 1.0 / n_truth, 4) END AS recall
              |FROM m""".stripMargin
         }),
+
+      // shingle document-frequency profile (log2-bucketed histogram):
+      // the skew audit that SETS the df cap dedup_jaccard_capped
+      // applies — the tail buckets are exactly the stop-shingles whose
+      // fan-out would explode the intersection join. floor(log2(df))
+      // is exact at powers of two on both engines
+      "dedup_df_profile" -> Q(
+        (s, d) => graft.text.TextPrimitives
+          .charShingles(docsUnder(s, d, 200), "doc_id", "text", 5)
+          .groupBy("sh").agg(count(lit(1)).as("df"))
+          .select(floor(log2(col("df"))).cast("long").as("b"))
+          .groupBy("b").agg(count(lit(1)).as("n_shingles"))
+          .orderBy("b"),
+        Some(s"""WITH s AS (
+                |${graft.text.TextPrimitives.charShinglesSql("documents", "doc_id", "text", 5, "doc_id < 200")}),
+                |df AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM s GROUP BY sh)
+                |SELECT CAST(floor(log2(df)) AS BIGINT) AS b,
+                |       CAST(count(*) AS BIGINT) AS n_shingles
+                |FROM df GROUP BY b ORDER BY b""".stripMargin)),
 
       // skew-safe Jaccard: shingles above the document-frequency cap
       // are dropped before the intersection join, bounding every join

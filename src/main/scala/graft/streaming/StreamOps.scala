@@ -273,6 +273,50 @@ object StreamOps {
       }
   }
 
+  final case class ConvState(su: Long, pu: Long, emitted: Boolean)
+
+  final case class Conversion(user_id: Long, lag_h: Double)
+
+  /** Streaming twin of the batch `ev_conversion_lag` pairing: per-user
+    * state is two timestamps (first signup, first purchase) and an
+    * emitted flag — O(1) per user; a conversion row is emitted exactly
+    * once, when both firsts are known and signup ≤ purchase. Unlike
+    * the batch query (which reports latency percentiles), the stream
+    * emits the raw per-user latencies — feed them to the streaming
+    * quantile sketch for the percentile view. In-order arrival is NOT
+    * required here: min-tracking is order-insensitive, but a
+    * conversion emitted early with a provisional first-purchase is
+    * not (hence emit-once only fires on the final minimum seen so
+    * far; late earlier-events can in principle shrink the true lag —
+    * the same caveat as any watermarkless first-event metric).
+    */
+  def streamingConversionLag(events: Dataset[Event]): Dataset[Conversion] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConvState, Conversion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[ConvState]) =>
+          var st = state.getOption.getOrElse(
+            ConvState(Long.MaxValue, Long.MaxValue, emitted = false))
+          it.foreach { e =>
+            e.event_type match {
+              case "signup"   => st = st.copy(su = math.min(st.su, e.ts))
+              case "purchase" => st = st.copy(pu = math.min(st.pu, e.ts))
+              case _          => ()
+            }
+          }
+          val out =
+            if (!st.emitted && st.su != Long.MaxValue && st.pu != Long.MaxValue &&
+                st.pu >= st.su) {
+              st = st.copy(emitted = true)
+              Iterator.single(Conversion(uid, (st.pu - st.su) / 3.6e12))
+            } else Iterator.empty
+          state.update(st)
+          out
+      }
+  }
+
   /** Streaming training-data prep: PII scrub → normalize →
     * quality-filter → first-seen exact dedup on the NORMALIZED
     * content hash of the SCRUBBED text, end to end as one incremental

@@ -63,6 +63,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "text_entropy", "text_ttr", "text_gopher_rules", "pipe_data_card",
     "stat_gini", "dedup_cluster_sizes", "pipe_interleave", "samp_ks_test",
     "samp_negative_sampling", "text_langid_eval", "dedup_lsh_eval",
+    "dedup_df_profile",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
     "mm_patch_grid")
@@ -155,7 +156,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_heavy_hitters", "ev_funnel", "ev_retention", "ev_window_agg",
     "ev_transitions", "stat_moments", "ev_ewma_bounded",
     "ev_winsorize", "ev_attribution", "ev_rfm", "ev_benford",
-    "ev_dau_wau", "ev_conversion_lag")
+    "ev_dau_wau", "ev_conversion_lag", "ev_pareto")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

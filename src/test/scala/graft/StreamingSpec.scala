@@ -444,6 +444,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming conversion lag emits each user's signup->purchase latency once") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamOps.streamingConversionLag(input.toDS())
+      .writeStream.format("memory").queryName("conv")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 signs up in batch 1, purchases in batch 2 (2h lag);
+      // user 2 purchases before signing up (no conversion);
+      // user 3 converts twice — only the FIRST purchase counts
+      input.addData(
+        Event(1, 0L, 1, "signup", 1.0),
+        Event(2, H, 2, "purchase", 1.0),
+        Event(3, 0L, 3, "signup", 1.0),
+        Event(4, H, 3, "purchase", 1.0))
+      query.processAllAvailable()
+      input.addData(
+        Event(5, 2 * H, 1, "purchase", 1.0),
+        Event(6, 3 * H, 3, "purchase", 1.0)) // later purchase: ignored
+      query.processAllAvailable()
+      val got = s.sql("SELECT user_id, lag_h FROM conv").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == Map(1L -> 2.0, 3L -> 1.0), got)
+    } finally query.stop()
+  }
+
   test("streaming LSH near-dup emits the batch candidate pairs across batches") {
     val s = spark
     import s.implicits._
