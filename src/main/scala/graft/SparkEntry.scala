@@ -2205,6 +2205,61 @@ object SparkEntry {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
         }),
 
+      // leakage-PROOF splitting — the FIX for what pipe_split_leakage
+      // detects: hash the dup-CLUSTER label instead of the doc id, so
+      // every near-dup family lands in one split by construction. The
+      // query re-runs the LSH candidate audit against the new split
+      // and reports n_leaked (0 whenever the candidate pairs are a
+      // subset of the clustered pairs, i.e. always — candidates ARE
+      // the cluster edges). Family-atomic splits trade proportion
+      // accuracy for leakage-freedom: a giant dup family moves as one
+      // unit (this corpus's aggressive b=4/r=2 banding produces one —
+      // dedup_cluster_sizes is the audit that would flag it)
+      "samp_cluster_split" -> Q(
+        (s, d) => {
+          val labels = Dedup.clusterLabelsShared(docsUnder(s, d, 200), d, 5, 8, 2)
+          val split = graft.ops.Sampling.hashSplit(labels, "cluster", 80, 10)
+          val pairs = Dedup.minhashLshPairs(
+            Dedup.minhashSignatures(docsUnder(s, d, 200), 5, 8), 8, 2)
+          val leaks = pairs
+            .join(split.select(col("doc_id").as("da"), col("split").as("sa")), "da")
+            .join(split.select(col("doc_id").as("db"), col("split").as("sb")), "db")
+            .filter(col("sa") =!= col("sb"))
+            .agg(count(lit(1)).as("n_leaked"))
+          split.groupBy("split").agg(count(lit(1)).as("n_docs"))
+            .crossJoin(broadcast(leaks))
+            .orderBy("split")
+        },
+        Some {
+          val bandSelects = (0 until 4).map { b =>
+            s"SELECT doc_id, $b AS b, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS bv FROM sig"
+          }.mkString(" UNION ALL ")
+          s"""WITH RECURSIVE sig AS (
+             |${Dedup.minhashSigSql(5, 8, "doc_id < 200")}),
+             |bands AS ($bandSelects),
+             |pr AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+             |       FROM bands a JOIN bands b2
+             |         ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+             |edges AS (SELECT da, db FROM pr UNION ALL SELECT db, da FROM pr),
+             |reach(src, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+             |  UNION
+             |  SELECT e.da, r.lbl FROM reach r JOIN edges e ON e.db = r.src),
+             |cc AS (SELECT src AS doc_id, min(lbl) AS cluster FROM reach GROUP BY src),
+             |sp AS (SELECT doc_id,
+             |              CASE WHEN bk < 80 THEN 'train'
+             |                   WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+             |       FROM (SELECT doc_id,
+             |               ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15))::BIGINT % 100 AS bk
+             |             FROM cc)),
+             |lk AS (SELECT CAST(count(*) AS BIGINT) AS n_leaked
+             |       FROM pr JOIN sp a ON pr.da = a.doc_id
+             |               JOIN sp b2 ON pr.db = b2.doc_id
+             |       WHERE a.split <> b2.split)
+             |SELECT split, CAST(count(*) AS BIGINT) AS n_docs, n_leaked
+             |FROM sp, lk GROUP BY split, n_leaked ORDER BY split""".stripMargin
+        }),
+
       // exact-substring dedup at n-gram granularity (the suffix-array
       // pass of RefinedWeb/Gopher, re-expressed relationally): hash
       // every 8-token window, count distinct docs per window hash, and
@@ -4000,6 +4055,39 @@ object SparkEntry {
                |       CAST(min(c) AS BIGINT) AS code_min,
                |       CAST(max(c) AS BIGINT) AS code_max
                |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+      // quantization fidelity report: per-vector cosine between the
+      // original embedding and its int8 round-trip (encode → decode) —
+      // the acceptance gate before switching ANN candidate generation
+      // to the 4×-smaller codes
+      "vec_quant_fidelity" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions
+          graft.ann.Quant.decode(graft.ann.Quant.encode(Tables.embeddings(s, d)))
+            .select(col("vec_id"),
+              VectorFunctions.score(col("embedding"), col("dequant")).as("fid"))
+            .agg(count(lit(1)).as("n_vectors"),
+                 round(avg("fid"), 4).as("avg_fid"),
+                 round(min("fid"), 4).as("min_fid"))
+        },
+        Some("""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               |                     unnest(embedding) AS x
+               |              FROM embeddings),
+               |p AS (SELECT i, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx
+               |      FROM dims GROUP BY i),
+               |dq AS (SELECT vec_id, i,
+               |              CASE WHEN mx = mn THEN mn
+               |                   ELSE mn + CAST(round((x::DOUBLE - mn) / (mx - mn) * 255.0) AS BIGINT)
+               |                        * (mx - mn) / 255.0 END AS y
+               |       FROM dims JOIN p USING (i)),
+               |dqa AS (SELECT vec_id, list(y ORDER BY i) AS dqv FROM dq GROUP BY vec_id),
+               |c AS (SELECT e.vec_id,
+               |             round(list_cosine_similarity(e.embedding::DOUBLE[], a.dqv), 6) + 0.0 AS fid
+               |      FROM embeddings e JOIN dqa a USING (vec_id))
+               |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               |       round(avg(fid), 4) AS avg_fid,
+               |       round(min(fid), 4) AS min_fid
+               |FROM c""".stripMargin)),
 
       // one Lloyd's step of the IVF coarse quantizer, oracled: nearest
       // seed centroid by squared L2 (ties → smallest cid), then

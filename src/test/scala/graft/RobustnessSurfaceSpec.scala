@@ -63,7 +63,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "text_entropy", "text_ttr", "text_gopher_rules", "pipe_data_card",
     "stat_gini", "dedup_cluster_sizes", "pipe_interleave", "samp_ks_test",
     "samp_negative_sampling", "text_langid_eval", "dedup_lsh_eval",
-    "dedup_df_profile",
+    "dedup_df_profile", "samp_cluster_split",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
     "mm_patch_grid")
@@ -103,7 +103,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "dedup_embed_cosine", "ann_topk_batch", "emb_hard_negatives",
     "emb_label_cohesion", "samp_stratified", "emb_power_iter",
     "emb_dim_stats", "emb_knn_accuracy", "vec_binary_quant",
-    "vec_matryoshka", "vec_scalar_quant", "ann_kmeans_step", "vec_pq_adc",
+    "vec_matryoshka", "vec_scalar_quant", "vec_quant_fidelity",
+    "ann_kmeans_step", "vec_pq_adc",
     "ann_mmr_rerank", "emb_whiten", "emb_triplets", "dedup_semantic",
     "emb_drift")
 
