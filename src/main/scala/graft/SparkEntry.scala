@@ -3241,7 +3241,8 @@ object SparkEntry {
             .agg(sum("c").as("n"), sum(expr("x * c")).as("sx"), sum("rs").as("srx"))
             .select(col("source"), col("n"),
               when(col("sx") === 0, lit(null).cast("double"))
-                .otherwise(round(lit(2.0) * col("srx") / (col("n") * col("sx"))
+                .otherwise(round(lit(2.0) * col("srx")
+                  / (col("n").cast("double") * col("sx"))
                   - (col("n") + lit(1.0)) / col("n"), 4)).as("gini"))
             .orderBy("source")
         },
@@ -3262,7 +3263,7 @@ object SparkEntry {
                |  FROM cum GROUP BY source)
                |SELECT source, n,
                |       CASE WHEN sx = 0 THEN NULL ELSE
-               |         round(2.0 * srx / (n * sx) - (n + 1.0) / n, 4) END AS gini
+               |         round(2.0 * srx / (CAST(n AS DOUBLE) * sx) - (n + 1.0) / n, 4) END AS gini
                |FROM agg ORDER BY source""".stripMargin)),
 
       // deterministic curriculum interleave: round-robin the sources

@@ -36,18 +36,29 @@ object CollectionStorage {
     * directories, so path-not-found is a caller bug (a typo'd store
     * path must not read as a legitimately empty collection).
     */
-  def load(spark: SparkSession, path: String): DataFrame =
-    try spark.read.parquet(path)
-      .withColumn("user_id", col("user_id").cast("long"))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "user_id BIGINT, vector_id BIGINT, doc_id BIGINT, " +
-            "chunk_id BIGINT, title STRING, embedding ARRAY<DOUBLE>"))
-    }
+  def load(spark: SparkSession, path: String): DataFrame = {
+    // match on the stable error condition, not message text (the
+    // message wording is Spark-version-fragile; the condition is the
+    // documented contract)
+    val raw =
+      try spark.read.parquet(path)
+        .withColumn("user_id", col("user_id").cast("long"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "user_id BIGINT, vector_id BIGINT, doc_id BIGINT, " +
+              "chunk_id BIGINT, title STRING, embedding ARRAY<DOUBLE>"))
+      }
+    // one canonical column order on BOTH paths: a partitioned read
+    // appends user_id after the data columns while the empty fallback
+    // declares it first — positional consumers (union-by-position,
+    // Row.get(0)) must see the same layout either way
+    raw.select("user_id", "vector_id", "doc_id", "chunk_id",
+      "title", "embedding")
+  }
 
   /** Overwrite only the user partitions present in `changed` —
     * the scale-safe mutation path for upsert/delete outcomes.
@@ -137,9 +148,12 @@ object CollectionStorage {
     */
   def diffSnapshots(spark: SparkSession, path: String,
                     vOld: Long, vNew: Long): DataFrame = {
+    // 64-bit fingerprint of the serialized array (not 32-bit hash):
+    // this diff gates snapshot promotion, so a changed embedding
+    // colliding into "unchanged" must be ~2^-64, not ~2^-32
     def keyed(v: Long) = loadSnapshot(spark, path, Some(v))
       .select(col("user_id"), col("vector_id"), col("title"),
-        hash(col("embedding")).as("eh"))
+        xxhash64(to_json(struct(col("embedding")))).as("eh"))
     val o = keyed(vOld).withColumnRenamed("title", "t_old")
       .withColumnRenamed("eh", "eh_old")
     val n = keyed(vNew).withColumnRenamed("title", "t_new")

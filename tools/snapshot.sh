@@ -41,7 +41,11 @@ case "$verify_line" in *" 0 fail") : ;; *) fail=1; verify_line="GATE FAILED: $ve
 
 bench_out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_ALL=$bench_all sbt -batch "runMain graft.Bench" 2>&1)
+bench_rc=$?
 bench_raw=$(echo "$bench_out" | grep '"metric"' | tail -1 | sed 's/^\[info\] //')
+# a bench that crashed or printed no metric line is a red gate, same
+# as a test or verify failure
+if [ "$bench_rc" -ne 0 ] || [ -z "$bench_raw" ]; then fail=1; fi
 # full-inventory runs are committed as the round's comparison floor
 if [ "$bench_all" = 1 ]; then
   { echo "$bench_out" | grep '"detail"' | tail -1 | sed 's/^\[info\] //'
