@@ -789,6 +789,18 @@ object SparkEntry {
   // Events: sessionize + tumbling windows (SURVEY §2 #32–33)
   // ---------------------------------------------------------------
 
+  /** Unrolled PageRank iterations as chained CTEs (DuckDB's recursive
+    * CTEs reject aggregates in the recursive term, so the fixed
+    * iteration count is spelled out — mirrors graph_pagerank's loop
+    * term-for-term, including the coalesce for no-inbound nodes).
+    */
+  private def pagerankIterSql(iters: Int): String = (1 to iters).map { k =>
+    s"""it$k AS (SELECT n.t, 0.15 / nn.nn + 0.85 * coalesce(
+       |  (SELECT sum(e.p * i.r) FROM e JOIN it${k - 1} i ON i.t = e.src
+       |   WHERE e.dst = n.t), 0) AS r
+       |  FROM nodes n, nn)""".stripMargin
+  }.mkString(",\n")
+
   private val eventsQ: Seq[(String, Q)] = Seq(
     // `ts` is read as epoch-nanos Long (Tables.events) — gap and window
     // arithmetic is exact integer math on both engines.
@@ -1561,7 +1573,229 @@ object SparkEntry {
       Some("""SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, event_type,
              |       CAST(count(*) AS BIGINT) AS n, round(sum(value),4) AS sum_value
              |FROM events GROUP BY hour_bucket, event_type
-             |ORDER BY hour_bucket, event_type""".stripMargin)))
+             |ORDER BY hour_bucket, event_type""".stripMargin)),
+
+    // throttle-style debounce: an event is dropped when it arrives
+    // within 5 s of the PREVIOUS RAW event of the same (user, type) —
+    // one lag over the per-key window, exact integer nanos on both
+    // engines. The dedup a clickstream pipeline runs before counting.
+    "ev_debounce" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("kept",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(5000000000L), 1L).otherwise(0L))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_raw"), sum("kept").as("n_kept"))
+          .orderBy("event_type")
+      },
+      Some("""WITH k AS (
+             |  SELECT event_type,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 5000000000
+             |              THEN 1 ELSE 0 END AS kept
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw,
+             |       CAST(sum(kept) AS BIGINT) AS n_kept
+             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // top-10 session path prefixes: sessionize (gap>30min), take each
+    // session's first 3 event types in (ts, event_id) order, count
+    // paths. The per-session slice is bounded (3) and the path
+    // vocabulary ≤ |types|^3, so the final agg is tiny at any scale;
+    // sort_array on the collected (ts,event_id,type) structs makes
+    // the slice deterministic where collect_list alone is not.
+    "ev_session_paths" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(1800000000000L), 1).otherwise(0))
+          .withColumn("session_id",
+            sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+          .select(array_join(
+            expr("transform(slice(evs, 1, 3), x -> x.event_type)"), ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(10)
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g),
+             |r AS (SELECT user_id, session_id, event_type,
+             |             row_number() OVER (PARTITION BY user_id, session_id
+             |                                ORDER BY ts, event_id) AS rn
+             |      FROM s),
+             |p AS (SELECT user_id, session_id,
+             |             string_agg(event_type, '>' ORDER BY rn) AS path
+             |      FROM r WHERE rn <= 3 GROUP BY user_id, session_id)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n
+             |FROM p GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin)),
+
+    // full weekly cohort retention triangle (generalizes the single
+    // 7-day cell of ev_retention): cohort week = first active week,
+    // one row per (cohort, week offset). Active set is distinct
+    // (user, week) BEFORE the join, so shuffle ∝ active pairs; cohort
+    // sizes are a tiny broadcast frame.
+    "ev_cohort_triangle" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000 DIV 7").as("wk"))
+        val c0 = ev.groupBy("user_id").agg(min("wk").as("w0"))
+        val sz = c0.groupBy("w0").agg(count(lit(1)).as("n_cohort"))
+        ev.distinct().join(c0, "user_id")
+          .groupBy(col("w0"), (col("wk") - col("w0")).as("wk_off"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sz), "w0")
+          .select(col("w0"), col("wk_off"), col("n_active"),
+            round(col("n_active") / col("n_cohort"), 4).as("pct"))
+          .orderBy("w0", "wk_off")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS wk FROM events),
+             |c0 AS (SELECT user_id, min(wk) AS w0 FROM ev GROUP BY user_id),
+             |sz AS (SELECT w0, CAST(count(*) AS BIGINT) AS n_cohort FROM c0 GROUP BY w0),
+             |act AS (SELECT w0, wk - w0 AS wk_off, CAST(count(*) AS BIGINT) AS n_active
+             |        FROM (SELECT DISTINCT user_id, wk FROM ev) du JOIN c0 USING (user_id)
+             |        GROUP BY w0, wk_off)
+             |SELECT w0, wk_off, n_active, round(n_active * 1.0 / n_cohort, 4) AS pct
+             |FROM act JOIN sz USING (w0) ORDER BY w0, wk_off""".stripMargin)),
+
+    // seasonal-baseline anomaly detection: the 3σ rule of ev_outliers
+    // but against a PER-HOUR-OF-DAY profile per type (≤ 24·|types|
+    // rows, broadcast), so a nightly lull doesn't mask a daytime
+    // spike. The profile is one agg over the facts; flagging is a
+    // broadcast join — two passes, no windows.
+    "ts_seasonal" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("hod", expr("(ts DIV 3600000000000) % 24"))
+        val prof = ev.groupBy(col("event_type").as("et"), col("hod").as("h"))
+          .agg(avg("value").as("mu"), stddev("value").as("sd"))
+        ev.join(broadcast(prof), col("event_type") === col("et") && col("hod") === col("h"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(when(abs((col("value") - col("mu")) / col("sd")) > 3, 1L)
+                 .otherwise(0L)).as("n_anom"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, value,
+             |                  (epoch_ns(ts) // 3600000000000) % 24 AS hod
+             |           FROM events),
+             |prof AS (SELECT event_type AS et, hod AS h, avg(value) AS mu,
+             |                stddev_samp(value) AS sd
+             |         FROM e GROUP BY et, h)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN abs((value - mu) / sd) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+             |FROM e JOIN prof ON event_type = et AND hod = h
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // association rules over per-user event-type sets: support /
+    // confidence / lift for every ordered type pair. The self-join is
+    // on user_id over the DISTINCT (user, type) table, so per-user
+    // fan-out is bounded by |types| choose 2 and the partial agg
+    // collapses to ≤ |types|² groups map-side; totals broadcast.
+    // Lift's n_a·n_b product goes through double — at 1e9 users a
+    // long×long product would wrap.
+    "ev_assoc_rules" -> Q(
+      (s, d) => {
+        val ut = Tables.events(s, d).select("user_id", "event_type").distinct()
+        val nu = ut.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
+        val pair = ut.toDF("user_id", "ta").join(ut.toDF("user_id", "tb"), "user_id")
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("n_both"))
+        val cnt = ut.groupBy("event_type").agg(count(lit(1)).as("c"))
+        pair.join(broadcast(cnt.toDF("ta", "n_a")), "ta")
+          .join(broadcast(cnt.toDF("tb", "n_b")), "tb")
+          .crossJoin(broadcast(nu))
+          .select(col("ta"), col("tb"), col("n_both"),
+            round(col("n_both") / col("n_users"), 4).as("support"),
+            round(col("n_both") / col("n_a"), 4).as("conf"),
+            round(col("n_both").cast("double") * col("n_users")
+              / (col("n_a").cast("double") * col("n_b")), 4).as("lift"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+             |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+             |pair AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             |                CAST(count(*) AS BIGINT) AS n_both
+             |         FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |                           AND a.event_type < b.event_type
+             |         GROUP BY ta, tb),
+             |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY event_type)
+             |SELECT ta, tb, n_both,
+             |       round(n_both * 1.0 / n_users, 4) AS support,
+             |       round(n_both * 1.0 / ca.c, 4) AS conf,
+             |       round(CAST(n_both AS DOUBLE) * n_users / (CAST(ca.c AS DOUBLE) * cb.c), 4) AS lift
+             |FROM pair JOIN cnt ca ON ca.event_type = ta
+             |          JOIN cnt cb ON cb.event_type = tb
+             |          CROSS JOIN nu
+             |ORDER BY ta, tb""".stripMargin)),
+
+    // PageRank over the event-type transition graph, 10 fixed
+    // iterations (damping 0.85, no dangling redistribution — every
+    // observed type has outgoing mass here and the oracle mirrors the
+    // simplification). The data-scale work is ONE distributed pass
+    // building the ≤|types|²-row edge table; the power loop then runs
+    // driver-side over those bounded rows (the Ann-probe bounded-
+    // collect altitude) — composing 10 iterations into the plan
+    // re-derives the fact-table lineage per iteration, i.e. 10 full
+    // scans at 100 TB for a 5×5 matrix-vector product.
+    "graph_pagerank" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val cntE = ev.withColumn("dst", lead("event_type", 1).over(w))
+          .filter(col("dst").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type").as("src"), col("dst"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cntE.groupBy("src").agg(sum("n").as("tot"))
+        val edges = cntE.join(broadcast(tot), "src")
+          .select(col("src"), col("dst"), (col("n") / col("tot")).as("p"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        val nodes = ev.filter(col("event_type").isNotNull)
+          .select("event_type").distinct()
+          .collect().map(_.getString(0)).sorted
+        val nN = nodes.length
+        var rank = nodes.map(t => t -> 1.0 / nN).toMap
+        for (_ <- 1 to 10) {
+          val inr = edges.groupBy(_._2).map { case (dst, es) =>
+            dst -> es.map(e => e._3 * rank(e._1)).sum }
+          rank = nodes.map(t => t -> (0.15 / nN + 0.85 * inr.getOrElse(t, 0.0))).toMap
+        }
+        import s.implicits._
+        rank.toSeq.sortBy(_._1).toDF("t", "r0")
+          .select(col("t"), round(col("r0"), 6).as("pr"))
+      },
+      Some(s"""WITH tr AS (
+              |  SELECT event_type AS src,
+              |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+              |  FROM events),
+              |cnt AS (SELECT src, dst, count(*) AS n FROM tr
+              |        WHERE dst IS NOT NULL AND src IS NOT NULL GROUP BY src, dst),
+              |tot AS (SELECT src, sum(n) AS tot FROM cnt GROUP BY src),
+              |e AS (SELECT src, dst, n * 1.0 / tot AS p FROM cnt JOIN tot USING (src)),
+              |nodes AS (SELECT DISTINCT event_type AS t FROM events
+              |          WHERE event_type IS NOT NULL),
+              |nn AS (SELECT count(*) AS nn FROM nodes),
+              |it0 AS (SELECT t, 1.0 / nn AS r FROM nodes, nn),
+              |${pagerankIterSql(10)}
+              |SELECT t, round(r, 6) AS pr FROM it10 ORDER BY t""".stripMargin)))
 
   // ---------------------------------------------------------------
   // Vector store: the reference's Qdrant surface (SURVEY §2 #1–12)
@@ -1852,6 +2086,25 @@ object SparkEntry {
                 |  SELECT da, db, ni * 1.0 / (ca.cnt + cb.cnt - ni) AS j
                 |  FROM i JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
                 |WHERE j >= 0.25 ORDER BY da, db""".stripMargin)),
+
+      // exact-recall near-dup join via prefix filtering (PPJoin idea):
+      // the oracle is BRUTE FORCE — passing hash-equal proves the
+      // prefix filter loses nothing while joining only on rare tokens
+      "dedup_prefix_filter" -> Q(
+        (s, d) => Dedup.prefixFilterJaccard(docsUnder(s, d, 120), 0.7),
+        Some("""WITH dt AS (
+               |  SELECT DISTINCT doc_id, tok
+               |  FROM (SELECT doc_id,
+               |               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+               |        FROM documents WHERE doc_id < 120)),
+               |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt FROM dt GROUP BY doc_id),
+               |i AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS ni
+               |      FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+               |      GROUP BY da, db)
+               |SELECT da, db, round(j, 4) AS jaccard FROM (
+               |  SELECT da, db, ni * 1.0 / (ca.cnt + cb.cnt - ni) AS j
+               |  FROM i JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
+               |WHERE j >= 0.7 ORDER BY da, db""".stripMargin)),
 
       // LSH index quality audit: banded-MinHash candidate pairs scored
       // against the EXACT Jaccard truth set on a bounded subset —
@@ -2692,6 +2945,24 @@ object SparkEntry {
         Some("""SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
                |       source
                |FROM documents ORDER BY h, doc_id LIMIT 20""".stripMargin)),
+
+      // per-stratum reservoir: k smallest hashes WITHIN each source,
+      // via the bounded TopK partial aggregate — map-side k per group,
+      // no row_number over a hot group (the oracle's window IS that
+      // shape; fine for DuckDB, wrong for 100 TB Spark)
+      "samp_group_sample" -> Q(
+        (s, d) => graft.ops.Sampling.bottomKPerGroup(
+            Tables.documents(s, d), "source", "doc_id", 3)
+          .orderBy("source", "h", "doc_id"),
+        Some("""WITH h AS (SELECT source, doc_id,
+               |  ('0x' || substr(md5('gs:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               |    % 1000000000 AS h
+               |  FROM documents),
+               |r AS (SELECT source, doc_id, h,
+               |      row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+               |      FROM h)
+               |SELECT source, doc_id, h FROM r WHERE rn <= 3
+               |ORDER BY source, h, doc_id""".stripMargin)),
 
       // weighted sample without replacement via exponential clocks
       // (A-ES): P(selected) ∝ n_chars, no global weight total needed;
@@ -3627,6 +3898,116 @@ object SparkEntry {
                |       CAST(max(length(text)) AS BIGINT) AS max_len
                |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+      // Theil T inequality index of per-doc token counts per source —
+      // the additively-decomposable complement to stat_gini, and
+      // cheaper: T = Σ x·ln(x) / Σx − ln(Σx/n) needs ONE grouped agg
+      // over (source, length) counts, no window at all. x=0 rows
+      // contribute 0 (the x·ln x limit), so empty docs can't NaN it.
+      "stat_theil" -> Q(
+        (s, d) => {
+          val grp = Tables.documents(s, d)
+            .select(col("source"),
+              size(graft.text.TextPrimitives.tokens(col("text"))).cast("long").as("x"))
+            .groupBy("source", "x").agg(count(lit(1)).as("c"))
+          grp.groupBy("source")
+            .agg(sum("c").as("n"), sum(expr("x * c")).as("sx"),
+                 sum(expr("CASE WHEN x = 0 THEN 0.0 " +
+                   "ELSE c * x * ln(CAST(x AS DOUBLE)) END")).as("sxlx"))
+            .select(col("source"), col("n"),
+              when(col("sx") === 0, lit(null).cast("double"))
+                .otherwise(round(col("sxlx") / col("sx")
+                  - log(col("sx").cast("double") / col("n")), 4)).as("theil"))
+            .orderBy("source")
+        },
+        Some("""WITH grp AS (
+               |  SELECT source, x, CAST(count(*) AS BIGINT) AS c
+               |  FROM (SELECT source,
+               |          CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS x
+               |        FROM documents)
+               |  GROUP BY source, x)
+               |SELECT source, CAST(sum(c) AS BIGINT) AS n,
+               |       CASE WHEN sum(x * c) = 0 THEN NULL ELSE
+               |         round(sum(CASE WHEN x = 0 THEN 0.0 ELSE c * x * ln(CAST(x AS DOUBLE)) END)
+               |                 / sum(x * c)
+               |               - ln(CAST(sum(x * c) AS DOUBLE) / sum(c)), 4) END AS theil
+               |FROM grp GROUP BY source ORDER BY source""".stripMargin)),
+
+      // per-term burstiness (variance-to-mean ratio of per-doc counts,
+      // zeros included) for the top-20 df terms: VMR = (Q − S²/N)/S
+      // from S=Σtf, Q=Σtf² — docs NOT containing the term enter
+      // through N alone, so no dense fan-out is ever materialized.
+      // VMR≈(1−S/N) for scattered terms, ≫1 for topical ones; the
+      // feature behind tf-idf-style topicality weighting. Same
+      // semi-join-below-agg bound as text_postings.
+      "text_burstiness" -> Q(
+        (s, d) => {
+          val docs = Tables.documents(s, d)
+          val tf = docs
+            .select(col("doc_id"),
+              explode(graft.text.TextPrimitives.tokens(col("text"))).as("term"))
+            .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+          val nDocs = docs.agg(countDistinct("doc_id").as("nd"))
+          val top = tf.groupBy("term").agg(count(lit(1)).as("df2"))
+            .orderBy(col("df2").desc, col("term")).limit(20)
+          tf.join(top, Seq("term"), "left_semi")
+            .groupBy("term")
+            .agg(count(lit(1)).as("df"), sum("tf").as("s"),
+                 sum(expr("tf * tf")).as("q"))
+            .crossJoin(broadcast(nDocs))
+            .select(col("term"), col("df"),
+              round((col("q") - col("s").cast("double") * col("s") / col("nd"))
+                / col("s"), 4).as("vmr"))
+            .orderBy(col("df").desc, col("term"))
+        },
+        Some("""WITH tf AS (
+               |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+               |  FROM (SELECT doc_id,
+               |               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+               |        FROM documents)
+               |  GROUP BY term, doc_id),
+               |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM documents),
+               |top AS (SELECT term FROM tf GROUP BY term
+               |        ORDER BY count(*) DESC, term LIMIT 20),
+               |a AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS s,
+               |             CAST(sum(tf * tf) AS BIGINT) AS q
+               |      FROM tf JOIN top USING (term) GROUP BY term)
+               |SELECT term, df, round((q - CAST(s AS DOUBLE) * s / nd) / s, 4) AS vmr
+               |FROM a, nd ORDER BY df DESC, term""".stripMargin)),
+
+      // source-pair vocabulary Jaccard: which sources speak the same
+      // language? Distinct (source, token) first — shuffle ∝ vocab ×
+      // sources, never corpus size — then an equi-join on token whose
+      // per-token fan-out is bounded by |sources|; output ≤ |sources|²
+      // pairs. The corpus-mix audit behind samp_domain_mix.
+      "text_source_similarity" -> Q(
+        (s, d) => {
+          val st = Tables.documents(s, d)
+            .select(col("source"),
+              explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
+            .distinct()
+          val cnt = st.groupBy("source").agg(count(lit(1)).as("c"))
+          st.toDF("sa", "tok").join(st.toDF("sb", "tok2"),
+              col("tok") === col("tok2") && col("sa") < col("sb"))
+            .groupBy("sa", "sb").agg(count(lit(1)).as("ni"))
+            .join(broadcast(cnt.toDF("sa", "ca")), "sa")
+            .join(broadcast(cnt.toDF("sb", "cb")), "sb")
+            .select(col("sa"), col("sb"),
+              round(col("ni") / (col("ca") + col("cb") - col("ni")), 4).as("jaccard"))
+            .orderBy("sa", "sb")
+        },
+        Some("""WITH st AS (
+               |  SELECT DISTINCT source, tok
+               |  FROM (SELECT source,
+               |               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+               |        FROM documents)),
+               |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM st GROUP BY source),
+               |i AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS ni
+               |      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+               |      GROUP BY sa, sb)
+               |SELECT sa, sb, round(ni * 1.0 / (ca.c + cb.c - ni), 4) AS jaccard
+               |FROM i JOIN cnt ca ON ca.source = sa JOIN cnt cb ON cb.source = sb
+               |ORDER BY sa, sb""".stripMargin)),
+
       "emb_norm_invariant" -> Q(
         (s, d) => {
           import graft.functions.VectorFunctions.sqNorm
@@ -4085,6 +4466,36 @@ object SparkEntry {
                |c AS (SELECT e.vec_id,
                |             round(list_cosine_similarity(e.embedding::DOUBLE[], a.dqv), 6) + 0.0 AS fid
                |      FROM embeddings e JOIN dqa a USING (vec_id))
+               |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               |       round(avg(fid), 4) AS avg_fid,
+               |       round(min(fid), 4) AS min_fid
+               |FROM c""".stripMargin)),
+
+      // residual (two-stage) scalar quantization: int8 the residual
+      // against the per-label centroid — same 8 bits over a tighter
+      // range; QuantSpec asserts fidelity strictly beats plain int8
+      "vec_residual_quant" -> Q(
+        (s, d) => graft.ann.Quant.residualFidelity(
+            Tables.embeddings(s, d), "label")
+          .agg(count(lit(1)).as("n_vectors"),
+               round(avg("fid"), 4).as("avg_fid"),
+               round(min("fid"), 4).as("min_fid")),
+        Some("""WITH dims AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+               |                     unnest(embedding) AS x
+               |              FROM embeddings),
+               |cent AS (SELECT label, i, avg(x::DOUBLE) AS m FROM dims GROUP BY label, i),
+               |res AS (SELECT vec_id, i, x::DOUBLE - m AS r, m
+               |        FROM dims JOIN cent USING (label, i)),
+               |p AS (SELECT i, min(r) AS mn, max(r) AS mx FROM res GROUP BY i),
+               |rq AS (SELECT vec_id, i,
+               |              m + CASE WHEN mx = mn THEN r
+               |                       ELSE mn + round((r - mn) / (mx - mn) * 255.0)
+               |                            * (mx - mn) / 255.0 END AS y
+               |       FROM res JOIN p USING (i)),
+               |ra AS (SELECT vec_id, list(y ORDER BY i) AS rec FROM rq GROUP BY vec_id),
+               |c AS (SELECT e.vec_id,
+               |             round(list_cosine_similarity(e.embedding::DOUBLE[], a.rec), 6) + 0.0 AS fid
+               |      FROM embeddings e JOIN ra a USING (vec_id))
                |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
                |       round(avg(fid), 4) AS avg_fid,
                |       round(min(fid), 4) AS min_fid

@@ -50,6 +50,66 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Prefix-filtered exact token-set Jaccard join (the SSJoin/PPJoin
+    * candidate-generation idea: Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08). Tokens are globally ordered rarest-first (df asc, token
+    * asc); a doc with k distinct tokens exposes only its first
+    * L = k − ceil(t·k) + 1 tokens as join keys. The prefix-filter
+    * lemma guarantees any pair with J ≥ t shares a prefix token under
+    * a common total order, so — unlike MinHash-LSH — recall is EXACTLY
+    * 1 while the equi-join fans out on rare tokens only (the hot
+    * "the"-style keys sort to the suffix and are never join keys).
+    * Verification re-checks exact Jaccard on the candidates, so
+    * output = brute force, at an index-join price.
+    */
+  def prefixFilterJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    val dt = docs.select(col("doc_id"),
+        explode(TextPrimitives.tokens(col("text"))).as("tok"))
+      .distinct()
+    val df = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sets = dt.join(df, "tok")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("doc_id"),
+        expr("transform(ord, x -> x.tok)").as("toks"),
+        size(col("ord")).as("k"))
+      .withColumn("plen",
+        col("k") - ceil(lit(threshold) * col("k")).cast("int") + 1)
+      .withColumn("prefix", expr("slice(toks, 1, plen)"))
+    val cand = sets.select(col("doc_id").as("da"), explode(col("prefix")).as("tok"))
+      .join(sets.select(col("doc_id").as("db"), explode(col("prefix")).as("tok2")),
+        col("tok") === col("tok2") && col("da") < col("db"))
+      .select("da", "db").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("toks").as("ta"), col("k").as("ka")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("toks").as("tb"), col("k").as("kb")), "db")
+      .withColumn("ni", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("j", col("ni") * lit(1.0) / (col("ka") + col("kb") - col("ni")))
+      .filter(col("j") >= threshold)
+      .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  /** Quadratic reference formulation of [[prefixFilterJaccard]] (kept
+    * for the equivalence spec: identical output, no prefix filter).
+    */
+  def tokenJaccardQuadratic(docs: DataFrame, threshold: Double): DataFrame = {
+    val dt = docs.select(col("doc_id"),
+        explode(TextPrimitives.tokens(col("text"))).as("tok"))
+      .distinct()
+    val cnt = dt.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+    val inter = dt.toDF("da", "tok").join(dt.toDF("db", "tok2"),
+        col("tok") === col("tok2") && col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+    inter
+      .join(cnt.toDF("da", "na"), "da")
+      .join(cnt.toDF("db", "nb"), "db")
+      .withColumn("j", col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")))
+      .filter(col("j") >= threshold)
+      .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
   /** [[ngramJaccard]] with a document-frequency cap on shingles: a
     * shingle present in more than `maxDf` docs is dropped before the
     * intersection join. At web scale a handful of stop-shingles

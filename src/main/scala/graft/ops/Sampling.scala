@@ -54,6 +54,27 @@ object Sampling {
       .orderBy(col("h"), col(idCol))
       .limit(m)
 
+  /** Per-group deterministic bottom-k: the k rows with the smallest
+    * content-stable hash WITHIN each group — a per-stratum reservoir
+    * that stays mergeable. Executes as the bounded TopK partial
+    * aggregate (negated hash as score), so every map task contributes
+    * at most k candidates per group and no window ever sorts a whole
+    * group — the per-group twin of [[bottomK]] without the
+    * row_number-over-hot-group skew shape. The hash is reduced mod
+    * 1e9 so it is exactly representable in the aggregator's double
+    * score; ties break on ascending id in both engines.
+    */
+  def bottomKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    val h = md5Long(concat(lit("gs:"), col(idCol).cast("string"))) % 1000000000L
+    df.select(col(groupCol), col(idCol), h.as("h"))
+      .groupBy(groupCol)
+      .agg(graft.ops.TopK.topk(k)(-col("h").cast("double"), col(idCol)).as("tk"))
+      .select(col(groupCol), explode(col("tk")).as("e"))
+      .select(col(groupCol), col("e.id").as(idCol),
+        (-col("e.score")).cast("long").as("h"))
+  }
+
   /** Deterministic weighted sample without replacement (the
     * exponential-clocks scheme, a.k.a. A-ES — Efraimidis & Spirakis,
     * IPL 2006): each row draws u ∈ (0,1] from its content-stable hash

@@ -143,6 +143,20 @@ class DedupSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("prefix-filtered Jaccard join equals brute force (exact recall)") {
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 150)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pf = asSet(Dedup.prefixFilterJaccard(docs, 0.6))
+    val bf = asSet(Dedup.tokenJaccardQuadratic(docs, 0.6))
+    assert(pf == bf)
+    assert(pf.nonEmpty)
+    // a tighter threshold shrinks both prefix length and output,
+    // still losslessly
+    assert(asSet(Dedup.prefixFilterJaccard(docs, 0.8)) ==
+           asSet(Dedup.tokenJaccardQuadratic(docs, 0.8)))
+  }
+
   test("embedding near-dup finds self-similar clusters") {
     val res = Dedup.embeddingNearDup(Tables.embeddings(spark, sfDir), 0.4)
     assert(res.count() > 0)

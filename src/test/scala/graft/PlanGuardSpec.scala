@@ -262,4 +262,39 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("prefix-filter join candidates come from token equi-joins, never a cross product") {
+    val p = plan("dedup_prefix_filter")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p) // per-doc ordering is array_sort, not a window
+  }
+
+  test("burstiness bounds its term list with TakeOrdered and a semi-join") {
+    val p = plan("text_burstiness")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("seasonal anomaly profile and assoc-rule totals are broadcasts") {
+    val p = plan("ts_seasonal")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val a = plan("ev_assoc_rules")
+    assert(a.contains("BroadcastHashJoin"), a)
+  }
+
+  test("pagerank's iterations never touch the fact table (driver loop over bounded edges)") {
+    // the returned plan is a LocalTableScan over the ≤|types| final
+    // ranks: the 10 power iterations must not appear as 10 re-derived
+    // fact-scan lineages
+    val p = plan("graph_pagerank")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("per-group bottom-k is a partial TopK aggregate, not a window sort") {
+    val p = plan("samp_group_sample")
+    assert(p.contains("partial_topkaggregator"), p)
+    assert(!p.contains("Window"), p)
+  }
 }

@@ -64,6 +64,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_gini", "dedup_cluster_sizes", "pipe_interleave", "samp_ks_test",
     "samp_negative_sampling", "text_langid_eval", "dedup_lsh_eval",
     "dedup_df_profile", "samp_cluster_split",
+    "stat_theil", "text_burstiness", "text_source_similarity",
+    "dedup_prefix_filter", "samp_group_sample",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
     "mm_patch_grid")
@@ -106,7 +108,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "vec_matryoshka", "vec_scalar_quant", "vec_quant_fidelity",
     "ann_kmeans_step", "vec_pq_adc",
     "ann_mmr_rerank", "emb_whiten", "emb_triplets", "dedup_semantic",
-    "emb_drift")
+    "emb_drift", "vec_residual_quant")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
@@ -157,7 +159,9 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_heavy_hitters", "ev_funnel", "ev_retention", "ev_window_agg",
     "ev_transitions", "stat_moments", "ev_ewma_bounded",
     "ev_winsorize", "ev_attribution", "ev_rfm", "ev_benford",
-    "ev_dau_wau", "ev_conversion_lag", "ev_pareto")
+    "ev_dau_wau", "ev_conversion_lag", "ev_pareto",
+    "ev_debounce", "ev_session_paths", "ev_cohort_triangle",
+    "ts_seasonal", "ev_assoc_rules", "graph_pagerank")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -22,6 +22,29 @@ class SamplingSpec extends SparkSpec {
     assert(train > 0.7 && train < 0.9, s"train frac $train")
   }
 
+  test("per-group bottom-k equals the window formulation and is layout-stable") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.md5Long
+    val got = Sampling.bottomKPerGroup(docs, "source", "doc_id", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: row_number over the same hash (fine at test scale,
+    // the skew-window shape the aggregate formulation avoids)
+    val h = md5Long(concat(lit("gs:"), col("doc_id").cast("string"))) % 1000000000L
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+    val ref = docs.select(col("source"), col("doc_id"), h.as("h"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref)
+    // every group contributes exactly min(k, |group|) rows
+    val sizes = Sampling.bottomKPerGroup(docs, "source", "doc_id", 3)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ == 3))
+    // physical layout does not change the winners
+    val re = Sampling.bottomKPerGroup(docs.repartition(17), "source", "doc_id", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == got)
+  }
+
   test("token-budget selection takes best-scored docs first, overflow on last") {
     val sp = spark; import sp.implicits._
     val d = Seq(

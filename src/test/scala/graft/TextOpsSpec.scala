@@ -50,6 +50,19 @@ class TextOpsSpec extends SparkSpec {
     assert(maxErr <= maxRange / 255.0 / 2.0 + 1e-9, s"err=$maxErr range=$maxRange")
   }
 
+  test("residual quantization fidelity beats plain int8") {
+    val resid = Quant.residualFidelity(emb, "label")
+      .agg(avg("fid")).head().getDouble(0)
+    val dec = Quant.decode(Quant.encode(emb))
+    val plain = dec.select(avg(
+      graft.functions.VectorFunctions.score(col("embedding"), col("dequant"))))
+      .head().getDouble(0)
+    // residual ranges are tighter than raw ranges, so the same 8 bits
+    // must reconstruct strictly better on average
+    assert(resid > plain, s"resid=$resid plain=$plain")
+    assert(resid > 0.99, s"resid=$resid")
+  }
+
   test("quantized codes stay in [0, 255]") {
     val enc = Quant.encode(emb.limit(200))
     val row = enc.agg(min(array_min(col("codes"))).as("mn"),
