@@ -76,9 +76,17 @@ object Dedup {
       .withColumn("plen",
         col("k") - ceil(lit(threshold) * col("k")).cast("int") + 1)
       .withColumn("prefix", expr("slice(toks, 1, plen)"))
-    val cand = sets.select(col("doc_id").as("da"), explode(col("prefix")).as("tok"))
-      .join(sets.select(col("doc_id").as("db"), explode(col("prefix")).as("tok2")),
-        col("tok") === col("tok2") && col("da") < col("db"))
+    // candidate generation: equi-join on shared prefix tokens plus
+    // the length filter (J ≥ t ⇒ |A∩B| ≤ min(ka,kb) and ≥ t·max —
+    // so min ≥ t·max, else the pair can't qualify); the residual
+    // length predicate prunes before the distinct/verify stages
+    val cand = sets
+      .select(col("doc_id").as("da"), col("k").as("ka2"), explode(col("prefix")).as("tok"))
+      .join(sets.select(col("doc_id").as("db"), col("k").as("kb2"),
+          explode(col("prefix")).as("tok2")),
+        col("tok") === col("tok2") && col("da") < col("db") &&
+          least(col("ka2"), col("kb2")) >=
+            ceil(lit(threshold) * greatest(col("ka2"), col("kb2"))))
       .select("da", "db").distinct()
     cand
       .join(sets.select(col("doc_id").as("da"), col("toks").as("ta"), col("k").as("ka")), "da")

@@ -235,6 +235,36 @@ object StreamOps {
       }
   }
 
+  final case class DebEvent(event_id: Long, ts: Long, user_id: Long,
+                            event_type: String)
+
+  /** Streaming twin of the batch `ev_debounce` query: throttle-style
+    * dedup as keyed state — per (user, type) the state is ONE long
+    * (the previous RAW event's ts), so memory is O(active keys).
+    * Emits only the kept events; an event is kept when it arrives
+    * more than `gapNs` after the previous raw event of its key,
+    * matching the batch lag-window semantics exactly (per-key
+    * in-order arrival, the sessionize contract).
+    */
+  def streamingDebounce(events: Dataset[DebEvent],
+                        gapNs: Long = 5000000000L): Dataset[DebEvent] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, DebEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Long]) =>
+          var last: Option[Long] = state.getOption
+          val out = it.toSeq.sortBy(e => (e.ts, e.event_id)).flatMap { e =>
+            val keep = last.forall(l => e.ts - l > gapNs)
+            last = Some(e.ts)
+            if (keep) Some(e) else None
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class AttrEvent(event_id: Long, ts: Long, user_id: Long,
                              event_type: String, value: Double, k: Long)
 

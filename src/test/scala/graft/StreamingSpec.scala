@@ -353,6 +353,55 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming debounce equals the batch ev_debounce counts across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.types._
+    val G = 5000000000L // the 5 s gap in nanos
+    // bursts straddling the gap: some within 5 s of the previous raw
+    // event (dropped), some beyond (kept); two users, two types
+    val evRows = for (u <- 0L until 2L; t <- Seq("click", "view");
+                      i <- 0L until 10L) yield {
+      val step = if (i % 3 == 0) G + 1 else G / 2 // alternate keep/drop
+      val base = u * 1000000L + (if (t == "click") 0L else 500000L)
+      (u * 100 + i + (if (t == "click") 0L else 1000L),
+       base + i * step, u, t)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-deb").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(evRows.map { case (id, ts, u, t) =>
+        org.apache.spark.sql.Row(id, ts, u, t, 1.0, "{}") }, 3), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ev_debounce")(s, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val input = MemoryStream[StreamOps.DebEvent]
+    val query = StreamOps.streamingDebounce(input.toDS())
+      .writeStream.format("memory").queryName("deb")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val evts = evRows.map { case (id, ts, u, t) =>
+        StreamOps.DebEvent(id, ts, u, t) }
+      // three micro-batches in per-key event-time order: the last-ts
+      // state must carry the throttle across batch boundaries
+      Seq(evts.filter(_.event_id % 100 < 3),
+          evts.filter(e => e.event_id % 100 >= 3 && e.event_id % 100 < 7),
+          evts.filter(_.event_id % 100 >= 7)).foreach { b =>
+        input.addData(b); query.processAllAvailable()
+      }
+      val kept = s.sql("SELECT event_type, count(*) AS n FROM deb GROUP BY event_type")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // batch reports (n_raw, n_kept) per type; stream emits kept only
+      assert(kept == batch.map { case (t, (_, k)) => t -> k })
+      // and drops happened (the test data is not vacuous)
+      assert(batch.values.exists { case (raw, k) => k < raw })
+    } finally query.stop()
+  }
+
   test("streaming bounded EWMA equals the batch ev_ewma_bounded query") {
     val s = spark
     import s.implicits._
