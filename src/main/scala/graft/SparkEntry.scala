@@ -1795,7 +1795,87 @@ object SparkEntry {
               |nn AS (SELECT count(*) AS nn FROM nodes),
               |it0 AS (SELECT t, 1.0 / nn AS r FROM nodes, nn),
               |${pagerankIterSql(10)}
-              |SELECT t, round(r, 6) AS pr FROM it10 ORDER BY t""".stripMargin)))
+              |SELECT t, round(r, 6) AS pr FROM it10 ORDER BY t""".stripMargin)),
+
+    // SCD type-2 interval build: collapse each user's event stream
+    // into validity intervals of the current event type (the
+    // dimension-history construction warehouses run nightly). Change
+    // points survive a lag(type) filter; valid_to is lead(ts) over
+    // the FILTERED frame — two per-user windows over one fact scan,
+    // no self-join, no global sort; output ∝ type CHANGES, not events.
+    // valid_to is NULL on each user's open (current) interval.
+    "ev_scd2" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("pt", lag(col("event_type"), 1).over(w))
+          .filter(col("pt").isNull || !(col("pt") <=> col("event_type")))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          // μs, not ns: DuckDB truncates TIMESTAMP(NANOS) to micros on
+          // read, so emitted bounds must be micro-granular to compare
+          .select(col("user_id"), col("event_id"), col("event_type"),
+                  expr("ts DIV 1000").as("valid_from"),
+                  expr("valid_to DIV 1000").as("valid_to"))
+          .orderBy("user_id", "valid_from", "event_id")
+      },
+      Some("""WITH ch AS (
+             |  SELECT user_id, event_id, event_type, ts,
+             |         lag(event_type) OVER w AS pt,
+             |         CASE WHEN lag(event_type) OVER w IS NULL THEN 1
+             |              WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1
+             |              ELSE 0 END AS chg
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |iv AS (
+             |  SELECT user_id, event_id, event_type,
+             |         epoch_ns(ts) // 1000 AS valid_from,
+             |         epoch_ns(lead(ts) OVER (PARTITION BY user_id
+             |                                 ORDER BY ts, event_id)) // 1000 AS valid_to
+             |  FROM ch WHERE chg = 1)
+             |SELECT user_id, event_id, event_type, valid_from, valid_to
+             |FROM iv ORDER BY user_id, valid_from, event_id""".stripMargin)),
+
+    // lag-k autocorrelation (k = 1..3) of the hourly event-count
+    // series per type, computed on the AGGREGATED (type, hour) frame
+    // (≤ |types|·|hours| rows): the facts are scanned ONCE into the
+    // hourly rollup; lag alignment is an equi-join of that tiny frame
+    // with itself on hour+k — no window over facts, no dense spine.
+    // Hours missing from the series simply contribute no pair (the
+    // irregular-sampling ACF convention).
+    "ts_acf" -> Q(
+      (s, d) => {
+        // materialized once (the Dedup localCheckpoint idiom): both
+        // sides of the lag alignment read this tiny rollup, and the
+        // fact table must not be scanned twice to build it
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), expr("ts DIV 3600000000000").as("h"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .localCheckpoint(eager = false)
+        val a = hourly
+          .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
+        val b = hourly.select(col("event_type").as("et2"),
+          col("h").as("hb"), col("c").as("cb"))
+        // hb = h + k is an equality between a left expression and a
+        // right attribute, so Catalyst keys the shuffle on it — the
+        // join stays an equi-join on (type, aligned hour), never a
+        // per-type cross of hours
+        a.join(b, col("event_type") === col("et2") &&
+            col("hb") === col("h") + col("k"))
+          .groupBy("event_type", "k")
+          .agg(count(lit(1)).as("n_pairs"), round(corr("c", "cb"), 4).as("acf"))
+          .orderBy("event_type", "k")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+             |         CAST(count(*) AS DOUBLE) AS c
+             |  FROM events GROUP BY 1, 2),
+             |l AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS k),
+             |p AS (SELECT a.event_type, l.k, a.c AS ca, b.c AS cb
+             |      FROM hourly a CROSS JOIN l
+             |      JOIN hourly b ON b.event_type = a.event_type AND b.h = a.h + l.k)
+             |SELECT event_type, k, CAST(count(*) AS BIGINT) AS n_pairs,
+             |       round(corr(ca, cb), 4) AS acf
+             |FROM p GROUP BY event_type, k ORDER BY event_type, k""".stripMargin)))
 
   // ---------------------------------------------------------------
   // Vector store: the reference's Qdrant surface (SURVEY §2 #1–12)
@@ -2105,6 +2185,72 @@ object SparkEntry {
                |  SELECT da, db, ni * 1.0 / (ca.cnt + cb.cnt - ni) AS j
                |  FROM i JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
                |WHERE j >= 0.7 ORDER BY da, db""".stripMargin)),
+
+      // triangle count + transitivity of the near-dup pair graph (the
+      // density audit that distinguishes tight dup cliques from
+      // chained false positives). Edges are the ngram-Jaccard pairs;
+      // each edge is ORIENTED away from its lower-(degree, id)
+      // endpoint, so every triangle has exactly one pivot and wedge
+      // fan-out is O(√|E|) per vertex — hub nodes never pivot, which
+      // is what keeps the wedge join alive on power-law dup graphs.
+      // The oracle counts the same triangles by the naive canonical
+      // three-way self-join, proving orientation loses nothing.
+      "graph_triangles" -> Q(
+        (s, d) => {
+          val e0 = Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+            .select(col("da"), col("db")) // canonical: da < db, unique
+            // four consumers (degrees, orientation, closure, count):
+            // checkpoint so the shingle join runs ONCE, not per branch
+            .localCheckpoint(eager = false)
+          val deg = e0.select(explode(array(col("da"), col("db"))).as("v"))
+            .groupBy("v").agg(count(lit(1)).as("dg"))
+          val or_ = e0
+            .join(broadcast(deg.select(col("v").as("da"), col("dg").as("dga"))), "da")
+            .join(broadcast(deg.select(col("v").as("db"), col("dg").as("dgb"))), "db")
+            .select(
+              when(col("dga") < col("dgb") ||
+                   (col("dga") === col("dgb") && col("da") < col("db")),
+                struct(col("da").as("u"), col("db").as("w")))
+                .otherwise(struct(col("db").as("u"), col("da").as("w"))).as("e"))
+            .select(col("e.u").as("u"), col("e.w").as("w"))
+          val wedges = or_.select(col("u"), col("w").as("v1"))
+            .join(or_.select(col("u"), col("w").as("v2")), "u")
+            .filter(col("v1") < col("v2"))
+          val tri = wedges
+            .join(e0, col("v1") === col("da") && col("v2") === col("db"))
+            .agg(count(lit(1)).as("t"))
+          val stats = deg.agg(count(lit(1)).as("n_nodes"),
+            sum(col("dg") * (col("dg") - 1)).as("swd"))
+          val ne = e0.agg(count(lit(1)).as("n_edges"))
+          tri.crossJoin(broadcast(stats)).crossJoin(broadcast(ne))
+            .select(col("n_nodes"), col("n_edges"), col("t").as("n_triangles"),
+              when(col("swd").isNull || col("swd") === 0, lit(null).cast("double"))
+                .otherwise(round(lit(6.0) * col("t") / col("swd"), 4))
+                .as("transitivity"))
+        },
+        Some(s"""WITH s AS (
+                |${graft.text.TextPrimitives.charShinglesSql("documents", "doc_id", "text", 5, "doc_id < 120")}),
+                |c AS (SELECT doc_id, count(*) AS cnt FROM s GROUP BY doc_id),
+                |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+                |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY da, db),
+                |edges AS (SELECT da, db FROM (
+                |    SELECT da, db, ni * 1.0 / (ca.cnt + cb.cnt - ni) AS j
+                |    FROM i JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
+                |  WHERE j >= 0.25),
+                |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg
+                |        FROM (SELECT da AS v FROM edges UNION ALL SELECT db AS v FROM edges)
+                |        GROUP BY v),
+                |tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+                |        FROM edges e1
+                |        JOIN edges e2 ON e2.da = e1.da AND e2.db > e1.db
+                |        JOIN edges e3 ON e3.da = e1.db AND e3.db = e2.db),
+                |st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                |              CAST(sum(dg * (dg - 1)) AS BIGINT) AS swd FROM deg),
+                |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+                |SELECT n_nodes, n_edges, t AS n_triangles,
+                |       CASE WHEN swd IS NULL OR swd = 0 THEN NULL
+                |            ELSE round(6.0 * t / swd, 4) END AS transitivity
+                |FROM tri, st, ne""".stripMargin)),
 
       // LSH index quality audit: banded-MinHash candidate pairs scored
       // against the EXACT Jaccard truth set on a bounded subset —
@@ -4008,6 +4154,304 @@ object SparkEntry {
                |FROM i JOIN cnt ca ON ca.source = sa JOIN cnt cb ON cb.source = sb
                |ORDER BY sa, sb""".stripMargin)),
 
+      // per-source OLS fit of n_chars on token count — distributed
+      // least squares via the Gram-matrix trick: ONE grouped agg
+      // collects (n, Σx, Σy, Σx², Σxy, Σy²) and the closed form runs
+      // on the |sources|-row frame. x and y are integers, so the
+      // sums are EXACT in double (no cross-engine association drift)
+      // up to 2^53; every product is taken in double to survive
+      // 1e9-row groups (the stat_gini overflow lesson).
+      "stat_ols_fit" -> Q(
+        (s, d) => {
+          val t = Tables.documents(s, d).select(col("source"),
+            size(graft.text.TextPrimitives.tokens(col("text"))).cast("double").as("x"),
+            col("n_chars").cast("double").as("y"))
+          t.groupBy("source").agg(
+              count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+              sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+              sum(expr("y * y")).as("syy"))
+            .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+            .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+            .withColumn("cv", col("n") * col("sxy") - col("sx") * col("sy"))
+            .select(col("source"), col("n"),
+              when(col("dx") === 0, lit(null).cast("double"))
+                .otherwise(round(col("cv") / col("dx"), 6)).as("slope"),
+              when(col("dx") === 0, lit(null).cast("double"))
+                .otherwise(round((col("sy") - col("cv") / col("dx") * col("sx"))
+                  / col("n"), 4)).as("intercept"),
+              when(col("dx") === 0 || col("dy") === 0, lit(null).cast("double"))
+                .otherwise(round(col("cv") * col("cv")
+                  / (col("dx") * col("dy")), 6)).as("r2"))
+            .orderBy("source")
+        },
+        Some("""WITH t AS (
+               |  SELECT source,
+               |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS x,
+               |         CAST(n_chars AS DOUBLE) AS y
+               |  FROM documents),
+               |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+               |             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+               |             sum(x*y) AS sxy, sum(y*y) AS syy
+               |      FROM t GROUP BY source),
+               |b AS (SELECT source, n, n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy,
+               |             n*sxy - sx*sy AS cv, sx, sy FROM a)
+               |SELECT source, n,
+               |       CASE WHEN dx = 0 THEN NULL ELSE round(cv / dx, 6) END AS slope,
+               |       CASE WHEN dx = 0 THEN NULL
+               |            ELSE round((sy - cv / dx * sx) / n, 4) END AS intercept,
+               |       CASE WHEN dx = 0 OR dy = 0 THEN NULL
+               |            ELSE round(cv * cv / (dx * dy), 6) END AS r2
+               |FROM b ORDER BY source""".stripMargin)),
+
+      // Mann-Whitney U (en token counts vs all other languages) via
+      // value-histogram midranks: ranks come from the (value → count)
+      // frame (≤ distinct token counts, the stat_gini bound), so no
+      // global row_number over docs ever runs. Tie-corrected normal
+      // z uses Σ(t³−t); n1·n2 goes through double (long wraps at 1e9).
+      "stat_mwu" -> Q(
+        (s, d) => {
+          val t = Tables.documents(s, d).select(
+            size(graft.text.TextPrimitives.tokens(col("text"))).cast("long").as("x"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("g"))
+          val h = t.groupBy("x").agg(sum("g").as("n1x"), count(lit(1)).as("nx"))
+          val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+          h.withColumn("below", coalesce(sum("nx").over(w), lit(0L)))
+            .withColumn("midrank",
+              col("below").cast("double") + (col("nx") + 1) / 2.0)
+            .agg(sum("n1x").as("n1"), sum(col("nx") - col("n1x")).as("n2"),
+                 sum(col("n1x") * col("midrank")).as("r1"),
+                 sum(col("nx") * col("nx") * col("nx") - col("nx")).as("tie3"),
+                 sum("nx").as("nn"))
+            .select(col("n1"), col("n2"),
+              round(col("r1") - col("n1").cast("double") * (col("n1") + 1) / 2, 1).as("u1"),
+              round((col("r1") - col("n1").cast("double") * (col("n1") + 1) / 2
+                     - col("n1").cast("double") * col("n2") / 2)
+                / sqrt(col("n1").cast("double") * col("n2") / 12
+                       * (col("nn") + 1 - col("tie3").cast("double")
+                          / (col("nn").cast("double") * (col("nn") - 1)))), 4).as("z"))
+        },
+        Some("""WITH t AS (
+               |  SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS x,
+               |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+               |  FROM documents),
+               |h AS (SELECT x, CAST(sum(g) AS BIGINT) AS n1x,
+               |             CAST(count(*) AS BIGINT) AS nx FROM t GROUP BY x),
+               |r AS (SELECT x, n1x, nx,
+               |        CAST(coalesce(sum(nx) OVER (ORDER BY x
+               |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+               |          + (nx + 1) / 2.0 AS midrank
+               |      FROM h),
+               |a AS (SELECT CAST(sum(n1x) AS BIGINT) AS n1,
+               |             CAST(sum(nx - n1x) AS BIGINT) AS n2,
+               |             sum(n1x * midrank) AS r1,
+               |             CAST(sum(nx*nx*nx - nx) AS BIGINT) AS tie3,
+               |             CAST(sum(nx) AS BIGINT) AS nn FROM r)
+               |SELECT n1, n2,
+               |       round(r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2, 1) AS u1,
+               |       round((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2
+               |              - CAST(n1 AS DOUBLE) * n2 / 2)
+               |         / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+               |                * (nn + 1 - CAST(tie3 AS DOUBLE)
+               |                   / (CAST(nn AS DOUBLE) * (nn - 1)))), 4) AS z
+               |FROM a""".stripMargin)),
+
+      // Jensen-Shannon divergence between every source pair's unigram
+      // distribution over the global top-100 vocabulary: the vocab
+      // bound (TakeOrdered) caps the dense zero-filled frame at
+      // |sources|·100 rows, and the pair join fans out on TERM, so
+      // work is C(|sources|,2)·100 regardless of corpus size. The
+      // corpus-mix distance behind domain-weighting decisions.
+      "text_js_div" -> Q(
+        (s, d) => {
+          // (source, term) counts materialize once — three consumers
+          // (vocab bound, per-source mass, probabilities) must not
+          // each re-scan the corpus
+          val tf = Tables.documents(s, d)
+            .select(col("source"),
+              explode(graft.text.TextPrimitives.tokens(col("text"))).as("term"))
+            .groupBy("source", "term").agg(count(lit(1)).as("c"))
+            .localCheckpoint(eager = false)
+          val top = tf.groupBy("term").agg(sum("c").as("tot"))
+            .orderBy(col("tot").desc, col("term")).limit(100).select("term")
+          val v = tf.join(top, Seq("term"), "left_semi")
+          val tots = v.groupBy("source").agg(sum("c").as("nt"))
+          val p = v.join(broadcast(tots), "source")
+            .select(col("source"), col("term"), (col("c") / col("nt")).as("p"))
+          val dense = tots.select("source").crossJoin(broadcast(top))
+            .join(p, Seq("source", "term"), "left")
+            .na.fill(0.0, Seq("p"))
+            .localCheckpoint(eager = false) // both pair-join sides read it
+          dense.select(col("source").as("sa"), col("term"), col("p").as("pa"))
+            .join(dense.select(col("source").as("sb"), col("term").as("termb"),
+              col("p").as("pb")),
+              col("term") === col("termb") && col("sa") < col("sb"))
+            .withColumn("m", (col("pa") + col("pb")) / 2)
+            .withColumn("kl",
+              when(col("pa") > 0, col("pa") * log(col("pa") / col("m"))).otherwise(0.0) +
+              when(col("pb") > 0, col("pb") * log(col("pb") / col("m"))).otherwise(0.0))
+            .groupBy("sa", "sb")
+            .agg(round(sum("kl") * lit(0.5 / math.log(2.0)), 4).as("jsd_bits"))
+            .orderBy("sa", "sb")
+        },
+        Some("""WITH tf AS (
+               |  SELECT source, tok AS term, CAST(count(*) AS BIGINT) AS c
+               |  FROM (SELECT source,
+               |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+               |        FROM documents)
+               |  GROUP BY source, tok),
+               |top AS (SELECT term FROM (SELECT term, sum(c) AS tot FROM tf GROUP BY term)
+               |        ORDER BY tot DESC, term LIMIT 100),
+               |v AS (SELECT tf.source, tf.term, tf.c FROM tf JOIN top USING (term)),
+               |tots AS (SELECT source, sum(c) AS nt FROM v GROUP BY source),
+               |p AS (SELECT source, term, c * 1.0 / nt AS p FROM v JOIN tots USING (source)),
+               |dense AS (SELECT s.source, t.term, coalesce(p.p, 0.0) AS p
+               |          FROM (SELECT source FROM tots) s CROSS JOIN top t
+               |          LEFT JOIN p ON p.source = s.source AND p.term = t.term),
+               |pr AS (SELECT a.source AS sa, b.source AS sb, a.p AS pa, b.p AS pb
+               |       FROM dense a JOIN dense b ON a.term = b.term AND a.source < b.source)
+               |SELECT sa, sb, round(sum(
+               |    CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END +
+               |    CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END)
+               |  * 0.5 / ln(2), 4) AS jsd_bits
+               |FROM pr GROUP BY sa, sb ORDER BY sa, sb""".stripMargin)),
+
+      // mutual information + chi-square independence of (source, lang)
+      // in ONE pass over the contingency cells: marginals are tiny
+      // re-aggregations of the |S|·|L| cell frame, the dense grid
+      // (zero cells included — chi² needs them) is a broadcast cross
+      // of the marginals, and the fact table is scanned exactly once.
+      "text_mi_chi2" -> Q(
+        (s, d) => {
+          // the |S|·|L| contingency frame materializes once; the four
+          // consumers (marginals ×2, total, grid) are re-aggregations
+          // of it, so the corpus is scanned exactly once
+          val cell = Tables.documents(s, d)
+            .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+            .localCheckpoint(eager = false)
+          val ms = cell.groupBy("source").agg(sum("c").as("cs"))
+          val ml = cell.groupBy("lang").agg(sum("c").as("cl"))
+          val tot = cell.agg(sum("c").as("n"))
+          val dims = ms.agg(count(lit(1)).as("nsrc"))
+            .crossJoin(ml.agg(count(lit(1)).as("nlang")))
+          ms.crossJoin(ml)
+            .join(cell, Seq("source", "lang"), "left").na.fill(0L, Seq("c"))
+            .crossJoin(broadcast(tot))
+            .withColumn("e", col("cs").cast("double") * col("cl") / col("n"))
+            .agg(max("n").as("n"),
+              sum((col("c") - col("e")) * (col("c") - col("e")) / col("e")).as("chi2"),
+              sum(when(col("c") > 0,
+                col("c") / col("n") * log(col("c").cast("double") * col("n")
+                  / (col("cs").cast("double") * col("cl")))).otherwise(0.0)).as("mi"))
+            .crossJoin(broadcast(dims))
+            .select(col("n"), ((col("nsrc") - 1) * (col("nlang") - 1)).as("dof"),
+              round(col("chi2"), 4).as("chi2"),
+              round(col("mi") * lit(1.0 / math.log(2.0)), 6).as("mi_bits"))
+        },
+        Some("""WITH cell AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+               |              FROM documents GROUP BY source, lang),
+               |ms AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM cell GROUP BY source),
+               |ml AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM cell GROUP BY lang),
+               |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+               |dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ms) AS nsrc,
+               |                (SELECT CAST(count(*) AS BIGINT) FROM ml) AS nlang),
+               |grid AS (SELECT ms.source, ml.lang, ms.cs, ml.cl, coalesce(cell.c, 0) AS c,
+               |                CAST(ms.cs AS DOUBLE) * ml.cl / tot.n AS e, tot.n
+               |         FROM ms CROSS JOIN ml
+               |         LEFT JOIN cell ON cell.source = ms.source AND cell.lang = ml.lang
+               |         CROSS JOIN tot)
+               |SELECT max(n) AS n,
+               |       (SELECT (nsrc - 1) * (nlang - 1) FROM dims) AS dof,
+               |       round(sum((c - e) * (c - e) / e), 4) AS chi2,
+               |       round(sum(CASE WHEN c > 0
+               |                 THEN c * 1.0 / n * ln(CAST(c AS DOUBLE) * n
+               |                        / (CAST(cs AS DOUBLE) * cl))
+               |                 ELSE 0 END) / ln(2), 6) AS mi_bits
+               |FROM grid""".stripMargin)),
+
+      // reliability (calibration) bins for the quality score against
+      // the exact-duplicate label: does low quality actually predict
+      // duplication? Bins are width-0.1 on the score, the dup label
+      // is md5(text) multiplicity (the dedup_exact key), and both
+      // sides of the join shuffle on the HASH — never the text.
+      "samp_reliability_bins" -> Q(
+        (s, d) => {
+          val docs = Tables.documents(s, d)
+          val q = TextAnalytics.qualityScores(docs)
+            .join(docs.select(col("doc_id"), md5(col("text")).as("h")), "doc_id")
+          val dupc = docs.groupBy(md5(col("text")).as("h"))
+            .agg(count(lit(1)).as("nh"))
+          q.join(dupc, "h")
+            .withColumn("bin", least(floor(col("quality") * 10), lit(9L)))
+            .groupBy("bin")
+            .agg(count(lit(1)).as("n"),
+                 round(avg(when(col("nh") > 1, 1.0).otherwise(0.0)), 4).as("dup_rate"),
+                 round(avg("quality"), 4).as("avg_q"))
+            .orderBy("bin")
+        },
+        Some(s"""WITH q AS (
+                |  SELECT doc_id, md5(text) AS h,
+                |         round((least(n_tok, 100) / 100.0) *
+                |               (1.0 - punct_cnt * 1.0 / greatest(n_chars, 1)) *
+                |               (0.2 + 0.8 * (stop_cnt * 1.0 / greatest(n_tok, 1))), 4) AS quality
+                |  FROM (
+                |    SELECT doc_id, text, length(text) AS n_chars,
+                |           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+                |           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                |               t -> t IN ($stopList))) AS stop_cnt,
+                |           len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
+                |    FROM documents)),
+                |dupc AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS nh
+                |         FROM documents GROUP BY md5(text))
+                |SELECT least(CAST(floor(quality * 10) AS BIGINT), 9) AS bin,
+                |       CAST(count(*) AS BIGINT) AS n,
+                |       round(avg(CASE WHEN nh > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_rate,
+                |       round(avg(quality), 4) AS avg_q
+                |FROM q JOIN dupc USING (h)
+                |GROUP BY bin ORDER BY bin""".stripMargin)),
+
+      // epoch-aware source mixing: smaller sources repeat (epochs =
+      // sqrt(max/n_s), the temperature idiom), larger ones pass once.
+      // Full repeats explode map-side from a per-source broadcast
+      // factor; the fractional epoch admits each doc by deterministic
+      // hash — so the emitted corpus is reproducible row-for-row and
+      // the plan is scan → broadcast-join → explode, no shuffle of
+      // the fact table at all before the final count.
+      "pipe_epoch_mix" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.md5Long
+          val docs = Tables.documents(s, d)
+          val per = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+            .localCheckpoint(eager = false) // read by eps AND its max
+          val eps = per.crossJoin(broadcast(per.agg(max("n_s").as("mx"))))
+            .withColumn("ep", sqrt(col("mx").cast("double") / col("n_s")))
+          docs.join(broadcast(eps), "source")
+            .withColumn("n_copies", floor(col("ep")) +
+              when(pmod(md5Long(concat(col("doc_id").cast("string"), lit("#mix"))),
+                  lit(10000L))
+                < ((col("ep") - floor(col("ep"))) * 10000).cast("long"), 1L)
+                .otherwise(0L))
+            .select(col("source"), col("n_s"), col("ep"),
+              explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+            .groupBy("source")
+            .agg(max("n_s").as("n_docs"), round(max("ep"), 4).as("epochs"),
+                 count(lit(1)).as("n_emitted"))
+            .orderBy("source")
+        },
+        Some("""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+               |             FROM documents GROUP BY source),
+               |mx AS (SELECT max(n_s) AS mx FROM per),
+               |eps AS (SELECT source, n_s, sqrt(CAST(mx AS DOUBLE) / n_s) AS ep
+               |        FROM per, mx),
+               |extra AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_extra
+               |          FROM documents d JOIN eps USING (source)
+               |          WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '#mix'), 1, 15))::BIGINT
+               |                  % 10000
+               |                < CAST((ep - floor(ep)) * 10000 AS BIGINT)
+               |          GROUP BY d.source)
+               |SELECT source, n_s AS n_docs, round(ep, 4) AS epochs,
+               |       CAST(n_s * floor(ep) + coalesce(n_extra, 0) AS BIGINT) AS n_emitted
+               |FROM eps LEFT JOIN extra USING (source) ORDER BY source""".stripMargin)),
+
       "emb_norm_invariant" -> Q(
         (s, d) => {
           import graft.functions.VectorFunctions.sqNorm
@@ -4757,7 +5201,51 @@ object SparkEntry {
              |             hm % 2000000 + 1 AS n_samples
              |      FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hm
              |            FROM documents WHERE doc_id % 3 = 1))))
-             |ORDER BY doc_id, win_idx""".stripMargin)))
+             |ORDER BY doc_id, win_idx""".stripMargin)),
+
+    // shot-boundary detection over the sampled frame sequence: the
+    // per-frame "feature" is the decode stub (deterministic hash per
+    // (doc, frame) — no codecs in this container; the Spark-side
+    // plumbing is the real part), a cut is a frame whose feature
+    // jumps > 600 from its predecessor, shots = cuts + 1. The lag
+    // window is bounded by the per-video frame count (≤ 240), never
+    // the corpus, so the shape survives any number of videos.
+    "mm_shot_bounds" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val frames = Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 2) // kind = video
+          .select(col("doc_id"),
+            (md5Long(col("text")) % 240 + 1).as("n_frames"))
+          .select(col("doc_id"), col("n_frames"),
+            explode(sequence(lit(0L), col("n_frames") - 1)).as("f"))
+          .withColumn("feat",
+            md5Long(concat(col("doc_id").cast("string"), lit("#"),
+              col("f").cast("string"))) % 1000)
+        val w = Window.partitionBy("doc_id").orderBy("f")
+        frames.withColumn("pf", lag(col("feat"), 1).over(w))
+          .groupBy("doc_id", "n_frames")
+          .agg(sum(when(abs(col("feat") - col("pf")) > 600, 1L).otherwise(0L))
+            .as("n_cuts"))
+          .withColumn("n_shots", col("n_cuts") + 1)
+          .orderBy("doc_id")
+      },
+      Some("""WITH fr AS (
+             |  SELECT doc_id, n_frames,
+             |         CAST(unnest(generate_series(0, n_frames - 1)) AS BIGINT) AS f
+             |  FROM (SELECT doc_id,
+             |               ('0x' || substr(md5(text), 1, 15))::BIGINT % 240 + 1 AS n_frames
+             |        FROM documents WHERE doc_id % 3 = 2)),
+             |ft AS (SELECT doc_id, n_frames, f,
+             |         ('0x' || substr(md5(doc_id::VARCHAR || '#' || f::VARCHAR), 1, 15))::BIGINT
+             |           % 1000 AS feat
+             |       FROM fr),
+             |lg AS (SELECT doc_id, n_frames, feat,
+             |         lag(feat) OVER (PARTITION BY doc_id ORDER BY f) AS pf FROM ft)
+             |SELECT doc_id, n_frames,
+             |       CAST(sum(CASE WHEN abs(feat - pf) > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+             |       CAST(sum(CASE WHEN abs(feat - pf) > 600 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_shots
+             |FROM lg GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin)))
 
   // ---------------------------------------------------------------
 

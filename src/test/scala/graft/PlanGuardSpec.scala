@@ -297,4 +297,44 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("partial_topkaggregator"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("scd2 intervals are per-user windows over ONE fact scan, no self-join") {
+    val p = plan("ev_scd2")
+    assert("windowspecdefinition\\(user_id".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Join"), p)
+    // formatted mode prints each node twice (tree line + detail header)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("ACF aligns lags by equi-join over the once-materialized hourly rollup") {
+    val p = plan("ts_acf")
+    // hb = h + k must become an equi-join key, never a per-type cross
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // localCheckpoint: facts scanned once
+  }
+
+  test("JSD / MI / triangle frames materialize once (checkpoint, not re-derive)") {
+    for (q <- Seq("text_js_div", "text_mi_chi2", "graph_triangles")) {
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"), s"$q lost its checkpoint:\n$p")
+      assert("Scan parquet".r.findAllIn(p).size == 0,
+        s"$q re-scans the corpus around its checkpoint:\n$p")
+    }
+  }
+
+  test("epoch mixing is broadcast-join + map-side explode, ≤2 fact scans") {
+    val p = plan("pipe_epoch_mix")
+    assert(p.contains("BroadcastHashJoin") && p.contains("Generate"), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("shot-boundary window partitions by doc (bounded by per-video frames)") {
+    val p = plan("mm_shot_bounds")
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+  }
+
+  test("OLS fit is one grouped aggregate: no join, no window") {
+    val p = plan("stat_ols_fit")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
 }

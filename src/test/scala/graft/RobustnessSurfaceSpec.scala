@@ -66,9 +66,11 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "dedup_df_profile", "samp_cluster_split",
     "stat_theil", "text_burstiness", "text_source_similarity",
     "dedup_prefix_filter", "samp_group_sample",
+    "stat_ols_fit", "stat_mwu", "text_js_div", "text_mi_chi2",
+    "samp_reliability_bins", "pipe_epoch_mix", "graph_triangles",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
-    "mm_patch_grid")
+    "mm_patch_grid", "mm_shot_bounds")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -161,7 +163,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_winsorize", "ev_attribution", "ev_rfm", "ev_benford",
     "ev_dau_wau", "ev_conversion_lag", "ev_pareto",
     "ev_debounce", "ev_session_paths", "ev_cohort_triangle",
-    "ts_seasonal", "ev_assoc_rules", "graph_pagerank")
+    "ts_seasonal", "ev_assoc_rules", "graph_pagerank",
+    "ev_scd2", "ts_acf")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -39,7 +39,10 @@ class WindowGuardSpec extends SparkSpec {
     "pipe_interleave",
     // ecdf running sums over DISTINCT token-length values (the
     // stat_gini bound: values, never rows)
-    "samp_ks_test")
+    "samp_ks_test",
+    // midrank cumulative sum over the DISTINCT token-count histogram
+    // (same values-never-rows bound as samp_ks_test / stat_gini)
+    "stat_mwu")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
