@@ -265,6 +265,34 @@ object StreamOps {
       }
   }
 
+  final case class SeasEvent(event_id: Long, ts: Long,
+                             event_type: String, value: Double)
+
+  /** Per-(type, hour-of-day) μ/σ baseline — the static half of the
+    * seasonal anomaly detector, identical to the profile the batch
+    * `ts_seasonal` query builds internally.
+    */
+  def seasonalProfile(events: DataFrame): DataFrame =
+    events.withColumn("hod", expr("(ts DIV 3600000000000) % 24"))
+      .groupBy(col("event_type").as("et"), col("hod").as("h"))
+      .agg(avg("value").as("mu"), stddev("value").as("sd"))
+
+  /** Stream-static twin of the batch `ts_seasonal` query: the
+    * baseline profile is computed once from history and broadcast;
+    * arriving events join it MAP-SIDE and are flagged when |z| > 3.
+    * Zero streaming state — the detector is embarrassingly parallel
+    * at any event rate, and refreshing the baseline is just
+    * restarting the query with a new static side.
+    */
+  def streamingSeasonalFlags(events: Dataset[SeasEvent],
+                             profile: DataFrame): DataFrame =
+    events.toDF()
+      .withColumn("hod", expr("(ts DIV 3600000000000) % 24"))
+      .join(broadcast(profile),
+        col("event_type") === col("et") && col("hod") === col("h"))
+      .select(col("event_id"), col("event_type"),
+        (abs((col("value") - col("mu")) / col("sd")) > lit(3.0)).as("anom"))
+
   final case class AttrEvent(event_id: Long, ts: Long, user_id: Long,
                              event_type: String, value: Double, k: Long)
 

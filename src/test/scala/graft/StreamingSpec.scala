@@ -402,6 +402,49 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming seasonal flags equal the batch ts_seasonal counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.types._
+    val H = 3600000000000L // 1h in nanos
+    // 12 events per (type, hour-of-day) cell with one planted spike:
+    // a lone outlier can reach at most z = (n−1)/√n, so n must be
+    // ≥ 11 for it to clear the 3σ gate (here z ≈ 3.18)
+    val evRows = (for (t <- Seq("click", "view"); h <- 0L until 6L;
+                       i <- 0L until 12L) yield {
+      val spike = h == 2 && i == 11 && t == "click"
+      (h * H + i * 1000L, i % 3, t, if (spike) 500.0 else 10.0 + i % 3)
+    }).zipWithIndex.map { case ((ts, u, t, v), idx) => (idx.toLong, ts, u, t, v) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-seas").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(evRows.map { case (id, ts, u, t, v) =>
+        org.apache.spark.sql.Row(id, ts, u, t, v, "{}") }, 3), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ts_seasonal")(s, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(batch.values.exists(_._2 > 0), "planted spike must flag in batch")
+    val profile = StreamOps.seasonalProfile(Tables.events(s, dir))
+    val input = MemoryStream[StreamOps.SeasEvent]
+    val query = StreamOps.streamingSeasonalFlags(input.toDS(), profile)
+      .writeStream.format("memory").queryName("seas")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val evts = evRows.map { case (id, ts, _, t, v) =>
+        StreamOps.SeasEvent(id, ts, t, v) }
+      evts.grouped(20).foreach { b => input.addData(b); query.processAllAvailable() }
+      val got = s.sql(
+        "SELECT event_type, count(*) AS n, sum(CASE WHEN anom THEN 1 ELSE 0 END) AS a " +
+        "FROM seas GROUP BY event_type")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == batch)
+    } finally query.stop()
+  }
+
   test("streaming bounded EWMA equals the batch ev_ewma_bounded query") {
     val s = spark
     import s.implicits._
