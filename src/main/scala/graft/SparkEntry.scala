@@ -4409,6 +4409,57 @@ object SparkEntry {
                 |FROM q JOIN dupc USING (h)
                 |GROUP BY bin ORDER BY bin""".stripMargin)),
 
+      // per-source quantile normalization onto the GLOBAL distribution
+      // (the cross-source score-calibration step: a value's per-source
+      // ecdf is mapped to the smallest global value of ≥ that ecdf,
+      // inverse-CDF type 1). Everything runs on (value → count)
+      // histograms — the stat_gini values-never-rows bound — so the
+      // windows and the bounded inequality join touch ≤ distinct-value
+      // frames no matter the corpus size; the output is the |S|·|V|
+      // mapping table a pipeline would broadcast back onto rows.
+      "samp_quantile_norm" -> Q(
+        (s, d) => {
+          val t = Tables.documents(s, d).select(col("source"),
+            size(graft.text.TextPrimitives.tokens(col("text"))).cast("long").as("x"))
+          val hs = t.groupBy("source", "x").agg(count(lit(1)).as("c"))
+            .localCheckpoint(eager = false) // three consumers below
+          val ns = hs.groupBy("source").agg(sum("c").as("n_s"))
+          val ws = Window.partitionBy("source").orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, 0)
+          val src = hs.join(broadcast(ns), "source")
+            .withColumn("ecdf_s", sum("c").over(ws) / col("n_s"))
+          val hg = hs.groupBy("x").agg(sum("c").as("c"))
+          val wg = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+          val glob = hg.crossJoin(broadcast(hg.agg(sum("c").as("n_g"))))
+            .withColumn("ecdf_g", sum("c").over(wg) / col("n_g"))
+            .select(col("x").as("gx"), col("ecdf_g"))
+          src.join(broadcast(glob), col("ecdf_g") >= col("ecdf_s"))
+            .groupBy("source", "x").agg(min("gx").as("q_x"))
+            .orderBy("source", "x")
+        },
+        Some("""WITH t AS (
+               |  SELECT source,
+               |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS x
+               |  FROM documents),
+               |hs AS (SELECT source, x, CAST(count(*) AS BIGINT) AS c
+               |       FROM t GROUP BY source, x),
+               |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM hs GROUP BY source),
+               |src AS (SELECT hs.source, hs.x,
+               |          CAST(sum(c) OVER (PARTITION BY hs.source ORDER BY x
+               |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               |            / n_s AS ecdf_s
+               |        FROM hs JOIN ns USING (source)),
+               |hg AS (SELECT x, CAST(sum(c) AS BIGINT) AS c FROM hs GROUP BY x),
+               |ng AS (SELECT CAST(sum(c) AS BIGINT) AS n_g FROM hg),
+               |gq AS (SELECT x AS gx,
+               |           CAST(sum(c) OVER (ORDER BY x
+               |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               |             / n_g AS ecdf_g
+               |         FROM hg, ng)
+               |SELECT source, x, CAST(min(gx) AS BIGINT) AS q_x
+               |FROM src JOIN gq ON ecdf_g >= ecdf_s
+               |GROUP BY source, x ORDER BY source, x""".stripMargin)),
+
       // epoch-aware source mixing: smaller sources repeat (epochs =
       // sqrt(max/n_s), the temperature idiom), larger ones pass once.
       // Full repeats explode map-side from a per-source broadcast

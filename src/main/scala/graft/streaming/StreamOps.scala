@@ -265,6 +265,45 @@ object StreamOps {
       }
   }
 
+  final case class Scd2Event(event_id: Long, ts: Long, user_id: Long,
+                             event_type: String)
+  final case class Scd2State(eventId: Long, eventType: String, since: Long)
+  final case class Scd2Closed(user_id: Long, event_id: Long,
+                              event_type: String, valid_from: Long,
+                              valid_to: Long)
+
+  /** Streaming twin of the batch `ev_scd2` query, emitting CLOSED
+    * validity intervals as they close (the CDC/dimension-history
+    * feed): keyed state is ONE (event_id, type, since) triple per
+    * user, a type change closes the open interval and emits it, and
+    * the still-open interval lives in state — exactly the batch
+    * query's NULL-valid_to rows. Timestamps stay in nanos here; the
+    * batch query emits micros only for its DuckDB oracle.
+    */
+  def streamingScd2(events: Dataset[Scd2Event]): Dataset[Scd2Closed] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[Scd2State]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          it.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            cur match {
+              case Some(st) if st.eventType != e.event_type =>
+                out += Scd2Closed(uid, st.eventId, st.eventType, st.since, e.ts)
+                cur = Some(Scd2State(e.event_id, e.event_type, e.ts))
+              case Some(_) => () // same type: the open interval continues
+              case None =>
+                cur = Some(Scd2State(e.event_id, e.event_type, e.ts))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class SeasEvent(event_id: Long, ts: Long,
                              event_type: String, value: Double)
 

@@ -337,4 +337,14 @@ class PlanGuardSpec extends SparkSpec {
     val p = plan("stat_ols_fit")
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
+
+  test("quantile normalization runs on checkpointed value histograms only") {
+    val p = plan("samp_quantile_norm")
+    assert(p.contains("Scan ExistingRDD"), p) // the (source,value,count) frame
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    // the inverse-CDF inequality join is a BNLJ over two bounded
+    // histogram frames (≤ distinct values each), plus the scalar
+    // total cross — nothing row-scaled may appear as a nested loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4, p)
+  }
 }

@@ -402,6 +402,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming SCD2 emits exactly the batch query's closed intervals") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.types._
+    val H = 3600000000000L
+    // per user: type runs of length 1-3 with repeats, so some events
+    // extend the open interval (no emit) and some close it
+    val types = Seq("a", "a", "b", "c", "c", "c", "a", "b", "b", "a")
+    val evRows = for (u <- 0L until 3L; i <- types.indices) yield
+      (u * 100 + i, i * H + u * 1000L, u, types(i))
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(evRows.map { case (id, ts, u, t) =>
+        org.apache.spark.sql.Row(id, ts, u, t, 1.0, "{}") }, 3), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // batch closed intervals (valid_* are micros there — oracle units)
+    val batchClosed = SparkEntry.queries("ev_scd2")(s, dir).collect()
+      .filter(!_.isNullAt(4))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+                 r.getLong(3), r.getLong(4))).toSet
+    assert(batchClosed.nonEmpty)
+    val input = MemoryStream[StreamOps.Scd2Event]
+    val query = StreamOps.streamingScd2(input.toDS())
+      .writeStream.format("memory").queryName("scd2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val evts = evRows.map { case (id, ts, u, t) =>
+        StreamOps.Scd2Event(id, ts, u, t) }
+      // micro-batches split mid-run (per-key event-time order kept):
+      // open intervals must carry across batch boundaries in state
+      Seq(evts.filter(_.event_id % 100 < 4),
+          evts.filter(e => e.event_id % 100 >= 4 && e.event_id % 100 < 7),
+          evts.filter(_.event_id % 100 >= 7)).foreach { b =>
+        input.addData(b); query.processAllAvailable()
+      }
+      val got = s.sql("SELECT * FROM scd2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+                   r.getLong(3) / 1000, r.getLong(4) / 1000)).toSet
+      assert(got == batchClosed)
+    } finally query.stop()
+  }
+
   test("streaming seasonal flags equal the batch ts_seasonal counts") {
     val s = spark
     import s.implicits._

@@ -42,7 +42,10 @@ class WindowGuardSpec extends SparkSpec {
     "samp_ks_test",
     // midrank cumulative sum over the DISTINCT token-count histogram
     // (same values-never-rows bound as samp_ks_test / stat_gini)
-    "stat_mwu")
+    "stat_mwu",
+    // global-ecdf running sum over the DISTINCT value histogram (the
+    // quantile-normalization map; values, never rows)
+    "samp_quantile_norm")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
