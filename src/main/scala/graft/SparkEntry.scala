@@ -1875,7 +1875,92 @@ object SparkEntry {
              |      JOIN hourly b ON b.event_type = a.event_type AND b.h = a.h + l.k)
              |SELECT event_type, k, CAST(count(*) AS BIGINT) AS n_pairs,
              |       round(corr(ca, cb), 4) AS acf
-             |FROM p GROUP BY event_type, k ORDER BY event_type, k""".stripMargin)))
+             |FROM p GROUP BY event_type, k ORDER BY event_type, k""".stripMargin)),
+
+    // time-window-constrained funnel (signup → click ≤1h → purchase
+    // ≤1h after the click): the product-analytics variant where each
+    // step must happen within a window of the previous. Earliest-
+    // qualifying-chain semantics keeps it deterministic and each step
+    // is one filtered grouped-min + equi-join on user — the unbounded
+    // ev_funnel plan with one extra predicate, no windows, no
+    // self-join of the fact table.
+    "ev_funnel_windowed" -> Q(
+      (s, d) => {
+        val H = 3600000000L // 1h in micros
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ats"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ats").as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id")
+          .filter(col("ats") >= col("t1") && col("ats") <= col("t1") + H)
+          .groupBy("user_id").agg(min("ats").as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id")
+          .filter(col("ats") >= col("t2") && col("ats") <= col("t2") + H)
+          .groupBy("user_id").agg(min("ats").as("t3"))
+        s1.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click_1h")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase_1h")))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ats FROM events),
+             |s1 AS (SELECT user_id, min(ats) AS t1 FROM ev
+             |       WHERE event_type = 'signup' GROUP BY user_id),
+             |s2 AS (SELECT ev.user_id, min(ats) AS t2 FROM ev JOIN s1 USING (user_id)
+             |       WHERE event_type = 'click' AND ats >= t1 AND ats <= t1 + 3600000000
+             |       GROUP BY ev.user_id),
+             |s3 AS (SELECT ev.user_id, min(ats) AS t3 FROM ev JOIN s2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND ats >= t2 AND ats <= t2 + 3600000000
+             |       GROUP BY ev.user_id)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_1h,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_1h""".stripMargin)),
+
+    // time-decay multi-touch attribution: every click in the hour
+    // before a purchase shares the credit, weighted exp(−Δt/15min)
+    // and normalized per purchase. The click×purchase pairing is the
+    // bucketed range join (ops.Joins.rangeJoinBucketed — equi-join on
+    // (user, time bucket) + residual predicate, never a per-user
+    // cross), and the per-purchase normalizer is a grouped sum
+    // re-joined on pid. Output: when do the clicks that actually
+    // drive purchases happen (credit by click hour-of-day).
+    "ev_attribution_decay" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+                  expr("ts DIV 1000").as("ats"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ats").as("cts"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"),
+                  (col("ats") - lit(3600000000L)).as("st"),
+                  (col("ats") - 1).as("en"), col("ats").as("pts"))
+        val pairs = graft.ops.Joins.rangeJoinBucketed(
+            clicks, purch, Seq("user_id"), "cts", "st", "en", 3600000000L)
+          .withColumn("w",
+            exp((col("cts") - col("pts")).cast("double") / lit(900000000.0)))
+          .localCheckpoint(eager = false) // read again for the normalizer
+        val tot = pairs.groupBy("pid").agg(sum("w").as("sw"))
+        pairs.join(tot, "pid")
+          .withColumn("credit", col("w") / col("sw"))
+          .withColumn("hod", expr("(cts DIV 3600000000) % 24"))
+          .groupBy("hod")
+          .agg(round(sum("credit"), 4).as("credit"), count(lit(1)).as("n_pairs"))
+          .orderBy("hod")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ats
+             |           FROM events),
+             |c AS (SELECT user_id, ats AS cts FROM ev WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id AS pid, ats AS pts FROM ev
+             |      WHERE event_type = 'purchase'),
+             |pr AS (SELECT c.user_id, pid, cts, pts,
+             |              exp((cts - pts) / 900000000.0) AS w
+             |       FROM c JOIN p ON c.user_id = p.user_id
+             |        AND cts BETWEEN pts - 3600000000 AND pts - 1),
+             |tot AS (SELECT pid, sum(w) AS sw FROM pr GROUP BY pid)
+             |SELECT (cts // 3600000000) % 24 AS hod, round(sum(w / sw), 4) AS credit,
+             |       CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM pr JOIN tot USING (pid) GROUP BY hod ORDER BY hod""".stripMargin)))
 
   // ---------------------------------------------------------------
   // Vector store: the reference's Qdrant surface (SURVEY §2 #1–12)

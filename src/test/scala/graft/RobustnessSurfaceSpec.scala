@@ -165,7 +165,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_dau_wau", "ev_conversion_lag", "ev_pareto",
     "ev_debounce", "ev_session_paths", "ev_cohort_triangle",
     "ts_seasonal", "ev_assoc_rules", "graph_pagerank",
-    "ev_scd2", "ts_acf")
+    "ev_scd2", "ts_acf", "ev_funnel_windowed", "ev_attribution_decay")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
