@@ -4239,6 +4239,87 @@ object SparkEntry {
                |FROM i JOIN cnt ca ON ca.source = sa JOIN cnt cb ON cb.source = sb
                |ORDER BY sa, sb""".stripMargin)),
 
+      // KMV (bottom-k / theta-sketch) distinct sketches of each
+      // source's vocabulary, with pairwise union / intersection /
+      // Jaccard ESTIMATES from sketch merges alone. The sketch build
+      // is the bounded TopK partial aggregate (k hashes per source per
+      // map task — the mergeable form), pairs merge ≤64-element arrays
+      // on the driver-free broadcast cross of the |S|-row sketch
+      // table, and every estimate is deterministic (content hash, no
+      // rand), so the DuckDB oracle reproduces it bit-for-bit: the
+      // mergeability-plus-determinism combination that lets 100 TB
+      // set-overlap questions run on kilobytes of state.
+      "text_kmv_vocab" -> Q(
+        (s, d) => {
+          val K = 64
+          val M = 1125899906842624L // 2^50: hash domain, exact in double
+          import graft.functions.VectorFunctions.md5Long
+          val st = Tables.documents(s, d)
+            .select(col("source"),
+              explode(graft.text.TextPrimitives.tokens(col("text"))).as("term"))
+            .select(col("source"),
+              (md5Long(concat(lit("kmv:"), col("term"))) % M).as("h"))
+            .distinct()
+          val sk = st.groupBy("source")
+            .agg(graft.ops.TopK.topk(K)(-col("h").cast("double"), col("h")).as("tk"))
+            .select(col("source"), expr("transform(tk, x -> x.id)").as("hs"))
+            .localCheckpoint(eager = false) // both sides of the pair cross
+          sk.select(col("source").as("sa"), col("hs").as("ha"))
+            .crossJoin(broadcast(sk.select(col("source").as("sb"), col("hs").as("hb"))))
+            .filter(col("sa") < col("sb"))
+            .withColumn("u", array_sort(array_union(col("ha"), col("hb"))))
+            .withColumn("m", least(size(col("u")), lit(K)))
+            .withColumn("v", expr("element_at(u, m)"))
+            .withColumn("fst", slice(col("u"), 1, K))
+            .withColumn("c", size(array_intersect(
+              array_intersect(col("fst"), col("ha")), col("hb"))))
+            .withColumn("est",
+              when(col("m") >= K, lit((K - 1).toDouble * M) / col("v"))
+                .otherwise(col("m").cast("double")))
+            // ρ divides by min(K, m): a union sketch smaller than K
+            // holds the ENTIRE union, so the estimate degrades
+            // gracefully into the exact answer on small sets
+            .select(col("sa"), col("sb"),
+              round(col("est"), 1).as("union_est"),
+              round(col("c") / col("m").cast("double") * col("est"), 1).as("inter_est"),
+              round(col("c") / col("m").cast("double"), 4).as("jacc_est"))
+            .orderBy("sa", "sb")
+        },
+        Some("""WITH st AS (SELECT DISTINCT source,
+               |              ('0x' || substr(md5('kmv:' || tok), 1, 15))::BIGINT
+               |                % 1125899906842624 AS h
+               |            FROM (SELECT source,
+               |                    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+               |                  FROM documents)),
+               |sk AS (SELECT source, h,
+               |              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+               |       FROM st),
+               |s64 AS (SELECT source, h FROM sk WHERE rn <= 64),
+               |srcs AS (SELECT DISTINCT source FROM st),
+               |pairs AS (SELECT a.source AS sa, b.source AS sb
+               |          FROM srcs a JOIN srcs b ON a.source < b.source),
+               |u AS (SELECT sa, sb, h FROM pairs JOIN s64 ON source = sa
+               |      UNION
+               |      SELECT sa, sb, h FROM pairs JOIN s64 ON source = sb),
+               |ur AS (SELECT sa, sb, h,
+               |              row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+               |       FROM u),
+               |base AS (SELECT sa, sb, max(CASE WHEN rn <= 64 THEN h END) AS v,
+               |                CAST(sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS m
+               |         FROM ur GROUP BY sa, sb),
+               |bth AS (SELECT ur.sa, ur.sb, CAST(count(*) AS BIGINT) AS c
+               |        FROM ur JOIN s64 x ON x.source = ur.sa AND x.h = ur.h
+               |                JOIN s64 y ON y.source = ur.sb AND y.h = ur.h
+               |        WHERE ur.rn <= 64 GROUP BY ur.sa, ur.sb),
+               |est AS (SELECT base.sa, base.sb, coalesce(c, 0) AS c, m,
+               |               CASE WHEN m >= 64 THEN 63 * 1125899906842624.0 / v
+               |                    ELSE CAST(m AS DOUBLE) END AS est
+               |        FROM base LEFT JOIN bth ON bth.sa = base.sa AND bth.sb = base.sb)
+               |SELECT sa, sb, round(est, 1) AS union_est,
+               |       round(c / CAST(m AS DOUBLE) * est, 1) AS inter_est,
+               |       round(c / CAST(m AS DOUBLE), 4) AS jacc_est
+               |FROM est ORDER BY sa, sb""".stripMargin)),
+
       // per-source OLS fit of n_chars on token count — distributed
       // least squares via the Gram-matrix trick: ONE grouped agg
       // collects (n, Σx, Σy, Σx², Σxy, Σy²) and the closed form runs

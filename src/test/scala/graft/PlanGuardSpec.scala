@@ -338,6 +338,17 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("KMV pair estimates run on the once-materialized sketch table") {
+    // the TopK partial-agg build sits inside the checkpoint lineage
+    // (same bounded aggregator samp_group_sample pins); the pair plan
+    // itself must only cross the tiny sketch table — no corpus scan,
+    // no window, no row-scaled join
+    val p = plan("text_kmv_vocab")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("quantile normalization runs on checkpointed value histograms only") {
     val p = plan("samp_quantile_norm")
     assert(p.contains("Scan ExistingRDD"), p) // the (source,value,count) frame

@@ -68,7 +68,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "dedup_prefix_filter", "samp_group_sample",
     "stat_ols_fit", "stat_mwu", "text_js_div", "text_mi_chi2",
     "samp_reliability_bins", "pipe_epoch_mix", "graph_triangles",
-    "samp_quantile_norm",
+    "samp_quantile_norm", "text_kmv_vocab",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
     "mm_patch_grid", "mm_shot_bounds")

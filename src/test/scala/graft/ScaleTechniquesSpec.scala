@@ -102,4 +102,44 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(joined.count() == expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("KMV vocabulary sketches estimate exact overlap within sketch error") {
+    // exact per-source-pair vocabulary Jaccard (the text_source_similarity
+    // semantics) vs the 64-hash KMV estimate: mean |error| must sit
+    // within the k^-1/2 sketch bound with headroom
+    val est = SparkEntry.queries("text_kmv_vocab")(spark, sfDir)
+      .select("sa", "sb", "jacc_est").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = SparkEntry.queries("text_source_similarity")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.keySet == exact.keySet)
+    val errs = est.map { case (k, e) => math.abs(e - exact(k)) }
+    val mae = errs.sum / errs.size
+    assert(mae < 0.10, s"mean |jaccard error| $mae exceeds the sketch bound")
+    assert(errs.max < 0.30, s"worst-case error ${errs.max}")
+  }
+
+  test("KMV estimator path (union larger than k) stays within sketch error") {
+    import org.apache.spark.sql.types._
+    // controlled overlap, vocab ≫ k: A = w0..w999, B = w500..w1499 →
+    // |A∪B| = 1500, J = 500/1500 = 1/3; k = 64 ⇒ σ(J) ≈ J/√64
+    val a = (0 until 1000).map(i => s"w$i").mkString(" ")
+    val b = (500 until 1500).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, a, "en", "srcA", a.length.toLong),
+        org.apache.spark.sql.Row(1L, b, "en", "srcB", b.length.toLong)), 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("text_kmv_vocab")(spark, dir).collect()
+    assert(r.length == 1)
+    val (uEst, jEst) = (r(0).getDouble(2), r(0).getDouble(4))
+    assert(math.abs(uEst - 1500) / 1500 < 0.30, s"union_est $uEst vs 1500")
+    assert(math.abs(jEst - 1.0 / 3) < 0.20, s"jacc_est $jEst vs 1/3")
+  }
 }
