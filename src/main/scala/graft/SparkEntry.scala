@@ -1984,6 +1984,20 @@ object SparkEntry {
        |sel$n AS (SELECT * FROM sel${n - 1} UNION ALL SELECT * FROM s$n)"""
   }.mkString(",\n")
 
+  /** Unrolled greedy k-center as chained CTEs over a `cand`
+    * (vec_id, emb) CTE and a `sel1` single-row seed — mirrors
+    * graft.ann.Coreset.kCenter's rounding and id tie-breaks exactly.
+    */
+  private def kcenterUnrolledSql(k: Int): String = (2 to k).map { n =>
+    s"""s$n AS (SELECT c.vec_id, c.emb, $n AS rank
+       |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${n - 1})
+       |  ORDER BY (SELECT min(round(1.0 - list_cosine_similarity(c.emb, s.emb), 6))
+       |            FROM sel${n - 1} s) DESC, c.vec_id
+       |  LIMIT 1),
+       |sel$n AS (SELECT * FROM sel${n - 1} UNION ALL SELECT * FROM s$n)"""
+      .stripMargin
+  }.mkString(",\n")
+
   private val vectorStore: Seq[(String, Q)] = Seq(
     "vs_search_topk" -> Q(
       (s, d) => VectorStore.search(
@@ -4727,6 +4741,21 @@ object SparkEntry {
              |${mmrUnrolledSql(5)}
              |SELECT CAST(rank AS BIGINT) AS rank, vec_id, sim FROM sel5 ORDER BY rank""".stripMargin
         )),
+
+      // greedy k-center coreset (farthest-point traversal) over a
+      // bounded pool — the diverse-subset primitive for curation.
+      // Same HOF-on-one-packed-array shape as MMR: only the pool scan
+      // grows with data; the oracle unrolls the identical greedy
+      "samp_coreset" -> Q(
+        (s, d) => graft.ann.Coreset.kCenter(
+          Tables.embeddings(s, d).filter(col("vec_id") < 100), 6),
+        Some(s"""WITH cand AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+               |              FROM embeddings WHERE vec_id < 100),
+               |sel1 AS (SELECT vec_id, emb, 1 AS rank FROM cand
+               |         ORDER BY vec_id LIMIT 1),
+               |${kcenterUnrolledSql(6)}
+               |SELECT CAST(rank AS BIGINT) AS rank, vec_id
+               |FROM sel6 ORDER BY rank""".stripMargin)),
 
       // served from the bucket-PARTITIONED materialized index: the
       // probe neighborhood equi-joins the partition column, so the

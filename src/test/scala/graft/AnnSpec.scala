@@ -184,4 +184,31 @@ class AnnSpec extends SparkSpec {
     assert(out.head == pool.head._1)
     assert(out.distinct.size == 5)
   }
+
+  test("k-center coreset covers the pool no worse than a first-k baseline") {
+    import org.apache.spark.sql.functions._
+    val pool = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding")).cache()
+    val centers = graft.ann.Coreset.kCenter(pool, 6)
+      .collect().map(_.getLong(1))
+    assert(centers.length == 6 && centers.distinct.length == 6)
+    assert(centers.head == 0L) // deterministic smallest-id seed
+    // covering radius = max over pool of min cosine distance to a center
+    def radius(ids: Seq[Long]): Double = {
+      val vecs = pool.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      vecs.map { case (_, v) =>
+        ids.map(c => 1.0 - cos(v, vecs(c))).min }.max
+    }
+    val rGreedy = radius(centers)
+    val rNaive = radius((0L until 6L).toSeq)
+    // greedy farthest-point is a 2-approx to optimal; at minimum it
+    // must not cover WORSE than the arbitrary first-6-ids baseline
+    assert(rGreedy <= rNaive + 1e-9, s"greedy $rGreedy vs naive $rNaive")
+    pool.unpersist()
+  }
 }
