@@ -1877,6 +1877,37 @@ object SparkEntry {
              |       round(corr(ca, cb), 4) AS acf
              |FROM p GROUP BY event_type, k ORDER BY event_type, k""".stripMargin)),
 
+    // longest consecutive-day activity streak per user (the
+    // gaps-and-islands idiom): distinct (user, day) first — so the
+    // window ranks DAYS, bounded by the calendar, never raw events —
+    // then island id = day − row_number, longest island per user,
+    // and a tiny histogram of streak lengths. The retention-quality
+    // metric DAU counts can't see.
+    "ev_streaks" -> Q(
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        ud.withColumn("island", col("day") - row_number().over(w))
+          .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+          .groupBy("user_id").agg(max("len").as("streak"))
+          .groupBy("streak").agg(count(lit(1)).as("n_users"))
+          .orderBy("streak")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+             |                   epoch_ns(ts) // 86400000000000 AS day
+             |            FROM events),
+             |i AS (SELECT user_id, day,
+             |             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+             |      FROM ud),
+             |st AS (SELECT user_id, CAST(max(len) AS BIGINT) AS streak FROM (
+             |         SELECT user_id, island, count(*) AS len
+             |         FROM i GROUP BY user_id, island)
+             |       GROUP BY user_id)
+             |SELECT streak, CAST(count(*) AS BIGINT) AS n_users
+             |FROM st GROUP BY streak ORDER BY streak""".stripMargin)),
+
     // time-window-constrained funnel (signup → click ≤1h → purchase
     // ≤1h after the click): the product-analytics variant where each
     // step must happen within a window of the previous. Earliest-
@@ -4639,6 +4670,34 @@ object SparkEntry {
                |SELECT source, x, CAST(min(gx) AS BIGINT) AS q_x
                |FROM src JOIN gq ON ecdf_g >= ecdf_s
                |GROUP BY source, x ORDER BY source, x""".stripMargin)),
+
+      // deterministic shard manifest: hash-assign every doc to one of
+      // 16 shards (content-stable — re-runs, appends and repartitions
+      // never move a doc) and emit the per-shard stats a downstream
+      // tokenizer/loader plans against (doc count, byte and token
+      // totals, id range). One grouped agg; the manifest IS the
+      // contract a 100 TB export hands to the training job.
+      "pipe_shard_manifest" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.md5Long
+          Tables.documents(s, d)
+            .withColumn("shard",
+              md5Long(concat(lit("shard:"), col("doc_id").cast("string"))) % 16)
+            .groupBy("shard")
+            .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_bytes"),
+                 sum(size(graft.text.TextPrimitives.tokens(col("text")))
+                   .cast("long")).as("n_tokens"),
+                 min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+            .orderBy("shard")
+        },
+        Some("""SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               |         % 16 AS shard,
+               |       CAST(count(*) AS BIGINT) AS n_docs,
+               |       CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+               |       CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT)
+               |         AS n_tokens,
+               |       min(doc_id) AS min_id, max(doc_id) AS max_id
+               |FROM documents GROUP BY shard ORDER BY shard""".stripMargin)),
 
       // epoch-aware source mixing: smaller sources repeat (epochs =
       // sqrt(max/n_s), the temperature idiom), larger ones pass once.

@@ -68,7 +68,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "dedup_prefix_filter", "samp_group_sample",
     "stat_ols_fit", "stat_mwu", "text_js_div", "text_mi_chi2",
     "samp_reliability_bins", "pipe_epoch_mix", "graph_triangles",
-    "samp_quantile_norm", "text_kmv_vocab",
+    "samp_quantile_norm", "text_kmv_vocab", "pipe_shard_manifest",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
     "mm_patch_grid", "mm_shot_bounds")
@@ -165,7 +165,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_dau_wau", "ev_conversion_lag", "ev_pareto",
     "ev_debounce", "ev_session_paths", "ev_cohort_triangle",
     "ts_seasonal", "ev_assoc_rules", "graph_pagerank",
-    "ev_scd2", "ts_acf", "ev_funnel_windowed", "ev_attribution_decay")
+    "ev_scd2", "ts_acf", "ev_funnel_windowed", "ev_attribution_decay",
+    "ev_streaks")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
