@@ -1991,7 +1991,68 @@ object SparkEntry {
              |tot AS (SELECT pid, sum(w) AS sw FROM pr GROUP BY pid)
              |SELECT (cts // 3600000000) % 24 AS hod, round(sum(w / sw), 4) AS credit,
              |       CAST(count(*) AS BIGINT) AS n_pairs
-             |FROM pr JOIN tot USING (pid) GROUP BY hod ORDER BY hod""".stripMargin)))
+             |FROM pr JOIN tot USING (pid) GROUP BY hod ORDER BY hod""".stripMargin)),
+
+    // peak concurrent users per day: sessions (same 30-min gap as
+    // ev_sessionize) become ±1 sweep-line boundaries, and the running
+    // count is a TWO-PHASE prefix sum — a per-day window over that
+    // day's boundaries plus a carry-in equal to the net delta of all
+    // prior days (a #days-row aggregate, broadcast back). No global
+    // window ever touches the boundary set, so the plan scales with
+    // executors; ties at one instant order starts before ends
+    // (delta DESC), making the per-day max deterministic.
+    "ev_concurrency" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(1800000000000L), 1)
+              .otherwise(0))
+          .withColumn("sid",
+            sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts").as("st"), max("ts").as("en"))
+        val bounds = sess.select(col("st").as("t"), lit(1).as("delta"))
+          .unionAll(sess.select(col("en").as("t"), lit(-1).as("delta")))
+          .withColumn("day", expr("t DIV 86400000000000"))
+          .localCheckpoint(eager = false) // read twice: local run + carry
+        val wd = Window.partitionBy("day")
+          .orderBy(col("t"), col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val local = bounds.withColumn("run", sum("delta").over(wd))
+        val carry = bounds.groupBy("day").agg(sum("delta").as("net"))
+          .withColumn("carry",
+            coalesce(sum("net").over(Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("day", "carry")
+        local.join(broadcast(carry), "day")
+          .groupBy("day")
+          .agg(max(col("run") + col("carry")).as("peak"))
+          .orderBy("day")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, epoch_ns(ts) AS tns,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM g),
+             |iv AS (SELECT user_id, sid, min(tns) AS st, max(tns) AS en
+             |       FROM s GROUP BY user_id, sid),
+             |b AS (SELECT st AS t, 1 AS delta FROM iv
+             |      UNION ALL SELECT en, -1 FROM iv),
+             |r AS (SELECT t // 86400000000000 AS day,
+             |             sum(delta) OVER (ORDER BY t, delta DESC
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+             |      FROM b)
+             |SELECT day, CAST(max(conc) AS BIGINT) AS peak
+             |FROM r GROUP BY day ORDER BY day""".stripMargin)))
 
   // ---------------------------------------------------------------
   // Vector store: the reference's Qdrant surface (SURVEY §2 #1–12)
@@ -4466,6 +4527,103 @@ object SparkEntry {
                |                   / (CAST(nn AS DOUBLE) * (nn - 1)))), 4) AS z
                |FROM a""".stripMargin)),
 
+      // Welch's unequal-variance t-test on document length (en vs de):
+      // one grouped pass computes (n, mean, var) per group, then the
+      // t statistic and Welch–Satterthwaite df come from a cross join
+      // of two single-row frames — constant-size everything after the
+      // scan, so the test costs one aggregate at any corpus size.
+      "stat_welch_ttest" -> Q(
+        (s, d) => {
+          val g = Tables.documents(s, d)
+            .filter(col("lang").isin("en", "de"))
+            .groupBy("lang")
+            .agg(count(lit(1)).cast("double").as("n"),
+                 avg(col("n_chars").cast("double")).as("m"),
+                 var_samp(col("n_chars").cast("double")).as("v"))
+            .localCheckpoint(eager = false) // read twice (both groups)
+          val a = g.filter(col("lang") === "en")
+            .select(col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+          val b = g.filter(col("lang") === "de")
+            .select(col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+          val se2 = col("va") / col("na") + col("vb") / col("nb")
+          a.crossJoin(b).select(
+            col("na").cast("long").as("n_en"),
+            col("nb").cast("long").as("n_de"),
+            round(col("ma") - col("mb"), 4).as("mean_diff"),
+            round((col("ma") - col("mb")) / sqrt(se2), 4).as("t_stat"),
+            round(pow(se2, 2) /
+              (pow(col("va") / col("na"), 2) / (col("na") - 1)
+               + pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 2).as("df"))
+        },
+        Some("""WITH g AS (
+               |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+               |         avg(CAST(n_chars AS DOUBLE)) AS m,
+               |         var_samp(CAST(n_chars AS DOUBLE)) AS v
+               |  FROM documents WHERE lang IN ('en', 'de') GROUP BY lang),
+               |a AS (SELECT n AS na, m AS ma, v AS va FROM g WHERE lang = 'en'),
+               |b AS (SELECT n AS nb, m AS mb, v AS vb FROM g WHERE lang = 'de')
+               |SELECT CAST(na AS BIGINT) AS n_en, CAST(nb AS BIGINT) AS n_de,
+               |       round(ma - mb, 4) AS mean_diff,
+               |       round((ma - mb) / sqrt(va/na + vb/nb), 4) AS t_stat,
+               |       round(pow(va/na + vb/nb, 2)
+               |         / (pow(va/na, 2) / (na - 1) + pow(vb/nb, 2) / (nb - 1)), 2) AS df
+               |FROM a, b""".stripMargin)),
+
+      // Cohen's kappa for the stopword language-ID against the true
+      // lang label: chance-corrected agreement from the confusion
+      // cells. The cell table is tiny (|langs|²), so po/pe/kappa are
+      // cross joins of broadcast single-row aggregates; only the
+      // per-doc prediction pass scales with the corpus.
+      "stat_cohens_kappa" -> Q(
+        (s, d) => {
+          val docs = Tables.documents(s, d)
+          val cells = TextAnalytics.languageId(docs)
+            .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+            .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+            .localCheckpoint(eager = false) // read three times below
+          val tot = cells.agg(sum("n").cast("double").as("nn"))
+          val diag = cells.filter(col("lang") === col("pred_lang"))
+            .agg(coalesce(sum("n"), lit(0L)).cast("double").as("nd"))
+          val marg = cells.groupBy("lang").agg(sum("n").as("r"))
+            .join(cells.groupBy("pred_lang").agg(sum("n").as("c")),
+                  col("lang") === col("pred_lang"))
+            .agg(coalesce(sum(col("r") * col("c")), lit(0L))
+              .cast("double").as("rc"))
+          val po = col("nd") / col("nn")
+          val pe = col("rc") / (col("nn") * col("nn"))
+          broadcast(tot).crossJoin(broadcast(diag)).crossJoin(broadcast(marg))
+            .select(round(po, 4).as("po"), round(pe, 4).as("pe"),
+                    round((po - pe) / (lit(1.0) - pe), 4).as("kappa"))
+        },
+        Some {
+          def cnt(words: Seq[String]) =
+            s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+              s"t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+          val Seq(en, es, de, fr) = TextAnalytics.Lexica.map { case (_, w) => cnt(w) }
+          s"""WITH p AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN $en + $es + $de + $fr = 0 THEN 'und'
+             |         WHEN $en >= greatest($es, $de, $fr) THEN 'en'
+             |         WHEN $es >= greatest($de, $fr) THEN 'es'
+             |         WHEN $de >= $fr THEN 'de'
+             |         ELSE 'fr' END AS pred_lang
+             |  FROM documents),
+             |c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+             |      FROM p GROUP BY lang, pred_lang),
+             |t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM c),
+             |dg AS (SELECT CAST(coalesce(sum(n), 0) AS DOUBLE) AS nd
+             |       FROM c WHERE lang = pred_lang),
+             |m AS (SELECT CAST(coalesce(sum(r * c2), 0) AS DOUBLE) AS rc FROM
+             |        (SELECT lang, sum(n) AS r FROM c GROUP BY lang) ra JOIN
+             |        (SELECT pred_lang, sum(n) AS c2 FROM c GROUP BY pred_lang) ca
+             |        ON ra.lang = ca.pred_lang)
+             |SELECT round(nd / nn, 4) AS po,
+             |       round(rc / (nn * nn), 4) AS pe,
+             |       round((nd / nn - rc / (nn * nn))
+             |             / (1 - rc / (nn * nn)), 4) AS kappa
+             |FROM t, dg, m""".stripMargin
+        }),
+
       // Jensen-Shannon divergence between every source pair's unigram
       // distribution over the global top-100 vocabulary: the vocab
       // bound (TakeOrdered) caps the dense zero-filled frame at
@@ -4742,6 +4900,78 @@ object SparkEntry {
                |       CAST(n_s * floor(ep) + coalesce(n_extra, 0) AS BIGINT) AS n_emitted
                |FROM eps LEFT JOIN extra USING (source) ORDER BY source""".stripMargin)),
 
+      // filter-attrition funnel: the per-stage report every curation
+      // run ships with — docs and tokens surviving each cumulative
+      // quality gate (length → min tokens → stopword ratio → exact
+      // dedup). ONE scan computes every per-doc flag, the dedup gate
+      // is a keep-first window over md5(text) (hash-partitioned, never
+      // global), and the 5-row report is a single aggregate unpivoted
+      // with stack() — adding a stage costs two sum() columns, not a
+      // rescan, at any corpus size.
+      "pipe_filter_attrition" -> Q(
+        (s, d) => {
+          val t = graft.text.TextPrimitives.tokens(col("text"))
+          val flagged = Tables.documents(s, d)
+            .select(col("doc_id"), col("n_chars"),
+              size(t).cast("long").as("n_tok"),
+              size(filter(t, x => x.isin(TextAnalytics.Stopwords: _*)))
+                .cast("long").as("stop_cnt"),
+              md5(col("text")).as("h"))
+            .withColumn("rn",
+              row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+            .withColumn("c1", col("n_chars") >= 150)
+            .withColumn("c2", col("c1") && col("n_tok") >= 40)
+            .withColumn("c3",
+              col("c2") && col("stop_cnt") * lit(1.0) >= col("n_tok") * lit(0.05))
+            .withColumn("c4", col("c3") && col("rn") === 1)
+          def dt(c: Column, i: Int) = Seq(
+            sum(when(c, 1L).otherwise(0L)).as(s"d$i"),
+            sum(when(c, col("n_tok")).otherwise(0L)).as(s"t$i"))
+          val stageCols = Seq(count(lit(1)).as("d0"), sum("n_tok").as("t0")) ++
+            dt(col("c1"), 1) ++ dt(col("c2"), 2) ++
+            dt(col("c3"), 3) ++ dt(col("c4"), 4)
+          flagged.agg(stageCols.head, stageCols.tail: _*)
+            .select(expr(
+              """stack(5,
+                |  CAST(0 AS BIGINT), 'raw',            d0, t0,
+                |  CAST(1 AS BIGINT), 'len_ge_150',     d1, t1,
+                |  CAST(2 AS BIGINT), 'tok_ge_40',      d2, t2,
+                |  CAST(3 AS BIGINT), 'stop_ratio_5pc', d3, t3,
+                |  CAST(4 AS BIGINT), 'exact_dedup',    d4, t4
+                |) AS (stage_no, stage, docs, tokens)""".stripMargin))
+            .orderBy("stage_no")
+        },
+        Some {
+          val stop = TextAnalytics.Stopwords.map(w => s"'$w'").mkString(",")
+          s"""WITH f AS (
+             |  SELECT doc_id, n_chars,
+             |    len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+             |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             |        t -> t IN ($stop))) AS stop_cnt,
+             |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |c AS (SELECT n_tok,
+             |        n_chars >= 150 AS c1,
+             |        n_chars >= 150 AND n_tok >= 40 AS c2,
+             |        n_chars >= 150 AND n_tok >= 40
+             |          AND stop_cnt * 1.0 >= n_tok * 0.05 AS c3,
+             |        n_chars >= 150 AND n_tok >= 40
+             |          AND stop_cnt * 1.0 >= n_tok * 0.05 AND rn = 1 AS c4
+             |      FROM f)
+             |SELECT CAST(0 AS BIGINT) AS stage_no, 'raw' AS stage,
+             |       CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+             |FROM c
+             |UNION ALL SELECT 1, 'len_ge_150', CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(sum(CASE WHEN c1 THEN n_tok ELSE 0 END) AS BIGINT) FROM c
+             |UNION ALL SELECT 2, 'tok_ge_40', CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(sum(CASE WHEN c2 THEN n_tok ELSE 0 END) AS BIGINT) FROM c
+             |UNION ALL SELECT 3, 'stop_ratio_5pc', CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(sum(CASE WHEN c3 THEN n_tok ELSE 0 END) AS BIGINT) FROM c
+             |UNION ALL SELECT 4, 'exact_dedup', CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(sum(CASE WHEN c4 THEN n_tok ELSE 0 END) AS BIGINT) FROM c
+             |ORDER BY stage_no""".stripMargin
+        }),
+
       "emb_norm_invariant" -> Q(
         (s, d) => {
           import graft.functions.VectorFunctions.sqNorm
@@ -4777,6 +5007,63 @@ object SparkEntry {
                |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
                |  FROM sc)
                |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
+      // exact k-NN graph (k=5) with the two statistics SNN-style
+      // clustering and SemDeDup audits read off it: per node, how many
+      // of its top-5 are MUTUAL (it is also in their top-5) and how
+      // many share its label (homophily). Edges come from the TopK
+      // partial aggregate (map-side bounded, no window over the
+      // pairwise set); mutuality is a self-equi-join on the 5·n edge
+      // list, label joins broadcast the (vec_id,label) dim. At corpus
+      // scale the pairwise stage swaps for the LSH/IVF-bucketed
+      // candidate generation already in ann/Ann.scala — the graph
+      // statistics are unchanged downstream of the edge list.
+      "ann_knn_graph" -> Q(
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+          val edges = Ann.bruteForceTopK(emb,
+              emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), 5)
+            .select(col("qid"), col("vec_id").as("nid"))
+            .localCheckpoint(eager = false) // read 3×: mutual (both sides) + homophily
+          val mutual = edges.as("a")
+            .join(edges.as("b"),
+              col("a.qid") === col("b.nid") && col("a.nid") === col("b.qid"))
+            .groupBy(col("a.qid")).agg(count(lit(1)).as("n_mutual"))
+          val lbl = emb.select(col("vec_id"), col("label"))
+          val homo = edges
+            .join(broadcast(lbl.select(col("vec_id").as("qid"),
+                                       col("label").as("ql"))), "qid")
+            .join(broadcast(lbl.select(col("vec_id").as("nid"),
+                                       col("label").as("nl"))), "nid")
+            .groupBy("qid")
+            .agg(sum(when(col("ql") === col("nl"), 1).otherwise(0))
+              .as("n_same_label"))
+          homo.join(mutual, Seq("qid"), "left")
+            .select(col("qid").as("vec_id"), col("n_same_label"),
+                    coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+            .orderBy("vec_id")
+        },
+        Some("""WITH sc AS (
+               |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+               |         round(list_cosine_similarity(e.embedding::DOUBLE[],
+               |               q.embedding::DOUBLE[]), 6) + 0.0 AS score
+               |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+               |ed AS (SELECT qid, nid FROM (
+               |    SELECT *, row_number() OVER (PARTITION BY qid
+               |           ORDER BY score DESC, nid) AS rnk FROM sc)
+               |  WHERE rnk <= 5),
+               |mu AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_mutual
+               |       FROM ed a JOIN ed b ON a.qid = b.nid AND a.nid = b.qid
+               |       GROUP BY a.qid),
+               |ho AS (SELECT qid,
+               |         CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT)
+               |           AS n_same_label
+               |       FROM ed JOIN embeddings ql ON ed.qid = ql.vec_id
+               |               JOIN embeddings nl ON ed.nid = nl.vec_id
+               |       GROUP BY qid)
+               |SELECT ho.qid AS vec_id, n_same_label,
+               |       CAST(coalesce(n_mutual, 0) AS BIGINT) AS n_mutual
+               |FROM ho LEFT JOIN mu USING (qid) ORDER BY vec_id""".stripMargin)),
 
       // MMR diversified re-ranking (λ=0.5): relevant-but-diverse top-5
       // out of a top-20 cosine pool — the greedy loop is a pure
@@ -5590,5 +5877,9 @@ object SparkEntry {
     // attribution, grouped-count Gini, KS drift gate, curriculum
     // interleave (boundedRowNumber), per-doc entropy
     "ev_winsorize", "ev_attribution", "stat_gini", "samp_ks_test",
-    "pipe_interleave", "text_entropy")
+    "pipe_interleave", "text_entropy",
+    // round-9 flagships: exact-recall prefix-filter join, SCD2
+    // intervals, KMV set sketches, k-center coreset, decay attribution
+    "dedup_prefix_filter", "ev_scd2", "text_kmv_vocab", "samp_coreset",
+    "ev_attribution_decay")
 }

@@ -349,6 +349,43 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("concurrency sweep is two-phase: day-partitioned window + broadcast carry") {
+    val p = plan("ev_concurrency")
+    // the boundary prefix sum must partition by day, and the carry-in
+    // arrives via broadcast of the per-day net — the boundary set is
+    // only read from the checkpoint, never re-derived from the facts
+    assert(p.contains("windowspecdefinition(day"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+  }
+
+  test("kNN-graph statistics join the checkpointed edge list, labels broadcast") {
+    val p = plan("ann_knn_graph")
+    // edges (built by the TopK partial aggregate, pinned on
+    // ann_topk_batch) materialize once; the two label dims broadcast
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("filter attrition is ONE corpus scan: hash-partitioned dedup window, no join") {
+    val p = plan("pipe_filter_attrition")
+    assert(p.contains("windowspecdefinition(h"), p)
+    assert(!p.contains("Join"), p)
+    // formatted mode prints each node twice (tree line + detail header)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("Welch t / kappa reduce to crosses of broadcast single-row aggregates") {
+    for (q <- Seq("stat_welch_ttest", "stat_cohens_kappa")) {
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"), s"$q lost its checkpoint:\n$p")
+      assert("Scan parquet".r.findAllIn(p).size == 0,
+        s"$q re-scans the corpus around its checkpoint:\n$p")
+    }
+  }
+
   test("quantile normalization runs on checkpointed value histograms only") {
     val p = plan("samp_quantile_norm")
     assert(p.contains("Scan ExistingRDD"), p) // the (source,value,count) frame

@@ -69,6 +69,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_ols_fit", "stat_mwu", "text_js_div", "text_mi_chi2",
     "samp_reliability_bins", "pipe_epoch_mix", "graph_triangles",
     "samp_quantile_norm", "text_kmv_vocab", "pipe_shard_manifest",
+    "stat_welch_ttest", "stat_cohens_kappa", "pipe_filter_attrition",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
     "mm_patch_grid", "mm_shot_bounds")
@@ -111,7 +112,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "vec_matryoshka", "vec_scalar_quant", "vec_quant_fidelity",
     "ann_kmeans_step", "vec_pq_adc",
     "ann_mmr_rerank", "emb_whiten", "emb_triplets", "dedup_semantic",
-    "emb_drift", "vec_residual_quant", "samp_coreset")
+    "emb_drift", "vec_residual_quant", "samp_coreset", "ann_knn_graph")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
@@ -166,7 +167,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_debounce", "ev_session_paths", "ev_cohort_triangle",
     "ts_seasonal", "ev_assoc_rules", "graph_pagerank",
     "ev_scd2", "ts_acf", "ev_funnel_windowed", "ev_attribution_decay",
-    "ev_streaks")
+    "ev_streaks", "ev_concurrency")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
