@@ -2052,7 +2052,41 @@ object SparkEntry {
              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
              |      FROM b)
              |SELECT day, CAST(max(conc) AS BIGINT) AS peak
-             |FROM r GROUP BY day ORDER BY day""".stripMargin)))
+             |FROM r GROUP BY day ORDER BY day""".stripMargin)),
+
+    // bot / automation detection by inter-arrival regularity: humans
+    // are bursty (gap CV ≈ 1, Poisson-like — measured 0.78–1.12 on
+    // this corpus), schedulers are metronomes. One user-partitioned
+    // lag pass (hash-partitioned, never global) then a grouped
+    // moment aggregate; the CV is rounded to 6 BEFORE the threshold
+    // compare so a boundary user cannot flip on one engine's float
+    // summation order only.
+    "ev_bot_flags" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("gap",
+            (col("ts") - lag(col("ts"), 1).over(w)) / lit(1e9))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+               avg("gap").as("m"), stddev_samp(col("gap")).as("sd"))
+          .withColumn("cv", round(col("sd") / col("m"), 6))
+          .filter(col("n_events") >= 50 && col("cv") < 0.85)
+          .select(col("user_id"), col("n_events"),
+                  round(col("m"), 3).as("mean_gap_s"), round(col("cv"), 4).as("cv"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |         (epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+             |            (PARTITION BY user_id ORDER BY ts, event_id)) / 1e9 AS gap
+             |  FROM events),
+             |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |             avg(gap) AS m, round(stddev_samp(gap) / avg(gap), 6) AS cv
+             |      FROM g GROUP BY user_id)
+             |SELECT user_id, n_events, round(m, 3) AS mean_gap_s, round(cv, 4) AS cv
+             |FROM s WHERE n_events >= 50 AND cv < 0.85
+             |ORDER BY user_id""".stripMargin)))
 
   // ---------------------------------------------------------------
   // Vector store: the reference's Qdrant surface (SURVEY §2 #1–12)
@@ -4526,6 +4560,88 @@ object SparkEntry {
                |                * (nn + 1 - CAST(tie3 AS DOUBLE)
                |                   / (CAST(nn AS DOUBLE) * (nn - 1)))), 4) AS z
                |FROM a""".stripMargin)),
+
+      // one-way ANOVA F across ALL language groups on document length:
+      // the k-group generalization of stat_welch_ttest. Uses the
+      // computational sum-of-squares identity (SSB = Σ s²/n − (Σs)²/N)
+      // so the whole test is one grouped pass plus one aggregate over
+      // the |langs|-row frame — no grand-mean join, no second scan.
+      // Cancellation is benign here: SSB ≈ 7e4 out of ~8e7
+      // intermediates loses 3 of double's 16 digits, and both engines
+      // agree within the round-2 report.
+      "stat_anova" -> Q(
+        (s, d) => {
+          val x = col("n_chars").cast("double")
+          Tables.documents(s, d)
+            .groupBy("lang")
+            .agg(count(lit(1)).cast("double").as("n"),
+                 sum(x).as("s"), sum(x * x).as("ss"))
+            .agg(count(lit(1)).as("k"), sum("n").as("nn"), sum("s").as("st"),
+                 sum("ss").as("sst"),
+                 sum(col("s") * col("s") / col("n")).as("sb"))
+            .select(col("k").cast("long").as("k_groups"),
+                    col("nn").cast("long").as("n_total"),
+                    round(col("sb") - col("st") * col("st") / col("nn"), 2)
+                      .as("ss_between"),
+                    round(col("sst") - col("sb"), 2).as("ss_within"),
+                    round(((col("sb") - col("st") * col("st") / col("nn"))
+                             / (col("k") - 1))
+                          / ((col("sst") - col("sb")) / (col("nn") - col("k"))), 4)
+                      .as("f_stat"))
+        },
+        Some("""WITH g AS (
+               |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+               |         sum(CAST(n_chars AS DOUBLE)) AS s,
+               |         sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS ss
+               |  FROM documents GROUP BY lang)
+               |SELECT CAST(count(*) AS BIGINT) AS k_groups,
+               |       CAST(sum(n) AS BIGINT) AS n_total,
+               |       round(sum(s*s/n) - sum(s)*sum(s)/sum(n), 2) AS ss_between,
+               |       round(sum(ss) - sum(s*s/n), 2) AS ss_within,
+               |       round((sum(s*s/n) - sum(s)*sum(s)/sum(n)) / (count(*) - 1)
+               |             / ((sum(ss) - sum(s*s/n)) / (sum(n) - count(*))), 4) AS f_stat
+               |FROM g""".stripMargin)),
+
+      // Spearman rank correlation (doc chars vs tokens) the scale-safe
+      // way: tied average ranks come from VALUE-level cumulative
+      // counts (the stat_gini idiom — the global window runs over
+      // |distinct values| rows, bounded by max document length, never
+      // over the corpus), then the per-row ranks arrive by joining the
+      // two broadcast value→rank maps back and ρ is one corr() pass.
+      "stat_spearman" -> Q(
+        (s, d) => {
+          val base = Tables.documents(s, d)
+            .select(col("n_chars").cast("long").as("x"),
+              size(graft.text.TextPrimitives.tokens(col("text")))
+                .cast("long").as("y"))
+            .localCheckpoint(eager = false) // read 3×: two rank maps + rows
+          def rankMap(c: String) = {
+            val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
+            base.groupBy(c).agg(count(lit(1)).as("cnt"))
+              .withColumn("f", coalesce(sum("cnt").over(w), lit(0L)))
+              .select(col(c),
+                (col("f") + (col("cnt") + lit(1)) / lit(2.0)).as(s"rank_$c"))
+          }
+          base.join(broadcast(rankMap("x")), "x")
+            .join(broadcast(rankMap("y")), "y")
+            .agg(count(lit(1)).cast("long").as("n"),
+                 round(corr(col("rank_x"), col("rank_y")), 4).as("rho"))
+        },
+        Some("""WITH b AS (
+               |  SELECT CAST(n_chars AS BIGINT) AS x,
+               |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS y
+               |  FROM documents),
+               |rx AS (SELECT x, coalesce(sum(cnt) OVER (ORDER BY x
+               |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               |           + (cnt + 1) / 2.0 AS rank_x
+               |       FROM (SELECT x, count(*) AS cnt FROM b GROUP BY x)),
+               |ry AS (SELECT y, coalesce(sum(cnt) OVER (ORDER BY y
+               |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               |           + (cnt + 1) / 2.0 AS rank_y
+               |       FROM (SELECT y, count(*) AS cnt FROM b GROUP BY y))
+               |SELECT CAST(count(*) AS BIGINT) AS n,
+               |       round(corr(rank_x, rank_y), 4) AS rho
+               |FROM b JOIN rx USING (x) JOIN ry USING (y)""".stripMargin)),
 
       // Welch's unequal-variance t-test on document length (en vs de):
       // one grouped pass computes (n, mean, var) per group, then the

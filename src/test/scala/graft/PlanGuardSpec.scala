@@ -386,6 +386,30 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("ANOVA is one scan + two aggregates: no join, no window") {
+    val p = plan("stat_anova")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // formatted mode prints each node twice (tree line + detail header)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("Spearman ranks come from broadcast value-level maps, not a row sort") {
+    val p = plan("stat_spearman")
+    // the corpus rows arrive from the checkpoint; the only windows run
+    // over the two value-histogram frames (bounded by max doc length)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bot flagging is one user-partitioned lag pass, no join") {
+    val p = plan("ev_bot_flags")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
   test("quantile normalization runs on checkpointed value histograms only") {
     val p = plan("samp_quantile_norm")
     assert(p.contains("Scan ExistingRDD"), p) // the (source,value,count) frame
