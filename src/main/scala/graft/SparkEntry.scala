@@ -4643,6 +4643,126 @@ object SparkEntry {
                |       round(corr(rank_x, rank_y), 4) AS rho
                |FROM b JOIN rx USING (x) JOIN ry USING (y)""".stripMargin)),
 
+      // normalized mutual information between the lang and source
+      // labels — "does source predict language?" in one number. All
+      // information terms come off the checkpointed |langs|×|sources|
+      // contingency cells (joint + both marginals + total), so after
+      // the one grouped corpus pass everything is crosses of broadcast
+      // single-row frames (the stat_cohens_kappa shape).
+      "stat_nmi" -> Q(
+        (s, d) => {
+          val cells = Tables.documents(s, d).groupBy("lang", "source")
+            .agg(count(lit(1)).cast("double").as("n"))
+            .localCheckpoint(eager = false) // read 4×: joint, marginals, total
+          val tot = cells.agg(sum("n").as("nn"))
+          val rm = cells.groupBy("lang").agg(sum("n").as("r"))
+          val cm = cells.groupBy("source").agg(sum("n").as("c"))
+          val mi = cells.join(broadcast(rm), "lang").join(broadcast(cm), "source")
+            .crossJoin(broadcast(tot))
+            .agg(sum(col("n") / col("nn")
+              * log(col("n") * col("nn") / (col("r") * col("c")))).as("mi"))
+          val hl = rm.crossJoin(broadcast(tot))
+            .agg(sum(col("r") / col("nn") * log(col("nn") / col("r"))).as("h_lang"))
+          val hs = cm.crossJoin(broadcast(tot))
+            .agg(sum(col("c") / col("nn") * log(col("nn") / col("c"))).as("h_source"))
+          broadcast(mi).crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+            .select(round(col("mi"), 6).as("mi"),
+                    round(col("h_lang"), 6).as("h_lang"),
+                    round(col("h_source"), 6).as("h_source"),
+                    round(col("mi") / sqrt(col("h_lang") * col("h_source")), 4)
+                      .as("nmi"))
+        },
+        Some("""WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS n
+               |           FROM documents GROUP BY lang, source),
+               |t AS (SELECT sum(n) AS nn FROM c),
+               |r AS (SELECT lang, sum(n) AS r FROM c GROUP BY lang),
+               |co AS (SELECT source, sum(n) AS c2 FROM c GROUP BY source),
+               |mi AS (SELECT sum(n / nn * ln(n * nn / (r * c2))) AS mi
+               |       FROM c JOIN r USING (lang) JOIN co USING (source), t),
+               |hl AS (SELECT sum(r / nn * ln(nn / r)) AS h_lang FROM r, t),
+               |hs AS (SELECT sum(c2 / nn * ln(nn / c2)) AS h_source FROM co, t)
+               |SELECT round(mi, 6) AS mi, round(h_lang, 6) AS h_lang,
+               |       round(h_source, 6) AS h_source,
+               |       round(mi / sqrt(h_lang * h_source), 4) AS nmi
+               |FROM mi, hl, hs""".stripMargin)),
+
+      // deterministic half-sample bootstrap of the mean tokens/doc:
+      // 32 replicates, membership by salted content-stable hash parity
+      // (the Sampling idiom — rerun/repartition never moves a doc
+      // between replicates). ONE corpus scan computes all 64
+      // conditional sums map-side; the replicate means stack into a
+      // 32-row frame whose summary (SE + percentile CI) is
+      // constant-cost at any corpus size. Replicate means rounded to
+      // 6 before the summary so both engines interpolate identical
+      // quantile inputs.
+      "samp_bootstrap" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.md5Long
+          val B = 32
+          val base = Tables.documents(s, d).select(col("doc_id").as("id"),
+            size(graft.text.TextPrimitives.tokens(col("text")))
+              .cast("double").as("x"))
+          def mem(b: Int) =
+            md5Long(concat(lit(s"boot:$b:"), col("id").cast("string"))) % 2 === 0
+          val aggs = (0 until B).flatMap(b => Seq(
+            sum(when(mem(b), col("x"))).as(s"s$b"),
+            sum(when(mem(b), lit(1.0))).as(s"c$b")))
+          val stackArgs = (0 until B)
+            .map(b => s"$b, round(s$b / c$b, 6)").mkString(", ")
+          base.agg(aggs.head, aggs.tail: _*)
+            .select(expr(s"stack($B, $stackArgs) AS (rep, m)"))
+            .agg(count(lit(1)).as("n_reps"),
+                 round(avg("m"), 4).as("boot_mean"),
+                 round(stddev_samp(col("m")), 4).as("boot_se"),
+                 round(expr("percentile(m, 0.025D)"), 4).as("ci_lo"),
+                 round(expr("percentile(m, 0.975D)"), 4).as("ci_hi"))
+        },
+        Some("""WITH base AS (
+               |  SELECT doc_id AS id,
+               |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS x
+               |  FROM documents),
+               |reps AS (
+               |  SELECT rb, round(avg(x), 6) AS m
+               |  FROM base, range(32) t(rb)
+               |  WHERE ('0x' || substr(md5('boot:' || CAST(rb AS VARCHAR) || ':'
+               |           || CAST(id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+               |  GROUP BY rb)
+               |SELECT CAST(count(*) AS BIGINT) AS n_reps,
+               |       round(avg(m), 4) AS boot_mean,
+               |       round(stddev_samp(m), 4) AS boot_se,
+               |       round(quantile_cont(m, 0.025), 4) AS ci_lo,
+               |       round(quantile_cont(m, 0.975), 4) AS ci_hi
+               |FROM reps""".stripMargin)),
+
+      // first-round BPE merge candidates: corpus-weighted adjacent
+      // character-pair counts, top 20. The corpus collapses to the
+      // DISTINCT-word table first (Heaps'-law bounded — the pair
+      // explosion runs over vocabulary entries weighted by word
+      // frequency, never over raw tokens), then a codegen'd HOF emits
+      // each word's adjacent pairs and TakeOrdered bounds the report.
+      "text_bpe_pairs" -> Q(
+        (s, d) => {
+          val words = Tables.documents(s, d)
+            .select(explode(graft.text.TextPrimitives.tokens(col("text"))).as("w"))
+            .groupBy("w").agg(count(lit(1)).as("wc"))
+          words.filter(length(col("w")) >= 2)
+            .select(col("wc"), explode(expr(
+              "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+              .as("pair"))
+            .groupBy("pair").agg(sum("wc").as("n"))
+            .orderBy(col("n").desc, col("pair")).limit(20)
+        },
+        Some("""WITH w AS (
+               |  SELECT t AS w, CAST(count(*) AS BIGINT) AS wc FROM (
+               |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+               |    FROM documents)
+               |  GROUP BY t),
+               |p AS (
+               |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair, wc
+               |  FROM w WHERE len(w) >= 2)
+               |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+               |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
       // Welch's unequal-variance t-test on document length (en vs de):
       // one grouped pass computes (n, mean, var) per group, then the
       // t statistic and Welch–Satterthwaite df come from a cross join

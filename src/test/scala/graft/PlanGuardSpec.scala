@@ -410,6 +410,31 @@ class PlanGuardSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size <= 2, p)
   }
 
+  test("NMI reduces to crosses of broadcast frames off the contingency checkpoint") {
+    val p = plan("stat_nmi")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bootstrap is ONE scan: 64 conditional sums map-side, no join, no window") {
+    val p = plan("samp_bootstrap")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("partial_sum"), p) // map-side combine of the replicate sums
+  }
+
+  test("BPE pair counts explode the distinct-word table and TakeOrdered-bound") {
+    val p = plan("text_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+    // the pair Generate sits ABOVE the word aggregate (vocabulary-
+    // bounded input), never on the raw token stream
+    val gen = p.indexOf("Generate")
+    assert(gen >= 0 && p.take(gen).contains("HashAggregate"), p)
+  }
+
   test("quantile normalization runs on checkpointed value histograms only") {
     val p = plan("samp_quantile_norm")
     assert(p.contains("Scan ExistingRDD"), p) // the (source,value,count) frame

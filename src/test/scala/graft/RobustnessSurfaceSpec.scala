@@ -70,7 +70,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "samp_reliability_bins", "pipe_epoch_mix", "graph_triangles",
     "samp_quantile_norm", "text_kmv_vocab", "pipe_shard_manifest",
     "stat_welch_ttest", "stat_cohens_kappa", "pipe_filter_attrition",
-    "stat_anova", "stat_spearman",
+    "stat_anova", "stat_spearman", "stat_nmi", "samp_bootstrap",
+    "text_bpe_pairs",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
     "mm_patch_grid", "mm_shot_bounds")
