@@ -783,7 +783,39 @@ object SparkEntry {
       Some("""SELECT p_brand, p_partkey, rn FROM (
              |  SELECT p_brand, p_partkey,
              |         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
-             |  FROM part) WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin)))
+             |  FROM part) WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin)),
+
+    // skyline / Pareto frontier over (min p_retailprice, max p_size):
+    // the quadratic NOT-EXISTS definition reformulates as a LINEAR
+    // staircase scan — collapse to per-price max size, running max
+    // over strictly-cheaper prices, keep prices whose max beats it,
+    // then one equi-join recovers the tied part rows. The only global
+    // window runs over DISTINCT prices (bounded by the price-grid
+    // domain, cents not rows — the stat_gini value-level argument);
+    // the oracle IS the quadratic NOT EXISTS, proving the staircase
+    // loses nothing.
+    "q_skyline" -> Q(
+      (s, d) => {
+        val parts = Tables.part(s, d)
+          .select("p_partkey", "p_retailprice", "p_size")
+        val byPrice = parts.groupBy("p_retailprice")
+          .agg(max("p_size").as("smax"))
+        val w = Window.orderBy("p_retailprice")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = byPrice
+          .withColumn("m", max("smax").over(w))
+          .filter(col("m").isNull || col("smax") > col("m"))
+          .select("p_retailprice", "smax")
+        parts.join(broadcast(frontier), "p_retailprice")
+          .filter(col("p_size") === col("smax"))
+          .select("p_partkey", "p_retailprice", "p_size")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_retailprice, p_size FROM part a
+             |WHERE NOT EXISTS (SELECT 1 FROM part b
+             |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+             |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+             |ORDER BY p_partkey""".stripMargin)))
 
   // ---------------------------------------------------------------
   // Events: sessionize + tumbling windows (SURVEY §2 #32–33)
@@ -799,6 +831,32 @@ object SparkEntry {
        |  (SELECT sum(e.p * i.r) FROM e JOIN it${k - 1} i ON i.t = e.src
        |   WHERE e.dst = n.t), 0) AS r
        |  FROM nodes n, nn)""".stripMargin
+  }.mkString(",\n")
+
+  /** Unrolled Markov power-iteration steps as chained CTEs (same
+    * recursive-CTE restriction as pagerankIterSql) — mirrors
+    * ev_stationary's loop term-for-term, including the per-round
+    * round-to-7 that pins the trajectory across engines.
+    */
+  private def stationaryIterSql(iters: Int): String = (1 to iters).map { k =>
+    s"""v$k AS (SELECT c.to_type AS state, round(sum(c.p * v${k - 1}.v), 7) AS v
+       |  FROM cells c JOIN v${k - 1} ON v${k - 1}.state = c.from_type
+       |  GROUP BY c.to_type)""".stripMargin
+  }.mkString(",\n")
+
+  /** Unrolled k-core peeling rounds as chained CTEs — mirrors
+    * graph_kcore's fixed-round loop exactly (degree filter then
+    * edge restriction to surviving endpoints, per round).
+    */
+  private def kcoreIterSql(rounds: Int, k: Int): String = (1 to rounds).map { r =>
+    // MATERIALIZED: each round reads the previous twice — inlined
+    // CTEs would re-expand the base shingle join 4^rounds times
+    s"""k$r AS MATERIALIZED (SELECT v FROM (SELECT da AS v FROM e${r - 1}
+       |                 UNION ALL SELECT db AS v FROM e${r - 1})
+       |  GROUP BY v HAVING count(*) >= $k),
+       |e$r AS MATERIALIZED (SELECT da, db FROM e${r - 1}
+       |  WHERE da IN (SELECT v FROM k$r) AND db IN (SELECT v FROM k$r))"""
+      .stripMargin
   }.mkString(",\n")
 
   private val eventsQ: Seq[(String, Q)] = Seq(
@@ -2086,7 +2144,166 @@ object SparkEntry {
              |      FROM g GROUP BY user_id)
              |SELECT user_id, n_events, round(m, 3) AS mean_gap_s, round(cv, 4) AS cv
              |FROM s WHERE n_events >= 50 AND cv < 0.85
-             |ORDER BY user_id""".stripMargin)))
+             |ORDER BY user_id""".stripMargin)),
+
+    // Kaplan–Meier survival of time-to-first-purchase after signup,
+    // right-censored at the corpus observation end. The heavy work is
+    // two per-user aggregates + one equi-join on user_id; the KM life
+    // table itself is |distinct day| rows, so the cumulative windows
+    // (trailing at-risk sum n_k = Σ_{j≥k}(d_j+c_j) — no global-N
+    // join — and the survival product as exp of summed logs) run on
+    // a days-bounded frame at ANY user count. A greatest(ε,·) floor
+    // under the log makes a last-day full-event bucket read S=0 on
+    // both engines instead of surfacing either's ln(0) convention.
+    "ev_survival" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("su"))
+          .localCheckpoint(eager = false) // reused by pu AND life: one signup scan
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts").join(su, "user_id")
+          .filter(col("ts") >= col("su"))
+          .groupBy("user_id").agg(min("ts").as("pu"))
+        val end = ev.agg(max("ts").as("te"))
+        val life = su.join(pu, Seq("user_id"), "left")
+          .crossJoin(broadcast(end))
+          .select(expr("(coalesce(pu, te) - su) div 86400000000000").as("day"),
+                  when(col("pu").isNotNull, 1L).otherwise(0L).as("e"))
+          .groupBy("day")
+          .agg(sum("e").as("n_event"), sum(lit(1L) - col("e")).as("n_cens"))
+        val wRisk = Window.orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val wSurv = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        life
+          .withColumn("n_risk", sum(col("n_event") + col("n_cens")).over(wRisk))
+          .withColumn("surv", round(exp(sum(log(greatest(lit(1e-300),
+            lit(1.0) - col("n_event") / col("n_risk")))).over(wSurv)), 4))
+          .select("day", "n_risk", "n_event", "n_cens", "surv")
+          .orderBy("day")
+      },
+      Some("""WITH su AS (SELECT user_id, min(epoch_ns(ts)) AS su
+             |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |pu AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS pu
+             |       FROM events e JOIN su ON su.user_id = e.user_id
+             |       WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= su.su
+             |       GROUP BY e.user_id),
+             |te AS (SELECT max(epoch_ns(ts)) AS te FROM events),
+             |life AS (SELECT (coalesce(pu, te) - su) // 86400000000000 AS day,
+             |                CASE WHEN pu IS NULL THEN 0 ELSE 1 END AS e
+             |         FROM su LEFT JOIN pu USING (user_id), te),
+             |tab AS (SELECT day, CAST(sum(e) AS BIGINT) AS n_event,
+             |               CAST(sum(1 - e) AS BIGINT) AS n_cens
+             |        FROM life GROUP BY day),
+             |rk AS (SELECT day, n_event, n_cens,
+             |              CAST(sum(n_event + n_cens) OVER (ORDER BY day
+             |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+             |       FROM tab)
+             |SELECT day, n_risk, n_event, n_cens,
+             |       round(exp(sum(ln(greatest(1e-300, 1 - n_event * 1.0 / n_risk)))
+             |         OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS surv
+             |FROM rk ORDER BY day""".stripMargin)),
+
+    // Stationary distribution of the event-type Markov chain: the
+    // ev_transitions row-stochastic matrix (probs rounded to 6 so
+    // both engines iterate identical inputs) power-iterated 12 rounds
+    // from uniform. The corpus is scanned ONCE into the checkpointed
+    // |types|² cells frame; each round is then a broadcast join of
+    // the |types|-row vector against it plus a tiny aggregate, so
+    // iteration cost is independent of event count. Per-round
+    // rounding to 7 pins the trajectory bit-for-bit across engines
+    // (partial-agg summation order differs; 1e-17 assoc noise never
+    // reaches the 7th decimal).
+    "ev_stationary" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("to_type", lead("event_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = pairs.groupBy("from_type").agg(sum("n").as("tt"))
+        val cells = pairs.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"),
+                  round(col("n") / col("tt"), 6).as("p"))
+          .localCheckpoint(eager = false) // read 13×, never re-scans events
+        val states = cells.select("from_type").distinct()
+        val kk = states.agg(count(lit(1)).as("k"))
+        var v = states.crossJoin(broadcast(kk))
+          .select(col("from_type").as("state"),
+                  round(lit(1.0) / col("k"), 7).as("v"))
+        for (_ <- 1 to 12)
+          v = cells.join(broadcast(v), cells("from_type") === v("state"))
+            .groupBy("to_type")
+            .agg(round(sum(col("p") * col("v")), 7).as("v"))
+            .withColumnRenamed("to_type", "state")
+        v.select(col("state"), round(col("v"), 4).as("pi")).orderBy("state")
+      },
+      Some(s"""WITH tr AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |cnt AS (SELECT from_type, to_type, count(*) AS n
+             |        FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+             |tot AS (SELECT from_type, sum(n) AS tt FROM cnt GROUP BY from_type),
+             |cells AS (SELECT from_type, to_type, round(n * 1.0 / tt, 6) AS p
+             |          FROM cnt JOIN tot USING (from_type)),
+             |kk AS (SELECT count(DISTINCT from_type) AS k FROM cells),
+             |v0 AS (SELECT DISTINCT from_type AS state, round(1.0 / k, 7) AS v
+             |       FROM cells, kk),
+             |${stationaryIterSql(12)}
+             |SELECT state, round(v, 4) AS pi FROM v12 ORDER BY state""".stripMargin)),
+
+    // CUSUM change-point scan on the per-type daily event-count
+    // series: C_k = Σ_{j≤k}(cnt_j − mean) peaks at the most likely
+    // level-shift day (Page's statistic without reset). The raw
+    // stream collapses in ONE grouped pass; every window then runs
+    // on the |types|×|days| daily frame. The per-type mean is
+    // rounded to 6 BEFORE subtraction so both engines accumulate
+    // identical deviations (integer counts − fixed-decimal mean →
+    // the ordered cumulative sum is bit-identical); the argmax
+    // tie-breaks to the earliest day.
+    "ts_cusum" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false) // |types|×|days| rows, read 2×: ONE event scan
+        val mu = daily.groupBy("event_type")
+          .agg(round(avg("cnt"), 6).as("mu"), count(lit(1)).as("n_days"))
+        val wc = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wr = Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum")).desc, col("day"))
+        daily.join(broadcast(mu), "event_type")
+          .withColumn("cusum", sum(col("cnt") - col("mu")).over(wc))
+          .withColumn("rk", row_number().over(wr))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("n_days"),
+                  col("day").as("change_day"),
+                  round(abs(col("cusum")), 4).as("max_abs_cusum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY event_type, day),
+             |mu AS (SELECT event_type, round(avg(cnt), 6) AS mu,
+             |              CAST(count(*) AS BIGINT) AS n_days
+             |       FROM daily GROUP BY event_type),
+             |cs AS (SELECT event_type, day, n_days,
+             |              sum(cnt - mu) OVER (PARTITION BY event_type ORDER BY day
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+             |       FROM daily JOIN mu USING (event_type)),
+             |rk AS (SELECT event_type, n_days, day, cusum,
+             |              row_number() OVER (PARTITION BY event_type
+             |                ORDER BY abs(cusum) DESC, day) AS rk
+             |       FROM cs)
+             |SELECT event_type, n_days, day AS change_day,
+             |       round(abs(cusum), 4) AS max_abs_cusum
+             |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin)))
 
   // ---------------------------------------------------------------
   // Vector store: the reference's Qdrant surface (SURVEY §2 #1–12)
@@ -2476,6 +2693,51 @@ object SparkEntry {
                 |       CASE WHEN swd IS NULL OR swd = 0 THEN NULL
                 |            ELSE round(6.0 * t / swd, 4) END AS transitivity
                 |FROM tri, st, ne""".stripMargin)),
+
+      // 2-core of the near-dup graph by 6 unrolled peeling rounds:
+      // drop degree-<2 nodes, recompute, repeat — the standard
+      // "strip the chains, keep the cliques" pass that separates
+      // true dup clusters from chained false positives before
+      // canonical-doc election. Each round is one degree aggregate +
+      // two semi-joins on that round's CHECKPOINTED edge frame (the
+      // shingle join runs once; rounds never rescan the corpus), so
+      // a round costs O(|E_t|) shuffle — and |E_t| only shrinks.
+      // Fixed rounds, not to-convergence: both engines run the same
+      // 6 (the oracle unrolls them), so results match even if a long
+      // chain is still mid-peel. Output = surviving nodes with their
+      // in-core degree.
+      "graph_kcore" -> Q(
+        (s, d) => {
+          var edges = Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+            .select(col("da"), col("db"))
+            .localCheckpoint(eager = false)
+          for (_ <- 1 to 6) {
+            val keep = edges
+              .select(explode(array(col("da"), col("db"))).as("v"))
+              .groupBy("v").agg(count(lit(1)).as("dg"))
+              .filter(col("dg") >= 2).select("v")
+            edges = edges
+              .join(keep.withColumnRenamed("v", "da"), Seq("da"), "left_semi")
+              .join(keep.withColumnRenamed("v", "db"), Seq("db"), "left_semi")
+              .localCheckpoint(eager = false) // read twice next round
+          }
+          edges.select(explode(array(col("da"), col("db"))).as("v"))
+            .groupBy("v").agg(count(lit(1)).as("core_deg"))
+            .orderBy("v")
+        },
+        Some(s"""WITH s AS (
+                |${graft.text.TextPrimitives.charShinglesSql("documents", "doc_id", "text", 5, "doc_id < 120")}),
+                |c AS (SELECT doc_id, count(*) AS cnt FROM s GROUP BY doc_id),
+                |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+                |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY da, db),
+                |e0 AS MATERIALIZED (SELECT da, db FROM (
+                |    SELECT da, db, ni * 1.0 / (ca.cnt + cb.cnt - ni) AS j
+                |    FROM i JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
+                |  WHERE j >= 0.25),
+                |${kcoreIterSql(6, 2)}
+                |SELECT v, CAST(count(*) AS BIGINT) AS core_deg
+                |FROM (SELECT da AS v FROM e6 UNION ALL SELECT db AS v FROM e6)
+                |GROUP BY v ORDER BY v""".stripMargin)),
 
       // LSH index quality audit: banded-MinHash candidate pairs scored
       // against the EXACT Jaccard truth set on a bounded subset —
@@ -4762,6 +5024,52 @@ object SparkEntry {
                |  FROM w WHERE len(w) >= 2)
                |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
                |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
+      // vocabulary coverage curve: what fraction of the corpus token
+      // MASS do the top-{10,100,1k,10k} types cover — the number that
+      // sizes a tokenizer vocab. The vocab aggregate runs ONCE
+      // (checkpointed: total mass + top-k both read it); the top-10k
+      // is TakeOrdered-bounded so ranking never globally sorts the
+      // Heaps'-bounded-but-large type table, and the four curve
+      // points are conditional sums over those ≤10k rows stacked
+      // into the report.
+      "text_vocab_coverage" -> Q(
+        (s, d) => {
+          val vocab = Tables.documents(s, d)
+            .select(explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("n"))
+            .localCheckpoint(eager = false) // read 2×: total mass + top-k
+          val tot = vocab.agg(sum("n").as("t"), count(lit(1)).as("nv"))
+          val wTop = Window.orderBy(col("n").desc, col("tok"))
+          val top = vocab.orderBy(col("n").desc, col("tok")).limit(10000)
+            .withColumn("rank", row_number().over(wTop))
+          val ks = Seq(10, 100, 1000, 10000)
+          val aggs = ks.flatMap(k => Seq(
+            sum(when(col("rank") <= k, col("n")).otherwise(0L)).as(s"m$k"),
+            sum(when(col("rank") <= k, 1L).otherwise(0L)).as(s"c$k")))
+          val stackArgs = ks
+            .map(k => s"$k, c$k, round(CAST(m$k AS DOUBLE) / t, 4)").mkString(", ")
+          top.crossJoin(broadcast(tot))
+            .groupBy("t", "nv")
+            .agg(aggs.head, aggs.tail: _*)
+            .select(col("nv").as("n_vocab"),
+              expr(s"stack(${ks.size}, $stackArgs) AS (k, in_vocab, coverage)"))
+            .select("k", "in_vocab", "n_vocab", "coverage")
+            .orderBy("k")
+        },
+        Some("""WITH vocab AS (
+               |  SELECT tok, CAST(count(*) AS BIGINT) AS n
+               |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+               |        FROM documents)
+               |  GROUP BY tok),
+               |tot AS (SELECT sum(n) AS t, CAST(count(*) AS BIGINT) AS nv FROM vocab),
+               |top AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+               |        FROM vocab ORDER BY n DESC, tok LIMIT 10000)
+               |SELECT k, CAST(sum(CASE WHEN rank <= k THEN 1 ELSE 0 END) AS BIGINT) AS in_vocab,
+               |       nv AS n_vocab,
+               |       round(CAST(sum(CASE WHEN rank <= k THEN n ELSE 0 END) AS DOUBLE) / t, 4) AS coverage
+               |FROM top, tot, (VALUES (10), (100), (1000), (10000)) ks(k)
+               |GROUP BY k, nv, t ORDER BY k""".stripMargin)),
 
       // Welch's unequal-variance t-test on document length (en vs de):
       // one grouped pass computes (n, mean, var) per group, then the

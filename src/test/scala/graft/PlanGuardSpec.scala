@@ -435,6 +435,57 @@ class PlanGuardSpec extends SparkSpec {
     assert(gen >= 0 && p.take(gen).contains("HashAggregate"), p)
   }
 
+  test("KM survival: one checkpointed signup agg, windows on the life table only") {
+    val p = plan("ev_survival")
+    // su is lazily checkpointed and reused by pu AND life — the signup
+    // scan runs once; remaining parquet scans are purchase + obs-end
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 4, p)
+    // at-risk + survival windows run AFTER the day-level aggregate
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row obs-end cross
+  }
+
+  test("stationary distribution iterates off the checkpointed cells: zero rescans") {
+    val p = plan("ev_stationary")
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    // 12 power-iteration rounds, each a broadcast join of the tiny vector
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 12, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("CUSUM collapses the stream once; windows run on the daily frame") {
+    val p = plan("ts_cusum")
+    assert(p.contains("Scan ExistingRDD"), p) // checkpointed daily counts
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(!p.contains("SortMergeJoin"), p) // per-type mean joins broadcast
+  }
+
+  test("skyline staircase: one window over distinct prices, broadcast join-back") {
+    val p = plan("q_skyline")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p) // frontier is tiny: never SMJ
+    assert(!p.contains("SortMergeJoin"), p)
+    // join-back scan reads only the 3 projected columns
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_size:int,p_retailprice:double>"), p)
+  }
+
+  test("k-core peels checkpointed edges: the shingle join never re-runs") {
+    val p = plan("graph_kcore")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+  }
+
+  test("vocab coverage bounds ranking with TakeOrdered off the checkpointed vocab") {
+    val p = plan("text_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    // the only window ranks the ≤10k TakeOrdered survivors
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1, p)
+  }
+
   test("quantile normalization runs on checkpointed value histograms only") {
     val p = plan("samp_quantile_norm")
     assert(p.contains("Scan ExistingRDD"), p) // the (source,value,count) frame
