@@ -2303,7 +2303,143 @@ object SparkEntry {
              |       FROM cs)
              |SELECT event_type, n_days, day AS change_day,
              |       round(abs(cusum), 4) AS max_abs_cusum
-             |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin)))
+             |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin)),
+
+    // two-proportion z-test of an A/B split: arm assignment is the
+    // salted content-stable hash of user_id (the Sampling idiom — the
+    // assignment a real experiment framework would persist, and
+    // re-runs/repartitioning never move a user between arms),
+    // conversion = repeat purchaser (≥14 purchases; "any purchase"
+    // saturates on this corpus — every user converts and the pooled
+    // variance is 0). ONE per-user aggregate then a 2-row arm rollup
+    // collapsed map-side into the single stats row — no window, no
+    // join, corpus scanned once. A degenerate pool (0 or 1) NULLs z
+    // on both engines rather than surfacing a divide-by-zero.
+    "ev_ab_test" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val users = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg((sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 14).cast("long").as("conv"))
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+        users.agg(
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+            sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x_t"),
+            sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x_c"))
+          .select(col("n_t"), col("n_c"), col("x_t"), col("x_c"),
+            when(col("n_t") === 0, lit(null).cast("double"))
+              .otherwise(round(col("x_t") / col("n_t").cast("double"), 4)).as("cr_t"),
+            when(col("n_c") === 0, lit(null).cast("double"))
+              .otherwise(round(col("x_c") / col("n_c").cast("double"), 4)).as("cr_c"),
+            round((col("x_t") + col("x_c"))
+              / (col("n_t") + col("n_c")).cast("double"), 6).as("pool"))
+          .select(col("n_t"), col("n_c"), col("x_t"), col("x_c"),
+            col("cr_t"), col("cr_c"),
+            round(col("cr_t") - col("cr_c"), 4).as("lift"),
+            when(col("n_t") === 0 || col("n_c") === 0 ||
+                 col("pool") <= 0.0 || col("pool") >= 1.0,
+                lit(null).cast("double"))
+              .otherwise(round((col("x_t") / col("n_t").cast("double")
+                 - col("x_c") / col("n_c").cast("double"))
+                / sqrt(col("pool") * (lit(1.0) - col("pool"))
+                  * (lit(1.0) / col("n_t") + lit(1.0) / col("n_c"))), 4))
+              .as("z"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+             |              THEN 1 ELSE 0 END AS conv,
+             |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+             |  FROM events GROUP BY user_id),
+             |a AS (SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             |             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             |             CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_t,
+             |             CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_c
+             |      FROM u),
+             |b AS (SELECT *,
+             |             CASE WHEN n_t = 0 THEN NULL
+             |                  ELSE round(x_t / CAST(n_t AS DOUBLE), 4) END AS cr_t,
+             |             CASE WHEN n_c = 0 THEN NULL
+             |                  ELSE round(x_c / CAST(n_c AS DOUBLE), 4) END AS cr_c,
+             |             round((x_t + x_c) / CAST(n_t + n_c AS DOUBLE), 6) AS pool
+             |      FROM a)
+             |SELECT n_t, n_c, x_t, x_c, cr_t, cr_c,
+             |       round(cr_t - cr_c, 4) AS lift,
+             |       CASE WHEN n_t = 0 OR n_c = 0 OR pool <= 0.0 OR pool >= 1.0 THEN NULL
+             |            ELSE round((x_t / CAST(n_t AS DOUBLE) - x_c / CAST(n_c AS DOUBLE))
+             |             / sqrt(pool * (1.0 - pool) * (1.0 / n_t + 1.0 / n_c)), 4) END AS z
+             |FROM b""".stripMargin)),
+
+    // decile lift & cumulative gains: score users by activity volume,
+    // response = any purchase — "does the score rank responders to
+    // the top?" in the table a targeting/curation pipeline reads.
+    // Deciles come from BROADCAST interpolated-percentile cutoffs
+    // (rounded to 6 so both engines bucket identically), NEVER a
+    // global ntile sort; the only window runs over the ≤10 decile
+    // rows. Integer-valued scores tie heavily, so buckets are
+    // unequal by construction — lift is computed against each
+    // bucket's own size, which keeps the report honest under ties.
+    "ev_lift_gain" -> Q(
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+               max(when(col("event_type") === "purchase", 1L)
+                 .otherwise(0L)).as("resp"))
+          .localCheckpoint(eager = false) // read 2×: cutoffs + bucketing
+        val cuts = users.agg(expr(
+          "transform(percentile(n, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)), " +
+          "x -> round(x, 6))").as("bs"))
+        val bucketed = users.crossJoin(broadcast(cuts))
+          .withColumn("decile", lit(10) - expr(
+            "aggregate(bs, 0, (acc, b) -> acc + CASE WHEN n > b THEN 1 ELSE 0 END)"))
+        val tot = bucketed.agg(sum("resp").as("tr"), count(lit(1)).as("tn"))
+        val wCum = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketed.groupBy("decile")
+          .agg(count(lit(1)).as("n_users"), sum("resp").as("resp"))
+          .crossJoin(broadcast(tot))
+          .withColumn("cum_resp", sum("resp").over(wCum))
+          .select(col("decile"), col("n_users"),
+            round(col("resp") / col("n_users").cast("double"), 4).as("resp_rate"),
+            // zero-responder corpus: lift/gain undefined, NULL not ÷0
+            when(col("tr") === 0, lit(null).cast("double"))
+              .otherwise(round((col("resp") / col("n_users").cast("double"))
+                / (col("tr") / col("tn").cast("double")), 4)).as("lift"),
+            when(col("tr") === 0, lit(null).cast("double"))
+              .otherwise(round(col("cum_resp") / col("tr").cast("double"), 4))
+              .as("cum_gain"))
+          .orderBy("decile")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS resp
+             |  FROM events GROUP BY user_id),
+             |c AS (SELECT round(quantile_cont(n, 0.1), 6) AS b1, round(quantile_cont(n, 0.2), 6) AS b2,
+             |             round(quantile_cont(n, 0.3), 6) AS b3, round(quantile_cont(n, 0.4), 6) AS b4,
+             |             round(quantile_cont(n, 0.5), 6) AS b5, round(quantile_cont(n, 0.6), 6) AS b6,
+             |             round(quantile_cont(n, 0.7), 6) AS b7, round(quantile_cont(n, 0.8), 6) AS b8,
+             |             round(quantile_cont(n, 0.9), 6) AS b9
+             |      FROM u),
+             |bk AS (SELECT u.*, 10 - ((n > b1)::INT + (n > b2)::INT + (n > b3)::INT
+             |              + (n > b4)::INT + (n > b5)::INT + (n > b6)::INT
+             |              + (n > b7)::INT + (n > b8)::INT + (n > b9)::INT) AS decile
+             |       FROM u, c),
+             |tot AS (SELECT CAST(sum(resp) AS BIGINT) AS tr, CAST(count(*) AS BIGINT) AS tn FROM bk),
+             |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             |             CAST(sum(resp) AS BIGINT) AS resp
+             |      FROM bk GROUP BY decile)
+             |SELECT decile, n_users,
+             |       round(resp / CAST(n_users AS DOUBLE), 4) AS resp_rate,
+             |       CASE WHEN tr = 0 THEN NULL
+             |            ELSE round((resp / CAST(n_users AS DOUBLE)) / (tr / CAST(tn AS DOUBLE)), 4) END AS lift,
+             |       CASE WHEN tr = 0 THEN NULL
+             |            ELSE round(sum(resp) OVER (ORDER BY decile
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / CAST(tr AS DOUBLE), 4) END AS cum_gain
+             |FROM g, tot ORDER BY decile""".stripMargin)))
 
   // ---------------------------------------------------------------
   // Vector store: the reference's Qdrant surface (SURVEY §2 #1–12)
@@ -4995,6 +5131,104 @@ object SparkEntry {
                |       round(quantile_cont(m, 0.025), 4) AS ci_lo,
                |       round(quantile_cont(m, 0.975), 4) AS ci_hi
                |FROM reps""".stripMargin)),
+
+      // Poisson bootstrap of the mean tokens/doc — the industry-
+      // standard AT-SCALE bootstrap: each doc gets an independent
+      // Poisson(1) weight per replicate (≈ multinomial resampling as
+      // n→∞), so all 16 replicates come out of ONE scan with 32
+      // map-side weighted sums — no resample materialization, no
+      // shuffle growth, mergeable across partitions. Weights are the
+      // inverse-CDF of a salted content-stable hash draw (CDF
+      // constants written identically in both engines); replicate
+      // means round to 6 before the constant-cost 16-row summary.
+      "samp_poisson_bootstrap" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.md5Long
+          val B = 16
+          val base = Tables.documents(s, d).select(col("doc_id").as("id"),
+            size(graft.text.TextPrimitives.tokens(col("text")))
+              .cast("double").as("x"))
+          def w(b: Int) = {
+            val u = (md5Long(concat(lit(s"pb:$b:"), col("id").cast("string")))
+              % 1000000L + 1L) / lit(1000000.0)
+            when(u <= 0.367879441, 0.0).when(u <= 0.735758882, 1.0)
+              .when(u <= 0.919698603, 2.0).when(u <= 0.981011843, 3.0)
+              .when(u <= 0.996340153, 4.0).when(u <= 0.999405815, 5.0)
+              .otherwise(6.0)
+          }
+          val aggs = (0 until B).flatMap(b => Seq(
+            sum(w(b) * col("x")).as(s"s$b"), sum(w(b)).as(s"w$b")))
+          val stackArgs = (0 until B)
+            .map(b => s"$b, round(s$b / w$b, 6)").mkString(", ")
+          base.agg(aggs.head, aggs.tail: _*)
+            .select(expr(s"stack($B, $stackArgs) AS (rep, m)"))
+            .agg(count(lit(1)).as("n_reps"),
+                 round(avg("m"), 4).as("boot_mean"),
+                 round(stddev_samp(col("m")), 4).as("boot_se"),
+                 round(expr("percentile(m, 0.025D)"), 4).as("ci_lo"),
+                 round(expr("percentile(m, 0.975D)"), 4).as("ci_hi"))
+        },
+        Some("""WITH base AS (
+               |  SELECT doc_id AS id,
+               |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS x
+               |  FROM documents),
+               |dr AS (
+               |  SELECT rb, x,
+               |    (('0x' || substr(md5('pb:' || CAST(rb AS VARCHAR) || ':'
+               |        || CAST(id AS VARCHAR)), 1, 15))::BIGINT % 1000000 + 1) / 1000000.0 AS u
+               |  FROM base, range(16) t(rb)),
+               |wt AS (
+               |  SELECT rb, x,
+               |    CASE WHEN u <= 0.367879441 THEN 0.0 WHEN u <= 0.735758882 THEN 1.0
+               |         WHEN u <= 0.919698603 THEN 2.0 WHEN u <= 0.981011843 THEN 3.0
+               |         WHEN u <= 0.996340153 THEN 4.0 WHEN u <= 0.999405815 THEN 5.0
+               |         ELSE 6.0 END AS w
+               |  FROM dr),
+               |reps AS (SELECT rb, round(sum(w * x) / sum(w), 6) AS m
+               |         FROM wt GROUP BY rb)
+               |SELECT CAST(count(*) AS BIGINT) AS n_reps,
+               |       round(avg(m), 4) AS boot_mean,
+               |       round(stddev_samp(m), 4) AS boot_se,
+               |       round(quantile_cont(m, 0.025), 4) AS ci_lo,
+               |       round(quantile_cont(m, 0.975), 4) AS ci_hi
+               |FROM reps""".stripMargin)),
+
+      // ε=1 Laplace mechanism on the per-language histogram, with the
+      // noise draw made deterministic: inverse-CDF of a salted
+      // content-stable hash of the GROUP KEY (a real release would
+      // use a sealed seed; the plumbing — per-group draw, two-sided
+      // inverse CDF, post-noise rounding — is exactly this). Noise is
+      // added AFTER the one grouped pass, so the mechanism costs one
+      // projection over |langs| rows; the clamp under the log caps
+      // |noise| at ~27b instead of surfacing either engine's ln(0).
+      // True counts ride along as the calibration audit (this is the
+      // mechanism test harness, not the private release itself).
+      "priv_dp_counts" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.md5Long
+          val u = (md5Long(concat(lit("dp:"), col("lang")))
+            % 1000000L + 1L) / lit(1000000.0) - 0.5
+          val noise = -signum(col("u")) *
+            log(greatest(lit(1e-12), lit(1.0) - lit(2.0) * abs(col("u"))))
+          Tables.documents(s, d).groupBy("lang")
+            .agg(count(lit(1)).as("n_true"))
+            .withColumn("u", round(u, 6))
+            .select(col("lang"), col("n_true"),
+              round(noise, 4).as("noise"),
+              round(col("n_true") + noise, 4).as("n_noisy"))
+            .orderBy("lang")
+        },
+        Some("""WITH g AS (
+               |  SELECT lang, CAST(count(*) AS BIGINT) AS n_true,
+               |         round((('0x' || substr(md5('dp:' || lang), 1, 15))::BIGINT
+               |           % 1000000 + 1) / 1000000.0 - 0.5, 6) AS u
+               |  FROM documents GROUP BY lang),
+               |n AS (SELECT lang, n_true,
+               |             -sign(u) * ln(greatest(1e-12, 1.0 - 2.0 * abs(u))) AS noise
+               |      FROM g)
+               |SELECT lang, n_true, round(noise, 4) AS noise,
+               |       round(n_true + noise, 4) AS n_noisy
+               |FROM n ORDER BY lang""".stripMargin)),
 
       // first-round BPE merge candidates: corpus-weighted adjacent
       // character-pair counts, top 20. The corpus collapses to the

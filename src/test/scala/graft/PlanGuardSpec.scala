@@ -486,6 +486,35 @@ class PlanGuardSpec extends SparkSpec {
     assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1, p)
   }
 
+  test("A/B z-test is one scan + map-side partials: no join, no window") {
+    val p = plan("ev_ab_test")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("lift/gain buckets against broadcast cutoffs off the checkpointed user agg") {
+    val p = plan("ev_lift_gain")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only window is the cumulative gain over the ≤10 decile rows
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1, p)
+  }
+
+  test("Poisson bootstrap is ONE scan with 32 map-side weighted sums") {
+    val p = plan("samp_poisson_bootstrap")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("DP-noised histogram is one grouped pass; noise is a projection") {
+    val p = plan("priv_dp_counts")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
   test("quantile normalization runs on checkpointed value histograms only") {
     val p = plan("samp_quantile_norm")
     assert(p.contains("Scan ExistingRDD"), p) // the (source,value,count) frame
