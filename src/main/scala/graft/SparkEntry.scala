@@ -815,7 +815,59 @@ object SparkEntry {
              |WHERE NOT EXISTS (SELECT 1 FROM part b
              |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
              |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
-             |ORDER BY p_partkey""".stripMargin)))
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // market-basket pair mining with A-Priori pruning: restrict to
+    // FREQUENT items (item support ≥ 20 orders) BEFORE the per-order
+    // self-join — the candidate-pair explosion runs over frequent
+    // items only, the monotonicity argument that makes pair mining
+    // tractable at catalog scale (an infrequent item can never be in
+    // a frequent pair, so pruning loses nothing). The basket list is
+    // checkpointed (read by the frequency agg AND both join sides);
+    // pairs need n_both ≥ 2; report = top-20 by lift, ordered on the
+    // ROUNDED value so a boundary pair cannot flip engines.
+    "q_basket_pairs" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+          .localCheckpoint(eager = false)
+        val freq = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 20)
+        val fli = li.join(freq.select("l_partkey"), Seq("l_partkey"), "left_semi")
+        val pc = fli.select(col("l_orderkey"), col("l_partkey").as("pa"))
+          .join(fli.select(col("l_orderkey"), col("l_partkey").as("pb")),
+            "l_orderkey")
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("n_both"))
+          .filter(col("n_both") >= 2)
+        val no = li.select("l_orderkey").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        pc.join(broadcast(freq.toDF("pa", "n_a")), "pa")
+          .join(broadcast(freq.toDF("pb", "n_b")), "pb")
+          .crossJoin(broadcast(no))
+          .select(col("pa"), col("pb"), col("n_both"),
+            round(col("n_both") / col("n_orders").cast("double"), 6).as("support"),
+            round(col("n_both").cast("double") * col("n_orders")
+              / (col("n_a").cast("double") * col("n_b")), 4).as("lift"))
+          .orderBy(col("lift").desc, col("pa"), col("pb")).limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+             |         FROM li GROUP BY l_partkey HAVING count(*) >= 20),
+             |fli AS (SELECT li.* FROM li JOIN freq USING (l_partkey)),
+             |pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             |              CAST(count(*) AS BIGINT) AS n_both
+             |       FROM fli a JOIN fli b
+             |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |       GROUP BY pa, pb HAVING count(*) >= 2),
+             |no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li)
+             |SELECT pa, pb, n_both,
+             |       round(n_both / CAST(n_orders AS DOUBLE), 6) AS support,
+             |       round(CAST(n_both AS DOUBLE) * n_orders
+             |             / (CAST(fa.c AS DOUBLE) * fb.c), 4) AS lift
+             |FROM pc JOIN freq fa ON fa.l_partkey = pa
+             |        JOIN freq fb ON fb.l_partkey = pb, no
+             |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin)))
 
   // ---------------------------------------------------------------
   // Events: sessionize + tumbling windows (SURVEY §2 #32–33)
@@ -2439,7 +2491,50 @@ object SparkEntry {
              |       CASE WHEN tr = 0 THEN NULL
              |            ELSE round(sum(resp) OVER (ORDER BY decile
              |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / CAST(tr AS DOUBLE), 4) END AS cum_gain
-             |FROM g, tot ORDER BY decile""".stripMargin)))
+             |FROM g, tot ORDER BY decile""".stripMargin)),
+
+    // rolling-origin forecast backtest: forecast each day's count per
+    // type as the trailing-7-day mean, score MAPE/RMSE/bias on every
+    // day with a full window — the evaluation harness that validates
+    // a capacity forecast before anyone trusts it. The stream
+    // collapses in ONE grouped pass; forecast + scoring windows all
+    // run on the checkpointed |types|×|days| frame. Forecasts round
+    // to 6 before the error metrics so both engines score identical
+    // residuals.
+    "ts_backtest" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false)
+        val wF = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-7, -1)
+        val wN = Window.partitionBy("event_type").orderBy("day")
+        daily
+          .withColumn("f", round(avg("cnt").over(wF), 6))
+          .withColumn("rn", row_number().over(wN))
+          .filter(col("rn") > 7)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_eval"),
+               round(avg(abs(col("f") - col("cnt")) / col("cnt")), 4).as("mape"),
+               round(sqrt(avg(pow(col("f") - col("cnt"), 2))), 4).as("rmse"),
+               round(avg(col("f") - col("cnt")), 4).as("bias"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY event_type, day),
+             |f AS (SELECT event_type, day, cnt,
+             |             round(avg(cnt) OVER (PARTITION BY event_type ORDER BY day
+             |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6) AS f,
+             |             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+             |      FROM daily)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+             |       round(avg(abs(f - cnt) / cnt), 4) AS mape,
+             |       round(sqrt(avg(pow(f - cnt, 2))), 4) AS rmse,
+             |       round(avg(f - cnt), 4) AS bias
+             |FROM f WHERE rn > 7 GROUP BY event_type ORDER BY event_type""".stripMargin)))
 
   // ---------------------------------------------------------------
   // Vector store: the reference's Qdrant surface (SURVEY §2 #1–12)
@@ -5229,6 +5324,61 @@ object SparkEntry {
                |SELECT lang, n_true, round(noise, 4) AS noise,
                |       round(n_true + noise, 4) AS n_noisy
                |FROM n ORDER BY lang""".stripMargin)),
+
+      // Neyman allocation of a 100-doc evaluation budget across
+      // language strata: n_h ∝ N_h·σ_h (token-count σ) — sample more
+      // where strata are big AND noisy, the design that minimizes
+      // estimator variance at fixed budget. ONE grouped pass makes
+      // the |langs|-row stats frame (checkpointed: the share, base,
+      // and remainder columns all read it); integerization is
+      // largest-remainder so the allocations sum EXACTLY to budget,
+      // with the rank window over |langs| rows. Shares and remainders
+      // round to 9 pre-compare so both engines hand out identical
+      // top-ups.
+      "samp_strat_alloc" -> Q(
+        (s, d) => {
+          val st = Tables.documents(s, d)
+            .select(col("lang"),
+              size(graft.text.TextPrimitives.tokens(col("text")))
+                .cast("double").as("x"))
+            .groupBy("lang")
+            .agg(count(lit(1)).as("nh"),
+                 round(stddev_samp(col("x")), 6).as("sd"))
+          val tot = st.agg(round(sum(col("nh") * col("sd")), 6).as("t"))
+          val a = st.crossJoin(broadcast(tot))
+            // all-constant strata (t = 0): allocation undefined, NULL not ÷0
+            .withColumn("share", when(col("t") === 0, lit(null).cast("double"))
+              .otherwise(round(col("nh") * col("sd") / col("t"), 9)))
+            .withColumn("base", floor(col("share") * 100).cast("long"))
+            .withColumn("rem", round(col("share") * 100 - col("base"), 9))
+            .localCheckpoint(eager = false) // read 2×: base total + top-up rank
+          val sb = a.agg(sum("base").as("sb"))
+          val wR = Window.orderBy(col("rem").desc, col("lang"))
+          a.crossJoin(broadcast(sb))
+            .withColumn("rk", row_number().over(wR))
+            .select(col("lang"), col("nh").as("n_docs"), col("sd"),
+              (col("base") + when(col("rk") <= lit(100) - col("sb"), 1L)
+                .otherwise(0L)).as("alloc"))
+            .orderBy("lang")
+        },
+        Some("""WITH st AS (
+               |  SELECT lang, CAST(count(*) AS BIGINT) AS nh,
+               |         round(stddev_samp(
+               |           CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)), 6) AS sd
+               |  FROM documents GROUP BY lang),
+               |tot AS (SELECT round(sum(nh * sd), 6) AS t FROM st),
+               |a AS (SELECT lang, nh, sd,
+               |             CASE WHEN t = 0 THEN NULL ELSE round(nh * sd / t, 9) END AS share,
+               |             CAST(floor(CASE WHEN t = 0 THEN NULL ELSE round(nh * sd / t, 9) END * 100) AS BIGINT) AS base,
+               |             round(CASE WHEN t = 0 THEN NULL ELSE round(nh * sd / t, 9) END * 100
+               |               - floor(CASE WHEN t = 0 THEN NULL ELSE round(nh * sd / t, 9) END * 100), 9) AS rem
+               |      FROM st, tot),
+               |sb AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM a),
+               |rk AS (SELECT a.*, row_number() OVER (ORDER BY rem DESC, lang) AS rk
+               |       FROM a)
+               |SELECT lang, nh AS n_docs, sd,
+               |       base + CASE WHEN rk <= 100 - sb THEN 1 ELSE 0 END AS alloc
+               |FROM rk, sb ORDER BY lang""".stripMargin)),
 
       // first-round BPE merge candidates: corpus-weighted adjacent
       // character-pair counts, top 20. The corpus collapses to the

@@ -515,6 +515,29 @@ class PlanGuardSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size <= 2, p)
   }
 
+  test("basket pairs: A-Priori prune + TakeOrdered off the checkpointed baskets") {
+    val p = plan("q_basket_pairs")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortExec"), p) // top-20 never globally sorts pairs
+  }
+
+  test("Neyman allocation windows only the |langs|-row stats frame") {
+    val p = plan("samp_strat_alloc")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1, p)
+  }
+
+  test("forecast backtest: one stream collapse, merged window on daily frame") {
+    val p = plan("ts_backtest")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    // trailing-mean avg and row_number share one Window node
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1, p)
+  }
+
   test("quantile normalization runs on checkpointed value histograms only") {
     val p = plan("samp_quantile_norm")
     assert(p.contains("Scan ExistingRDD"), p) // the (source,value,count) frame

@@ -72,7 +72,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_welch_ttest", "stat_cohens_kappa", "pipe_filter_attrition",
     "stat_anova", "stat_spearman", "stat_nmi", "samp_bootstrap",
     "text_bpe_pairs", "text_vocab_coverage", "graph_kcore",
-    "samp_poisson_bootstrap", "priv_dp_counts",
+    "samp_poisson_bootstrap", "priv_dp_counts", "samp_strat_alloc",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
     "mm_patch_grid", "mm_shot_bounds")
@@ -171,7 +171,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ts_seasonal", "ev_assoc_rules", "graph_pagerank",
     "ev_scd2", "ts_acf", "ev_funnel_windowed", "ev_attribution_decay",
     "ev_streaks", "ev_concurrency", "ev_bot_flags",
-    "ev_survival", "ev_stationary", "ts_cusum", "ev_ab_test", "ev_lift_gain")
+    "ev_survival", "ev_stationary", "ts_cusum", "ev_ab_test", "ev_lift_gain",
+    "ts_backtest")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
