@@ -867,7 +867,95 @@ object SparkEntry {
              |             / (CAST(fa.c AS DOUBLE) * fb.c), 4) AS lift
              |FROM pc JOIN freq fa ON fa.l_partkey = pa
              |        JOIN freq fb ON fb.l_partkey = pb, no
-             |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin)))
+             |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin)),
+
+    // cohort LTV curve: customers cohorted by first-order month,
+    // cumulative revenue per customer tracked over the first 6 months
+    // of life — the "is newer acquisition worth less?" table. Orders
+    // collapse to month grain in the ONE checkpointed pass (read by
+    // cohort assignment AND revenue rollup); the customer-keyed join
+    // carries the fact table once, cohort sizes broadcast back, and
+    // the cumulative window runs on the |cohorts|×|ages| frame.
+    // Per-cell revenue rounds to 6 BEFORE the running sum so both
+    // engines accumulate identical cells.
+    "q_ltv_cohort" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_custkey"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("m"),
+            col("o_totalprice"))
+          .localCheckpoint(eager = false)
+        val first = o.groupBy("o_custkey").agg(min("m").as("m0"))
+        val sizes = first.groupBy("m0").agg(count(lit(1)).as("n_cust"))
+        val rev = o.join(first, "o_custkey")
+          .groupBy(col("m0"), (col("m") - col("m0")).as("age"))
+          .agg(round(sum("o_totalprice"), 6).as("rev"))
+        val wC = Window.partitionBy("m0").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev.join(broadcast(sizes), "m0")
+          .withColumn("cum_rev", sum("rev").over(wC))
+          .filter(col("age") <= 6)
+          .select(col("m0").as("cohort_m"), col("age"), col("n_cust"),
+            round(col("cum_rev") / col("n_cust"), 4).as("ltv"))
+          .orderBy("cohort_m", "age")
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+             |                  year(o_orderdate) * 12 + month(o_orderdate) AS m,
+             |                  o_totalprice
+             |           FROM orders),
+             |f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey),
+             |sz AS (SELECT m0, CAST(count(*) AS BIGINT) AS n_cust FROM f GROUP BY m0),
+             |rev AS (SELECT m0, m - m0 AS age, round(sum(o_totalprice), 6) AS rev
+             |        FROM o JOIN f USING (o_custkey) GROUP BY m0, age),
+             |c AS (SELECT m0, age, rev,
+             |             sum(rev) OVER (PARTITION BY m0 ORDER BY age
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+             |      FROM rev)
+             |SELECT m0 AS cohort_m, age, n_cust,
+             |       round(cum_rev / n_cust, 4) AS ltv
+             |FROM c JOIN sz USING (m0) WHERE age <= 6
+             |ORDER BY cohort_m, age""".stripMargin)),
+
+    // open-order backlog series: orders opened minus orders fully
+    // shipped, cumulated by month — the fulfillment-health curve.
+    // Both sides collapse to month grain first (per-order max
+    // shipdate = fulfillment month needs ONE lineitem rollup); the
+    // full-outer month join and both running sums operate on the
+    // |months|-row frame only.
+    "q_order_backlog" -> Q(
+      (s, d) => {
+        val om = Tables.orders(s, d)
+          .select((year(col("o_orderdate")) * 12
+            + month(col("o_orderdate"))).cast("long").as("m"))
+          .groupBy("m").agg(count(lit(1)).as("opened"))
+        val fm = Tables.lineitem(s, d)
+          .groupBy("l_orderkey").agg(max("l_shipdate").as("fd"))
+          .select((year(col("fd")) * 12 + month(col("fd"))).cast("long").as("m"))
+          .groupBy("m").agg(count(lit(1)).as("fulfilled"))
+        val w = Window.orderBy("m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        om.join(fm, Seq("m"), "full_outer")
+          .na.fill(0L, Seq("opened", "fulfilled"))
+          .withColumn("backlog",
+            sum(col("opened") - col("fulfilled")).over(w))
+          .select("m", "opened", "fulfilled", "backlog")
+          .orderBy("m")
+      },
+      Some("""WITH om AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+             |                   CAST(count(*) AS BIGINT) AS opened
+             |            FROM orders GROUP BY m),
+             |fo AS (SELECT l_orderkey, max(l_shipdate) AS fd FROM lineitem
+             |       GROUP BY l_orderkey),
+             |fm AS (SELECT year(fd) * 12 + month(fd) AS m,
+             |              CAST(count(*) AS BIGINT) AS fulfilled
+             |       FROM fo GROUP BY m)
+             |SELECT m, coalesce(opened, 0) AS opened,
+             |       coalesce(fulfilled, 0) AS fulfilled,
+             |       CAST(sum(coalesce(opened, 0) - coalesce(fulfilled, 0))
+             |         OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+             |               AND CURRENT ROW) AS BIGINT) AS backlog
+             |FROM om FULL OUTER JOIN fm USING (m)
+             |ORDER BY m""".stripMargin)))
 
   // ---------------------------------------------------------------
   // Events: sessionize + tumbling windows (SURVEY §2 #32–33)
@@ -2534,7 +2622,51 @@ object SparkEntry {
              |       round(avg(abs(f - cnt) / cnt), 4) AS mape,
              |       round(sqrt(avg(pow(f - cnt, 2))), 4) AS rmse,
              |       round(avg(f - cnt), 4) AS bias
-             |FROM f WHERE rn > 7 GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM f WHERE rn > 7 GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // minimum-detectable-effect curve for the ev_ab_test design:
+    // MDE(n) = (z_{α/2} + z_{power})·√(2p(1-p)/n) at α=0.05, 80%
+    // power, with the baseline p measured from the corpus (rounded to
+    // 6 so both engines plug in the same rate). ONE per-user pass for
+    // p; the curve is an explode over the n-grid of the single
+    // baseline row — the pre-experiment sizing table next to the
+    // post-experiment z-test.
+    "stat_mde_curve" -> Q(
+      (s, d) => {
+        val p = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg((sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 14).cast("long").as("conv"))
+          .agg(round(avg("conv"), 6).as("p"))
+        p.select(col("p"), explode(expr(
+            "array(1000L, 5000L, 10000L, 50000L, 100000L)")).as("n_per_arm"))
+          .select(col("n_per_arm"), col("p").as("baseline"),
+            when(col("p").isNull || col("p") <= 0.0 || col("p") >= 1.0,
+                lit(null).cast("double"))
+              .otherwise(round(lit(1.96 + 0.8416)
+                * sqrt(lit(2.0) * col("p") * (lit(1.0) - col("p"))
+                  / col("n_per_arm")), 6)).as("mde_abs"))
+          .withColumn("mde_rel",
+            when(col("mde_abs").isNull, lit(null).cast("double"))
+              .otherwise(round(col("mde_abs") / col("baseline"), 4)))
+          .orderBy("n_per_arm")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+             |              THEN 1 ELSE 0 END AS conv
+             |  FROM events GROUP BY user_id),
+             |p AS (SELECT round(avg(conv), 6) AS p FROM u),
+             |g AS (SELECT p, unnest([1000, 5000, 10000, 50000, 100000]) AS n_per_arm FROM p)
+             |SELECT CAST(n_per_arm AS BIGINT) AS n_per_arm, p AS baseline,
+             |       CASE WHEN p IS NULL OR p <= 0.0 OR p >= 1.0 THEN NULL
+             |            ELSE round((1.96 + 0.8416) * sqrt(2.0 * p * (1.0 - p) / n_per_arm), 6)
+             |       END AS mde_abs,
+             |       CASE WHEN p IS NULL OR p <= 0.0 OR p >= 1.0 THEN NULL
+             |            ELSE round(round((1.96 + 0.8416)
+             |              * sqrt(2.0 * p * (1.0 - p) / n_per_arm), 6) / p, 4)
+             |       END AS mde_rel
+             |FROM g ORDER BY n_per_arm""".stripMargin)))
 
   // ---------------------------------------------------------------
   // Vector store: the reference's Qdrant surface (SURVEY §2 #1–12)

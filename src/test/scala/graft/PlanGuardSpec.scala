@@ -538,6 +538,26 @@ class PlanGuardSpec extends SparkSpec {
     assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1, p)
   }
 
+  test("LTV cohorts: one checkpointed month-grain pass, window on cohort frame") {
+    val p = plan("q_ltv_cohort")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1, p)
+  }
+
+  test("backlog series: both sides collapse to month grain before join/windows") {
+    val p = plan("q_order_backlog")
+    assert("Scan parquet".r.findAllIn(p).size <= 4, p) // orders + lineitem once each
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1, p)
+  }
+
+  test("MDE curve is one per-user pass exploded over the n-grid") {
+    val p = plan("stat_mde_curve")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("quantile normalization runs on checkpointed value histograms only") {
     val p = plan("samp_quantile_norm")
     assert(p.contains("Scan ExistingRDD"), p) // the (source,value,count) frame

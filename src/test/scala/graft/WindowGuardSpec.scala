@@ -45,7 +45,27 @@ class WindowGuardSpec extends SparkSpec {
     "stat_mwu",
     // global-ecdf running sum over the DISTINCT value histogram (the
     // quantile-normalization map; values, never rows)
-    "samp_quantile_norm")
+    "samp_quantile_norm",
+    // VALUE-level cumulative rank maps (distinct x / distinct y
+    // histograms — the stat_gini bound: values, never rows)
+    "stat_spearman",
+    // sweep-line running sum over the per-TIMESTAMP delta rollup
+    // (distinct event times, never raw events)
+    "ev_concurrency",
+    // KM at-risk/survival windows over the |distinct day|-row life
+    // table (users collapse in the per-user aggs first)
+    "ev_survival",
+    // cumulative gain over the ≤10 decile rows
+    "ev_lift_gain",
+    // staircase running max over DISTINCT prices (bounded by the
+    // price-grid domain — cents, never part rows)
+    "q_skyline",
+    // largest-remainder top-up rank over the |langs|-row stats frame
+    "samp_strat_alloc",
+    // rank-after-limit over the TakeOrdered top-10k vocab
+    "text_vocab_coverage",
+    // opened/fulfilled running sums over the |months|-row rollup
+    "q_order_backlog")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
