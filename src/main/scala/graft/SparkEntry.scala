@@ -2666,7 +2666,206 @@ object SparkEntry {
              |            ELSE round(round((1.96 + 0.8416)
              |              * sqrt(2.0 * p * (1.0 - p) / n_per_arm), 6) / p, 4)
              |       END AS mde_rel
-             |FROM g ORDER BY n_per_arm""".stripMargin)))
+             |FROM g ORDER BY n_per_arm""".stripMargin)),
+
+    // weekly growth accounting: every active user classified as
+    // new / retained / resurrected per week via ONE per-user lag
+    // pass (hash-partitioned window); churned(w) is derived as
+    // active(w-1) - retained(w) by joining the tiny |weeks| rollup
+    // to itself shifted one week — no second fact scan, no per-user
+    // churn window. Quick ratio NULL (not ÷0) when nothing churned.
+    "ev_growth_accounting" -> Q(
+      (s, d) => {
+        val wkAct = Tables.events(s, d)
+          .select(col("user_id"), expr("ts DIV 86400000000000 DIV 7").as("wk"))
+          .distinct()
+        val wU = Window.partitionBy("user_id").orderBy("wk")
+        val classified = wkAct
+          .withColumn("pw", lag("wk", 1).over(wU))
+          .groupBy("wk").agg(
+            count(lit(1)).as("n_active"),
+            sum(when(col("pw").isNull, 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("pw") === col("wk") - 1, 1L).otherwise(0L))
+              .as("n_retained"),
+            sum(when(col("pw").isNotNull && col("pw") < col("wk") - 1, 1L)
+              .otherwise(0L)).as("n_resurrected"))
+          .localCheckpoint(eager = false)
+        val prev = classified
+          .select((col("wk") + 1).as("wk"), col("n_active").as("prev_active"))
+        classified.join(prev, Seq("wk"), "left")
+          .withColumn("n_churned",
+            coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+          .withColumn("quick_ratio",
+            when(col("n_churned") > 0,
+              round((col("n_new") + col("n_resurrected")).cast("double")
+                / col("n_churned"), 4)))
+          .select("wk", "n_active", "n_new", "n_retained",
+            "n_resurrected", "n_churned", "quick_ratio")
+          .orderBy("wk")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id,
+             |                  epoch_ns(ts) // 86400000000000 // 7 AS wk
+             |           FROM events),
+             |c AS (SELECT user_id, wk,
+             |             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS pw
+             |      FROM a),
+             |g AS (SELECT wk,
+             |        CAST(count(*) AS BIGINT) AS n_active,
+             |        CAST(sum(CASE WHEN pw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             |        CAST(sum(CASE WHEN pw = wk - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             |        CAST(sum(CASE WHEN pw IS NOT NULL AND pw < wk - 1 THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS n_resurrected
+             |      FROM c GROUP BY wk)
+             |SELECT g.wk, g.n_active, g.n_new, g.n_retained, g.n_resurrected,
+             |       CAST(coalesce(p.n_active, 0) - g.n_retained AS BIGINT) AS n_churned,
+             |       CASE WHEN coalesce(p.n_active, 0) - g.n_retained > 0
+             |            THEN round((g.n_new + g.n_resurrected) * 1.0
+             |                       / (coalesce(p.n_active, 0) - g.n_retained), 4)
+             |       END AS quick_ratio
+             |FROM g LEFT JOIN g p ON p.wk = g.wk - 1
+             |ORDER BY g.wk""".stripMargin)),
+
+    // classical additive decomposition of the daily event count:
+    // trend = centered 7-day moving average (RANGE frame on the day
+    // VALUE so calendar gaps shrink the window and the full-window
+    // filter drops them), seasonal = mean-centered day-of-week index
+    // from the detrended full-window rows, residual = the rest. The
+    // fact table collapses to |days| rows in ONE scan; every window
+    // and join after that runs on that tiny frame (the 7-row
+    // seasonal map broadcasts back). Detrended values average in
+    // EXACT micro-unit longs (×1e6), not doubles — double summation
+    // order differs between engines and flips the 6th decimal.
+    "ts_decompose" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(expr("ts DIV 86400000000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).cast("double").as("y"))
+        val wT = Window.orderBy("day").rangeBetween(-3, 3)
+        val trended = daily
+          .withColumn("n_win", count(lit(1)).over(wT))
+          .withColumn("trend", round(avg("y").over(wT), 6))
+          .filter(col("n_win") === 7)
+          .withColumn("dow", col("day") % 7)
+          .withColumn("det_l",
+            round((col("y") - col("trend")) * 1e6, 0).cast("long"))
+          .localCheckpoint(eager = false)
+        val seas = trended.groupBy("dow").agg(
+          round(sum("det_l").cast("double") / count(lit(1)) / 1e6, 6)
+            .as("s_raw"))
+        val m = seas.agg(
+          round(sum(round(col("s_raw") * 1e6, 0).cast("long")).cast("double")
+            / count(lit(1)) / 1e6, 6).as("s_mean"))
+        val seasAdj = seas.crossJoin(broadcast(m))
+          .select(col("dow"),
+            round(col("s_raw") - col("s_mean"), 6).as("seasonal"))
+        trended.join(broadcast(seasAdj), "dow")
+          .select(col("day"), col("dow"), col("y"), col("trend"),
+            col("seasonal"),
+            round(col("y") - col("trend") - col("seasonal"), 6).as("resid"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |                      CAST(count(*) AS DOUBLE) AS y
+             |               FROM events GROUP BY day),
+             |t AS (SELECT day, y,
+             |        count(*) OVER w AS n_win,
+             |        round(avg(y) OVER w, 6) AS trend
+             |      FROM daily
+             |      WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING
+             |                   AND 3 FOLLOWING)),
+             |f AS (SELECT day, day % 7 AS dow, y, trend,
+             |             CAST(round((y - trend) * 1000000) AS BIGINT) AS det_l
+             |      FROM t WHERE n_win = 7),
+             |sr AS (SELECT dow, round(sum(det_l) * 1.0 / count(*) / 1000000.0, 6) AS s_raw
+             |       FROM f GROUP BY dow),
+             |sm AS (SELECT round(sum(CAST(round(s_raw * 1000000) AS BIGINT)) * 1.0
+             |                     / count(*) / 1000000.0, 6) AS s_mean FROM sr),
+             |se AS (SELECT dow, round(s_raw - s_mean, 6) AS seasonal FROM sr, sm)
+             |SELECT f.day, f.dow, f.y, f.trend, se.seasonal,
+             |       round(f.y - f.trend - se.seasonal, 6) AS resid
+             |FROM f JOIN se USING (dow)
+             |ORDER BY f.day""".stripMargin)),
+
+    // Simpson's-paradox audit: hash-parity arms compared on a
+    // success rate pooled AND stratified by event_type, so a
+    // confounded rollup is visible as a sign flip between the
+    // `_pooled` and `_stratified` summary rows. ONE fact scan builds
+    // the |types|-row stratum frame (checkpointed — the three
+    // output shapes are all rollups of it); the stratified summary
+    // is the (n_a+n_b)-weighted average of per-stratum ROUNDED
+    // rates, so both engines combine identical cells. Empty arms
+    // yield NULL rates, never ÷0.
+    "ev_simpson" -> Q(
+      (s, d) => {
+        val base = Tables.events(s, d)
+          .select(col("event_type"),
+            when(col("user_id") % 2 === 0, 1).otherwise(0).as("grp_a"),
+            when(col("value") > 50.0, 1L).otherwise(0L).as("succ"))
+        val strata = base.groupBy("event_type").agg(
+            sum(when(col("grp_a") === 1, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("grp_a") === 1, col("succ")).otherwise(0L)).as("s_a"),
+            sum(when(col("grp_a") === 0, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("grp_a") === 0, col("succ")).otherwise(0L)).as("s_b"))
+          .withColumn("rate_a", when(col("n_a") > 0,
+            round(col("s_a").cast("double") / col("n_a"), 6)))
+          .withColumn("rate_b", when(col("n_b") > 0,
+            round(col("s_b").cast("double") / col("n_b"), 6)))
+          .localCheckpoint(eager = false)
+        val per = strata.select(col("event_type").as("scope"),
+          col("n_a"), col("n_b"), col("rate_a"), col("rate_b"),
+          round(col("rate_a") - col("rate_b"), 6).as("diff"))
+        val pooled = strata.agg(
+            sum("n_a").as("n_a"), sum("s_a").as("s_a"),
+            sum("n_b").as("n_b"), sum("s_b").as("s_b"))
+          .select(lit("_pooled").as("scope"), col("n_a"), col("n_b"),
+            when(col("n_a") > 0,
+              round(col("s_a").cast("double") / col("n_a"), 6)).as("rate_a"),
+            when(col("n_b") > 0,
+              round(col("s_b").cast("double") / col("n_b"), 6)).as("rate_b"))
+          .withColumn("diff", round(col("rate_a") - col("rate_b"), 6))
+        val stratW = strata.agg(
+            sum("n_a").as("n_a"), sum("n_b").as("n_b"),
+            round(sum((col("n_a") + col("n_b")) * col("rate_a"))
+              / sum(col("n_a") + col("n_b")), 6).as("ra"),
+            round(sum((col("n_a") + col("n_b")) * col("rate_b"))
+              / sum(col("n_a") + col("n_b")), 6).as("rb"))
+          .select(lit("_stratified").as("scope"), col("n_a"), col("n_b"),
+            col("ra").as("rate_a"), col("rb").as("rate_b"))
+          .withColumn("diff", round(col("rate_a") - col("rate_b"), 6))
+        per.unionByName(pooled).unionByName(stratW).orderBy("scope")
+      },
+      Some("""WITH base AS (SELECT event_type,
+             |                CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp_a,
+             |                CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS succ
+             |              FROM events),
+             |st AS (SELECT event_type,
+             |         CAST(sum(CASE WHEN grp_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |         sum(CASE WHEN grp_a = 1 THEN succ ELSE 0 END) AS s_a,
+             |         CAST(sum(CASE WHEN grp_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |         sum(CASE WHEN grp_a = 0 THEN succ ELSE 0 END) AS s_b
+             |       FROM base GROUP BY event_type),
+             |r AS (SELECT event_type, n_a, n_b, s_a, s_b,
+             |        CASE WHEN n_a > 0 THEN round(s_a * 1.0 / n_a, 6) END AS rate_a,
+             |        CASE WHEN n_b > 0 THEN round(s_b * 1.0 / n_b, 6) END AS rate_b
+             |      FROM st)
+             |SELECT event_type AS scope, n_a, n_b, rate_a, rate_b,
+             |       round(rate_a - rate_b, 6) AS diff
+             |FROM r
+             |UNION ALL
+             |SELECT '_pooled', CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT),
+             |       CASE WHEN sum(n_a) > 0 THEN round(sum(s_a) * 1.0 / sum(n_a), 6) END,
+             |       CASE WHEN sum(n_b) > 0 THEN round(sum(s_b) * 1.0 / sum(n_b), 6) END,
+             |       round(CASE WHEN sum(n_a) > 0 THEN round(sum(s_a) * 1.0 / sum(n_a), 6) END
+             |             - CASE WHEN sum(n_b) > 0 THEN round(sum(s_b) * 1.0 / sum(n_b), 6) END, 6)
+             |FROM r
+             |UNION ALL
+             |SELECT '_stratified', CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT),
+             |       round(sum((n_a + n_b) * rate_a) / sum(n_a + n_b), 6),
+             |       round(sum((n_a + n_b) * rate_b) / sum(n_a + n_b), 6),
+             |       round(round(sum((n_a + n_b) * rate_a) / sum(n_a + n_b), 6)
+             |             - round(sum((n_a + n_b) * rate_b) / sum(n_a + n_b), 6), 6)
+             |FROM r
+             |ORDER BY scope""".stripMargin)))
 
   // ---------------------------------------------------------------
   // Vector store: the reference's Qdrant surface (SURVEY §2 #1–12)

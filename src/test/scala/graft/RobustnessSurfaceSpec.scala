@@ -172,7 +172,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_scd2", "ts_acf", "ev_funnel_windowed", "ev_attribution_decay",
     "ev_streaks", "ev_concurrency", "ev_bot_flags",
     "ev_survival", "ev_stationary", "ts_cusum", "ev_ab_test", "ev_lift_gain",
-    "ts_backtest", "stat_mde_curve")
+    "ts_backtest", "stat_mde_curve",
+    "ev_growth_accounting", "ts_decompose", "ev_simpson")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
