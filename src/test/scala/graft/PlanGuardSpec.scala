@@ -567,4 +567,29 @@ class PlanGuardSpec extends SparkSpec {
     // total cross — nothing row-scaled may appear as a nested loop
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4, p)
   }
+
+  test("growth accounting: churn join runs on the checkpointed weeks rollup") {
+    val p = plan("ev_growth_accounting")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    // the per-user lag window lives BEFORE the checkpoint; the final
+    // plan may only join the |weeks| frame to itself — never window
+    assert(!p.contains("Window"), p)
+  }
+
+  test("decomposition: seasonal map broadcasts back onto the daily frame") {
+    val p = plan("ts_decompose")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Window"), p) // MA/count windows are pre-checkpoint
+  }
+
+  test("Simpson audit: all three output shapes are rollups of one stratum frame") {
+    val p = plan("ev_simpson")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+  }
 }
