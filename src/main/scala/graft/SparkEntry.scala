@@ -5510,6 +5510,129 @@ object SparkEntry {
                |       round(mi / sqrt(h_lang * h_source), 4) AS nmi
                |FROM mi, hl, hs""".stripMargin)),
 
+      // Kruskal–Wallis H (rank-based ANOVA) of doc length across
+      // languages — the non-parametric twin of stat_anova. Tied
+      // average ranks come from the VALUE-level histogram (the
+      // stat_spearman idiom: the global window runs over |distinct
+      // lengths| rows, never the corpus) and are carried in exact
+      // HALF-UNIT longs (rank2 = 2·rank), so the per-group rank sums
+      // are integer math — no double summation-order drift. The
+      // tie-correction sums t³−t per value (integer-valued doubles:
+      // exact until t³ > 2^53). Per-group rank sums come straight off
+      // the |langs|×|lengths| cell frame; rows are never re-joined.
+      "stat_kruskal" -> Q(
+        (s, d) => {
+          val cells = Tables.documents(s, d)
+            .groupBy(col("lang"), col("n_chars").cast("long").as("x"))
+            .agg(count(lit(1)).as("cnt"))
+            .localCheckpoint(eager = false) // read 2×: value ranks + group sums
+          val wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+          val ranks = cells.groupBy("x").agg(sum("cnt").as("t"))
+            .withColumn("f", coalesce(sum("t").over(wx), lit(0L)))
+            .select(col("x"), col("t"),
+              (col("f") * 2 + col("t") + 1).as("rank2"))
+            .localCheckpoint(eager = false) // read 2×: rank join + tie term
+          val grp = cells.join(broadcast(ranks), "x")
+            .groupBy("lang").agg(sum("cnt").as("n_g"),
+              sum(col("cnt") * col("rank2")).as("r2_g"))
+          val ties = ranks.agg(
+            sum(col("t").cast("double") * col("t") * col("t") - col("t"))
+              .as("tie"))
+          grp.agg(count(lit(1)).as("k"), sum("n_g").as("nn"),
+              sum(col("r2_g").cast("double") * col("r2_g")
+                / (col("n_g") * 4.0)).as("sr"))
+            .crossJoin(broadcast(ties))
+            .select(col("nn").cast("long").as("n"),
+              col("k").cast("long").as("k_groups"),
+              round(lit(12.0) / (col("nn").cast("double") * (col("nn") + 1))
+                * col("sr") - lit(3.0) * (col("nn") + 1), 4).as("h"),
+              round(lit(1.0) - col("tie")
+                / (col("nn").cast("double") * col("nn") * col("nn")
+                  - col("nn")), 6).as("tie_c"))
+            .withColumn("h_adj", round(col("h") / col("tie_c"), 4))
+        },
+        Some("""WITH cells AS (SELECT lang, CAST(n_chars AS BIGINT) AS x,
+               |                      count(*) AS cnt
+               |               FROM documents GROUP BY lang, x),
+               |hx AS (SELECT x, sum(cnt) AS t FROM cells GROUP BY x),
+               |rk AS (SELECT x, t,
+               |         coalesce(sum(t) OVER (ORDER BY x ROWS BETWEEN
+               |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+               |           + t + 1 AS rank2
+               |       FROM hx),
+               |g AS (SELECT lang, sum(cnt) AS n_g, sum(cnt * rank2) AS r2_g
+               |      FROM cells JOIN rk USING (x) GROUP BY lang),
+               |tt AS (SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS tie FROM rk),
+               |ag AS (SELECT count(*) AS k, sum(n_g) AS nn,
+               |         sum(CAST(r2_g AS DOUBLE) * r2_g / (n_g * 4.0)) AS sr
+               |       FROM g)
+               |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+               |       round(12.0 / (CAST(nn AS DOUBLE) * (nn + 1)) * sr
+               |             - 3.0 * (nn + 1), 4) AS h,
+               |       round(1.0 - tie / (CAST(nn AS DOUBLE) * nn * nn - nn), 6)
+               |         AS tie_c,
+               |       round(round(12.0 / (CAST(nn AS DOUBLE) * (nn + 1)) * sr
+               |                   - 3.0 * (nn + 1), 4)
+               |             / round(1.0 - tie / (CAST(nn AS DOUBLE) * nn * nn - nn),
+               |                     6), 4) AS h_adj
+               |FROM ag, tt""".stripMargin)),
+
+      // Brown–Forsythe (median-based Levene) test: does doc-length
+      // VARIANCE differ across languages? z = |x − median_g| via one
+      // exact per-group percentile + broadcast join-back, then the
+      // stat_anova computational identity on z. Deviations are
+      // carried as exact DOUBLED longs (median of integers is always
+      // j or j.5, so 2z is integer) — the group sums Σz and Σz² are
+      // integer math, immune to summation order.
+      "stat_levene" -> Q(
+        (s, d) => {
+          val base = Tables.documents(s, d)
+            .select(col("lang"), col("n_chars").cast("long").as("x"))
+            .localCheckpoint(eager = false) // read 2×: medians + deviations
+          val med = base.groupBy("lang")
+            .agg(expr("percentile(x, 0.5D)").as("med"))
+          val g = base.join(broadcast(med), "lang")
+            .select(col("lang"),
+              abs(col("x") * 2 - (col("med") * 2).cast("long")).as("z2"))
+            .groupBy("lang").agg(count(lit(1)).cast("double").as("n"),
+              sum("z2").cast("double").as("s2"),
+              sum(col("z2") * col("z2")).cast("double").as("ss4"))
+          g.agg(count(lit(1)).as("k"), sum("n").as("nn"),
+              sum(col("s2") / 2.0).as("st"),
+              sum(col("ss4") / 4.0).as("sst"),
+              sum(col("s2") * col("s2") / (col("n") * 4.0)).as("sb"))
+            .select(col("k").cast("long").as("k_groups"),
+              col("nn").cast("long").as("n_total"),
+              round(col("sb") - col("st") * col("st") / col("nn"), 2)
+                .as("ss_between"),
+              round(col("sst") - col("sb"), 2).as("ss_within"),
+              round(((col("sb") - col("st") * col("st") / col("nn"))
+                       / (col("k") - 1))
+                    / ((col("sst") - col("sb")) / (col("nn") - col("k"))), 4)
+                .as("f_stat"))
+        },
+        Some("""WITH b AS (SELECT lang, CAST(n_chars AS BIGINT) AS x
+               |           FROM documents),
+               |m AS (SELECT lang, quantile_cont(x, 0.5) AS med
+               |      FROM b GROUP BY lang),
+               |g AS (SELECT b.lang, CAST(count(*) AS DOUBLE) AS n,
+               |        CAST(sum(abs(b.x * 2 - CAST(m.med * 2 AS BIGINT)))
+               |          AS DOUBLE) AS s2,
+               |        CAST(sum(abs(b.x * 2 - CAST(m.med * 2 AS BIGINT))
+               |               * abs(b.x * 2 - CAST(m.med * 2 AS BIGINT)))
+               |          AS DOUBLE) AS ss4
+               |      FROM b JOIN m USING (lang) GROUP BY b.lang)
+               |SELECT CAST(count(*) AS BIGINT) AS k_groups,
+               |       CAST(sum(n) AS BIGINT) AS n_total,
+               |       round(sum(s2*s2/(n*4.0))
+               |             - sum(s2/2.0)*sum(s2/2.0)/sum(n), 2) AS ss_between,
+               |       round(sum(ss4/4.0) - sum(s2*s2/(n*4.0)), 2) AS ss_within,
+               |       round((sum(s2*s2/(n*4.0))
+               |              - sum(s2/2.0)*sum(s2/2.0)/sum(n)) / (count(*) - 1)
+               |             / ((sum(ss4/4.0) - sum(s2*s2/(n*4.0)))
+               |                / (sum(n) - count(*))), 4) AS f_stat
+               |FROM g""".stripMargin)),
+
       // deterministic half-sample bootstrap of the mean tokens/doc:
       // 32 replicates, membership by salted content-stable hash parity
       // (the Sampling idiom — rerun/repartition never moves a doc
@@ -6493,6 +6616,72 @@ object SparkEntry {
                |       round(avg(list_cosine_similarity(e.embedding::DOUBLE[], c.cv)), 4) AS cohesion
                |FROM embeddings e JOIN cent c ON e.label = c.label
                |GROUP BY e.label ORDER BY e.label""".stripMargin)),
+
+      // centroid-based silhouette per label — cluster-quality audit
+      // one level up from cohesion: a = cosine distance to OWN
+      // centroid, b = distance to the NEAREST OTHER centroid,
+      // s = (b−a)/max(a,b). The |labels|-row centroid table
+      // broadcasts, so the per-point work is a broadcast cross join
+      // (|rows|×|labels|) that never shuffles the embeddings; the
+      // per-point scores are pinned to ×1e6 longs before the
+      // per-label average so both engines accumulate identical
+      // integers. Singleton corpora (no other label) score 0.
+      "emb_silhouette" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.cosineSim
+          val emb = Tables.embeddings(s, d)
+          val dims = emb.select(col("label"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          val cent = dims.groupBy("label", "i")
+            .agg(avg(col("x").cast("double")).as("ax"))
+            .groupBy("label")
+            .agg(transform(sort_array(collect_list(struct(col("i"), col("ax")))),
+              e => e.getField("ax")).as("cv"))
+            .select(col("label").as("clabel"), col("cv"))
+          val p = emb.crossJoin(broadcast(cent))
+            .select(col("vec_id"), col("label"), col("clabel"),
+              round(lit(1.0) - cosineSim(col("embedding"), col("cv")), 6)
+                .as("dist"))
+            .groupBy("vec_id", "label").agg(
+              min(when(col("clabel") === col("label"), col("dist"))).as("a"),
+              min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+          p.select(col("label"),
+              when(col("a").isNull || col("b").isNull, lit(0L))
+                .when(greatest(col("a"), col("b")) > 0,
+                  round((col("b") - col("a"))
+                    / greatest(col("a"), col("b")) * 1e6, 0).cast("long"))
+                .otherwise(lit(0L)).as("s_l"))
+            .groupBy("label").agg(count(lit(1)).as("n"),
+              round(sum("s_l").cast("double") / count(lit(1)) / 1e6, 4)
+                .as("silhouette"))
+            .orderBy("label")
+        },
+        Some("""WITH dims AS (
+               |  SELECT label, unnest(embedding) AS x,
+               |         generate_subscripts(embedding, 1) AS i
+               |  FROM embeddings),
+               |cent AS (
+               |  SELECT label AS clabel, list(ax ORDER BY i) AS cv FROM (
+               |    SELECT label, i, avg(x) AS ax FROM dims GROUP BY label, i)
+               |  GROUP BY label),
+               |p AS (SELECT e.vec_id, e.label,
+               |        min(CASE WHEN c.clabel = e.label THEN
+               |          round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6)
+               |          END) AS a,
+               |        min(CASE WHEN c.clabel <> e.label THEN
+               |          round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6)
+               |          END) AS b
+               |      FROM embeddings e, cent c GROUP BY e.vec_id, e.label),
+               |s AS (SELECT label,
+               |        CASE WHEN a IS NULL OR b IS NULL THEN 0
+               |             WHEN greatest(a, b) > 0
+               |             THEN CAST(round((b - a) / greatest(a, b) * 1000000)
+               |                    AS BIGINT)
+               |             ELSE 0 END AS s_l
+               |      FROM p)
+               |SELECT label, CAST(count(*) AS BIGINT) AS n,
+               |       round(sum(s_l) * 1.0 / count(*) / 1000000.0, 4) AS silhouette
+               |FROM s GROUP BY label ORDER BY label""".stripMargin)),
 
       // deterministic per-label balanced sampling (class rebalancing
       // for training sets)

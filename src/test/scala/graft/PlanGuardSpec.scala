@@ -592,4 +592,29 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("Union"), p)
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("Kruskal-Wallis ranks the value histogram, never re-joins rows") {
+    val p = plan("stat_kruskal")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    // the only window is the cumulative count over |distinct lengths|
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("BroadcastExchange"), p) // rank map joins back broadcast
+  }
+
+  test("Brown-Forsythe joins medians back broadcast; one fact scan feeds both") {
+    val p = plan("stat_levene")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("silhouette crosses points with a broadcast centroid table only") {
+    val p = plan("emb_silhouette")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    // embeddings read twice: centroid build + the scored points
+    assert("Scan parquet".r.findAllIn(p).size <= 4, p)
+  }
 }

@@ -71,6 +71,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "samp_quantile_norm", "text_kmv_vocab", "pipe_shard_manifest",
     "stat_welch_ttest", "stat_cohens_kappa", "pipe_filter_attrition",
     "stat_anova", "stat_spearman", "stat_nmi", "samp_bootstrap",
+    "stat_kruskal", "stat_levene",
     "text_bpe_pairs", "text_vocab_coverage", "graph_kcore",
     "samp_poisson_bootstrap", "priv_dp_counts", "samp_strat_alloc",
     "emb_norm_invariant",
@@ -110,7 +111,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
   // excluded: they materialize partitioned indexes, covered elsewhere)
   private val embQueries = Seq(
     "dedup_embed_cosine", "ann_topk_batch", "emb_hard_negatives",
-    "emb_label_cohesion", "samp_stratified", "emb_power_iter",
+    "emb_label_cohesion", "emb_silhouette", "samp_stratified", "emb_power_iter",
     "emb_dim_stats", "emb_knn_accuracy", "vec_binary_quant",
     "vec_matryoshka", "vec_scalar_quant", "vec_quant_fidelity",
     "ann_kmeans_step", "vec_pq_adc",
