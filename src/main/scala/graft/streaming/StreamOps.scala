@@ -332,6 +332,46 @@ object StreamOps {
       .select(col("event_id"), col("event_type"),
         (abs((col("value") - col("mu")) / col("sd")) > lit(3.0)).as("anom"))
 
+  final case class GrowthEvent(event_id: Long, ts: Long, user_id: Long)
+
+  final case class GrowthUpdate(user_id: Long, wk: Long, status: String)
+
+  /** Streaming twin of the batch `ev_growth_accounting`
+    * classification: keyed state is ONE last-active-week long per
+    * user; each NEW active week emits that user's (week, status)
+    * transition — new / retained / resurrected — which a downstream
+    * weekly rollup turns into the batch accounting table (churned(w)
+    * = active(w−1) − retained(w) is derived there, so it needs no
+    * extra state). Same arrival contract as [[sessionize]] (per-user
+    * in-order across micro-batches); within a batch the week set is
+    * deduped and processed in order, so event volume per week never
+    * changes the output.
+    */
+  def streamingGrowth(events: Dataset[GrowthEvent]): Dataset[GrowthUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, GrowthUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[Long]) =>
+          var last: Option[Long] = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[GrowthUpdate]
+          it.map(_.ts / 604800000000000L).toSeq.distinct.sorted.foreach { wk =>
+            last match {
+              case None =>
+                out += GrowthUpdate(uid, wk, "new"); last = Some(wk)
+              case Some(lw) if wk > lw =>
+                out += GrowthUpdate(uid, wk,
+                  if (wk == lw + 1) "retained" else "resurrected")
+                last = Some(wk)
+              case _ => () // week already counted
+            }
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class AttrEvent(event_id: Long, ts: Long, user_id: Long,
                              event_type: String, value: Double, k: Long)
 

@@ -639,4 +639,58 @@ class StreamingSpec extends SparkSpec {
       assert(got.nonEmpty) // testdata plants near-dups under doc_id 150
     } finally query.stop()
   }
+
+  test("streaming growth transitions roll up to the batch accounting table") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.types._
+    val W = 604800000000000L // one week of nanos
+    // active-week sets with every transition kind: gaps (resurrected),
+    // consecutive weeks (retained), late first activity (new at w>0),
+    // single-week users (churned next week)
+    val activeWeeks = Map(0L -> Seq(0L, 1L, 2L), 1L -> Seq(0L, 2L),
+      2L -> Seq(1L, 2L, 3L), 3L -> Seq(0L), 4L -> Seq(0L, 1L, 3L))
+    // two events per (user, week): the distinct/dedup path must fire
+    val evRows = for {
+      (u, wks) <- activeWeeks.toSeq; wk <- wks; r <- 0 to 1
+    } yield (u * 1000 + wk * 10 + r, wk * W + u * 1000L + r, u)
+    val dir = java.nio.file.Files.createTempDirectory("graft-growth").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(evRows.map { case (id, ts, u) =>
+        org.apache.spark.sql.Row(id, ts, u, "click", 1.0, "{}") }, 3), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // batch accounting: wk -> (n_new, n_retained, n_resurrected)
+    val batch = SparkEntry.queries("ev_growth_accounting")(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(batch.values.map(_._3).sum > 0) // data plants resurrections
+    val input = MemoryStream[StreamOps.GrowthEvent]
+    val query = StreamOps.streamingGrowth(input.toDS())
+      .writeStream.format("memory").queryName("growth")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val evts = evRows.map { case (id, ts, u) =>
+        StreamOps.GrowthEvent(id, ts, u) }
+      // micro-batches split at week boundaries: transitions must
+      // carry the last-active week across batches in state
+      Seq(evts.filter(_.ts < W), evts.filter(e => e.ts >= W && e.ts < 2 * W),
+          evts.filter(_.ts >= 2 * W)).foreach { b =>
+        input.addData(b); query.processAllAvailable()
+      }
+      val got = s.sql(
+          """SELECT wk,
+             sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END),
+             sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END),
+             sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+             FROM growth GROUP BY wk""").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got == batch, s"streaming=$got batch=$batch")
+    } finally query.stop()
+  }
 }
