@@ -617,4 +617,38 @@ class PlanGuardSpec extends SparkSpec {
     // embeddings read twice: centroid build + the scored points
     assert("Scan parquet".r.findAllIn(p).size <= 4, p)
   }
+
+  test("SRM gate is one distinct pass — no join, no window") {
+    val p = plan("ev_srm")
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("diff-in-diff buckets the checkpointed (user,day) frame via broadcast bounds") {
+    val p = plan("ev_diff_in_diff")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // single-row bounds cross
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("BH-FDR windows run on the per-type frame after one fact scan") {
+    val p = plan("stat_fdr")
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("Wilson CI explodes per-user type sets — one fact scan, no join") {
+    val p = plan("stat_wilson_ci")
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("jackknife is a broadcast-totals map over the checkpointed user frame") {
+    val p = plan("stat_jackknife")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+  }
 }

@@ -174,7 +174,9 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_streaks", "ev_concurrency", "ev_bot_flags",
     "ev_survival", "ev_stationary", "ts_cusum", "ev_ab_test", "ev_lift_gain",
     "ts_backtest", "stat_mde_curve",
-    "ev_growth_accounting", "ts_decompose", "ev_simpson")
+    "ev_growth_accounting", "ts_decompose", "ev_simpson",
+    "ev_srm", "ev_diff_in_diff", "stat_fdr", "stat_wilson_ci",
+    "stat_jackknife")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
