@@ -984,6 +984,37 @@ object SparkEntry {
        |  GROUP BY c.to_type)""".stripMargin
   }.mkString(",\n")
 
+  /** Shared DuckDB CTE prefix for the near-dup edge graph (canonical
+    * da < db pairs from 5-char-shingle Jaccard over doc_id < lim) —
+    * the SAME edge set `Dedup.ngramJaccard(docsUnder(_, _, lim), 5,
+    * thr)` builds, so every graph oracle starts from identical edges.
+    */
+  private def dupEdgesSql(lim: Int, thr: Double): String =
+    s"""s AS (
+       |${graft.text.TextPrimitives.charShinglesSql("documents", "doc_id", "text", 5, s"doc_id < $lim")}),
+       |c AS (SELECT doc_id, count(*) AS cnt FROM s GROUP BY doc_id),
+       |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+       |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY da, db),
+       |e0 AS MATERIALIZED (SELECT da, db FROM (
+       |    SELECT da, db, ni * 1.0 / (ca.cnt + cb.cnt - ni) AS j
+       |    FROM i JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
+       |  WHERE j >= $thr)""".stripMargin
+
+  /** Unrolled BFS frontier expansions as chained CTEs — mirrors
+    * graph_bfs's fixed-round loop exactly (expand the previous
+    * round's frontier through nbr, drop already-visited nodes).
+    */
+  private def bfsIterSql(rounds: Int): String = (1 to rounds).map { k =>
+    // MATERIALIZED: each round reads the previous twice (frontier +
+    // visited filter) — inlining would re-expand the edge build
+    s"""d$k AS MATERIALIZED (
+       |  SELECT v, depth FROM d${k - 1}
+       |  UNION ALL
+       |  SELECT DISTINCT nbr.n AS v, CAST($k AS BIGINT) AS depth
+       |  FROM nbr JOIN d${k - 1} f ON f.v = nbr.v AND f.depth = ${k - 1}
+       |  WHERE nbr.n NOT IN (SELECT v FROM d${k - 1}))""".stripMargin
+  }.mkString(",\n")
+
   /** Unrolled k-core peeling rounds as chained CTEs — mirrors
     * graph_kcore's fixed-round loop exactly (degree filter then
     * edge restriction to surviving endpoints, per round).
@@ -3675,6 +3706,134 @@ object SparkEntry {
              |            ELSE round(n_hit * 1.0 / n_truth, 4) END AS recall
              |FROM m""".stripMargin
         }),
+
+      // degree assortativity of the near-dup graph: Pearson r between
+      // endpoint degrees over DIRECTED edge copies (the standard
+      // undirected convention — each edge contributes both (du,dw)
+      // and (dw,du)). Positive r = dup cliques of similar size link
+      // to each other; strongly negative r = hub-and-spoke chains,
+      // the signature of a boilerplate shingle bridging unrelated
+      // docs. Degrees are a broadcast |V|-row table joined back onto
+      // the checkpointed edge frame — the corpus-scale shingle join
+      // runs ONCE; everything after is O(|E|) with no shuffle join.
+      "graph_assort" -> Q(
+        (s, d) => {
+          val e0 = Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+            .select(col("da"), col("db"))
+            // three consumers (degrees, directed copies, edge count)
+            .localCheckpoint(eager = false)
+          val deg = e0.select(explode(array(col("da"), col("db"))).as("v"))
+            .groupBy("v").agg(count(lit(1)).as("dg"))
+          val dir = e0.select(col("da").as("u"), col("db").as("w"))
+            .union(e0.select(col("db").as("u"), col("da").as("w")))
+          dir
+            .join(broadcast(deg.select(col("v").as("u"), col("dg").as("du"))), "u")
+            .join(broadcast(deg.select(col("v").as("w"), col("dg").as("dw"))), "w")
+            .agg(count(lit(1)).as("n_dir"),
+                 corr(col("du").cast("double"), col("dw").cast("double")).as("r"))
+            .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+            .select(col("n_nodes"), expr("n_dir div 2").as("n_edges"),
+              when(col("r").isNull || isnan(col("r")), lit(null).cast("double"))
+                .otherwise(round(col("r"), 4)).as("assortativity"))
+        },
+        Some(s"""WITH ${dupEdgesSql(120, 0.25)},
+                |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg
+                |        FROM (SELECT da AS v FROM e0 UNION ALL SELECT db AS v FROM e0)
+                |        GROUP BY v),
+                |dir AS (SELECT da AS u, db AS w FROM e0
+                |        UNION ALL SELECT db AS u, da AS w FROM e0),
+                |j AS (SELECT d1.dg AS du, d2.dg AS dw FROM dir
+                |      JOIN deg d1 ON d1.v = dir.u JOIN deg d2 ON d2.v = dir.w),
+                |a AS (SELECT CAST(count(*) AS BIGINT) AS n_dir,
+                |             corr(CAST(du AS DOUBLE), CAST(dw AS DOUBLE)) AS r
+                |      FROM j),
+                |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+                |SELECT n_nodes, n_dir // 2 AS n_edges,
+                |       CASE WHEN r IS NULL OR isnan(r) THEN NULL
+                |            ELSE round(r, 4) END AS assortativity
+                |FROM a, n""".stripMargin)),
+
+      // Adamic–Adar link prediction on the near-dup graph: for every
+      // NON-adjacent pair sharing ≥1 neighbor, score Σ 1/ln(deg(z))
+      // over common neighbors z — the "these two docs dup the same
+      // things but not yet each other" candidates a curator reviews
+      // before tightening the Jaccard threshold. Wedge self-join on
+      // the checkpointed neighbor frame (pivot z is the join key, so
+      // the shuffle partitions by pivot exactly as graph_triangles
+      // does); deg(z) ≥ 2 for any wedge pivot, so ln is never 0. The
+      // final TakeOrderedAndProject keeps only the top 20 — no
+      // global sort at scale.
+      "graph_adamic_adar" -> Q(
+        (s, d) => {
+          val e0 = Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+            .select(col("da"), col("db"))
+            .localCheckpoint(eager = false) // nbr expansion + anti-join back
+          val nb = e0.select(col("da").as("z"), col("db").as("x"))
+            .union(e0.select(col("db").as("z"), col("da").as("x")))
+            .localCheckpoint(eager = false) // wedge join reads it twice
+          val deg = nb.groupBy("z").agg(count(lit(1)).as("dg"))
+          nb.select(col("z"), col("x").as("u"))
+            .join(nb.select(col("z"), col("x").as("v")), "z")
+            .filter(col("u") < col("v"))
+            .join(broadcast(deg), "z")
+            .groupBy("u", "v")
+            .agg(count(lit(1)).as("common"),
+                 round(sum(lit(1.0) / log(col("dg").cast("double"))), 4).as("aa"))
+            .join(e0, col("u") === col("da") && col("v") === col("db"), "left_anti")
+            .orderBy(col("aa").desc, col("u"), col("v"))
+            .limit(20)
+        },
+        Some(s"""WITH ${dupEdgesSql(120, 0.25)},
+                |nb AS (SELECT da AS z, db AS x FROM e0
+                |       UNION ALL SELECT db AS z, da AS x FROM e0),
+                |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS dg FROM nb GROUP BY z),
+                |w AS (SELECT a.x AS u, b.x AS v, a.z
+                |      FROM nb a JOIN nb b ON a.z = b.z AND a.x < b.x),
+                |sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common,
+                |              round(sum(1.0 / ln(CAST(dg AS DOUBLE))), 4) AS aa
+                |       FROM w JOIN deg USING (z) GROUP BY u, v),
+                |nonadj AS (SELECT sc.* FROM sc
+                |           WHERE NOT EXISTS (SELECT 1 FROM e0
+                |                             WHERE e0.da = sc.u AND e0.db = sc.v))
+                |SELECT u, v, common, aa FROM nonadj
+                |ORDER BY aa DESC, u, v LIMIT 20""".stripMargin)),
+
+      // bounded BFS from the lowest-id node in the near-dup graph:
+      // 4 unrolled frontier expansions (both engines run the SAME 4,
+      // oracle unrolls them), each one distinct-expand + anti-join on
+      // that round's CHECKPOINTED depth table — the corpus-scale
+      // shingle join runs once, a round costs O(frontier·avg-degree)
+      // shuffle, and first-reach = shortest depth because a visited
+      // node never re-enters. The "how far does this dup cluster
+      // chain" probe a curator runs on a suspicious component.
+      "graph_bfs" -> Q(
+        (s, d) => {
+          val e0 = Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+            .select(col("da"), col("db"))
+            .localCheckpoint(eager = false)
+          val nbr = e0.select(col("da").as("v"), col("db").as("n"))
+            .union(e0.select(col("db").as("v"), col("da").as("n")))
+            .localCheckpoint(eager = false) // read once per round
+          // da < db on every edge, so min(da) IS the global min node
+          var dt = e0.agg(min(col("da")).as("v"))
+            .withColumn("depth", lit(0L))
+            .localCheckpoint(eager = false)
+          for (k <- 1 to 4) {
+            val fr = dt.filter(col("depth") === (k - 1).toLong)
+            val nxt = fr.join(nbr, "v").select(col("n").as("v")).distinct()
+              .join(dt, Seq("v"), "left_anti")
+              .withColumn("depth", lit(k.toLong))
+            dt = dt.union(nxt)
+              .localCheckpoint(eager = false) // next round reads twice
+          }
+          dt.orderBy("v").select(col("v"), col("depth"))
+        },
+        Some(s"""WITH ${dupEdgesSql(120, 0.25)},
+                |nbr AS (SELECT da AS v, db AS n FROM e0
+                |        UNION ALL SELECT db AS v, da AS n FROM e0),
+                |d0 AS (SELECT min(da) AS v, CAST(0 AS BIGINT) AS depth FROM e0),
+                |${bfsIterSql(4)}
+                |SELECT v, depth FROM d4 ORDER BY v""".stripMargin)),
 
       // shingle document-frequency profile (log2-bucketed histogram):
       // the skew audit that SETS the df cap dedup_jaccard_capped

@@ -651,4 +651,26 @@ class PlanGuardSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 0, p)
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("assortativity joins broadcast degrees onto checkpointed edges") {
+    val p = plan("graph_assort")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("Adamic-Adar keeps top-20 via TakeOrdered, degrees broadcast") {
+    val p = plan("graph_adamic_adar")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("BFS rounds run on checkpointed frames, never rescanning the corpus") {
+    val p = plan("graph_bfs")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+  }
 }
