@@ -5390,6 +5390,237 @@ object SparkEntry {
                |WHERE nb >= 50
                |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
 
+      // Dunning log-likelihood-ratio collocations: the significance
+      // upgrade over text_pmi (PMI ranks rare-but-exclusive pairs;
+      // LLR ranks pairs the corpus gives EVIDENCE for). The 2×2
+      // contingency per bigram is built entirely from the bigram
+      // table's own marginals (so k11+k12+k21+k22 = N exactly), and
+      // LLR = 2·(Σxlx(k) − Σxlx(rows) − Σxlx(cols) + xlx(N)) is one
+      // closed-form expression on integer counts — identical
+      // arithmetic both engines, no per-row iteration. Marginals are
+      // broadcast |vocab|-row tables; the bigram frame is
+      // checkpointed so the corpus scan runs once for all four
+      // consumers.
+      "text_llr" -> Q(
+        (s, d) => {
+          val toks = graft.text.TextPrimitives.tokens(col("text"))
+          val bi = Tables.documents(s, d)
+            .select(explode(when(size(toks) === 1, array()).otherwise(
+              zip_with(slice(toks, lit(1), size(toks) - 1),
+                       slice(toks, lit(2), size(toks) - 1),
+                       (a, b) => struct(a.as("w1"), b.as("w2"))))).as("bg"))
+            .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+            .agg(count(lit(1)).as("k11"))
+            .localCheckpoint(eager = false) // marginals ×2 + total + scoring
+          val m1 = bi.groupBy("w1").agg(sum("k11").as("c1"))
+          val m2 = bi.groupBy("w2").agg(sum("k11").as("c2"))
+          val tot = bi.agg(sum("k11").as("n"))
+          def xlx(c: Column): Column =
+            when(c <= 0.0, lit(0.0)).otherwise(c * log(c))
+          bi.filter(col("k11") >= 30)
+            .join(broadcast(m1), "w1")
+            .join(broadcast(m2), "w2")
+            .crossJoin(broadcast(tot))
+            .withColumn("llr", round(lit(2.0) * (
+              xlx(col("k11").cast("double"))
+                + xlx((col("c1") - col("k11")).cast("double"))
+                + xlx((col("c2") - col("k11")).cast("double"))
+                + xlx((col("n") - col("c1") - col("c2") + col("k11")).cast("double"))
+                - xlx(col("c1").cast("double"))
+                - xlx((col("n") - col("c1")).cast("double"))
+                - xlx(col("c2").cast("double"))
+                - xlx((col("n") - col("c2")).cast("double"))
+                + xlx(col("n").cast("double"))), 4))
+            .select(col("w1"), col("w2"), col("k11").as("n_pair"), col("llr"))
+            .orderBy(col("llr").desc, col("w1"), col("w2"))
+            .limit(20)
+        },
+        Some {
+          def xlx(e: String) =
+            s"(CASE WHEN ($e) <= 0 THEN 0.0 ELSE ($e) * ln($e) END)"
+          s"""WITH toks AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+             |              FROM documents),
+             |bi AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS k11
+             |       FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+             |       GROUP BY w1, w2),
+             |m1 AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+             |m2 AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS c2 FROM bi GROUP BY w2),
+             |tot AS (SELECT CAST(sum(k11) AS BIGINT) AS n FROM bi)
+             |SELECT w1, w2, k11 AS n_pair,
+             |       round(2.0 * (${xlx("CAST(k11 AS DOUBLE)")}
+             |         + ${xlx("CAST(c1 - k11 AS DOUBLE)")}
+             |         + ${xlx("CAST(c2 - k11 AS DOUBLE)")}
+             |         + ${xlx("CAST(n - c1 - c2 + k11 AS DOUBLE)")}
+             |         - ${xlx("CAST(c1 AS DOUBLE)")}
+             |         - ${xlx("CAST(n - c1 AS DOUBLE)")}
+             |         - ${xlx("CAST(c2 AS DOUBLE)")}
+             |         - ${xlx("CAST(n - c2 AS DOUBLE)")}
+             |         + ${xlx("CAST(n AS DOUBLE)")}), 4) AS llr
+             |FROM bi JOIN m1 USING (w1) JOIN m2 USING (w2), tot
+             |WHERE k11 >= 30
+             |ORDER BY llr DESC, w1, w2 LIMIT 20""".stripMargin
+        }),
+
+      // RAKE keyword extraction: candidate phrases are maximal
+      // stopword-free token runs (break at the shared Stopwords
+      // lexicon or empty tokens), word score = degree/frequency over
+      // phrase co-occurrence, phrase score = Σ member word scores —
+      // the classic unsupervised keyphrase pass a curation pipeline
+      // runs to label clusters. Phrase ids come from a PER-DOC
+      // running sum over token positions (partitioned window, never
+      // global); word scores are a broadcast |vocab|-row table; word
+      // scores are pinned to 6 decimals before the phrase sum so
+      // both engines add identical addends.
+      "text_rake" -> Q(
+        (s, d) => {
+          val stops = graft.text.TextAnalytics.Stopwords
+          val tk = Tables.documents(s, d)
+            .select(col("doc_id"),
+              posexplode(graft.text.TextPrimitives.tokens(col("text")))
+                .as(Seq("pos", "tok")))
+          val w = Window.partitionBy("doc_id").orderBy("pos")
+          val phr = tk
+            .withColumn("brk",
+              when(col("tok").isin(stops: _*) || col("tok") === "", 1L)
+                .otherwise(0L))
+            .withColumn("pid", sum("brk").over(w))
+            .filter(col("brk") === 0)
+            .localCheckpoint(eager = false) // phrase lens + word stats
+          val ph = phr.groupBy("doc_id", "pid")
+            .agg(count(lit(1)).as("plen"))
+          val wp = phr.join(ph, Seq("doc_id", "pid"))
+            .localCheckpoint(eager = false) // word stats + phrase scoring
+          val ws = wp.groupBy("tok")
+            .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+            .withColumn("score",
+              round(col("deg") / col("freq").cast("double"), 6))
+          wp.join(broadcast(ws.select("tok", "score")), "tok")
+            .groupBy("doc_id", "pid")
+            .agg(
+              concat_ws(" ", transform(
+                array_sort(collect_list(struct(col("pos"), col("tok")))),
+                x => x("tok"))).as("phrase"),
+              round(sum("score"), 4).as("rake"))
+            .groupBy("phrase")
+            .agg(count(lit(1)).as("n_occ"), max("rake").as("rake"))
+            .orderBy(col("rake").desc, col("phrase"))
+            .limit(20)
+        },
+        Some {
+          val stopsIn = graft.text.TextAnalytics.Stopwords
+            .map(s0 => s"'$s0'").mkString(", ")
+          s"""WITH tk AS (
+             |  SELECT doc_id, i AS pos, t[i] AS tok
+             |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t,
+             |               unnest(generate_series(1, len(t))) AS i
+             |        FROM documents)),
+             |br AS (SELECT doc_id, pos, tok,
+             |              CASE WHEN tok IN ($stopsIn) OR tok = '' THEN 1 ELSE 0 END AS brk
+             |       FROM tk),
+             |pp AS (SELECT doc_id, pos, tok, brk,
+             |              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+             |       FROM br),
+             |phr AS (SELECT doc_id, pos, tok, pid FROM pp WHERE brk = 0),
+             |ph AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+             |       FROM phr GROUP BY doc_id, pid),
+             |wp AS (SELECT phr.doc_id, phr.pid, phr.pos, phr.tok, ph.plen
+             |       FROM phr JOIN ph USING (doc_id, pid)),
+             |ws AS (SELECT tok, round(sum(plen) / CAST(count(*) AS DOUBLE), 6) AS score
+             |       FROM wp GROUP BY tok),
+             |ps AS (SELECT wp.doc_id, wp.pid,
+             |              string_agg(wp.tok, ' ' ORDER BY wp.pos) AS phrase,
+             |              round(sum(ws.score), 4) AS rake
+             |       FROM wp JOIN ws USING (tok) GROUP BY wp.doc_id, wp.pid)
+             |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ, max(rake) AS rake
+             |FROM ps GROUP BY phrase
+             |ORDER BY rake DESC, phrase LIMIT 20""".stripMargin
+        }),
+
+      // self-BLEU (BLEU-2) over the near-dup candidate pairs: the
+      // n-gram-precision view of how much db copies da — catches
+      // "same boilerplate, reordered" pairs whose Jaccard is already
+      // high but whose BLEU reveals phrase-level copying. Clipped
+      // unigram/bigram overlaps are two grouped equi-joins on the
+      // pair frame (per-doc count tables, shuffle keyed by doc —
+      // never a cross join); brevity penalty + geometric mean are
+      // closed-form on the counts. Candidate pairs are checkpointed:
+      // the shingle join runs once, both overlap joins read it.
+      "text_selfbleu" -> Q(
+        (s, d) => {
+          val docs = docsUnder(s, d, 120)
+          val toks = graft.text.TextPrimitives.tokens(col("text"))
+          val pairs = graft.dedup.Dedup.ngramJaccard(docs, 5, 0.25)
+            .select(col("da"), col("db"))
+            .localCheckpoint(eager = false) // unigram + bigram overlap joins
+          val uni = docs.select(col("doc_id"), explode(toks).as("w"))
+            .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          val big = docs
+            .select(col("doc_id"),
+              explode(when(size(toks) === 1, array()).otherwise(
+                zip_with(slice(toks, lit(1), size(toks) - 1),
+                         slice(toks, lit(2), size(toks) - 1),
+                         (a, b) => concat_ws(" ", a, b)))).as("g"))
+            .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          val len1 = uni.groupBy("doc_id").agg(sum("c").as("l1"))
+          val len2 = big.groupBy("doc_id").agg(sum("c").as("l2"))
+          val o1 = pairs
+            .join(uni.toDF("da", "w", "ca"), "da")
+            .join(uni.toDF("db", "w", "cb"), Seq("db", "w"))
+            .groupBy("da", "db").agg(sum(least(col("ca"), col("cb"))).as("m1"))
+          val o2 = pairs
+            .join(big.toDF("da", "g", "ca"), "da")
+            .join(big.toDF("db", "g", "cb"), Seq("db", "g"))
+            .groupBy("da", "db").agg(sum(least(col("ca"), col("cb"))).as("m2"))
+          pairs
+            .join(o1, Seq("da", "db"), "left").join(o2, Seq("da", "db"), "left")
+            .join(broadcast(len1.toDF("da", "la1")), "da")
+            .join(broadcast(len1.toDF("db", "lb1")), "db")
+            .join(broadcast(len2.toDF("da", "la2")), "da")
+            .join(broadcast(len2.toDF("db", "lb2")), "db")
+            .withColumn("p1", coalesce(col("m1"), lit(0L)) / col("lb1").cast("double"))
+            .withColumn("p2", coalesce(col("m2"), lit(0L)) / col("lb2").cast("double"))
+            .withColumn("bp",
+              when(col("lb1") >= col("la1"), lit(1.0))
+                .otherwise(exp(lit(1.0) - col("la1") / col("lb1").cast("double"))))
+            .select(col("da"), col("db"),
+              round(col("bp") * sqrt(col("p1") * col("p2")), 4).as("bleu2"))
+            .orderBy("da", "db")
+        },
+        Some(s"""WITH ${dupEdgesSql(120, 0.25)},
+                |toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                |         FROM documents WHERE doc_id < 120),
+                |uni AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+                |        FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w),
+                |big AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                |        FROM (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                |              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                |                    FROM toks))
+                |        GROUP BY doc_id, g),
+                |len1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS l FROM uni GROUP BY doc_id),
+                |len2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS l FROM big GROUP BY doc_id),
+                |o1 AS (SELECT e0.da, e0.db, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m1
+                |       FROM e0 JOIN uni a ON a.doc_id = e0.da
+                |               JOIN uni b ON b.doc_id = e0.db AND b.w = a.w
+                |       GROUP BY e0.da, e0.db),
+                |o2 AS (SELECT e0.da, e0.db, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m2
+                |       FROM e0 JOIN big a ON a.doc_id = e0.da
+                |               JOIN big b ON b.doc_id = e0.db AND b.g = a.g
+                |       GROUP BY e0.da, e0.db)
+                |SELECT e0.da, e0.db,
+                |       round(
+                |         (CASE WHEN lb1.l >= la1.l THEN 1.0
+                |               ELSE exp(1.0 - la1.l / CAST(lb1.l AS DOUBLE)) END)
+                |         * sqrt((coalesce(o1.m1, 0) / CAST(lb1.l AS DOUBLE))
+                |              * (coalesce(o2.m2, 0) / CAST(lb2.l AS DOUBLE))), 4) AS bleu2
+                |FROM e0
+                |LEFT JOIN o1 ON o1.da = e0.da AND o1.db = e0.db
+                |LEFT JOIN o2 ON o2.da = e0.da AND o2.db = e0.db
+                |JOIN len1 la1 ON la1.doc_id = e0.da
+                |JOIN len1 lb1 ON lb1.doc_id = e0.db
+                |JOIN len2 la2 ON la2.doc_id = e0.da
+                |JOIN len2 lb2 ON lb2.doc_id = e0.db
+                |ORDER BY e0.da, e0.db""".stripMargin)),
+
       // PII redaction (emails / phones / IPv4 → placeholder tokens) —
       // the scrub stage before text leaves the ingest boundary. The
       // synthetic corpus carries no PII, so the query seeds

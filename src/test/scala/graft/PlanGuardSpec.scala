@@ -673,4 +673,26 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p)
     assert("Scan parquet".r.findAllIn(p).size == 0, p)
   }
+
+  test("LLR scores the checkpointed bigram frame with broadcast marginals") {
+    val p = plan("text_llr")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("RAKE phrase window is per-doc partitioned, scores broadcast") {
+    val p = plan("text_rake")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("self-BLEU overlap joins are doc-keyed, never cartesian") {
+    val p = plan("text_selfbleu")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -74,6 +74,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_kruskal", "stat_levene",
     "text_bpe_pairs", "text_vocab_coverage", "graph_kcore",
     "graph_assort", "graph_adamic_adar", "graph_bfs",
+    "text_llr", "text_rake", "text_selfbleu",
     "samp_poisson_bootstrap", "priv_dp_counts", "samp_strat_alloc",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
