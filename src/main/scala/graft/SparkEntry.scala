@@ -2106,6 +2106,90 @@ object SparkEntry {
              |       round(corr(ca, cb), 4) AS acf
              |FROM p GROUP BY event_type, k ORDER BY event_type, k""".stripMargin)),
 
+    // cross-correlation function clicks→purchases at lags −3..+3
+    // days: does click volume LEAD purchase volume (positive lag) or
+    // lag it — the campaign-attribution sanity check next to ts_acf.
+    // Both series come out of ONE conditional grouped pass over the
+    // facts (never two scans); the lag alignment is the ts_acf
+    // equi-join idiom (day+k on the left keys the shuffle), on the
+    // checkpointed O(days) frame.
+    "ts_ccf" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts DIV 86400000000000").as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+                 .cast("double").as("x"),
+               sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                 .cast("double").as("y"))
+          .localCheckpoint(eager = false) // both sides of the alignment
+        val a = daily.withColumn("k",
+          explode(array((-3 to 3).map(i => lit(i.toLong)): _*)))
+        val b = daily.select(col("day").as("db"), col("y").as("yb"))
+        a.join(b, col("db") === col("day") + col("k"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_pairs"), round(corr(col("x"), col("yb")), 4).as("ccf"))
+          .orderBy("k")
+      },
+      Some("""WITH daily AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1),
+             |l AS (SELECT CAST(unnest([-3, -2, -1, 0, 1, 2, 3]) AS BIGINT) AS k),
+             |p AS (SELECT l.k, a.x, b.y AS yb
+             |      FROM daily a CROSS JOIN l
+             |      JOIN daily b ON b.day = a.day + l.k)
+             |SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+             |       round(corr(x, yb), 4) AS ccf
+             |FROM p GROUP BY k ORDER BY k""".stripMargin)),
+
+    // Pettitt changepoint test on the daily purchase series: the
+    // rank-based (outlier-proof) "did the level shift, and when"
+    // test. s_t = Σ_j sign(v_t − v_j) comes from the |days|² pair
+    // frame — bounded by the CALENDAR squared (3650² ≈ 13M at a
+    // 10-year retention horizon), never by corpus rows — and
+    // U_t = cumsum(s_t) is the standard Pettitt recurrence. All
+    // integer arithmetic until the final p-value, so both engines
+    // agree bit-for-bit on K and the changepoint day.
+    "ts_pettitt" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts DIV 86400000000000").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("v"))
+          .localCheckpoint(eager = false) // pair frame ×2 + day count
+        val st = daily.select(col("day").as("t"), col("v").as("vt"))
+          .crossJoin(daily.select(col("v").as("vj")))
+          .groupBy("t")
+          .agg(sum(signum(col("vt") - col("vj"))).cast("long").as("s"))
+        val w = Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nn = daily.agg(count(lit(1)).as("n_days"))
+        st.withColumn("u", sum("s").over(w))
+          .withColumn("au", abs(col("u")))
+          .orderBy(col("au").desc, col("t")).limit(1)
+          .crossJoin(broadcast(nn))
+          .select(col("n_days"), col("t").as("cp_day"), col("au").as("k_stat"),
+            round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) * col("au") * col("au")
+              / (col("n_days").cast("double") * col("n_days") * col("n_days")
+                 + col("n_days").cast("double") * col("n_days")))), 6).as("p_value"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS v
+             |  FROM events GROUP BY 1),
+             |s AS (SELECT a.day AS t, CAST(sum(sign(a.v - b.v)) AS BIGINT) AS s
+             |      FROM daily a CROSS JOIN daily b GROUP BY a.day),
+             |u AS (SELECT t, CAST(sum(s) OVER (ORDER BY t
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS u
+             |      FROM s),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+             |best AS (SELECT t, abs(u) AS au FROM u ORDER BY au DESC, t LIMIT 1)
+             |SELECT n_days, t AS cp_day, au AS k_stat,
+             |       round(least(1.0, 2.0 * exp(-6.0 * au * au
+             |         / (CAST(n_days AS DOUBLE) * n_days * n_days
+             |            + CAST(n_days AS DOUBLE) * n_days))), 6) AS p_value
+             |FROM best, nn""".stripMargin)),
+
     // longest consecutive-day activity streak per user (the
     // gaps-and-islands idiom): distinct (user, day) first — so the
     // window ranks DAYS, bounded by the calendar, never raw events —

@@ -695,4 +695,18 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("CCF aligns lags by equi-join on the checkpointed day frame") {
+    val p = plan("ts_ccf")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Pettitt pair frame is the checkpointed day rollup, facts scanned zero times") {
+    val p = plan("ts_pettitt")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

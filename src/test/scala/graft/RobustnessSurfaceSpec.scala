@@ -178,7 +178,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ts_backtest", "stat_mde_curve",
     "ev_growth_accounting", "ts_decompose", "ev_simpson",
     "ev_srm", "ev_diff_in_diff", "stat_fdr", "stat_wilson_ci",
-    "stat_jackknife")
+    "stat_jackknife", "ts_ccf", "ts_pettitt")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
