@@ -332,6 +332,46 @@ object StreamOps {
       .select(col("event_id"), col("event_type"),
         (abs((col("value") - col("mu")) / col("sd")) > lit(3.0)).as("anom"))
 
+  final case class CusumDay(event_type: String, day: Long, cnt: Long,
+                            mu: Double)
+
+  final case class CusumState(cusum: Double, maxAbs: Double, argDay: Long)
+
+  final case class CusumUpdate(event_type: String, day: Long, cusum: Double,
+                               max_abs: Double, change_day: Long)
+
+  /** Streaming twin of the batch `ts_cusum` changepoint tracker: the
+    * input is the per-(type, day) count rollup (the upstream windowed
+    * agg) already joined to a STATIC baseline μ per type — the
+    * stream-static idiom of [[streamingSeasonalFlags]]. Keyed state
+    * is three numbers per event_type (running cusum, max |cusum|,
+    * its argmax day), so memory is O(|types|) at any event rate.
+    * Strict `>` on the max keeps the FIRST maximal day — the same
+    * tie-break as the batch row_number (abs desc, day asc). Arrival
+    * contract: per-type in-order days within and across batches
+    * (same as [[sessionize]]); each day emits one update carrying
+    * the changepoint-so-far.
+    */
+  def streamingCusum(days: Dataset[CusumDay]): Dataset[CusumUpdate] = {
+    val s = days.sparkSession
+    import s.implicits._
+    days.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (et, it, state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0.0, -1.0, -1L))
+          val out = it.toSeq.sortBy(_.day).map { d =>
+            val c = st.cusum + (d.cnt - d.mu)
+            st = if (math.abs(c) > st.maxAbs)
+              CusumState(c, math.abs(c), d.day)
+            else st.copy(cusum = c)
+            CusumUpdate(et, d.day, c, st.maxAbs, st.argDay)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class GrowthEvent(event_id: Long, ts: Long, user_id: Long)
 
   final case class GrowthUpdate(user_id: Long, wk: Long, status: String)

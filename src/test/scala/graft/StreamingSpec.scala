@@ -693,4 +693,54 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch, s"streaming=$got batch=$batch")
     } finally query.stop()
   }
+
+  test("streaming CUSUM tracks the batch changepoint per type") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.types._
+    val D = 86400000000000L // one day of nanos
+    // click: level shift at day 5 (unique max |cusum| at day 4);
+    // view: alternating counts → TIED max |cusum| on every even day,
+    // exercising the first-day tie-break both engines must share
+    val counts = Map("click" -> (0 to 9).map(d => if (d < 5) 3 else 8),
+                     "view" -> (0 to 9).map(d => 4 + d % 2))
+    val evRows = for {
+      (et, cs) <- counts.toSeq; (c, d) <- cs.zipWithIndex; j <- 0 until c
+    } yield (math.abs(et.hashCode).toLong * 10000 + d * 100 + j,
+             d * D + j * 1000L, j.toLong, et)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cusum").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(evRows.map { case (id, ts, u, et) =>
+        org.apache.spark.sql.Row(id, ts, u, et, 1.0, "{}") }, 3), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("ts_cusum")(s, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // the static half: per-type μ exactly as the batch rounds it
+    val mu = counts.map { case (et, cs) =>
+      et -> BigDecimal(cs.sum.toDouble / cs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    val rows = for ((et, cs) <- counts.toSeq; (c, d) <- cs.zipWithIndex)
+      yield StreamOps.CusumDay(et, d.toLong, c.toLong, mu(et))
+    val input = MemoryStream[StreamOps.CusumDay]
+    val query = StreamOps.streamingCusum(input.toDS())
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // micro-batches split mid-series: the changepoint-so-far must
+      // survive in state across batch boundaries
+      Seq(rows.filter(_.day < 3), rows.filter(r => r.day >= 3 && r.day < 7),
+          rows.filter(_.day >= 7)).foreach { b =>
+        input.addData(b); query.processAllAvailable()
+      }
+      val got = s.sql(
+          "SELECT event_type, change_day, round(max_abs, 4) FROM cusum WHERE day = 9")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == batch, s"streaming=$got batch=$batch")
+    } finally query.stop()
+  }
 }
