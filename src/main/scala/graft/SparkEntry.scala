@@ -574,6 +574,155 @@ object SparkEntry {
              |                    AND l3.l_returnflag = 'R')
              |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)),
 
+    // min-cost supplier per part within a region (TPC-H Q2 shape:
+    // correlated-min subquery). This dataset has no partsupp, so the
+    // supply relation is emulated from lineitem's observed
+    // (part, supplier) unit prices. cost = MIN over per-row ROUNDED
+    // unit prices — a plain min of values both engines compute
+    // identically per row, so the min-equality join below is exact
+    // (never a min over an order-dependent double sum). The per-part
+    // min is a second groupBy on the already-aggregated sc frame
+    // (|parts|·|suppliers-per-part| rows), then an equi-join back —
+    // both sides shuffle on partkey so AQE can co-locate them; at
+    // 100 TB the fact scan is the only big input and it is aggregated
+    // before any join
+    "q2_min_cost" -> Q(
+      (s, d) => {
+        val sc = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"),
+            round(col("l_extendedprice") / col("l_quantity"), 4).as("unit"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("l_partkey", "l_suppkey").agg(min("unit").as("cost"))
+        val mc = sc.groupBy(col("l_partkey").as("mc_partkey"))
+          .agg(min("cost").as("min_cost"))
+        sc.join(mc, col("l_partkey") === col("mc_partkey") &&
+                    col("cost") === col("min_cost"))
+          .join(Tables.part(s, d).filter(col("p_size") === 11),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            round(col("s_acctbal"), 2).as("acctbal"), col("cost"))
+          .orderBy(col("acctbal").desc, col("s_name"), col("p_partkey"))
+          .limit(20)
+      },
+      Some("""WITH sc AS (
+             |  SELECT l_partkey, l_suppkey,
+             |         min(round(l_extendedprice / l_quantity, 4)) AS cost
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |                JOIN nation ON s_nationkey = n_nationkey
+             |                JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'ASIA'
+             |  GROUP BY l_partkey, l_suppkey)
+             |SELECT p_partkey, p_name, s_name, round(s_acctbal,2) AS acctbal, cost
+             |FROM sc JOIN part ON l_partkey = p_partkey
+             |        JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE p_size = 11
+             |  AND cost = (SELECT min(cost) FROM sc sc2
+             |              WHERE sc2.l_partkey = sc.l_partkey)
+             |ORDER BY acctbal DESC, s_name, p_partkey LIMIT 20""".stripMargin)),
+
+    // product-line profit per nation per year (TPC-H Q9 shape:
+    // name-substring part filter + 4-way join + two-level group key;
+    // p_retailprice·qty·0.6 stands in for the missing ps_supplycost).
+    // The part filter is applied BEFORE the join so only matching
+    // partkeys reach the shuffle; nation broadcast; one hash agg
+    "q9_profit" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").contains("widget"))
+            .select("p_partkey", "p_retailprice"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity") * lit(0.6)), 2).as("profit"))
+        .orderBy(col("n_name"), col("o_year").desc),
+      Some("""SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+             |       round(sum(l_extendedprice*(1-l_discount)
+             |                 - p_retailprice*l_quantity*0.6), 2) AS profit
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |              JOIN supplier ON l_suppkey = s_suppkey
+             |              JOIN nation ON s_nationkey = n_nationkey
+             |WHERE p_name LIKE '%widget%'
+             |GROUP BY n_name, o_year
+             |ORDER BY n_name, o_year DESC""".stripMargin)),
+
+    // important-stock value ranking (TPC-H Q11 shape: per-part value
+    // restricted to one nation's suppliers, kept only when above a
+    // fraction of the TOTAL value — an uncorrelated scalar subquery).
+    // The total is the 1-row re-aggregation of the per-part frame,
+    // broadcast back; the fact table is aggregated before the
+    // threshold compare, so the scalar subquery costs one extra
+    // reduce over |parts| rows, not a second fact scan
+    "q11_important_stock" -> Q(
+      (s, d) => {
+        val v = Tables.lineitem(s, d)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("l_partkey")
+          .agg(round(sum("l_extendedprice"), 2).as("part_value"))
+        v.crossJoin(broadcast(v.agg(sum("part_value").as("tot"))))
+          .filter(col("part_value") > col("tot") * lit(0.001))
+          .select(col("l_partkey").as("partkey"), col("part_value"))
+          .orderBy(col("part_value").desc, col("partkey"))
+      },
+      Some("""WITH v AS (
+             |  SELECT l_partkey, round(sum(l_extendedprice),2) AS part_value
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |                JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_name = 'NATION_7'
+             |  GROUP BY l_partkey)
+             |SELECT l_partkey AS partkey, part_value
+             |FROM v WHERE part_value > (SELECT sum(part_value) FROM v) * 0.001
+             |ORDER BY part_value DESC, partkey""".stripMargin)),
+
+    // dominant-share suppliers of promoted parts (TPC-H Q20 shape:
+    // nested aggregate subquery feeding a semi-join; availqty>½·qty
+    // becomes "this supplier shipped >30% of the part's 1997 volume"
+    // since there is no partsupp). Both aggregates share the same
+    // filtered 1997 scan and the same partkey shuffle prefix;
+    // l_quantity is integral so the sums are exact in double and the
+    // 0.3·tq compare is bit-identical across engines
+    "q20_part_promotion" -> Q(
+      (s, d) => {
+        val li97 = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+                  col("l_shipdate") < ts("1998-01-01 00:00:00"))
+          .select("l_partkey", "l_suppkey", "l_quantity")
+        val byPS = li97.groupBy("l_partkey", "l_suppkey")
+          .agg(sum("l_quantity").as("sq"))
+        val byP = li97.groupBy(col("l_partkey").as("tp_partkey"))
+          .agg(sum("l_quantity").as("tq"))
+        val qual = byPS.join(byP, col("l_partkey") === col("tp_partkey"))
+          .join(Tables.part(s, d).filter(col("p_name").startsWith("small"))
+            .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+          .filter(col("sq") > col("tq") * lit(0.3))
+          .select("l_suppkey").distinct()
+        Tables.supplier(s, d)
+          .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .select("s_name", "n_name")
+          .orderBy("s_name")
+      },
+      Some("""WITH li97 AS (
+             |  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01'),
+             |ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+             |       FROM li97 GROUP BY 1, 2),
+             |pt AS (SELECT l_partkey, sum(l_quantity) AS tq FROM li97 GROUP BY 1)
+             |SELECT s_name, n_name
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE s_suppkey IN (
+             |  SELECT ps.l_suppkey FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+             |  JOIN part ON ps.l_partkey = p_partkey
+             |  WHERE p_name LIKE 'small%' AND ps.sq > pt.tq * 0.3)
+             |ORDER BY s_name""".stripMargin)),
+
     // analytic-window breadth: lead/lag/percent_rank/cume_dist per
     // customer order history (partitioned — never global)
     "win_analytics" -> Q(
@@ -8090,9 +8239,42 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Every SQL referencing `events` is rewritten to read through a
+    * shadowing CTE that restores the engine-wide `ts` = epoch-nanos
+    * BIGINT contract (round-9 testdata stores ts as TIMESTAMP(MICROS);
+    * see [[Tables.events]]). `main.events` inside the CTE binds the
+    * raw view (DuckDB rejects the bare name as a circular CTE
+    * reference); every query body then sees the BIGINT column the
+    * SQLs were written against. Applied centrally so the 70+ events
+    * oracles stay byte-identical to their Spark twins' comments.
     */
+  private val eventsNanosCte: String =
+    "events AS (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, " +
+      "user_id, event_type, value, props FROM main.events)"
+  private def shadowEvents(sql: String): String =
+    if (!sql.toLowerCase.contains("events")) sql
+    else {
+      // SQLs written against the old TIMESTAMP(NANOS) view convert with
+      // epoch_ns/epoch_us themselves; under the CTE ts is already
+      // BIGINT nanos, so those calls collapse to the column (÷1000 for
+      // micros — integer division is exact, nanos are multiples of 1000)
+      val b = sql
+        .replace("epoch_ns(e.ts)", "e.ts")
+        .replace("epoch_ns(ts)", "ts")
+        .replace("epoch_us(ts)", "(ts // 1000)")
+        // epoch_ns wrapped around a window call: drop the wrapper, keep
+        // its paren so the expression stays balanced
+        .replace("epoch_ns(lag(ts", "(lag(ts")
+        .replace("epoch_ns(lead(ts", "(lead(ts")
+      val t = b.stripLeading()
+      if (t.length >= 5 && t.substring(0, 5).equalsIgnoreCase("with "))
+        "WITH " + eventsNanosCte + ",\n" + t.substring(5)
+      else "WITH " + eventsNanosCte + "\n" + b
+    }
+
   def oracleSql: Map[String, String] =
-    defs.collect { case (n, Q(_, Some(sql))) => n -> sql }.toMap
+    defs.collect { case (n, Q(_, Some(sql))) => n -> shadowEvents(sql) }.toMap
 
   /** Headline subset (ExplainDump default + documentation). */
   def headline: Seq[String] = Seq(

@@ -709,4 +709,25 @@ class PlanGuardSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 0, p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("Q2 correlated-min: both min frames pre-aggregated, bounded output, no cartesian") {
+    val p = plan("q2_min_cost")
+    assert(!p.contains("CartesianProduct"), p)
+    // LIMIT 20 over the sorted result must be a TakeOrdered, never a
+    // global sort of the joined frame
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("Q9 substring part filter reaches the parquet scan") {
+    val p = plan("q9_profit")
+    assert(p.contains("StringContains(p_name,widget)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("Q20 nested-agg semi-join: LeftSemi present, no cartesian, 1997 filter pushed") {
+    val p = plan("q20_part_promotion")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+  }
 }

@@ -65,7 +65,13 @@ class WindowGuardSpec extends SparkSpec {
     // rank-after-limit over the TakeOrdered top-10k vocab
     "text_vocab_coverage",
     // opened/fulfilled running sums over the |months|-row rollup
-    "q_order_backlog")
+    "q_order_backlog",
+    // BH rank over per-event_type p-values — |event types| rows,
+    // bounded by the type domain, never raw events
+    "stat_fdr",
+    // U_t cumsum + argmax over the daily purchase rollup — bounded by
+    // the calendar (|days| rows), facts collapsed first
+    "ts_pettitt")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
