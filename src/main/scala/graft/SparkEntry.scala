@@ -6720,6 +6720,107 @@ object SparkEntry {
                |       round(n_true + noise, 4) AS n_noisy
                |FROM n ORDER BY lang""".stripMargin)),
 
+      // k-anonymity audit: quasi-identifier = (lang, source, 200-char
+      // length bin); the release-safety profile is the equivalence-
+      // class SIZE histogram (how many classes of each size, how many
+      // rows they carry, which sizes violate k=5). Two map-side-
+      // combinable hash aggs — the first shuffles on the QI key (same
+      // cardinality as the release table), the second on the ≤|distinct
+      // sizes| histogram; no windows, no joins, so the audit runs at
+      // any corpus size as two reduce passes
+      "priv_k_anonymity" -> Q(
+        (s, d) => Tables.documents(s, d)
+          .select(col("lang"), col("source"), expr("n_chars DIV 200").as("len_bin"))
+          .groupBy("lang", "source", "len_bin")
+          .agg(count(lit(1)).as("class_size"))
+          .groupBy("class_size")
+          .agg(count(lit(1)).as("n_classes"))
+          .select(col("class_size"), col("n_classes"),
+            (col("class_size") * col("n_classes")).as("n_rows"),
+            (col("class_size") < 5).as("violates_k5"))
+          .orderBy("class_size"),
+        Some("""WITH eq AS (
+               |  SELECT lang, source, n_chars // 200 AS len_bin,
+               |         CAST(count(*) AS BIGINT) AS class_size
+               |  FROM documents GROUP BY lang, source, len_bin)
+               |SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+               |       CAST(class_size * count(*) AS BIGINT) AS n_rows,
+               |       class_size < 5 AS violates_k5
+               |FROM eq GROUP BY class_size ORDER BY class_size""".stripMargin)),
+
+      // l-diversity audit: within each (source, length-bin) QI group,
+      // how many distinct values of the sensitive attribute (lang)
+      // survive — a group an attacker can pin to one lang leaks it
+      // even when k-anonymous. Output is the per-group (n, l,
+      // violates_l2) table, bounded by |sources|·|bins|; one grouped
+      // pass with countDistinct (Expand-based two-level agg, both
+      // levels partial)
+      "priv_l_diversity" -> Q(
+        (s, d) => Tables.documents(s, d)
+          .select(col("source"), expr("n_chars DIV 500").as("len_bin"), col("lang"))
+          .groupBy("source", "len_bin")
+          .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("l"))
+          .select(col("source"), col("len_bin"), col("n"), col("l"),
+            (col("l") < 2).as("violates_l2"))
+          .orderBy("source", "len_bin"),
+        Some("""SELECT source, n_chars // 500 AS len_bin,
+               |       CAST(count(*) AS BIGINT) AS n,
+               |       CAST(count(DISTINCT lang) AS BIGINT) AS l,
+               |       count(DISTINCT lang) < 2 AS violates_l2
+               |FROM documents GROUP BY source, len_bin
+               |ORDER BY source, len_bin""".stripMargin)),
+
+      // Horvitz–Thompson total-token estimate from an unequal-
+      // probability sample: long docs (n_chars ≥ 500) are included
+      // w.p. 0.5, short ones w.p. 0.1, membership decided by a
+      // deterministic per-doc hash (engine-reproducible, no RNG
+      // state). Estimator Σ x_i/p_i is unbiased for the true total;
+      // the query reports both plus the realized relative error per
+      // source. One scan computes sample and truth together (the
+      // conditional-agg trick — no second pass over the corpus)
+      "samp_horvitz_thompson" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.md5Long
+          val inSample = (md5Long(concat(lit("ht:"), col("doc_id").cast("string")))
+            % 1000L) < when(col("n_chars") >= 500, 500L).otherwise(100L)
+          val p = when(col("n_chars") >= 500, 0.5).otherwise(0.1)
+          Tables.documents(s, d)
+            .select(col("source"), col("n_chars"), col("doc_id"),
+              size(graft.text.TextPrimitives.tokens(col("text")))
+                .cast("long").as("x"))
+            .withColumn("in_s", inSample)
+            .withColumn("p", p)
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(when(col("in_s"), 1L).otherwise(0L)).as("n_sampled"),
+              sum(col("x")).as("true_total"),
+              round(sum(when(col("in_s"), col("x") / col("p")).otherwise(0.0)), 2)
+                .as("ht_estimate"))
+            .withColumn("rel_err",
+              when(col("true_total") === 0, lit(null).cast("double"))
+                .otherwise(round(abs(col("ht_estimate") - col("true_total"))
+                  / col("true_total"), 4)))
+            .orderBy("source")
+        },
+        Some("""WITH t AS (
+               |  SELECT source, doc_id, n_chars,
+               |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS x,
+               |         (('0x' || substr(md5('ht:' || doc_id), 1, 15))::BIGINT % 1000)
+               |           < (CASE WHEN n_chars >= 500 THEN 500 ELSE 100 END) AS in_s,
+               |         CASE WHEN n_chars >= 500 THEN 0.5 ELSE 0.1 END AS p
+               |  FROM documents),
+               |g AS (
+               |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               |         CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               |         CAST(sum(x) AS BIGINT) AS true_total,
+               |         round(sum(CASE WHEN in_s THEN x / p ELSE 0.0 END), 2) AS ht_estimate
+               |  FROM t GROUP BY source)
+               |SELECT source, n_docs, n_sampled, true_total, ht_estimate,
+               |       CASE WHEN true_total = 0 THEN NULL
+               |            ELSE round(abs(ht_estimate - true_total) / true_total, 4)
+               |       END AS rel_err
+               |FROM g ORDER BY source""".stripMargin)),
+
       // Neyman allocation of a 100-doc evaluation budget across
       // language strata: n_h ∝ N_h·σ_h (token-count σ) — sample more
       // where strata are big AND noisy, the design that minimizes

@@ -76,6 +76,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "graph_assort", "graph_adamic_adar", "graph_bfs",
     "text_llr", "text_rake", "text_selfbleu",
     "samp_poisson_bootstrap", "priv_dp_counts", "samp_strat_alloc",
+    "priv_k_anonymity", "priv_l_diversity", "samp_horvitz_thompson",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
     "mm_patch_grid", "mm_shot_bounds")
