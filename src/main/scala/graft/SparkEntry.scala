@@ -6821,6 +6821,171 @@ object SparkEntry {
                |       END AS rel_err
                |FROM g ORDER BY source""".stripMargin)),
 
+      // Heaps'-law fit V(N) = K·N^β: vocabulary growth measured at
+      // ~100 equal-width doc_id checkpoints regardless of corpus size
+      // (block width = maxId/100, broadcast 1-row max — so the
+      // cumulative windows run over ≤101 block rows at ANY scale,
+      // never over docs). Vocab increments come from each term's
+      // FIRST block (min-agg over the exploded stream — one shuffle
+      // keyed by term, the same cardinality as any vocab build);
+      // the log-log OLS closed form is one reduce over ≤101 points
+      "text_heaps_fit" -> Q(
+        (s, d) => {
+          val toks = Tables.documents(s, d)
+            .select(col("doc_id"),
+              explode(graft.text.TextPrimitives.tokens(col("text"))).as("w"))
+          val mx = Tables.documents(s, d).agg(max("doc_id").as("mx"))
+          val blocked = toks.crossJoin(broadcast(mx))
+            .withColumn("blk", expr("doc_id DIV greatest(1, (mx DIV 100) + 1)"))
+          val perBlk = blocked.groupBy("blk").agg(count(lit(1)).as("nt"))
+          val firstBlk = blocked.groupBy("w").agg(min("blk").as("fb"))
+            .groupBy(col("fb").as("blk")).agg(count(lit(1)).as("nv"))
+          val wc = Window.orderBy("blk")
+            .rowsBetween(Window.unboundedPreceding, 0)
+          val pts = perBlk.join(firstBlk, Seq("blk"), "left")
+            .na.fill(0L, Seq("nv"))
+            .withColumn("cn", sum("nt").over(wc))
+            .withColumn("cv", sum("nv").over(wc))
+            .filter(col("cn") > 0 && col("cv") > 0)
+            .select(log(col("cn").cast("double")).as("lx"),
+                    log(col("cv").cast("double")).as("ly"))
+          pts.agg(count(lit(1)).as("n_points"),
+              avg("lx").as("ax"), avg("ly").as("ay"),
+              covar_pop("lx", "ly").as("cxy"),
+              var_pop("lx").as("vx"), var_pop("ly").as("vy"))
+            .select(col("n_points"),
+              round(col("cxy") / col("vx"), 4).as("beta"),
+              round(exp(col("ay") - col("cxy") / col("vx") * col("ax")), 4).as("k"),
+              round(pow(col("cxy") / sqrt(col("vx") * col("vy")), 2), 4).as("r2"))
+        },
+        Some("""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+               |tok AS (SELECT doc_id,
+               |               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+               |        FROM documents),
+               |blk AS (SELECT doc_id // greatest(1, (mx // 100) + 1) AS blk, w
+               |        FROM tok, mx),
+               |pt AS (SELECT blk, CAST(count(*) AS BIGINT) AS nt FROM blk GROUP BY blk),
+               |fb AS (SELECT min_blk AS blk, CAST(count(*) AS BIGINT) AS nv FROM (
+               |         SELECT w, min(blk) AS min_blk FROM blk GROUP BY w)
+               |       GROUP BY min_blk),
+               |cur AS (SELECT pt.blk, sum(nt) OVER (ORDER BY pt.blk) AS cn,
+               |               sum(coalesce(nv, 0)) OVER (ORDER BY pt.blk) AS cv
+               |        FROM pt LEFT JOIN fb ON pt.blk = fb.blk),
+               |pts AS (SELECT ln(cn) AS lx, ln(cv) AS ly FROM cur
+               |        WHERE cn > 0 AND cv > 0)
+               |SELECT CAST(count(*) AS BIGINT) AS n_points,
+               |       round(covar_pop(lx, ly) / var_pop(lx), 4) AS beta,
+               |       round(exp(avg(ly) - covar_pop(lx, ly) / var_pop(lx) * avg(lx)), 4) AS k,
+               |       round(pow(covar_pop(lx, ly) / sqrt(var_pop(lx) * var_pop(ly)), 2), 4) AS r2
+               |FROM pts""".stripMargin)),
+
+      // chi-square test of independence for the lang × source
+      // contingency table: expected counts from broadcast marginals
+      // over the FULL grid (zero observed cells still contribute, so
+      // the grid is marginals × marginals — bounded by the label
+      // domains — left-joined with observed). One fact scan feeds all
+      // three aggregates; everything after is |langs|·|sources| rows
+      "stat_chi2_indep" -> Q(
+        (s, d) => {
+          val doc = Tables.documents(s, d)
+          val rt = doc.groupBy("lang").agg(count(lit(1)).as("nl"))
+          val ct = doc.groupBy("source").agg(count(lit(1)).as("ns"))
+          val obs = doc.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+          val tot = doc.agg(count(lit(1)).as("n"))
+          rt.crossJoin(broadcast(ct))
+            .join(obs, Seq("lang", "source"), "left")
+            .na.fill(0L, Seq("o"))
+            .crossJoin(broadcast(tot))
+            .withColumn("e", col("nl") * col("ns") / col("n").cast("double"))
+            .agg(
+              round(sum(pow(col("o") - col("e"), 2) / col("e")), 4).as("chi2"),
+              ((countDistinct(col("lang")) - 1) *
+                (countDistinct(col("source")) - 1)).as("dof"),
+              max(col("n")).as("n"))
+        },
+        Some("""WITH rt AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+               |            FROM documents GROUP BY lang),
+               |ct AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+               |       FROM documents GROUP BY source),
+               |obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+               |        FROM documents GROUP BY lang, source),
+               |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+               |grid AS (
+               |  SELECT rt.lang, ct.source, rt.nl, ct.ns,
+               |         coalesce(o, 0) AS o, n,
+               |         rt.nl * ct.ns / CAST(n AS DOUBLE) AS e
+               |  FROM rt CROSS JOIN ct
+               |  LEFT JOIN obs ON rt.lang = obs.lang AND ct.source = obs.source
+               |  CROSS JOIN tot)
+               |SELECT round(sum(pow(o - e, 2) / e), 4) AS chi2,
+               |       CAST((count(DISTINCT lang) - 1) *
+               |            (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+               |       CAST(max(n) AS BIGINT) AS n
+               |FROM grid""".stripMargin)),
+
+      // Kendall's τ-b between per-nation wealth (avg customer balance)
+      // and spend (avg order price): rank correlation robust to
+      // non-linearity, with the tie-corrected denominator. The pair
+      // scan is a self-join of the |nations|-row AGGREGATED frame
+      // (625 pairs at 25 nations — bounded by the dimension domain,
+      // never by facts); x/y round to 6dp first so both engines
+      // classify concordance identically, making the counts integral
+      "stat_kendall" -> Q(
+        (s, d) => {
+          val cust = Tables.customer(s, d)
+            .join(broadcast(Tables.nation(s, d)),
+              col("c_nationkey") === col("n_nationkey"))
+            .groupBy("n_name").agg(round(avg("c_acctbal"), 6).as("x"))
+          val ord = Tables.orders(s, d)
+            .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+            .join(broadcast(Tables.nation(s, d)),
+              col("c_nationkey") === col("n_nationkey"))
+            .groupBy(col("n_name").as("n2")).agg(round(avg("o_totalprice"), 6).as("y"))
+          val f = cust.join(ord, col("n_name") === col("n2"))
+            .select(col("n_name"), col("x"), col("y"))
+          val a = f.select(col("n_name").as("ka"), col("x").as("xa"), col("y").as("ya"))
+          val b = f.select(col("n_name").as("kb"), col("x").as("xb"), col("y").as("yb"))
+          val pairs = a.join(b, col("ka") < col("kb"))
+            .select(
+              (signum(col("xb") - col("xa")) * signum(col("yb") - col("ya"))).as("s"),
+              (col("xa") === col("xb")).cast("long").as("tx"),
+              (col("ya") === col("yb")).cast("long").as("ty"))
+          pairs.agg(
+              count(lit(1)).as("n_pairs"),
+              sum(when(col("s") > 0, 1L).otherwise(0L)).as("concordant"),
+              sum(when(col("s") < 0, 1L).otherwise(0L)).as("discordant"),
+              sum("tx").as("txs"), sum("ty").as("tys"))
+            .select(col("n_pairs"), col("concordant"), col("discordant"),
+              round((col("concordant") - col("discordant")) /
+                sqrt((col("n_pairs") - col("txs")).cast("double") *
+                     (col("n_pairs") - col("tys"))), 4).as("tau_b"))
+        },
+        Some("""WITH cx AS (
+               |  SELECT n_name, round(avg(c_acctbal), 6) AS x
+               |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+               |  GROUP BY n_name),
+               |oy AS (
+               |  SELECT n_name, round(avg(o_totalprice), 6) AS y
+               |  FROM orders JOIN customer ON o_custkey = c_custkey
+               |              JOIN nation ON c_nationkey = n_nationkey
+               |  GROUP BY n_name),
+               |f AS (SELECT cx.n_name, x, y FROM cx JOIN oy ON cx.n_name = oy.n_name),
+               |p AS (
+               |  SELECT sign(b.x - a.x) * sign(b.y - a.y) AS s,
+               |         CAST(a.x = b.x AS BIGINT) AS tx,
+               |         CAST(a.y = b.y AS BIGINT) AS ty
+               |  FROM f a JOIN f b ON a.n_name < b.n_name),
+               |g AS (
+               |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               |         CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+               |         CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+               |         CAST(sum(tx) AS BIGINT) AS txs, CAST(sum(ty) AS BIGINT) AS tys
+               |  FROM p)
+               |SELECT n_pairs, concordant, discordant,
+               |       round((concordant - discordant) /
+               |             sqrt(CAST(n_pairs - txs AS DOUBLE) * (n_pairs - tys)), 4) AS tau_b
+               |FROM g""".stripMargin)),
+
       // Neyman allocation of a 100-doc evaluation budget across
       // language strata: n_h ∝ N_h·σ_h (token-count σ) — sample more
       // where strata are big AND noisy, the design that minimizes

@@ -71,7 +71,11 @@ class WindowGuardSpec extends SparkSpec {
     "stat_fdr",
     // U_t cumsum + argmax over the daily purchase rollup — bounded by
     // the calendar (|days| rows), facts collapsed first
-    "ts_pettitt")
+    "ts_pettitt",
+    // cumulative token/vocab sums over the ≤101-row block-checkpoint
+    // frame (block width = maxId/100 — the window input is bounded by
+    // construction at any corpus size)
+    "text_heaps_fit")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
