@@ -6986,6 +6986,113 @@ object SparkEntry {
                |             sqrt(CAST(n_pairs - txs AS DOUBLE) * (n_pairs - tys)), 4) AS tau_b
                |FROM g""".stripMargin)),
 
+      // modularity of the SOURCE partition over the near-dup graph:
+      // do duplicates concentrate within a source (Q→1) or cross
+      // source boundaries (Q→0)? Q = Σ_s [L_s/m − (D_s/2m)²] with
+      // L_s = intra-source edges, D_s = degree mass of s. The edge
+      // build is the shared bounded ngramJaccard; everything after is
+      // |sources|-row arithmetic with the 1-row edge total broadcast —
+      // the contribution table and its Q re-agg both read the same
+      // tiny frame. The "is my dedup a per-source or global problem"
+      // diagnostic that decides whether dedup can shard by source
+      "graph_modularity" -> Q(
+        (s, d) => {
+          val docs = docsUnder(s, d, 120)
+          val e0 = graft.dedup.Dedup.ngramJaccard(docs, 5, 0.25)
+            .select(col("da"), col("db"))
+            .localCheckpoint(eager = false) // read for deg, intra, AND m
+          val src = docs.select(col("doc_id"), col("source"))
+          val lab = e0
+            .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+            .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+            .localCheckpoint(eager = false)
+          val mTot = lab.agg(count(lit(1)).as("m"))
+          val degS = lab.select(col("sa").as("source"))
+            .union(lab.select(col("sb").as("source")))
+            .groupBy("source").agg(count(lit(1)).as("d_sum"))
+          val intra = lab.filter(col("sa") === col("sb"))
+            .groupBy(col("sa").as("source")).agg(count(lit(1)).as("l_intra"))
+          val per = degS.join(intra, Seq("source"), "left")
+            .na.fill(0L, Seq("l_intra"))
+            .crossJoin(broadcast(mTot))
+            .withColumn("contribution",
+              round(col("l_intra") / col("m").cast("double")
+                - pow(col("d_sum") / (lit(2.0) * col("m")), 2), 6))
+          per.crossJoin(broadcast(
+              per.agg(round(sum("contribution"), 4).as("q_total"))))
+            .select(col("source"), col("l_intra"), col("d_sum"),
+                    col("contribution"), col("q_total"))
+            .orderBy("source")
+        },
+        Some(s"""WITH ${dupEdgesSql(120, 0.25)},
+                |lab AS (SELECT da, db, sa.source AS sa, sb.source AS sb
+                |        FROM e0 JOIN documents sa ON e0.da = sa.doc_id
+                |                JOIN documents sb ON e0.db = sb.doc_id),
+                |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
+                |degs AS (SELECT source, CAST(count(*) AS BIGINT) AS d_sum FROM (
+                |           SELECT sa AS source FROM lab
+                |           UNION ALL SELECT sb AS source FROM lab)
+                |         GROUP BY source),
+                |intra AS (SELECT sa AS source, CAST(count(*) AS BIGINT) AS l_intra
+                |          FROM lab WHERE sa = sb GROUP BY sa),
+                |per AS (
+                |  SELECT degs.source, coalesce(l_intra, 0) AS l_intra, d_sum,
+                |         round(coalesce(l_intra, 0) / CAST(m AS DOUBLE)
+                |               - pow(d_sum / (2.0 * m), 2), 6) AS contribution
+                |  FROM degs LEFT JOIN intra ON degs.source = intra.source
+                |  CROSS JOIN m)
+                |SELECT source, l_intra, d_sum, contribution,
+                |       (SELECT round(sum(contribution), 4) FROM per) AS q_total
+                |FROM per ORDER BY source""".stripMargin)),
+
+      // neighborhood-Jaccard link prediction on the dup graph:
+      // |N(u)∩N(v)| / |N(u)∪N(v)| for NON-adjacent pairs — the same
+      // wedge join as Adamic-Adar (common neighbors enumerated via
+      // the shared-neighbor key, never a node cross product) with
+      // both endpoint degrees broadcast in; union size by
+      // inclusion-exclusion, so one grouped count per pair suffices
+      "graph_jaccard_nbrs" -> Q(
+        (s, d) => {
+          val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+            .select(col("da"), col("db"))
+            .localCheckpoint(eager = false)
+          val nb = e0.select(col("da").as("z"), col("db").as("x"))
+            .union(e0.select(col("db").as("z"), col("da").as("x")))
+            .localCheckpoint(eager = false)
+          val deg = nb.groupBy(col("x").as("node")).agg(count(lit(1)).as("dg"))
+          nb.select(col("z"), col("x").as("u"))
+            .join(nb.select(col("z"), col("x").as("v")), "z")
+            .filter(col("u") < col("v"))
+            .groupBy("u", "v")
+            .agg(count(lit(1)).as("common"))
+            .join(broadcast(deg.select(col("node").as("u"), col("dg").as("du"))), "u")
+            .join(broadcast(deg.select(col("node").as("v"), col("dg").as("dv"))), "v")
+            .join(e0, col("u") === col("da") && col("v") === col("db"), "left_anti")
+            .select(col("u"), col("v"), col("common"),
+              round(col("common") /
+                (col("du") + col("dv") - col("common")).cast("double"), 4).as("jac"))
+            .orderBy(col("jac").desc, col("u"), col("v"))
+            .limit(20)
+        },
+        Some(s"""WITH ${dupEdgesSql(120, 0.25)},
+                |nb AS (SELECT da AS z, db AS x FROM e0
+                |       UNION ALL SELECT db AS z, da AS x FROM e0),
+                |deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS dg
+                |        FROM nb GROUP BY x),
+                |w AS (SELECT a.x AS u, b.x AS v
+                |      FROM nb a JOIN nb b ON a.z = b.z AND a.x < b.x),
+                |sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common
+                |       FROM w GROUP BY u, v),
+                |j AS (
+                |  SELECT u, v, common,
+                |         round(common / CAST(du.dg + dv.dg - common AS DOUBLE), 4) AS jac
+                |  FROM sc JOIN deg du ON sc.u = du.node
+                |          JOIN deg dv ON sc.v = dv.node
+                |  WHERE NOT EXISTS (SELECT 1 FROM e0
+                |                    WHERE e0.da = sc.u AND e0.db = sc.v))
+                |SELECT u, v, common, jac FROM j
+                |ORDER BY jac DESC, u, v LIMIT 20""".stripMargin)),
+
       // Neyman allocation of a 100-doc evaluation budget across
       // language strata: n_h ∝ N_h·σ_h (token-count σ) — sample more
       // where strata are big AND noisy, the design that minimizes

@@ -78,6 +78,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "samp_poisson_bootstrap", "priv_dp_counts", "samp_strat_alloc",
     "priv_k_anonymity", "priv_l_diversity", "samp_horvitz_thompson",
     "text_heaps_fit", "stat_chi2_indep",
+    "graph_modularity", "graph_jaccard_nbrs",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
     "mm_patch_grid", "mm_shot_bounds")
