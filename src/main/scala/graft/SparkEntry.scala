@@ -7093,6 +7093,126 @@ object SparkEntry {
                 |SELECT u, v, common, jac FROM j
                 |ORDER BY jac DESC, u, v LIMIT 20""".stripMargin)),
 
+      // embedding-space anisotropy (Ethayarajh 2019): the average
+      // cosine between DISTINCT vectors, computed WITHOUT a pair join
+      // via the exact identity Σᵢⱼ v̂ᵢ·v̂ⱼ = ‖Σv̂‖², so
+      // avg_cos = (‖Σv̂‖² − n)/(n(n−1)) — two linear passes (per-vector
+      // norm, per-dimension sums) replace the O(n²) pair scan, which
+      // is what makes the diagnostic runnable on a 100 TB embedding
+      // table. Also reports the centroid norm (the "common direction"
+      // magnitude a whitening pass would remove)
+      "emb_anisotropy" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.l2Norm
+          val f = Tables.embeddings(s, d)
+            .filter(col("embedding").isNotNull)
+            .select(col("vec_id"), col("embedding"),
+              l2Norm(col("embedding")).as("nrm"))
+            .filter(col("nrm") > 0)
+          val dims = f.select(col("nrm"), posexplode(col("embedding")).as(Seq("i", "x")))
+            .groupBy("i")
+            .agg(sum(col("x").cast("double")).as("sx"),
+                 sum(col("x").cast("double") / col("nrm")).as("su"))
+          val nRow = f.agg(count(lit(1)).as("n"),
+                           round(avg("nrm"), 6).as("mean_norm"))
+          dims.crossJoin(broadcast(nRow))
+            .agg(max(col("n")).as("n"), max(col("mean_norm")).as("mean_norm"),
+              round(sqrt(sum(pow(col("sx") / col("n"), 2))), 6).as("centroid_norm"),
+              round((sum(col("su") * col("su")) - max(col("n")))
+                / (max(col("n")) * (max(col("n")) - lit(1.0))), 6)
+                .as("avg_pairwise_cos"))
+        },
+        Some("""WITH f AS (
+               |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+               |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+               |  FROM embeddings WHERE embedding IS NOT NULL),
+               |g AS (SELECT * FROM f WHERE nrm > 0),
+               |d AS (SELECT nrm, generate_subscripts(emb, 1) AS i, unnest(emb) AS x FROM g),
+               |s AS (SELECT i, sum(x) AS sx, sum(x / nrm) AS su FROM d GROUP BY i),
+               |t AS (SELECT CAST(count(*) AS BIGINT) AS n, round(avg(nrm), 6) AS mean_norm
+               |      FROM g)
+               |SELECT n, mean_norm,
+               |       round(sqrt(sum(pow(sx / n, 2))), 6) AS centroid_norm,
+               |       round((sum(su * su) - n) / (n * (n - 1.0)), 6) AS avg_pairwise_cos
+               |FROM s CROSS JOIN t
+               |GROUP BY n, mean_norm""".stripMargin)),
+
+      // Johnson–Lindenstrauss sign-projection recall: project 64-d
+      // embeddings to 16-d with a DETERMINISTIC ±1 matrix (hash of
+      // (dim,j) — no RNG state to ship to executors), then measure
+      // top-10 recall of projected cosine search against full-dim
+      // brute force for one probe. The projection is a linear
+      // explode→groupBy (map-side combinable, no joins); projected
+      // coordinates round to 6dp so both engines rank identically.
+      // The dimension-REDUCTION path of the vec_ quantization family
+      // (matryoshka truncates, PQ codes — JL rotates mass into every
+      // kept coordinate)
+      "ann_jl_recall" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.{md5Long, score}
+          val e = Tables.embeddings(s, d)
+          val proj = e
+            .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+            .select(col("vec_id"), col("i"), col("x"),
+              explode(sequence(lit(0), lit(15))).as("j"))
+            .withColumn("sgn",
+              when(md5Long(concat(lit("jl:"), col("i").cast("string"),
+                lit(":"), col("j").cast("string"))) % 2 === 0,
+                1.0).otherwise(-1.0))
+            .groupBy("vec_id", "j")
+            .agg(round(sum(col("x").cast("double") * col("sgn")), 6).as("pj"))
+            .groupBy("vec_id")
+            .agg(transform(array_sort(collect_list(struct(col("j"), col("pj")))),
+              c => c.getField("pj")).as("p"))
+            .localCheckpoint(eager = false) // probe + corpus both read it
+          val qF = e.filter(col("vec_id") === 7).select(col("embedding").as("qe"))
+          val topFull = e.crossJoin(broadcast(qF)).filter(col("vec_id") =!= 7)
+            .select(col("vec_id"), score(col("embedding"), col("qe")).as("sc"))
+            .orderBy(col("sc").desc, col("vec_id")).limit(10)
+          val qP = proj.filter(col("vec_id") === 7).select(col("p").as("qp"))
+          val topProj = proj.crossJoin(broadcast(qP)).filter(col("vec_id") =!= 7)
+            .select(col("vec_id"), score(col("p"), col("qp")).as("sp"))
+            .orderBy(col("sp").desc, col("vec_id")).limit(10)
+          topFull.join(topProj, "vec_id")
+            .agg(count(lit(1)).as("n_overlap"))
+            .select(lit(10L).as("k"), col("n_overlap"),
+              round(col("n_overlap") / 10.0, 2).as("recall"))
+        },
+        Some("""WITH dims AS (
+               |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               |         CAST(unnest(embedding) AS DOUBLE) AS x
+               |  FROM embeddings),
+               |pj AS (
+               |  SELECT vec_id, j,
+               |         round(sum(x * CASE WHEN (('0x' || substr(md5('jl:' || i || ':' || j), 1, 15))::BIGINT % 2) = 0
+               |                        THEN 1.0 ELSE -1.0 END), 6) AS pj
+               |  FROM dims CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+               |  GROUP BY vec_id, j),
+               |pnrm AS (SELECT vec_id, sqrt(sum(pj * pj)) AS nr FROM pj GROUP BY vec_id),
+               |q AS (SELECT j, pj AS qj FROM pj WHERE vec_id = 7),
+               |qn AS (SELECT nr AS qnr FROM pnrm WHERE vec_id = 7),
+               |full_sc AS (
+               |  SELECT e.vec_id,
+               |         round(list_dot_product(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]) /
+               |               (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))) *
+               |                sqrt(list_sum(list_transform(qe.embedding::DOUBLE[], x -> x * x)))), 6) AS sc
+               |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 7) qe
+               |  WHERE e.vec_id <> 7),
+               |top_full AS (SELECT vec_id FROM full_sc ORDER BY sc DESC, vec_id LIMIT 10),
+               |proj_sc AS (
+               |  SELECT p.vec_id,
+               |         round(sum(p.pj * q.qj) / (pnrm.nr * qn.qnr), 6) AS sp
+               |  FROM pj p JOIN q ON p.j = q.j
+               |  JOIN pnrm ON p.vec_id = pnrm.vec_id
+               |  CROSS JOIN qn
+               |  WHERE p.vec_id <> 7
+               |  GROUP BY p.vec_id, pnrm.nr, qn.qnr),
+               |top_proj AS (SELECT vec_id FROM proj_sc ORDER BY sp DESC, vec_id LIMIT 10)
+               |SELECT CAST(10 AS BIGINT) AS k,
+               |       CAST(count(*) AS BIGINT) AS n_overlap,
+               |       round(count(*) / 10.0, 2) AS recall
+               |FROM top_full JOIN top_proj USING (vec_id)""".stripMargin)),
+
       // Neyman allocation of a 100-doc evaluation budget across
       // language strata: n_h ∝ N_h·σ_h (token-count σ) — sample more
       // where strata are big AND noisy, the design that minimizes

@@ -121,7 +121,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "vec_matryoshka", "vec_scalar_quant", "vec_quant_fidelity",
     "ann_kmeans_step", "vec_pq_adc",
     "ann_mmr_rerank", "emb_whiten", "emb_triplets", "dedup_semantic",
-    "emb_drift", "vec_residual_quant", "samp_coreset", "ann_knn_graph")
+    "emb_drift", "vec_residual_quant", "samp_coreset", "ann_knn_graph",
+    "emb_anisotropy", "ann_jl_recall")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
