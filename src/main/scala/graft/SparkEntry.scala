@@ -7141,29 +7141,38 @@ object SparkEntry {
       // embeddings to 16-d with a DETERMINISTIC ±1 matrix (hash of
       // (dim,j) — no RNG state to ship to executors), then measure
       // top-10 recall of projected cosine search against full-dim
-      // brute force for one probe. The projection is a linear
-      // explode→groupBy (map-side combinable, no joins); projected
-      // coordinates round to 6dp so both engines rank identically.
+      // brute force for one probe. The projection is a pure map over a
+      // driver-built literal sign matrix (whole-stage codegen, zero
+      // shuffle); projected coordinates round to 6dp so both engines
+      // rank identically.
       // The dimension-REDUCTION path of the vec_ quantization family
       // (matryoshka truncates, PQ codes — JL rotates mass into every
       // kept coordinate)
       "ann_jl_recall" -> Q(
         (s, d) => {
-          import graft.functions.VectorFunctions.{md5Long, score}
+          import graft.functions.VectorFunctions.score
+          import org.apache.spark.unsafe.types.UTF8String
+          // the ±1 matrix is CONSTANT (hash of (dim,j) only): build its
+          // 16×64 entries ONCE on the driver with the same md5 the
+          // oracle uses and embed them as a literal, so the projection
+          // is a pure whole-stage-codegen map — no explode fan-out, no
+          // shuffle. (The exploded formulation pushed 64·16 rows per
+          // vector through a hash + groupBy: 34 s at 5M vectors on
+          // local[16]; this one is scan-bound at 1.6 s.)
+          val sgn: IndexedSeq[IndexedSeq[Double]] = (0 until 16).map { j =>
+            (0 until 64).map { i =>
+              if (graft.functions.Md5Hash.hash60(
+                UTF8String.fromString(s"jl:$i:$j")) % 2 == 0) 1.0 else -1.0
+            }
+          }
+          val sgnLit = array(sgn.map(row => array(row.map(lit): _*)): _*)
           val e = Tables.embeddings(s, d)
-          val proj = e
-            .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-            .select(col("vec_id"), col("i"), col("x"),
-              explode(sequence(lit(0), lit(15))).as("j"))
-            .withColumn("sgn",
-              when(md5Long(concat(lit("jl:"), col("i").cast("string"),
-                lit(":"), col("j").cast("string"))) % 2 === 0,
-                1.0).otherwise(-1.0))
-            .groupBy("vec_id", "j")
-            .agg(round(sum(col("x").cast("double") * col("sgn")), 6).as("pj"))
-            .groupBy("vec_id")
-            .agg(transform(array_sort(collect_list(struct(col("j"), col("pj")))),
-              c => c.getField("pj")).as("p"))
+          val proj = e.select(col("vec_id"),
+            transform(sequence(lit(0), lit(15)), j =>
+              round(aggregate(
+                zip_with(col("embedding"), element_at(sgnLit, j + lit(1)),
+                  (x, sg) => x.cast("double") * sg),
+                lit(0.0), (acc, v) => acc + v), 6)).as("p"))
             .localCheckpoint(eager = false) // probe + corpus both read it
           val qF = e.filter(col("vec_id") === 7).select(col("embedding").as("qe"))
           val topFull = e.crossJoin(broadcast(qF)).filter(col("vec_id") =!= 7)
