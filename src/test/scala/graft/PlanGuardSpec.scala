@@ -730,4 +730,50 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
   }
+
+  test("anisotropy is two linear passes — no pair join anywhere") {
+    val p = plan("emb_anisotropy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only join is the broadcast of the 1-row (n, mean_norm) frame
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("JL recall projects via a pure map (no shuffle before the TakeOrdered)") {
+    val p = plan("ann_jl_recall")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the literal-matrix projection must not re-introduce the explode
+    // fan-out (Generate = explode in physical plans; the checkpointed
+    // projection frame feeds both searches)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("k-anonymity and HT are reduce-only: no windows, no joins") {
+    for (q <- Seq("priv_k_anonymity", "priv_l_diversity", "samp_horvitz_thompson")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: $p")
+      assert(!p.contains("Join"), s"$q: $p")
+    }
+  }
+
+  test("Heaps fit windows run on the bounded block frame, never on docs") {
+    val p = plan("text_heaps_fit")
+    // the cumulative window consumes the post-aggregate block frame:
+    // a HashAggregate (the per-block rollup) must appear BELOW the
+    // Window in the tree (formatted explain lists parents first, so
+    // "below" = after the Window line)
+    assert(p.contains("Window"), p)
+    assert(p.indexOf("HashAggregate", p.indexOf("Window")) > 0, p)
+  }
+
+  test("chi2 grid and modularity read broadcast marginals, no cartesian on facts") {
+    val c = plan("stat_chi2_indep")
+    assert(c.contains("BroadcastExchange"), c)
+    val m = plan("graph_modularity")
+    assert(!m.contains("CartesianProduct"), m)
+    val j = plan("graph_jaccard_nbrs")
+    assert(j.contains("TakeOrderedAndProject"), j)
+    assert(j.contains("BroadcastHashJoin"), j)
+  }
 }
