@@ -6854,9 +6854,17 @@ object SparkEntry {
               covar_pop("lx", "ly").as("cxy"),
               var_pop("lx").as("vx"), var_pop("ly").as("vy"))
             .select(col("n_points"),
-              round(col("cxy") / col("vx"), 4).as("beta"),
-              round(exp(col("ay") - col("cxy") / col("vx") * col("ax")), 4).as("k"),
-              round(pow(col("cxy") / sqrt(col("vx") * col("vy")), 2), 4).as("r2"))
+              // degenerate-corpus guard, mirrored in the oracle: a
+              // corpus collapsing to ONE cumulative checkpoint gives
+              // var_pop(lx)=0 and the OLS slope is undefined — NULL
+              // it (and k/r2, which reuse it) rather than inherit
+              // either engine's divide-by-zero convention
+              when(col("vx") === 0, lit(null).cast("double"))
+                .otherwise(round(col("cxy") / col("vx"), 4)).as("beta"),
+              when(col("vx") === 0, lit(null).cast("double"))
+                .otherwise(round(exp(col("ay") - col("cxy") / col("vx") * col("ax")), 4)).as("k"),
+              when(col("vx") === 0 || col("vy") === 0, lit(null).cast("double"))
+                .otherwise(round(pow(col("cxy") / sqrt(col("vx") * col("vy")), 2), 4)).as("r2"))
         },
         Some("""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
                |tok AS (SELECT doc_id,
@@ -6872,12 +6880,16 @@ object SparkEntry {
                |               sum(coalesce(nv, 0)) OVER (ORDER BY pt.blk) AS cv
                |        FROM pt LEFT JOIN fb ON pt.blk = fb.blk),
                |pts AS (SELECT ln(cn) AS lx, ln(cv) AS ly FROM cur
-               |        WHERE cn > 0 AND cv > 0)
-               |SELECT CAST(count(*) AS BIGINT) AS n_points,
-               |       round(covar_pop(lx, ly) / var_pop(lx), 4) AS beta,
-               |       round(exp(avg(ly) - covar_pop(lx, ly) / var_pop(lx) * avg(lx)), 4) AS k,
-               |       round(pow(covar_pop(lx, ly) / sqrt(var_pop(lx) * var_pop(ly)), 2), 4) AS r2
-               |FROM pts""".stripMargin)),
+               |        WHERE cn > 0 AND cv > 0),
+               |s AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+               |             avg(lx) AS ax, avg(ly) AS ay, covar_pop(lx, ly) AS cxy,
+               |             var_pop(lx) AS vx, var_pop(ly) AS vy FROM pts)
+               |SELECT n_points,
+               |       CASE WHEN vx = 0 THEN NULL ELSE round(cxy / vx, 4) END AS beta,
+               |       CASE WHEN vx = 0 THEN NULL ELSE round(exp(ay - cxy / vx * ax), 4) END AS k,
+               |       CASE WHEN vx = 0 OR vy = 0 THEN NULL ELSE
+               |         round(pow(cxy / sqrt(vx * vy), 2), 4) END AS r2
+               |FROM s""".stripMargin)),
 
       // chi-square test of independence for the lang × source
       // contingency table: expected counts from broadcast marginals
@@ -7804,7 +7816,41 @@ object SparkEntry {
             .filter(abs(sqrt(sqNorm(col("embedding"))) - 1.0) < 1e-9)
             .agg(count(lit(1)).as("n"))
         },
-        Some("SELECT CAST(count(*) AS BIGINT) AS n FROM documents")))
+        Some("SELECT CAST(count(*) AS BIGINT) AS n FROM documents")),
+
+      // the production-shaped inference path (batched mapPartitions
+      // through the JVM-pooled EmbedClient — the reference's external
+      // vectorizer integration, document_ingestor.py:605) running the
+      // flagship search flow. Same oracle as text_search_e2e: the
+      // deterministic raw-sum client makes the service path bit-equal
+      // to the distributed groupBy embedder, so one SQL pins BOTH
+      // physical paths to the same result — swapping transports
+      // (in-plan agg ↔ external service) cannot change any answer
+      "emb_service_search" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.score
+          val svc = new graft.embed.ServiceEmbedder(
+            new graft.embed.HashEmbedClientFactory(64, normalize = false),
+            dim = 64, batchSize = 32)
+          val raw = svc.embedDocs(Tables.documents(s, d), "doc_id", "text")
+          val q = raw.filter(col("doc_id") === 3).select(col("embedding").as("qv"))
+          raw.crossJoin(broadcast(q))
+            .select(col("doc_id"), score(col("embedding"), col("qv")).as("score"))
+            .orderBy(col("score").desc, col("doc_id"))
+            .limit(10)
+        },
+        Some {
+          val (dot, na, nb) = graft.embed.HashEmbedder.cosineTermsSql(64)
+          s"""WITH sums AS (
+             |${graft.embed.HashEmbedder.rawSumsSql(64)}),
+             |q AS (SELECT * FROM sums WHERE doc_id = 3)
+             |SELECT doc_id,
+             |       round(CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+             |                  ELSE dot / sqrt(na * nb) END, 6) + 0.0 AS score
+             |FROM (SELECT s.doc_id, ($dot) AS dot, ($na) AS na, ($nb) AS nb
+             |      FROM sums s, q)
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+        }))
   }
 
   // ---------------------------------------------------------------
@@ -8752,23 +8798,39 @@ object SparkEntry {
     * oracles stay byte-identical to their Spark twins' comments.
     */
   private val eventsNanosCte: String =
-    "events AS (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, " +
-      "user_id, event_type, value, props FROM main.events)"
+    // SELECT * REPLACE tracks the physical schema automatically — a
+    // column added to events.parquet later is visible to every oracle
+    // without touching this CTE
+    "events AS (SELECT * REPLACE (CAST(epoch_ns(ts) AS BIGINT) AS ts) " +
+      "FROM main.events)"
+  // word-boundary match of the events table reference: `n_events` or
+  // `my_events_alias` must NOT trigger CTE injection
+  private val eventsRef = """(?i)\bevents\b""".r
+  private val epochPlainTs = """epoch_ns\((\w+\.)?ts\)""".r
+  private val epochUsTs = """epoch_us\((\w+\.)?ts\)""".r
+  private val epochWindowTs = """epoch_ns\((lag|lead)\(ts""".r
+  private val epochResidue = """epoch_(ns|us)\(\s*((\w+\.)?ts|lag\(|lead\()""".r
   private def shadowEvents(sql: String): String =
-    if (!sql.toLowerCase.contains("events")) sql
+    if (eventsRef.findFirstIn(sql).isEmpty) sql
     else {
       // SQLs written against the old TIMESTAMP(NANOS) view convert with
       // epoch_ns/epoch_us themselves; under the CTE ts is already
       // BIGINT nanos, so those calls collapse to the column (÷1000 for
-      // micros — integer division is exact, nanos are multiples of 1000)
-      val b = sql
-        .replace("epoch_ns(e.ts)", "e.ts")
-        .replace("epoch_ns(ts)", "ts")
-        .replace("epoch_us(ts)", "(ts // 1000)")
-        // epoch_ns wrapped around a window call: drop the wrapper, keep
-        // its paren so the expression stays balanced
-        .replace("epoch_ns(lag(ts", "(lag(ts")
-        .replace("epoch_ns(lead(ts", "(lead(ts")
+      // micros — integer division is exact, nanos are multiples of 1000).
+      // Replacement strings carry no $ or \, so literal interpolation
+      // via the matcher function is safe.
+      var b = sql
+      b = epochPlainTs.replaceAllIn(b,
+        m => Option(m.group(1)).getOrElse("") + "ts")
+      b = epochUsTs.replaceAllIn(b,
+        m => "(" + Option(m.group(1)).getOrElse("") + "ts // 1000)")
+      // epoch_ns wrapped around a window call: drop the wrapper, keep
+      // its paren so the expression stays balanced
+      b = epochWindowTs.replaceAllIn(b, m => "(" + m.group(1) + "(ts")
+      // any surviving epoch_ns/epoch_us over ts would only fail later
+      // as a DuckDB binder error — fail fast here instead
+      require(epochResidue.findFirstIn(b).isEmpty,
+        s"shadowEvents: unrewritten epoch_ns/epoch_us over ts in: $b")
       val t = b.stripLeading()
       if (t.length >= 5 && t.substring(0, 5).equalsIgnoreCase("with "))
         "WITH " + eventsNanosCte + ",\n" + t.substring(5)

@@ -89,10 +89,10 @@ object HashEmbedder {
     (0 until dim).map(i => s"s.v$i * s.v$i").mkString(" + "),
     (0 until dim).map(i => s"q.v$i * q.v$i").mkString(" + "))
 
-  /** Driver-side twin of [[embedDocs]] for embedding a query string —
-    * must produce the identical vector (spec-tested).
+  /** Driver-side twin of [[embedDocsRaw]]: un-normalized signed bucket
+    * counts (exact integers in double — order-independent sums).
     */
-  def embedText(text: String, dim: Int = DefaultDim): Array[Double] = {
+  def embedTextRaw(text: String, dim: Int = DefaultDim): Array[Double] = {
     require(Integer.bitCount(dim) == 1, s"dim must be a power of two, got $dim")
     val shift = Integer.numberOfTrailingZeros(dim)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -106,6 +106,14 @@ object HashEmbedder {
       val sgn = if (((h >> shift) & 1L) == 0L) 1.0 else -1.0
       v(b) += sgn
     }
+    v
+  }
+
+  /** Driver-side twin of [[embedDocs]] for embedding a query string —
+    * must produce the identical vector (spec-tested).
+    */
+  def embedText(text: String, dim: Int = DefaultDim): Array[Double] = {
+    val v = embedTextRaw(text, dim)
     val nrm = math.sqrt(v.map(x => x * x).sum)
     if (nrm == 0.0) v else v.map(_ / nrm)
   }

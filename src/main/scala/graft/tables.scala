@@ -30,6 +30,11 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→timestamp cast below is only wall-clock-correct under
+    // UTC; enforce it here (not just in Verify/Bench/spec sessions) so
+    // an ad-hoc session in another zone can't silently get shifted
+    // epoch-nanos
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
