@@ -8777,10 +8777,346 @@ object SparkEntry {
              |FROM lg GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin)))
 
   // ---------------------------------------------------------------
+  // Round-10 additions: classifier/retrieval evaluation metrics,
+  // distribution-shift monitors, and a mergeable frequency sketch
+  // ---------------------------------------------------------------
+
+  private val round10Q: Seq[(String, Q)] = {
+    import graft.text.TextAnalytics
+    // shared oracle CTE: (doc_id, lang, source, quality) with the
+    // 4dp-rounded quality score — the bounded-distinct-value grid
+    // every distribution metric below aggregates on
+    val stopList = TextAnalytics.Stopwords.map(w => s"'$w'").mkString(",")
+    val qualityCte =
+      s"""q AS (
+         |  SELECT doc_id, lang, source,
+         |         round((least(n_tok, 100) / 100.0) *
+         |               (1.0 - punct_cnt * 1.0 / greatest(n_chars, 1)) *
+         |               (0.2 + 0.8 * (stop_cnt * 1.0 / greatest(n_tok, 1))), 4) AS quality
+         |  FROM (
+         |    SELECT doc_id, lang, source, length(text) AS n_chars,
+         |           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+         |           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |               t -> t IN ($stopList))) AS stop_cnt,
+         |           len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
+         |    FROM documents))""".stripMargin
+    def qualityWithLabels(s: SparkSession, d: String) = {
+      val docs = Tables.documents(s, d)
+      TextAnalytics.qualityScores(docs).drop("n_tok")
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+    }
+    Seq(
+      // ROC AUC of the quality score as an "is English" classifier —
+      // the ranking-quality audit a filtering pipeline runs before
+      // trusting a score as a keep/drop signal. Identical machinery to
+      // stat_mwu (AUC = U/(n₁n₂)): aggregate per DISTINCT 4dp score
+      // value (bounded grid ≤10⁴ rows at any corpus size), midranks
+      // from a cumulative window over that grid — never a global sort
+      // of docs. Ties handled exactly via midranks.
+      "stat_roc_auc" -> Q(
+        (s, d) => {
+          val t = qualityWithLabels(s, d).select(col("quality").as("x"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("g"))
+          val h = t.groupBy("x").agg(sum("g").as("n1x"), count(lit(1)).as("nx"))
+          val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+          h.withColumn("below", coalesce(sum("nx").over(w), lit(0L)))
+            .withColumn("midrank",
+              col("below").cast("double") + (col("nx") + 1) / 2.0)
+            .agg(sum("n1x").as("n1"), sum(col("nx") - col("n1x")).as("n2"),
+                 sum(col("n1x") * col("midrank")).as("r1"))
+            .select(col("n1").as("n_pos"), col("n2").as("n_neg"),
+              when(col("n1") === 0 || col("n2") === 0, lit(null).cast("double"))
+                .otherwise(round(
+                  (col("r1") - col("n1").cast("double") * (col("n1") + 1) / 2)
+                    / (col("n1").cast("double") * col("n2")), 4)).as("auc"))
+        },
+        Some(s"""WITH $qualityCte,
+               |t AS (SELECT quality AS x,
+               |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g FROM q),
+               |h AS (SELECT x, CAST(sum(g) AS BIGINT) AS n1x,
+               |             CAST(count(*) AS BIGINT) AS nx FROM t GROUP BY x),
+               |r AS (SELECT n1x, nx,
+               |        CAST(coalesce(sum(nx) OVER (ORDER BY x
+               |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+               |          + (nx + 1) / 2.0 AS midrank
+               |      FROM h),
+               |a AS (SELECT CAST(sum(n1x) AS BIGINT) AS n1,
+               |             CAST(sum(nx - n1x) AS BIGINT) AS n2,
+               |             sum(n1x * midrank) AS r1 FROM r)
+               |SELECT n1 AS n_pos, n2 AS n_neg,
+               |       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+               |            ELSE round((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)
+               |                       / (CAST(n1 AS DOUBLE) * n2), 4) END AS auc
+               |FROM a""".stripMargin)),
+
+      // population stability index between the src1 slice and the rest
+      // of the corpus over 10 fixed-width quality bins — the standard
+      // "did the distribution drift?" gate between two data snapshots.
+      // Laplace-smoothed (+0.5/bin) so empty bins stay finite; the
+      // full 10-bin spine comes from an explicit sequence, so zero
+      // bins appear in the report instead of vanishing. Everything
+      // after the one grouped scan is 10-row arithmetic.
+      "stat_psi" -> Q(
+        (s, d) => {
+          val binned = qualityWithLabels(s, d)
+            .select(least(floor(col("quality") * 10), lit(9L)).cast("long").as("bin"),
+              when(col("source") === "src1", 1L).otherwise(0L).as("is_ref"))
+            .groupBy("bin")
+            .agg(sum("is_ref").as("nr"), sum(lit(1L) - col("is_ref")).as("nc"))
+          val spine = s.range(10).select(col("id").as("bin"))
+          val g = spine.join(binned, Seq("bin"), "left")
+            .na.fill(0L, Seq("nr", "nc"))
+          val tot = g.agg(sum("nr").as("tr"), sum("nc").as("tc"))
+          val p = (col("nr") + 0.5) / (col("tr") + 5.0)
+          val qq = (col("nc") + 0.5) / (col("tc") + 5.0)
+          val contrib = (p - qq) * log(p / qq)
+          g.crossJoin(broadcast(tot))
+            .select(col("bin"), col("nr").as("n_ref"), col("nc").as("n_cmp"),
+              round(contrib, 6).as("contrib"),
+              round(sum(contrib).over(Window.partitionBy()), 6).as("psi_total"))
+            .orderBy("bin")
+        },
+        Some(s"""WITH $qualityCte,
+               |b AS (SELECT least(CAST(floor(quality * 10) AS BIGINT), 9) AS bin,
+               |             CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS is_ref FROM q),
+               |c AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS nr,
+               |             CAST(sum(1 - is_ref) AS BIGINT) AS nc FROM b GROUP BY bin),
+               |g AS (SELECT s.bin, coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+               |      FROM (SELECT unnest(range(10)) AS bin) s
+               |      LEFT JOIN c ON s.bin = c.bin),
+               |t AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
+               |             CAST(sum(nc) AS BIGINT) AS tc FROM g),
+               |x AS (SELECT bin, nr, nc,
+               |             ((nr + 0.5) / (tr + 5.0) - (nc + 0.5) / (tc + 5.0))
+               |               * ln(((nr + 0.5) / (tr + 5.0)) / ((nc + 0.5) / (tc + 5.0))) AS contrib
+               |      FROM g, t)
+               |SELECT bin, nr AS n_ref, nc AS n_cmp, round(contrib, 6) AS contrib,
+               |       round(sum(contrib) OVER (), 6) AS psi_total
+               |FROM x ORDER BY bin""".stripMargin)),
+
+      // 1-D Wasserstein (earth mover's) distance between the quality
+      // distributions of English vs non-English docs: W₁ = ∫|F₁−F₂|dx
+      // over the bounded grid of distinct 4dp score values — the
+      // metric that (unlike KS) weighs HOW FAR mass moved, which is
+      // what a data-mixture change actually costs downstream. Same
+      // scale shape as stat_roc_auc: one grouped scan, then windows
+      // over the ≤10⁴-row value grid.
+      "stat_wasserstein" -> Q(
+        (s, d) => {
+          val t = qualityWithLabels(s, d).select(col("quality").as("x"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("g"))
+          val h = t.groupBy("x")
+            .agg(sum("g").as("na"), sum(lit(1L) - col("g")).as("nb"))
+          val wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+          val wl = Window.orderBy("x")
+          val tot = h.agg(sum("na").as("ta"), sum("nb").as("tb"))
+          h.crossJoin(broadcast(tot))
+            .withColumn("fa", sum("na").over(wc) / col("ta").cast("double"))
+            .withColumn("fb", sum("nb").over(wc) / col("tb").cast("double"))
+            .withColumn("gap", lead("x", 1).over(wl) - col("x"))
+            .filter(col("gap").isNotNull)
+            .agg(max("ta").as("n_en"), max("tb").as("n_other"),
+              round(sum(abs(col("fa") - col("fb")) * col("gap")), 6).as("w1"))
+        },
+        Some(s"""WITH $qualityCte,
+               |t AS (SELECT quality AS x,
+               |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g FROM q),
+               |h AS (SELECT x, CAST(sum(g) AS BIGINT) AS na,
+               |             CAST(sum(1 - g) AS BIGINT) AS nb FROM t GROUP BY x),
+               |tt AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+               |              CAST(sum(nb) AS BIGINT) AS tb FROM h),
+               |c AS (SELECT x,
+               |             sum(na) OVER (ORDER BY x) / CAST(ta AS DOUBLE) AS fa,
+               |             sum(nb) OVER (ORDER BY x) / CAST(tb AS DOUBLE) AS fb,
+               |             lead(x) OVER (ORDER BY x) - x AS gap, ta, tb
+               |      FROM h, tt)
+               |SELECT CAST(max(ta) AS BIGINT) AS n_en, CAST(max(tb) AS BIGINT) AS n_other,
+               |       round(sum(abs(fa - fb) * gap), 6) AS w1
+               |FROM c WHERE gap IS NOT NULL""".stripMargin)),
+
+      // count-min sketch (depth 4 × width 64, explicit md5 row-hash
+      // family) over event types, with per-key estimate vs exact truth
+      // on the bounded type domain. The sketch build is ONE map-side-
+      // combinable groupBy of d·N rows into ≤256 cells — mergeable
+      // across shards/days by cell-wise addition, which is the whole
+      // point of CMS at 100 TB (heavy-hitter counts without a
+      // per-key shuffle). overest ≥ 0 always (one-sided error), and
+      // the spec asserts the ε=e/w bound on the bounded domain.
+      "ev_countmin" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.md5Long
+          val depth = 4
+          val width = 64
+          val ev = Tables.events(s, d)
+          def cmCell = pmod(md5Long(concat(lit("cm"), col("d").cast("string"),
+            lit(":"), col("event_type"))), lit(width))
+          val rows = ev.select(col("event_type"),
+              explode(sequence(lit(0), lit(depth - 1))).as("d"))
+            .withColumn("cell", cmCell)
+          val cells = rows.groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
+          val keys = ev.groupBy("event_type").agg(count(lit(1)).as("exact"))
+          val keyCells = keys.select(col("event_type"), col("exact"),
+              explode(sequence(lit(0), lit(depth - 1))).as("d"))
+            .withColumn("cell", cmCell)
+          keyCells.join(cells, Seq("d", "cell"))
+            .groupBy("event_type")
+            .agg(max("exact").as("exact"), min("cnt").as("cms_est"))
+            .select(col("event_type"), col("exact"), col("cms_est"),
+              (col("cms_est") - col("exact")).as("overest"))
+            .orderBy("event_type")
+        },
+        Some("""WITH rows_ AS (
+               |  SELECT event_type, d,
+               |         ('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || ':' || event_type), 1, 15))::BIGINT % 64 AS cell
+               |  FROM events, (SELECT unnest(range(4)) AS d)),
+               |cells AS (SELECT d, cell, CAST(count(*) AS BIGINT) AS cnt
+               |          FROM rows_ GROUP BY d, cell),
+               |keys AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact
+               |         FROM events GROUP BY event_type),
+               |kc AS (SELECT event_type, exact, d,
+               |              ('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || ':' || event_type), 1, 15))::BIGINT % 64 AS cell
+               |       FROM keys, (SELECT unnest(range(4)) AS d))
+               |SELECT kc.event_type, CAST(max(exact) AS BIGINT) AS exact,
+               |       CAST(min(cnt) AS BIGINT) AS cms_est,
+               |       CAST(min(cnt) - max(exact) AS BIGINT) AS overest
+               |FROM kc JOIN cells ON kc.d = cells.d AND kc.cell = cells.cell
+               |GROUP BY kc.event_type ORDER BY kc.event_type""".stripMargin)),
+
+      // NDCG@10 of embedding search as a RETRIEVAL-QUALITY metric:
+      // for query docs 1–5, rank the corpus by exact cosine (raw
+      // signed-bucket sums — bit-reproducible in SQL), relevance =
+      // same-language-as-query, ideal DCG from the corpus-wide
+      // relevant count. Complements the recall evals (ann_jl_recall,
+      // dedup_lsh_eval) with a graded-ranking metric. The per-query
+      // candidate set is the whole (small) corpus here; at scale the
+      // ranking input swaps for the partition-pruned ANN paths and
+      // this metric is unchanged downstream.
+      "text_ndcg" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.score
+          val docs = Tables.documents(s, d)
+          val raw = graft.embed.HashEmbedder.embedDocsRaw(docs, "doc_id", "text", 64)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+          val qs = raw.filter(col("doc_id") <= 5)
+            .select(col("doc_id").as("qid"), col("embedding").as("qv"),
+                    col("lang").as("qlang"))
+          val scored = raw.crossJoin(broadcast(qs))
+            .filter(col("doc_id") =!= col("qid"))
+            .select(col("qid"), col("qlang"), col("doc_id"), col("lang"),
+              score(col("embedding"), col("qv")).as("sc"))
+          val w = Window.partitionBy("qid").orderBy(col("sc").desc, col("doc_id"))
+          val top = scored.withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 10)
+            .groupBy("qid")
+            .agg(sum(when(col("lang") === col("qlang"), 1L).otherwise(0L)).as("n_rel_top10"),
+              sum(when(col("lang") === col("qlang"),
+                lit(1.0) / log2(col("rnk") + 1)).otherwise(0.0)).as("dcg"))
+          val rel = scored.groupBy("qid")
+            .agg(sum(when(col("lang") === col("qlang"), 1L).otherwise(0L)).as("n_rel"))
+          top.join(rel, "qid")
+            .withColumn("idcg", expr(
+              "aggregate(sequence(1, int(least(10, n_rel))), 0D, (a, i) -> a + 1.0 / log2(i + 1))"))
+            .select(col("qid"), col("n_rel_top10"),
+              when(col("n_rel") === 0, lit(null).cast("double"))
+                .otherwise(round(col("dcg") / col("idcg"), 4)).as("ndcg"))
+            .orderBy("qid")
+        },
+        Some {
+          val (dot, na, nb) = graft.embed.HashEmbedder.cosineTermsSql(64)
+          s"""WITH sums AS (
+             |${graft.embed.HashEmbedder.rawSumsSql(64)}),
+             |lg AS (SELECT doc_id, lang FROM documents),
+             |qs AS (SELECT sums.doc_id AS qid, lang AS qlang, sums.*
+             |       FROM sums JOIN lg USING (doc_id) WHERE doc_id <= 5),
+             |sc AS (SELECT ss.qid, ss.qlang, ss.doc_id, lg.lang,
+             |              round(CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+             |                         ELSE dot / sqrt(na * nb) END, 6) + 0.0 AS sc
+             |       FROM (SELECT s.doc_id, q.qid, q.qlang, ($dot) AS dot,
+             |                    ($na) AS na, ($nb) AS nb
+             |             FROM sums s JOIN qs q ON s.doc_id <> q.qid) ss
+             |       JOIN lg ON ss.doc_id = lg.doc_id),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) AS rnk
+             |       FROM sc),
+             |top AS (SELECT qid,
+             |          CAST(sum(CASE WHEN lang = qlang THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top10,
+             |          sum(CASE WHEN lang = qlang THEN 1.0 / log2(rnk + 1) ELSE 0.0 END) AS dcg
+             |        FROM rk WHERE rnk <= 10 GROUP BY qid),
+             |rel AS (SELECT qid, CAST(sum(CASE WHEN lang = qlang THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+             |        FROM sc GROUP BY qid),
+             |id_ AS (SELECT qid, sum(1.0 / log2(i + 1)) AS idcg
+             |        FROM rel, LATERAL (SELECT unnest(generate_series(1, CAST(least(10, n_rel) AS BIGINT))) AS i)
+             |        GROUP BY qid)
+             |SELECT top.qid, n_rel_top10,
+             |       CASE WHEN n_rel = 0 THEN NULL
+             |            ELSE round(dcg / idcg, 4) END AS ndcg
+             |FROM top JOIN rel USING (qid) LEFT JOIN id_ USING (qid)
+             |ORDER BY qid""".stripMargin
+        }),
+
+      // TOST equivalence test (two one-sided z-tests) on mean per-user
+      // event value between the md5 A/B arms: the inverse of ev_ab_test
+      // — "are the arms the SAME within ±δ?", which is what a holdout
+      // validation or infra migration actually needs to show. Welch SE
+      // from per-arm var_samp of per-user means; margin δ = 0.5;
+      // equivalent ⇔ both one-sided z's clear 1.6449 (α = 0.05).
+      "stat_tost" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.md5Long
+          val delta = 0.5
+          val g = Tables.events(s, d)
+            .groupBy("user_id").agg(avg("value").as("uv"))
+            .withColumn("arm",
+              md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+            .groupBy("arm")
+            .agg(count(lit(1)).cast("double").as("n"), avg("uv").as("m"),
+                 var_samp("uv").as("v"))
+            .localCheckpoint(eager = false) // read twice (both arms)
+          val t = g.filter(col("arm") === 1)
+            .select(col("n").as("nt"), col("m").as("mt"), col("v").as("vt"))
+          val c = g.filter(col("arm") === 0)
+            .select(col("n").as("nc"), col("m").as("mc"), col("v").as("vc"))
+          val se = sqrt(col("vt") / col("nt") + col("vc") / col("nc"))
+          val diff = col("mt") - col("mc")
+          val zl = (diff + delta) / se
+          val zu = (diff - delta) / se
+          // se = 0 (degenerate constant-value corpus) would throw
+          // DIVIDE_BY_ZERO under ANSI — NULL the z's, mirrored below
+          def guarded(c: Column) =
+            when(se === 0.0, lit(null).cast("double")).otherwise(c)
+          t.crossJoin(c).select(
+            col("nt").cast("long").as("n_t"), col("nc").cast("long").as("n_c"),
+            round(diff, 4).as("mean_diff"), round(se, 6).as("se"),
+            guarded(round(zl, 4)).as("z_lower"),
+            guarded(round(zu, 4)).as("z_upper"),
+            when(se === 0.0, lit(null).cast("int"))
+              .otherwise((zl > 1.6449 && zu < -1.6449).cast("int")).as("equivalent"))
+        },
+        Some("""WITH u AS (
+               |  SELECT user_id, avg(value) AS uv,
+               |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+               |  FROM events GROUP BY user_id),
+               |g AS (SELECT arm, CAST(count(*) AS DOUBLE) AS n, avg(uv) AS m,
+               |             var_samp(uv) AS v FROM u GROUP BY arm),
+               |t AS (SELECT n AS nt, m AS mt, v AS vt FROM g WHERE arm = 1),
+               |c AS (SELECT n AS nc, m AS mc, v AS vc FROM g WHERE arm = 0)
+               |SELECT CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+               |       round(mt - mc, 4) AS mean_diff,
+               |       round(sqrt(vt/nt + vc/nc), 6) AS se,
+               |       CASE WHEN sqrt(vt/nt + vc/nc) = 0 THEN NULL
+               |            ELSE round((mt - mc + 0.5) / sqrt(vt/nt + vc/nc), 4) END AS z_lower,
+               |       CASE WHEN sqrt(vt/nt + vc/nc) = 0 THEN NULL
+               |            ELSE round((mt - mc - 0.5) / sqrt(vt/nt + vc/nc), 4) END AS z_upper,
+               |       CASE WHEN sqrt(vt/nt + vc/nc) = 0 THEN NULL
+               |            ELSE CAST((mt - mc + 0.5) / sqrt(vt/nt + vc/nc) > 1.6449
+               |                 AND (mt - mc - 0.5) / sqrt(vt/nt + vc/nc) < -1.6449 AS INTEGER) END AS equivalent
+               |FROM t, c""".stripMargin)))
+  }
+
+  // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
     relational ++ eventsQ ++ experimentsQ ++ vectorStore ++ dedup ++ textQ ++
-      annQ ++ multimodalQ
+      annQ ++ multimodalQ ++ round10Q
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

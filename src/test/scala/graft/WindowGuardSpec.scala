@@ -43,6 +43,14 @@ class WindowGuardSpec extends SparkSpec {
     // midrank cumulative sum over the DISTINCT token-count histogram
     // (same values-never-rows bound as samp_ks_test / stat_gini)
     "stat_mwu",
+    // midrank cumulative sum over the DISTINCT 4dp-quality histogram
+    // (values, never rows — AUC via the rank-sum identity)
+    "stat_roc_auc",
+    // dual-ECDF running sums + lead() gap over the same DISTINCT
+    // 4dp-quality grid (W1 = integral of |F1-F2| between value steps)
+    "stat_wasserstein",
+    // psi_total = sum over the fixed 10-bin spine (constant 10 rows)
+    "stat_psi",
     // global-ecdf running sum over the DISTINCT value histogram (the
     // quantile-normalization map; values, never rows)
     "samp_quantile_norm",
