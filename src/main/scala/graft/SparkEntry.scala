@@ -9109,7 +9109,300 @@ object SparkEntry {
                |       CASE WHEN sqrt(vt/nt + vc/nc) = 0 THEN NULL
                |            ELSE CAST((mt - mc + 0.5) / sqrt(vt/nt + vc/nc) > 1.6449
                |                 AND (mt - mc - 0.5) / sqrt(vt/nt + vc/nc) < -1.6449 AS INTEGER) END AS equivalent
-               |FROM t, c""".stripMargin)))
+               |FROM t, c""".stripMargin)),
+
+      // TextRank keyphrase extraction: weighted PageRank over the
+      // word co-occurrence graph (window ≤2 on the stopword-filtered
+      // token stream), vocab bounded to the top-150 tokens by
+      // frequency so the graph is ≤150 nodes at ANY corpus size —
+      // the corpus-scale work is one token count + one pair count,
+      // both map-side-combinable; the 4 power iterations run on the
+      // collected bounded graph (same altitude call as
+      // graph_pagerank's |event-types| chain). Per-iteration round
+      // to 7dp pins the trajectory across engines.
+      "text_textrank" -> Q(
+        (s, d) => {
+          import graft.text.TextAnalytics
+          val stopArr = typedlit(TextAnalytics.Stopwords)
+          val toksRaw = graft.text.TextPrimitives.tokens(col("text"))
+          val content = filter(toksRaw, t => !array_contains(stopArr, t))
+          val docs = Tables.documents(s, d).select(content.as("a"))
+            .localCheckpoint(eager = false) // vocab + two pair streams
+          val vocab = docs.select(explode(col("a")).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("freq"))
+            .orderBy(col("freq").desc, col("tok")).limit(150)
+          def pairs(k: Int) = docs.select(explode(zip_with(
+              slice(col("a"), lit(1), greatest(size(col("a")) - k, lit(0))),
+              slice(col("a"), lit(k + 1), greatest(size(col("a")) - k, lit(0))),
+              (x, y) => concat(x, lit(" "), y))).as("p"))
+            .select(split(col("p"), " ").as("sp"))
+            .select(element_at(col("sp"), 1).as("x"), element_at(col("sp"), 2).as("y"))
+          val e0 = pairs(1).union(pairs(2))
+            .filter(col("x") =!= col("y"))
+            .select(least(col("x"), col("y")).as("src"),
+                    greatest(col("x"), col("y")).as("dst"))
+            .join(broadcast(vocab.select(col("tok").as("src"))), "src")
+            .join(broadcast(vocab.select(col("tok").as("dst"))), "dst")
+            .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+          val nodes = vocab.select("tok").collect().map(_.getString(0)).sorted
+          val canon = e0.collect()
+            .map(r => (r.getAs[String]("src"), r.getAs[String]("dst"), r.getAs[Long]("w")))
+            .sortBy(t => (t._1, t._2))
+          val bi = canon.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+          val wa = bi.groupBy(_._1).map { case (a, es) => a -> es.map(_._3).sum }
+          val edges = bi.map { case (a, b, w) =>
+            (a, b, BigDecimal(w.toDouble / wa(a))
+              .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+          val nN = nodes.length
+          def r7(x: Double) =
+            BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+          var rank = nodes.map(t => t -> r7(1.0 / nN)).toMap
+          for (_ <- 1 to 4) {
+            val in = edges.groupBy(_._2).map { case (dst, es) =>
+              dst -> es.sortBy(_._1).map(e => e._3 * rank(e._1)).sum }
+            rank = nodes.map(t => t -> r7(0.15 / nN + 0.85 * in.getOrElse(t, 0.0))).toMap
+          }
+          import s.implicits._
+          rank.toSeq.sortBy(_._1).toDF("tok", "r0")
+            .select(col("tok"), round(col("r0"), 5).as("pr"))
+            .orderBy(col("pr").desc, col("tok")).limit(15)
+        },
+        Some {
+          val stopList = TextAnalytics.Stopwords.map(w => s"'$w'").mkString(",")
+          val iters = (1 to 4).map { k =>
+            s"""it$k AS (SELECT n.t, round(0.15 / nn.nn + 0.85 * coalesce(
+               |  (SELECT sum(e.p * i.r) FROM e JOIN it${k - 1} i ON i.t = e.src
+               |   WHERE e.dst = n.t), 0), 7) AS r
+               |  FROM nodes n, nn)""".stripMargin
+          }.mkString(",\n")
+          s"""WITH content AS (
+             |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             |                     t -> t NOT IN ($stopList)) AS a
+             |  FROM documents),
+             |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+             |          FROM (SELECT unnest(a) AS tok FROM content)
+             |          GROUP BY tok ORDER BY freq DESC, tok LIMIT 150),
+             |p1 AS (SELECT a[i] AS x, a[i+1] AS y FROM (
+             |         SELECT a, unnest(generate_series(1, len(a) - 1)) AS i FROM content)),
+             |p2 AS (SELECT a[i] AS x, a[i+2] AS y FROM (
+             |         SELECT a, unnest(generate_series(1, len(a) - 2)) AS i FROM content)),
+             |e0 AS (SELECT least(x, y) AS src, greatest(x, y) AS dst,
+             |              CAST(count(*) AS BIGINT) AS w
+             |       FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+             |       WHERE x <> y AND least(x, y) IN (SELECT tok FROM vocab)
+             |         AND greatest(x, y) IN (SELECT tok FROM vocab)
+             |       GROUP BY src, dst),
+             |bi AS (SELECT src AS a, dst AS b, w FROM e0
+             |       UNION ALL SELECT dst, src, w FROM e0),
+             |deg AS (SELECT a, CAST(sum(w) AS BIGINT) AS wa FROM bi GROUP BY a),
+             |e AS (SELECT a AS src, b AS dst, round(w * 1.0 / wa, 7) AS p
+             |      FROM bi JOIN deg USING (a)),
+             |nodes AS (SELECT tok AS t FROM vocab),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+             |it0 AS (SELECT t, round(1.0 / nn, 7) AS r FROM nodes, nn),
+             |$iters
+             |SELECT t AS tok, round(r, 5) AS pr FROM it4
+             |ORDER BY pr DESC, tok LIMIT 15""".stripMargin
+        }),
+
+      // Cliff's delta effect size for en vs non-en token counts —
+      // the non-parametric "how big is the difference" companion to
+      // stat_mwu's "is there one": δ = 2·AUC − 1 from the same
+      // midrank/rank-sum machinery over the DISTINCT-value histogram
+      // (values, never rows), with the conventional magnitude labels
+      "stat_cliffs_delta" -> Q(
+        (s, d) => {
+          val t = Tables.documents(s, d).select(
+            size(graft.text.TextPrimitives.tokens(col("text"))).cast("long").as("x"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("g"))
+          val h = t.groupBy("x").agg(sum("g").as("n1x"), count(lit(1)).as("nx"))
+          val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+          val delta =
+            ((col("r1") - col("n1").cast("double") * (col("n1") + 1) / 2) * 2
+              / (col("n1").cast("double") * col("n2"))) - 1
+          h.withColumn("below", coalesce(sum("nx").over(w), lit(0L)))
+            .withColumn("midrank",
+              col("below").cast("double") + (col("nx") + 1) / 2.0)
+            .agg(sum("n1x").as("n1"), sum(col("nx") - col("n1x")).as("n2"),
+                 sum(col("n1x") * col("midrank")).as("r1"))
+            .select(col("n1").as("n_en"), col("n2").as("n_other"),
+              when(col("n1") === 0 || col("n2") === 0, lit(null).cast("double"))
+                .otherwise(round(delta, 4)).as("delta"),
+              when(col("n1") === 0 || col("n2") === 0, lit(null).cast("string"))
+                .otherwise(
+                  when(abs(delta) < 0.147, "negligible")
+                    .when(abs(delta) < 0.33, "small")
+                    .when(abs(delta) < 0.474, "medium")
+                    .otherwise("large")).as("magnitude"))
+        },
+        Some("""WITH t AS (
+               |  SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS x,
+               |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+               |  FROM documents),
+               |h AS (SELECT x, CAST(sum(g) AS BIGINT) AS n1x,
+               |             CAST(count(*) AS BIGINT) AS nx FROM t GROUP BY x),
+               |r AS (SELECT n1x, nx,
+               |        CAST(coalesce(sum(nx) OVER (ORDER BY x
+               |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+               |          + (nx + 1) / 2.0 AS midrank
+               |      FROM h),
+               |a AS (SELECT CAST(sum(n1x) AS BIGINT) AS n1,
+               |             CAST(sum(nx - n1x) AS BIGINT) AS n2,
+               |             sum(n1x * midrank) AS r1 FROM r),
+               |dl AS (SELECT n1, n2,
+               |              (r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2) * 2
+               |                / (CAST(n1 AS DOUBLE) * n2) - 1 AS delta
+               |       FROM a)
+               |SELECT n1 AS n_en, n2 AS n_other,
+               |       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE round(delta, 4) END AS delta,
+               |       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+               |            WHEN abs(delta) < 0.147 THEN 'negligible'
+               |            WHEN abs(delta) < 0.33 THEN 'small'
+               |            WHEN abs(delta) < 0.474 THEN 'medium'
+               |            ELSE 'large' END AS magnitude
+               |FROM dl""".stripMargin)),
+
+      // ε=1 DP mean of the (already-[0,1]-clipped) quality score per
+      // source: the private-release twin of a per-slice quality
+      // report. Budget split over the two released statistics (sum
+      // and count, sensitivity 1 each ⇒ Laplace scale 2); noise is
+      // the same deterministic inverse-CDF draw as priv_dp_counts so
+      // the release is reproducible and oracle-exact. The sum rounds
+      // to 6dp BEFORE noising so partial-sum grouping can't leak
+      // into the release. Count guard: max(1, noisy_n)
+      "priv_dp_mean" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.md5Long
+          def lap(tag: String) = {
+            // u rounds to 6dp BEFORE the inverse-CDF on both engines —
+            // the draw must be bit-identical, not just close
+            val u = round((md5Long(concat(lit(tag), col("source")))
+              % 1000000L + 1L) / lit(1000000.0) - 0.5, 6)
+            round(-signum(u) * lit(2.0) *
+              log(greatest(lit(1e-12), lit(1.0) - lit(2.0) * abs(u))), 6)
+          }
+          qualityWithLabels(s, d).groupBy("source")
+            .agg(count(lit(1)).as("n_true"),
+                 round(sum("quality"), 6).as("sum_true"))
+            .select(col("source"), col("n_true"),
+              round(col("sum_true") + lap("dpm:"), 6).as("sum_noisy"),
+              round(col("n_true") + lap("dpc:"), 6).as("n_noisy"))
+            .select(col("source"), col("n_true"), col("sum_noisy"), col("n_noisy"),
+              round(col("sum_noisy") / greatest(lit(1.0), col("n_noisy")), 4)
+                .as("dp_mean"))
+            .orderBy("source")
+        },
+        Some(s"""WITH $qualityCte,
+               |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_true,
+               |             round(sum(quality), 6) AS sum_true,
+               |             round((('0x' || substr(md5('dpm:' || source), 1, 15))::BIGINT
+               |               % 1000000 + 1) / 1000000.0 - 0.5, 6) + 0.0 AS us,
+               |             round((('0x' || substr(md5('dpc:' || source), 1, 15))::BIGINT
+               |               % 1000000 + 1) / 1000000.0 - 0.5, 6) + 0.0 AS uc
+               |      FROM q GROUP BY source),
+               |n AS (SELECT source, n_true,
+               |             round(sum_true + round(-sign(us) * 2.0
+               |               * ln(greatest(1e-12, 1.0 - 2.0 * abs(us))), 6), 6) AS sum_noisy,
+               |             round(n_true + round(-sign(uc) * 2.0
+               |               * ln(greatest(1e-12, 1.0 - 2.0 * abs(uc))), 6), 6) AS n_noisy
+               |      FROM g)
+               |SELECT source, n_true, sum_noisy, n_noisy,
+               |       round(sum_noisy / greatest(1.0, n_noisy), 4) AS dp_mean
+               |FROM n ORDER BY source""".stripMargin)),
+
+      // Qini/uplift curve by pre-period-activity decile: score users
+      // on first-half event volume, treat = md5 arm, response =
+      // second-half purchase — "does targeting high-score users
+      // concentrate the treatment effect?", the decision curve an
+      // uplift-targeting rollout reads. Deciles from BROADCAST
+      // percentile cutoffs (ev_lift_gain's shape, never a global
+      // ntile sort); the only window is the cumulative over ≤10
+      // decile rows, best deciles first. Qini_k = X_t − X_c·N_t/N_c
+      // on cumulative counts; NULL (not ÷0) when a cum control side
+      // is empty
+      "ev_qini" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.md5Long
+          val ev = Tables.events(s, d)
+          val bounds = ev.agg(min(expr("ts div 86400000000000")).as("mn"),
+                              max(expr("ts div 86400000000000")).as("mx"))
+          val users = ev
+            .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+                    col("event_type"))
+            .crossJoin(broadcast(bounds))
+            // integer DIV, matching the oracle's `// 2` exactly even
+            // when mn+mx+1 is odd
+            .withColumn("post",
+              (col("day") >= expr("(mn + mx + 1) DIV 2")).cast("long"))
+            .groupBy("user_id")
+            .agg(sum(lit(1L) - col("post")).as("score"),
+                 max(when(col("post") === 1 && col("event_type") === "purchase", 1L)
+                   .otherwise(0L)).as("resp"))
+            .withColumn("arm",
+              md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+            .localCheckpoint(eager = false) // cutoffs + bucketing
+          val cuts = users.agg(expr(
+            "transform(percentile(score, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)), " +
+            "x -> round(x, 6))").as("bs"))
+          val bucketed = users.crossJoin(broadcast(cuts))
+            .withColumn("decile", lit(10) - expr(
+              "aggregate(bs, 0, (acc, b) -> acc + CASE WHEN score > b THEN 1 ELSE 0 END)"))
+          val wCum = Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          bucketed.groupBy("decile")
+            .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+                 sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+                 sum(when(col("arm") === 1, col("resp")).otherwise(0L)).as("x_t"),
+                 sum(when(col("arm") === 0, col("resp")).otherwise(0L)).as("x_c"))
+            .withColumn("cnt", sum("n_t").over(wCum))
+            .withColumn("cnc", sum("n_c").over(wCum))
+            .withColumn("cxt", sum("x_t").over(wCum))
+            .withColumn("cxc", sum("x_c").over(wCum))
+            .select(col("decile"), col("n_t"), col("n_c"), col("x_t"), col("x_c"),
+              when(col("n_t") === 0 || col("n_c") === 0, lit(null).cast("double"))
+                .otherwise(round(col("x_t") / col("n_t").cast("double")
+                  - col("x_c") / col("n_c").cast("double"), 4)).as("uplift"),
+              when(col("cnc") === 0, lit(null).cast("double"))
+                .otherwise(round(col("cxt")
+                  - col("cxc") * col("cnt").cast("double") / col("cnc"), 4)).as("qini"))
+            .orderBy("decile")
+        },
+        Some("""WITH b AS (SELECT min(ts // 86400000000000) AS mn,
+               |                  max(ts // 86400000000000) AS mx FROM events),
+               |u AS (
+               |  SELECT user_id,
+               |         CAST(sum(CASE WHEN (ts // 86400000000000) >= (mn + mx + 1) // 2
+               |                       THEN 0 ELSE 1 END) AS BIGINT) AS score,
+               |         max(CASE WHEN (ts // 86400000000000) >= (mn + mx + 1) // 2
+               |                  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS resp,
+               |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+               |  FROM events, b GROUP BY user_id),
+               |c AS (SELECT round(quantile_cont(score, 0.1), 6) AS b1, round(quantile_cont(score, 0.2), 6) AS b2,
+               |             round(quantile_cont(score, 0.3), 6) AS b3, round(quantile_cont(score, 0.4), 6) AS b4,
+               |             round(quantile_cont(score, 0.5), 6) AS b5, round(quantile_cont(score, 0.6), 6) AS b6,
+               |             round(quantile_cont(score, 0.7), 6) AS b7, round(quantile_cont(score, 0.8), 6) AS b8,
+               |             round(quantile_cont(score, 0.9), 6) AS b9
+               |      FROM u),
+               |bk AS (SELECT u.*, 10 - ((score > b1)::INT + (score > b2)::INT + (score > b3)::INT
+               |              + (score > b4)::INT + (score > b5)::INT + (score > b6)::INT
+               |              + (score > b7)::INT + (score > b8)::INT + (score > b9)::INT) AS decile
+               |       FROM u, c),
+               |g AS (SELECT decile,
+               |             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               |             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+               |             CAST(sum(CASE WHEN arm = 1 THEN resp ELSE 0 END) AS BIGINT) AS x_t,
+               |             CAST(sum(CASE WHEN arm = 0 THEN resp ELSE 0 END) AS BIGINT) AS x_c
+               |      FROM bk GROUP BY decile),
+               |w AS (SELECT *,
+               |             CAST(sum(n_t) OVER o AS BIGINT) AS cnt, CAST(sum(n_c) OVER o AS BIGINT) AS cnc,
+               |             CAST(sum(x_t) OVER o AS BIGINT) AS cxt, CAST(sum(x_c) OVER o AS BIGINT) AS cxc
+               |      FROM g WINDOW o AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               |SELECT decile, n_t, n_c, x_t, x_c,
+               |       CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+               |            ELSE round(x_t / CAST(n_t AS DOUBLE) - x_c / CAST(n_c AS DOUBLE), 4) END AS uplift,
+               |       CASE WHEN cnc = 0 THEN NULL
+               |            ELSE round(cxt - cxc * CAST(cnt AS DOUBLE) / cnc, 4) END AS qini
+               |FROM w ORDER BY decile""".stripMargin)))
   }
 
   // ---------------------------------------------------------------

@@ -130,6 +130,34 @@ class ServiceEmbedderSpec extends SparkSpec {
     assert(nullVec == HashEmbedder.embedText("", 64).toSeq)
   }
 
+  test("streaming ingest embeds through the service path, batch-equal per row") {
+    RecordingState.reset()
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val svc = new ServiceEmbedder(new RecordingFactory(64), dim = 64,
+      batchSize = 4, backoffMs = 0L)
+    // embedDocs is a stateless mapPartitions, so the SAME code path
+    // runs under Structured Streaming with no changes
+    val embedded = svc.embedDocs(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = embedded.writeStream.format("memory")
+      .queryName("svc_stream_out").outputMode("append").start()
+    try {
+      input.addData((1L, "spark hash merge"), (2L, "hello world"))
+      q.processAllAvailable()
+      input.addData((3L, "streaming batch parity"))
+      q.processAllAvailable()
+      val out = s.table("svc_stream_out").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(out.keySet == Set(1L, 2L, 3L))
+      assert(out(1L) == HashEmbedder.embedText("spark hash merge", 64).toSeq)
+      assert(out(3L) == HashEmbedder.embedText("streaming batch parity", 64).toSeq)
+    } finally q.stop()
+  }
+
   test("the chunk→embed→search pipeline runs unchanged on the service embedder") {
     RecordingState.reset()
     val d = Tables.documents(spark, sfDir).filter(col("doc_id") < 30)

@@ -51,6 +51,12 @@ class WindowGuardSpec extends SparkSpec {
     "stat_wasserstein",
     // psi_total = sum over the fixed 10-bin spine (constant 10 rows)
     "stat_psi",
+    // midrank cumulative sum over the DISTINCT token-count histogram
+    // (identical bound to stat_mwu — delta is 2·AUC−1 off the same grid)
+    "stat_cliffs_delta",
+    // cumulative treatment/control counts over the ≤10 decile rows
+    // (ev_lift_gain's bound)
+    "ev_qini",
     // global-ecdf running sum over the DISTINCT value histogram (the
     // quantile-normalization map; values, never rows)
     "samp_quantile_norm",
