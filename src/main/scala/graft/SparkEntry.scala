@@ -9402,7 +9402,191 @@ object SparkEntry {
                |            ELSE round(x_t / CAST(n_t AS DOUBLE) - x_c / CAST(n_c AS DOUBLE), 4) END AS uplift,
                |       CASE WHEN cnc = 0 THEN NULL
                |            ELSE round(cxt - cxc * CAST(cnt AS DOUBLE) / cnc, 4) END AS qini
-               |FROM w ORDER BY decile""".stripMargin)))
+               |FROM w ORDER BY decile""".stripMargin)),
+
+      // Chao1 species-richness estimate of the vocabulary: how many
+      // word types remain UNSEEN given the singleton/doubleton profile
+      // — the "is more data worth scanning" complement to the Heaps
+      // fit. Bias-corrected form V + f1(f1−1)/(2(f2+1)) (no f2=0
+      // division), plus Good–Turing sample coverage 1 − f1/N. The
+      // whole estimator is two aggregates over the term-frequency
+      // histogram the vocab build already produces.
+      "text_chao1" -> Q(
+        (s, d) => {
+          val freqs = Tables.documents(s, d)
+            .select(explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("f"))
+          freqs.agg(count(lit(1)).as("v_obs"),
+              sum(when(col("f") === 1, 1L).otherwise(0L)).as("f1"),
+              sum(when(col("f") === 2, 1L).otherwise(0L)).as("f2"),
+              sum("f").as("n_tokens"))
+            .select(col("v_obs"), col("f1"), col("f2"), col("n_tokens"),
+              round(col("v_obs") + col("f1").cast("double") * (col("f1") - 1)
+                / ((col("f2") + 1) * 2.0), 2).as("chao1"),
+              round(lit(1.0) - col("f1") / col("n_tokens").cast("double"), 6)
+                .as("coverage"))
+        },
+        Some("""WITH fr AS (
+               |  SELECT tok, CAST(count(*) AS BIGINT) AS f FROM (
+               |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+               |    FROM documents)
+               |  GROUP BY tok)
+               |SELECT CAST(count(*) AS BIGINT) AS v_obs,
+               |       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               |       CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+               |       CAST(sum(f) AS BIGINT) AS n_tokens,
+               |       round(count(*) + sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+               |               * CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) - 1 AS DOUBLE)
+               |               / (2.0 * (sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) + 1)), 2) AS chao1,
+               |       round(1.0 - sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+               |               / CAST(sum(f) AS DOUBLE), 6) AS coverage
+               |FROM fr""".stripMargin)),
+
+      // Goertzel-style seasonality strength: spectral power of the
+      // daily purchase series at candidate periods {2,3,7,14} days —
+      // ONE pass builds the |days|-row series, then each period is a
+      // cos/sin pair of sums over that bounded frame (no FFT, no
+      // per-row state). Trig terms round to 10dp before the products
+      // so libm-vs-JDK last-ulp drift can't reach the 4dp report.
+      "ts_goertzel" -> Q(
+        (s, d) => {
+          val daily = Tables.events(s, d)
+            .filter(col("event_type") === "purchase")
+            .groupBy(expr("ts div 86400000000000").as("day"))
+            .agg(count(lit(1)).cast("double").as("x"))
+          val periods = Seq(2, 3, 7, 14)
+          val twoPi = 2.0 * math.Pi
+          val withTrig = daily.select((Seq(col("day"), col("x")) ++
+            periods.flatMap { p =>
+              Seq(round(cos(col("day") * (twoPi / p)), 10).as(s"c$p"),
+                  round(sin(col("day") * (twoPi / p)), 10).as(s"s$p"))
+            }): _*)
+          val aggs = sum("x").as("total") +: periods.flatMap { p =>
+            Seq(sum(col("x") * col(s"c$p")).as(s"a$p"),
+                sum(col("x") * col(s"s$p")).as(s"b$p"))
+          }
+          withTrig.agg(count(lit(1)).as("n_days"), aggs: _*)
+            .select((col("n_days") +: periods.map { p =>
+              round(sqrt(col(s"a$p") * col(s"a$p") + col(s"b$p") * col(s"b$p"))
+                * 2.0 / col("n_days"), 4).as(s"amp_$p")
+            }): _*)
+        },
+        Some {
+          val periods = Seq(2, 3, 7, 14)
+          val terms = periods.map { p =>
+            s"sum(x * round(cos(day * (2 * pi() / $p)), 10)) AS a$p, " +
+              s"sum(x * round(sin(day * (2 * pi() / $p)), 10)) AS b$p"
+          }.mkString(",\n             ")
+          val amps = periods.map { p =>
+            s"round(sqrt(a$p * a$p + b$p * b$p) * 2.0 / n_days, 4) AS amp_$p"
+          }.mkString(",\n       ")
+          s"""WITH daily AS (
+             |  SELECT ts // 86400000000000 AS day, CAST(count(*) AS DOUBLE) AS x
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n_days, sum(x) AS total,
+             |             $terms
+             |      FROM daily)
+             |SELECT n_days,
+             |       $amps
+             |FROM s""".stripMargin
+        }),
+
+      // Cramér's V effect size for the lang × source association —
+      // the "how strong" companion to stat_chi2_indep's "is there":
+      // V = √(χ²/(n·min(r−1,c−1))), same broadcast-marginal full-grid
+      // expected counts (zero observed cells still contribute)
+      "stat_cramers_v" -> Q(
+        (s, d) => {
+          val doc = Tables.documents(s, d)
+          val rt = doc.groupBy("lang").agg(count(lit(1)).as("nl"))
+          val ct = doc.groupBy("source").agg(count(lit(1)).as("ns"))
+          val obs = doc.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+          val tot = doc.agg(count(lit(1)).as("n"))
+          val chi2 = sum(pow(col("o") - col("e"), 2) / col("e"))
+          val mindf = least(countDistinct(col("lang")) - 1,
+                            countDistinct(col("source")) - 1)
+          rt.crossJoin(broadcast(ct))
+            .join(obs, Seq("lang", "source"), "left")
+            .na.fill(0L, Seq("o"))
+            .crossJoin(broadcast(tot))
+            .withColumn("e", col("nl") * col("ns") / col("n").cast("double"))
+            .agg(round(chi2, 4).as("chi2"), mindf.as("min_df"), max(col("n")).as("n"),
+              when(mindf === 0, lit(null).cast("double"))
+                .otherwise(round(sqrt(chi2 / (max(col("n")) * mindf)), 4)).as("v"))
+        },
+        Some("""WITH rt AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+               |            FROM documents GROUP BY lang),
+               |ct AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+               |       FROM documents GROUP BY source),
+               |obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+               |        FROM documents GROUP BY lang, source),
+               |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+               |grid AS (
+               |  SELECT rt.lang, ct.source, coalesce(o, 0) AS o, n,
+               |         rt.nl * ct.ns / CAST(n AS DOUBLE) AS e
+               |  FROM rt CROSS JOIN ct
+               |  LEFT JOIN obs ON rt.lang = obs.lang AND ct.source = obs.source
+               |  CROSS JOIN tot),
+               |a AS (SELECT sum(pow(o - e, 2) / e) AS chi2,
+               |             least(count(DISTINCT lang) - 1,
+               |                   count(DISTINCT source) - 1) AS min_df,
+               |             CAST(max(n) AS BIGINT) AS n
+               |      FROM grid)
+               |SELECT round(chi2, 4) AS chi2, CAST(min_df AS BIGINT) AS min_df, n,
+               |       CASE WHEN min_df = 0 THEN NULL
+               |            ELSE round(sqrt(chi2 / (n * min_df)), 4) END AS v
+               |FROM a""".stripMargin)),
+
+      // two-NN intrinsic-dimension estimate (Facco et al. 2017): the
+      // MLE id = n/Σln(r₂/r₁) from each vector's two nearest-neighbor
+      // distances — "how many dimensions does the embedding ACTUALLY
+      // use", the manifold complement to emb_anisotropy/emb_dim_stats.
+      // Distances round to 6dp (engine-identical ranking); zero-r₁
+      // duplicates are excluded as the estimator requires. The
+      // pairwise stage is the bounded-corpus oracle form; at scale the
+      // candidate pairs come from the LSH/IVF bucketed paths (same
+      // note as ann_knn_graph) with the estimator unchanged.
+      "emb_twonn_id" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.sqDist
+          val emb = Tables.embeddings(s, d)
+          val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+          val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+          val w = Window.partitionBy("ia").orderBy(col("dist"), col("ib"))
+          a.join(b, col("ia") =!= col("ib"))
+            .select(col("ia"), col("ib"),
+              round(sqrt(sqDist(col("va"), col("vb"))), 6).as("dist"))
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 2)
+            .groupBy("ia")
+            .agg(min(when(col("rnk") === 1, col("dist"))).as("r1"),
+                 min(when(col("rnk") === 2, col("dist"))).as("r2"))
+            .filter(col("r1") > 0)
+            .agg(count(lit(1)).as("n_used"),
+                 round(sum(log(col("r2") / col("r1"))), 6).as("sum_log_mu"))
+            .select(col("n_used"),
+              col("sum_log_mu"),
+              when(col("sum_log_mu") <= 0, lit(null).cast("double"))
+                .otherwise(round(col("n_used") / col("sum_log_mu"), 4)).as("id_hat"))
+        },
+        Some("""WITH p AS (
+               |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+               |         round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dist
+               |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+               |rk AS (SELECT ia, dist,
+               |              row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rnk
+               |       FROM p),
+               |nn AS (SELECT ia,
+               |              min(CASE WHEN rnk = 1 THEN dist END) AS r1,
+               |              min(CASE WHEN rnk = 2 THEN dist END) AS r2
+               |       FROM rk WHERE rnk <= 2 GROUP BY ia),
+               |a AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
+               |             round(sum(ln(r2 / r1)), 6) AS sum_log_mu
+               |      FROM nn WHERE r1 > 0)
+               |SELECT n_used, sum_log_mu,
+               |       CASE WHEN sum_log_mu <= 0 THEN NULL
+               |            ELSE round(n_used / sum_log_mu, 4) END AS id_hat
+               |FROM a""".stripMargin)))
   }
 
   // ---------------------------------------------------------------

@@ -99,9 +99,14 @@ object HashEmbedder {
     val v = new Array[Double](dim)
     text.trim.toLowerCase.split("\\s+").foreach { tok =>
       md.reset()
-      val hex = md.digest(tok.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.take(15)
-      val h = java.lang.Long.parseLong(hex, 16)
+      val dg = md.digest(tok.getBytes("UTF-8"))
+      // first 15 hex digits = first 60 bits of the digest: big-endian
+      // first-8-bytes >>> 4, no hex-string round-trip (the formatting
+      // was 5× the cost of the MD5 itself in the service-client path)
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (dg(i) & 0xffL); i += 1 }
+      h = h >>> 4
       val b = (h % dim).toInt
       val sgn = if (((h >> shift) & 1L) == 0L) 1.0 else -1.0
       v(b) += sgn
