@@ -7892,7 +7892,10 @@ object SparkEntry {
       "ann_knn_graph" -> Q(
         (s, d) => {
           val emb = Tables.embeddings(s, d)
-          val edges = Ann.bruteForceTopK(emb,
+          // dense kernel: all-vectors-as-queries is the case where the
+          // BNLJ row-per-pair cost dominates (AnnSpec pins row-equality
+          // with bruteForceTopK; ~10× at the 2000-query oracle corpus)
+          val edges = Ann.bruteForceTopKDense(emb,
               emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), 5)
             .select(col("qid"), col("vec_id").as("nid"))
             .localCheckpoint(eager = false) // read 3×: mutual (both sides) + homophily

@@ -19,6 +19,19 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("dense kernel topk is row-identical to the BNLJ formulation") {
+    // every vector as a query — the kNN-graph shape the kernel exists
+    // for; scores must match BIT-forwise (same accumulation order,
+    // same round) and ranks must match on ties (same comparator)
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val a = Ann.bruteForceTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val b = Ann.bruteForceTopKDense(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
   test("LSH multiprobe recall vs brute force is meaningful") {
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
     val q = emb.filter(col("vec_id").isin(qids: _*))

@@ -776,4 +776,46 @@ class PlanGuardSpec extends SparkSpec {
     assert(j.contains("TakeOrderedAndProject"), j)
     assert(j.contains("BroadcastHashJoin"), j)
   }
+
+  test("AUC/Wasserstein windows run on the post-aggregate value grid, not docs") {
+    // the docs collapse to the distinct-score histogram BEFORE any
+    // window: a HashAggregate must sit below each Window node
+    Seq("stat_roc_auc", "stat_wasserstein", "stat_cliffs_delta").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q: $p")
+      assert(p.indexOf("HashAggregate", p.indexOf("Window")) > 0, s"$q: $p")
+    }
+  }
+
+  test("count-min build partial-aggregates cells before the shuffle") {
+    val p = plan("ev_countmin")
+    // the d×cell rollup must carry a map-side partial (two
+    // HashAggregates around one Exchange for the cells build)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("service embedder adds one MapPartitions and zero shuffles before it") {
+    val p = plan("emb_service_search")
+    assert(p.contains("MapPartitions"), p)
+    // the embed stage maps the scan directly: no Exchange may appear
+    // below (= after, in formatted order) the MapPartitions node
+    val mp = p.indexOf("MapPartitions")
+    // a broadcast (the 1-row query vector) is allowed; a shuffle is not
+    assert(!p.substring(mp).contains("Exchange hashpartitioning"), p)
+  }
+
+  test("qini and PSI aggregate facts once, windows only on bounded frames") {
+    val q = plan("ev_qini")
+    assert(q.indexOf("HashAggregate", q.indexOf("Window")) > 0, q)
+    val p = plan("stat_psi")
+    assert(p.indexOf("HashAggregate", p.indexOf("Window")) > 0, p)
+  }
+
+  test("two-NN windows partition per vector — never a global frame") {
+    val p = plan("emb_twonn_id")
+    assert(p.contains("Window"), p)
+    // partitioned window: the Window spec carries a partition key
+    assert(p.contains("windowspecdefinition(ia"), p)
+  }
 }

@@ -81,7 +81,11 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "graph_modularity", "graph_jaccard_nbrs",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
-    "mm_patch_grid", "mm_shot_bounds")
+    "mm_patch_grid", "mm_shot_bounds",
+    // round-10 additions
+    "stat_roc_auc", "stat_psi", "stat_wasserstein", "text_ndcg",
+    "stat_cliffs_delta", "priv_dp_mean", "text_textrank", "text_chao1",
+    "stat_cramers_v", "emb_service_search")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -122,7 +126,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ann_kmeans_step", "vec_pq_adc",
     "ann_mmr_rerank", "emb_whiten", "emb_triplets", "dedup_semantic",
     "emb_drift", "vec_residual_quant", "samp_coreset", "ann_knn_graph",
-    "emb_anisotropy", "ann_jl_recall")
+    "emb_anisotropy", "ann_jl_recall", "emb_twonn_id")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
@@ -182,7 +186,9 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ts_backtest", "stat_mde_curve",
     "ev_growth_accounting", "ts_decompose", "ev_simpson",
     "ev_srm", "ev_diff_in_diff", "stat_fdr", "stat_wilson_ci",
-    "stat_jackknife", "ts_ccf", "ts_pettitt")
+    "stat_jackknife", "ts_ccf", "ts_pettitt",
+    // round-10 additions
+    "ev_countmin", "stat_tost", "ev_qini", "ts_goertzel")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
