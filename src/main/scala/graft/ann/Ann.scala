@@ -71,7 +71,53 @@ object Ann {
     * 2000-query oracle corpus). Same shuffle shape: k rows per
     * partition per query.
     */
-  def bruteForceTopKDense(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopKDense(emb: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    denseKernelTopK(emb, queries, k, Ann.cosineRounded6)
+
+  /** k smallest ROUNDED-6dp euclidean distances per vector against the
+    * whole table (self excluded) — the two-NN intrinsic-dimension
+    * input. Same dense kernel; TopK merges on the NEGATED distance so
+    * (score desc, id asc) ≡ (dist asc, id asc), matching the oracle's
+    * `ORDER BY dist, ib` exactly. Output: vec_id, rnk, dist.
+    */
+  def nearestDistancesDense(emb: DataFrame, k: Int): DataFrame =
+    denseKernelTopK(emb,
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), k,
+      Ann.negEuclidRounded6)
+      .select(col("qid").as("vec_id"), col("rnk"), (-col("score")).as("dist"))
+
+  /** Spark `round(x, 6)` twin (BigDecimal.valueOf, HALF_UP); `+ 0.0`
+    * normalizes −0.0 the way the Column form does.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+
+  /** Exact CosineSimilarity-expression arithmetic: left-assoc i=0..n−1
+    * over double-promoted elements, then Spark round to 6dp.
+    */
+  private val cosineRounded6: (Array[Double], Array[Double]) => Double = (v, qv) => {
+    val n = math.min(v.length, qv.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = v(i); val y = qv(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    round6(if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb))
+  }
+
+  /** −round(√Σ(xᵢ−yᵢ)², 6): higher = nearer, so the shared (score
+    * desc, id asc) top-k comparator ranks by ascending distance.
+    */
+  private val negEuclidRounded6: (Array[Double], Array[Double]) => Double = (v, qv) => {
+    val n = math.min(v.length, qv.length)
+    var s = 0.0; var i = 0
+    while (i < n) { val d = v(i) - qv(i); s += d * d; i += 1 }
+    -round6(math.sqrt(s))
+  }
+
+  private def denseKernelTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      scoreFn: (Array[Double], Array[Double]) => Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // null vectors (failed embed jobs leave them behind) can't rank —
@@ -109,18 +155,7 @@ object Ann {
           var qi = 0
           while (qi < nq) {
             val (qid, qv) = qs(qi)
-            if (qid != vid) {
-              val n = math.min(v.length, qv.length)
-              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-              while (i < n) {
-                val x = v(i); val y = qv(i)
-                dot += x * y; na += x * x; nb += y * y; i += 1
-              }
-              val c = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
-              val s = java.math.BigDecimal.valueOf(c)
-                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
-              insert(qi, s, vid)
-            }
+            if (qid != vid) insert(qi, scoreFn(v, qv), vid)
             qi += 1
           }
         }

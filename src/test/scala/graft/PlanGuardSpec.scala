@@ -812,10 +812,11 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.indexOf("HashAggregate", p.indexOf("Window")) > 0, p)
   }
 
-  test("two-NN windows partition per vector — never a global frame") {
+  test("two-NN ranks via the dense kernel + TopK merge — no pair-frame window") {
     val p = plan("emb_twonn_id")
-    assert(p.contains("Window"), p)
-    // partitioned window: the Window spec carries a partition key
-    assert(p.contains("windowspecdefinition(ia"), p)
+    // the 4M-pair row_number formulation this replaced carried a
+    // Window over every pair; the kernel path must carry none
+    assert(!p.contains("Window"), p)
+    assert(p.contains("MapPartitions"), p)
   }
 }
