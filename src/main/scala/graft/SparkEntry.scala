@@ -9661,7 +9661,117 @@ object SparkEntry {
              |       CAST($extreme AS BIGINT) AS n_extreme,
              |       round(($extreme + 1) / ${(B + 1).toDouble}, 4) AS p_value
              |FROM a""".stripMargin
-        }))
+        }),
+
+      // inter-arrival time fit: exponential-rate MLE λ=1/mean over
+      // per-user event gaps + KS distance of the empirical gap CDF
+      // from Exp(λ̂) — the Poissonity check behind every queueing/
+      // capacity assumption. Gaps collapse to a DISTINCT-second
+      // histogram (the samp_ks_test bound: values, never rows);
+      // λ rounds to 10dp and the model CDF to 8dp so both engines
+      // score identical deviations. KS evaluated at the observed
+      // points (right-continuous form), documented + mirrored.
+      "ev_interarrival" -> Q(
+        (s, d) => {
+          val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          val gaps = Tables.events(s, d)
+            .withColumn("pts", lag("ts", 1).over(w))
+            .filter(col("pts").isNotNull)
+            .select(expr("(ts - pts) DIV 1000000000").as("gs"))
+          val h = gaps.groupBy("gs").agg(count(lit(1)).as("c"))
+            .localCheckpoint(eager = false) // stats + ECDF passes
+          val st = h.agg(sum("c").as("n"),
+            round(sum(col("gs") * col("c")) / sum("c").cast("double"), 6).as("m"))
+          val wc = Window.orderBy("gs").rowsBetween(Window.unboundedPreceding, 0)
+          h.crossJoin(broadcast(st))
+            .withColumn("lam", round(lit(1.0) / col("m"), 10))
+            .withColumn("femp", sum("c").over(wc) / col("n").cast("double"))
+            .withColumn("fexp",
+              round(lit(1.0) - exp(-col("lam") * col("gs")), 8))
+            .agg(max("n").as("n_gaps"), max(round(col("m"), 4)).as("mean_gap_s"),
+              max(col("lam")).as("lambda_per_s"),
+              round(max(abs(col("femp") - col("fexp"))), 4).as("ks_stat"))
+        },
+        Some("""WITH g AS (
+               |  SELECT (ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               |           // 1000000000 AS gs
+               |  FROM events),
+               |h AS (SELECT gs, CAST(count(*) AS BIGINT) AS c FROM g
+               |      WHERE gs IS NOT NULL GROUP BY gs),
+               |st AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+               |              round(sum(gs * c) / CAST(sum(c) AS DOUBLE), 6) AS m FROM h),
+               |e AS (SELECT gs, c, n, m, round(1.0 / m, 10) AS lam,
+               |             sum(c) OVER (ORDER BY gs) / CAST(n AS DOUBLE) AS femp
+               |      FROM h, st)
+               |SELECT CAST(max(n) AS BIGINT) AS n_gaps, max(round(m, 4)) AS mean_gap_s,
+               |       max(lam) AS lambda_per_s,
+               |       round(max(abs(femp - round(1.0 - exp(-lam * gs), 8))), 4) AS ks_stat
+               |FROM e""".stripMargin)),
+
+      // average local clustering coefficient (Watts–Strogatz) of the
+      // near-dup graph: per-node Cᵢ = 2·triᵢ/(degᵢ(degᵢ−1)) averaged
+      // over deg≥2 nodes — "do my neighbors know each other", the
+      // node-level complement to graph_triangles' global transitivity.
+      // Same bounded edge build + degree-oriented wedge join; each
+      // closed triangle credits all three corners via one explode.
+      "graph_local_cc" -> Q(
+        (s, d) => {
+          val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+            .select(col("da"), col("db"))
+            .localCheckpoint(eager = false) // degrees + orientation + closure
+          val deg = e0.select(explode(array(col("da"), col("db"))).as("v"))
+            .groupBy("v").agg(count(lit(1)).as("dg"))
+          val or_ = e0
+            .join(broadcast(deg.select(col("v").as("da"), col("dg").as("dga"))), "da")
+            .join(broadcast(deg.select(col("v").as("db"), col("dg").as("dgb"))), "db")
+            .select(
+              when(col("dga") < col("dgb") ||
+                   (col("dga") === col("dgb") && col("da") < col("db")),
+                struct(col("da").as("u"), col("db").as("w")))
+                .otherwise(struct(col("db").as("u"), col("da").as("w"))).as("e"))
+            .select(col("e.u").as("u"), col("e.w").as("w"))
+          val tri = or_.select(col("u"), col("w").as("v1"))
+            .join(or_.select(col("u"), col("w").as("v2")), "u")
+            .filter(col("v1") < col("v2"))
+            .join(e0, col("v1") === col("da") && col("v2") === col("db"))
+            .select(col("u"), col("v1"), col("v2"))
+          val perNode = tri
+            .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
+            .groupBy("v").agg(count(lit(1)).as("t"))
+          deg.filter(col("dg") >= 2)
+            .join(perNode, Seq("v"), "left")
+            .na.fill(0L, Seq("t"))
+            .select((col("t") * 2.0 / (col("dg") * (col("dg") - 1))).as("cc"))
+            .agg(count(lit(1)).as("n_deg2_nodes"),
+                 round(avg("cc"), 4).as("avg_local_cc"))
+        },
+        Some(s"""WITH s AS (
+                |${graft.text.TextPrimitives.charShinglesSql("documents", "doc_id", "text", 5, "doc_id < 120")}),
+                |c AS (SELECT doc_id, count(*) AS cnt FROM s GROUP BY doc_id),
+                |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+                |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY da, db),
+                |edges AS (SELECT da, db FROM (
+                |    SELECT da, db, ni * 1.0 / (ca.cnt + cb.cnt - ni) AS j
+                |    FROM i JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db)
+                |  WHERE j >= 0.25),
+                |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+                |    SELECT da AS v FROM edges UNION ALL SELECT db FROM edges)
+                |  GROUP BY v),
+                |orient AS (SELECT CASE WHEN a.dg < b.dg OR (a.dg = b.dg AND da < db)
+                |                  THEN da ELSE db END AS u,
+                |                  CASE WHEN a.dg < b.dg OR (a.dg = b.dg AND da < db)
+                |                  THEN db ELSE da END AS w
+                |           FROM edges JOIN deg a ON a.v = da JOIN deg b ON b.v = db),
+                |tri AS (SELECT w1.u, w1.w AS v1, w2.w AS v2
+                |        FROM orient w1 JOIN orient w2 ON w1.u = w2.u AND w1.w < w2.w
+                |        JOIN edges ON w1.w = da AND w2.w = db),
+                |pn AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
+                |    SELECT u AS v FROM tri UNION ALL SELECT v1 FROM tri
+                |    UNION ALL SELECT v2 FROM tri)
+                |  GROUP BY v)
+                |SELECT CAST(count(*) AS BIGINT) AS n_deg2_nodes,
+                |       round(avg(coalesce(t, 0) * 2.0 / (dg * (dg - 1))), 4) AS avg_local_cc
+                |FROM deg LEFT JOIN pn USING (v) WHERE dg >= 2""".stripMargin)))
   }
 
   // ---------------------------------------------------------------

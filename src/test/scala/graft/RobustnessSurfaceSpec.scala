@@ -85,7 +85,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     // round-10 additions
     "stat_roc_auc", "stat_psi", "stat_wasserstein", "text_ndcg",
     "stat_cliffs_delta", "priv_dp_mean", "text_textrank", "text_chao1",
-    "stat_cramers_v", "emb_service_search")
+    "stat_cramers_v", "emb_service_search", "graph_local_cc")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -188,7 +188,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_srm", "ev_diff_in_diff", "stat_fdr", "stat_wilson_ci",
     "stat_jackknife", "ts_ccf", "ts_pettitt",
     // round-10 additions
-    "ev_countmin", "stat_tost", "ev_qini", "ts_goertzel")
+    "ev_countmin", "stat_tost", "ev_qini", "ts_goertzel",
+    "ev_interarrival", "stat_perm_test")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

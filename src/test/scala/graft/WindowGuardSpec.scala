@@ -57,6 +57,9 @@ class WindowGuardSpec extends SparkSpec {
     // cumulative treatment/control counts over the ≤10 decile rows
     // (ev_lift_gain's bound)
     "ev_qini",
+    // ECDF running sum over the DISTINCT gap-seconds histogram
+    // (samp_ks_test's bound: values, never rows)
+    "ev_interarrival",
     // global-ecdf running sum over the DISTINCT value histogram (the
     // quantile-normalization map; values, never rows)
     "samp_quantile_norm",
