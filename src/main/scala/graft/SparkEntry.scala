@@ -9866,5 +9866,11 @@ object SparkEntry {
     // round-9 flagships: exact-recall prefix-filter join, SCD2
     // intervals, KMV set sketches, k-center coreset, decay attribution
     "dedup_prefix_filter", "ev_scd2", "text_kmv_vocab", "samp_coreset",
-    "ev_attribution_decay")
+    "ev_attribution_decay",
+    // round-10 flagships: the production-transport embed path, the
+    // grid-bound AUC evaluator, the mergeable count-min sketch, the
+    // NDCG retrieval eval, TextRank keyphrases, and the dense-kernel
+    // kNN graph
+    "emb_service_search", "stat_roc_auc", "ev_countmin", "text_ndcg",
+    "text_textrank", "ann_knn_graph")
 }
