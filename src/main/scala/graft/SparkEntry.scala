@@ -1179,6 +1179,33 @@ object SparkEntry {
       .stripMargin
   }.mkString(",\n")
 
+  /** Transition-cell table shared by the Markov family
+    * (ev_transitions / ev_stationary / graph_pagerank): the per-user
+    * lead()-over-fact window is the dominant cost of all three — and
+    * round-9's one super-linear scale edge (1.60× at an 80M-event
+    * doubling, all from the redundant per-query fact sort). One pass
+    * per (SparkContext, dir) now materializes the
+    * ≤(|types|+1)×(|types|+1) cell counts eagerly (the
+    * clusterLabelsShared idiom); the family becomes projections over
+    * the tiny checkpointed frame. Rows with to_type NULL are RETAINED
+    * (each user's last event) so `distinct from_type` reproduces
+    * `SELECT DISTINCT event_type FROM events` exactly — pagerank's
+    * node set must include types that never transition out.
+    */
+  private val cellCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), DataFrame]
+
+  private def transitionCells(s: SparkSession, d: String): DataFrame =
+    cellCache.getOrElseUpdate((s.sparkContext, d), {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+    })
+
   private val eventsQ: Seq[(String, Q)] = Seq(
     // `ts` is read as epoch-nanos Long (Tables.events) — gap and window
     // arithmetic is exact integer math on both engines.
@@ -1596,13 +1623,9 @@ object SparkEntry {
     // counts table is |event_type|² rows regardless of corpus size
     "ev_transitions" -> Q(
       (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        val pairs = Tables.events(s, d)
-          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-          .withColumn("to_type", lead("event_type", 1).over(w))
-          .filter(col("to_type").isNotNull)
-          .groupBy(col("event_type").as("from_type"), col("to_type"))
-          .agg(count(lit(1)).as("n"))
+        // derives from the shared transitionCells materialization:
+        // zero fact scans here — the lead() pass ran once per process
+        val pairs = transitionCells(s, d).filter(col("to_type").isNotNull)
         val totals = pairs.groupBy("from_type").agg(sum("n").as("tot"))
         pairs.join(broadcast(totals), "from_type")
           .select(col("from_type"), col("to_type"), col("n"),
@@ -2135,19 +2158,19 @@ object SparkEntry {
     // scans at 100 TB for a 5×5 matrix-vector product.
     "graph_pagerank" -> Q(
       (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        val ev = Tables.events(s, d)
-          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        val cntE = ev.withColumn("dst", lead("event_type", 1).over(w))
-          .filter(col("dst").isNotNull && col("event_type").isNotNull)
-          .groupBy(col("event_type").as("src"), col("dst"))
-          .agg(count(lit(1)).as("n"))
+        // edge counts AND the node set both come from the shared
+        // transitionCells table (to_type-NULL rows kept there mean
+        // distinct from_type = distinct event_type over all events)
+        val cells0 = transitionCells(s, d)
+        val cntE = cells0
+          .filter(col("to_type").isNotNull && col("from_type").isNotNull)
+          .select(col("from_type").as("src"), col("to_type").as("dst"), col("n"))
         val tot = cntE.groupBy("src").agg(sum("n").as("tot"))
         val edges = cntE.join(broadcast(tot), "src")
           .select(col("src"), col("dst"), (col("n") / col("tot")).as("p"))
           .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-        val nodes = ev.filter(col("event_type").isNotNull)
-          .select("event_type").distinct()
+        val nodes = cells0.filter(col("from_type").isNotNull)
+          .select(col("from_type")).distinct()
           .collect().map(_.getString(0)).sorted
         val nN = nodes.length
         var rank = nodes.map(t => t -> 1.0 / nN).toMap
@@ -2621,13 +2644,9 @@ object SparkEntry {
     // reaches the 7th decimal).
     "ev_stationary" -> Q(
       (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        val pairs = Tables.events(s, d)
-          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-          .withColumn("to_type", lead("event_type", 1).over(w))
-          .filter(col("to_type").isNotNull)
-          .groupBy(col("event_type").as("from_type"), col("to_type"))
-          .agg(count(lit(1)).as("n"))
+        // shares the one-per-process lead() pass with ev_transitions /
+        // graph_pagerank (the round-9 super-linear edge, now amortized)
+        val pairs = transitionCells(s, d).filter(col("to_type").isNotNull)
         val tot = pairs.groupBy("from_type").agg(sum("n").as("tt"))
         val cells = pairs.join(broadcast(tot), "from_type")
           .select(col("from_type"), col("to_type"),
@@ -9775,10 +9794,362 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------
+  // Round-10 second wave: Markov-model diagnostics off the shared
+  // transition-cell materialization, time-series trend/whiteness
+  // tests, extreme-value and partial-correlation fits, and the dup
+  // graph's degree distribution
+  // ---------------------------------------------------------------
+
+  private val round10bQ: Seq[(String, Q)] = Seq(
+    // next-event majority-class baseline: predict argmax p(to|from)
+    // and score it — the sanity floor every sequence model must beat.
+    // Pure projection over the shared transitionCells table (zero
+    // fact scans here); ties break to the lexicographically first
+    // target on both engines.
+    "ev_markov_accuracy" -> Q(
+      (s, d) => {
+        val pairs = transitionCells(s, d).filter(col("to_type").isNotNull)
+        val wb = Window.partitionBy("from_type")
+          .orderBy(col("n").desc, col("to_type"))
+        val tot = pairs.groupBy("from_type").agg(sum("n").as("n_total"))
+        pairs.withColumn("rk", row_number().over(wb))
+          .filter(col("rk") === 1)
+          .join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type").as("best_to"),
+                  col("n").as("n_best"), col("n_total"),
+                  round(col("n") / col("n_total"), 4).as("acc"))
+          .orderBy("from_type")
+      },
+      Some("""WITH tr AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |        FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |best AS (SELECT from_type, to_type, n,
+             |           row_number() OVER (PARTITION BY from_type
+             |                              ORDER BY n DESC, to_type) AS rk
+             |         FROM cnt),
+             |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_total
+             |        FROM cnt GROUP BY 1)
+             |SELECT from_type, b.to_type AS best_to, b.n AS n_best, n_total,
+             |       round(b.n * 1.0 / n_total, 4) AS acc
+             |FROM best b JOIN tot USING (from_type)
+             |WHERE rk = 1 ORDER BY from_type""".stripMargin)),
+
+    // entropy rate of the event-type Markov chain: H = −Σᵢ πᵢ Σⱼ
+    // p_ij ln p_ij with π from the same 12 pinned power-iteration
+    // rounds as ev_stationary — how predictable is the NEXT event
+    // given the current one, on a 0 (deterministic) … ln k (uniform)
+    // scale. Everything iterates off the shared transitionCells
+    // materialization; rounded-to-0 cell probabilities (< 5e-7) are
+    // excluded from the p·ln p sum on BOTH engines.
+    "ev_markov_entropy" -> Q(
+      (s, d) => {
+        val pairs = transitionCells(s, d).filter(col("to_type").isNotNull)
+        val tot = pairs.groupBy("from_type").agg(sum("n").as("tt"))
+        val cells = pairs.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"),
+                  round(col("n") / col("tt"), 6).as("p"))
+          .localCheckpoint(eager = false) // 12 iteration reads + entropy pass
+        val states = cells.select("from_type").distinct()
+        val kk = states.agg(count(lit(1)).as("k"))
+        var v = states.crossJoin(broadcast(kk))
+          .select(col("from_type").as("state"),
+                  round(lit(1.0) / col("k"), 7).as("v"))
+        for (_ <- 1 to 12)
+          v = cells.join(broadcast(v), cells("from_type") === v("state"))
+            .groupBy("to_type")
+            .agg(round(sum(col("p") * col("v")), 7).as("v"))
+            .withColumnRenamed("to_type", "state")
+        val hi = cells.filter(col("p") > 0).groupBy("from_type")
+          .agg(round(-sum(col("p") * log(col("p"))), 6).as("h_i"))
+        val er = hi.join(v, hi("from_type") === v("state"))
+          .agg(round(sum(col("v") * col("h_i")), 4).as("entropy_rate"))
+        er.crossJoin(broadcast(kk))
+          .select(col("k").as("n_states"), col("entropy_rate"),
+                  when(col("k") > 1, round(log(col("k")), 4))
+                    .otherwise(lit(null).cast("double")).as("max_entropy"),
+                  when(col("k") > 1 && col("entropy_rate").isNotNull,
+                       round(col("entropy_rate") / round(log(col("k")), 4), 4))
+                    .otherwise(lit(null).cast("double")).as("efficiency"))
+      },
+      Some(s"""WITH tr AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |cnt AS (SELECT from_type, to_type, count(*) AS n
+             |        FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+             |tot AS (SELECT from_type, sum(n) AS tt FROM cnt GROUP BY from_type),
+             |cells AS MATERIALIZED (
+             |  SELECT from_type, to_type, round(n * 1.0 / tt, 6) AS p
+             |  FROM cnt JOIN tot USING (from_type)),
+             |kk AS (SELECT count(DISTINCT from_type) AS k FROM cells),
+             |v0 AS (SELECT DISTINCT from_type AS state, round(1.0 / k, 7) AS v
+             |       FROM cells, kk),
+             |${stationaryIterSql(12)},
+             |hh AS (SELECT from_type AS state, round(-sum(p * ln(p)), 6) AS h_i
+             |       FROM cells WHERE p > 0 GROUP BY from_type),
+             |er AS (SELECT round(sum(v.v * h_i), 4) AS entropy_rate
+             |       FROM v12 v JOIN hh USING (state))
+             |SELECT CAST(k AS BIGINT) AS n_states, entropy_rate,
+             |       CASE WHEN k > 1 THEN round(ln(k), 4) END AS max_entropy,
+             |       CASE WHEN k > 1 AND entropy_rate IS NOT NULL
+             |            THEN round(entropy_rate / round(ln(k), 4), 4)
+             |       END AS efficiency
+             |FROM er, kk""".stripMargin)),
+
+    // Ljung–Box whiteness test per type: Q = n(n+2) Σ_{k≤3} r_k²/(n−k)
+    // over the hourly-count series, with r_k the ts_acf pairwise
+    // autocorrelation (identical aligned-pair corr on both engines,
+    // rounded to 6 before squaring). Large Q ⇒ the series is NOT
+    // white noise ⇒ the seasonal/trend models downstream have signal
+    // to work with. Lags with n ≤ k or undefined r are excluded on
+    // both sides; the hourly rollup is ONE checkpointed fact pass.
+    "ts_ljung_box" -> Q(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), expr("ts DIV 3600000000000").as("h"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .localCheckpoint(eager = false) // lag pairs ×3 + the per-type n
+        val nn = hourly.groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"))
+        val a = hourly.withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
+        val b = hourly.select(col("event_type").as("et2"),
+          col("h").as("hb"), col("c").as("cb"))
+        a.join(b, col("event_type") === col("et2") &&
+            col("hb") === col("h") + col("k"))
+          .groupBy("event_type", "k")
+          .agg(round(corr("c", "cb"), 6).as("r"))
+          .join(broadcast(nn), "event_type")
+          .groupBy("event_type")
+          .agg(max("n_hours").as("n_hours"),
+               sum(when(col("r").isNotNull && col("n_hours") > col("k"), 1L)
+                 .otherwise(0L)).as("n_lags"),
+               round(max("n_hours") * (max("n_hours") + lit(2)) *
+                 sum(when(col("r").isNotNull && col("n_hours") > col("k"),
+                       pow(col("r"), 2) / (col("n_hours") - col("k")))
+                   .otherwise(lit(0.0))), 4).as("q_lb"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, ts // 3600000000000 AS h,
+             |         CAST(count(*) AS DOUBLE) AS c
+             |  FROM events GROUP BY 1, 2),
+             |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+             |       FROM hourly GROUP BY 1),
+             |l AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS k),
+             |rk AS (SELECT a.event_type, l.k, round(corr(a.c, b.c), 6) AS r
+             |       FROM hourly a CROSS JOIN l
+             |       JOIN hourly b ON b.event_type = a.event_type AND b.h = a.h + l.k
+             |       GROUP BY a.event_type, l.k)
+             |SELECT event_type, max(n_hours) AS n_hours,
+             |       CAST(sum(CASE WHEN r IS NOT NULL AND n_hours > k
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_lags,
+             |       round(max(n_hours) * (max(n_hours) + 2) *
+             |             sum(CASE WHEN r IS NOT NULL AND n_hours > k
+             |                      THEN pow(r, 2) / (n_hours - k) ELSE 0.0 END),
+             |             4) AS q_lb
+             |FROM rk JOIN nn USING (event_type)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Mann–Kendall trend test + Sen's slope per type on the daily
+    // count series: S = Σ_{i<j} sign(c_j − c_i), tie-corrected
+    // var(S), continuity-corrected z, and the median pairwise slope.
+    // The pair self-join is calendar²-bounded per type (the ts_pettitt
+    // frame bound); the daily rollup is ONE checkpointed fact pass
+    // read by pairs, ties, and the n frame.
+    "ts_mann_kendall" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .localCheckpoint(eager = false) // pairs ×2 + ties + n
+        val b = daily.select(col("event_type").as("et2"),
+          col("day").as("day2"), col("c").as("c2"))
+        val pr = daily.join(b, col("event_type") === col("et2") &&
+            col("day2") > col("day"))
+          .groupBy("event_type")
+          .agg(sum(signum(col("c2") - col("c"))).cast("long").as("s_stat"),
+               round(expr("percentile((c2 - c) / (day2 - day), 0.5D)"), 6)
+                 .as("sen_slope"))
+        val ties = daily.groupBy("event_type", "c")
+          .agg(count(lit(1)).cast("double").as("t"))
+          .groupBy("event_type")
+          .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+            .as("tie_term"))
+        val nn = daily.groupBy("event_type")
+          .agg(count(lit(1)).cast("double").as("nd"))
+        val vs = (col("nd") * (col("nd") - 1) * (lit(2) * col("nd") + 5) -
+                  col("tie_term")) / lit(18.0)
+        nn.join(ties, "event_type")
+          .join(pr, Seq("event_type"), "left")
+          .select(col("event_type"), col("nd").cast("long").as("n_days"),
+                  col("s_stat"), col("sen_slope"),
+                  when(vs > 0 && col("s_stat").isNotNull,
+                       round((col("s_stat") - signum(col("s_stat"))) /
+                             sqrt(vs), 4))
+                    .otherwise(lit(null).cast("double")).as("z"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS MATERIALIZED (
+             |  SELECT event_type, ts // 86400000000000 AS day,
+             |         CAST(count(*) AS DOUBLE) AS c
+             |  FROM events GROUP BY 1, 2),
+             |pr AS (SELECT a.event_type,
+             |         CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_stat,
+             |         round(quantile_cont((b.c - a.c) / (b.day - a.day), 0.5), 6)
+             |           AS sen_slope
+             |       FROM daily a JOIN daily b
+             |         ON b.event_type = a.event_type AND b.day > a.day
+             |       GROUP BY 1),
+             |ties AS (SELECT event_type,
+             |           sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+             |         FROM (SELECT event_type, CAST(count(*) AS DOUBLE) AS t
+             |               FROM daily GROUP BY event_type, c)
+             |         GROUP BY 1),
+             |nn AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd
+             |       FROM daily GROUP BY 1)
+             |SELECT event_type, CAST(nd AS BIGINT) AS n_days, s_stat, sen_slope,
+             |       CASE WHEN (nd * (nd - 1) * (2 * nd + 5) - tie_term) / 18.0 > 0
+             |                 AND s_stat IS NOT NULL
+             |            THEN round((s_stat - sign(s_stat)) /
+             |                   sqrt((nd * (nd - 1) * (2 * nd + 5) - tie_term) / 18.0), 4)
+             |       END AS z
+             |FROM nn JOIN ties USING (event_type)
+             |LEFT JOIN pr USING (event_type)
+             |ORDER BY event_type""".stripMargin)),
+
+    // Gumbel extreme-value fit of WEEKLY MAXIMA of daily counts per
+    // type (method of moments: β = s√6/π, μ = m − γβ) — the
+    // capacity-planning question "how big can a peak week get".
+    // p_exceed_max = P(a future weekly max exceeds the observed max).
+    // Two tiny rollups; moments rounded to 6 before the closed form
+    // so both engines evaluate the identical expression.
+    "stat_gumbel" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val weekly = daily
+          .groupBy(col("event_type"), expr("day div 7").as("wk"))
+          .agg(max("c").as("m"))
+        val g = lit(0.5772156649015329) // Euler–Mascheroni
+        weekly.groupBy("event_type")
+          .agg(count(lit(1)).as("n_weeks"),
+               round(avg("m"), 6).as("mean_max"),
+               round(stddev_pop(col("m").cast("double")), 6).as("sd_max"),
+               max("m").as("max_weekly"))
+          .select(col("event_type"), col("n_weeks"), col("max_weekly"),
+                  round(col("sd_max") * sqrt(lit(6.0)) / lit(math.Pi), 6)
+                    .as("beta"),
+                  round(col("mean_max") -
+                    g * round(col("sd_max") * sqrt(lit(6.0)) / lit(math.Pi), 6), 6)
+                    .as("mu"))
+          .withColumn("p_exceed_max",
+            when(col("beta") > 0,
+                 round(lit(1.0) - exp(-exp(-(col("max_weekly") - col("mu")) /
+                                            col("beta"))), 4))
+              .otherwise(lit(null).cast("double")))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts // 86400000000000 AS day,
+             |         CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |weekly AS (SELECT event_type, day // 7 AS wk, max(c) AS m
+             |           FROM daily GROUP BY 1, 2),
+             |mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_weeks,
+             |               round(avg(m), 6) AS mean_max,
+             |               round(stddev_pop(CAST(m AS DOUBLE)), 6) AS sd_max,
+             |               max(m) AS max_weekly
+             |        FROM weekly GROUP BY 1),
+             |fit AS (SELECT event_type, n_weeks, max_weekly,
+             |          round(sd_max * sqrt(6.0) / pi(), 6) AS beta,
+             |          round(mean_max - 0.5772156649015329 *
+             |                round(sd_max * sqrt(6.0) / pi(), 6), 6) AS mu
+             |        FROM mom)
+             |SELECT event_type, n_weeks, max_weekly, beta, mu,
+             |       CASE WHEN beta > 0
+             |            THEN round(1.0 - exp(-exp(-(max_weekly - mu) / beta)), 4)
+             |       END AS p_exceed_max
+             |FROM fit ORDER BY event_type""".stripMargin)),
+
+    // first-order partial correlation on lineitem: does quantity
+    // correlate with revenue AFTER controlling for discount?
+    // r_xy·z = (r_xy − r_xz r_yz)/√((1−r_xz²)(1−r_yz²)) off the three
+    // pairwise corrs of ONE hash aggregate — the 3-variable
+    // confounder check, zero joins, zero windows. Pairwise r rounded
+    // to 6 so both engines feed the identical closed form.
+    "stat_partial_corr" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.agg(count(lit(1)).as("n_rows"),
+               round(corr("l_quantity", "l_extendedprice"), 6).as("r_xy"),
+               round(corr("l_quantity", "l_discount"), 6).as("r_xz"),
+               round(corr("l_extendedprice", "l_discount"), 6).as("r_yz"))
+          .select(col("n_rows"), col("r_xy"), col("r_xz"), col("r_yz"),
+                  when((lit(1.0) - pow(col("r_xz"), 2)) > 0 &&
+                       (lit(1.0) - pow(col("r_yz"), 2)) > 0,
+                       round((col("r_xy") - col("r_xz") * col("r_yz")) /
+                             sqrt((lit(1.0) - pow(col("r_xz"), 2)) *
+                                  (lit(1.0) - pow(col("r_yz"), 2))), 4))
+                    .otherwise(lit(null).cast("double")).as("r_xy_given_z"))
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |         round(corr(l_quantity, l_extendedprice), 6) AS r_xy,
+             |         round(corr(l_quantity, l_discount), 6) AS r_xz,
+             |         round(corr(l_extendedprice, l_discount), 6) AS r_yz
+             |  FROM lineitem)
+             |SELECT n_rows, r_xy, r_xz, r_yz,
+             |       CASE WHEN (1.0 - pow(r_xz, 2)) > 0 AND (1.0 - pow(r_yz, 2)) > 0
+             |            THEN round((r_xy - r_xz * r_yz) /
+             |                   sqrt((1.0 - pow(r_xz, 2)) * (1.0 - pow(r_yz, 2))), 4)
+             |       END AS r_xy_given_z
+             |FROM c""".stripMargin)),
+
+    // degree distribution of the near-dup graph: log2-bucketed degree
+    // histogram + the discrete Hill/MLE power-law exponent
+    // α = 1 + n/Σ ln(dᵢ/(d_min−½)) with d_min = 1 — is dup-degree
+    // heavy-tailed (one mega-cluster) or thin (pairwise dups)?
+    // Shares the bounded edge build every graph_* query uses; the
+    // 1-row α frame broadcasts onto the ≤log2(n)-row histogram.
+    "graph_degree_dist" -> Q(
+      (s, d) => {
+        val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+          .select(col("da"), col("db"))
+          .localCheckpoint(eager = false) // degrees read by hist AND alpha
+        val deg = e0.select(explode(array(col("da"), col("db"))).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("dg"))
+          .localCheckpoint(eager = false)
+        val alpha = deg.agg(count(lit(1)).as("n_nodes"),
+            round(lit(1.0) + count(lit(1)) /
+              sum(log(col("dg") / lit(0.5))), 4).as("alpha_hill"))
+        deg.groupBy(floor(log2(col("dg"))).cast("long").as("deg_bucket"))
+          .agg(count(lit(1)).as("n_in_bucket"))
+          .crossJoin(broadcast(alpha))
+          .select(col("deg_bucket"), col("n_in_bucket"),
+                  col("n_nodes"), col("alpha_hill"))
+          .orderBy("deg_bucket")
+      },
+      Some(s"""WITH ${dupEdgesSql(120, 0.25)},
+              |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg
+              |        FROM (SELECT da AS v FROM e0 UNION ALL SELECT db AS v FROM e0)
+              |        GROUP BY v),
+              |al AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+              |              round(1.0 + count(*) / sum(ln(dg / 0.5)), 4) AS alpha_hill
+              |       FROM deg)
+              |SELECT CAST(floor(log2(dg)) AS BIGINT) AS deg_bucket,
+              |       CAST(count(*) AS BIGINT) AS n_in_bucket, n_nodes, alpha_hill
+              |FROM deg, al
+              |GROUP BY 1, n_nodes, alpha_hill ORDER BY 1""".stripMargin)))
+
+  // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
     relational ++ eventsQ ++ experimentsQ ++ vectorStore ++ dedup ++ textQ ++
-      annQ ++ multimodalQ ++ round10Q
+      annQ ++ multimodalQ ++ round10Q ++ round10bQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

@@ -583,11 +583,17 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // left-semi against the batch's keys: the broadcast build side
+        // feeds dynamic partition pruning on the user_id partition
+        // column, so only touched partitions are read — same pruning
+        // the old isin-collect literal list gave, without driver
+        // materialization (a wide backfill batch would otherwise
+        // become a thousand-literal In expression tree)
         val existing =
           try graft.store.CollectionStorage.load(spark, collectionPath)
-              .filter(org.apache.spark.sql.functions.col("user_id")
-                .isin(batch.select("user_id").distinct()
-                  .collect().map(_.getLong(0)).toSeq: _*))
+              .join(org.apache.spark.sql.functions.broadcast(
+                      batch.select("user_id").distinct()),
+                    Seq("user_id"), "left_semi")
           catch { case _: org.apache.spark.sql.AnalysisException => batch.limit(0) }
         val merged = graft.store.VectorStore.upsert(existing, batch)
         graft.store.CollectionStorage.overwriteUserPartitions(merged, collectionPath)

@@ -248,6 +248,26 @@ class PlanGuardSpec extends SparkSpec {
     val p = plan("ev_transitions")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // the lead()-over-fact pass lives in the shared transitionCells
+    // materialization: the query itself rescans NOTHING
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("pagerank/stationary/transitions share ONE materialized lead() pass") {
+    // the whole Markov family iterates off the same checkpointed cell
+    // table — none of them re-derives the per-user fact sort
+    for (q <- Seq("ev_transitions", "ev_stationary", "ev_markov_entropy")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q re-derived the lead() pass:\n$p")
+      assert("Scan parquet".r.findAllIn(p).size == 0, s"$q rescans the fact table:\n$p")
+    }
+    // markov_accuracy's argmax window runs over the tiny cell frame —
+    // allowed — but it too must never rescan the fact table
+    val pa = plan("ev_markov_accuracy")
+    assert("Scan parquet".r.findAllIn(pa).size == 0, pa)
+    assert(pa.contains("Scan ExistingRDD"), pa)
   }
 
   test("bounded EWMA collapses all 8 lags into one window pass") {

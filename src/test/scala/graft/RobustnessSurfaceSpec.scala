@@ -85,7 +85,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     // round-10 additions
     "stat_roc_auc", "stat_psi", "stat_wasserstein", "text_ndcg",
     "stat_cliffs_delta", "priv_dp_mean", "text_textrank", "text_chao1",
-    "stat_cramers_v", "emb_service_search", "graph_local_cc")
+    "stat_cramers_v", "emb_service_search", "graph_local_cc",
+    "graph_degree_dist")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -189,7 +190,9 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_jackknife", "ts_ccf", "ts_pettitt",
     // round-10 additions
     "ev_countmin", "stat_tost", "ev_qini", "ts_goertzel",
-    "ev_interarrival", "stat_perm_test")
+    "ev_interarrival", "stat_perm_test",
+    "ev_markov_accuracy", "ev_markov_entropy", "ts_ljung_box",
+    "ts_mann_kendall", "stat_gumbel")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

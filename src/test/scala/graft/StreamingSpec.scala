@@ -68,6 +68,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming ingest: wide backfill batch (hundreds of distinct users) merges without a literal In list") {
+    // regression for the isin-collect upsert prune: a batch touching
+    // many users must stay a semi-join prune, never a driver-built
+    // thousand-literal In expression — and still merge correctly
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest-wide").toString
+    val (collPath, ckpt) = (base + "/coll", base + "/ckpt")
+    val input = MemoryStream[Point]
+    val query = StreamOps.startCollectionIngest(input.toDF(), collPath, ckpt)
+    try {
+      // seed: one point per user for users 0..399
+      input.addData((0 until 400).map(u =>
+        Point(u.toLong, 1000L + u, u.toLong * 10, 0, s"t$u", Seq(u.toDouble, 1.0))): _*)
+      query.processAllAvailable()
+      assert(graft.store.CollectionStorage.load(s, collPath).count() == 400)
+      // backfill batch: replaces every even user's point, adds a chunk
+      // for every odd user — 400 distinct users in ONE micro-batch
+      input.addData((0 until 400).map { u =>
+        if (u % 2 == 0) Point(u.toLong, 2000L + u, u.toLong * 10, 0, "new", Seq(0.5, 0.5))
+        else Point(u.toLong, 3000L + u, u.toLong * 10, 1, "add", Seq(0.1, 0.9))
+      }: _*)
+      query.processAllAvailable()
+      val coll = graft.store.CollectionStorage.load(s, collPath)
+      assert(coll.count() == 600) // 200 replaced in place + 200 odd originals + 200 new chunks
+      val even0 = coll.filter(col("user_id") === 42L).collect()
+      assert(even0.length == 1 && even0.head.getAs[Long]("vector_id") == 2042L)
+      assert(coll.filter(col("user_id") === 43L).count() == 2)
+    } finally query.stop()
+  }
+
   test("streaming search: query stream scored against static collection") {
     val s = spark
     import s.implicits._
