@@ -10143,7 +10143,317 @@ object SparkEntry {
               |SELECT CAST(floor(log2(dg)) AS BIGINT) AS deg_bucket,
               |       CAST(count(*) AS BIGINT) AS n_in_bucket, n_nodes, alpha_hill
               |FROM deg, al
-              |GROUP BY 1, n_nodes, alpha_hill ORDER BY 1""".stripMargin)))
+              |GROUP BY 1, n_nodes, alpha_hill ORDER BY 1""".stripMargin)),
+
+    // Dirichlet query-likelihood retrieval (Zhai & Lafferty 2001) —
+    // the probabilistic LM complement to BM25 over the same
+    // one-explode shuffle; zero-tf query terms contribute the
+    // smoothed collection mass so scores are comparable across docs
+    "text_lmir" -> Q(
+      (s, d) => graft.text.Bm25.dirichletQL(
+        Tables.documents(s, d), Seq("spark", "hash", "merge"), 10),
+      Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+             |              FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+             |tc AS (SELECT sum(dl) AS t_coll FROM dl),
+             |hits AS (SELECT doc_id, tok
+             |         FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+             |         WHERE tok IN ('spark', 'hash', 'merge')),
+             |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM hits GROUP BY 1, 2),
+             |cf AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cf FROM hits GROUP BY 1),
+             |m AS (SELECT DISTINCT doc_id FROM tf),
+             |terms AS (SELECT unnest(['spark', 'hash', 'merge']) AS tok)
+             |SELECT doc_id,
+             |       CAST(sum(CASE WHEN tf.tf IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_hit_terms,
+             |       round(sum(ln((coalesce(tf.tf, 0.0) + 2000.0 * cf / t_coll) /
+             |                    (dl + 2000.0))), 4) AS ql
+             |FROM m CROSS JOIN terms
+             |LEFT JOIN tf USING (doc_id, tok)
+             |JOIN cf USING (tok) JOIN dl USING (doc_id), tc
+             |GROUP BY doc_id ORDER BY ql DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // lexicon-based sentiment scoring per language: mean token
+    // valence over matched terms per doc, rolled up per lang — the
+    // cheap quality/tone signal next to text_quality. The 4-term
+    // valence lexicon is a broadcast literal on both engines; docs
+    // with no lexicon hit are excluded from the doc average (counted
+    // separately) rather than imputed 0.
+    "text_sentiment" -> Q(
+      (s, d) => {
+        import graft.text.TextPrimitives
+        val lex = s.createDataFrame(Seq(
+          ("fast", 2.0), ("slow", -2.0), ("big", 1.0), ("small", -1.0)))
+          .toDF("tok", "val")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+                  explode(TextPrimitives.tokens(col("text"))).as("tok"))
+        val perDoc = toks.join(broadcast(lex), "tok")
+          .groupBy("doc_id", "lang")
+          .agg(round(avg("val"), 6).as("sent"), count(lit(1)).as("n_hits"))
+        val nd = Tables.documents(s, d).groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))
+        perDoc.groupBy("lang")
+          .agg(count(lit(1)).as("n_scored"),
+               round(avg("sent"), 4).as("mean_sentiment"),
+               sum(when(col("sent") > 0, 1L).otherwise(0L)).as("n_positive"))
+          .join(broadcast(nd), "lang")
+          .select(col("lang"), col("n_docs"), col("n_scored"),
+                  col("mean_sentiment"), col("n_positive"))
+          .orderBy("lang")
+      },
+      Some("""WITH lex AS (SELECT * FROM (VALUES ('fast', 2.0), ('slow', -2.0),
+             |                                   ('big', 1.0), ('small', -1.0))
+             |             AS t(tok, val)),
+             |toks AS (SELECT doc_id, lang, unnest(
+             |           regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |         FROM documents),
+             |pd AS (SELECT doc_id, lang, round(avg(val), 6) AS sent,
+             |              CAST(count(*) AS BIGINT) AS n_hits
+             |       FROM toks JOIN lex USING (tok) GROUP BY 1, 2),
+             |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+             |       FROM documents GROUP BY 1)
+             |SELECT lang, n_docs, CAST(count(*) AS BIGINT) AS n_scored,
+             |       round(avg(sent), 4) AS mean_sentiment,
+             |       CAST(sum(CASE WHEN sent > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_positive
+             |FROM pd JOIN nd USING (lang)
+             |GROUP BY lang, n_docs ORDER BY lang""".stripMargin)),
+
+    // vocabulary diversity indices per source: Simpson's D = Σpᵢ²
+    // (repeat probability), Berger–Parker dominance = max pᵢ, and
+    // Pielou evenness J = H/ln V — the one-pass diversity triple the
+    // data card reports next to raw entropy. Two hash aggregates
+    // ((source,tok) counts → per-source moments), no windows.
+    "text_diversity" -> Q(
+      (s, d) => {
+        import graft.text.TextPrimitives
+        val tc = Tables.documents(s, d)
+          .select(col("source"), explode(TextPrimitives.tokens(col("text"))).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).cast("double").as("c"))
+        tc.groupBy("source")
+          .agg(sum("c").as("n_tok"), count(lit(1)).as("v_types"),
+               sum(col("c") * col("c")).as("sq"),
+               max("c").as("mx"),
+               sum(col("c") * log(col("c"))).as("clc"))
+          .select(col("source"), col("n_tok").cast("long").as("n_tok"),
+                  col("v_types"),
+                  round(col("sq") / (col("n_tok") * col("n_tok")), 6).as("simpson_d"),
+                  round(col("mx") / col("n_tok"), 6).as("berger_parker"),
+                  when(col("v_types") > 1,
+                       round((log(col("n_tok")) - col("clc") / col("n_tok")) /
+                             log(col("v_types").cast("double")), 4))
+                    .otherwise(lit(null).cast("double")).as("evenness"))
+          .orderBy("source")
+      },
+      Some("""WITH tc AS (
+             |  SELECT source, tok, CAST(count(*) AS DOUBLE) AS c
+             |  FROM (SELECT source, unnest(
+             |          regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY 1, 2),
+             |m AS (SELECT source, sum(c) AS n_tok,
+             |             CAST(count(*) AS BIGINT) AS v_types,
+             |             sum(c * c) AS sq, max(c) AS mx,
+             |             sum(c * ln(c)) AS clc
+             |      FROM tc GROUP BY 1)
+             |SELECT source, CAST(n_tok AS BIGINT) AS n_tok, v_types,
+             |       round(sq / (n_tok * n_tok), 6) AS simpson_d,
+             |       round(mx / n_tok, 6) AS berger_parker,
+             |       CASE WHEN v_types > 1
+             |            THEN round((ln(n_tok) - clc / n_tok) /
+             |                       ln(CAST(v_types AS DOUBLE)), 4)
+             |       END AS evenness
+             |FROM m ORDER BY source""".stripMargin)),
+
+    // sorted-neighborhood blocking (Hernández & Stolfo 1995): docs
+    // sorted by (length-block, 24-char prefix key), each compared to
+    // its next 2 neighbors only — the classic entity-resolution
+    // candidate generator, O(n·w) pairs instead of O(n²). Candidates
+    // rescored by exact distinct-token Jaccard (map-side set HOFs on
+    // the bounded pair frame); the rank join is the ts_acf aligned
+    // equi-join idiom, keyed on (block, rank+k).
+    "dedup_sorted_nbrhood" -> Q(
+      (s, d) => {
+        import graft.text.TextPrimitives
+        val base = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), expr("n_chars DIV 64").as("blk"),
+                  lower(substring(trim(col("text")), 1, 24)).as("sk"),
+                  array_distinct(TextPrimitives.tokens(col("text"))).as("ts"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("blk").orderBy("sk", "doc_id")))
+          .localCheckpoint(eager = false) // both sides of the rank join
+        val a = base.withColumn("k", explode(array(lit(1), lit(2))))
+        val b = base.select(col("blk").as("blk2"), col("rn").as("rn2"),
+          col("doc_id").as("doc2"), col("ts").as("ts2"))
+        a.join(b, col("blk") === col("blk2") && col("rn2") === col("rn") + col("k"))
+          .withColumn("inter",
+            size(array_intersect(col("ts"), col("ts2"))).cast("double"))
+          .withColumn("uni",
+            (size(col("ts")) + size(col("ts2"))).cast("double") - col("inter"))
+          .filter(col("uni") > 0)
+          .select(least(col("doc_id"), col("doc2")).as("da"),
+                  greatest(col("doc_id"), col("doc2")).as("db"),
+                  round(col("inter") / col("uni"), 4).as("j_sn"))
+          .filter(col("j_sn") >= 0.5)
+          .orderBy("da", "db")
+      },
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT doc_id, n_chars // 64 AS blk,
+             |         lower(substr(trim(text), 1, 24)) AS sk,
+             |         list_distinct(
+             |           regexp_split_to_array(lower(trim(text)), '\s+')) AS ts,
+             |         row_number() OVER (PARTITION BY n_chars // 64
+             |           ORDER BY lower(substr(trim(text), 1, 24)), doc_id) AS rn
+             |  FROM documents WHERE text IS NOT NULL),
+             |k AS (SELECT unnest([1, 2]) AS k),
+             |pr AS (SELECT a.doc_id AS x, b.doc_id AS y, a.ts AS ta, b.ts AS tb
+             |       FROM base a CROSS JOIN k
+             |       JOIN base b ON b.blk = a.blk AND b.rn = a.rn + k.k),
+             |sc AS (SELECT x, y,
+             |         CAST(len(list_filter(ta, t -> list_contains(tb, t))) AS DOUBLE)
+             |           AS inter,
+             |         CAST(len(ta) + len(tb) AS DOUBLE) -
+             |           len(list_filter(ta, t -> list_contains(tb, t))) AS uni
+             |       FROM pr)
+             |SELECT least(x, y) AS da, greatest(x, y) AS db,
+             |       round(inter / uni, 4) AS j_sn
+             |FROM sc WHERE uni > 0 AND round(inter / uni, 4) >= 0.5
+             |ORDER BY da, db""".stripMargin)),
+
+    // CUPED variance reduction (Deng et al. 2013): pre-period
+    // purchases as the covariate, θ = cov(X,Y)/var(X) estimated once
+    // globally (rounded to 6 on both engines), per-arm adjusted means
+    // + the realized variance-reduction factor. The experiment
+    // sensitivity upgrade every A/B platform ships; one fact rollup,
+    // θ and the pre-mean broadcast as a 1-row frame.
+    "ev_cuped" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val ud = Tables.events(s, d)
+          .groupBy(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+          .localCheckpoint(eager = false) // bounds + the per-user xy rollup
+        val bounds = ud.agg(min("day").as("mn"), max("day").as("mx"))
+        val uxy = ud.crossJoin(broadcast(bounds))
+          .withColumn("post", (col("day") >= (col("mn") + col("mx") + 1) / 2).cast("long"))
+          .groupBy("user_id")
+          .agg(sum(when(col("post") === 0, col("p")).otherwise(0L))
+                 .cast("double").as("x"),
+               sum(when(col("post") === 1, col("p")).otherwise(0L))
+                 .cast("double").as("y"))
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .localCheckpoint(eager = false) // theta pass + per-arm pass
+        val th = uxy.agg(
+          when(var_pop("x") > 0, round(covar_pop("x", "y") / var_pop("x"), 6))
+            .otherwise(lit(0.0)).as("theta"),
+          round(avg("x"), 6).as("x_bar"))
+        uxy.crossJoin(broadcast(th))
+          .withColumn("y_adj", col("y") - col("theta") * (col("x") - col("x_bar")))
+          .groupBy("arm")
+          .agg(count(lit(1)).as("n_users"),
+               round(avg("y"), 6).as("mean_y"),
+               round(avg("y_adj"), 6).as("mean_y_cuped"),
+               round(var_pop("y"), 6).as("var_y"),
+               round(var_pop("y_adj"), 6).as("var_y_cuped"),
+               when(var_pop("y") > 0,
+                    round(lit(1.0) - var_pop("y_adj") / var_pop("y"), 4))
+                 .otherwise(lit(null).cast("double")).as("var_reduction"))
+          .orderBy("arm")
+      },
+      Some("""WITH ud AS (
+             |  SELECT user_id, ts // 86400000000000 AS day,
+             |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+             |uxy AS MATERIALIZED (
+             |  SELECT user_id,
+             |         CAST(sum(CASE WHEN day >= (mn + mx + 1) // 2 THEN 0 ELSE p END)
+             |              AS DOUBLE) AS x,
+             |         CAST(sum(CASE WHEN day >= (mn + mx + 1) // 2 THEN p ELSE 0 END)
+             |              AS DOUBLE) AS y,
+             |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+             |           % 2 AS arm
+             |  FROM ud, b GROUP BY user_id),
+             |th AS (SELECT CASE WHEN var_pop(x) > 0
+             |                   THEN round(covar_pop(x, y) / var_pop(x), 6)
+             |                   ELSE 0.0 END AS theta,
+             |              round(avg(x), 6) AS x_bar
+             |       FROM uxy),
+             |adj AS (SELECT arm, y, y - theta * (x - x_bar) AS y_adj FROM uxy, th)
+             |SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             |       round(avg(y), 6) AS mean_y,
+             |       round(avg(y_adj), 6) AS mean_y_cuped,
+             |       round(var_pop(y), 6) AS var_y,
+             |       round(var_pop(y_adj), 6) AS var_y_cuped,
+             |       CASE WHEN var_pop(y) > 0
+             |            THEN round(1.0 - var_pop(y_adj) / var_pop(y), 4)
+             |       END AS var_reduction
+             |FROM adj GROUP BY arm ORDER BY arm""".stripMargin)),
+
+    // t-closeness audit (Li et al. 2007): per QI group (lang, source),
+    // the ordered-EMD distance between the group's sensitive-value
+    // distribution (length bins) and the global one —
+    // t = Σ|cum(p−q)|/(m−1). Complements k-anonymity/l-diversity:
+    // a group can be k-anonymous yet leak via a skewed value dist.
+    // Grid = groups × bins (bounded), zero-filled; cumsum windows run
+    // partitioned per group; both dists rounded to 6 pre-cumsum.
+    "priv_t_closeness" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("lang"), col("source"), expr("n_chars DIV 200").as("bin"))
+          .localCheckpoint(eager = false) // global dist + group dist
+        val glob = docs.groupBy("bin").agg(count(lit(1)).as("gc"))
+        val globN = docs.agg(count(lit(1)).as("gn"))
+        val q = glob.crossJoin(broadcast(globN))
+          .select(col("bin"), round(col("gc") / col("gn"), 6).as("qp"))
+        val grp = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_rows"))
+        val cells = docs.groupBy("lang", "source", "bin").agg(count(lit(1)).as("c"))
+        val grid = grp.crossJoin(broadcast(q))
+          .join(cells, Seq("lang", "source", "bin"), "left")
+          .select(col("lang"), col("source"), col("bin"), col("n_rows"), col("qp"),
+                  round(coalesce(col("c"), lit(0L)) / col("n_rows"), 6).as("pp"))
+        val wc = Window.partitionBy("lang", "source").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mBins = glob.agg(count(lit(1)).as("m"))
+        grid.withColumn("cum", sum(col("pp") - col("qp")).over(wc))
+          .groupBy("lang", "source")
+          .agg(max("n_rows").as("n_rows"), sum(abs(col("cum"))).as("s"))
+          .crossJoin(broadcast(mBins))
+          .select(col("lang"), col("source"), col("n_rows"),
+                  when(col("m") > 1, round(col("s") / (col("m") - 1), 4))
+                    .otherwise(lit(null).cast("double")).as("t_dist"))
+          .withColumn("violates_t02",
+            when(col("t_dist").isNotNull, col("t_dist") > 0.2))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH docs AS (SELECT lang, source, n_chars // 200 AS bin FROM documents),
+             |gl AS (SELECT bin, CAST(count(*) AS BIGINT) AS gc FROM docs GROUP BY 1),
+             |gn AS (SELECT CAST(count(*) AS BIGINT) AS gn FROM docs),
+             |q AS (SELECT bin, round(gc * 1.0 / gn, 6) AS qp FROM gl, gn),
+             |grp AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows
+             |        FROM docs GROUP BY 1, 2),
+             |cells AS (SELECT lang, source, bin, CAST(count(*) AS BIGINT) AS c
+             |          FROM docs GROUP BY 1, 2, 3),
+             |grid AS (SELECT g.lang, g.source, q.bin, g.n_rows, q.qp,
+             |                round(coalesce(c.c, 0) * 1.0 / g.n_rows, 6) AS pp
+             |         FROM grp g CROSS JOIN q
+             |         LEFT JOIN cells c ON c.lang = g.lang AND c.source = g.source
+             |                           AND c.bin = q.bin),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM gl),
+             |cm AS (SELECT lang, source, n_rows,
+             |              sum(pp - qp) OVER (PARTITION BY lang, source ORDER BY bin
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |       FROM grid)
+             |SELECT lang, source, n_rows,
+             |       CASE WHEN m > 1 THEN round(sum(abs(cum)) / (m - 1), 4) END AS t_dist,
+             |       CASE WHEN m > 1 THEN round(sum(abs(cum)) / (m - 1), 4) > 0.2
+             |       END AS violates_t02
+             |FROM cm, m
+             |GROUP BY lang, source, n_rows, m ORDER BY lang, source""".stripMargin)))
 
   // ---------------------------------------------------------------
 

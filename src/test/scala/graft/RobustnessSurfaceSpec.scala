@@ -86,7 +86,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_roc_auc", "stat_psi", "stat_wasserstein", "text_ndcg",
     "stat_cliffs_delta", "priv_dp_mean", "text_textrank", "text_chao1",
     "stat_cramers_v", "emb_service_search", "graph_local_cc",
-    "graph_degree_dist")
+    "graph_degree_dist", "text_lmir", "text_sentiment", "text_diversity",
+    "dedup_sorted_nbrhood", "priv_t_closeness")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -192,7 +193,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_countmin", "stat_tost", "ev_qini", "ts_goertzel",
     "ev_interarrival", "stat_perm_test",
     "ev_markov_accuracy", "ev_markov_entropy", "ts_ljung_box",
-    "ts_mann_kendall", "stat_gumbel")
+    "ts_mann_kendall", "stat_gumbel", "ev_cuped")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
