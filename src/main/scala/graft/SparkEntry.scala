@@ -3252,8 +3252,11 @@ object SparkEntry {
           .localCheckpoint(eager = false) // bounds + bucketing
         val bounds = ud.agg(min("day").as("mn"), max("day").as("mx"))
         val up = ud.crossJoin(broadcast(bounds))
+          // div not /: Spark's long `/` is double division, which
+          // would ceil the midpoint when mn+mx+1 is odd while the
+          // oracle's `//` floors it
           .withColumn("post",
-            (col("day") >= (col("mn") + col("mx") + 1) / 2).cast("long"))
+            (col("day") >= expr("(mn + mx + 1) div 2")).cast("long"))
           .withColumn("arm",
             md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
           .groupBy("user_id", "arm", "post")
@@ -10338,7 +10341,11 @@ object SparkEntry {
           .localCheckpoint(eager = false) // bounds + the per-user xy rollup
         val bounds = ud.agg(min("day").as("mn"), max("day").as("mx"))
         val uxy = ud.crossJoin(broadcast(bounds))
-          .withColumn("post", (col("day") >= (col("mn") + col("mx") + 1) / 2).cast("long"))
+          // div not /: Spark's long `/` is double division, which
+          // would ceil the midpoint when mn+mx+1 is odd while the
+          // oracle's `//` floors it (even on current testdata, but
+          // the split must not depend on that)
+          .withColumn("post", (col("day") >= expr("(mn + mx + 1) div 2")).cast("long"))
           .groupBy("user_id")
           .agg(sum(when(col("post") === 0, col("p")).otherwise(0L))
                  .cast("double").as("x"),
@@ -10456,10 +10463,609 @@ object SparkEntry {
              |GROUP BY lang, source, n_rows, m ORDER BY lang, source""".stripMargin)))
 
   // ---------------------------------------------------------------
+  // Round-10 third wave: normality / effect-size / paired tests for
+  // the experimentation family, the classic lexical repeat-rate
+  // statistic, and ranked-retrieval MAP/MRR evaluation
+  // ---------------------------------------------------------------
+
+  private val round10cQ: Seq[(String, Q)] = Seq(
+    // Jarque–Bera normality test per event_type: JB = n/6·(S² + K²/4)
+    // from the SAME two-pass centered power sums as stat_moments
+    // (broadcast per-type mean rounded to 6, so both engines center
+    // identically), p = exp(−JB/2) — the χ²₂ survival function in
+    // closed form, no special functions needed. S and K are rounded
+    // to 6 BEFORE entering JB so the engines feed the statistic the
+    // identical argument. Zero-variance / tiny groups NULL out.
+    "stat_jarque_bera" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("value").isNotNull && !isnan(col("value")))
+        val mus = ev.groupBy("event_type")
+          .agg(round(sum("value") / count(lit(1)), 6).as("mu"))
+        val vr = col("m2s") / col("n")
+        val sk = round((col("m3s") / col("n")) / pow(vr, 1.5), 6)
+        val ku = round((col("m4s") / col("n")) / pow(vr, 2) - lit(3), 6)
+        ev.join(broadcast(mus), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("double").as("n"),
+               sum(pow(col("value") - col("mu"), 2)).as("m2s"),
+               sum(pow(col("value") - col("mu"), 3)).as("m3s"),
+               sum(pow(col("value") - col("mu"), 4)).as("m4s"))
+          .withColumn("jb",
+            when(vr <= 0 || col("n") < 4, lit(null).cast("double"))
+              .otherwise(round(col("n") / 6 * (sk * sk + ku * ku / 4), 4)))
+          .select(col("event_type"), col("n").cast("long").as("n_rows"),
+                  when(vr <= 0, lit(null).cast("double")).otherwise(sk).as("skew"),
+                  when(vr <= 0, lit(null).cast("double")).otherwise(ku).as("kurt"),
+                  col("jb"),
+                  when(col("jb").isNull, lit(null).cast("double"))
+                    .otherwise(round(exp(-col("jb") / 2), 6)).as("p_normal"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, value FROM events
+             |            WHERE value IS NOT NULL AND NOT isnan(value)),
+             |mus AS (SELECT event_type, round(sum(value) / count(*), 6) AS mu
+             |        FROM ev GROUP BY 1),
+             |cm AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             |              sum(pow(value - mu, 2)) AS m2s,
+             |              sum(pow(value - mu, 3)) AS m3s,
+             |              sum(pow(value - mu, 4)) AS m4s
+             |       FROM ev JOIN mus USING (event_type) GROUP BY 1),
+             |sk AS (SELECT event_type, n, m2s / n AS vr,
+             |              round((m3s / n) / pow(m2s / n, 1.5), 6) AS s,
+             |              round((m4s / n) / pow(m2s / n, 2) - 3, 6) AS k
+             |       FROM cm WHERE m2s / n > 0),
+             |jbt AS (SELECT event_type, n, vr, s, k,
+             |               CASE WHEN n < 4 THEN NULL
+             |                    ELSE round(n / 6 * (s * s + k * k / 4), 4) END AS jb
+             |        FROM sk),
+             |z AS (SELECT cm.event_type, cm.n, jbt.s, jbt.k, jbt.jb
+             |      FROM cm LEFT JOIN jbt USING (event_type))
+             |SELECT event_type, CAST(n AS BIGINT) AS n_rows, s AS skew, k AS kurt,
+             |       jb, CASE WHEN jb IS NULL THEN NULL
+             |                ELSE round(exp(-jb / 2), 6) END AS p_normal
+             |FROM z ORDER BY event_type""".stripMargin)),
+
+    // Cohen's d + Hedges' g effect size of the en-vs-de doc-length
+    // difference — the "how big in SD units" companion to
+    // stat_welch_t (parametric) and stat_cliffs_delta (ordinal).
+    // Pooled-SD d with the small-sample g correction 1 − 3/(4N−9);
+    // conventional magnitude labels off the ROUNDED d so a boundary
+    // ulp can't differ between engines. One grouped pass, two 1-row
+    // frames crossed.
+    "stat_cohens_d" -> Q(
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .filter(col("lang").isin("en", "de"))
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("double").as("n"),
+               avg(col("n_chars").cast("double")).as("m"),
+               var_samp(col("n_chars").cast("double")).as("v"))
+          .localCheckpoint(eager = false) // read twice (both langs)
+        val a = g.filter(col("lang") === "en")
+          .select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
+        val b = g.filter(col("lang") === "de")
+          .select(col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))
+        val sp2 = ((col("n1") - 1) * col("v1") + (col("n2") - 1) * col("v2")) /
+          (col("n1") + col("n2") - 2)
+        val dC = round((col("m1") - col("m2")) / sqrt(sp2), 6)
+        val bad = col("n1") < 2 || col("n2") < 2 || sp2 <= 0
+        a.crossJoin(b).select(
+          col("n1").cast("long").as("n_en"), col("n2").cast("long").as("n_de"),
+          round(col("m1") - col("m2"), 4).as("mean_diff"),
+          when(bad, lit(null).cast("double")).otherwise(dC).as("cohens_d"),
+          when(bad, lit(null).cast("double"))
+            .otherwise(round(dC * (lit(1.0) - lit(3.0) /
+              (lit(4.0) * (col("n1") + col("n2")) - 9)), 6)).as("hedges_g"),
+          when(bad, lit(null).cast("string")).otherwise(
+            when(abs(dC) < 0.2, "negligible")
+              .when(abs(dC) < 0.5, "small")
+              .when(abs(dC) < 0.8, "medium")
+              .otherwise("large")).as("magnitude"))
+      },
+      Some("""WITH g AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+             |                  avg(CAST(n_chars AS DOUBLE)) AS m,
+             |                  var_samp(CAST(n_chars AS DOUBLE)) AS v
+             |           FROM documents WHERE lang IN ('en', 'de') GROUP BY 1),
+             |a AS (SELECT n AS n1, m AS m1, v AS v1 FROM g WHERE lang = 'en'),
+             |b AS (SELECT n AS n2, m AS m2, v AS v2 FROM g WHERE lang = 'de'),
+             |c AS (SELECT n1, n2, m1 - m2 AS md,
+             |             ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2) AS sp2
+             |      FROM a, b),
+             |e AS (SELECT n1, n2, md, sp2,
+             |             CASE WHEN n1 < 2 OR n2 < 2 OR sp2 <= 0 THEN NULL
+             |                  ELSE round(md / sqrt(sp2), 6) END AS dd
+             |      FROM c)
+             |SELECT CAST(n1 AS BIGINT) AS n_en, CAST(n2 AS BIGINT) AS n_de,
+             |       round(md, 4) AS mean_diff, dd AS cohens_d,
+             |       CASE WHEN dd IS NULL THEN NULL
+             |            ELSE round(dd * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9)), 6)
+             |       END AS hedges_g,
+             |       CASE WHEN dd IS NULL THEN NULL
+             |            WHEN abs(dd) < 0.2 THEN 'negligible'
+             |            WHEN abs(dd) < 0.5 THEN 'small'
+             |            WHEN abs(dd) < 0.8 THEN 'medium'
+             |            ELSE 'large' END AS magnitude
+             |FROM e""".stripMargin)),
+
+    // McNemar's paired test on pre→post purchase conversion: did the
+    // SAME users' purchase behavior change across the midpoint split
+    // (ev_cuped's calendar halves)? Only the discordant pairs b
+    // (pre-only) and c (post-only) carry signal; continuity-corrected
+    // χ² = (|b−c|−1)²/(b+c), p from the χ²₁ survival function
+    // erfc(√(χ²/2)) via the A&S 7.1.26 polynomial (stat_fdr's exact
+    // closed form; χ² rounded to 6 before feeding it). ONE fact
+    // rollup → per-user pair → 4 counts; everything after is 1-row
+    // arithmetic.
+    "stat_mcnemar" -> Q(
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .groupBy(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+          .localCheckpoint(eager = false) // bounds + the per-user pair rollup
+        val bounds = ud.agg(min("day").as("mn"), max("day").as("mx"))
+        val up = ud.crossJoin(broadcast(bounds))
+          // integer floor-division: Spark's `/` on longs returns
+          // double, which would ceil the comparison when mn+mx+1 is
+          // odd while DuckDB's `//` floors it
+          .withColumn("post",
+            (col("day") >= expr("(mn + mx + 1) div 2")).cast("long"))
+          .groupBy("user_id")
+          .agg(max(when(col("post") === 0 && col("p") > 0, 1L).otherwise(0L)).as("x"),
+               max(when(col("post") === 1 && col("p") > 0, 1L).otherwise(0L)).as("y"))
+        val xx = sqrt(col("chi2") / 2)
+        val t1 = lit(1.0) / (lit(1.0) + lit(0.3275911) * xx)
+        up.agg(count(lit(1)).as("n_users"),
+               sum(when(col("x") === 1 && col("y") === 1, 1L).otherwise(0L)).as("n_both"),
+               sum(when(col("x") === 1 && col("y") === 0, 1L).otherwise(0L)).as("b"),
+               sum(when(col("x") === 0 && col("y") === 1, 1L).otherwise(0L)).as("c"))
+          .withColumn("chi2",
+            when(col("b") + col("c") === 0, lit(null).cast("double"))
+              .otherwise(round(pow(abs(col("b") - col("c")) - lit(1.0), 2) /
+                (col("b") + col("c")), 6)))
+          .select(col("n_users"), col("n_both"), col("b").as("n_pre_only"),
+                  col("c").as("n_post_only"), col("chi2"),
+                  when(col("chi2").isNull, lit(null).cast("double")).otherwise(
+                    round(t1 * (lit(0.254829592) + t1 * (lit(-0.284496736)
+                      + t1 * (lit(1.421413741) + t1 * (lit(-1.453152027)
+                      + t1 * lit(1.061405429)))))
+                      * exp(-xx * xx), 6)).as("p_value"))
+      },
+      Some("""WITH ud AS (
+             |  SELECT user_id, ts // 86400000000000 AS day,
+             |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+             |  FROM events GROUP BY 1, 2),
+             |bb AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+             |up AS (SELECT user_id,
+             |         max(CASE WHEN day < (mn + mx + 1) // 2 AND p > 0 THEN 1 ELSE 0 END) AS x,
+             |         max(CASE WHEN day >= (mn + mx + 1) // 2 AND p > 0 THEN 1 ELSE 0 END) AS y
+             |       FROM ud, bb GROUP BY user_id),
+             |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |              CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             |              CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             |              CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+             |       FROM up),
+             |ch AS (SELECT *, CASE WHEN b + c = 0 THEN NULL
+             |                      ELSE round(pow(abs(b - c) - 1.0, 2) / (b + c), 6)
+             |                 END AS chi2
+             |       FROM ct),
+             |t AS (SELECT *, sqrt(chi2 / 2) AS xx,
+             |             1.0 / (1.0 + 0.3275911 * sqrt(chi2 / 2)) AS t1
+             |      FROM ch)
+             |SELECT n_users, n_both, b AS n_pre_only, c AS n_post_only, chi2,
+             |       CASE WHEN chi2 IS NULL THEN NULL ELSE round(
+             |         t1 * (0.254829592 + t1 * (-0.284496736 + t1 * (1.421413741
+             |           + t1 * (-1.453152027 + t1 * 1.061405429))))
+             |         * exp(-xx * xx), 6) END AS p_value
+             |FROM t""".stripMargin)),
+
+    // Yule's characteristic K per source — the classic vocabulary
+    // repeat-rate constant K = 10⁴·(Σc² − N)/N² (Yule 1944), scale-
+    // invariant unlike raw TTR, so sources of different sizes compare
+    // directly. Same two hash aggregates as text_diversity (the
+    // (source,tok) count table), different invariant.
+    "text_yule_k" -> Q(
+      (s, d) => {
+        import graft.text.TextPrimitives
+        Tables.documents(s, d)
+          .select(col("source"), explode(TextPrimitives.tokens(col("text"))).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).cast("double").as("c"))
+          .groupBy("source")
+          .agg(sum("c").as("n_tok"), count(lit(1)).as("v_types"),
+               sum(col("c") * col("c")).as("s2"))
+          .select(col("source"), col("n_tok").cast("long").as("n_tok"),
+                  col("v_types"),
+                  round(lit(10000.0) * (col("s2") - col("n_tok")) /
+                        (col("n_tok") * col("n_tok")), 4).as("yule_k"))
+          .orderBy("source")
+      },
+      Some("""WITH tc AS (
+             |  SELECT source, tok, CAST(count(*) AS DOUBLE) AS c
+             |  FROM (SELECT source, unnest(
+             |          regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY 1, 2)
+             |SELECT source, CAST(sum(c) AS BIGINT) AS n_tok,
+             |       CAST(count(*) AS BIGINT) AS v_types,
+             |       round(10000.0 * (sum(c * c) - sum(c)) / (sum(c) * sum(c)), 4)
+             |         AS yule_k
+             |FROM tc GROUP BY source ORDER BY source""".stripMargin)),
+
+    // MAP@10 + MRR of embedding search (relevance = same-lang, the
+    // text_ndcg protocol) — the order-sensitive precision companion
+    // to NDCG's graded gain: AP averages precision at each relevant
+    // hit, RR scores only the first. Same bounded 5-query broadcast
+    // scoring pass; the per-query running-precision sum is a ≤10-row
+    // window inside the top-10 slice.
+    "text_map_mrr" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val docs = Tables.documents(s, d)
+        val raw = graft.embed.HashEmbedder.embedDocsRaw(docs, "doc_id", "text", 64)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        val qs = raw.filter(col("doc_id") <= 5)
+          .select(col("doc_id").as("qid"), col("embedding").as("qv"),
+                  col("lang").as("qlang"))
+        val scored = raw.crossJoin(broadcast(qs))
+          .filter(col("doc_id") =!= col("qid"))
+          .select(col("qid"), col("qlang"), col("doc_id"), col("lang"),
+            score(col("embedding"), col("qv")).as("sc"))
+        val w = Window.partitionBy("qid").orderBy(col("sc").desc, col("doc_id"))
+        val wc = Window.partitionBy("qid").orderBy("rnk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val top = scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .withColumn("rel", when(col("lang") === col("qlang"), 1L).otherwise(0L))
+          .withColumn("cum_rel", sum("rel").over(wc))
+          .groupBy("qid")
+          .agg(sum(when(col("rel") === 1,
+                 col("cum_rel").cast("double") / col("rnk")).otherwise(0.0))
+                 .as("ap_num"),
+               max(when(col("rel") === 1, lit(1.0) / col("rnk"))).as("rr_raw"),
+               sum("rel").as("n_rel_top10"))
+        val rel = scored.groupBy("qid")
+          .agg(sum(when(col("lang") === col("qlang"), 1L).otherwise(0L)).as("n_rel"))
+        top.join(rel, "qid")
+          .select(col("qid"), col("n_rel_top10"),
+            when(col("n_rel") === 0, lit(null).cast("double"))
+              .otherwise(round(col("ap_num") / least(lit(10L), col("n_rel")), 4))
+              .as("ap10"),
+            coalesce(round(col("rr_raw"), 4), lit(0.0)).as("rr"))
+          .orderBy("qid")
+      },
+      Some {
+        val (dot, na, nb) = graft.embed.HashEmbedder.cosineTermsSql(64)
+        s"""WITH sums AS (
+           |${graft.embed.HashEmbedder.rawSumsSql(64)}),
+           |lg AS (SELECT doc_id, lang FROM documents),
+           |qs AS (SELECT sums.doc_id AS qid, lang AS qlang, sums.*
+           |       FROM sums JOIN lg USING (doc_id) WHERE doc_id <= 5),
+           |sc AS (SELECT ss.qid, ss.qlang, ss.doc_id, lg.lang,
+           |              round(CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+           |                         ELSE dot / sqrt(na * nb) END, 6) + 0.0 AS sc
+           |       FROM (SELECT s.doc_id, q.qid, q.qlang, ($dot) AS dot,
+           |                    ($na) AS na, ($nb) AS nb
+           |             FROM sums s JOIN qs q ON s.doc_id <> q.qid) ss
+           |       JOIN lg ON ss.doc_id = lg.doc_id),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) AS rnk
+           |       FROM sc),
+           |top AS (SELECT qid, rnk,
+           |          CASE WHEN lang = qlang THEN 1 ELSE 0 END AS rel,
+           |          sum(CASE WHEN lang = qlang THEN 1 ELSE 0 END) OVER (
+           |            PARTITION BY qid ORDER BY rnk
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rel
+           |        FROM rk WHERE rnk <= 10),
+           |ag AS (SELECT qid,
+           |         sum(CASE WHEN rel = 1 THEN CAST(cum_rel AS DOUBLE) / rnk
+           |                  ELSE 0.0 END) AS ap_num,
+           |         max(CASE WHEN rel = 1 THEN 1.0 / rnk END) AS rr_raw,
+           |         CAST(sum(rel) AS BIGINT) AS n_rel_top10
+           |       FROM top GROUP BY qid),
+           |rel AS (SELECT qid, CAST(sum(CASE WHEN lang = qlang THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+           |        FROM sc GROUP BY qid)
+           |SELECT ag.qid, n_rel_top10,
+           |       CASE WHEN n_rel = 0 THEN NULL
+           |            ELSE round(ap_num / least(10, n_rel), 4) END AS ap10,
+           |       coalesce(round(rr_raw, 4), 0.0) AS rr
+           |FROM ag JOIN rel USING (qid) ORDER BY ag.qid""".stripMargin
+      }),
+
+    // rich-club coefficient φ(k) of the near-dup graph: among nodes
+    // of degree > k, the realized fraction of possible edges — "do
+    // the hub documents all duplicate each other?" (mega-cluster
+    // early warning, complements graph_assort/graph_degree_dist).
+    // Degree table is a broadcast |V|-row join-back onto the shared
+    // bounded edge build; k sweep is a 3-row literal cross.
+    "graph_rich_club" -> Q(
+      (s, d) => {
+        val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+          .select(col("da"), col("db"))
+          .localCheckpoint(eager = false) // degrees + edge filter
+        val deg = e0.select(explode(array(col("da"), col("db"))).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("dg"))
+          .localCheckpoint(eager = false) // N_k pass + both join-backs
+        val ks = s.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)))
+          .toDF("k")
+        val nk = deg.crossJoin(broadcast(ks)).filter(col("dg") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_k"))
+        val ek = e0
+          .join(broadcast(deg.select(col("v").as("da"), col("dg").as("dga"))), "da")
+          .join(broadcast(deg.select(col("v").as("db"), col("dg").as("dgb"))), "db")
+          .crossJoin(broadcast(ks))
+          .filter(col("dga") > col("k") && col("dgb") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("e_k"))
+        nk.join(ek, Seq("k"), "left")
+          .select(col("k"), col("n_k"), coalesce(col("e_k"), lit(0L)).as("e_k"),
+            when(col("n_k") >= 2,
+              round(lit(2.0) * coalesce(col("e_k"), lit(0L)) /
+                (col("n_k") * (col("n_k") - 1)), 4))
+              .otherwise(lit(null).cast("double")).as("phi"))
+          .orderBy("k")
+      },
+      Some(s"""WITH ${dupEdgesSql(120, 0.25)},
+              |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg
+              |        FROM (SELECT da AS v FROM e0 UNION ALL SELECT db AS v FROM e0)
+              |        GROUP BY v),
+              |ks AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS k),
+              |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k
+              |       FROM deg, ks WHERE dg > k GROUP BY k),
+              |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_k
+              |       FROM e0 JOIN deg a ON a.v = da JOIN deg b ON b.v = db, ks
+              |       WHERE a.dg > k AND b.dg > k GROUP BY k)
+              |SELECT k, n_k, coalesce(e_k, 0) AS e_k,
+              |       CASE WHEN n_k >= 2
+              |            THEN round(2.0 * coalesce(e_k, 0) / (n_k * (n_k - 1)), 4)
+              |       END AS phi
+              |FROM nk LEFT JOIN ek USING (k) ORDER BY k""".stripMargin)),
+
+    // Hurst exponent per event_type via rescaled-range analysis:
+    // daily counts → blocks of w ∈ {4,8,16} days → R/S per full
+    // block (cumulative-deviation range over block σ) → H = OLS
+    // slope of ln(avg R/S) on ln(w). H≈0.5 random walk, >0.5
+    // long-range dependence (bursty load that capacity planning
+    // can't treat as iid). Everything after the ONE fact rollup is
+    // calendar-bounded; cumsum windows run per (type, w, block);
+    // the OLS guards n≥2 ∧ var>0 (the text_heaps_fit lesson).
+    "ts_hurst" -> Q(
+      (s, d) => {
+        val dc = Tables.events(s, d)
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("cnt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy("day")).cast("long") - 1)
+          .localCheckpoint(eager = false) // block stats + cumdev join
+        val ws = s.createDataFrame(Seq(Tuple1(4L), Tuple1(8L), Tuple1(16L)))
+          .toDF("w")
+        val blocks = dc.crossJoin(broadcast(ws))
+          .withColumn("blk", expr("rn div w"))
+        val bs = blocks.groupBy("event_type", "w", "blk")
+          .agg(count(lit(1)).as("bn"), round(avg("cnt"), 6).as("mu"),
+               var_pop("cnt").as("vp"))
+          .filter(col("bn") === col("w")) // full blocks only
+        val wb = Window.partitionBy("event_type", "w", "blk").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val rsb = blocks.join(bs, Seq("event_type", "w", "blk"))
+          .withColumn("cum", sum(col("cnt") - col("mu")).over(wb))
+          .groupBy("event_type", "w", "blk")
+          .agg(max("cum").as("mx"), min("cum").as("mn"), max("vp").as("vp"))
+          .filter(col("vp") > 0)
+          .select(col("event_type"), col("w"),
+                  round((col("mx") - col("mn")) / sqrt(col("vp")), 6).as("rs"))
+        val pw = rsb.groupBy("event_type", "w")
+          .agg(round(avg("rs"), 6).as("ars"), count(lit(1)).as("n_blocks"))
+          .filter(col("ars") > 0)
+        pw.select(col("event_type"), log(col("w").cast("double")).as("lx"),
+                  log(col("ars")).as("ly"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("double").as("np"),
+               covar_pop("lx", "ly").as("cxy"), var_pop("lx").as("vx"))
+          .select(col("event_type"), col("np").cast("long").as("n_scales"),
+                  when(col("np") >= 2 && col("vx") > 0,
+                       round(col("cxy") / col("vx"), 4))
+                    .otherwise(lit(null).cast("double")).as("hurst"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dc AS (
+             |  SELECT event_type, ts // 86400000000000 AS day,
+             |         CAST(count(*) AS DOUBLE) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |rn AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+             |                        ORDER BY day) AS BIGINT) - 1 AS rn
+             |       FROM dc),
+             |ws AS (SELECT CAST(unnest([4, 8, 16]) AS BIGINT) AS w),
+             |blocks AS (SELECT rn.*, w, rn // w AS blk FROM rn, ws),
+             |bs AS (SELECT event_type, w, blk, count(*) AS bn,
+             |              round(avg(cnt), 6) AS mu, var_pop(cnt) AS vp
+             |       FROM blocks GROUP BY 1, 2, 3),
+             |fb AS (SELECT * FROM bs WHERE bn = w),
+             |wc AS (SELECT b.event_type, b.w, b.blk, b.cnt, fb.mu, fb.vp,
+             |              sum(b.cnt - fb.mu) OVER (
+             |                PARTITION BY b.event_type, b.w, b.blk ORDER BY b.day
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |       FROM blocks b JOIN fb USING (event_type, w, blk)),
+             |rsb AS (SELECT event_type, w,
+             |               round((max(cum) - min(cum)) / sqrt(max(vp)), 6) AS rs
+             |        FROM wc GROUP BY event_type, w, blk HAVING max(vp) > 0),
+             |pw AS (SELECT event_type, w, round(avg(rs), 6) AS ars,
+             |              count(*) AS n_blocks
+             |       FROM rsb GROUP BY 1, 2 HAVING round(avg(rs), 6) > 0),
+             |pts AS (SELECT event_type, ln(CAST(w AS DOUBLE)) AS lx,
+             |               ln(ars) AS ly FROM pw),
+             |ag AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS np,
+             |              covar_pop(lx, ly) AS cxy, var_pop(lx) AS vx
+             |       FROM pts GROUP BY 1)
+             |SELECT event_type, CAST(np AS BIGINT) AS n_scales,
+             |       CASE WHEN np >= 2 AND vx > 0 THEN round(cxy / vx, 4) END AS hurst
+             |FROM ag ORDER BY event_type""".stripMargin)),
+
+    // ε-local-DP frequency estimation via randomized response (Warner
+    // 1965): each user's true "ever purchased" bit is reported
+    // truthfully with p = 0.75 (ε = ln 3) and flipped otherwise —
+    // deterministic inverse-CDF draw from the md5 hash (the
+    // priv_dp_mean idiom), debiased as π̂ = (λ̂ − (1−p))/(2p−1).
+    // The local-DP counterpart of the central-DP priv_dp_* releases;
+    // ONE per-user rollup, then 1-row arithmetic.
+    "priv_rand_response" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val r = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("t"))
+          .withColumn("u",
+            (md5Long(concat(lit("rr:"), col("user_id").cast("string"))) % 1000000)
+              .cast("double") / 1000000.0)
+          .withColumn("r", when(col("u") < 0.75, col("t")).otherwise(lit(1L) - col("t")))
+        r.agg(count(lit(1)).as("n_users"), sum("t").as("n_true_yes"),
+              sum("r").as("n_reported_yes"))
+          .select(col("n_users"), col("n_true_yes"), col("n_reported_yes"),
+            when(col("n_users") > 0,
+              round(col("n_true_yes").cast("double") / col("n_users"), 6))
+              .otherwise(lit(null).cast("double")).as("pi_true"),
+            when(col("n_users") > 0,
+              round((col("n_reported_yes").cast("double") / col("n_users")
+                - 0.25) / 0.5, 6))
+              .otherwise(lit(null).cast("double")).as("pi_hat"))
+          .withColumn("abs_err", round(abs(col("pi_hat") - col("pi_true")), 6))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT t,
+             |        CASE WHEN (('0x' || substr(md5('rr:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+             |                   % 1000000) / 1000000.0 < 0.75
+             |             THEN t ELSE 1 - t END AS r
+             |      FROM u),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |              CAST(sum(t) AS BIGINT) AS n_true_yes,
+             |              CAST(sum(r) AS BIGINT) AS n_reported_yes
+             |       FROM r),
+             |pi AS (SELECT *,
+             |         CASE WHEN n_users > 0
+             |              THEN round(CAST(n_true_yes AS DOUBLE) / n_users, 6) END AS pi_true,
+             |         CASE WHEN n_users > 0
+             |              THEN round((CAST(n_reported_yes AS DOUBLE) / n_users - 0.25) / 0.5, 6)
+             |         END AS pi_hat
+             |       FROM ag)
+             |SELECT n_users, n_true_yes, n_reported_yes, pi_true, pi_hat,
+             |       round(abs(pi_hat - pi_true), 6) AS abs_err
+             |FROM pi""".stripMargin)),
+
+    // perceptual-hash (aHash) image near-dup: 64 deterministic
+    // md5-stub "pixels" per image (decode stubbed, the mm_binary_meta
+    // convention — the Spark plumbing of grid → mean-threshold bits →
+    // pairwise Hamming is real), nearest neighbor per image by
+    // Hamming distance over the bounded doc_id<120 image subset.
+    // At corpus scale the pair join becomes dedup_simhash's banded
+    // equi-join on hash bands; the exact quadratic form here is the
+    // oracle-able ground truth for that path.
+    "mm_image_ahash" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val px = Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") < 120 &&
+                  col("text").isNotNull)
+          .select(col("doc_id"), col("text"),
+                  explode(sequence(lit(0L), lit(63L))).as("k"))
+          .select(col("doc_id"), col("k"),
+            (md5Long(concat(col("text"), lit(":px"), col("k").cast("string")))
+              % 256).as("px"))
+          .localCheckpoint(eager = false) // mean join + pair join
+        val mu = px.groupBy("doc_id").agg(avg(col("px").cast("double")).as("mu"))
+        val bits = px.join(mu, "doc_id")
+          .select(col("doc_id"), col("k"),
+                  (col("px") > col("mu")).cast("long").as("bit"))
+          .localCheckpoint(eager = false) // both sides of the pair join
+        val ham = bits.select(col("doc_id").as("da"), col("k"), col("bit").as("ba"))
+          .join(bits.select(col("doc_id").as("db"), col("k"), col("bit").as("bb")),
+                Seq("k"))
+          .filter(col("da") =!= col("db"))
+          .groupBy("da", "db")
+          .agg(sum(abs(col("ba") - col("bb"))).as("hamming"))
+        val wnn = Window.partitionBy("da").orderBy(col("hamming"), col("db"))
+        ham.withColumn("rk", row_number().over(wnn)).filter(col("rk") === 1)
+          .select(col("da").as("doc_id"), col("db").as("nn_doc"),
+                  col("hamming").as("nn_hamming"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH imgs AS (SELECT doc_id, text FROM documents
+             |              WHERE doc_id % 3 = 0 AND doc_id < 120 AND text IS NOT NULL),
+             |px AS (SELECT doc_id, CAST(k AS BIGINT) AS k,
+             |              ('0x' || substr(md5(text || ':px' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+             |                % 256 AS px
+             |       FROM imgs, LATERAL (SELECT unnest(generate_series(0, 63)) AS k)),
+             |mu AS (SELECT doc_id, avg(CAST(px AS DOUBLE)) AS mu FROM px GROUP BY 1),
+             |bits AS (SELECT doc_id, k, CAST(px > mu AS BIGINT) AS bit
+             |         FROM px JOIN mu USING (doc_id)),
+             |ham AS (SELECT a.doc_id AS da, b.doc_id AS db,
+             |               CAST(sum(abs(a.bit - b.bit)) AS BIGINT) AS hamming
+             |        FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id <> b.doc_id
+             |        GROUP BY 1, 2),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY da
+             |                   ORDER BY hamming, db) AS rk
+             |       FROM ham)
+             |SELECT da AS doc_id, db AS nn_doc, hamming AS nn_hamming
+             |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
+    // participation ratio PR = tr(C)²/tr(C²) of the embedding
+    // covariance — the eigen-free effective-dimension estimate
+    // (PR = d for isotropic, → 1 for rank-collapsed), the spectral
+    // companion to emb_anisotropy/emb_twonn_id that needs NO
+    // eigendecomposition: both traces come from the 64×64 cross-
+    // moment cells, a 4096-cell map-side-combinable aggregate (the
+    // ev_countmin posture). Cells rounded to 7 before squaring so
+    // partial-agg sum order can't reach the report. At reference
+    // dim 1024 the fan-out (1M cells) moves to the whitening/power-
+    // iteration mapPartitions accumulator instead.
+    "emb_participation_ratio" -> Q(
+      (s, d) => {
+        val ex = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+          .select(col("embedding"), posexplode(col("embedding")).as(Seq("a", "xa")))
+          .select(col("a").cast("long").as("a"), col("xa").cast("double").as("xa"),
+                  posexplode(col("embedding")).as(Seq("b", "xb")))
+          .select(col("a"), col("b").cast("long").as("b"), col("xa"),
+                  col("xb").cast("double").as("xb"))
+        val cells = ex.groupBy("a", "b")
+          .agg(count(lit(1)).cast("double").as("n"),
+               sum(col("xa") * col("xb")).as("sxy"),
+               sum("xa").as("sxa"), sum("xb").as("sxb"))
+          .select(col("a"), col("b"), col("n"),
+            round(col("sxy") / col("n") -
+              (col("sxa") / col("n")) * (col("sxb") / col("n")), 7).as("cv"))
+        cells.agg(max("n").as("nv"), max("a").as("mxa"),
+            sum(when(col("a") === col("b"), col("cv")).otherwise(0.0)).as("trc"),
+            sum(col("cv") * col("cv")).as("trc2"))
+          .select(col("nv").cast("long").as("n_vecs"),
+            (col("mxa") + 1).as("dim"),
+            round(col("trc"), 6).as("tr_c"),
+            when(col("trc2") > 0,
+              round(col("trc") * col("trc") / col("trc2"), 4))
+              .otherwise(lit(null).cast("double")).as("pr_dim"))
+      },
+      Some("""WITH px AS (SELECT vec_id,
+             |              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS a,
+             |              CAST(unnest(embedding) AS DOUBLE) AS xa
+             |            FROM embeddings WHERE embedding IS NOT NULL),
+             |cells AS (SELECT p.a, q.a AS b, CAST(count(*) AS DOUBLE) AS n,
+             |                 round(sum(p.xa * q.xa) / count(*) -
+             |                       (sum(p.xa) / count(*)) * (sum(q.xa) / count(*)), 7) AS cv
+             |          FROM px p JOIN px q ON p.vec_id = q.vec_id
+             |          GROUP BY 1, 2),
+             |ag AS (SELECT max(n) AS nv, max(a) AS mxa,
+             |              sum(CASE WHEN a = b THEN cv ELSE 0.0 END) AS trc,
+             |              sum(cv * cv) AS trc2
+             |       FROM cells)
+             |SELECT CAST(nv AS BIGINT) AS n_vecs, mxa + 1 AS dim,
+             |       round(trc, 6) AS tr_c,
+             |       CASE WHEN trc2 > 0 THEN round(trc * trc / trc2, 4) END AS pr_dim
+             |FROM ag""".stripMargin)))
+
+  // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
     relational ++ eventsQ ++ experimentsQ ++ vectorStore ++ dedup ++ textQ ++
-      annQ ++ multimodalQ ++ round10Q ++ round10bQ
+      annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

@@ -87,7 +87,9 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_cliffs_delta", "priv_dp_mean", "text_textrank", "text_chao1",
     "stat_cramers_v", "emb_service_search", "graph_local_cc",
     "graph_degree_dist", "text_lmir", "text_sentiment", "text_diversity",
-    "dedup_sorted_nbrhood", "priv_t_closeness")
+    "dedup_sorted_nbrhood", "priv_t_closeness",
+    "stat_cohens_d", "text_yule_k", "text_map_mrr",
+    "graph_rich_club", "mm_image_ahash")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -128,7 +130,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ann_kmeans_step", "vec_pq_adc",
     "ann_mmr_rerank", "emb_whiten", "emb_triplets", "dedup_semantic",
     "emb_drift", "vec_residual_quant", "samp_coreset", "ann_knn_graph",
-    "emb_anisotropy", "ann_jl_recall", "emb_twonn_id")
+    "emb_anisotropy", "ann_jl_recall", "emb_twonn_id",
+    "emb_participation_ratio")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
@@ -193,7 +196,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_countmin", "stat_tost", "ev_qini", "ts_goertzel",
     "ev_interarrival", "stat_perm_test",
     "ev_markov_accuracy", "ev_markov_entropy", "ts_ljung_box",
-    "ts_mann_kendall", "stat_gumbel", "ev_cuped")
+    "ts_mann_kendall", "stat_gumbel", "ev_cuped",
+    "stat_jarque_bera", "stat_mcnemar", "ts_hurst", "priv_rand_response")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

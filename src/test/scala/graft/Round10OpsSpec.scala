@@ -62,4 +62,111 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("z_lower") > r.getAs[Double]("z_upper"),
       "z_lower tests diff > -delta, z_upper tests diff < +delta")
   }
+
+  test("Jarque-Bera statistic is non-negative with p in [0,1]") {
+    val rows = run("stat_jarque_bera")
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      assert(r.getAs[Double]("jb") >= 0.0, s"row ${r.mkString(",")}")
+      val p = r.getAs[Double]("p_normal")
+      assert(p >= 0.0 && p <= 1.0, s"row ${r.mkString(",")}")
+    }
+  }
+
+  test("Cohen's d magnitude label matches the conventional cutoffs") {
+    val r = run("stat_cohens_d").head
+    val d = math.abs(r.getAs[Double]("cohens_d"))
+    val expected =
+      if (d < 0.2) "negligible" else if (d < 0.5) "small"
+      else if (d < 0.8) "medium" else "large"
+    assert(r.getAs[String]("magnitude") == expected)
+    // |g| < |d| always (shrinkage correction), same sign
+    val g = r.getAs[Double]("hedges_g")
+    assert(math.abs(g) <= d && g * r.getAs[Double]("cohens_d") >= 0.0)
+  }
+
+  test("McNemar cells partition the user base and p is a probability") {
+    val r = run("stat_mcnemar").head
+    val n = r.getAs[Long]("n_users")
+    val cells = r.getAs[Long]("n_both") + r.getAs[Long]("n_pre_only") +
+      r.getAs[Long]("n_post_only")
+    assert(cells <= n, "both+discordant cells can never exceed the user count")
+    if (!r.isNullAt(r.fieldIndex("chi2"))) {
+      assert(r.getAs[Double]("chi2") >= 0.0)
+      val p = r.getAs[Double]("p_value")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
+  test("Yule's K is non-negative (repeat mass can't be below uniform)") {
+    val rows = run("text_yule_k")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("yule_k") >= 0.0, s"row ${r.mkString(",")}")
+      assert(r.getAs[Long]("v_types") <= r.getAs[Long]("n_tok"))
+    }
+  }
+
+  test("MAP and MRR are probabilities and RR bounds AP from above at k=1") {
+    val rows = run("text_map_mrr")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rr = r.getAs[Double]("rr")
+      assert(rr >= 0.0 && rr <= 1.0, s"row ${r.mkString(",")}")
+      if (!r.isNullAt(r.fieldIndex("ap10"))) {
+        val ap = r.getAs[Double]("ap10")
+        assert(ap >= 0.0 && ap <= 1.0 + 1e-9, s"row ${r.mkString(",")}")
+        // the first relevant hit contributes rr to the AP numerator,
+        // so a query with any relevant hit has ap > 0 iff rr > 0
+        assert((ap > 0.0) == (rr > 0.0), s"row ${r.mkString(",")}")
+      }
+    }
+  }
+
+  test("rich-club density is a fraction of possible edges") {
+    val rows = run("graph_rich_club")
+    assert(rows.length == 3)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val nk = r.getAs[Long]("n_k")
+      assert(r.getAs[Double]("phi") >= 0.0 && r.getAs[Double]("phi") <= 1.0)
+      assert(r.getAs[Long]("e_k") <= nk * (nk - 1) / 2, s"row ${r.mkString(",")}")
+    }
+  }
+
+  test("Hurst fit only reports with >= 2 scales") {
+    val rows = run("ts_hurst")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_scales") <= 3)
+      if (!r.isNullAt(r.fieldIndex("hurst")))
+        assert(r.getAs[Long]("n_scales") >= 2)
+    }
+  }
+
+  test("randomized-response debiasing lands near the true rate") {
+    val r = run("priv_rand_response").head
+    assert(r.getAs[Long]("n_users") > 0)
+    // SE of the debiased estimator at p=.75 is ~sqrt(.25^2.../n)/.5;
+    // 0.2 is > 4 SE at the sf0.001 user count — failure means the
+    // debiasing arithmetic broke, not an unlucky draw
+    assert(r.getAs[Double]("abs_err") < 0.2, r.mkString(","))
+  }
+
+  test("aHash nearest neighbor is one row per image with Hamming in [0,64]") {
+    val rows = run("mm_image_ahash")
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("nn_hamming")
+      assert(h >= 0L && h <= 64L)
+      assert(r.getAs[Long]("nn_doc") != r.getAs[Long]("doc_id"))
+    }
+  }
+
+  test("participation ratio lies in [1, dim]") {
+    val r = run("emb_participation_ratio").head
+    val pr = r.getAs[Double]("pr_dim")
+    assert(pr >= 1.0 - 1e-9 && pr <= r.getAs[Long]("dim").toDouble + 1e-9,
+      r.mkString(","))
+  }
 }
