@@ -1179,6 +1179,19 @@ object SparkEntry {
       .stripMargin
   }.mkString(",\n")
 
+  /** Unrolled eigenvector-centrality power-iteration rounds as chained
+    * CTEs (same recursive-CTE restriction as pagerankIterSql) — each
+    * round is a neighbor-sum then an L1 renormalization, per-round
+    * round-to-7 pinning the trajectory across engines; mirrors
+    * graph_eigencentrality's loop term-for-term.
+    */
+  private def eigenIterSql(iters: Int): String = (1 to iters).map { k =>
+    s"""r$k AS (SELECT nbr.v AS v, sum(x${k - 1}.c) AS raw
+       |  FROM nbr JOIN x${k - 1} ON x${k - 1}.v = nbr.n GROUP BY nbr.v),
+       |x$k AS (SELECT v, round(raw / (SELECT sum(raw) FROM r$k), 7) AS c
+       |  FROM r$k)""".stripMargin
+  }.mkString(",\n")
+
   /** Transition-cell table shared by the Markov family
     * (ev_transitions / ev_stationary / graph_pagerank): the per-user
     * lead()-over-fact window is the dominant cost of all three — and
@@ -11059,7 +11072,340 @@ object SparkEntry {
              |SELECT CAST(nv AS BIGINT) AS n_vecs, mxa + 1 AS dim,
              |       round(trc, 6) AS tr_c,
              |       CASE WHEN trc2 > 0 THEN round(trc * trc / trc2, 4) END AS pr_dim
-             |FROM ag""".stripMargin)))
+             |FROM ag""".stripMargin)),
+
+    // group-sequential A/B monitoring with O'Brien–Fleming bounds:
+    // the cumulative Welch z at 4 equally-spaced calendar looks vs
+    // the OBF boundary 2.0243·√(K/k) — the "peek early without
+    // inflating α" machinery every experimentation platform needs
+    // next to the fixed-horizon ev_ab_test. One fact pass fanned ×4
+    // by the broadcast look table; cut days use integer division on
+    // both engines.
+    "stat_group_seq" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val ev = Tables.events(s, d)
+          .filter(col("value").isNotNull && !isnan(col("value")))
+          .withColumn("day", expr("ts div 86400000000000"))
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .localCheckpoint(eager = false) // bounds + the look rollup
+        val looks = ev.agg(min("day").as("mn"), max("day").as("mx"))
+          .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L), lit(4L))))
+          .select(col("k"),
+            (col("mn") - 1 + expr("((mx - mn + 1) * k) div 4")).as("cut"))
+        val g = ev.crossJoin(broadcast(looks))
+          .filter(col("day") <= col("cut"))
+          .groupBy("k")
+          .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+               sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+               avg(when(col("arm") === 1, col("value"))).as("m_t"),
+               avg(when(col("arm") === 0, col("value"))).as("m_c"),
+               var_samp(when(col("arm") === 1, col("value"))).as("v_t"),
+               var_samp(when(col("arm") === 0, col("value"))).as("v_c"))
+        val se2 = col("v_t") / col("n_t") + col("v_c") / col("n_c")
+        g.select(col("k"), col("n_t"), col("n_c"),
+            when(col("n_t") < 2 || col("n_c") < 2 || se2 <= 0.0,
+                 lit(null).cast("double"))
+              .otherwise(round((col("m_t") - col("m_c")) / sqrt(se2), 4)).as("z"),
+            round(lit(2.0243) * sqrt(lit(4.0) / col("k")), 4).as("z_boundary"))
+          .withColumn("reject",
+            when(col("z").isNull, lit(null).cast("boolean"))
+              .otherwise(abs(col("z")) > col("z_boundary")))
+          .orderBy("k")
+      },
+      Some("""WITH ev AS (
+             |  SELECT ts // 86400000000000 AS day, value,
+             |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+             |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+             |looks AS (SELECT CAST(k AS BIGINT) AS k,
+             |                 mn - 1 + ((mx - mn + 1) * k) // 4 AS cut
+             |          FROM b, (SELECT unnest([1, 2, 3, 4]) AS k)),
+             |g AS (SELECT k,
+             |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             |        avg(CASE WHEN arm = 1 THEN value END) AS m_t,
+             |        avg(CASE WHEN arm = 0 THEN value END) AS m_c,
+             |        var_samp(CASE WHEN arm = 1 THEN value END) AS v_t,
+             |        var_samp(CASE WHEN arm = 0 THEN value END) AS v_c
+             |      FROM ev, looks WHERE day <= cut GROUP BY k),
+             |z AS (SELECT k, n_t, n_c,
+             |        CASE WHEN n_t < 2 OR n_c < 2 OR v_t / n_t + v_c / n_c <= 0.0
+             |             THEN NULL
+             |             ELSE round((m_t - m_c) / sqrt(v_t / n_t + v_c / n_c), 4)
+             |        END AS z,
+             |        round(2.0243 * sqrt(4.0 / k), 4) AS z_boundary
+             |      FROM g)
+             |SELECT k, n_t, n_c, z, z_boundary,
+             |       CASE WHEN z IS NULL THEN NULL
+             |            ELSE abs(z) > z_boundary END AS reject
+             |FROM z ORDER BY k""".stripMargin)),
+
+    // eigenvector centrality of the near-dup graph: 6 unrolled
+    // power-iteration rounds (neighbor-sum + L1 renormalization,
+    // per-round round-to-7 pinning the trajectory — the ev_stationary
+    // idiom on the dup graph), top-10 hub documents. Unlike degree,
+    // this scores being connected to OTHER hubs — the doc family a
+    // curator should read first. Corpus-scale work = the one shared
+    // shingle-join edge build; each round is O(E) shuffle.
+    "graph_eigencentrality" -> Q(
+      (s, d) => {
+        val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+          .select(col("da"), col("db"))
+          .localCheckpoint(eager = false)
+        val nbr = e0.select(col("da").as("v"), col("db").as("n"))
+          .union(e0.select(col("db").as("v"), col("da").as("n")))
+          .localCheckpoint(eager = false) // read once per round
+        val nodes = nbr.select(col("v")).distinct()
+        val nn = nodes.agg(count(lit(1)).cast("double").as("nn"))
+        var x = nodes.crossJoin(broadcast(nn))
+          .select(col("v"), round(lit(1.0) / col("nn"), 7).as("c"))
+          .localCheckpoint(eager = false)
+        for (_ <- 1 to 6) {
+          val raw = nbr.join(x.select(col("v").as("n"), col("c")), "n")
+            .groupBy("v").agg(sum("c").as("raw"))
+          val tot = raw.agg(sum("raw").as("t"))
+          x = raw.crossJoin(broadcast(tot))
+            .select(col("v"), round(col("raw") / col("t"), 7).as("c"))
+            .localCheckpoint(eager = false) // next round + final sort
+        }
+        x.orderBy(col("c").desc, col("v")).limit(10)
+          .select(col("v").as("doc_id"), col("c").as("centrality"))
+      },
+      Some(s"""WITH ${dupEdgesSql(120, 0.25)},
+              |nbr AS (SELECT da AS v, db AS n FROM e0
+              |        UNION ALL SELECT db AS v, da AS n FROM e0),
+              |nodes AS (SELECT DISTINCT v FROM nbr),
+              |x0 AS (SELECT v, round(1.0 / (SELECT CAST(count(*) AS DOUBLE)
+              |                              FROM nodes), 7) AS c
+              |       FROM nodes),
+              |${eigenIterSql(6)}
+              |SELECT v AS doc_id, c AS centrality
+              |FROM x6 ORDER BY c DESC, v LIMIT 10""".stripMargin)),
+
+    // second-order Markov next-event model: trigram cells from ONE
+    // two-lead window pass, best next event per (prev2, prev1)
+    // context with its accuracy, vs the first-order baseline
+    // p(to | prev1) computed from the SAME trigram population's
+    // margins — lift > 0 is the memory the one-step ev_markov_accuracy
+    // model leaves on the table. Cells bounded by |types|³.
+    "ev_markov2" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val tri = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("t1", lead("event_type", 1).over(w))
+          .withColumn("t2", lead("event_type", 2).over(w))
+          .filter(col("t1").isNotNull && col("t2").isNotNull)
+          .groupBy(col("event_type").as("t0"), col("t1"), col("t2"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = false) // best-per-context + margins
+        val wb = Window.partitionBy("t0", "t1").orderBy(col("n").desc, col("t2"))
+        val tot = tri.groupBy("t0", "t1").agg(sum("n").as("n_total"))
+        val m1 = tri.groupBy("t1", "t2").agg(sum("n").as("m"))
+        val w1 = Window.partitionBy("t1").orderBy(col("m").desc, col("t2"))
+        val best1 = m1
+          .join(broadcast(m1.groupBy("t1").agg(sum("m").as("mt"))), "t1")
+          .withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
+          .select(col("t1"), round(col("m") / col("mt"), 4).as("acc1"))
+        tri.withColumn("rk", row_number().over(wb)).filter(col("rk") === 1)
+          .join(broadcast(tot), Seq("t0", "t1"))
+          .join(broadcast(best1), "t1")
+          .select(col("t0"), col("t1"), col("t2").as("best_to"),
+                  col("n").as("n_best"), col("n_total"),
+                  round(col("n") / col("n_total"), 4).as("acc2"), col("acc1"),
+                  round(round(col("n") / col("n_total"), 4) - col("acc1"), 4)
+                    .as("lift"))
+          .orderBy("t0", "t1")
+      },
+      Some("""WITH tr AS (
+             |  SELECT event_type AS t0,
+             |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+             |         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+             |  FROM events),
+             |tri AS (SELECT t0, t1, t2, CAST(count(*) AS BIGINT) AS n
+             |        FROM tr WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+             |        GROUP BY 1, 2, 3),
+             |tot AS (SELECT t0, t1, CAST(sum(n) AS BIGINT) AS n_total
+             |        FROM tri GROUP BY 1, 2),
+             |m1 AS (SELECT t1, t2, CAST(sum(n) AS BIGINT) AS m
+             |       FROM tri GROUP BY 1, 2),
+             |tot1 AS (SELECT t1, CAST(sum(m) AS BIGINT) AS mt FROM m1 GROUP BY 1),
+             |b1 AS (SELECT t1, acc1 FROM (
+             |         SELECT m1.t1, round(m * 1.0 / mt, 4) AS acc1,
+             |                row_number() OVER (PARTITION BY m1.t1
+             |                                   ORDER BY m DESC, t2) AS rk
+             |         FROM m1 JOIN tot1 USING (t1))
+             |       WHERE rk = 1),
+             |best AS (SELECT *, row_number() OVER (PARTITION BY t0, t1
+             |                     ORDER BY n DESC, t2) AS rk
+             |         FROM tri)
+             |SELECT b.t0, b.t1, b.t2 AS best_to, b.n AS n_best, t.n_total,
+             |       round(b.n * 1.0 / t.n_total, 4) AS acc2, b1.acc1,
+             |       round(round(b.n * 1.0 / t.n_total, 4) - b1.acc1, 4) AS lift
+             |FROM best b JOIN tot t USING (t0, t1) JOIN b1 USING (t1)
+             |WHERE b.rk = 1 ORDER BY t0, t1""".stripMargin)),
+
+    // linear CKA between the full 64-d embedding and its 16-d
+    // Matryoshka prefix: ‖C_xy‖²F / (‖C_xx‖F·‖C_yy‖F), where every
+    // block is a sub-matrix of the ONE 64×64 covariance cell table
+    // (emb_participation_ratio's aggregate) because Y is a prefix of
+    // X — so the whole representation-similarity score is arithmetic
+    // over 4096 map-side-combinable cells. The "does the truncated
+    // index preserve structure" check behind vec_matryoshka.
+    "emb_cka" -> Q(
+      (s, d) => {
+        val ex = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+          .select(col("embedding"), posexplode(col("embedding")).as(Seq("a", "xa")))
+          .select(col("a").cast("long").as("a"), col("xa").cast("double").as("xa"),
+                  posexplode(col("embedding")).as(Seq("b", "xb")))
+          .select(col("a"), col("b").cast("long").as("b"), col("xa"),
+                  col("xb").cast("double").as("xb"))
+        ex.groupBy("a", "b")
+          .agg(count(lit(1)).cast("double").as("n"),
+               sum(col("xa") * col("xb")).as("sxy"),
+               sum("xa").as("sxa"), sum("xb").as("sxb"))
+          .select(col("a"), col("b"), col("n"),
+            round(col("sxy") / col("n") -
+              (col("sxa") / col("n")) * (col("sxb") / col("n")), 7).as("cv"))
+          .agg(max("n").as("nv"),
+            sum(col("cv") * col("cv")).as("fxx"),
+            sum(when(col("a") < 16 && col("b") < 16, col("cv") * col("cv"))
+              .otherwise(0.0)).as("fyy"),
+            sum(when(col("b") < 16, col("cv") * col("cv"))
+              .otherwise(0.0)).as("fxy"))
+          .select(col("nv").cast("long").as("n_vecs"),
+            lit(16L).as("dim_prefix"),
+            when(col("fxx") > 0 && col("fyy") > 0,
+              round(col("fxy") / (sqrt(col("fxx")) * sqrt(col("fyy"))), 4))
+              .otherwise(lit(null).cast("double")).as("cka"))
+      },
+      Some("""WITH px AS (SELECT vec_id,
+             |              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS a,
+             |              CAST(unnest(embedding) AS DOUBLE) AS xa
+             |            FROM embeddings WHERE embedding IS NOT NULL),
+             |cells AS (SELECT p.a, q.a AS b, CAST(count(*) AS DOUBLE) AS n,
+             |                 round(sum(p.xa * q.xa) / count(*) -
+             |                       (sum(p.xa) / count(*)) * (sum(q.xa) / count(*)), 7) AS cv
+             |          FROM px p JOIN px q ON p.vec_id = q.vec_id
+             |          GROUP BY 1, 2),
+             |ag AS (SELECT max(n) AS nv,
+             |              sum(cv * cv) AS fxx,
+             |              sum(CASE WHEN a < 16 AND b < 16 THEN cv * cv ELSE 0.0 END) AS fyy,
+             |              sum(CASE WHEN b < 16 THEN cv * cv ELSE 0.0 END) AS fxy
+             |       FROM cells)
+             |SELECT CAST(nv AS BIGINT) AS n_vecs, CAST(16 AS BIGINT) AS dim_prefix,
+             |       CASE WHEN fxx > 0 AND fyy > 0
+             |            THEN round(fxy / (sqrt(fxx) * sqrt(fyy)), 4) END AS cka
+             |FROM ag""".stripMargin)),
+
+    // ARI + Coleman–Liau readability per doc — the character-based
+    // indices next to the syllable-based Flesch (text_readability):
+    // no syllable heuristic, so they transfer across languages
+    // better. Same map-side regex-count shape; words=0 guarded NULL.
+    "text_ari" -> Q(
+      (s, d) => {
+        val words = size(graft.text.TextPrimitives.tokens(col("text"))).cast("double")
+        val sents = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"),
+          lit(0))), lit(1)).cast("double")
+        val chars = length(regexp_replace(col("text"), "\\s", "")).cast("double")
+        // + 1e-9 before the round: the raw indices land EXACTLY on
+        // 4-decimal ties (0.5·words/sents is .5-granular), where
+        // Spark's string-decimal HALF_UP and DuckDB's numeric round
+        // disagree about the same double; the identical nudge on both
+        // engines moves every tie off the boundary
+        Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id"), chars.cast("long").as("n_chars_ns"),
+                  words.cast("long").as("n_words"), sents.cast("long").as("n_sent"),
+                  when(words > 0, round(lit(4.71) * (chars / words)
+                    + lit(0.5) * (words / sents) - lit(21.43) + lit(1e-9), 4))
+                    .otherwise(lit(null).cast("double")).as("ari"),
+                  when(words > 0, round(lit(0.0588) * (chars / words * 100)
+                    - lit(0.296) * (sents / words * 100) - lit(15.8) + lit(1e-9), 4))
+                    .otherwise(lit(null).cast("double")).as("coleman_liau"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(chars AS BIGINT) AS n_chars_ns,
+             |       CAST(words AS BIGINT) AS n_words, CAST(sents AS BIGINT) AS n_sent,
+             |       CASE WHEN words > 0
+             |            THEN round(4.71 * (chars / words) + 0.5 * (words / sents)
+             |                       - 21.43 + 1e-9, 4) END AS ari,
+             |       CASE WHEN words > 0
+             |            THEN round(0.0588 * (chars / words * 100)
+             |                       - 0.296 * (sents / words * 100) - 15.8 + 1e-9, 4)
+             |       END AS coleman_liau
+             |FROM (
+             |  SELECT doc_id,
+             |         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS chars,
+             |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS words,
+             |         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS sents
+             |  FROM documents WHERE doc_id < 100)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // voice-activity segments over the audio window fan-out
+    // (mm_audio_windows' grid): per-window energy is the decode stub
+    // (deterministic md5 — the real part is the segmentation
+    // plumbing), speech windows merged into maximal runs by
+    // gaps-and-islands (win_idx − row_number), segment extents
+    // clipped to n_samples. Per-audio fan-out ≤ 25 windows; the
+    // merge window is per-doc, never corpus-wide.
+    "mm_audio_vad" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val wins = Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 1) // kind = audio
+          .select(col("doc_id"), md5Long(col("text")).as("hm"))
+          .selectExpr("doc_id",
+            "element_at(array(8000L, 16000L, 44100L), CAST(hm % 3 AS INT) + 1) AS sr",
+            "hm % 2000000 + 1 AS n_samples")
+          .selectExpr("doc_id", "n_samples", "sr * 10 AS win",
+            "(n_samples + sr * 10 - 1) DIV (sr * 10) AS n_win")
+          .select(col("doc_id"), col("n_samples"), col("win"),
+            explode(sequence(lit(0L), col("n_win") - 1)).as("win_idx"))
+          .withColumn("energy",
+            md5Long(concat(col("doc_id").cast("string"), lit(":vad:"),
+              col("win_idx").cast("string"))) % 100)
+          .filter(col("energy") >= 40)
+        val wseg = Window.partitionBy("doc_id").orderBy("win_idx")
+        wins.withColumn("seg", col("win_idx") - row_number().over(wseg))
+          .groupBy("doc_id", "seg")
+          .agg(min("win_idx").as("start_win"), max("win_idx").as("end_win"),
+               count(lit(1)).as("n_windows"),
+               (min("win_idx") * max("win")).as("start_sample"),
+               least((max("win_idx") + 1) * max("win"), max("n_samples"))
+                 .as("end_sample"))
+          .select(col("doc_id"), col("start_win"), col("end_win"),
+                  col("n_windows"), col("start_sample"), col("end_sample"))
+          .orderBy("doc_id", "start_win")
+      },
+      Some("""WITH wins AS (
+             |  SELECT doc_id, n_samples, win,
+             |         CAST(unnest(generate_series(0, n_win - 1)) AS BIGINT) AS win_idx
+             |  FROM (
+             |    SELECT doc_id, n_samples, sr * 10 AS win,
+             |           (n_samples + sr * 10 - 1) // (sr * 10) AS n_win
+             |    FROM (
+             |      SELECT doc_id, CAST(([8000, 16000, 44100])[CAST(hm % 3 AS INTEGER) + 1] AS BIGINT) AS sr,
+             |             hm % 2000000 + 1 AS n_samples
+             |      FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hm
+             |            FROM documents WHERE doc_id % 3 = 1)))),
+             |sp AS (SELECT doc_id, n_samples, win, win_idx
+             |       FROM (SELECT *,
+             |               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':vad:' ||
+             |                 CAST(win_idx AS VARCHAR)), 1, 15))::BIGINT % 100 AS energy
+             |             FROM wins)
+             |       WHERE energy >= 40),
+             |seg AS (SELECT *, win_idx - row_number() OVER (PARTITION BY doc_id
+             |                    ORDER BY win_idx) AS seg
+             |        FROM sp)
+             |SELECT doc_id, min(win_idx) AS start_win, max(win_idx) AS end_win,
+             |       CAST(count(*) AS BIGINT) AS n_windows,
+             |       min(win_idx) * max(win) AS start_sample,
+             |       least((max(win_idx) + 1) * max(win), max(n_samples)) AS end_sample
+             |FROM seg GROUP BY doc_id, seg
+             |ORDER BY doc_id, start_win""".stripMargin)))
 
   // ---------------------------------------------------------------
 

@@ -89,7 +89,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "graph_degree_dist", "text_lmir", "text_sentiment", "text_diversity",
     "dedup_sorted_nbrhood", "priv_t_closeness",
     "stat_cohens_d", "text_yule_k", "text_map_mrr",
-    "graph_rich_club", "mm_image_ahash")
+    "graph_rich_club", "mm_image_ahash",
+    "graph_eigencentrality", "text_ari", "mm_audio_vad")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -131,7 +132,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ann_mmr_rerank", "emb_whiten", "emb_triplets", "dedup_semantic",
     "emb_drift", "vec_residual_quant", "samp_coreset", "ann_knn_graph",
     "emb_anisotropy", "ann_jl_recall", "emb_twonn_id",
-    "emb_participation_ratio")
+    "emb_participation_ratio", "emb_cka")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
@@ -197,7 +198,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_interarrival", "stat_perm_test",
     "ev_markov_accuracy", "ev_markov_entropy", "ts_ljung_box",
     "ts_mann_kendall", "stat_gumbel", "ev_cuped",
-    "stat_jarque_bera", "stat_mcnemar", "ts_hurst", "priv_rand_response")
+    "stat_jarque_bera", "stat_mcnemar", "ts_hurst", "priv_rand_response",
+    "stat_group_seq", "ev_markov2")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -169,4 +169,51 @@ class Round10OpsSpec extends SparkSpec {
     assert(pr >= 1.0 - 1e-9 && pr <= r.getAs[Long]("dim").toDouble + 1e-9,
       r.mkString(","))
   }
+
+  test("OBF boundaries shrink and sample sizes accumulate across looks") {
+    val rows = run("stat_group_seq").sortBy(_.getAs[Long]("k"))
+    assert(rows.length == 4)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("z_boundary") > b.getAs[Double]("z_boundary"))
+      assert(a.getAs[Long]("n_t") <= b.getAs[Long]("n_t"))
+      assert(a.getAs[Long]("n_c") <= b.getAs[Long]("n_c"))
+    }
+  }
+
+  test("eigenvector centralities are a positive sub-distribution") {
+    val rows = run("graph_eigencentrality")
+    assert(rows.nonEmpty && rows.length <= 10)
+    val cs = rows.map(_.getAs[Double]("centrality"))
+    assert(cs.forall(c => c > 0.0 && c <= 1.0))
+    assert(cs.sum <= 1.0 + 1e-6, "top-10 slice of an L1-normalized vector")
+  }
+
+  test("second-order Markov accuracies are probabilities") {
+    val rows = run("ev_markov2")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a2 = r.getAs[Double]("acc2")
+      assert(a2 > 0.0 && a2 <= 1.0)
+      assert(r.getAs[Double]("acc1") > 0.0 && r.getAs[Double]("acc1") <= 1.0)
+      assert(r.getAs[Long]("n_best") <= r.getAs[Long]("n_total"))
+    }
+  }
+
+  test("CKA of the Matryoshka prefix is in (0, 1]") {
+    val r = run("emb_cka").head
+    val cka = r.getAs[Double]("cka")
+    // Cauchy-Schwarz bounds ||Cxy||F^2 by ||Cxx||F*||Cyy||F
+    assert(cka > 0.0 && cka <= 1.0 + 1e-9, r.mkString(","))
+  }
+
+  test("VAD segments are well-formed runs") {
+    val rows = run("mm_audio_vad")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sw = r.getAs[Long]("start_win"); val ew = r.getAs[Long]("end_win")
+      assert(sw <= ew)
+      assert(r.getAs[Long]("n_windows") == ew - sw + 1, "maximal runs are gapless")
+      assert(r.getAs[Long]("start_sample") < r.getAs[Long]("end_sample"))
+    }
+  }
 }
