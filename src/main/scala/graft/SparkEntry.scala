@@ -8988,10 +8988,9 @@ object SparkEntry {
           val ev = Tables.events(s, d)
           def cmCell = pmod(md5Long(concat(lit("cm"), col("d").cast("string"),
             lit(":"), col("event_type"))), lit(width))
-          val rows = ev.select(col("event_type"),
-              explode(sequence(lit(0), lit(depth - 1))).as("d"))
-            .withColumn("cell", cmCell)
-          val cells = rows.groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
+          // cell build shared with the streaming twin (StreamingSpec
+          // asserts micro-batched cells equal these)
+          val cells = graft.streaming.StreamOps.countMinCells(ev, depth, width)
           val keys = ev.groupBy("event_type").agg(count(lit(1)).as("exact"))
           val keyCells = keys.select(col("event_type"), col("exact"),
               explode(sequence(lit(0), lit(depth - 1))).as("d"))
@@ -11405,7 +11404,280 @@ object SparkEntry {
              |       min(win_idx) * max(win) AS start_sample,
              |       least((max(win_idx) + 1) * max(win), max(n_samples)) AS end_sample
              |FROM seg GROUP BY doc_id, seg
-             |ORDER BY doc_id, start_win""".stripMargin)))
+             |ORDER BY doc_id, start_win""".stripMargin)),
+
+    // trend/seasonal strength of the daily series (Hyndman's F_T/F_S
+    // off ts_decompose's EXACT components — same centered-7d-MA trend,
+    // same integer-scaled mean-centered day-of-week seasonal):
+    // F = max(0, 1 − var(resid)/var(component + resid)). The one-
+    // number summary a monitoring wall shows next to the full
+    // decomposition; everything after the daily rollup is
+    // |days|-bounded.
+    "ts_strength" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(expr("ts DIV 86400000000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).cast("double").as("y"))
+        val wT = Window.orderBy("day").rangeBetween(-3, 3)
+        val trended = daily
+          .withColumn("n_win", count(lit(1)).over(wT))
+          .withColumn("trend", round(avg("y").over(wT), 6))
+          .filter(col("n_win") === 7)
+          .withColumn("dow", col("day") % 7)
+          .withColumn("det_l",
+            round((col("y") - col("trend")) * 1e6, 0).cast("long"))
+          .localCheckpoint(eager = false)
+        val seas = trended.groupBy("dow").agg(
+          round(sum("det_l").cast("double") / count(lit(1)) / 1e6, 6).as("s_raw"))
+        val m = seas.agg(
+          round(sum(round(col("s_raw") * 1e6, 0).cast("long")).cast("double")
+            / count(lit(1)) / 1e6, 6).as("s_mean"))
+        val seasAdj = seas.crossJoin(broadcast(m))
+          .select(col("dow"), round(col("s_raw") - col("s_mean"), 6).as("seasonal"))
+        trended.join(broadcast(seasAdj), "dow")
+          .select(
+            round(col("y") - col("trend") - col("seasonal"), 6).as("resid"),
+            round(col("y") - col("trend"), 6).as("det"),
+            round(col("y") - col("seasonal"), 6).as("deseas"))
+          .agg(count(lit(1)).as("n_days"),
+               var_pop("resid").as("vr"), var_pop("det").as("vd"),
+               var_pop("deseas").as("vds"))
+          .select(col("n_days"),
+            when(col("vds") > 0, round(greatest(lit(0.0),
+              lit(1.0) - col("vr") / col("vds")), 4))
+              .otherwise(lit(null).cast("double")).as("strength_trend"),
+            when(col("vd") > 0, round(greatest(lit(0.0),
+              lit(1.0) - col("vr") / col("vd")), 4))
+              .otherwise(lit(null).cast("double")).as("strength_seasonal"))
+      },
+      Some("""WITH daily AS (SELECT ts // 86400000000000 AS day,
+             |                      CAST(count(*) AS DOUBLE) AS y
+             |               FROM events GROUP BY day),
+             |t AS (SELECT day, y, count(*) OVER w AS n_win,
+             |             round(avg(y) OVER w, 6) AS trend
+             |      FROM daily
+             |      WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING
+             |                   AND 3 FOLLOWING)),
+             |f AS (SELECT day, day % 7 AS dow, y, trend,
+             |             CAST(round((y - trend) * 1000000) AS BIGINT) AS det_l
+             |      FROM t WHERE n_win = 7),
+             |sr AS (SELECT dow, round(sum(det_l) * 1.0 / count(*) / 1000000.0, 6) AS s_raw
+             |       FROM f GROUP BY dow),
+             |sm AS (SELECT round(sum(CAST(round(s_raw * 1000000) AS BIGINT)) * 1.0
+             |                    / count(*) / 1000000.0, 6) AS s_mean FROM sr),
+             |se AS (SELECT dow, round(s_raw - s_mean, 6) AS seasonal FROM sr, sm),
+             |comp AS (SELECT round(f.y - f.trend - se.seasonal, 6) AS resid,
+             |                round(f.y - f.trend, 6) AS det,
+             |                round(f.y - se.seasonal, 6) AS deseas
+             |         FROM f JOIN se USING (dow)),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_days, var_pop(resid) AS vr,
+             |              var_pop(det) AS vd, var_pop(deseas) AS vds
+             |       FROM comp)
+             |SELECT n_days,
+             |       CASE WHEN vds > 0
+             |            THEN round(greatest(0.0, 1.0 - vr / vds), 4) END AS strength_trend,
+             |       CASE WHEN vd > 0
+             |            THEN round(greatest(0.0, 1.0 - vr / vd), 4) END AS strength_seasonal
+             |FROM ag""".stripMargin)),
+
+    // normalized spectral entropy over the Goertzel power grid
+    // {2,3,7,14}d: how CONCENTRATED the periodic energy is (0 = one
+    // dominant cycle, 1 = white across the probed periods) — the
+    // one-number "is there a rhythm" gate in front of ts_goertzel's
+    // per-period amplitudes. Same single-pass trig aggregate, powers
+    // rounded to 6 before normalization.
+    "ts_spectral_entropy" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("x"))
+        val periods = Seq(2, 3, 7, 14)
+        val twoPi = 2.0 * math.Pi
+        val withTrig = daily.select((Seq(col("day"), col("x")) ++
+          periods.flatMap { p =>
+            Seq(round(cos(col("day") * (twoPi / p)), 10).as(s"c$p"),
+                round(sin(col("day") * (twoPi / p)), 10).as(s"s$p"))
+          }): _*)
+        val aggs = periods.flatMap { p =>
+          Seq(sum(col("x") * col(s"c$p")).as(s"a$p"),
+              sum(col("x") * col(s"s$p")).as(s"b$p"))
+        }
+        val pw = withTrig.agg(count(lit(1)).as("n_days"), aggs: _*)
+          .select((col("n_days") +: periods.map { p =>
+            round(col(s"a$p") * col(s"a$p") + col(s"b$p") * col(s"b$p"), 6)
+              .as(s"p$p")
+          }): _*)
+        val tot = periods.map(p => col(s"p$p")).reduce(_ + _)
+        val shared = pw.select((col("n_days") +: periods.map { p =>
+          when(tot > 0, round(col(s"p$p") / tot, 6))
+            .otherwise(lit(null).cast("double")).as(s"share_$p")
+        }): _*)
+        val h = periods.map { p =>
+          val q = col(s"share_$p")
+          when(q > 0, -q * log(q)).otherwise(lit(0.0))
+        }.reduce(_ + _)
+        shared.select((col("n_days") +:
+          periods.map(p => col(s"share_$p"))) :+
+          when(col("share_2").isNull, lit(null).cast("double"))
+            .otherwise(round(h / log(lit(4.0)), 4)).as("spectral_entropy_norm"): _*)
+      },
+      Some {
+        val periods = Seq(2, 3, 7, 14)
+        val terms = periods.map { p =>
+          s"sum(x * round(cos(day * (2 * pi() / $p)), 10)) AS a$p, " +
+            s"sum(x * round(sin(day * (2 * pi() / $p)), 10)) AS b$p"
+        }.mkString(",\n             ")
+        val pows = periods.map { p =>
+          s"round(a$p * a$p + b$p * b$p, 6) AS p$p"
+        }.mkString(",\n       ")
+        val totE = periods.map(p => s"p$p").mkString(" + ")
+        val shares = periods.map { p =>
+          s"CASE WHEN $totE > 0 THEN round(p$p / ($totE), 6) END AS share_$p"
+        }.mkString(",\n       ")
+        val hTerms = periods.map { p =>
+          s"CASE WHEN share_$p > 0 THEN -share_$p * ln(share_$p) ELSE 0.0 END"
+        }.mkString(" + ")
+        s"""WITH daily AS (
+           |  SELECT ts // 86400000000000 AS day, CAST(count(*) AS DOUBLE) AS x
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+           |s AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+           |             $terms
+           |      FROM daily),
+           |p AS (SELECT n_days,
+           |       $pows
+           |      FROM s),
+           |sh AS (SELECT n_days,
+           |       $shares
+           |       FROM p)
+           |SELECT n_days, share_2, share_3, share_7, share_14,
+           |       CASE WHEN share_2 IS NULL THEN NULL
+           |            ELSE round(($hTerms) / ln(4.0), 4) END AS spectral_entropy_norm
+           |FROM sh""".stripMargin
+      }),
+
+    // power-law fit of the retention curve: mean cohort retention per
+    // week-of-age (ev_cohort_triangle's cells, age ≥ 1), OLS on the
+    // log-log grid → decay exponent + fitted week-1 retention + r².
+    // The "shape of forgetting" summary a growth team tracks as one
+    // number; the fit runs on ≤ |weeks| rows, n≥2 ∧ var>0 guarded.
+    "ev_retention_fit" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000 DIV 7").as("wk"))
+        val c0 = ev.groupBy("user_id").agg(min("wk").as("w0"))
+        val sz = c0.groupBy("w0").agg(count(lit(1)).as("n_cohort"))
+        val ages = ev.distinct().join(c0, "user_id")
+          .groupBy(col("w0"), (col("wk") - col("w0")).as("wk_off"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sz), "w0")
+          .select(col("wk_off"),
+            round(col("n_active") / col("n_cohort"), 4).as("pct"))
+          .filter(col("wk_off") >= 1)
+          .groupBy("wk_off")
+          .agg(round(avg("pct"), 6).as("ret"))
+          .filter(col("ret") > 0)
+        val b = col("cxy") / col("vx")
+        val ok = col("np") >= 2 && col("vx") > 0
+        ages.select(log(col("wk_off").cast("double")).as("lx"),
+                    log(col("ret")).as("ly"))
+          .agg(count(lit(1)).cast("double").as("np"),
+               avg("lx").as("mx"), avg("ly").as("my"),
+               covar_pop("lx", "ly").as("cxy"), var_pop("lx").as("vx"),
+               var_pop("ly").as("vy"))
+          .select(col("np").cast("long").as("n_ages"),
+            when(ok, round(b, 4)).otherwise(lit(null).cast("double")).as("decay_exp"),
+            when(ok, round(exp(col("my") - b * col("mx")), 4))
+              .otherwise(lit(null).cast("double")).as("ret_w1_fit"),
+            when(ok && col("vy") > 0,
+              round(col("cxy") * col("cxy") / (col("vx") * col("vy")), 4))
+              .otherwise(lit(null).cast("double")).as("r2"))
+      },
+      Some("""WITH ev AS (SELECT user_id, ts // 1000 // 86400000000 // 7 AS wk
+             |            FROM events),
+             |c0 AS (SELECT user_id, min(wk) AS w0 FROM ev GROUP BY user_id),
+             |sz AS (SELECT w0, CAST(count(*) AS BIGINT) AS n_cohort
+             |       FROM c0 GROUP BY w0),
+             |cells AS (SELECT wk - w0 AS wk_off, CAST(count(*) AS BIGINT) AS n_active, w0
+             |          FROM (SELECT DISTINCT user_id, wk FROM ev) du
+             |          JOIN c0 USING (user_id) GROUP BY w0, wk_off),
+             |ages AS (SELECT wk_off, round(avg(pct), 6) AS ret FROM (
+             |           SELECT wk_off, round(n_active * 1.0 / n_cohort, 4) AS pct
+             |           FROM cells JOIN sz USING (w0) WHERE wk_off >= 1)
+             |         GROUP BY wk_off HAVING round(avg(pct), 6) > 0),
+             |pts AS (SELECT ln(CAST(wk_off AS DOUBLE)) AS lx, ln(ret) AS ly
+             |        FROM ages),
+             |ag AS (SELECT CAST(count(*) AS DOUBLE) AS np, avg(lx) AS mx,
+             |              avg(ly) AS my, covar_pop(lx, ly) AS cxy,
+             |              var_pop(lx) AS vx, var_pop(ly) AS vy
+             |       FROM pts)
+             |SELECT CAST(np AS BIGINT) AS n_ages,
+             |       CASE WHEN np >= 2 AND vx > 0
+             |            THEN round(cxy / vx, 4) END AS decay_exp,
+             |       CASE WHEN np >= 2 AND vx > 0
+             |            THEN round(exp(my - (cxy / vx) * mx), 4) END AS ret_w1_fit,
+             |       CASE WHEN np >= 2 AND vx > 0 AND vy > 0
+             |            THEN round(cxy * cxy / (vx * vy), 4) END AS r2
+             |FROM ag""".stripMargin)),
+
+    // content-defined chunking (the FastCDC/rsync family): cut the
+    // text wherever the rolling 8-gram hash ≡ 0 (mod 32) — boundaries
+    // move WITH the content, so an insertion early in a doc doesn't
+    // shift every later chunk the way fixed-width chunking does —
+    // then count duplicate chunks corpus-wide by content hash. The
+    // storage/transfer-dedup primitive next to the retrieval-oriented
+    // text_chunking; everything is map-side per doc except the final
+    // distinct-count (grams fan out ≤ len rows/doc, the per-doc
+    // boundary window is doc-bounded).
+    "dedup_cdc_chunks" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val docs = Tables.documents(s, d)
+          .filter(col("text").isNotNull && length(col("text")) >= 8)
+          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        val cuts = docs
+          .select(col("doc_id"), col("text"), col("len"),
+            explode(sequence(lit(1), col("len") - 7)).as("i"))
+          .filter(md5Long(expr("substring(text, i, 8)")) % 32 === 0)
+          .select(col("doc_id"), col("text"), col("len"), col("i"))
+          .union(docs.select(col("doc_id"), col("text"), col("len"),
+            lit(1).as("i")))
+          .distinct()
+        val wch = Window.partitionBy("doc_id").orderBy("i")
+        cuts
+          .withColumn("nxt", coalesce(lead("i", 1).over(wch), col("len") + 1))
+          .withColumn("clen", col("nxt") - col("i"))
+          .withColumn("chunk", expr("substring(text, i, clen)"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+               count(lit(1)).as("n_chunks"),
+               countDistinct(md5(col("chunk").cast("binary"))).as("n_unique"),
+               round(lit(1.0) - countDistinct(md5(col("chunk").cast("binary")))
+                 / count(lit(1)), 4).as("dedup_ratio"),
+               round(avg("clen"), 4).as("mean_len"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, text, length(text) AS len
+             |              FROM documents
+             |              WHERE text IS NOT NULL AND length(text) >= 8),
+             |pos AS (SELECT doc_id, text, len, CAST(i AS INTEGER) AS i
+             |        FROM docs, LATERAL (SELECT unnest(generate_series(1, len - 7)) AS i)),
+             |cuts AS (SELECT doc_id, text, len, i FROM pos
+             |         WHERE ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT % 32 = 0
+             |         UNION
+             |         SELECT doc_id, text, len, 1 FROM docs),
+             |ch AS (SELECT doc_id,
+             |              substr(text, i,
+             |                CAST(coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i),
+             |                              len + 1) - i AS INTEGER)) AS chunk,
+             |              coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i),
+             |                       len + 1) - i AS clen
+             |       FROM cuts)
+             |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |       CAST(count(*) AS BIGINT) AS n_chunks,
+             |       CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS n_unique,
+             |       round(1.0 - count(DISTINCT md5(chunk)) * 1.0 / count(*), 4)
+             |         AS dedup_ratio,
+             |       round(avg(clen), 4) AS mean_len
+             |FROM ch""".stripMargin)))
 
   // ---------------------------------------------------------------
 

@@ -23,6 +23,25 @@ object StreamOps {
 
   val GapNanos: Long = 1800L * 1000 * 1000 * 1000
 
+  final case class CmEvent(event_type: String)
+
+  /** Count-min sketch cells as ONE aggregation usable in BOTH batch
+    * and streaming plans: each event fans into `depth` (d, cell) rows
+    * map-side, and the groupBy state is the ≤ depth·width mergeable
+    * cell table — so under Structured Streaming (Complete mode) the
+    * sketch is incrementally correct across micro-batches with O(d·w)
+    * state regardless of stream length. The batch `ev_countmin` query
+    * builds its cells through this SAME function, which is the
+    * batch-equality guarantee the streaming spec asserts.
+    */
+  def countMinCells(events: DataFrame, depth: Int = 4, width: Int = 64): DataFrame =
+    events.select(col("event_type"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .withColumn("cell", pmod(graft.functions.VectorFunctions.md5Long(
+        concat(lit("cm"), col("d").cast("string"), lit(":"), col("event_type"))),
+        lit(width)))
+      .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
+
   /** Tumbling 1h windowed counts with a 30min watermark. `ts` nanos →
     * timestamp for the watermark clock; at scale this is a streaming
     * partial-agg with state keyed by (window, event_type).

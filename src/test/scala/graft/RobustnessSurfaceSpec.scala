@@ -90,7 +90,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "dedup_sorted_nbrhood", "priv_t_closeness",
     "stat_cohens_d", "text_yule_k", "text_map_mrr",
     "graph_rich_club", "mm_image_ahash",
-    "graph_eigencentrality", "text_ari", "mm_audio_vad")
+    "graph_eigencentrality", "text_ari", "mm_audio_vad",
+    "dedup_cdc_chunks")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -199,7 +200,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_markov_accuracy", "ev_markov_entropy", "ts_ljung_box",
     "ts_mann_kendall", "stat_gumbel", "ev_cuped",
     "stat_jarque_bera", "stat_mcnemar", "ts_hurst", "priv_rand_response",
-    "stat_group_seq", "ev_markov2")
+    "stat_group_seq", "ev_markov2",
+    "ts_strength", "ts_spectral_entropy", "ev_retention_fit")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -206,6 +206,38 @@ class Round10OpsSpec extends SparkSpec {
     assert(cka > 0.0 && cka <= 1.0 + 1e-9, r.mkString(","))
   }
 
+  test("trend/seasonal strengths and spectral entropy are unit-interval") {
+    val st = run("ts_strength").head
+    Seq("strength_trend", "strength_seasonal").foreach { c =>
+      val v = st.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+    }
+    val se = run("ts_spectral_entropy").head
+    val h = se.getAs[Double]("spectral_entropy_norm")
+    assert(h >= 0.0 && h <= 1.0 + 1e-9)
+    val shares = Seq(2, 3, 7, 14).map(p => se.getAs[Double](s"share_$p"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, "shares are a distribution")
+  }
+
+  test("retention fit decays and CDC chunk stats are consistent") {
+    val rf = run("ev_retention_fit").head
+    if (!rf.isNullAt(rf.fieldIndex("decay_exp"))) {
+      // synthetic users are uniformly active so retention is near
+      // flat: the fit must not report GROWTH, and the fitted week-1
+      // retention must be a positive rate
+      assert(rf.getAs[Double]("decay_exp") <= 1e-9, "retention cannot grow with age")
+      assert(rf.getAs[Double]("ret_w1_fit") > 0.0)
+      assert(rf.getAs[Double]("r2") >= 0.0 && rf.getAs[Double]("r2") <= 1.0 + 1e-9)
+    }
+    val cdc = run("dedup_cdc_chunks").head
+    assert(cdc.getAs[Long]("n_unique") <= cdc.getAs[Long]("n_chunks"))
+    val ratio = cdc.getAs[Double]("dedup_ratio")
+    assert(ratio >= 0.0 && ratio < 1.0)
+    // expected cut rate is 1/32 per position, so chunks average ~32
+    // chars; anything near 1 means the cut predicate degenerated
+    assert(cdc.getAs[Double]("mean_len") > 4.0, cdc.mkString(","))
+  }
+
   test("VAD segments are well-formed runs") {
     val rows = run("mm_audio_vad")
     assert(rows.nonEmpty)

@@ -775,4 +775,42 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch, s"streaming=$got batch=$batch")
     } finally query.stop()
   }
+
+  test("streaming count-min cells equal the batch sketch across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val evts = (0 until 400).map(i => StreamOps.CmEvent(types(i % types.length)))
+    // batch cells over the same rows — the SAME countMinCells code path
+    val batch = StreamOps.countMinCells(evts.toDF())
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val input = MemoryStream[StreamOps.CmEvent]
+    // Complete mode: the cell table IS the aggregation state (≤ 256
+    // mergeable cells), re-emitted whole each micro-batch
+    val query = StreamOps.countMinCells(input.toDF())
+      .writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      evts.grouped(73).foreach { b => input.addData(b); query.processAllAvailable() }
+      val got = s.sql("SELECT d, cell, cnt FROM cms")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == batch, "incremental cells must equal the one-shot build")
+      // the sketch invariant holds on the streaming estimate too:
+      // min over the key's cells is >= the true count
+      def md5Long60(sv: String): Long = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(sv.getBytes("UTF-8")).take(8)
+          .map(b => f"$b%02x").mkString.take(15), 16)
+      val est = types.map { t =>
+        val cells = (0 until 4).map { dd =>
+          val cell = md5Long60(s"cm$dd:$t") % 64
+          got((dd, cell))
+        }
+        t -> cells.min
+      }.toMap
+      val exact = evts.groupBy(_.event_type).view.mapValues(_.size.toLong).toMap
+      types.foreach { t => assert(est(t) >= exact(t), s"one-sided bound for $t") }
+    } finally query.stop()
+  }
 }
