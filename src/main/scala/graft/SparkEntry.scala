@@ -11677,7 +11677,217 @@ object SparkEntry {
              |       round(1.0 - count(DISTINCT md5(chunk)) * 1.0 / count(*), 4)
              |         AS dedup_ratio,
              |       round(avg(clen), 4) AS mean_len
-             |FROM ch""".stripMargin)))
+             |FROM ch""".stripMargin)),
+
+    // two-sample Anderson–Darling (tie-corrected midrank form,
+    // Scholz–Stephens 1987) on en-vs-rest token counts — weighs the
+    // TAILS where KS is blind, off the same distinct-value histogram
+    // as samp_ks_test (cumulative sums over VALUES, never rows).
+    // Degenerate terms (denominator ≤ 0, e.g. the whole mass at one
+    // value) contribute 0 on both engines.
+    "stat_ad_test" -> Q(
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .select(size(graft.text.TextPrimitives.tokens(col("text")))
+                    .cast("long").as("x"),
+                  when(col("lang") === "en", 1L).otherwise(0L).as("en"))
+          .groupBy("x")
+          .agg(sum("en").as("le"), sum(lit(1L) - col("en")).as("lr"))
+        val w = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = g.agg(sum("le").as("ne"), sum("lr").as("nr"))
+        val cum = g
+          .withColumn("fe", sum("le").over(w))
+          .withColumn("fr", sum("lr").over(w))
+          .crossJoin(broadcast(tot))
+          .withColumn("nn", (col("ne") + col("nr")).cast("double"))
+          .withColumn("l", (col("le") + col("lr")).cast("double"))
+          .withColumn("bj", col("fe") + col("fr") - col("l") / 2)
+          .withColumn("mej", col("fe") - col("le").cast("double") / 2)
+          .withColumn("mrj", col("fr") - col("lr").cast("double") / 2)
+          .withColumn("den",
+            col("bj") * (col("nn") - col("bj")) - col("nn") * col("l") / 4)
+        def inner(m: Column, n: Column) =
+          when(col("den") > 0,
+            (col("l") / col("nn")) * pow(col("nn") * m - n * col("bj"), 2)
+              / col("den")).otherwise(lit(0.0))
+        cum.agg(max("ne").as("ne"), max("nr").as("nr"), max("nn").as("nn"),
+            sum(inner(col("mej"), col("ne").cast("double"))).as("se"),
+            sum(inner(col("mrj"), col("nr").cast("double"))).as("sr"))
+          .select(col("ne").as("n_en"), col("nr").as("n_rest"),
+            when(col("ne") > 0 && col("nr") > 0,
+              round((col("nn") - 1) / col("nn") *
+                (col("se") / col("ne") + col("sr") / col("nr")), 4))
+              .otherwise(lit(null).cast("double")).as("a2"))
+      },
+      Some("""WITH g AS (
+             |  SELECT x, CAST(sum(en) AS BIGINT) AS le,
+             |         CAST(sum(1 - en) AS BIGINT) AS lr
+             |  FROM (SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS x,
+             |               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+             |        FROM documents)
+             |  GROUP BY x),
+             |t AS (SELECT CAST(sum(le) AS BIGINT) AS ne,
+             |             CAST(sum(lr) AS BIGINT) AS nr FROM g),
+             |c AS (SELECT x, le, lr,
+             |             sum(le) OVER wc AS fe, sum(lr) OVER wc AS fr
+             |      FROM g WINDOW wc AS (ORDER BY x ROWS BETWEEN UNBOUNDED
+             |        PRECEDING AND CURRENT ROW)),
+             |m AS (SELECT ne, nr, CAST(ne + nr AS DOUBLE) AS nn,
+             |             CAST(le + lr AS DOUBLE) AS l,
+             |             fe + fr - CAST(le + lr AS DOUBLE) / 2 AS bj,
+             |             fe - CAST(le AS DOUBLE) / 2 AS mej,
+             |             fr - CAST(lr AS DOUBLE) / 2 AS mrj
+             |      FROM c, t),
+             |d AS (SELECT *, bj * (nn - bj) - nn * l / 4 AS den FROM m),
+             |ag AS (SELECT max(ne) AS ne, max(nr) AS nr, max(nn) AS nn,
+             |         sum(CASE WHEN den > 0 THEN (l / nn) *
+             |               pow(nn * mej - ne * bj, 2) / den ELSE 0.0 END) AS se,
+             |         sum(CASE WHEN den > 0 THEN (l / nn) *
+             |               pow(nn * mrj - nr * bj, 2) / den ELSE 0.0 END) AS sr
+             |       FROM d)
+             |SELECT ne AS n_en, nr AS n_rest,
+             |       CASE WHEN ne > 0 AND nr > 0
+             |            THEN round((nn - 1) / nn * (se / ne + sr / nr), 4)
+             |       END AS a2
+             |FROM ag""".stripMargin)),
+
+    // near-dup threshold sensitivity curve: pair counts at Jaccard
+    // cutoffs {0.1,0.2,0.3,0.5,0.7} from ONE pairwise-Jaccard pass on
+    // the bounded subset — the tuning table a curator reads before
+    // committing a dedup threshold (how fast does the pair set
+    // explode as the bar drops?). Zero-count thresholds stay as rows.
+    "dedup_threshold_curve" -> Q(
+      (s, d) => {
+        val pj = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.1)
+          .localCheckpoint(eager = false) // one count pass per threshold
+        val th = s.createDataFrame(Seq(0.1, 0.2, 0.3, 0.5, 0.7).map(Tuple1(_)))
+          .toDF("thr")
+        val counts = pj.crossJoin(broadcast(th))
+          .filter(col("jaccard") >= col("thr"))
+          .groupBy("thr").agg(count(lit(1)).as("n_pairs"))
+        th.join(counts, Seq("thr"), "left")
+          .select(col("thr"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+          .orderBy("thr")
+      },
+      Some(s"""WITH s AS (
+              |${graft.text.TextPrimitives.charShinglesSql("documents", "doc_id", "text", 5, "doc_id < 120")}),
+              |c AS (SELECT doc_id, count(*) AS cnt FROM s GROUP BY doc_id),
+              |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+              |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |      GROUP BY da, db),
+              |pj AS (SELECT round(ni * 1.0 / (ca.cnt + cb.cnt - ni), 4) AS j
+              |       FROM i JOIN c ca ON ca.doc_id = da
+              |       JOIN c cb ON cb.doc_id = db
+              |       WHERE ni * 1.0 / (ca.cnt + cb.cnt - ni) >= 0.1),
+              |th AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.5, 0.7]) AS DOUBLE) AS thr),
+              |counts AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_pairs
+              |           FROM th JOIN pj ON j >= thr GROUP BY thr)
+              |SELECT thr, coalesce(n_pairs, 0) AS n_pairs
+              |FROM th LEFT JOIN counts USING (thr) ORDER BY thr""".stripMargin)),
+
+    // daily sample-ratio-mismatch trend: the ev_srm gate per day
+    // (distinct users per day × md5 arm, χ² vs 50/50 at the 0.001
+    // bar) — a ramp or assignment bug shows as WHEN the imbalance
+    // started, which the single global χ² can't say. |days| output
+    // rows, one distinct pass.
+    "ev_srm_daily" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val half = col("n").cast("double") / 2
+        Tables.events(s, d)
+          .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+          .distinct()
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .groupBy("day")
+          .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+               sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"))
+          .withColumn("n", col("n_t") + col("n_c"))
+          .withColumn("chi2",
+            when(col("n") > 0,
+              round(pow(col("n_t") - half, 2) / half
+                + pow(col("n_c") - half, 2) / half, 6))
+              .otherwise(lit(null).cast("double")))
+          .withColumn("srm_flag",
+            when(col("chi2").isNull, lit(null).cast("boolean"))
+              .otherwise(col("chi2") > 10.828)) // chi2(1) at alpha=0.001
+          .select(col("day"), col("n_t"), col("n_c"), col("chi2"), col("srm_flag"))
+          .orderBy("day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT ts // 86400000000000 AS day, user_id
+             |            FROM events),
+             |g AS (SELECT day,
+             |        CAST(sum(CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 1
+             |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             |        CAST(sum(CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+             |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+             |      FROM du GROUP BY day),
+             |z AS (SELECT day, n_t, n_c, n_t + n_c AS n,
+             |        CASE WHEN n_t + n_c > 0 THEN round(
+             |          pow(n_t - CAST(n_t + n_c AS DOUBLE) / 2, 2) / (CAST(n_t + n_c AS DOUBLE) / 2)
+             |          + pow(n_c - CAST(n_t + n_c AS DOUBLE) / 2, 2) / (CAST(n_t + n_c AS DOUBLE) / 2), 6)
+             |        END AS chi2
+             |      FROM g)
+             |SELECT day, n_t, n_c, chi2,
+             |       CASE WHEN chi2 IS NULL THEN NULL
+             |            ELSE chi2 > 10.828 END AS srm_flag
+             |FROM z ORDER BY day""".stripMargin)),
+
+    // k-NN majority-vote label consistency at k ∈ {1,3,5} — does
+    // more context help or hurt? (1-NN = emb_knn_accuracy's metric;
+    // diverging k=5 accuracy means noisy near-neighborhoods.) ONE
+    // broadcast scoring pass bounds rk ≤ 5; votes are per-(query,k)
+    // windows over ≤ 5 rows; ties break to the smallest label on
+    // both engines.
+    "emb_knn_vote" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val corpus = Tables.embeddings(s, d)
+          .select(col("vec_id").as("vb"), col("embedding").as("eb"),
+                  col("label").as("lb"))
+        val queries = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+          .select(col("vec_id").as("va"), col("embedding").as("ea"),
+                  col("label").as("la"))
+        val wq = Window.partitionBy("va").orderBy(col("sc").desc, col("vb"))
+        val top = corpus.crossJoin(broadcast(queries))
+          .filter(col("va") =!= col("vb"))
+          .select(col("va"), col("la"), col("vb"), col("lb"),
+            score(col("eb"), col("ea")).as("sc"))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= 5)
+          .localCheckpoint(eager = false) // one vote pass per k
+        val ks = s.createDataFrame(Seq(Tuple1(1L), Tuple1(3L), Tuple1(5L)))
+          .toDF("k")
+        val votes = top.crossJoin(broadcast(ks)).filter(col("rk") <= col("k"))
+          .groupBy("va", "la", "k", "lb").agg(count(lit(1)).as("c"))
+        val wv = Window.partitionBy("va", "k").orderBy(col("c").desc, col("lb"))
+        votes.withColumn("r2", row_number().over(wv)).filter(col("r2") === 1)
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_queries"),
+               sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_correct"))
+          .withColumn("acc", round(col("n_correct") / col("n_queries"), 4))
+          .orderBy("k")
+      },
+      Some("""WITH q AS (SELECT vec_id AS va, embedding AS ea, label AS la
+             |           FROM embeddings WHERE vec_id < 300),
+             |p AS (SELECT va, la, b.vec_id AS vb, b.label AS lb,
+             |             round(list_cosine_similarity(b.embedding::DOUBLE[], ea::DOUBLE[]), 6) + 0.0 AS sc
+             |      FROM q, embeddings b WHERE va <> b.vec_id),
+             |top AS (SELECT * FROM (
+             |          SELECT *, row_number() OVER (PARTITION BY va
+             |                      ORDER BY sc DESC, vb) AS rk
+             |          FROM p) WHERE rk <= 5),
+             |ks AS (SELECT CAST(unnest([1, 3, 5]) AS BIGINT) AS k),
+             |votes AS (SELECT va, la, k, lb, CAST(count(*) AS BIGINT) AS c
+             |          FROM top, ks WHERE rk <= k GROUP BY 1, 2, 3, 4),
+             |w AS (SELECT *, row_number() OVER (PARTITION BY va, k
+             |                  ORDER BY c DESC, lb) AS r2
+             |      FROM votes)
+             |SELECT k, CAST(count(*) AS BIGINT) AS n_queries,
+             |       CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             |       round(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS acc
+             |FROM w WHERE r2 = 1 GROUP BY k ORDER BY k""".stripMargin)))
 
   // ---------------------------------------------------------------
 

@@ -238,6 +238,32 @@ class Round10OpsSpec extends SparkSpec {
     assert(cdc.getAs[Double]("mean_len") > 4.0, cdc.mkString(","))
   }
 
+  test("AD statistic is non-negative and the threshold curve is monotone") {
+    val ad = run("stat_ad_test").head
+    assert(ad.getAs[Double]("a2") >= 0.0)
+    val curve = run("dedup_threshold_curve").sortBy(_.getAs[Double]("thr"))
+    assert(curve.length == 5)
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_pairs") >= hi.getAs[Long]("n_pairs"),
+        "raising the bar can only shrink the pair set")
+    }
+  }
+
+  test("daily SRM counts are balanced on hash arms and kNN vote accuracy is a rate") {
+    val srm = run("ev_srm_daily")
+    assert(srm.nonEmpty)
+    assert(srm.count(r => !r.isNullAt(r.fieldIndex("srm_flag")) &&
+      r.getAs[Boolean]("srm_flag")) * 10 <= srm.length,
+      "md5 arms are balanced: at most a stray day should flag at the 0.001 bar")
+    val votes = run("emb_knn_vote")
+    assert(votes.length == 3)
+    votes.foreach { r =>
+      val acc = r.getAs[Double]("acc")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_queries"))
+    }
+  }
+
   test("VAD segments are well-formed runs") {
     val rows = run("mm_audio_vad")
     assert(rows.nonEmpty)

@@ -92,7 +92,11 @@ class WindowGuardSpec extends SparkSpec {
     // cumulative token/vocab sums over the ≤101-row block-checkpoint
     // frame (block width = maxId/100 — the window input is bounded by
     // construction at any corpus size)
-    "text_heaps_fit")
+    "text_heaps_fit",
+    // midrank cumulative sums over the DISTINCT token-count histogram
+    // (the samp_ks_test bound: values, never rows — AD is the
+    // tail-weighted companion off the same grid)
+    "stat_ad_test")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
