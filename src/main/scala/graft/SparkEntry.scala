@@ -11887,7 +11887,277 @@ object SparkEntry {
              |SELECT k, CAST(count(*) AS BIGINT) AS n_queries,
              |       CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
              |       round(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS acc
-             |FROM w WHERE r2 = 1 GROUP BY k ORDER BY k""".stripMargin)))
+             |FROM w WHERE r2 = 1 GROUP BY k ORDER BY k""".stripMargin)),
+
+    // IVF recall-vs-nprobe tuning curve: for 3 queries × nprobe ∈
+    // {1,2,4}, recall@10 of the probed cells' candidates against the
+    // brute-force truth, plus the candidate count actually scanned —
+    // the table that tells an operator WHERE to set nprobe (the
+    // recall/scan-cost tradeoff ann_ivf_probe fixes at 2). Centroids
+    // are ann_ivf_probe's deterministic first-4 convention; at scale
+    // the candidates come from the partition-pruned cell index, the
+    // shape here is the oracle-able truth for it.
+    "ann_ivf_recall_curve" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val wAssign = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))
+        val scored = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            score(col("embedding"), col("cv")).as("cs"))
+          .withColumn("rn", row_number().over(wAssign))
+          .localCheckpoint(eager = false) // assignment + probe lists
+        val assigned = scored.filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+        val qids = Seq(7L, 42L, 99L)
+        val qs = emb.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val wq = Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id"))
+        val truth = emb.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), score(col("embedding"), col("qv")).as("sc"))
+          .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id"))
+          .localCheckpoint(eager = false) // joined once per (q, nprobe)
+        val nps = s.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(4L)))
+          .toDF("nprobe")
+        val probes = scored.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("qid"), col("cid"), col("rn"))
+          .crossJoin(broadcast(nps)).filter(col("rn") <= col("nprobe"))
+          .select(col("qid"), col("cid"), col("nprobe"))
+        val cand = assigned.join(broadcast(probes), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .join(broadcast(qs), "qid")
+          .select(col("qid"), col("nprobe"), col("vec_id"),
+            score(col("embedding"), col("qv")).as("sc"))
+          .localCheckpoint(eager = false) // top-10 pass + count pass
+        val wc = Window.partitionBy("qid", "nprobe").orderBy(col("sc").desc, col("vec_id"))
+        val hits = cand.withColumn("rk", row_number().over(wc))
+          .filter(col("rk") <= 10)
+          .join(truth, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid", "nprobe").agg(count(lit(1)).as("n_hits"))
+        cand.groupBy("qid", "nprobe").agg(count(lit(1)).as("n_cand"))
+          .join(hits, Seq("qid", "nprobe"), "left")
+          .select(col("qid"), col("nprobe"), col("n_cand"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)) / lit(10.0), 4).as("recall_at_10"))
+          .orderBy("qid", "nprobe")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings
+             |           WHERE embedding IS NOT NULL),
+             |cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             |          FROM e WHERE vec_id < 4),
+             |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+             |             row_number() OVER (PARTITION BY e.vec_id
+             |               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) + 0.0 DESC, c.cid) AS rn
+             |           FROM e, cents c),
+             |assigned AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
+             |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+             |       FROM e WHERE vec_id IN (7, 42, 99)),
+             |truth AS (SELECT qid, vec_id FROM (
+             |    SELECT q.qid, e.vec_id,
+             |           row_number() OVER (PARTITION BY q.qid
+             |             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) + 0.0 DESC, e.vec_id) AS rk
+             |    FROM e, qs q WHERE e.vec_id <> q.qid)
+             |  WHERE rk <= 10),
+             |nps AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+             |probes AS (SELECT s.vec_id AS qid, s.cid, np.nprobe
+             |           FROM scored s, nps np
+             |           WHERE s.vec_id IN (7, 42, 99) AND s.rn <= np.nprobe),
+             |cand AS (SELECT p.qid, p.nprobe, a.vec_id,
+             |                round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) + 0.0 AS sc
+             |         FROM assigned a JOIN probes p USING (cid)
+             |         JOIN qs q ON q.qid = p.qid
+             |         WHERE a.vec_id <> p.qid),
+             |top AS (SELECT qid, nprobe, vec_id FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid, nprobe
+             |                ORDER BY sc DESC, vec_id) AS rk
+             |    FROM cand) WHERE rk <= 10),
+             |hits AS (SELECT t.qid, t.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+             |         FROM top t JOIN truth USING (qid, vec_id) GROUP BY 1, 2),
+             |nc AS (SELECT qid, nprobe, CAST(count(*) AS BIGINT) AS n_cand
+             |       FROM cand GROUP BY 1, 2)
+             |SELECT qid, nprobe, n_cand, coalesce(n_hits, 0) AS n_hits,
+             |       round(coalesce(n_hits, 0) / 10.0, 4) AS recall_at_10
+             |FROM nc LEFT JOIN hits USING (qid, nprobe)
+             |ORDER BY qid, nprobe""".stripMargin)),
+
+    // smoothed target encoding per event_type (the m-estimate,
+    // m = 20): the categorical-feature encoder a tabular model
+    // pipeline ships — raw rate vs the prior-shrunk rate that
+    // doesn't let rare categories memorize the target. ONE grouped
+    // pass + a broadcast 1-row prior.
+    "feat_target_encode" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("y", when(col("value") > 50.0, 1.0).otherwise(0.0))
+        val prior = ev.agg(round(avg("y"), 6).as("prior"))
+        ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("y").as("s"))
+          .crossJoin(broadcast(prior))
+          .select(col("event_type"), col("n"),
+            round(col("s") / col("n"), 6).as("raw_rate"),
+            round((col("s") + lit(20.0) * col("prior")) / (col("n") + lit(20.0)), 6)
+              .as("te_smooth"),
+            col("prior"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |                   CASE WHEN value > 50.0 THEN 1.0 ELSE 0.0 END AS y
+             |            FROM events),
+             |pr AS (SELECT round(avg(y), 6) AS prior FROM ev),
+             |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(y) AS s
+             |      FROM ev GROUP BY 1)
+             |SELECT event_type, n, round(s / n, 6) AS raw_rate,
+             |       round((s + 20.0 * prior) / (n + 20.0), 6) AS te_smooth, prior
+             |FROM g, pr ORDER BY event_type""".stripMargin)),
+
+    // hashing-trick collision audit: distinct vocabulary hashed into
+    // 1024 feature buckets (md5 mod), reporting load factor, max
+    // bucket, and the collision rate — the "is 2^k buckets enough"
+    // check in front of hashed bag-of-words features. Two hash aggs
+    // over the distinct vocab; nothing touches raw doc rows twice.
+    "feat_hash_buckets" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val g = Tables.documents(s, d)
+          .select(explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
+          .distinct()
+          .withColumn("bucket", pmod(md5Long(col("tok")), lit(1024)))
+          .groupBy("bucket").agg(count(lit(1)).as("n_toks"))
+        g.agg(count(lit(1)).as("n_buckets_used"),
+              sum("n_toks").as("n_tokens"),
+              max("n_toks").as("max_bucket"),
+              sum(when(col("n_toks") > 1, col("n_toks") - 1).otherwise(0L))
+                .as("n_collided"))
+          .select(col("n_tokens"), col("n_buckets_used"), col("max_bucket"),
+            col("n_collided"),
+            round(col("n_collided") / col("n_tokens").cast("double"), 6)
+              .as("collision_rate"))
+      },
+      Some("""WITH v AS (SELECT DISTINCT unnest(
+             |             regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |           FROM documents),
+             |g AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bucket,
+             |             CAST(count(*) AS BIGINT) AS n_toks
+             |      FROM v GROUP BY 1)
+             |SELECT CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             |       CAST(count(*) AS BIGINT) AS n_buckets_used,
+             |       CAST(max(n_toks) AS BIGINT) AS max_bucket,
+             |       CAST(sum(CASE WHEN n_toks > 1 THEN n_toks - 1 ELSE 0 END) AS BIGINT) AS n_collided,
+             |       round(sum(CASE WHEN n_toks > 1 THEN n_toks - 1 ELSE 0 END)
+             |             / CAST(sum(n_toks) AS DOUBLE), 6) AS collision_rate
+             |FROM g""".stripMargin)),
+
+    // session abandonment by exit event: ev_sessionize's session ids,
+    // each session keyed by its LAST event type (deterministic
+    // last-row pick) and whether it converted — the "where do users
+    // give up" table. Both windows are per-user; the session rollup
+    // is one grouped pass.
+    "ev_abandonment" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(1800000000000L), 1)
+              .otherwise(0))
+          .withColumn("sid", sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        val wLast = Window.partitionBy("user_id", "sid")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val per = sess
+          .withColumn("rl", row_number().over(wLast))
+          .groupBy("user_id", "sid")
+          .agg(max(when(col("rl") === 1, col("event_type"))).as("last_type"),
+               max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                 .as("conv"))
+        per.groupBy("last_type")
+          .agg(count(lit(1)).as("n_sessions"),
+               sum(lit(1L) - col("conv")).as("n_abandoned"))
+          .withColumn("abandon_rate",
+            round(col("n_abandoned") / col("n_sessions"), 4))
+          .orderBy("last_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sd AS (SELECT *,
+             |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+             |       FROM g),
+             |s AS (SELECT *,
+             |        row_number() OVER (PARTITION BY user_id, sid
+             |          ORDER BY ts DESC, event_id DESC) AS rl
+             |      FROM sd),
+             |per AS (SELECT user_id, sid,
+             |          max(CASE WHEN rl = 1 THEN event_type END) AS last_type,
+             |          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+             |        FROM s GROUP BY 1, 2)
+             |SELECT last_type, CAST(count(*) AS BIGINT) AS n_sessions,
+             |       CAST(sum(1 - conv) AS BIGINT) AS n_abandoned,
+             |       round(sum(1 - conv) * 1.0 / count(*), 4) AS abandon_rate
+             |FROM per GROUP BY last_type ORDER BY last_type""".stripMargin)),
+
+    // time-based train/test split with leakage audit: events before
+    // the calendar midpoint train, after test — and the number the
+    // split REALLY hinges on: what share of test users was seen in
+    // training (temporal splits leak identity even when rows don't
+    // overlap). One fact pass + two per-side distinct-user sets.
+    "samp_time_split" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .localCheckpoint(eager = false) // bounds + both sides
+        val bounds = ev.agg(min("day").as("mn"), max("day").as("mx"))
+        val tagged = ev.crossJoin(broadcast(bounds))
+          .withColumn("test", (col("day") >= expr("(mn + mx + 1) div 2")).cast("long"))
+        val users = tagged.select(col("user_id"), col("test")).distinct()
+          .groupBy("user_id")
+          .agg(max(when(col("test") === 0, 1L).otherwise(0L)).as("in_train"),
+               max(when(col("test") === 1, 1L).otherwise(0L)).as("in_test"))
+        val rows = tagged.agg(
+          sum(lit(1L) - col("test")).as("n_train_rows"),
+          sum(col("test")).as("n_test_rows"))
+        val u = users.agg(
+          sum("in_train").as("n_train_users"),
+          sum("in_test").as("n_test_users"),
+          sum(col("in_train") * col("in_test")).as("n_seen_users"))
+        rows.crossJoin(u)
+          .select(col("n_train_rows"), col("n_test_rows"),
+            col("n_train_users"), col("n_test_users"), col("n_seen_users"),
+            when(col("n_test_users") > 0,
+              round(col("n_seen_users") / col("n_test_users").cast("double"), 4))
+              .otherwise(lit(null).cast("double")).as("leakage_rate"))
+      },
+      Some("""WITH ev AS (SELECT user_id, ts // 86400000000000 AS day FROM events),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+             |tg AS (SELECT user_id,
+             |              CASE WHEN day >= (mn + mx + 1) // 2 THEN 1 ELSE 0 END AS test
+             |       FROM ev, b),
+             |rows_ AS (SELECT CAST(sum(1 - test) AS BIGINT) AS n_train_rows,
+             |                 CAST(sum(test) AS BIGINT) AS n_test_rows
+             |          FROM tg),
+             |us AS (SELECT user_id,
+             |              max(CASE WHEN test = 0 THEN 1 ELSE 0 END) AS in_train,
+             |              max(CASE WHEN test = 1 THEN 1 ELSE 0 END) AS in_test
+             |       FROM (SELECT DISTINCT user_id, test FROM tg) GROUP BY 1),
+             |u AS (SELECT CAST(sum(in_train) AS BIGINT) AS n_train_users,
+             |             CAST(sum(in_test) AS BIGINT) AS n_test_users,
+             |             CAST(sum(in_train * in_test) AS BIGINT) AS n_seen_users
+             |      FROM us)
+             |SELECT n_train_rows, n_test_rows, n_train_users, n_test_users,
+             |       n_seen_users,
+             |       CASE WHEN n_test_users > 0
+             |            THEN round(n_seen_users / CAST(n_test_users AS DOUBLE), 4)
+             |       END AS leakage_rate
+             |FROM rows_, u""".stripMargin)))
 
   // ---------------------------------------------------------------
 

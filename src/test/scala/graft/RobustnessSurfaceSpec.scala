@@ -91,7 +91,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_cohens_d", "text_yule_k", "text_map_mrr",
     "graph_rich_club", "mm_image_ahash",
     "graph_eigencentrality", "text_ari", "mm_audio_vad",
-    "dedup_cdc_chunks", "stat_ad_test", "dedup_threshold_curve")
+    "dedup_cdc_chunks", "stat_ad_test", "dedup_threshold_curve",
+    "feat_hash_buckets")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -133,7 +134,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ann_mmr_rerank", "emb_whiten", "emb_triplets", "dedup_semantic",
     "emb_drift", "vec_residual_quant", "samp_coreset", "ann_knn_graph",
     "emb_anisotropy", "ann_jl_recall", "emb_twonn_id",
-    "emb_participation_ratio", "emb_cka", "emb_knn_vote")
+    "emb_participation_ratio", "emb_cka", "emb_knn_vote",
+    "ann_ivf_recall_curve")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
@@ -201,7 +203,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ts_mann_kendall", "stat_gumbel", "ev_cuped",
     "stat_jarque_bera", "stat_mcnemar", "ts_hurst", "priv_rand_response",
     "stat_group_seq", "ev_markov2",
-    "ts_strength", "ts_spectral_entropy", "ev_retention_fit", "ev_srm_daily")
+    "ts_strength", "ts_spectral_entropy", "ev_retention_fit", "ev_srm_daily",
+    "feat_target_encode", "ev_abandonment", "samp_time_split")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -264,6 +264,43 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF recall curve is monotone in nprobe and hits bound candidates") {
+    val rows = run("ann_ivf_recall_curve")
+    assert(rows.length == 9, "3 queries x 3 probe depths")
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, qr) =>
+      val byNp = qr.sortBy(_.getAs[Long]("nprobe"))
+      byNp.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo.getAs[Long]("n_cand") <= hi.getAs[Long]("n_cand"),
+          "more probes scan at least as many candidates")
+        assert(lo.getAs[Double]("recall_at_10") <= hi.getAs[Double]("recall_at_10") + 1e-9,
+          "recall is monotone in probes")
+      }
+      // probing ALL 4 cells is brute force: recall must be exact
+      assert(byNp.last.getAs[Double]("recall_at_10") == 1.0)
+    }
+  }
+
+  test("target encoding shrinks toward the prior and split/abandonment audits are consistent") {
+    run("feat_target_encode").foreach { r =>
+      val raw = r.getAs[Double]("raw_rate"); val sm = r.getAs[Double]("te_smooth")
+      val prior = r.getAs[Double]("prior")
+      assert((sm - prior) * (raw - prior) >= -1e-9 &&
+        math.abs(sm - prior) <= math.abs(raw - prior) + 1e-9,
+        s"smooth lies between raw and prior: ${r.mkString(",")}")
+    }
+    val ts = run("samp_time_split").head
+    assert(ts.getAs[Long]("n_seen_users") <= ts.getAs[Long]("n_test_users"))
+    val ab = run("ev_abandonment")
+    ab.foreach { r =>
+      val rate = r.getAs[Double]("abandon_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    val hb = run("feat_hash_buckets").head
+    assert(hb.getAs[Long]("n_buckets_used") <= 1024L)
+    assert(hb.getAs[Long]("n_collided") ==
+      hb.getAs[Long]("n_tokens") - hb.getAs[Long]("n_buckets_used"))
+  }
+
   test("VAD segments are well-formed runs") {
     val rows = run("mm_audio_vad")
     assert(rows.nonEmpty)
