@@ -1192,6 +1192,52 @@ object SparkEntry {
        |  FROM r$k)""".stripMargin
   }.mkString(",\n")
 
+  /** Unrolled Katz-centrality rounds x ← 1 + α·A·x as chained CTEs —
+    * mirrors graph_katz's loop exactly (neighbor sum, damp by α, add
+    * the constant injection, round to 7 per round). No normalization:
+    * α = 0.1 is far below 1/λmax on the sparse dup graph, so the
+    * series converges and the fixed point is the Katz vector.
+    */
+  private def katzIterSql(iters: Int, alpha: Double): String =
+    (1 to iters).map { k =>
+      s"""x$k AS MATERIALIZED (SELECT n.v,
+         |  round(1.0 + $alpha * coalesce(s.sm, 0), 7) AS c
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT nbr.v, sum(x${k - 1}.c) AS sm
+         |    FROM nbr JOIN x${k - 1} ON x${k - 1}.v = nbr.n
+         |    GROUP BY nbr.v) s ON s.v = n.v)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unrolled MULTI-source BFS frontier expansions (closeness) as
+    * chained CTEs — bfsIterSql keyed by (src, nd): every node is a
+    * source, the pair table is bounded by |V|² of the bounded dup
+    * subgraph, never by document rows.
+    */
+  private def closeIterSql(rounds: Int): String = (1 to rounds).map { k =>
+    s"""c$k AS MATERIALIZED (
+       |  SELECT src, nd, depth FROM c${k - 1}
+       |  UNION ALL
+       |  SELECT DISTINCT f.src, nbr.n AS nd, CAST($k AS BIGINT) AS depth
+       |  FROM c${k - 1} f JOIN nbr ON nbr.v = f.nd
+       |  WHERE f.depth = ${k - 1}
+       |    AND NOT EXISTS (SELECT 1 FROM c${k - 1} p
+       |                    WHERE p.src = f.src AND p.nd = nbr.n))""".stripMargin
+  }.mkString(",\n")
+
+  /** Unrolled power-iteration rounds v ← C·v / ‖C·v‖₁ over the 64×64
+    * covariance CELL table as chained CTEs — the top-eigenvalue twin
+    * of eigenIterSql on the embedding covariance instead of the dup
+    * graph; abs() in the normalizer because eigenvector components of
+    * a covariance matrix carry sign.
+    */
+  private def covPowIterSql(iters: Int): String = (1 to iters).map { k =>
+    s"""r$k AS MATERIALIZED (SELECT cells.a AS i, sum(cells.cv * v${k - 1}.x) AS raw
+       |  FROM cells JOIN v${k - 1} ON v${k - 1}.i = cells.b GROUP BY cells.a),
+       |v$k AS MATERIALIZED (SELECT i,
+       |  round(raw / nullif((SELECT sum(abs(raw)) FROM r$k), 0), 7) AS x
+       |  FROM r$k)""".stripMargin
+  }.mkString(",\n")
+
   /** Transition-cell table shared by the Markov family
     * (ev_transitions / ev_stationary / graph_pagerank): the per-user
     * lead()-over-fact window is the dominant cost of all three — and
@@ -12159,11 +12205,838 @@ object SparkEntry {
              |       END AS leakage_rate
              |FROM rows_, u""".stripMargin)))
 
+  /** Chained a/h half-step CTEs for graph_hits' unrolled HITS rounds —
+    * the eigenIterSql idiom on the DIRECTED transition graph: each
+    * authority pass pulls hub mass along edges, each hub pass pulls
+    * authority mass against them, both L1-normalized and rounded to 7
+    * so the trajectory is pinned identically on both engines.
+    */
+  private def hitsIterSql(iters: Int): String = (1 to iters).map { k =>
+    // AS MATERIALIZED: each half-step is referenced twice (the join
+    // and its L1-normalizer scalar subquery) — without the hint DuckDB
+    // inlines the whole chain, re-expanding the fact scan 2^(2k) times
+    val hp = if (k == 1) "h0" else s"h${k - 1}"
+    s"""a${k}r AS MATERIALIZED (SELECT e.v AS t, sum(e.wt * $hp.h) AS raw
+       |          FROM e JOIN $hp ON $hp.t = e.u GROUP BY e.v),
+       |a$k AS MATERIALIZED (SELECT n.t, round(coalesce(r.raw, 0)
+       |               / nullif((SELECT sum(raw) FROM a${k}r), 0), 7) AS a
+       |        FROM nodes n LEFT JOIN a${k}r r ON r.t = n.t),
+       |h${k}r AS MATERIALIZED (SELECT e.u AS t, sum(e.wt * a$k.a) AS raw
+       |          FROM e JOIN a$k ON a$k.t = e.v GROUP BY e.u),
+       |h$k AS MATERIALIZED (SELECT n.t, round(coalesce(r.raw, 0)
+       |               / nullif((SELECT sum(raw) FROM h${k}r), 0), 7) AS h
+       |        FROM nodes n LEFT JOIN h${k}r r ON r.t = n.t)""".stripMargin
+  }.mkString(",\n")
+
+  private val round10dQ: Seq[(String, Q)] = Seq(
+    // Granger-style lag-1 predictive test: do yesterday's CLICKS help
+    // predict today's PURCHASES beyond yesterday's purchases alone?
+    // Both daily series come out of ONE conditional rollup over the
+    // facts (the ts_ccf idiom); the lag alignment is a day = day+1
+    // equi-join on the checkpointed O(days) frame, and the full vs
+    // restricted OLS is the closed-form 2-regressor Gram solution on
+    // CENTERED sums — exact integer count sums feed every term, so
+    // both engines compute bit-identical inputs. F ~ F(1, n-3).
+    "ts_granger" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                 .cast("double").as("y"),
+               sum(when(col("event_type") === "click", 1L).otherwise(0L))
+                 .cast("double").as("x"))
+          .localCheckpoint(eager = false) // both sides of the lag join
+        val prev = daily.select(col("day").as("dp"),
+          col("y").as("yl"), col("x").as("xl"))
+        val g = daily.join(prev, col("dp") === col("day") - 1)
+          .agg(count(lit(1)).cast("double").as("n"),
+               sum("y").as("sy"), sum("yl").as("syl"), sum("xl").as("sxl"),
+               sum(col("y") * col("y")).as("syy"),
+               sum(col("yl") * col("yl")).as("sylyl"),
+               sum(col("xl") * col("xl")).as("sxlxl"),
+               sum(col("y") * col("yl")).as("syyl"),
+               sum(col("y") * col("xl")).as("syxl"),
+               sum(col("yl") * col("xl")).as("sylxl"))
+        g.withColumn("s11", col("sylyl") - col("syl") * col("syl") / col("n"))
+          .withColumn("s22", col("sxlxl") - col("sxl") * col("sxl") / col("n"))
+          .withColumn("s12", col("sylxl") - col("syl") * col("sxl") / col("n"))
+          .withColumn("t1", col("syyl") - col("sy") * col("syl") / col("n"))
+          .withColumn("t2", col("syxl") - col("sy") * col("sxl") / col("n"))
+          .withColumn("syc", col("syy") - col("sy") * col("sy") / col("n"))
+          .withColumn("det", col("s11") * col("s22") - col("s12") * col("s12"))
+          .withColumn("ok", col("n") >= 4 && col("det") > 0 && col("s11") > 0)
+          .withColumn("b", when(col("ok"),
+            (col("t1") * col("s22") - col("t2") * col("s12")) / col("det")))
+          .withColumn("c", when(col("ok"),
+            (col("s11") * col("t2") - col("s12") * col("t1")) / col("det")))
+          .withColumn("rssf", when(col("ok"),
+            col("syc") - col("b") * col("t1") - col("c") * col("t2")))
+          .withColumn("rssr", when(col("ok"),
+            col("syc") - col("t1") * col("t1") / col("s11")))
+          .select(col("n").cast("long").as("n_pairs"),
+            round(col("b"), 6).as("ar1"),
+            round(col("c"), 6).as("beta_clicks"),
+            when(col("ok") && col("rssf") > 0,
+              round((col("rssr") - col("rssf"))
+                / (col("rssf") / (col("n") - 3)), 4)).as("f_stat"),
+            when(col("ok") && col("syc") > 0,
+              round(lit(1.0) - col("rssf") / col("syc"), 6)).as("r2_full"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT ts // 86400000000000 AS day,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS y,
+             |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS x
+             |  FROM events GROUP BY 1),
+             |p AS (SELECT a.y, b.y AS yl, b.x AS xl
+             |      FROM daily a JOIN daily b ON b.day = a.day - 1),
+             |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(y) AS sy,
+             |             sum(yl) AS syl, sum(xl) AS sxl, sum(y*y) AS syy,
+             |             sum(yl*yl) AS sylyl, sum(xl*xl) AS sxlxl,
+             |             sum(y*yl) AS syyl, sum(y*xl) AS syxl,
+             |             sum(yl*xl) AS sylxl
+             |      FROM p),
+             |c1 AS (SELECT n, sylyl - syl*syl/n AS s11, sxlxl - sxl*sxl/n AS s22,
+             |              sylxl - syl*sxl/n AS s12, syyl - sy*syl/n AS t1,
+             |              syxl - sy*sxl/n AS t2, syy - sy*sy/n AS syc
+             |       FROM g),
+             |c2 AS (SELECT *, s11*s22 - s12*s12 AS det,
+             |              (n >= 4 AND s11*s22 - s12*s12 > 0 AND s11 > 0) AS ok
+             |       FROM c1),
+             |c3 AS (SELECT *,
+             |              CASE WHEN ok THEN (t1*s22 - t2*s12) / det END AS b,
+             |              CASE WHEN ok THEN (s11*t2 - s12*t1) / det END AS c
+             |       FROM c2),
+             |c4 AS (SELECT *,
+             |              CASE WHEN ok THEN syc - b*t1 - c*t2 END AS rssf,
+             |              CASE WHEN ok THEN syc - t1*t1/s11 END AS rssr
+             |       FROM c3)
+             |SELECT CAST(n AS BIGINT) AS n_pairs, round(b, 6) AS ar1,
+             |       round(c, 6) AS beta_clicks,
+             |       CASE WHEN ok AND rssf > 0
+             |            THEN round((rssr - rssf) / (rssf / (n - 3)), 4)
+             |       END AS f_stat,
+             |       CASE WHEN ok AND syc > 0
+             |            THEN round(1.0 - rssf / syc, 6) END AS r2_full
+             |FROM c4""".stripMargin)),
+
+    // Durbin-Watson autocorrelation-of-residuals audit per event type:
+    // fit daily count ~ day by closed-form OLS (exact integer sums),
+    // broadcast the |types|-row coefficient table back onto the SAME
+    // checkpointed daily frame, and run DW = sum((e_t - e_{t-1})^2) /
+    // sum(e^2) as one per-type lag window over O(days) rows. DW ~ 2
+    // means the linear-trend residuals are white; ~0 means the trend
+    // model is missing strong positive autocorrelation. Slope and
+    // intercept are rounded to 6 BEFORE the residual pass so both
+    // engines compute identical residuals.
+    "stat_durbin_watson" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .localCheckpoint(eager = false) // coefficient fit + residual pass
+        val coef = daily.groupBy("event_type")
+          .agg(count(lit(1)).cast("double").as("n"),
+               sum(col("day").cast("double")).as("sx"), sum("c").as("sy"),
+               sum(col("day").cast("double") * col("day")).as("sxx"),
+               sum(col("day").cast("double") * col("c")).as("sxy"))
+          .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+          .filter(col("dx") > 0)
+          .select(col("event_type"), col("n").cast("long").as("n_days"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) / col("dx"), 6)
+              .as("slope"),
+            round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+              / col("dx") * col("sx")) / col("n"), 6).as("icept"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily.join(broadcast(coef), "event_type")
+          .withColumn("e", col("c") - col("icept") - col("slope") * col("day"))
+          .withColumn("el", lag("e", 1).over(w))
+          .groupBy("event_type")
+          .agg(max("n_days").as("n_days"), max("slope").as("slope"),
+               sum(col("e") * col("e")).as("see"),
+               sum(pow(col("e") - col("el"), 2)).as("sd"))
+          .select(col("event_type"), col("n_days"), col("slope"),
+            when(col("see") > 0 && col("n_days") >= 2,
+              round(col("sd") / col("see"), 4)).as("dw"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts // 86400000000000 AS day,
+             |         CAST(count(*) AS DOUBLE) AS c
+             |  FROM events GROUP BY 1, 2),
+             |coef AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             |                sum(CAST(day AS DOUBLE)) AS sx, sum(c) AS sy,
+             |                sum(CAST(day AS DOUBLE) * day) AS sxx,
+             |                sum(CAST(day AS DOUBLE) * c) AS sxy
+             |         FROM daily GROUP BY 1),
+             |cf AS (SELECT event_type, CAST(n AS BIGINT) AS n_days,
+             |              round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+             |              round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS icept
+             |       FROM coef WHERE n*sxx - sx*sx > 0),
+             |r AS (SELECT d.event_type, cf.n_days, cf.slope,
+             |             d.c - cf.icept - cf.slope * d.day AS e,
+             |             lag(d.c - cf.icept - cf.slope * d.day)
+             |               OVER (PARTITION BY d.event_type ORDER BY d.day) AS el
+             |      FROM daily d JOIN cf ON cf.event_type = d.event_type)
+             |SELECT event_type, max(n_days) AS n_days, max(slope) AS slope,
+             |       CASE WHEN sum(e*e) > 0 AND max(n_days) >= 2
+             |            THEN round(sum((e - el)*(e - el)) / sum(e*e), 4)
+             |       END AS dw
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Breusch-Pagan heteroscedasticity test on lineitem price ~
+    // quantity: does residual VARIANCE drift with quantity,
+    // invalidating constant-variance
+    // OLS inference? The whole test - main fit, squared residuals,
+    // auxiliary regression of e^2 on x, LM = n*R^2_aux - collapses to
+    // closed-form arithmetic over the 14 raw mixed moments
+    // sum(x^i y^j), i+j <= 4, from ONE hash aggregate (the
+    // stat_moments power-sum idiom; y pre-scaled by 1e-4 to keep
+    // 4th-power sums well inside double range). p from the chi^2_1
+    // survival erfc(sqrt(LM/2)) via the shared A&S 7.1.26 polynomial.
+    "stat_breusch_pagan" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_quantity").cast("double").as("x"),
+          (col("l_extendedprice") / 10000.0).as("y"))
+        val m = li.agg(count(lit(1)).cast("double").as("n"),
+          sum("x").as("m10"), sum("y").as("m01"),
+          sum(expr("x*x")).as("m20"), sum(expr("x*y")).as("m11"),
+          sum(expr("y*y")).as("m02"),
+          sum(expr("x*x*x")).as("m30"), sum(expr("x*x*y")).as("m21"),
+          sum(expr("x*y*y")).as("m12"), sum(expr("y*y*y")).as("m03"),
+          sum(expr("x*x*x*x")).as("m40"), sum(expr("x*x*x*y")).as("m31"),
+          sum(expr("x*x*y*y")).as("m22"), sum(expr("x*y*y*y")).as("m13"),
+          sum(expr("y*y*y*y")).as("m04"))
+        val withCoef = m
+          .withColumn("dxm", col("n") * col("m20") - col("m10") * col("m10"))
+          .filter(col("dxm") > 0)
+          .withColumn("b", (col("n") * col("m11") - col("m10") * col("m01")) / col("dxm"))
+          .withColumn("a", (col("m01") - col("b") * col("m10")) / col("n"))
+        val u = withCoef
+          .withColumn("su",
+            col("m02") - lit(2) * col("a") * col("m01") - lit(2) * col("b") * col("m11")
+              + col("n") * col("a") * col("a")
+              + lit(2) * col("a") * col("b") * col("m10")
+              + col("b") * col("b") * col("m20"))
+          .withColumn("sxu",
+            col("m12") - lit(2) * col("a") * col("m11") - lit(2) * col("b") * col("m21")
+              + col("a") * col("a") * col("m10")
+              + lit(2) * col("a") * col("b") * col("m20")
+              + col("b") * col("b") * col("m30"))
+          .withColumn("su2",
+            col("m04") - lit(4) * col("a") * col("m03") - lit(4) * col("b") * col("m13")
+              + lit(6) * (col("a") * col("a") * col("m02")
+                + lit(2) * col("a") * col("b") * col("m12")
+                + col("b") * col("b") * col("m22"))
+              - lit(4) * (col("a") * col("a") * col("a") * col("m01")
+                + lit(3) * col("a") * col("a") * col("b") * col("m11")
+                + lit(3) * col("a") * col("b") * col("b") * col("m21")
+                + col("b") * col("b") * col("b") * col("m31"))
+              + col("n") * pow(col("a"), 4)
+              + lit(4) * pow(col("a"), 3) * col("b") * col("m10")
+              + lit(6) * col("a") * col("a") * col("b") * col("b") * col("m20")
+              + lit(4) * col("a") * pow(col("b"), 3) * col("m30")
+              + pow(col("b"), 4) * col("m40"))
+          .withColumn("du", col("n") * col("su2") - col("su") * col("su"))
+          .withColumn("cvu", col("n") * col("sxu") - col("m10") * col("su"))
+          .withColumn("bp",
+            when(col("du") > 0,
+              round(col("n") * col("cvu") * col("cvu")
+                / (col("dxm") * col("du")), 4)))
+        u.withColumn("xx", sqrt(col("bp") / 2))
+          .withColumn("t1", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("xx")))
+          .select(col("n").cast("long").as("n_rows"),
+            round(col("b"), 6).as("slope"),
+            col("bp").as("bp_stat"),
+            when(col("bp").isNull, lit(null).cast("double")).otherwise(round(
+              col("t1") * (lit(0.254829592) + col("t1") * (lit(-0.284496736)
+                + col("t1") * (lit(1.421413741) + col("t1") * (lit(-1.453152027)
+                + col("t1") * lit(1.061405429)))))
+              * exp(-col("xx") * col("xx")), 6)).as("p_value"))
+      },
+      Some("""WITH t AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+             |                  l_extendedprice / 10000.0 AS y FROM lineitem),
+             |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |             sum(x) AS m10, sum(y) AS m01, sum(x*x) AS m20,
+             |             sum(x*y) AS m11, sum(y*y) AS m02, sum(x*x*x) AS m30,
+             |             sum(x*x*y) AS m21, sum(x*y*y) AS m12, sum(y*y*y) AS m03,
+             |             sum(x*x*x*x) AS m40, sum(x*x*x*y) AS m31,
+             |             sum(x*x*y*y) AS m22, sum(x*y*y*y) AS m13,
+             |             sum(y*y*y*y) AS m04
+             |      FROM t),
+             |c1 AS (SELECT *, n*m20 - m10*m10 AS dxm FROM m WHERE n*m20 - m10*m10 > 0),
+             |c2 AS (SELECT *, (n*m11 - m10*m01) / dxm AS b FROM c1),
+             |c3 AS (SELECT *, (m01 - b*m10) / n AS a FROM c2),
+             |c4 AS (SELECT *,
+             |         m02 - 2*a*m01 - 2*b*m11 + n*a*a + 2*a*b*m10 + b*b*m20 AS su,
+             |         m12 - 2*a*m11 - 2*b*m21 + a*a*m10 + 2*a*b*m20 + b*b*m30 AS sxu,
+             |         m04 - 4*a*m03 - 4*b*m13
+             |           + 6*(a*a*m02 + 2*a*b*m12 + b*b*m22)
+             |           - 4*(a*a*a*m01 + 3*a*a*b*m11 + 3*a*b*b*m21 + b*b*b*m31)
+             |           + n*a*a*a*a + 4*a*a*a*b*m10 + 6*a*a*b*b*m20
+             |           + 4*a*b*b*b*m30 + b*b*b*b*m40 AS su2
+             |       FROM c3),
+             |c5 AS (SELECT *, n*su2 - su*su AS du, n*sxu - m10*su AS cvu FROM c4),
+             |c6 AS (SELECT *, CASE WHEN du > 0
+             |                 THEN round(n*cvu*cvu / (dxm*du), 4) END AS bp
+             |       FROM c5),
+             |c7 AS (SELECT *, sqrt(bp / 2) AS xx,
+             |              1.0 / (1.0 + 0.3275911 * sqrt(bp / 2)) AS t1
+             |       FROM c6)
+             |SELECT CAST(n AS BIGINT) AS n_rows, round(b, 6) AS slope,
+             |       bp AS bp_stat,
+             |       CASE WHEN bp IS NULL THEN NULL ELSE round(
+             |         t1 * (0.254829592 + t1 * (-0.284496736
+             |           + t1 * (1.421413741 + t1 * (-1.453152027
+             |           + t1 * 1.061405429)))) * exp(-xx*xx), 6) END AS p_value
+             |FROM c7""".stripMargin)),
+
+    // Cronbach's alpha internal-consistency of the quality rubric: do
+    // the three per-doc quality items (length score, alpha+space
+    // fraction, non-punctuation fraction) measure ONE underlying
+    // "clean text" trait, or is the composite score averaging
+    // unrelated signals? alpha = k/(k-1) * (1 - sum(var_i)/var_total)
+    // over population variances - one map-side item projection (the
+    // text_charclass regex-strip idiom) and ONE 4-variance aggregate.
+    "stat_cronbach" -> Q(
+      (s, d) => {
+        val t = col("text")
+        val n = greatest(length(t), lit(1)).cast("double")
+        val items = Tables.documents(s, d).select(
+          least(col("n_chars") / 2000.0, lit(1.0)).as("i1"),
+          (length(regexp_replace(t, "[^A-Za-z ]", "")) / n).as("i2"),
+          (length(regexp_replace(t, "[.,;:!?]", "")) / n).as("i3"))
+        items.agg(count(lit(1)).as("n_docs"),
+            var_pop("i1").as("v1"), var_pop("i2").as("v2"),
+            var_pop("i3").as("v3"),
+            var_pop(col("i1") + col("i2") + col("i3")).as("vt"))
+          .select(col("n_docs"),
+            round(col("v1"), 6).as("var_len"),
+            round(col("v2"), 6).as("var_alpha"),
+            round(col("v3"), 6).as("var_nonpunct"),
+            when(col("vt") > 0,
+              round(lit(1.5) * (lit(1.0)
+                - (col("v1") + col("v2") + col("v3")) / col("vt")), 4))
+              .as("alpha"))
+      },
+      Some("""WITH it AS (
+             |  SELECT least(n_chars / 2000.0, 1.0) AS i1,
+             |         length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+             |           / CAST(greatest(length(text), 1) AS DOUBLE) AS i2,
+             |         length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+             |           / CAST(greatest(length(text), 1) AS DOUBLE) AS i3
+             |  FROM documents)
+             |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |       round(var_pop(i1), 6) AS var_len,
+             |       round(var_pop(i2), 6) AS var_alpha,
+             |       round(var_pop(i3), 6) AS var_nonpunct,
+             |       CASE WHEN var_pop(i1 + i2 + i3) > 0
+             |            THEN round(1.5 * (1.0 - (var_pop(i1) + var_pop(i2)
+             |              + var_pop(i3)) / var_pop(i1 + i2 + i3)), 4)
+             |       END AS alpha
+             |FROM it""".stripMargin)),
+
+    // HITS hubs & authorities on the DIRECTED event-type transition
+    // graph (the undirected eigencentrality can't separate "sends
+    // users onward" from "receives users"): 4 unrolled rounds of
+    // a <- M'h / h <- Ma off the SHARED transitionCells table -
+    // corpus-scale work is the one materialized lead() pass; every
+    // iteration is joins over <= |types|^2 cells. L1-normalized and
+    // rounded to 7 per half-step so the trajectory is engine-pinned.
+    "graph_hits" -> Q(
+      (s, d) => {
+        val e = transitionCells(s, d)
+          .filter(col("to_type").isNotNull && col("from_type").isNotNull)
+          .select(col("from_type").as("u"), col("to_type").as("v"),
+                  col("n").cast("double").as("wt"))
+          .localCheckpoint(eager = false) // read in all 8 half-steps
+        val nodes = e.select(col("u").as("t"))
+          .union(e.select(col("v").as("t"))).distinct()
+          .localCheckpoint(eager = false)
+        var h = nodes.withColumn("h", lit(1.0))
+          .localCheckpoint(eager = false)
+        var a: DataFrame = null
+        for (_ <- 1 to 4) {
+          val ar = e.join(h.select(col("t").as("u"), col("h")), "u")
+            .groupBy(col("v").as("t")).agg(sum(col("wt") * col("h")).as("raw"))
+          val at = ar.agg(sum("raw").as("sm"))
+          a = nodes.join(ar, Seq("t"), "left").na.fill(0.0, Seq("raw"))
+            .crossJoin(broadcast(at))
+            .select(col("t"), when(col("sm") === 0, lit(null).cast("double"))
+              .otherwise(round(col("raw") / col("sm"), 7)).as("a"))
+            .localCheckpoint(eager = false)
+          val hr = e.join(a.select(col("t").as("v"), col("a")), "v")
+            .groupBy(col("u").as("t")).agg(sum(col("wt") * col("a")).as("raw"))
+          val ht = hr.agg(sum("raw").as("sm"))
+          h = nodes.join(hr, Seq("t"), "left").na.fill(0.0, Seq("raw"))
+            .crossJoin(broadcast(ht))
+            .select(col("t"), when(col("sm") === 0, lit(null).cast("double"))
+              .otherwise(round(col("raw") / col("sm"), 7)).as("h"))
+            .localCheckpoint(eager = false)
+        }
+        h.join(a, "t")
+          .select(col("t").as("event_type"), col("h").as("hub"),
+                  col("a").as("authority"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH tr AS (
+              |  SELECT event_type AS u,
+              |         lead(event_type, 1) OVER (PARTITION BY user_id
+              |           ORDER BY ts, event_id) AS v
+              |  FROM events),
+              |e AS MATERIALIZED (SELECT u, v, CAST(count(*) AS DOUBLE) AS wt
+              |      FROM tr WHERE u IS NOT NULL AND v IS NOT NULL GROUP BY 1, 2),
+              |nodes AS MATERIALIZED (SELECT DISTINCT t
+              |          FROM (SELECT u AS t FROM e UNION ALL SELECT v FROM e)),
+              |h0 AS MATERIALIZED (SELECT t, 1.0 AS h FROM nodes),
+              |${hitsIterSql(4)}
+              |SELECT h4.t AS event_type, h4.h AS hub, a4.a AS authority
+              |FROM h4 JOIN a4 ON a4.t = h4.t ORDER BY event_type""".stripMargin)),
+
+    // effective sample size of the DSIR importance weights
+    // (samp_importance's hashed-unigram LLR model): ESS =
+    // (sum w)^2 / sum w^2 per source, w = exp(llr - max llr) - the
+    // "how many uniform docs is this weighted corpus worth" diagnostic
+    // that decides whether importance-weighted training is viable or
+    // the weights have collapsed onto a few docs. Per-doc log-weights
+    // are rounded to 4 BEFORE exp (and the shift is the broadcast
+    // global max) so the exponentials are engine-pinned; the per-source
+    // rollup is one hash aggregate.
+    "samp_ess" -> Q(
+      (s, d) => {
+        val t = graft.text.TextPrimitives.tokens(col("text"))
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), explode(t).as("tok"))
+          .withColumn("b", graft.functions.VectorFunctions.md5Long(col("tok")) % 64)
+        val src = tok.groupBy("b").agg(count(lit(1)).as("cs"))
+        val tgt = tok.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val probs = src.join(tgt, Seq("b"), "left")
+          .na.fill(0L, Seq("ct"))
+          .crossJoin(broadcast(src.agg(sum("cs").as("ts"))))
+          .crossJoin(broadcast(tgt.agg(sum("ct").as("tt"))))
+          .select(col("b"),
+            (log((col("ct") + lit(1.0)) / (col("tt") + lit(64.0)))
+             - log((col("cs") + lit(1.0)) / (col("ts") + lit(64.0)))).as("llr"))
+        val docw = tok.join(broadcast(probs), "b")
+          .groupBy("doc_id", "source")
+          .agg(round(sum("llr"), 4).as("lw"))
+          .localCheckpoint(eager = false) // global max + per-source rollup
+        val mx = docw.agg(max("lw").as("m"))
+        docw.crossJoin(broadcast(mx))
+          .withColumn("w", round(exp(col("lw") - col("m")), 8))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("w").as("sw"),
+               sum(col("w") * col("w")).as("sw2"))
+          .select(col("source"), col("n_docs"),
+            when(col("sw2") > 0,
+              round(col("sw") * col("sw") / col("sw2"), 4)).as("ess"),
+            when(col("sw2") > 0,
+              round(col("sw") * col("sw") / col("sw2") / col("n_docs"), 4))
+              .as("ess_ratio"))
+          .orderBy("source")
+      },
+      Some("""WITH tb AS (
+             |  SELECT doc_id, source, lang,
+             |         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b
+             |  FROM (SELECT doc_id, source, lang,
+             |               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |        FROM documents)),
+             |src AS (SELECT b, CAST(count(*) AS BIGINT) AS cs FROM tb GROUP BY b),
+             |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+             |        FROM tb WHERE lang = 'en' GROUP BY b),
+             |tot AS (SELECT (SELECT CAST(sum(cs) AS BIGINT) FROM src) AS ts,
+             |               (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS tt),
+             |probs AS (SELECT b,
+             |                 ln((coalesce(ct, 0) + 1.0) / (tt + 64.0))
+             |               - ln((cs + 1.0) / (ts + 64.0)) AS llr
+             |          FROM src LEFT JOIN tgt USING (b), tot),
+             |docw AS (SELECT doc_id, source, round(sum(llr), 4) AS lw
+             |         FROM tb JOIN probs USING (b) GROUP BY 1, 2),
+             |mx AS (SELECT max(lw) AS m FROM docw),
+             |ws AS (SELECT source, round(exp(lw - m), 8) AS w FROM docw, mx)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CASE WHEN sum(w*w) > 0
+             |            THEN round(sum(w)*sum(w) / sum(w*w), 4) END AS ess,
+             |       CASE WHEN sum(w*w) > 0
+             |            THEN round(sum(w)*sum(w) / sum(w*w) / count(*), 4)
+             |       END AS ess_ratio
+             |FROM ws GROUP BY source ORDER BY source""".stripMargin)))
+
+  private val round10eQ: Seq[(String, Q)] = Seq(
+    // Katz centrality of the near-dup graph (x = Σ α^k A^k 1): unlike
+    // degree it credits being near hubs, unlike eigencentrality it
+    // doesn't starve nodes outside the dominant component — 6 unrolled
+    // x ← 1 + α·A·x rounds (α=0.1 << 1/λmax so the series converges)
+    // on the SHARED bounded edge build; every iteration is a join over
+    // the |E|-row neighbor table, rounded to 7 per round.
+    "graph_katz" -> Q(
+      (s, d) => {
+        val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+          .select(col("da"), col("db"))
+          .localCheckpoint(eager = false)
+        val nbr = e0.select(col("da").as("v"), col("db").as("n"))
+          .union(e0.select(col("db").as("v"), col("da").as("n")))
+          .localCheckpoint(eager = false) // read once per round
+        val nodes = nbr.select(col("v")).distinct()
+          .localCheckpoint(eager = false)
+        var x = nodes.withColumn("c", lit(1.0))
+          .localCheckpoint(eager = false)
+        for (_ <- 1 to 6) {
+          val sm = nbr.join(x.select(col("v").as("n"), col("c")), "n")
+            .groupBy("v").agg(sum("c").as("sm"))
+          x = nodes.join(sm, Seq("v"), "left").na.fill(0.0, Seq("sm"))
+            .select(col("v"), round(lit(1.0) + lit(0.1) * col("sm"), 7).as("c"))
+            .localCheckpoint(eager = false) // next round + final sort
+        }
+        x.orderBy(col("c").desc, col("v")).limit(10)
+          .select(col("v").as("doc_id"), col("c").as("katz"))
+      },
+      Some(s"""WITH ${dupEdgesSql(120, 0.25)},
+              |nbr AS MATERIALIZED (SELECT da AS v, db AS n FROM e0
+              |        UNION ALL SELECT db AS v, da AS n FROM e0),
+              |nodes AS MATERIALIZED (SELECT DISTINCT v FROM nbr),
+              |x0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) AS c FROM nodes),
+              |${katzIterSql(6, 0.1)}
+              |SELECT v AS doc_id, c AS katz
+              |FROM x6 ORDER BY c DESC, v LIMIT 10""".stripMargin)),
+
+    // harmonic closeness within 4 hops, EVERY node a source: 4
+    // unrolled multi-source BFS rounds keyed by (src, node) — the
+    // graph_bfs frontier loop on a pair table bounded by |V|² of the
+    // bounded dup subgraph (never by document rows). Harmonic form
+    // (Σ 1/d) so disconnected pairs contribute 0 instead of ∞ —
+    // truncation at 4 hops is exact on this graph class because
+    // near-dup components are shallow.
+    "graph_closeness" -> Q(
+      (s, d) => {
+        val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+          .select(col("da"), col("db"))
+          .localCheckpoint(eager = false)
+        val nbr = e0.select(col("da").as("v"), col("db").as("n"))
+          .union(e0.select(col("db").as("v"), col("da").as("n")))
+          .localCheckpoint(eager = false) // read once per round
+        var dt = nbr.select(col("v")).distinct()
+          .select(col("v").as("src"), col("v").as("nd"))
+          .withColumn("depth", lit(0L))
+          .localCheckpoint(eager = false)
+        for (k <- 1 to 4) {
+          val fr = dt.filter(col("depth") === (k - 1).toLong)
+          val nxt = fr.join(nbr, col("nd") === col("v"))
+            .select(col("src"), col("n").as("nd")).distinct()
+            .join(dt, Seq("src", "nd"), "left_anti")
+            .withColumn("depth", lit(k.toLong))
+          dt = dt.union(nxt)
+            .localCheckpoint(eager = false) // next round reads twice
+        }
+        dt.filter(col("depth") > 0)
+          .groupBy("src")
+          .agg(count(lit(1)).as("n_reached"),
+               round(sum(lit(1.0) / col("depth")), 4).as("harmonic"))
+          .orderBy(col("harmonic").desc, col("src"))
+          .limit(10)
+          .select(col("src").as("doc_id"), col("n_reached"), col("harmonic"))
+      },
+      Some(s"""WITH ${dupEdgesSql(120, 0.25)},
+              |nbr AS MATERIALIZED (SELECT da AS v, db AS n FROM e0
+              |        UNION ALL SELECT db AS v, da AS n FROM e0),
+              |c0 AS MATERIALIZED (SELECT v AS src, v AS nd, CAST(0 AS BIGINT) AS depth
+              |       FROM (SELECT DISTINCT v FROM nbr)),
+              |${closeIterSql(4)}
+              |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS n_reached,
+              |       round(sum(1.0 / depth), 4) AS harmonic
+              |FROM c4 WHERE depth > 0 GROUP BY src
+              |ORDER BY harmonic DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // hubness audit of the embedding space (Radovanović 2010): the
+    // k-occurrence distribution N_5(x) off the dense-kernel 5-NN
+    // graph — high-dim spaces grow "hubs" that appear in everyone's
+    // neighbor lists and antihubs that appear in none, which silently
+    // skews kNN-based dedup/eval. Occurrence moments come from exact
+    // integer power sums (mean is k BY CONSTRUCTION — a free
+    // invariant); corpus-scale work is the one TopK kernel pass.
+    "emb_hubness" -> Q(
+      (s, d) => {
+        import graft.ann.Ann
+        val emb = Tables.embeddings(s, d)
+        val edges = Ann.bruteForceTopKDense(emb,
+            emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), 5)
+          .select(col("qid"), col("vec_id").as("nid"))
+        val occ = emb.select(col("vec_id"))
+          .join(edges.groupBy("nid").agg(count(lit(1)).as("occ")),
+            col("vec_id") === col("nid"), "left")
+          .na.fill(0L, Seq("occ"))
+        occ.agg(count(lit(1)).cast("double").as("n"),
+            sum("occ").as("s1"),
+            sum(col("occ") * col("occ")).as("s2"),
+            sum(col("occ") * col("occ") * col("occ")).as("s3"),
+            max("occ").as("mx"),
+            sum(when(col("occ") === 0, 1L).otherwise(0L)).as("anti"),
+            sum(when(col("occ") >= 10, 1L).otherwise(0L)).as("hubs"))
+          .withColumn("mu", col("s1") / col("n"))
+          .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+          .withColumn("m3", col("s3") / col("n")
+            - lit(3.0) * col("mu") * col("s2") / col("n")
+            + lit(2.0) * col("mu") * col("mu") * col("mu"))
+          .select(col("n").cast("long").as("n_vecs"),
+            round(col("mu"), 4).as("mean_occ"),
+            col("mx").as("max_occ"),
+            col("anti").as("n_antihubs"),
+            col("hubs").as("n_hubs"),
+            when(col("m2") > 0,
+              round(col("m3") / pow(col("m2"), 1.5), 4)).as("skew_occ"))
+      },
+      Some("""WITH sc AS (
+             |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+             |         round(list_cosine_similarity(e.embedding::DOUBLE[],
+             |               q.embedding::DOUBLE[]), 6) + 0.0 AS score
+             |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+             |ed AS MATERIALIZED (SELECT qid, nid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid
+             |           ORDER BY score DESC, nid) AS rnk FROM sc)
+             |  WHERE rnk <= 5),
+             |oc AS (SELECT e.vec_id,
+             |              coalesce(g.occ, 0) AS occ
+             |       FROM embeddings e LEFT JOIN
+             |         (SELECT nid, CAST(count(*) AS BIGINT) AS occ
+             |          FROM ed GROUP BY nid) g ON g.nid = e.vec_id),
+             |ag AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(occ) AS s1,
+             |              sum(occ*occ) AS s2, sum(occ*occ*occ) AS s3,
+             |              max(occ) AS mx,
+             |              sum(CASE WHEN occ = 0 THEN 1 ELSE 0 END) AS nanti,
+             |              sum(CASE WHEN occ >= 10 THEN 1 ELSE 0 END) AS hubs
+             |       FROM oc),
+             |mm AS (SELECT *, s1/n AS mu, s2/n - (s1/n)*(s1/n) AS m2,
+             |              s3/n - 3.0*(s1/n)*s2/n + 2.0*(s1/n)*(s1/n)*(s1/n) AS m3
+             |       FROM ag)
+             |SELECT CAST(n AS BIGINT) AS n_vecs, round(mu, 4) AS mean_occ,
+             |       CAST(mx AS BIGINT) AS max_occ,
+             |       CAST(nanti AS BIGINT) AS n_antihubs,
+             |       CAST(hubs AS BIGINT) AS n_hubs,
+             |       CASE WHEN m2 > 0 THEN round(m3 / power(m2, 1.5), 4)
+             |       END AS skew_occ
+             |FROM mm""".stripMargin)),
+
+    // top eigenvalue of the embedding covariance by 8 unrolled power
+    // iterations over the SAME 4096-cell cross-moment aggregate as
+    // emb_participation_ratio — λ₁/tr(C) is the "one direction owns
+    // the variance" share that PCA would report, without ever forming
+    // a dense matrix outside the bounded cell table. Corpus-scale work
+    // is ONE map-side-combinable aggregate; every iteration is a join
+    // over 4096 rows, L1-normalized (abs: eigenvector components carry
+    // sign) and rounded to 7.
+    "emb_top_eigen" -> Q(
+      (s, d) => {
+        val ex = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+          .select(col("embedding"), posexplode(col("embedding")).as(Seq("a", "xa")))
+          .select(col("a").cast("long").as("a"), col("xa").cast("double").as("xa"),
+                  posexplode(col("embedding")).as(Seq("b", "xb")))
+          .select(col("a"), col("b").cast("long").as("b"), col("xa"),
+                  col("xb").cast("double").as("xb"))
+        val cells = ex.groupBy("a", "b")
+          .agg(count(lit(1)).cast("double").as("n"),
+               sum(col("xa") * col("xb")).as("sxy"),
+               sum("xa").as("sxa"), sum("xb").as("sxb"))
+          .select(col("a"), col("b"),
+            round(col("sxy") / col("n") -
+              (col("sxa") / col("n")) * (col("sxb") / col("n")), 7).as("cv"))
+          .localCheckpoint(eager = false) // 8 iterations + trace + Rayleigh
+        var v = cells.filter(col("a") === col("b"))
+          .select(col("a").as("i")).withColumn("x", lit(1.0))
+          .localCheckpoint(eager = false)
+        for (_ <- 1 to 8) {
+          val r = cells.join(v.select(col("i").as("b"), col("x")), "b")
+            .groupBy(col("a").as("i")).agg(sum(col("cv") * col("x")).as("raw"))
+          val nm = r.agg(sum(abs(col("raw"))).as("nm"))
+          v = r.crossJoin(broadcast(nm))
+            .select(col("i"), when(col("nm") === 0, lit(null).cast("double"))
+              .otherwise(round(col("raw") / col("nm"), 7)).as("x"))
+            .localCheckpoint(eager = false)
+        }
+        val num = cells
+          .join(v.select(col("i").as("a"), col("x").as("va")), "a")
+          .join(v.select(col("i").as("b"), col("x").as("vb")), "b")
+          .agg(sum(col("cv") * col("va") * col("vb")).as("num"))
+        val den = v.agg(sum(col("x") * col("x")).as("den"))
+        val tr = cells.filter(col("a") === col("b"))
+          .agg(sum("cv").as("trc"), (max("a") + 1).as("dim"))
+        tr.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+          .select(col("dim").cast("long").as("dim"),
+            round(col("trc"), 6).as("tr_c"),
+            when(col("den") > 0, round(col("num") / col("den"), 6)).as("lambda1"),
+            when(col("den") > 0 && col("trc") > 0,
+              round(col("num") / col("den") / col("trc"), 4)).as("top_share"))
+      },
+      Some(s"""WITH px AS (SELECT vec_id,
+              |              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS a,
+              |              CAST(unnest(embedding) AS DOUBLE) AS xa
+              |            FROM embeddings WHERE embedding IS NOT NULL),
+              |cells AS MATERIALIZED (
+              |  SELECT p.a, q.a AS b,
+              |         round(sum(p.xa * q.xa) / count(*) -
+              |               (sum(p.xa) / count(*)) * (sum(q.xa) / count(*)), 7) AS cv
+              |  FROM px p JOIN px q ON p.vec_id = q.vec_id
+              |  GROUP BY 1, 2),
+              |v0 AS MATERIALIZED (SELECT a AS i, 1.0 AS x FROM cells WHERE a = b),
+              |${covPowIterSql(8)},
+              |num AS (SELECT sum(c.cv * va.x * vb.x) AS num
+              |        FROM cells c JOIN v8 va ON va.i = c.a
+              |                     JOIN v8 vb ON vb.i = c.b),
+              |den AS (SELECT sum(x*x) AS den FROM v8),
+              |tr AS (SELECT sum(cv) AS trc, max(a) + 1 AS dim
+              |       FROM cells WHERE a = b)
+              |SELECT CAST(dim AS BIGINT) AS dim, round(trc, 6) AS tr_c,
+              |       CASE WHEN den > 0 THEN round(num / den, 6) END AS lambda1,
+              |       CASE WHEN den > 0 AND trc > 0
+              |            THEN round(num / den / trc, 4) END AS top_share
+              |FROM tr, num, den""".stripMargin)),
+
+    // partial autocorrelation at lags 1..3 per event type via the
+    // closed-form Durbin-Levinson recursion on ts_acf's aligned-pair
+    // correlations — PACF is what separates "AR(1) echo" from real
+    // higher-order memory when picking a forecast model. The r_k basis
+    // is rounded to 4 (ts_acf's published precision) BEFORE the
+    // recursion so every engine runs identical arithmetic; zero
+    // denominators (degenerate constant series) yield NULL.
+    "ts_pacf" -> Q(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), expr("ts DIV 3600000000000").as("h"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .localCheckpoint(eager = false) // both sides of the lag alignment
+        val a = hourly
+          .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
+        val b = hourly.select(col("event_type").as("et2"),
+          col("h").as("hb"), col("c").as("cb"))
+        val r = a.join(b, col("event_type") === col("et2") &&
+            col("hb") === col("h") + col("k"))
+          .groupBy("event_type", "k")
+          .agg(round(corr("c", "cb"), 4).as("r"))
+        val piv = r.groupBy("event_type")
+          .agg(max(when(col("k") === 1, col("r"))).as("r1"),
+               max(when(col("k") === 2, col("r"))).as("r2"),
+               max(when(col("k") === 3, col("r"))).as("r3"))
+        piv
+          .withColumn("d2", lit(1.0) - col("r1") * col("r1"))
+          .withColumn("p22", when(col("d2") =!= 0,
+            round((col("r2") - col("r1") * col("r1")) / col("d2"), 6)))
+          .withColumn("p21", round(col("r1") - col("p22") * col("r1"), 6))
+          .withColumn("d3",
+            lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2"))
+          .withColumn("p33", when(col("d3") =!= 0,
+            round((col("r3") - col("p21") * col("r2") - col("p22") * col("r1"))
+              / col("d3"), 6)))
+          .select(col("event_type"),
+            round(col("r1"), 4).as("pacf_1"),
+            round(col("p22"), 4).as("pacf_2"),
+            round(col("p33"), 4).as("pacf_3"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, ts // 3600000000000 AS h,
+             |         CAST(count(*) AS DOUBLE) AS c
+             |  FROM events GROUP BY 1, 2),
+             |l AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS k),
+             |p AS (SELECT a.event_type, l.k, a.c AS ca, b.c AS cb
+             |      FROM hourly a CROSS JOIN l
+             |      JOIN hourly b ON b.event_type = a.event_type AND b.h = a.h + l.k),
+             |r AS (SELECT event_type, k, round(corr(ca, cb), 4) AS r
+             |      FROM p GROUP BY event_type, k),
+             |piv AS (SELECT event_type,
+             |               max(CASE WHEN k = 1 THEN r END) AS r1,
+             |               max(CASE WHEN k = 2 THEN r END) AS r2,
+             |               max(CASE WHEN k = 3 THEN r END) AS r3
+             |        FROM r GROUP BY event_type),
+             |s1 AS (SELECT *, 1.0 - r1*r1 AS d2 FROM piv),
+             |s2 AS (SELECT *, CASE WHEN d2 <> 0
+             |              THEN round((r2 - r1*r1) / d2, 6) END AS p22
+             |       FROM s1),
+             |s3 AS (SELECT *, round(r1 - p22*r1, 6) AS p21 FROM s2),
+             |s4 AS (SELECT *, 1.0 - p21*r1 - p22*r2 AS d3 FROM s3),
+             |s5 AS (SELECT *, CASE WHEN d3 <> 0
+             |              THEN round((r3 - p21*r2 - p22*r1) / d3, 6) END AS p33
+             |       FROM s4)
+             |SELECT event_type, round(r1, 4) AS pacf_1, round(p22, 4) AS pacf_2,
+             |       round(p33, 4) AS pacf_3
+             |FROM s5 ORDER BY event_type""".stripMargin)),
+
+    // ε=1 differentially-private MEDIAN of per-doc token counts via
+    // the exponential mechanism over the DISTINCT-value grid (the
+    // stat_gini bound: values, never rows): utility −|midpos − n/2|,
+    // weights cnt·exp(ε·u/2) max-shifted before exp, selection by ONE
+    // deterministic inverse-CDF draw (md5 of a fixed seed) so both
+    // engines pick the same value. The release-vs-truth gap is the
+    // privacy cost a data card would publish next to priv_dp_counts.
+    "priv_dp_quantile" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val g = Tables.documents(s, d)
+          .select(size(graft.text.TextPrimitives.tokens(col("text")))
+            .cast("long").as("v"))
+          .groupBy("v").agg(count(lit(1)).cast("double").as("cnt"))
+          .localCheckpoint(eager = false) // below-window + totals
+        val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        val tot = g.agg(sum("cnt").as("n"))
+        val base = g.withColumn("below", coalesce(sum("cnt").over(wv), lit(0.0)))
+          .crossJoin(broadcast(tot))
+          .withColumn("u",
+            -abs(col("below") + col("cnt") / 2 - col("n") / 2))
+          .localCheckpoint(eager = false) // umax + weight pass
+        val um = base.agg(max("u").as("um"))
+        val wts = base.crossJoin(broadcast(um))
+          .withColumn("w", round(col("cnt") * exp((col("u") - col("um")) / 2), 10))
+        val cum = wts
+          .withColumn("cw", sum("w").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+        val wtot = wts.agg(sum("w").as("wt"))
+        val u0 = (md5Long(lit("dpq:seed")) % 1000000).cast("double") / 1000000.0
+        val dp = cum.crossJoin(broadcast(wtot))
+          .filter(col("cw") >= u0 * col("wt"))
+          .agg(min("v").as("dp_median"))
+        val tm = base.filter(col("below") + col("cnt") >= col("n") / 2)
+          .agg(min("v").as("true_median"))
+        dp.crossJoin(tm).crossJoin(broadcast(tot))
+          .select(col("n").cast("long").as("n_docs"),
+            lit(1.0).as("eps"), col("true_median"), col("dp_median"),
+            abs(col("dp_median") - col("true_median")).as("abs_err"))
+      },
+      Some("""WITH g AS (
+             |  SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS v,
+             |         CAST(count(*) AS DOUBLE) AS cnt
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT sum(cnt) AS n FROM g),
+             |base AS MATERIALIZED (
+             |  SELECT v, cnt,
+             |         coalesce(sum(cnt) OVER (ORDER BY v
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+             |         n
+             |  FROM g, tot),
+             |ub AS (SELECT *, -abs(below + cnt/2 - n/2) AS u FROM base),
+             |um AS (SELECT max(u) AS um FROM ub),
+             |wts AS MATERIALIZED (
+             |  SELECT v, cnt, below, n,
+             |         round(cnt * exp((u - um) / 2), 10) AS w
+             |  FROM ub, um),
+             |cum AS (SELECT *, sum(w) OVER (ORDER BY v
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+             |        FROM wts),
+             |wtot AS (SELECT sum(w) AS wt FROM wts),
+             |dp AS (SELECT min(v) AS dp_median FROM cum, wtot
+             |       WHERE cw >= (('0x' || substr(md5('dpq:seed'), 1, 15))::BIGINT
+             |                    % 1000000) / 1000000.0 * wt),
+             |tm AS (SELECT min(v) AS true_median FROM ub WHERE below + cnt >= n/2)
+             |SELECT CAST(n AS BIGINT) AS n_docs, CAST(1.0 AS DOUBLE) AS eps,
+             |       true_median, dp_median,
+             |       abs(dp_median - true_median) AS abs_err
+             |FROM dp, tm, tot""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
     relational ++ eventsQ ++ experimentsQ ++ vectorStore ++ dedup ++ textQ ++
-      annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ
+      annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
+      round10eQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

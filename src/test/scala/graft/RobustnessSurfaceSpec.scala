@@ -92,7 +92,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "graph_rich_club", "mm_image_ahash",
     "graph_eigencentrality", "text_ari", "mm_audio_vad",
     "dedup_cdc_chunks", "stat_ad_test", "dedup_threshold_curve",
-    "feat_hash_buckets")
+    "feat_hash_buckets", "stat_cronbach", "samp_ess",
+    "graph_katz", "graph_closeness", "priv_dp_quantile")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -135,7 +136,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "emb_drift", "vec_residual_quant", "samp_coreset", "ann_knn_graph",
     "emb_anisotropy", "ann_jl_recall", "emb_twonn_id",
     "emb_participation_ratio", "emb_cka", "emb_knn_vote",
-    "ann_ivf_recall_curve")
+    "ann_ivf_recall_curve", "emb_hubness", "emb_top_eigen")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
@@ -204,7 +205,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_jarque_bera", "stat_mcnemar", "ts_hurst", "priv_rand_response",
     "stat_group_seq", "ev_markov2",
     "ts_strength", "ts_spectral_entropy", "ev_retention_fit", "ev_srm_daily",
-    "feat_target_encode", "ev_abandonment", "samp_time_split")
+    "feat_target_encode", "ev_abandonment", "samp_time_split",
+    "ts_granger", "stat_durbin_watson", "graph_hits", "ts_pacf")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

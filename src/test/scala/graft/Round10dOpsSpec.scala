@@ -1,0 +1,141 @@
+package graft
+
+/** Invariants of the round-10 fourth-wave diagnostics (regression
+  * residual audits, internal consistency, directed-graph centrality,
+  * importance-weight health) that the DuckDB oracle can't express.
+  */
+class Round10dOpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
+
+  test("Granger F is non-negative and the full model never fits worse than AR(1)") {
+    val r = run("ts_granger").head
+    assert(r.getAs[Long]("n_pairs") > 0)
+    val f = r.getAs[Double]("f_stat")
+    // RSS_restricted >= RSS_full by construction, so F >= 0
+    assert(f >= 0.0, s"F = $f")
+    val r2 = r.getAs[Double]("r2_full")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+
+  test("Durbin-Watson lives in [0, 4] for every event type") {
+    val rows = run("stat_durbin_watson")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dw = r.getAs[Double]("dw")
+      assert(dw >= 0.0 && dw <= 4.0, s"${r.mkString(",")}")
+      assert(r.getAs[Long]("n_days") >= 2)
+    }
+  }
+
+  test("Breusch-Pagan flags lineitem's price~quantity heteroscedasticity") {
+    val r = run("stat_breusch_pagan").head
+    val bp = r.getAs[Double]("bp_stat")
+    val p = r.getAs[Double]("p_value")
+    // LM = n*R^2 of a regression is non-negative and its chi^2_1
+    // survival is a probability; the exact values are pinned by the
+    // DuckDB oracle (the synthetic lineitem draws price independently
+    // of quantity, so no directional claim is data-valid here)
+    assert(bp >= 0.0)
+    assert(p >= 0.0 && p <= 1.0)
+    assert(r.getAs[Long]("n_rows") > 100)
+  }
+
+  test("Cronbach's alpha is at most 1 and item variances are non-negative") {
+    val r = run("stat_cronbach").head
+    assert(r.getAs[Long]("n_docs") > 0)
+    Seq("var_len", "var_alpha", "var_nonpunct").foreach { c =>
+      assert(r.getAs[Double](c) >= 0.0, c)
+    }
+    val a = r.getAs[Double]("alpha")
+    // alpha <= 1 always; it can be negative when items anti-correlate
+    assert(a <= 1.0, s"alpha = $a")
+  }
+
+  test("HITS hub and authority vectors are L1-normalized probability-like scores") {
+    val rows = run("graph_hits")
+    assert(rows.nonEmpty)
+    var sh = 0.0; var sa = 0.0
+    rows.foreach { r =>
+      val h = r.getAs[Double]("hub"); val a = r.getAs[Double]("authority")
+      assert(h >= 0.0 && a >= 0.0, s"${r.mkString(",")}")
+      sh += h; sa += a
+    }
+    assert(math.abs(sh - 1.0) < 1e-4, s"hub mass $sh")
+    assert(math.abs(sa - 1.0) < 1e-4, s"authority mass $sa")
+  }
+
+  test("Katz centrality is at least the injection constant and ranked descending") {
+    val rows = run("graph_katz")
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("katz") >= 1.0, r.mkString(",")))
+    val ks = rows.map(_.getAs[Double]("katz"))
+    assert(ks.zip(ks.tail).forall { case (a, b) => a >= b }, "descending")
+  }
+
+  test("harmonic closeness is positive and bounded by reachable-set size") {
+    val rows = run("graph_closeness")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("harmonic"); val n = r.getAs[Long]("n_reached")
+      assert(h > 0.0 && n >= 1)
+      // each reached node contributes at most 1/1 and at least 1/4
+      assert(h <= n + 1e-9 && h >= n / 4.0 - 1e-9, s"${r.mkString(",")}")
+    }
+  }
+
+  test("hubness mean k-occurrence is exactly k and extremes are consistent") {
+    val r = run("emb_hubness").head
+    val n = r.getAs[Long]("n_vecs")
+    assert(n > 5)
+    // every query emits exactly 5 edges, so mean in-degree is 5
+    assert(r.getAs[Double]("mean_occ") == 5.0, r.mkString(","))
+    assert(r.getAs[Long]("max_occ") >= 5L)
+    assert(r.getAs[Long]("n_antihubs") + r.getAs[Long]("n_hubs") <= n)
+  }
+
+  test("top eigenvalue lies between mean and total variance") {
+    val r = run("emb_top_eigen").head
+    val tr = r.getAs[Double]("tr_c"); val l1 = r.getAs[Double]("lambda1")
+    val dim = r.getAs[Long]("dim")
+    assert(dim == 64L)
+    // PSD: lambda_max <= trace; max >= mean eigenvalue = tr/dim
+    assert(l1 <= tr + 1e-6, s"l1=$l1 tr=$tr")
+    assert(l1 >= tr / dim - 1e-6, s"l1=$l1 tr/dim=${tr / dim}")
+    val share = r.getAs[Double]("top_share")
+    assert(share > 0.0 && share <= 1.0 + 1e-9)
+  }
+
+  test("PACF values are correlations in [-1, 1]") {
+    val rows = run("ts_pacf")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("pacf_1", "pacf_2", "pacf_3").foreach { c =>
+        if (!r.isNullAt(r.fieldIndex(c))) {
+          val v = r.getAs[Double](c)
+          assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"$c ${r.mkString(",")}")
+        }
+      }
+    }
+  }
+
+  test("DP median release is a real grid value with non-negative error") {
+    val r = run("priv_dp_quantile").head
+    assert(r.getAs[Long]("n_docs") > 0)
+    assert(r.getAs[Double]("eps") == 1.0)
+    assert(r.getAs[Long]("dp_median") >= 0L)
+    assert(r.getAs[Long]("abs_err") >= 0L)
+  }
+
+  test("ESS is between 1 and n_docs for every source") {
+    val rows = run("samp_ess")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val ess = r.getAs[Double]("ess")
+      assert(ess >= 1.0 - 1e-9 && ess <= n + 1e-9, s"${r.mkString(",")}")
+      val ratio = r.getAs[Double]("ess_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0 + 1e-9)
+    }
+  }
+}

@@ -96,7 +96,10 @@ class WindowGuardSpec extends SparkSpec {
     // midrank cumulative sums over the DISTINCT token-count histogram
     // (the samp_ks_test bound: values, never rows — AD is the
     // tail-weighted companion off the same grid)
-    "stat_ad_test")
+    "stat_ad_test",
+    // exponential-mechanism cumulative weights over the DISTINCT
+    // token-count grid (the stat_gini bound: values, never rows)
+    "priv_dp_quantile")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
