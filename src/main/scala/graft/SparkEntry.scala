@@ -13031,12 +13031,367 @@ object SparkEntry {
              |       abs(dp_median - true_median) AS abs_err
              |FROM dp, tm, tot""".stripMargin)))
 
+  private val round10fQ: Seq[(String, Q)] = Seq(
+    // deterministic 5-fold cross-validation assignment + balance
+    // audit: folds are md5(doc_id) — stable under re-runs and
+    // repartitioning (the samp_hash_split contract) — and the audit
+    // reports what fold assignment actually controls: doc share,
+    // token share, and per-fold drift of the en-language share vs the
+    // corpus. ONE map-side projection + one grouped pass; the corpus
+    // share is a broadcast 1-row aggregate.
+    "samp_kfold" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val t = Tables.documents(s, d).select(
+          pmod(md5Long(concat(lit("kfold:"), col("doc_id").cast("string"))),
+            lit(5)).as("fold"),
+          size(graft.text.TextPrimitives.tokens(col("text"))).cast("long")
+            .as("n_tok"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+          .localCheckpoint(eager = false) // global share + per-fold rollup
+        val g = t.agg((sum("is_en") / count(lit(1))).as("g_en"),
+                      sum("n_tok").as("g_tok"))
+        t.groupBy("fold")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+               (sum("is_en") / count(lit(1))).as("en_s"))
+          .crossJoin(broadcast(g))
+          .select(col("fold"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens") / col("g_tok").cast("double"), 4)
+              .as("tok_share"),
+            round(col("en_s"), 4).as("en_share"),
+            round(abs(col("en_s") - col("g_en")), 4).as("en_dev"))
+          .orderBy("fold")
+      },
+      Some("""WITH t AS (
+             |  SELECT ('0x' || substr(md5('kfold:' || doc_id::VARCHAR), 1, 15))::BIGINT
+             |           % 5 AS fold,
+             |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
+             |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+             |  FROM documents),
+             |g AS (SELECT sum(is_en) * 1.0 / count(*) AS g_en,
+             |             CAST(sum(n_tok) AS BIGINT) AS g_tok FROM t)
+             |SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |       round(sum(n_tok) / CAST(g_tok AS DOUBLE), 4) AS tok_share,
+             |       round(sum(is_en) * 1.0 / count(*), 4) AS en_share,
+             |       round(abs(sum(is_en) * 1.0 / count(*) - g_en), 4) AS en_dev
+             |FROM t, g GROUP BY fold, g_tok, g_en ORDER BY fold""".stripMargin)),
+
+    // bloom-filter incremental dedup (the 100 TB daily-increment
+    // screen): a 2^16-bit / 3-hash bloom over the EXISTING corpus's
+    // content hashes, probed by the new batch — the filter is a
+    // DISTINCT bit-position table bounded by m (broadcastable at any
+    // corpus size), membership is "all 3 positions present" via one
+    // semi-join + HAVING, and the report quantifies exactly what a
+    // bloom buys: hits vs true dups vs false positives at the
+    // measured load factor. All-md5 arithmetic, bit-exact on both
+    // engines; the exact-dup flag comes from the content-hash set.
+    "dedup_bloom_incremental" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val ks = array(lit(0), lit(1), lit(2))
+        def positions(df: DataFrame) = df
+          .withColumn("h", md5(col("text")))
+          .select(col("doc_id"), col("h"), explode(ks).as("k"))
+          .withColumn("pos",
+            pmod(md5Long(concat(col("h"), lit(":"), col("k").cast("string"))),
+              lit(65536)))
+        val corpus = Tables.documents(s, d).filter(col("doc_id") < 150)
+        val batch = Tables.documents(s, d)
+          .filter(col("doc_id") >= 150 && col("doc_id") < 250)
+        val bloom = positions(corpus).select("pos").distinct()
+          .localCheckpoint(eager = false) // bits_set + the probe join
+        val corpusH = corpus.select(md5(col("text")).as("h")).distinct()
+        val probed = positions(batch)
+          .join(broadcast(bloom), Seq("pos"), "left_semi")
+          .groupBy("doc_id", "h").agg(count(lit(1)).as("n_pos_hit"))
+        val flags = batch.select(col("doc_id"), md5(col("text")).as("h"))
+          .join(probed.select(col("doc_id"), col("n_pos_hit")), Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_pos_hit"))
+          .withColumn("bloom_hit", (col("n_pos_hit") === 3).cast("long"))
+          .join(broadcast(corpusH.withColumn("exact", lit(1L))), Seq("h"), "left")
+          .na.fill(0L, Seq("exact"))
+        val bits = bloom.agg(count(lit(1)).as("bits_set"))
+        flags.agg(count(lit(1)).as("n_batch"),
+            sum("bloom_hit").as("n_bloom_hits"),
+            sum("exact").as("n_exact_dups"),
+            sum(when(col("bloom_hit") === 1 && col("exact") === 0, 1L)
+              .otherwise(0L)).as("n_false_pos"))
+          .crossJoin(broadcast(bits))
+          .select(col("n_batch"), col("n_bloom_hits"), col("n_exact_dups"),
+            col("n_false_pos"),
+            round(col("n_false_pos") / col("n_batch").cast("double"), 6)
+              .as("fp_rate"),
+            col("bits_set"),
+            round(col("bits_set") / lit(65536.0), 4).as("load_factor"))
+      },
+      Some("""WITH ks AS (SELECT CAST(unnest([0, 1, 2]) AS INT) AS k),
+             |cp AS (SELECT DISTINCT
+             |         ('0x' || substr(md5(md5(text) || ':' || k::VARCHAR), 1, 15))::BIGINT
+             |           % 65536 AS pos
+             |       FROM documents, ks WHERE doc_id < 150),
+             |bh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 150),
+             |bp AS (SELECT doc_id, md5(text) AS h, k,
+             |         ('0x' || substr(md5(md5(text) || ':' || k::VARCHAR), 1, 15))::BIGINT
+             |           % 65536 AS pos
+             |       FROM documents, ks WHERE doc_id >= 150 AND doc_id < 250),
+             |pr AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS n_pos_hit
+             |       FROM bp WHERE pos IN (SELECT pos FROM cp)
+             |       GROUP BY doc_id, h),
+             |fl AS (SELECT b.doc_id,
+             |              CASE WHEN coalesce(pr.n_pos_hit, 0) = 3 THEN 1 ELSE 0 END AS bloom_hit,
+             |              CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END AS exact
+             |       FROM (SELECT doc_id, md5(text) AS h FROM documents
+             |             WHERE doc_id >= 150 AND doc_id < 250) b
+             |       LEFT JOIN pr ON pr.doc_id = b.doc_id
+             |       LEFT JOIN bh ON bh.h = b.h),
+             |bits AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM cp)
+             |SELECT CAST(count(*) AS BIGINT) AS n_batch,
+             |       CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+             |       CAST(sum(exact) AS BIGINT) AS n_exact_dups,
+             |       CAST(sum(CASE WHEN bloom_hit = 1 AND exact = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_false_pos,
+             |       round(sum(CASE WHEN bloom_hit = 1 AND exact = 0 THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 6) AS fp_rate,
+             |       bits_set, round(bits_set / 65536.0, 4) AS load_factor
+             |FROM fl, bits GROUP BY bits_set""".stripMargin)),
+
+    // process-conformance audit (process mining): which observed
+    // event-type transitions fall OUTSIDE the declared process model?
+    // Pure projection over the SHARED transition cells — zero
+    // additional fact scans — with the model as a literal allowlist
+    // (the form a process owner writes down). The rate column is the
+    // one-number conformance KPI; the rows localize the deviations.
+    "ev_conformance" -> Q(
+      (s, d) => {
+        val allowed = Seq("signup>click", "click>click", "click>purchase",
+          "click>error", "error>click")
+        val cells = transitionCells(s, d).filter(col("to_type").isNotNull)
+          .select(col("from_type"), col("to_type"), col("n"))
+          .withColumn("is_allowed",
+            when(concat(col("from_type"), lit(">"), col("to_type"))
+              .isin(allowed: _*), 1L).otherwise(0L))
+          .localCheckpoint(eager = false) // totals + output rows
+        val tot = cells.agg(sum("n").as("tn"),
+          sum(when(col("is_allowed") === 1, col("n")).otherwise(0L)).as("cn"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("from_type"), col("to_type"), col("n"), col("is_allowed"),
+            round(col("cn") / col("tn").cast("double"), 4)
+              .as("conformance_rate"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH tr AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type, 1) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |cells AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+             |                 CASE WHEN from_type || '>' || to_type IN
+             |                   ('signup>click', 'click>click', 'click>purchase',
+             |                    'click>error', 'error>click')
+             |                 THEN 1 ELSE 0 END AS is_allowed
+             |          FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT sum(n) AS tn,
+             |               sum(CASE WHEN is_allowed = 1 THEN n ELSE 0 END) AS cn
+             |        FROM cells)
+             |SELECT from_type, to_type, n, CAST(is_allowed AS BIGINT) AS is_allowed,
+             |       round(cn / CAST(tn AS DOUBLE), 4) AS conformance_rate
+             |FROM cells, tot ORDER BY from_type, to_type""".stripMargin)),
+
+    // video keyframe selection: one keyframe per detected shot (frame
+    // 0 + every mm_shot_bounds cut) — the frame set a vision encoder
+    // would actually ingest, with the compression it buys. Same
+    // decode-stub feature stream; per-video fan-out bounded at 240
+    // frames; the keyframe pick is the same per-video lag window.
+    "mm_video_keyframes" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val frames = Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 2) // kind = video
+          .select(col("doc_id"),
+            (md5Long(col("text")) % 240 + 1).as("n_frames"))
+          .select(col("doc_id"), col("n_frames"),
+            explode(sequence(lit(0L), col("n_frames") - 1)).as("f"))
+          .withColumn("feat",
+            md5Long(concat(col("doc_id").cast("string"), lit("#"),
+              col("f").cast("string"))) % 1000)
+        val w = Window.partitionBy("doc_id").orderBy("f")
+        frames.withColumn("pf", lag(col("feat"), 1).over(w))
+          .withColumn("kf",
+            when(col("pf").isNull || abs(col("feat") - col("pf")) > 600, 1L)
+              .otherwise(0L))
+          .groupBy("doc_id", "n_frames")
+          .agg(sum("kf").as("n_keyframes"),
+               max(when(col("kf") === 1, col("f"))).as("last_keyframe"))
+          .select(col("doc_id"), col("n_frames"), col("n_keyframes"),
+            col("last_keyframe"),
+            round(col("n_keyframes") / col("n_frames").cast("double"), 4)
+              .as("keep_ratio"),
+            round(col("n_frames") / col("n_keyframes").cast("double"), 2)
+              .as("mean_shot_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH fr AS (
+             |  SELECT doc_id, n_frames,
+             |         CAST(unnest(generate_series(0, n_frames - 1)) AS BIGINT) AS f
+             |  FROM (SELECT doc_id,
+             |               ('0x' || substr(md5(text), 1, 15))::BIGINT % 240 + 1 AS n_frames
+             |        FROM documents WHERE doc_id % 3 = 2)),
+             |ft AS (SELECT doc_id, n_frames, f,
+             |         ('0x' || substr(md5(doc_id::VARCHAR || '#' || f::VARCHAR), 1, 15))::BIGINT
+             |           % 1000 AS feat
+             |       FROM fr),
+             |lg AS (SELECT doc_id, n_frames, f, feat,
+             |         lag(feat) OVER (PARTITION BY doc_id ORDER BY f) AS pf FROM ft),
+             |kf AS (SELECT doc_id, n_frames, f,
+             |         CASE WHEN pf IS NULL OR abs(feat - pf) > 600 THEN 1 ELSE 0 END AS kf
+             |       FROM lg)
+             |SELECT doc_id, n_frames, CAST(sum(kf) AS BIGINT) AS n_keyframes,
+             |       CAST(max(CASE WHEN kf = 1 THEN f END) AS BIGINT) AS last_keyframe,
+             |       round(sum(kf) / CAST(n_frames AS DOUBLE), 4) AS keep_ratio,
+             |       round(n_frames / CAST(sum(kf) AS DOUBLE), 2) AS mean_shot_len
+             |FROM kf GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin)),
+
+    // Theil's U2 forecast-quality ratio per type: the trailing-7-day
+    // mean (ts_backtest's model) scored against the no-change naive
+    // forecast — U2 < 1 is the only evidence a forecasting model has
+    // earned its complexity. ONE daily rollup; both forecasts are
+    // per-type windows over O(days) rows; integer count sums make
+    // every residual engine-exact before the 4dp output round.
+    "ts_theil_u" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val wf = w.rowsBetween(-7, -1)
+        val scored = daily
+          .withColumn("f", when(count(lit(1)).over(wf) === 7, avg("y").over(wf)))
+          .withColumn("yl", lag("y", 1).over(w))
+          .filter(col("f").isNotNull && col("yl").isNotNull)
+        scored.groupBy("event_type")
+          .agg(count(lit(1)).as("n_scored"),
+               sum(pow(col("f") - col("y"), 2)).as("sm"),
+               sum(pow(col("yl") - col("y"), 2)).as("sn"))
+          .select(col("event_type"), col("n_scored"),
+            round(sqrt(col("sm") / col("n_scored")), 4).as("rmse_model"),
+            round(sqrt(col("sn") / col("n_scored")), 4).as("rmse_naive"),
+            when(col("sn") > 0, round(sqrt(col("sm") / col("sn")), 4))
+              .as("theil_u2"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts // 86400000000000 AS day,
+             |         CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |sc AS (SELECT event_type, y,
+             |         CASE WHEN count(*) OVER w7 = 7
+             |              THEN avg(y) OVER w7 END AS f,
+             |         lag(y) OVER (PARTITION BY event_type ORDER BY day) AS yl
+             |       FROM daily
+             |       WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+             |                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+             |       round(sqrt(sum((f - y)*(f - y)) / count(*)), 4) AS rmse_model,
+             |       round(sqrt(sum((yl - y)*(yl - y)) / count(*)), 4) AS rmse_naive,
+             |       CASE WHEN sum((yl - y)*(yl - y)) > 0
+             |            THEN round(sqrt(sum((f - y)*(f - y))
+             |                       / sum((yl - y)*(yl - y))), 4)
+             |       END AS theil_u2
+             |FROM sc WHERE f IS NOT NULL AND yl IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Wald-Wolfowitz runs test per type: are the daily up/down moves
+    // random, or does the series trend/oscillate beyond chance? Signs
+    // come from one lag window on the daily rollup (zero-change days
+    // dropped, standard practice); the run count is a second bounded
+    // window over the nonzero signs; z uses the exact run-count
+    // moments and p the shared A&S erfc. Everything after the rollup
+    // is O(days) per type.
+    "ts_runs_test" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val sg = daily
+          .withColumn("dlt", col("c") - lag("c", 1).over(w))
+          .filter(col("dlt").isNotNull && col("dlt") =!= 0)
+          .withColumn("sgn", when(col("dlt") > 0, 1L).otherwise(-1L))
+        val runs = sg
+          .withColumn("ps", lag("sgn", 1).over(w))
+          .groupBy("event_type")
+          .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_up"),
+               sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_down"),
+               (sum(when(col("ps").isNotNull && col("ps") =!= col("sgn"), 1L)
+                 .otherwise(0L)) + 1).as("n_runs"))
+        val nn = (col("n_up") + col("n_down")).cast("double")
+        val p2 = lit(2.0) * col("n_up") * col("n_down")
+        val mu = p2 / nn + 1.0
+        val s2 = p2 * (p2 - nn) / (nn * nn * (nn - 1.0))
+        val zc = runs
+          .withColumn("z",
+            when(col("n_up") > 0 && col("n_down") > 0 && nn > 1 && s2 > 0,
+              round((col("n_runs") - mu) / sqrt(s2), 4)))
+        val xx = abs(col("z")) / sqrt(lit(2.0))
+        val t1 = lit(1.0) / (lit(1.0) + lit(0.3275911) * xx)
+        zc.select(col("event_type"), col("n_up"), col("n_down"), col("n_runs"),
+            col("z"),
+            when(col("z").isNull, lit(null).cast("double")).otherwise(round(
+              t1 * (lit(0.254829592) + t1 * (lit(-0.284496736)
+                + t1 * (lit(1.421413741) + t1 * (lit(-1.453152027)
+                + t1 * lit(1.061405429)))))
+              * exp(-xx * xx), 6)).as("p_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts // 86400000000000 AS day,
+             |         CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |df AS (SELECT event_type, day,
+             |         c - lag(c) OVER (PARTITION BY event_type ORDER BY day) AS dlt
+             |       FROM daily),
+             |sg AS (SELECT event_type, day,
+             |         CASE WHEN dlt > 0 THEN 1 ELSE -1 END AS sgn
+             |       FROM df WHERE dlt IS NOT NULL AND dlt <> 0),
+             |rn AS (SELECT event_type,
+             |         CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+             |         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+             |         CAST(sum(CASE WHEN ps IS NOT NULL AND ps <> sgn
+             |                       THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+             |       FROM (SELECT event_type, sgn,
+             |               lag(sgn) OVER (PARTITION BY event_type ORDER BY day) AS ps
+             |             FROM sg)
+             |       GROUP BY event_type),
+             |zc AS (SELECT *,
+             |         CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 1
+             |               AND 2.0*n_up*n_down * (2.0*n_up*n_down - (n_up + n_down))
+             |                   / (CAST(n_up + n_down AS DOUBLE)
+             |                      * (n_up + n_down) * (n_up + n_down - 1.0)) > 0
+             |              THEN round((n_runs - (2.0*n_up*n_down
+             |                          / CAST(n_up + n_down AS DOUBLE) + 1.0))
+             |                / sqrt(2.0*n_up*n_down
+             |                       * (2.0*n_up*n_down - (n_up + n_down))
+             |                       / (CAST(n_up + n_down AS DOUBLE)
+             |                          * (n_up + n_down) * (n_up + n_down - 1.0))), 4)
+             |         END AS z
+             |       FROM rn),
+             |pv AS (SELECT *, abs(z) / sqrt(2.0) AS xx,
+             |              1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t1
+             |       FROM zc)
+             |SELECT event_type, n_up, n_down, n_runs, z,
+             |       CASE WHEN z IS NULL THEN NULL ELSE round(
+             |         t1 * (0.254829592 + t1 * (-0.284496736
+             |           + t1 * (1.421413741 + t1 * (-1.453152027
+             |           + t1 * 1.061405429)))) * exp(-xx*xx), 6) END AS p_value
+             |FROM pv ORDER BY event_type""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
     relational ++ eventsQ ++ experimentsQ ++ vectorStore ++ dedup ++ textQ ++
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
-      round10eQ
+      round10eQ ++ round10fQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

@@ -93,7 +93,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "graph_eigencentrality", "text_ari", "mm_audio_vad",
     "dedup_cdc_chunks", "stat_ad_test", "dedup_threshold_curve",
     "feat_hash_buckets", "stat_cronbach", "samp_ess",
-    "graph_katz", "graph_closeness", "priv_dp_quantile")
+    "graph_katz", "graph_closeness", "priv_dp_quantile",
+    "samp_kfold", "dedup_bloom_incremental", "mm_video_keyframes")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -206,7 +207,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_group_seq", "ev_markov2",
     "ts_strength", "ts_spectral_entropy", "ev_retention_fit", "ev_srm_daily",
     "feat_target_encode", "ev_abandonment", "samp_time_split",
-    "ts_granger", "stat_durbin_watson", "graph_hits", "ts_pacf")
+    "ts_granger", "stat_durbin_watson", "graph_hits", "ts_pacf",
+    "ev_conformance", "ts_theil_u", "ts_runs_test")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

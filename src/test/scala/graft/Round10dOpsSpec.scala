@@ -127,6 +127,75 @@ class Round10dOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("abs_err") >= 0L)
   }
 
+  test("k-fold token shares sum to 1 over exactly 5 folds") {
+    val rows = run("samp_kfold")
+    assert(rows.length == 5)
+    val s = rows.map(_.getAs[Double]("tok_share")).sum
+    assert(math.abs(s - 1.0) < 1e-3, s"shares sum $s")
+    rows.foreach(r => assert(r.getAs[Double]("en_dev") >= 0.0))
+  }
+
+  test("bloom screen has zero false negatives and consistent counts") {
+    val r = run("dedup_bloom_incremental").head
+    val hits = r.getAs[Long]("n_bloom_hits")
+    val dups = r.getAs[Long]("n_exact_dups")
+    val fps = r.getAs[Long]("n_false_pos")
+    // every true duplicate's 3 positions are in the filter by
+    // construction — a bloom NEVER misses
+    assert(hits >= dups, s"hits=$hits dups=$dups")
+    assert(hits - dups == fps)
+    assert(r.getAs[Double]("load_factor") <= 1.0)
+  }
+
+  test("conformance rate equals the allowed-transition mass") {
+    val rows = run("ev_conformance")
+    assert(rows.nonEmpty)
+    val rate = rows.head.getAs[Double]("conformance_rate")
+    assert(rate >= 0.0 && rate <= 1.0)
+    val tot = rows.map(_.getAs[Long]("n")).sum.toDouble
+    val ok = rows.filter(_.getAs[Long]("is_allowed") == 1L)
+      .map(_.getAs[Long]("n")).sum.toDouble
+    assert(math.abs(ok / tot - rate) < 1e-3)
+  }
+
+  test("every video keeps at least one keyframe and never more than its frames") {
+    val rows = run("mm_video_keyframes")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kf = r.getAs[Long]("n_keyframes"); val nf = r.getAs[Long]("n_frames")
+      assert(kf >= 1 && kf <= nf, r.mkString(","))
+      val ratio = r.getAs[Double]("keep_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("Theil U2 is the ratio of the two reported RMSEs") {
+    val rows = run("ts_theil_u")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("rmse_model"); val n = r.getAs[Double]("rmse_naive")
+      assert(m >= 0.0 && n >= 0.0)
+      if (!r.isNullAt(r.fieldIndex("theil_u2")) && n > 0) {
+        assert(math.abs(r.getAs[Double]("theil_u2") - m / n) < 1e-2,
+          r.mkString(","))
+      }
+    }
+  }
+
+  test("runs count is bounded by the sign count and p is a probability") {
+    val rows = run("ts_runs_test")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val runs = r.getAs[Long]("n_runs")
+      val n = r.getAs[Long]("n_up") + r.getAs[Long]("n_down")
+      assert(runs >= 1 && runs <= n, r.mkString(","))
+      if (!r.isNullAt(r.fieldIndex("p_value"))) {
+        val p = r.getAs[Double]("p_value")
+        assert(p >= 0.0 && p <= 1.0)
+      }
+    }
+  }
+
   test("ESS is between 1 and n_docs for every source") {
     val rows = run("samp_ess")
     assert(rows.nonEmpty)
