@@ -1230,12 +1230,13 @@ object SparkEntry {
     * graph; abs() in the normalizer because eigenvector components of
     * a covariance matrix carry sign.
     */
-  private def covPowIterSql(iters: Int): String = (1 to iters).map { k =>
-    s"""r$k AS MATERIALIZED (SELECT cells.a AS i, sum(cells.cv * v${k - 1}.x) AS raw
-       |  FROM cells JOIN v${k - 1} ON v${k - 1}.i = cells.b GROUP BY cells.a),
-       |v$k AS MATERIALIZED (SELECT i,
-       |  round(raw / nullif((SELECT sum(abs(raw)) FROM r$k), 0), 7) AS x
-       |  FROM r$k)""".stripMargin
+  private def covPowIterSql(iters: Int, cells: String = "cells",
+                            p: String = ""): String = (1 to iters).map { k =>
+    s"""${p}r$k AS MATERIALIZED (SELECT $cells.a AS i, sum($cells.cv * ${p}v${k - 1}.x) AS raw
+       |  FROM $cells JOIN ${p}v${k - 1} ON ${p}v${k - 1}.i = $cells.b GROUP BY $cells.a),
+       |${p}v$k AS MATERIALIZED (SELECT i,
+       |  round(raw / nullif((SELECT sum(abs(raw)) FROM ${p}r$k), 0), 7) AS x
+       |  FROM ${p}r$k)""".stripMargin
   }.mkString(",\n")
 
   /** Transition-cell table shared by the Markov family
@@ -13386,12 +13387,329 @@ object SparkEntry {
              |           + t1 * 1.061405429)))) * exp(-xx*xx), 6) END AS p_value
              |FROM pv ORDER BY event_type""".stripMargin)))
 
+  /** ln Γ(x) for x ≥ 1 as a FIXED closed-form expression (Stirling at
+    * x+6 with three correction terms, shift-down product): both
+    * engines evaluate the identical tree on identical integer inputs,
+    * so parity is structural — deliberately NOT DuckDB's built-in
+    * lgamma, whose libm differs from anything Spark can express.
+    * Absolute error < 1e-9 over the whole support.
+    */
+  private def lgammaCol(x: Column): Column = {
+    val z = x + lit(6.0)
+    val z5 = z * z * z * z * z
+    (z - 0.5) * log(z) - z + lit(0.9189385332046727) +
+      lit(1.0) / (lit(12.0) * z) - lit(1.0) / (lit(360.0) * z * z * z) +
+      lit(1.0) / (lit(1260.0) * z5) -
+      log(x * (x + 1) * (x + 2) * (x + 3) * (x + 4) * (x + 5))
+  }
+  private def lfCol(x: Column): Column = lgammaCol(x + lit(1.0))
+
+  /** The same Stirling ln Γ(e+1) (log-factorial) as SQL text. */
+  private def sqlLf(e: String): String = {
+    val x = s"(($e) + 1.0)"
+    val z = s"(($e) + 7.0)"
+    s"(($z - 0.5) * ln($z) - $z + 0.9189385332046727" +
+      s" + 1.0/(12.0*$z) - 1.0/(360.0*$z*$z*$z)" +
+      s" + 1.0/(1260.0*($z*$z*$z*$z*$z))" +
+      s" - ln($x*($x+1)*($x+2)*($x+3)*($x+4)*($x+5)))"
+  }
+
+  private val round10gQ: Seq[(String, Q)] = Seq(
+    // Fisher's EXACT test on the 2×2 (arm × converted-user) table —
+    // the test that stays valid when a segment's conversions are too
+    // few for the χ²/z machinery (ev_ab_test, ev_srm). One per-user
+    // rollup → 4 counts; the hypergeometric tail is an explicit sum
+    // over the ≤min(margin) support (explode of a bounded sequence —
+    // conversions, never users), every term closed-form through the
+    // shared Stirling lgamma so both engines run the identical tree.
+    // Two-sided by the standard "sum all tables no more likely than
+    // observed" rule with a 1e-7 log-slack absorbing libm ulp drift.
+    "stat_fisher_exact" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val ab = Tables.events(s, d)
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .groupBy("user_id", "arm")
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        val cts = ab.agg(
+          sum(when(col("arm") === 1 && col("conv") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("arm") === 1 && col("conv") === 0, 1L).otherwise(0L)).as("b"),
+          sum(when(col("arm") === 0 && col("conv") === 1, 1L).otherwise(0L)).as("c"),
+          sum(when(col("arm") === 0 && col("conv") === 0, 1L).otherwise(0L)).as("dd"))
+          .withColumn("r1", col("a") + col("b"))
+          .withColumn("r2", col("c") + col("dd"))
+          .withColumn("c1", col("a") + col("c"))
+          .withColumn("c2", col("b") + col("dd"))
+          .withColumn("n", col("r1") + col("r2"))
+        val base = cts
+          .withColumn("lconst",
+            lfCol(col("r1").cast("double")) + lfCol(col("r2").cast("double")) +
+            lfCol(col("c1").cast("double")) + lfCol(col("c2").cast("double")) -
+            lfCol(col("n").cast("double")))
+          .withColumn("lobs",
+            col("lconst") - lfCol(col("a").cast("double")) -
+            lfCol((col("r1") - col("a")).cast("double")) -
+            lfCol((col("c1") - col("a")).cast("double")) -
+            lfCol((col("r2") - col("c1") + col("a")).cast("double")))
+        val terms = base
+          .withColumn("k", explode(sequence(
+            greatest(lit(0L), col("c1") - col("r2")), least(col("r1"), col("c1")))))
+          .withColumn("lpk",
+            col("lconst") - lfCol(col("k").cast("double")) -
+            lfCol((col("r1") - col("k")).cast("double")) -
+            lfCol((col("c1") - col("k")).cast("double")) -
+            lfCol((col("r2") - col("c1") + col("k")).cast("double")))
+        terms.groupBy("a", "b", "c", "dd")
+          .agg(round(sum(when(col("lpk") <= col("lobs") + 1e-7,
+            exp(col("lpk"))).otherwise(0.0)), 6).as("p_two_sided"))
+          .select(col("a").as("n_t_conv"), col("b").as("n_t_no"),
+            col("c").as("n_c_conv"), col("dd").as("n_c_no"),
+            when(col("b") * col("c") > 0,
+              round(col("a") * col("dd") / (col("b") * col("c")).cast("double"), 4))
+              .as("odds_ratio"),
+            col("p_two_sided"))
+      },
+      Some(s"""WITH ab AS (
+              |  SELECT user_id,
+              |         ('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm,
+              |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+              |  FROM events GROUP BY 1, 2),
+              |ct AS (SELECT
+              |         CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              |         CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+              |         CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+              |         CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dd
+              |       FROM ab),
+              |mg AS (SELECT *, a + b AS r1, c + dd AS r2, a + c AS c1, b + dd AS c2,
+              |              a + b + c + dd AS n
+              |       FROM ct),
+              |bs AS (SELECT *,
+              |         ${sqlLf("r1")} + ${sqlLf("r2")} + ${sqlLf("c1")}
+              |           + ${sqlLf("c2")} - ${sqlLf("n")} AS lconst
+              |       FROM mg),
+              |ob AS (SELECT *, lconst - ${sqlLf("a")} - ${sqlLf("r1 - a")}
+              |           - ${sqlLf("c1 - a")} - ${sqlLf("r2 - c1 + a")} AS lobs
+              |       FROM bs),
+              |tm AS (SELECT *,
+              |         lconst - ${sqlLf("k")} - ${sqlLf("r1 - k")}
+              |           - ${sqlLf("c1 - k")} - ${sqlLf("r2 - c1 + k")} AS lpk
+              |       FROM (SELECT *, CAST(unnest(generate_series(
+              |               greatest(0, c1 - r2), least(r1, c1))) AS BIGINT) AS k
+              |             FROM ob))
+              |SELECT a AS n_t_conv, b AS n_t_no, c AS n_c_conv, dd AS n_c_no,
+              |       CASE WHEN b * c > 0
+              |            THEN round(a * dd / CAST(b * c AS DOUBLE), 4)
+              |       END AS odds_ratio,
+              |       round(sum(CASE WHEN lpk <= lobs + 1e-7
+              |                      THEN exp(lpk) ELSE 0.0 END), 6) AS p_two_sided
+              |FROM tm GROUP BY 1, 2, 3, 4, 5""".stripMargin)),
+
+    // extractive summarization (SumBasic-style): per doc, the top-3
+    // sentences by mean corpus token frequency — the "what to show a
+    // labeler" primitive. Sentence split + scoring are map-side over
+    // the bounded subset; the frequency table is a broadcast join;
+    // the pick is a per-doc bounded window. Scores are rounded BEFORE
+    // ranking so order ties break identically on both engines.
+    "text_extract_summary" -> Q(
+      (s, d) => {
+        val sub = Tables.documents(s, d).filter(col("doc_id") < 100)
+        val sents = sub.select(col("doc_id"),
+            posexplode(split(col("text"), "[.!?]+")).as(Seq("pos", "sent")))
+          .withColumn("sent", trim(col("sent")))
+          .filter(length(col("sent")) > 0)
+        val stok = sents.select(col("doc_id"), col("pos"),
+            explode(graft.text.TextPrimitives.tokens(col("sent"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .localCheckpoint(eager = false) // vocab + the scoring join
+        val freq = stok.groupBy("tok").agg(count(lit(1)).as("tf"))
+        val scored = stok.join(broadcast(freq), "tok")
+          .groupBy("doc_id", "pos")
+          .agg(count(lit(1)).as("n_tok_sent"),
+               round(avg(col("tf").cast("double")), 4).as("score"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("pos"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk").cast("long").as("rk"),
+            col("pos").cast("long").as("sent_pos"), col("n_tok_sent"),
+            col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+             |sents AS (
+             |  SELECT doc_id, i - 1 AS pos, trim(arr[i]) AS sent
+             |  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+             |        FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS arr
+             |              FROM sub))
+             |  WHERE length(trim(arr[i])) > 0),
+             |stok AS (
+             |  SELECT doc_id, pos, tok
+             |  FROM (SELECT doc_id, pos,
+             |          unnest(regexp_split_to_array(lower(trim(sent)), '\s+')) AS tok
+             |        FROM sents)
+             |  WHERE length(tok) > 0),
+             |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf
+             |         FROM stok GROUP BY tok),
+             |scored AS (
+             |  SELECT doc_id, pos, CAST(count(*) AS BIGINT) AS n_tok_sent,
+             |         round(avg(CAST(tf AS DOUBLE)), 4) AS score
+             |  FROM stok JOIN freq USING (tok) GROUP BY doc_id, pos)
+             |SELECT doc_id, CAST(rk AS BIGINT) AS rk,
+             |       CAST(pos AS BIGINT) AS sent_pos, n_tok_sent, score
+             |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY score DESC, pos) AS rk
+             |      FROM scored)
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // n-gram novelty by crawl order: what share of each doc's
+    // 3-token shingles appear for the FIRST time at that doc — the
+    // "is more crawl still adding content" curve, bucketed by doc_id
+    // decile. Two gram-hash keyed aggregates over the shared distinct
+    // shingle table (materialized once); nothing is quadratic and the
+    // first-occurrence table shrinks as duplication rises.
+    "text_ngram_novelty" -> Q(
+      (s, d) => {
+        val grams = graft.text.TextPrimitives.tokenShingles(
+            Tables.documents(s, d), "doc_id", "text", 3)
+          .localCheckpoint(eager = false) // first-occurrence + share join
+        val first = grams.groupBy("sh").agg(min("doc_id").as("fd"))
+        val perDoc = grams.join(first, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("nov"))
+          .localCheckpoint(eager = false) // max + bucket rollup
+        val mx = perDoc.agg(max("doc_id").as("mx"))
+        perDoc.crossJoin(broadcast(mx))
+          .withColumn("bucket", expr("(doc_id * 10) div (mx + 1)"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n").as("n_grams"),
+               round(sum("nov") / sum("n").cast("double"), 4).as("novelty_rate"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH g AS (
+              |${graft.text.TextPrimitives.tokenShinglesSql("documents", "doc_id", "text", 3)}),
+              |fo AS (SELECT sh, CAST(min(doc_id) AS BIGINT) AS fd FROM g GROUP BY sh),
+              |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+              |              CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS nov
+              |       FROM g JOIN fo USING (sh) GROUP BY doc_id),
+              |mx AS (SELECT max(doc_id) AS mx FROM pd)
+              |SELECT (doc_id * 10) // (mx + 1) AS bucket,
+              |       CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(n) AS BIGINT) AS n_grams,
+              |       round(sum(nov) / CAST(sum(n) AS DOUBLE), 4) AS novelty_rate
+              |FROM pd, mx GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // second covariance eigenvalue by DEFLATION: converge v₁ (8
+    // rounds), subtract λ₁v₁v₁ᵀ cell-wise (λ₁ and v₁ rounded first so
+    // the deflated cells are engine-pinned), converge again — the
+    // spectral gap λ₂/λ₁ says whether emb_top_eigen's "one direction"
+    // story is real or the top two directions are degenerate. Still
+    // ONE corpus-scale aggregate; both iteration chains are joins
+    // over 4096 cells.
+    "emb_deflated_eigen" -> Q(
+      (s, d) => {
+        val ex = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+          .select(col("embedding"), posexplode(col("embedding")).as(Seq("a", "xa")))
+          .select(col("a").cast("long").as("a"), col("xa").cast("double").as("xa"),
+                  posexplode(col("embedding")).as(Seq("b", "xb")))
+          .select(col("a"), col("b").cast("long").as("b"), col("xa"),
+                  col("xb").cast("double").as("xb"))
+        val cells = ex.groupBy("a", "b")
+          .agg(count(lit(1)).cast("double").as("n"),
+               sum(col("xa") * col("xb")).as("sxy"),
+               sum("xa").as("sxa"), sum("xb").as("sxb"))
+          .select(col("a"), col("b"),
+            round(col("sxy") / col("n") -
+              (col("sxa") / col("n")) * (col("sxb") / col("n")), 7).as("cv"))
+          .localCheckpoint(eager = false)
+        def converge(cl: DataFrame): (DataFrame, DataFrame) = {
+          var v = cl.filter(col("a") === col("b"))
+            .select(col("a").as("i")).withColumn("x", lit(1.0))
+            .localCheckpoint(eager = false)
+          for (_ <- 1 to 8) {
+            val r = cl.join(v.select(col("i").as("b"), col("x")), "b")
+              .groupBy(col("a").as("i")).agg(sum(col("cv") * col("x")).as("raw"))
+            val nm = r.agg(sum(abs(col("raw"))).as("nm"))
+            v = r.crossJoin(broadcast(nm))
+              .select(col("i"), when(col("nm") === 0, lit(null).cast("double"))
+                .otherwise(round(col("raw") / col("nm"), 7)).as("x"))
+              .localCheckpoint(eager = false)
+          }
+          val lam = cl
+            .join(v.select(col("i").as("a"), col("x").as("va")), "a")
+            .join(v.select(col("i").as("b"), col("x").as("vb")), "b")
+            .agg(sum(col("cv") * col("va") * col("vb")).as("num"))
+            .crossJoin(broadcast(v.agg(sum(col("x") * col("x")).as("den"))))
+            .select(when(col("den") > 0, round(col("num") / col("den"), 6))
+              .as("lam"))
+          (v, lam)
+        }
+        val (v1, l1) = converge(cells)
+        val cells2 = cells
+          .join(v1.select(col("i").as("a"), col("x").as("va")), "a")
+          .join(v1.select(col("i").as("b"), col("x").as("vb")), "b")
+          .crossJoin(broadcast(l1))
+          .select(col("a"), col("b"),
+            round(col("cv") - col("lam") * col("va") * col("vb"), 7).as("cv"))
+          .localCheckpoint(eager = false)
+        val (_, l2) = converge(cells2)
+        val tr = cells.filter(col("a") === col("b")).agg(sum("cv").as("trc"))
+        l1.select(col("lam").as("lambda1"))
+          .crossJoin(broadcast(l2.select(col("lam").as("lambda2"))))
+          .crossJoin(broadcast(tr))
+          .select(col("lambda1"), col("lambda2"),
+            when(col("lambda1") > 0,
+              round(lit(1.0) - col("lambda2") / col("lambda1"), 4))
+              .as("spectral_gap"),
+            when(col("trc") > 0,
+              round((col("lambda1") + col("lambda2")) / col("trc"), 4))
+              .as("top2_share"))
+      },
+      Some(s"""WITH px AS (SELECT vec_id,
+              |              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS a,
+              |              CAST(unnest(embedding) AS DOUBLE) AS xa
+              |            FROM embeddings WHERE embedding IS NOT NULL),
+              |cells AS MATERIALIZED (
+              |  SELECT p.a, q.a AS b,
+              |         round(sum(p.xa * q.xa) / count(*) -
+              |               (sum(p.xa) / count(*)) * (sum(q.xa) / count(*)), 7) AS cv
+              |  FROM px p JOIN px q ON p.vec_id = q.vec_id
+              |  GROUP BY 1, 2),
+              |v0 AS MATERIALIZED (SELECT a AS i, 1.0 AS x FROM cells WHERE a = b),
+              |${covPowIterSql(8)},
+              |l1 AS (SELECT CASE WHEN den > 0 THEN round(num / den, 6) END AS lam
+              |       FROM (SELECT sum(c.cv * va.x * vb.x) AS num
+              |             FROM cells c JOIN v8 va ON va.i = c.a
+              |                          JOIN v8 vb ON vb.i = c.b),
+              |            (SELECT sum(x*x) AS den FROM v8)),
+              |cells2 AS MATERIALIZED (
+              |  SELECT c.a, c.b, round(c.cv - l1.lam * va.x * vb.x, 7) AS cv
+              |  FROM cells c JOIN v8 va ON va.i = c.a
+              |               JOIN v8 vb ON vb.i = c.b, l1),
+              |dv0 AS MATERIALIZED (SELECT a AS i, 1.0 AS x FROM cells2 WHERE a = b),
+              |${covPowIterSql(8, "cells2", "d")},
+              |l2 AS (SELECT CASE WHEN den > 0 THEN round(num / den, 6) END AS lam
+              |       FROM (SELECT sum(c.cv * va.x * vb.x) AS num
+              |             FROM cells2 c JOIN dv8 va ON va.i = c.a
+              |                           JOIN dv8 vb ON vb.i = c.b),
+              |            (SELECT sum(x*x) AS den FROM dv8)),
+              |tr AS (SELECT sum(cv) AS trc FROM cells WHERE a = b)
+              |SELECT l1.lam AS lambda1, l2.lam AS lambda2,
+              |       CASE WHEN l1.lam > 0
+              |            THEN round(1.0 - l2.lam / l1.lam, 4) END AS spectral_gap,
+              |       CASE WHEN trc > 0
+              |            THEN round((l1.lam + l2.lam) / trc, 4) END AS top2_share
+              |FROM l1, l2, tr""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
     relational ++ eventsQ ++ experimentsQ ++ vectorStore ++ dedup ++ textQ ++
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
-      round10eQ ++ round10fQ
+      round10eQ ++ round10fQ ++ round10gQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

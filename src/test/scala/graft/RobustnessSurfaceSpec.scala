@@ -94,7 +94,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "dedup_cdc_chunks", "stat_ad_test", "dedup_threshold_curve",
     "feat_hash_buckets", "stat_cronbach", "samp_ess",
     "graph_katz", "graph_closeness", "priv_dp_quantile",
-    "samp_kfold", "dedup_bloom_incremental", "mm_video_keyframes")
+    "samp_kfold", "dedup_bloom_incremental", "mm_video_keyframes",
+    "text_extract_summary", "text_ngram_novelty")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -137,7 +138,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "emb_drift", "vec_residual_quant", "samp_coreset", "ann_knn_graph",
     "emb_anisotropy", "ann_jl_recall", "emb_twonn_id",
     "emb_participation_ratio", "emb_cka", "emb_knn_vote",
-    "ann_ivf_recall_curve", "emb_hubness", "emb_top_eigen")
+    "ann_ivf_recall_curve", "emb_hubness", "emb_top_eigen",
+    "emb_deflated_eigen")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
@@ -208,7 +210,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ts_strength", "ts_spectral_entropy", "ev_retention_fit", "ev_srm_daily",
     "feat_target_encode", "ev_abandonment", "samp_time_split",
     "ts_granger", "stat_durbin_watson", "graph_hits", "ts_pacf",
-    "ev_conformance", "ts_theil_u", "ts_runs_test")
+    "ev_conformance", "ts_theil_u", "ts_runs_test", "stat_fisher_exact")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -196,6 +196,55 @@ class Round10dOpsSpec extends SparkSpec {
     }
   }
 
+  test("Fisher's exact p includes the observed table and is a probability") {
+    val r = run("stat_fisher_exact").head
+    val p = r.getAs[Double]("p_two_sided")
+    // the observed table is always in the rejection set, so p > 0;
+    // summing a probability mass function keeps p <= 1
+    assert(p > 0.0 && p <= 1.0 + 1e-6, s"p=$p")
+    assert(r.getAs[Long]("n_t_conv") + r.getAs[Long]("n_t_no") +
+      r.getAs[Long]("n_c_conv") + r.getAs[Long]("n_c_no") > 0)
+  }
+
+  test("summaries keep at most 3 sentences per doc, ranked by score") {
+    val rows = run("text_extract_summary")
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val byRk = rs.sortBy(_.getAs[Long]("rk"))
+      byRk.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getAs[Double]("score") >= lo.getAs[Double]("score"),
+            s"rank order broken: ${hi.mkString(",")} vs ${lo.mkString(",")}")
+        case _ =>
+      }
+    }
+  }
+
+  test("n-gram novelty rates are shares and the first bucket leads") {
+    val rows = run("text_ngram_novelty")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nr = r.getAs[Double]("novelty_rate")
+      assert(nr >= 0.0 && nr <= 1.0, r.mkString(","))
+    }
+    val first = rows.minBy(_.getAs[Long]("bucket"))
+    val last = rows.maxBy(_.getAs[Long]("bucket"))
+    // the earliest crawl bucket can only see dups within itself
+    assert(first.getAs[Double]("novelty_rate") >=
+      last.getAs[Double]("novelty_rate") - 1e-9)
+  }
+
+  test("deflated eigenvalue is dominated by the top one and both are PSD-consistent") {
+    val r = run("emb_deflated_eigen").head
+    val l1 = r.getAs[Double]("lambda1"); val l2 = r.getAs[Double]("lambda2")
+    assert(l1 > 0.0)
+    assert(l2 <= l1 + 1e-3, s"l2=$l2 l1=$l1")
+    assert(l2 >= -1e-3, s"deflated matrix stays PSD, l2=$l2")
+    val s2 = r.getAs[Double]("top2_share")
+    assert(s2 > 0.0 && s2 <= 1.0 + 1e-6)
+  }
+
   test("ESS is between 1 and n_docs for every source") {
     val rows = run("samp_ess")
     assert(rows.nonEmpty)
