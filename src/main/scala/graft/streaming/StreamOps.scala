@@ -179,6 +179,90 @@ object StreamOps {
       }
   }
 
+  final case class BloomDoc(doc_id: Long, h: String)
+
+  final case class BloomFlag(doc_id: Long, h: String, bloom_hit: Boolean)
+
+  /** Per-shard 1024-bit filter segment: 16 longs of state per key. */
+  final case class BloomState(bits: Array[Long])
+
+  /** Streaming bloom dedup screen — the incremental twin of the batch
+    * dedup_bloom_incremental: the 2^16-bit filter is SHARDED by the
+    * content hash (64 shards × 1024 bits = 16 longs of state per
+    * shard, so total state is the filter size regardless of stream
+    * length), each doc's 3 probe positions land inside its own
+    * shard's segment, and a doc is flagged when all 3 bits were
+    * already set by SOME earlier doc. Docs inside one micro-batch
+    * fold in doc_id order, so replaying the same stream reproduces
+    * the same flags. A bloom never un-sets bits — no false negatives,
+    * same as the batch screen (spec-pinned).
+    */
+  def streamingBloomDedup(docs: Dataset[BloomDoc]): Dataset[BloomFlag] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    def shard(h: String): Long = java.lang.Long.parseLong(h.take(8), 16) % 64
+    def positions(h: String): Seq[Int] = (0 to 2).map { k =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$h:$k".getBytes("UTF-8"))
+      // first 60 bits as non-negative long, inside the shard segment
+      val top = md.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) >>> 4
+      (top % 1024L).toInt
+    }
+    docs.groupByKey(d => shard(d.h))
+      .flatMapGroupsWithState[BloomState, BloomFlag](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[BloomState]) =>
+          val bits = state.getOption.map(_.bits).getOrElse(Array.fill(16)(0L))
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            val ps = positions(d.h)
+            val hit = ps.forall(p => (bits(p >> 6) & (1L << (p & 63))) != 0)
+            ps.foreach(p => bits(p >> 6) |= 1L << (p & 63))
+            BloomFlag(d.doc_id, d.h, hit)
+          }
+          state.update(BloomState(bits))
+          out.iterator
+      }
+  }
+
+  final case class ConfEvent(event_id: Long, ts: Long, user_id: Long,
+                             event_type: String)
+
+  final case class Transition(user_id: Long, from_type: String,
+                              to_type: String, is_allowed: Boolean)
+
+  final case class LastEvent(ts: Long, event_id: Long, event_type: String)
+
+  /** Streaming process-conformance feed — the incremental twin of the
+    * batch ev_conformance: ONE (ts, event_id, type) triple of keyed
+    * state per user carries the previous event across micro-batches,
+    * every arriving event emits its (from, to) transition classified
+    * against the allowed-transition model, and a downstream count by
+    * cell reproduces the batch transition-cell table exactly when the
+    * stream respects per-user (ts, event_id) order (spec-pinned).
+    */
+  def streamingConformance(events: Dataset[ConfEvent],
+                           allowed: Set[String]): Dataset[Transition] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[LastEvent]) =>
+          val batch = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var last = state.getOption.orNull
+          val out = Seq.newBuilder[Transition]
+          batch.foreach { e =>
+            if (last != null) {
+              out += Transition(uid, last.event_type, e.event_type,
+                allowed.contains(s"${last.event_type}>${e.event_type}"))
+            }
+            last = LastEvent(e.ts, e.event_id, e.event_type)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+
   /** Streaming windowed top-k ("trending now"): per-hour event counts
     * per user, then the k most active users per hour — TWO chained
     * stateful aggregations (Spark 3.4+ append-mode support for

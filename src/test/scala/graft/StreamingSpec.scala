@@ -188,6 +188,67 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming bloom screen: cross-batch dups hit, fresh content does not, never un-sets") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import StreamOps.BloomDoc
+    val input = MemoryStream[BloomDoc]
+    val query = StreamOps.streamingBloomDedup(input.toDS())
+      .writeStream.format("memory").queryName("sbloom")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val ha = "a3f2c1d4e5b6a7980123456789abcdef"
+      val hb = "0b1c2d3e4f5a6b7c8d9e0f1a2b3c4d5e"
+      val hc = "fedcba98765432100123456789abcdef"
+      // batch 1: two fresh hashes + an in-batch dup of ha (doc 12)
+      input.addData(BloomDoc(10, ha), BloomDoc(11, hb), BloomDoc(12, ha))
+      query.processAllAvailable()
+      // batch 2: cross-batch dup of ha + a fresh hash
+      input.addData(BloomDoc(13, ha), BloomDoc(14, hc))
+      query.processAllAvailable()
+      val rows = s.sql("SELECT doc_id, bloom_hit FROM sbloom ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(!rows(10) && !rows(11), "first sight of a hash never hits")
+      assert(rows(12), "in-batch duplicate hits (doc_id order folds first)")
+      assert(rows(13), "cross-batch duplicate hits: a bloom has NO false negatives")
+      assert(!rows(14), "fresh content passes the screen")
+    } finally query.stop()
+  }
+
+  test("streaming conformance transitions carry per-user state across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import StreamOps.ConfEvent
+    val allowed = Set("signup>click", "click>click", "click>purchase")
+    val input = MemoryStream[ConfEvent]
+    val query = StreamOps.streamingConformance(input.toDS(), allowed)
+      .writeStream.format("memory").queryName("sconf")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1 arrives out of order; the op folds by (ts, event_id)
+      input.addData(
+        ConfEvent(2, 2L * H, 7, "click"),
+        ConfEvent(1, 1L * H, 7, "signup"),
+        ConfEvent(3, 3L * H, 8, "error"))
+      query.processAllAvailable()
+      // batch 2: user 7 continues (state carried), user 8 transitions
+      input.addData(
+        ConfEvent(4, 4L * H, 7, "purchase"),
+        ConfEvent(5, 5L * H, 8, "click"))
+      query.processAllAvailable()
+      val rows = s.sql(
+        "SELECT user_id, from_type, to_type, is_allowed FROM sconf " +
+        "ORDER BY user_id, from_type, to_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+      assert(rows.toSeq == Seq(
+        (7L, "click", "purchase", true), // cross-batch: state carried
+        (7L, "signup", "click", true),   // in-batch, reordered correctly
+        (8L, "error", "click", false)))  // off-model transition flagged
+    } finally query.stop()
+  }
+
   test("session_window (batch) matches the window-lag sessionize structure") {
     val ev = Tables.events(spark, sfDir)
     val viaSw = StreamOps.sessionWindowCounts(ev)
