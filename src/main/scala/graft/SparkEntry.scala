@@ -13704,12 +13704,246 @@ object SparkEntry {
               |            THEN round((l1.lam + l2.lam) / trc, 4) END AS top2_share
               |FROM l1, l2, tr""".stripMargin)))
 
+  private val round10hQ: Seq[(String, Q)] = Seq(
+    // exact Bayesian A/B: P(p_B > p_A) under independent Beta(1,1)
+    // posteriors, by the closed-form finite sum (support bounded by
+    // arm-B CONVERSIONS, never users) with every log-Beta going
+    // through the shared Stirling lgamma — the "probability B is
+    // better" number product teams actually want next to ev_ab_test's
+    // p-value. One per-user rollup → 4 counts; the sum is an explode
+    // of a bounded sequence.
+    "stat_bayes_ab" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        def lnB(x: Column, y: Column): Column =
+          lgammaCol(x) + lgammaCol(y) - lgammaCol(x + y)
+        val ab = Tables.events(s, d)
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .groupBy("user_id", "arm")
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        val cts = ab.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 0 && col("conv") === 1, 1L).otherwise(0L)).as("c_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 1 && col("conv") === 1, 1L).otherwise(0L)).as("c_b"))
+          .withColumn("aa", (col("c_a") + 1).cast("double"))
+          .withColumn("ba", (col("n_a") - col("c_a") + 1).cast("double"))
+          .withColumn("ab2", (col("c_b") + 1).cast("double"))
+          .withColumn("bb", (col("n_b") - col("c_b") + 1).cast("double"))
+        val terms = cts
+          .withColumn("i", explode(sequence(lit(0L), col("c_b"))))
+          .withColumn("lt",
+            lnB(col("aa") + col("i"), col("ba") + col("bb"))
+              - log(col("bb") + col("i"))
+              - lnB(lit(1.0) + col("i"), col("bb"))
+              - lnB(col("aa"), col("ba")))
+        terms.groupBy("n_a", "c_a", "n_b", "c_b")
+          .agg(round(sum(exp(col("lt"))), 6).as("prob_b_beats_a"))
+          .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+            round(col("c_a") / col("n_a").cast("double"), 4).as("rate_a"),
+            round(col("c_b") / col("n_b").cast("double"), 4).as("rate_b"),
+            col("prob_b_beats_a"))
+      },
+      Some {
+        def lnB(x: String, y: String) = {
+          def lg(e: String) = sqlLf(s"($e) - 1.0") // lgamma(e) = lf(e-1)
+          s"(${lg(x)} + ${lg(y)} - ${lg(s"($x) + ($y)")})"
+        }
+        s"""WITH ab AS (
+           |  SELECT user_id,
+           |         ('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm,
+           |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+           |  FROM events GROUP BY 1, 2),
+           |ct AS (SELECT
+           |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |         CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+           |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |         CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+           |       FROM ab),
+           |pr AS (SELECT *, CAST(c_a + 1 AS DOUBLE) AS aa,
+           |              CAST(n_a - c_a + 1 AS DOUBLE) AS ba,
+           |              CAST(n_b - c_b + 1 AS DOUBLE) AS bb
+           |       FROM ct),
+           |tm AS (SELECT *,
+           |         ${lnB("aa + i", "ba + bb")} - ln(bb + i)
+           |           - ${lnB("1.0 + i", "bb")} - ${lnB("aa", "ba")} AS lt
+           |       FROM (SELECT *, CAST(unnest(generate_series(0, c_b)) AS BIGINT) AS i
+           |             FROM pr))
+           |SELECT n_a, c_a, n_b, c_b,
+           |       round(c_a / CAST(n_a AS DOUBLE), 4) AS rate_a,
+           |       round(c_b / CAST(n_b AS DOUBLE), 4) AS rate_b,
+           |       round(sum(exp(lt)), 6) AS prob_b_beats_a
+           |FROM tm GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+      }),
+
+    // sequential probability ratio test (Wald): daily purchase-share
+    // LLR under H1 = 10% lift over the pooled rate vs H0, accumulated
+    // day by day against the ±ln 19 bounds (α=β=0.05) — the
+    // always-valid "stop the experiment NOW" monitor next to
+    // stat_group_seq's scheduled looks. ONE daily conditional rollup;
+    // the cumulative sum runs over the calendar-bounded day frame
+    // (the ts_pettitt window bound). p0 is broadcast and rounded
+    // before the log-ratios so both engines accumulate identical
+    // terms.
+    "stat_sprt" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"),
+               count(lit(1)).as("n"))
+          .localCheckpoint(eager = false) // pooled rate + the cum pass
+        val p0r = daily.agg(
+          round(sum("x") / sum("n").cast("double"), 6).as("p0"))
+          .withColumn("p1", round(col("p0") * 1.1, 6))
+        val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        daily.crossJoin(broadcast(p0r))
+          .withColumn("ok",
+            col("p0") > 0 && col("p1") < 1 && col("p1") > col("p0"))
+          .withColumn("llr", when(col("ok"),
+            col("x") * (log(col("p1")) - log(col("p0"))) +
+            (col("n") - col("x")) *
+              (log(lit(1.0) - col("p1")) - log(lit(1.0) - col("p0")))))
+          .withColumn("cum_llr", round(sum("llr").over(w), 4))
+          .select(col("day"), col("x"), col("n"), col("p0"), col("p1"),
+            col("cum_llr"),
+            when(col("cum_llr") >= 2.9444, lit("accept_h1"))
+              .when(col("cum_llr") <= -2.9444, lit("accept_h0"))
+              .otherwise(lit("continue")).as("decision"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT ts // 86400000000000 AS day,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |p0r AS (SELECT round(sum(x) / CAST(sum(n) AS DOUBLE), 6) AS p0,
+             |               round(sum(x) / CAST(sum(n) AS DOUBLE) * 1.1, 6) AS p1
+             |        FROM daily),
+             |ll AS (SELECT day, x, n, p0, p1,
+             |         CASE WHEN p0 > 0 AND p1 < 1 AND p1 > p0
+             |              THEN x * (ln(p1) - ln(p0))
+             |                   + (n - x) * (ln(1.0 - p1) - ln(1.0 - p0))
+             |         END AS llr
+             |       FROM daily, p0r),
+             |cm AS (SELECT *, round(sum(llr) OVER (ORDER BY day
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_llr
+             |       FROM ll)
+             |SELECT day, x, n, p0, p1, cum_llr,
+             |       CASE WHEN cum_llr >= 2.9444 THEN 'accept_h1'
+             |            WHEN cum_llr <= -2.9444 THEN 'accept_h0'
+             |            ELSE 'continue' END AS decision
+             |FROM cm ORDER BY day""".stripMargin)),
+
+    // MinHash band-configuration tuning curve: the SAME 16-hash
+    // signatures grouped under (b,r) ∈ {(8,2),(4,4),(2,8)} — how many
+    // candidate pairs each config generates and how similar they
+    // estimate (mean matching-component share), next to the theory
+    // threshold (1/b)^(1/r). The tuning table behind
+    // dedup_minhash_lsh's fixed choice; signatures are computed ONCE,
+    // candidates stay bounded by the banding itself.
+    "dedup_band_curve" -> Q(
+      (s, d) => {
+        val sig = graft.dedup.Dedup.minhashSignatures(docsUnder(s, d, 200), 5, 16)
+          .localCheckpoint(eager = false) // 3 band groupings + est join
+        val configs = Seq((8, 2), (4, 4), (2, 8))
+        val estCols = (0 until 16).map(i =>
+          when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / 16.0
+        val parts = configs.map { case (b, r) =>
+          val bands = (0 until b).map { band =>
+            sig.select(col("doc_id"),
+              lit(band).as("band"),
+              concat_ws("_", (0 until r).map(j => col(s"m${band * r + j}")): _*)
+                .as("bv"))
+          }.reduce(_ union _)
+          val pairs = bands.as("x").join(bands.as("y"),
+              col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+            .distinct()
+          val sa = sig.toDF(sig.columns.map(c =>
+            if (c == "doc_id") "da" else s"a_$c"): _*)
+          val sb = sig.toDF(sig.columns.map(c =>
+            if (c == "doc_id") "db" else s"b_$c"): _*)
+          pairs.join(sa, "da").join(sb, "db")
+            .agg(count(lit(1)).as("n_cand"),
+                 round(avg(estCols), 4).as("avg_est_j"))
+            .select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
+              round(pow(lit(1.0) / b, lit(1.0) / r), 4).as("est_threshold"),
+              col("n_cand"), col("avg_est_j"))
+        }
+        parts.reduce(_ union _).orderBy("b")
+      },
+      Some {
+        val sigSql = graft.dedup.Dedup.minhashSigSql(5, 16, "doc_id < 200")
+        val est = (0 until 16).map(i =>
+          s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        def cfg(b: Int, r: Int): String = {
+          val bandSel = (0 until b).map { band =>
+            val bv = (0 until r).map(j => s"m${band * r + j}").mkString(", ")
+            s"SELECT doc_id, $band AS band, concat_ws('_', $bv) AS bv FROM sig"
+          }.mkString(" UNION ALL ")
+          s"""SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r,
+             |       round(power(1.0 / $b, 1.0 / $r), 4) AS est_threshold,
+             |       CAST(count(*) AS BIGINT) AS n_cand,
+             |       round(avg(($est) / 16.0), 4) AS avg_est_j
+             |FROM (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+             |      FROM ($bandSel) x JOIN ($bandSel) y
+             |        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+             |JOIN sig sa ON sa.doc_id = da
+             |JOIN sig sb ON sb.doc_id = db""".stripMargin
+        }
+        s"""WITH sig AS MATERIALIZED (
+           |$sigSql)
+           |${Seq((8, 2), (4, 4), (2, 8)).map { case (b, r) => cfg(b, r) }
+              .mkString("\n UNION ALL \n")}
+           |ORDER BY b""".stripMargin
+      }),
+
+    // tokenizer fertility per language: BPE-ish tokens per whitespace
+    // word and bytes per BPE token — the "how expensive is this
+    // language for the tokenizer" table (fertility >> 1 means the
+    // vocab underserves the language). Reuses text_token_count's two
+    // tokenizations in ONE grouped map-side pass.
+    "pipe_tokenizer_fertility" -> Q(
+      (s, d) => {
+        val t = graft.text.TextAnalytics.tokenCounts(Tables.documents(s, d))
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("n_chars"))
+          .join(t, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum("n_ws").as("n_ws_tokens"),
+               sum("n_bpe").as("n_bpe_tokens"),
+               sum("n_chars").as("n_chars"))
+          .select(col("lang"), col("n_docs"), col("n_ws_tokens"),
+            col("n_bpe_tokens"),
+            round(col("n_bpe_tokens") / col("n_ws_tokens").cast("double"), 4)
+              .as("fertility"),
+            round(col("n_chars") / col("n_bpe_tokens").cast("double"), 4)
+              .as("chars_per_token"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+             |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+             |  FROM documents)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+             |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+             |       round(sum(n_bpe) / CAST(sum(n_ws) AS DOUBLE), 4) AS fertility,
+             |       round(sum(n_chars) / CAST(sum(n_bpe) AS DOUBLE), 4) AS chars_per_token
+             |FROM t GROUP BY lang ORDER BY lang""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
     relational ++ eventsQ ++ experimentsQ ++ vectorStore ++ dedup ++ textQ ++
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
-      round10eQ ++ round10fQ ++ round10gQ
+      round10eQ ++ round10fQ ++ round10gQ ++ round10hQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

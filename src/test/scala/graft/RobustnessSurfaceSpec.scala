@@ -95,7 +95,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "feat_hash_buckets", "stat_cronbach", "samp_ess",
     "graph_katz", "graph_closeness", "priv_dp_quantile",
     "samp_kfold", "dedup_bloom_incremental", "mm_video_keyframes",
-    "text_extract_summary", "text_ngram_novelty")
+    "text_extract_summary", "text_ngram_novelty",
+    "dedup_band_curve", "pipe_tokenizer_fertility")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -210,7 +211,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ts_strength", "ts_spectral_entropy", "ev_retention_fit", "ev_srm_daily",
     "feat_target_encode", "ev_abandonment", "samp_time_split",
     "ts_granger", "stat_durbin_watson", "graph_hits", "ts_pacf",
-    "ev_conformance", "ts_theil_u", "ts_runs_test", "stat_fisher_exact")
+    "ev_conformance", "ts_theil_u", "ts_runs_test", "stat_fisher_exact",
+    "stat_bayes_ab", "stat_sprt")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

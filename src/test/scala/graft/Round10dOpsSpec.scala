@@ -245,6 +245,51 @@ class Round10dOpsSpec extends SparkSpec {
     assert(s2 > 0.0 && s2 <= 1.0 + 1e-6)
   }
 
+  test("Bayesian A/B probability is proper and sides with the higher rate") {
+    val r = run("stat_bayes_ab").head
+    val p = r.getAs[Double]("prob_b_beats_a")
+    assert(p > 0.0 && p < 1.0, s"p=$p")
+    val ra = r.getAs[Double]("rate_a"); val rb = r.getAs[Double]("rate_b")
+    // with comparable arm sizes the posterior must lean toward the
+    // arm with the higher observed rate
+    if (math.abs(ra - rb) > 0.02) assert((rb > ra) == (p > 0.5), r.mkString(","))
+  }
+
+  test("SPRT decisions match the cumulative LLR against the ln 19 bounds") {
+    val rows = run("stat_sprt")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cum_llr"); val dec = r.getAs[String]("decision")
+      val expect = if (c >= 2.9444) "accept_h1"
+        else if (c <= -2.9444) "accept_h0" else "continue"
+      assert(dec == expect, r.mkString(","))
+    }
+  }
+
+  test("band curve reports the three configs with their theory thresholds") {
+    val rows = run("dedup_band_curve")
+    assert(rows.length == 3)
+    val byB = rows.map(r => r.getAs[Long]("b") ->
+      r.getAs[Double]("est_threshold")).toMap
+    assert(math.abs(byB(8L) - 0.3536) < 1e-4)
+    assert(math.abs(byB(4L) - 0.7071) < 1e-4)
+    assert(math.abs(byB(2L) - 0.9170) < 1e-4)
+    // the loosest config (b=8, r=2) can only generate MORE candidates
+    // than the strictest (b=2, r=8) on the same signatures
+    val cand = rows.map(r => r.getAs[Long]("b") -> r.getAs[Long]("n_cand")).toMap
+    assert(cand(8L) >= cand(2L), cand.toString)
+  }
+
+  test("tokenizer fertility is at least 1 for every language") {
+    val rows = run("pipe_tokenizer_fertility")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // every whitespace word yields at least one BPE-ish token
+      assert(r.getAs[Double]("fertility") >= 1.0, r.mkString(","))
+      assert(r.getAs[Double]("chars_per_token") > 0.0)
+    }
+  }
+
   test("ESS is between 1 and n_docs for every source") {
     val rows = run("samp_ess")
     assert(rows.nonEmpty)

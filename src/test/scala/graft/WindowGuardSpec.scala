@@ -99,7 +99,10 @@ class WindowGuardSpec extends SparkSpec {
     "stat_ad_test",
     // exponential-mechanism cumulative weights over the DISTINCT
     // token-count grid (the stat_gini bound: values, never rows)
-    "priv_dp_quantile")
+    "priv_dp_quantile",
+    // LLR accumulation over the calendar-bounded daily rollup (the
+    // ts_pettitt bound: |days| rows, facts collapsed first)
+    "stat_sprt")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
