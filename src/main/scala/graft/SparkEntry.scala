@@ -13938,12 +13938,249 @@ object SparkEntry {
              |       round(sum(n_chars) / CAST(sum(n_bpe) AS DOUBLE), 4) AS chars_per_token
              |FROM t GROUP BY lang ORDER BY lang""".stripMargin)))
 
+  private val round10iQ: Seq[(String, Q)] = Seq(
+    // "All-but-the-top" embedding post-processing (Mu & Viswanath
+    // 2018): remove the mean and project out the top covariance
+    // direction, then re-measure anisotropy — the standard fix for
+    // the "all vectors point the same way" pathology emb_anisotropy
+    // diagnoses. μ and v₁ come from the SAME bounded machinery as
+    // emb_top_eigen (4096-cell aggregate + 8 pinned power rounds);
+    // the transform is an index-join over the 64-rows-per-vector
+    // explode — both engines run the identical relational shape, and
+    // the before/after scores use emb_anisotropy's exact Σ identity.
+    "emb_abtt" -> Q(
+      (s, d) => {
+        val ex0 = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("i").cast("long").as("i"),
+                  col("x").cast("double").as("x"))
+          .localCheckpoint(eager = false) // mean + cells + both passes
+        val mu = ex0.groupBy("i")
+          .agg(round(sum("x") / count(lit(1)), 7).as("m"))
+          .localCheckpoint(eager = false)
+        val exc = ex0.join(broadcast(mu), "i")
+          .select(col("vec_id"), col("i"), (col("x") - col("m")).as("xc"))
+          .localCheckpoint(eager = false) // cells + projection + residual
+        val cells = exc.select(col("vec_id"), col("i").as("a"), col("xc").as("xa"))
+          .join(exc.select(col("vec_id"), col("i").as("b"), col("xc").as("xb")),
+            "vec_id")
+          .groupBy("a", "b")
+          .agg(round(sum(col("xa") * col("xb")) / count(lit(1)), 7).as("cv"))
+          .localCheckpoint(eager = false)
+        var v = cells.filter(col("a") === col("b"))
+          .select(col("a").as("i")).withColumn("v", lit(1.0))
+          .localCheckpoint(eager = false)
+        for (_ <- 1 to 8) {
+          val r = cells.join(v.select(col("i").as("b"), col("v")), "b")
+            .groupBy(col("a").as("i")).agg(sum(col("cv") * col("v")).as("raw"))
+          val nm = r.agg(sum(abs(col("raw"))).as("nm"))
+          v = r.crossJoin(broadcast(nm))
+            .select(col("i"), when(col("nm") === 0, lit(null).cast("double"))
+              .otherwise(round(col("raw") / col("nm"), 7)).as("v"))
+            .localCheckpoint(eager = false)
+        }
+        val proj = exc.join(broadcast(v), "i")
+          .groupBy("vec_id").agg(round(sum(col("xc") * col("v")), 7).as("p"))
+        val resid = exc.join(broadcast(v), "i")
+          .join(broadcast(proj), "vec_id")
+          .select(col("vec_id"), col("i"),
+            (col("xc") - col("p") * col("v")).as("xr"))
+          .localCheckpoint(eager = false) // norms + unit sums
+        def aniso(frame: DataFrame, valCol: String): DataFrame = {
+          val nrm = frame.groupBy("vec_id")
+            .agg(sqrt(sum(col(valCol) * col(valCol))).as("nrm"))
+            .filter(col("nrm") > 0)
+          val d2 = frame.join(broadcast(nrm), "vec_id")
+            .groupBy("i").agg(sum(col(valCol) / col("nrm")).as("su"))
+          val nR = nrm.agg(count(lit(1)).as("n"))
+          d2.crossJoin(broadcast(nR))
+            .agg(max("n").as("n"),
+              round((sum(col("su") * col("su")) - max(col("n")))
+                / (max(col("n")) * (max(col("n")) - lit(1.0))), 6).as("ac"))
+        }
+        val before = aniso(ex0, "x")
+          .select(col("n").as("n_vecs"), col("ac").as("aniso_before"))
+        val after = aniso(resid, "xr")
+          .select(col("ac").as("aniso_after"))
+        before.crossJoin(broadcast(after))
+          .select(col("n_vecs"), col("aniso_before"), col("aniso_after"),
+            round(col("aniso_before") - col("aniso_after"), 6).as("reduction"))
+      },
+      Some(s"""WITH ex0 AS MATERIALIZED (
+              |  SELECT vec_id,
+              |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+              |         CAST(unnest(embedding) AS DOUBLE) AS x
+              |  FROM embeddings WHERE embedding IS NOT NULL),
+              |mu AS MATERIALIZED (
+              |  SELECT i, round(sum(x) / count(*), 7) AS m FROM ex0 GROUP BY i),
+              |exc AS MATERIALIZED (
+              |  SELECT vec_id, i, x - m AS xc FROM ex0 JOIN mu USING (i)),
+              |cells AS MATERIALIZED (
+              |  SELECT p.i AS a, q.i AS b,
+              |         round(sum(p.xc * q.xc) / count(*), 7) AS cv
+              |  FROM exc p JOIN exc q ON p.vec_id = q.vec_id
+              |  GROUP BY 1, 2),
+              |v0 AS MATERIALIZED (SELECT a AS i, 1.0 AS x FROM cells WHERE a = b),
+              |${covPowIterSql(8)},
+              |vv AS MATERIALIZED (SELECT i, x AS v FROM v8),
+              |proj AS MATERIALIZED (
+              |  SELECT vec_id, round(sum(xc * v), 7) AS p
+              |  FROM exc JOIN vv USING (i) GROUP BY vec_id),
+              |resid AS MATERIALIZED (
+              |  SELECT vec_id, i, xc - p * v AS xr
+              |  FROM exc JOIN vv USING (i) JOIN proj USING (vec_id)),
+              |nb AS MATERIALIZED (
+              |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex0
+              |  GROUP BY vec_id HAVING sqrt(sum(x * x)) > 0),
+              |sb AS (SELECT i, sum(x / nrm) AS su
+              |       FROM ex0 JOIN nb USING (vec_id) GROUP BY i),
+              |tb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nb),
+              |ab AS (SELECT n, round((sum(su * su) - n) / (n * (n - 1.0)), 6) AS ac
+              |       FROM sb, tb GROUP BY n),
+              |na AS MATERIALIZED (
+              |  SELECT vec_id, sqrt(sum(xr * xr)) AS nrm FROM resid
+              |  GROUP BY vec_id HAVING sqrt(sum(xr * xr)) > 0),
+              |sa AS (SELECT i, sum(xr / nrm) AS su
+              |       FROM resid JOIN na USING (vec_id) GROUP BY i),
+              |ta AS (SELECT CAST(count(*) AS BIGINT) AS n FROM na),
+              |aa AS (SELECT round((sum(su * su) - n) / (n * (n - 1.0)), 6) AS ac
+              |       FROM sa, ta GROUP BY n)
+              |SELECT ab.n AS n_vecs, ab.ac AS aniso_before, aa.ac AS aniso_after,
+              |       round(ab.ac - aa.ac, 6) AS reduction
+              |FROM ab, aa""".stripMargin)),
+
+    // Cochran-Mantel-Haenszel stratified 2×2 test + Mantel-Haenszel
+    // common odds ratio: the arm effect on conversion CONTROLLING for
+    // signup-day-of-week strata — the Simpson's-paradox-proof
+    // companion to ev_ab_test (and the formal version of ev_simpson's
+    // audit). Per-user first-day rollup → 7 strata × 4 counts;
+    // everything after is arithmetic over ≤7 rows. Continuity-
+    // corrected χ²₁, p via the shared A&S erfc.
+    "stat_cmh" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val u = Tables.events(s, d)
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .groupBy("user_id", "arm")
+          .agg(min(expr("ts div 86400000000000")).as("fd"),
+               max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                 .as("conv"))
+        val strata = u.withColumn("stratum", pmod(col("fd"), lit(7)))
+          .groupBy("stratum")
+          .agg(sum(when(col("arm") === 1 && col("conv") === 1, 1L).otherwise(0L)).as("a"),
+               sum(when(col("arm") === 1 && col("conv") === 0, 1L).otherwise(0L)).as("b"),
+               sum(when(col("arm") === 0 && col("conv") === 1, 1L).otherwise(0L)).as("c"),
+               sum(when(col("arm") === 0 && col("conv") === 0, 1L).otherwise(0L)).as("dd"))
+          .withColumn("n", (col("a") + col("b") + col("c") + col("dd")).cast("double"))
+          .filter(col("n") >= 2)
+        val agg = strata.agg(
+          count(lit(1)).as("n_strata"),
+          sum(col("a") - (col("a") + col("b")) * (col("a") + col("c")) / col("n"))
+            .as("num"),
+          sum((col("a") + col("b")) * (col("c") + col("dd")) *
+              (col("a") + col("c")) * (col("b") + col("dd")) /
+              (col("n") * col("n") * (col("n") - 1.0))).as("vr"),
+          sum(col("a") * col("dd") / col("n")).as("rs"),
+          sum(col("b") * col("c") / col("n")).as("ss"))
+        val chi = agg.withColumn("chi2",
+          when(col("vr") > 0,
+            round(pow(abs(col("num")) - 0.5, 2) / col("vr"), 4)))
+        val xx = sqrt(col("chi2") / 2)
+        val t1 = lit(1.0) / (lit(1.0) + lit(0.3275911) * xx)
+        chi.select(col("n_strata"), col("chi2"),
+          when(col("chi2").isNull, lit(null).cast("double")).otherwise(round(
+            t1 * (lit(0.254829592) + t1 * (lit(-0.284496736)
+              + t1 * (lit(1.421413741) + t1 * (lit(-1.453152027)
+              + t1 * lit(1.061405429)))))
+            * exp(-xx * xx), 6)).as("p_value"),
+          when(col("ss") > 0, round(col("rs") / col("ss"), 4)).as("or_mh"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         ('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm,
+             |         min(ts // 86400000000000) AS fd,
+             |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT fd % 7 AS stratum,
+             |         sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS a,
+             |         sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS b,
+             |         sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS c,
+             |         sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS dd
+             |       FROM u GROUP BY 1),
+             |sf AS (SELECT *, CAST(a + b + c + dd AS DOUBLE) AS n FROM st
+             |       WHERE a + b + c + dd >= 2),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             |              sum(a - (a + b) * (a + c) / n) AS num,
+             |              sum((a + b) * (c + dd) * (a + c) * (b + dd)
+             |                  / (n * n * (n - 1.0))) AS vr,
+             |              sum(a * dd / n) AS rs, sum(b * c / n) AS ss
+             |       FROM sf),
+             |ch AS (SELECT *, CASE WHEN vr > 0
+             |              THEN round(pow(abs(num) - 0.5, 2) / vr, 4) END AS chi2
+             |       FROM ag),
+             |pv AS (SELECT *, sqrt(chi2 / 2) AS xx,
+             |              1.0 / (1.0 + 0.3275911 * sqrt(chi2 / 2)) AS t1
+             |       FROM ch)
+             |SELECT n_strata, chi2,
+             |       CASE WHEN chi2 IS NULL THEN NULL ELSE round(
+             |         t1 * (0.254829592 + t1 * (-0.284496736
+             |           + t1 * (1.421413741 + t1 * (-1.453152027
+             |           + t1 * 1.061405429)))) * exp(-xx*xx), 6) END AS p_value,
+             |       CASE WHEN ss > 0 THEN round(rs / ss, 4) END AS or_mh
+             |FROM pv""".stripMargin)),
+
+    // Deming (orthogonal / total-least-squares) regression per return
+    // flag: when BOTH variables carry error, the OLS slope is biased
+    // toward zero — the TLS slope is the closed-form top eigendirection
+    // of the 2×2 centered covariance, reported NEXT to OLS so the
+    // attenuation is visible. ONE hash aggregate of 5 sums per group.
+    "stat_deming" -> Q(
+      (s, d) => {
+        val t = Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_quantity").cast("double").as("x"),
+          (col("l_extendedprice") / 1000.0).as("y"))
+        t.groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+               sum("x").as("sx"), sum("y").as("sy"),
+               sum(expr("x*x")).as("sxx"), sum(expr("x*y")).as("sxy"),
+               sum(expr("y*y")).as("syy"))
+          .withColumn("dxx", col("sxx") - col("sx") * col("sx") / col("n"))
+          .withColumn("dyy", col("syy") - col("sy") * col("sy") / col("n"))
+          .withColumn("dxy", col("sxy") - col("sx") * col("sy") / col("n"))
+          .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+            when(col("dxx") > 0, round(col("dxy") / col("dxx"), 6))
+              .as("slope_ols"),
+            when(col("dxy") =!= 0, round(
+              (col("dyy") - col("dxx") +
+                sqrt(pow(col("dyy") - col("dxx"), 2)
+                  + lit(4.0) * col("dxy") * col("dxy")))
+              / (lit(2.0) * col("dxy")), 6)).as("slope_tls"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH t AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
+             |                  l_extendedprice / 1000.0 AS y FROM lineitem),
+             |g AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+             |             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+             |             sum(x*y) AS sxy, sum(y*y) AS syy
+             |      FROM t GROUP BY 1),
+             |c AS (SELECT *, sxx - sx*sx/n AS dxx, syy - sy*sy/n AS dyy,
+             |             sxy - sx*sy/n AS dxy
+             |      FROM g)
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+             |       CASE WHEN dxx > 0 THEN round(dxy / dxx, 6) END AS slope_ols,
+             |       CASE WHEN dxy <> 0 THEN round(
+             |         (dyy - dxx + sqrt(pow(dyy - dxx, 2) + 4.0*dxy*dxy))
+             |         / (2.0 * dxy), 6) END AS slope_tls
+             |FROM c ORDER BY l_returnflag""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
     relational ++ eventsQ ++ experimentsQ ++ vectorStore ++ dedup ++ textQ ++
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
-      round10eQ ++ round10fQ ++ round10gQ ++ round10hQ
+      round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

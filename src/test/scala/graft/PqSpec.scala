@@ -40,6 +40,26 @@ class PqSpec extends SparkSpec {
     assert(nCand < emb.count())
   }
 
+  test("recall-vs-rerank-depth curve: recall grows with candidates and saturates") {
+    val codebook = Pq.train(emb, cfg)
+    val encoded = Pq.encode(emb, codebook, cfg)
+    val qdf = graft.store.VectorStore.queryVecOf(spark, sfDir, 11)
+    val q = emb.filter(col("vec_id") === 11)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Ann.bruteForceTopK(emb, q, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet + 11L
+    val recalls = Seq(10, 50, 200).map { cand =>
+      val got = Pq.search(emb, encoded, codebook, qdf, cfg,
+          candidates = cand, k = 10)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      (got intersect exact).size.toDouble / 10
+    }
+    // deeper re-rank can only help: the candidate set is nested
+    assert(recalls(0) <= recalls(1) + 1e-9 && recalls(1) <= recalls(2) + 1e-9,
+      s"recalls=$recalls")
+    assert(recalls(2) >= 0.5, s"deep re-rank recovers most: $recalls")
+  }
+
   test("ADC + exact re-rank recovers most true neighbors") {
     val codebook = Pq.train(emb, cfg)
     val encoded = Pq.encode(emb, codebook, cfg)

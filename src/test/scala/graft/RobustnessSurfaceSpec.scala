@@ -140,7 +140,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "emb_anisotropy", "ann_jl_recall", "emb_twonn_id",
     "emb_participation_ratio", "emb_cka", "emb_knn_vote",
     "ann_ivf_recall_curve", "emb_hubness", "emb_top_eigen",
-    "emb_deflated_eigen")
+    "emb_deflated_eigen", "emb_abtt")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
@@ -212,7 +212,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "feat_target_encode", "ev_abandonment", "samp_time_split",
     "ts_granger", "stat_durbin_watson", "graph_hits", "ts_pacf",
     "ev_conformance", "ts_theil_u", "ts_runs_test", "stat_fisher_exact",
-    "stat_bayes_ab", "stat_sprt")
+    "stat_bayes_ab", "stat_sprt", "stat_cmh")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

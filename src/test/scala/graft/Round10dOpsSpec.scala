@@ -290,6 +290,41 @@ class Round10dOpsSpec extends SparkSpec {
     }
   }
 
+  test("all-but-the-top reduces anisotropy") {
+    val r = run("emb_abtt").head
+    assert(r.getAs[Long]("n_vecs") > 1)
+    val before = r.getAs[Double]("aniso_before")
+    val after = r.getAs[Double]("aniso_after")
+    // removing the mean and the top direction is exactly the
+    // correction for common-direction bias: it can't make it worse
+    assert(after <= before + 1e-6, s"before=$before after=$after")
+    assert(math.abs(r.getAs[Double]("reduction") - (before - after)) < 1e-5)
+  }
+
+  test("CMH statistic is non-negative with a positive common odds ratio") {
+    val r = run("stat_cmh").head
+    assert(r.getAs[Long]("n_strata") >= 1 && r.getAs[Long]("n_strata") <= 7)
+    if (!r.isNullAt(r.fieldIndex("chi2"))) {
+      assert(r.getAs[Double]("chi2") >= 0.0)
+      val p = r.getAs[Double]("p_value")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    if (!r.isNullAt(r.fieldIndex("or_mh")))
+      assert(r.getAs[Double]("or_mh") > 0.0)
+  }
+
+  test("TLS slope is steeper than OLS when both variables carry error") {
+    val rows = run("stat_deming")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ols = r.getAs[Double]("slope_ols")
+      val tls = r.getAs[Double]("slope_tls")
+      // attenuation bias: |OLS| <= |TLS| when the x-variance in the
+      // TLS direction is positive (equality only for exact fits)
+      assert(math.abs(tls) >= math.abs(ols) - 1e-9, r.mkString(","))
+    }
+  }
+
   test("ESS is between 1 and n_docs for every source") {
     val rows = run("samp_ess")
     assert(rows.nonEmpty)
