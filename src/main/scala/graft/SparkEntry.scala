@@ -14175,12 +14175,379 @@ object SparkEntry {
              |         / (2.0 * dxy), 6) END AS slope_tls
              |FROM c ORDER BY l_returnflag""".stripMargin)))
 
+  private val round10jQ: Seq[(String, Q)] = Seq(
+    // interrupted-time-series (segmented regression): fit daily
+    // purchases ~ day SEPARATELY before and after the calendar
+    // midpoint and report the level and slope discontinuities at the
+    // cut — the first-line causal read-out for "did the launch bend
+    // the curve". Both segment fits are CASE-filtered Gram sums in
+    // ONE aggregate over the daily rollup; exact integer sums feed
+    // the closed forms.
+    "ev_intervention_its" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+          .localCheckpoint(eager = false) // bounds + the segment sums
+        val bounds = daily.agg(min("day").as("mn"), max("day").as("mx"))
+        val t = daily.crossJoin(broadcast(bounds))
+          .withColumn("t", (col("day") - col("mn")).cast("double"))
+          .withColumn("t0", expr("CAST((mx - mn + 1) div 2 AS DOUBLE)"))
+          .withColumn("post", (col("t") >= col("t0")).cast("long"))
+        def seg(p: Int, c: String) = sum(when(col("post") === p,
+          expr(c)).otherwise(0.0))
+        val g = t.agg(max("t0").as("t0"),
+          sum(when(col("post") === 0, 1L).otherwise(0L)).cast("double").as("n1"),
+          seg(0, "t").as("sx1"), seg(0, "y").as("sy1"),
+          seg(0, "t*t").as("sxx1"), seg(0, "t*y").as("sxy1"),
+          sum(when(col("post") === 1, 1L).otherwise(0L)).cast("double").as("n2"),
+          seg(1, "t").as("sx2"), seg(1, "y").as("sy2"),
+          seg(1, "t*t").as("sxx2"), seg(1, "t*y").as("sxy2"))
+        def fit(n: String, sx: String, sy: String, sxx: String, sxy: String) = {
+          val dx = col(n) * col(sxx) - col(sx) * col(sx)
+          val b = (col(n) * col(sxy) - col(sx) * col(sy)) / dx
+          (dx, round(b, 6), round((col(sy) - b * col(sx)) / col(n), 6))
+        }
+        val (dx1, b1, a1) = fit("n1", "sx1", "sy1", "sxx1", "sxy1")
+        val (dx2, b2, a2) = fit("n2", "sx2", "sy2", "sxx2", "sxy2")
+        g.withColumn("ok", col("n1") >= 2 && col("n2") >= 2 &&
+            dx1 > 0 && dx2 > 0)
+          .select(col("n1").cast("long").as("n_pre"),
+            col("n2").cast("long").as("n_post"),
+            when(col("ok"), b1).as("slope_pre"),
+            when(col("ok"), b2).as("slope_post"),
+            when(col("ok"), round(b2 - b1, 6)).as("slope_change"),
+            when(col("ok"), round((a2 + b2 * col("t0")) - (a1 + b1 * col("t0")), 4))
+              .as("level_change"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT ts // 86400000000000 AS day,
+             |         CAST(count(*) AS DOUBLE) AS y
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+             |t AS (SELECT CAST(day - mn AS DOUBLE) AS t,
+             |             CAST((mx - mn + 1) // 2 AS DOUBLE) AS t0, y,
+             |             CASE WHEN day - mn >= (mx - mn + 1) // 2
+             |                  THEN 1 ELSE 0 END AS post
+             |      FROM daily, b),
+             |g AS (SELECT max(t0) AS t0,
+             |        CAST(sum(CASE WHEN post = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             |        sum(CASE WHEN post = 0 THEN t ELSE 0 END) AS sx1,
+             |        sum(CASE WHEN post = 0 THEN y ELSE 0 END) AS sy1,
+             |        sum(CASE WHEN post = 0 THEN t*t ELSE 0 END) AS sxx1,
+             |        sum(CASE WHEN post = 0 THEN t*y ELSE 0 END) AS sxy1,
+             |        CAST(sum(CASE WHEN post = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+             |        sum(CASE WHEN post = 1 THEN t ELSE 0 END) AS sx2,
+             |        sum(CASE WHEN post = 1 THEN y ELSE 0 END) AS sy2,
+             |        sum(CASE WHEN post = 1 THEN t*t ELSE 0 END) AS sxx2,
+             |        sum(CASE WHEN post = 1 THEN t*y ELSE 0 END) AS sxy2
+             |      FROM t),
+             |f AS (SELECT *,
+             |        n1*sxx1 - sx1*sx1 AS dx1, n2*sxx2 - sx2*sx2 AS dx2,
+             |        (n1 >= 2 AND n2 >= 2 AND n1*sxx1 - sx1*sx1 > 0
+             |         AND n2*sxx2 - sx2*sx2 > 0) AS ok
+             |      FROM g),
+             |c AS (SELECT *,
+             |        round((n1*sxy1 - sx1*sy1) / dx1, 6) AS b1,
+             |        round((n2*sxy2 - sx2*sy2) / dx2, 6) AS b2,
+             |        round((sy1 - (n1*sxy1 - sx1*sy1) / dx1 * sx1) / n1, 6) AS a1,
+             |        round((sy2 - (n2*sxy2 - sx2*sy2) / dx2 * sx2) / n2, 6) AS a2
+             |      FROM f)
+             |SELECT CAST(n1 AS BIGINT) AS n_pre, CAST(n2 AS BIGINT) AS n_post,
+             |       CASE WHEN ok THEN b1 END AS slope_pre,
+             |       CASE WHEN ok THEN b2 END AS slope_post,
+             |       CASE WHEN ok THEN round(b2 - b1, 6) END AS slope_change,
+             |       CASE WHEN ok THEN round((a2 + b2*t0) - (a1 + b1*t0), 4)
+             |       END AS level_change
+             |FROM c""".stripMargin)),
+
+    // Engle-Granger cointegration check clicks ↔ purchases: OLS the
+    // two daily series against each other, then a lag-0 Dickey-Fuller
+    // regression of Δe on e_{t-1} over the residuals — a deeply
+    // negative t says the series share a common trend (forecast one
+    // from the other), near-zero says the relation is spurious. The
+    // residual pass reuses the PINNED (rounded-6) OLS coefficients;
+    // lag alignment is the Granger day=day+1 equi-join (no window).
+    "ts_cointegration" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                 .cast("double").as("y"),
+               sum(when(col("event_type") === "click", 1L).otherwise(0L))
+                 .cast("double").as("x"))
+          .localCheckpoint(eager = false) // OLS + residual + alignment
+        val cf = daily.agg(count(lit(1)).cast("double").as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+          .filter(col("dx") > 0)
+          .select(col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) / col("dx"), 6)
+              .as("beta"),
+            round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+              / col("dx") * col("sx")) / col("n"), 6).as("alpha"))
+        val e = daily.crossJoin(broadcast(cf))
+          .select(col("day"), col("n"),
+            (col("y") - col("alpha") - col("beta") * col("x")).as("e"),
+            col("beta"))
+          .localCheckpoint(eager = false) // both sides of the lag join
+        val prev = e.select(col("day").as("dp"), col("e").as("el"))
+        val adf = e.join(prev, col("dp") === col("day") - 1)
+          .agg(max("n").as("n"), max("beta").as("beta"),
+               count(lit(1)).cast("double").as("m"),
+               sum(col("el") * (col("e") - col("el"))).as("sed"),
+               sum(col("el") * col("el")).as("see"),
+               sum(col("e") * col("e")).as("s2"),
+               sum(col("e") * col("el")).as("sel"))
+        adf.withColumn("rho", when(col("see") > 0, col("sed") / col("see")))
+          .withColumn("rss",
+            col("s2") - lit(2.0) * (lit(1.0) + col("rho")) * col("sel")
+              + pow(lit(1.0) + col("rho"), 2) * col("see"))
+          .withColumn("se2",
+            when(col("m") > 1 && col("see") > 0,
+              col("rss") / (col("m") - 1) / col("see")))
+          .select(col("n").cast("long").as("n_days"), col("beta"),
+            round(col("rho"), 6).as("rho"),
+            when(col("se2") > 0, round(col("rho") / sqrt(col("se2")), 4))
+              .as("adf_t"),
+            when(col("se2") > 0,
+              (col("rho") / sqrt(col("se2")) < -2.86).cast("long"))
+              .as("cointegrated_05"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT ts // 86400000000000 AS day,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS y,
+             |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS x
+             |  FROM events GROUP BY 1),
+             |cf AS (SELECT n, round((n*sxy - sx*sy) / dx, 6) AS beta,
+             |              round((sy - (n*sxy - sx*sy) / dx * sx) / n, 6) AS alpha
+             |       FROM (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+             |                    sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy,
+             |                    count(*) * sum(x*x) - sum(x) * sum(x) AS dx
+             |             FROM daily)
+             |       WHERE dx > 0),
+             |e AS (SELECT day, n, beta, y - alpha - beta * x AS e
+             |      FROM daily, cf),
+             |p AS (SELECT a.n, a.beta, a.e, b.e AS el
+             |      FROM e a JOIN e b ON b.day = a.day - 1),
+             |ag AS (SELECT max(n) AS n, max(beta) AS beta,
+             |              CAST(count(*) AS DOUBLE) AS m,
+             |              sum(el * (e - el)) AS sed, sum(el * el) AS see,
+             |              sum(e * e) AS s2, sum(e * el) AS sel
+             |       FROM p),
+             |rr AS (SELECT *, CASE WHEN see > 0 THEN sed / see END AS rho FROM ag),
+             |rs AS (SELECT *,
+             |         s2 - 2.0 * (1.0 + rho) * sel + (1.0 + rho) * (1.0 + rho) * see AS rss
+             |       FROM rr),
+             |sz AS (SELECT *, CASE WHEN m > 1 AND see > 0
+             |              THEN rss / (m - 1) / see END AS se2
+             |       FROM rs)
+             |SELECT CAST(n AS BIGINT) AS n_days, beta, round(rho, 6) AS rho,
+             |       CASE WHEN se2 > 0 THEN round(rho / sqrt(se2), 4) END AS adf_t,
+             |       CASE WHEN se2 > 0 THEN
+             |         CAST(CASE WHEN rho / sqrt(se2) < -2.86 THEN 1 ELSE 0 END AS BIGINT)
+             |       END AS cointegrated_05
+             |FROM sz""".stripMargin)),
+
+    // one-sample Lilliefors/KS normality check of daily event totals:
+    // sup-distance between the daily-count ECDF and the normal CDF at
+    // the FITTED (μ̂, σ̂) — both ECDF steps checked, Φ through the
+    // shared A&S erf polynomial, all on the DISTINCT-value histogram
+    // (values, never rows). The "is a z-test even admissible" gate in
+    // front of the parametric monitors.
+    "stat_lilliefors" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+          .localCheckpoint(eager = false) // moments + the value grid
+        val m = daily.agg(count(lit(1)).cast("double").as("n"),
+            round(avg("y"), 6).as("mu"),
+            round(sqrt(var_pop("y")), 6).as("sg"))
+        val g = daily.groupBy("y").agg(count(lit(1)).cast("double").as("c"))
+        val wv = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+        val steps = g.withColumn("below", coalesce(sum("c").over(wv), lit(0.0)))
+          .crossJoin(broadcast(m))
+          .filter(col("sg") > 0 && col("n") > 1)
+          .withColumn("z", (col("y") - col("mu")) / col("sg"))
+          .withColumn("xx", abs(col("z")) / sqrt(lit(2.0)))
+          .withColumn("t1", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("xx")))
+          .withColumn("erf2",
+            lit(1.0) - col("t1") * (lit(0.254829592) + col("t1")
+              * (lit(-0.284496736) + col("t1") * (lit(1.421413741)
+              + col("t1") * (lit(-1.453152027)
+              + col("t1") * lit(1.061405429))))) * exp(-col("xx") * col("xx")))
+          .withColumn("phi",
+            when(col("z") >= 0, (lit(1.0) + col("erf2")) / 2)
+              .otherwise((lit(1.0) - col("erf2")) / 2))
+          .withColumn("dv", greatest(
+            abs((col("below") + col("c")) / col("n") - col("phi")),
+            abs(col("below") / col("n") - col("phi"))))
+        steps.agg(max(col("n")).cast("long").as("n_days"),
+            max("mu").as("mu"), max("sg").as("sigma"),
+            round(max("dv"), 4).as("d_stat"))
+          .withColumn("d_crit_05",
+            round(lit(0.895) / sqrt(col("n_days").cast("double")), 4))
+          .withColumn("reject_normal",
+            (col("d_stat") > col("d_crit_05")).cast("long"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT ts // 86400000000000 AS day,
+             |         CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT CAST(count(*) AS DOUBLE) AS n, round(avg(y), 6) AS mu,
+             |             round(sqrt(var_pop(y)), 6) AS sg
+             |      FROM daily),
+             |g AS (SELECT y, CAST(count(*) AS DOUBLE) AS c FROM daily GROUP BY y),
+             |st AS (SELECT y, c,
+             |         coalesce(sum(c) OVER (ORDER BY y
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+             |         n, mu, sg
+             |       FROM g, m WHERE sg > 0 AND n > 1),
+             |zz AS (SELECT *, (y - mu) / sg AS z,
+             |              abs((y - mu) / sg) / sqrt(2.0) AS xx
+             |       FROM st),
+             |tt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * xx) AS t1 FROM zz),
+             |ph AS (SELECT *,
+             |         CASE WHEN z >= 0 THEN (1.0 + ef) / 2
+             |              ELSE (1.0 - ef) / 2 END AS phi
+             |       FROM (SELECT *,
+             |               1.0 - t1 * (0.254829592 + t1 * (-0.284496736
+             |                 + t1 * (1.421413741 + t1 * (-1.453152027
+             |                 + t1 * 1.061405429)))) * exp(-xx*xx) AS ef
+             |             FROM tt)),
+             |dv AS (SELECT *, greatest(abs((below + c) / n - phi),
+             |                          abs(below / n - phi)) AS dv
+             |       FROM ph)
+             |SELECT CAST(max(n) AS BIGINT) AS n_days, max(mu) AS mu,
+             |       max(sg) AS sigma, round(max(dv), 4) AS d_stat,
+             |       round(0.895 / sqrt(max(n)), 4) AS d_crit_05,
+             |       CAST(CASE WHEN round(max(dv), 4) > round(0.895 / sqrt(max(n)), 4)
+             |            THEN 1 ELSE 0 END AS BIGINT) AS reject_normal
+             |FROM dv""".stripMargin)),
+
+    // Hosmer-Lemeshow calibration test of the quality score read AS a
+    // duplicate-probability predictor (samp_reliability_bins' exact
+    // pairing): observed vs expected dup counts over the same 10
+    // fixed-width score bins, HL χ² with the closed-form χ²₈ survival
+    // (even df ⇒ finite Poisson sum — no incomplete gamma needed).
+    // The formal p-value on top of the reliability table.
+    "stat_hosmer_lemeshow" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val q = graft.text.TextAnalytics.qualityScores(docs)
+          .join(docs.select(col("doc_id"), md5(col("text")).as("h")), "doc_id")
+        val dupc = docs.groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("nh"))
+        val bins = q.join(dupc, "h")
+          .withColumn("bin", least(floor(col("quality") * 10), lit(9L)))
+          .groupBy("bin")
+          .agg(count(lit(1)).cast("double").as("nb"),
+               sum(when(col("nh") > 1, 1.0).otherwise(0.0)).as("obs"),
+               sum("quality").as("exps"))
+          .filter(col("exps") > 0 && col("exps") < col("nb"))
+        val hl = bins.agg(count(lit(1)).as("n_bins"),
+          round(sum(pow(col("obs") - col("exps"), 2)
+            / (col("exps") * (lit(1.0) - col("exps") / col("nb")))), 4)
+            .as("hl_chi2"))
+        val h = col("hl_chi2") / 2
+        hl.select(col("n_bins"), col("hl_chi2"),
+          round(exp(-h) * (lit(1.0) + h + h * h / 2 + h * h * h / 6), 6)
+            .as("p_value"))
+      },
+      Some {
+        val stopList = graft.text.TextAnalytics.Stopwords
+          .map(w => s"'$w'").mkString(",")
+        s"""WITH q AS (
+           |  SELECT doc_id, md5(text) AS h,
+           |         round((least(n_tok, 100) / 100.0) *
+           |               (1.0 - punct_cnt * 1.0 / greatest(n_chars, 1)) *
+           |               (0.2 + 0.8 * (stop_cnt * 1.0 / greatest(n_tok, 1))), 4) AS quality
+           |  FROM (
+           |    SELECT doc_id, text, length(text) AS n_chars,
+           |           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+           |           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+           |               t -> t IN ($stopList))) AS stop_cnt,
+           |           len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
+           |    FROM documents)),
+           |dupc AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS nh
+           |         FROM documents GROUP BY md5(text)),
+           |bins AS (SELECT least(CAST(floor(quality * 10) AS BIGINT), 9) AS bin,
+           |                CAST(count(*) AS DOUBLE) AS nb,
+           |                sum(CASE WHEN nh > 1 THEN 1.0 ELSE 0.0 END) AS obs,
+           |                sum(quality) AS exps
+           |         FROM q JOIN dupc USING (h)
+           |         GROUP BY 1),
+           |fb AS (SELECT * FROM bins WHERE exps > 0 AND exps < nb),
+           |hl AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           |              round(sum((obs - exps)*(obs - exps)
+           |                    / (exps * (1.0 - exps / nb))), 4) AS hl_chi2
+           |       FROM fb)
+           |SELECT n_bins, hl_chi2,
+           |       round(exp(-hl_chi2/2) * (1.0 + hl_chi2/2
+           |             + (hl_chi2/2)*(hl_chi2/2)/2
+           |             + (hl_chi2/2)*(hl_chi2/2)*(hl_chi2/2)/6), 6) AS p_value
+           |FROM hl""".stripMargin
+      }),
+
+    // ε=1 report-noisy-max release of the most common event type:
+    // per-type Laplace(2/ε) noise by deterministic inverse-CDF draws
+    // (md5 of the type name), the released argmax next to the true
+    // one — the selection-mechanism sibling of priv_dp_counts (which
+    // noises the WHOLE histogram; noisy-max pays less privacy budget
+    // to release just the winner). |types| rows of arithmetic after
+    // one grouped pass.
+    "priv_noisy_max" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val g = Tables.events(s, d).filter(col("event_type").isNotNull)
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .withColumn("u",
+            (pmod(md5Long(concat(lit("nm:"), col("event_type"))), lit(1000000))
+              .cast("double") + 0.5) / 1000000.0 - 0.5)
+          .withColumn("noise",
+            round(lit(-2.0) * signum(col("u"))
+              * log(lit(1.0) - lit(2.0) * abs(col("u"))), 6))
+          .withColumn("noisy_n", round(col("n") + col("noise"), 6))
+        val w = Window.orderBy(col("noisy_n").desc, col("event_type"))
+        val wt = Window.orderBy(col("n").desc, col("event_type"))
+        g.withColumn("released_rank", row_number().over(w))
+          .withColumn("true_rank", row_number().over(wt))
+          .select(col("event_type"), col("n"), col("noisy_n"),
+            (col("released_rank") === 1).cast("long").as("is_released_max"),
+            (col("true_rank") === 1).cast("long").as("is_true_max"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+             |u AS (SELECT *,
+             |        ((('0x' || substr(md5('nm:' || event_type), 1, 15))::BIGINT
+             |          % 1000000) + 0.5) / 1000000.0 - 0.5 AS u
+             |      FROM g),
+             |nz AS (SELECT *,
+             |         round(-2.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 6) AS noise
+             |       FROM u),
+             |nn AS (SELECT *, round(n + noise, 6) AS noisy_n FROM nz),
+             |rk AS (SELECT *,
+             |         row_number() OVER (ORDER BY noisy_n DESC, event_type) AS rr,
+             |         row_number() OVER (ORDER BY n DESC, event_type) AS tr
+             |       FROM nn)
+             |SELECT event_type, n, noisy_n,
+             |       CAST(CASE WHEN rr = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_released_max,
+             |       CAST(CASE WHEN tr = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_true_max
+             |FROM rk ORDER BY event_type""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
     relational ++ eventsQ ++ experimentsQ ++ vectorStore ++ dedup ++ textQ ++
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
-      round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ
+      round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
+      round10jQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

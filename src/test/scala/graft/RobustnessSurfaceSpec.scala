@@ -96,7 +96,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "graph_katz", "graph_closeness", "priv_dp_quantile",
     "samp_kfold", "dedup_bloom_incremental", "mm_video_keyframes",
     "text_extract_summary", "text_ngram_novelty",
-    "dedup_band_curve", "pipe_tokenizer_fertility")
+    "dedup_band_curve", "pipe_tokenizer_fertility",
+    "stat_hosmer_lemeshow")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -212,7 +213,9 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "feat_target_encode", "ev_abandonment", "samp_time_split",
     "ts_granger", "stat_durbin_watson", "graph_hits", "ts_pacf",
     "ev_conformance", "ts_theil_u", "ts_runs_test", "stat_fisher_exact",
-    "stat_bayes_ab", "stat_sprt", "stat_cmh")
+    "stat_bayes_ab", "stat_sprt", "stat_cmh",
+    "ev_intervention_its", "ts_cointegration", "stat_lilliefors",
+    "priv_noisy_max")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -325,6 +325,50 @@ class Round10dOpsSpec extends SparkSpec {
     }
   }
 
+  test("ITS reports both segments and a consistent slope change") {
+    val r = run("ev_intervention_its").head
+    assert(r.getAs[Long]("n_pre") >= 2 && r.getAs[Long]("n_post") >= 2)
+    val sc = r.getAs[Double]("slope_change")
+    val sp = r.getAs[Double]("slope_pre"); val so = r.getAs[Double]("slope_post")
+    assert(math.abs(sc - (so - sp)) < 1e-5)
+  }
+
+  test("cointegration t-stat exists and rho implies mean reversion direction") {
+    val r = run("ts_cointegration").head
+    assert(r.getAs[Long]("n_days") > 2)
+    val rho = r.getAs[Double]("rho")
+    // Delta-e on lagged-e coefficient of a stationary-ish residual
+    // series must be negative (pull back toward the relation)
+    assert(rho < 0.5, s"rho=$rho")
+    if (!r.isNullAt(r.fieldIndex("adf_t"))) {
+      val t = r.getAs[Double]("adf_t")
+      assert((t < -2.86) == (r.getAs[Long]("cointegrated_05") == 1L))
+    }
+  }
+
+  test("Lilliefors D is a distance in [0,1] with a positive critical value") {
+    val r = run("stat_lilliefors").head
+    val d = r.getAs[Double]("d_stat")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(r.getAs[Double]("d_crit_05") > 0.0)
+    assert(r.getAs[Double]("sigma") > 0.0)
+  }
+
+  test("Hosmer-Lemeshow statistic is non-negative with a proper p") {
+    val r = run("stat_hosmer_lemeshow").head
+    assert(r.getAs[Long]("n_bins") >= 1 && r.getAs[Long]("n_bins") <= 10)
+    assert(r.getAs[Double]("hl_chi2") >= 0.0)
+    val p = r.getAs[Double]("p_value")
+    assert(p >= 0.0 && p <= 1.0)
+  }
+
+  test("noisy-max releases exactly one winner") {
+    val rows = run("priv_noisy_max")
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("is_released_max")).sum == 1L)
+    assert(rows.map(_.getAs[Long]("is_true_max")).sum == 1L)
+  }
+
   test("ESS is between 1 and n_docs for every source") {
     val rows = run("samp_ess")
     assert(rows.nonEmpty)

@@ -102,7 +102,12 @@ class WindowGuardSpec extends SparkSpec {
     "priv_dp_quantile",
     // LLR accumulation over the calendar-bounded daily rollup (the
     // ts_pettitt bound: |days| rows, facts collapsed first)
-    "stat_sprt")
+    "stat_sprt",
+    // ECDF running sum over the DISTINCT daily-count value grid
+    // (the samp_ks_test bound: values, never rows)
+    "stat_lilliefors",
+    // released/true argmax ranks over the |event types|-row rollup
+    "priv_noisy_max")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
