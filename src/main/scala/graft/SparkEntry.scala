@@ -14541,13 +14541,210 @@ object SparkEntry {
              |       CAST(CASE WHEN tr = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_true_max
              |FROM rk ORDER BY event_type""".stripMargin)))
 
+  private val round10kQ: Seq[(String, Q)] = Seq(
+    // Wang-Isola alignment & uniformity (ICML 2020) — THE two-number
+    // contrastive-embedding report: alignment = mean squared distance
+    // of same-label pairs (want small), uniformity = ln mean
+    // exp(−2‖x̂−ŷ‖²) over all pairs (want very negative = spread
+    // out). Computed exactly on the bounded oracle subset via the
+    // shared 6dp cosine (‖x̂−ŷ‖² = 2−2cos); the at-scale path is the
+    // same formula over LSH-bucket-sampled pairs (documented
+    // deliberate altitude, like dedup_embed_cosine).
+    "emb_align_uniform" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val f = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull && col("vec_id") < 200)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val pairs = f.select(col("vec_id").as("va"), col("label").as("la"),
+            col("embedding").as("ea"))
+          .join(f.select(col("vec_id").as("vb"), col("label").as("lb"),
+            col("embedding").as("eb")), col("va") < col("vb"))
+          .withColumn("d2", lit(2.0) - lit(2.0) * score(col("ea"), col("eb")))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+              .as("n_align_pairs"),
+            avg(when(col("la") === col("lb"), col("d2"))).as("al"),
+            avg(exp(lit(-2.0) * col("d2"))).as("un"))
+          .select(col("n_pairs"), col("n_align_pairs"),
+            round(col("al"), 4).as("alignment"),
+            round(log(col("un")), 4).as("uniformity"))
+      },
+      Some("""WITH f AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+             |           FROM embeddings
+             |           WHERE embedding IS NOT NULL AND vec_id < 200),
+             |p AS (SELECT a.label AS la, b.label AS lb,
+             |             2.0 - 2.0 * (round(list_cosine_similarity(a.emb, b.emb), 6) + 0.0) AS d2
+             |      FROM f a JOIN f b ON a.vec_id < b.vec_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             |       CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_align_pairs,
+             |       round(avg(CASE WHEN la = lb THEN d2 END), 4) AS alignment,
+             |       round(ln(avg(exp(-2.0 * d2))), 4) AS uniformity
+             |FROM p""".stripMargin)),
+
+    // data-contract audit of the events table — the rules a feed
+    // owner would declare, checked in ONE conditional map-side
+    // aggregate: null keys, unknown enum values, out-of-range
+    // measures, NaN poisoning, malformed JSON payloads, timestamps
+    // outside the believable window. The wide one-row report is what
+    // a pipeline gate consumes; any nonzero cell is an alert.
+    "pipe_contract_events" -> Q(
+      (s, d) => {
+        val known = Seq("click", "view", "purchase", "signup", "error")
+        Tables.events(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("event_type").isNull, 1L).otherwise(0L))
+            .as("n_null_type"),
+          sum(when(col("event_type").isNotNull &&
+            !col("event_type").isin(known: _*), 1L).otherwise(0L))
+            .as("n_unknown_type"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L))
+            .as("n_null_user"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+          sum(when(isnan(col("value")), 1L).otherwise(0L)).as("n_nan_value"),
+          sum(when(col("value") < 0 || col("value") > 1000, 1L).otherwise(0L))
+            .as("n_value_range"),
+          sum(when(col("props").isNotNull && !col("props").like("{%"), 1L)
+            .otherwise(0L)).as("n_bad_props"),
+          sum(when(col("ts") < lit(1577836800000000000L) ||
+            col("ts") > lit(1893456000000000000L), 1L).otherwise(0L))
+            .as("n_ts_range"))
+          .withColumn("n_violations",
+            col("n_null_type") + col("n_unknown_type") + col("n_null_user") +
+            col("n_null_value") + col("n_nan_value") + col("n_value_range") +
+            col("n_bad_props") + col("n_ts_range"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_type,
+             |  CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+             |    ('click', 'view', 'purchase', 'signup', 'error')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_type,
+             |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user,
+             |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+             |  CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan_value,
+             |  CAST(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_value_range,
+             |  CAST(sum(CASE WHEN props IS NOT NULL AND props NOT LIKE '{%'
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_props,
+             |  CAST(sum(CASE WHEN ts < 1577836800000000000 OR ts > 1893456000000000000
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_range,
+             |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+             |    + sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+             |        ('click', 'view', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END)
+             |    + sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+             |    + sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+             |    + sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END)
+             |    + sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END)
+             |    + sum(CASE WHEN props IS NOT NULL AND props NOT LIKE '{%' THEN 1 ELSE 0 END)
+             |    + sum(CASE WHEN ts < 1577836800000000000 OR ts > 1893456000000000000
+             |        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+             |FROM events""".stripMargin)),
+
+    // Dunn's post-hoc test: WHICH language pairs differ after
+    // stat_kruskal rejects — pairwise z on tie-corrected mean
+    // midranks (the same VALUE-level rank machinery, never a row
+    // rank), Bonferroni-adjusted over the k(k-1)/2 comparisons. The
+    // pair frame is |langs|², bounded by the language domain.
+    "stat_dunn_test" -> Q(
+      (s, d) => {
+        val cells = Tables.documents(s, d)
+          .groupBy(col("lang"), col("n_chars").cast("long").as("x"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false) // value ranks + group sums
+        val wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+        val ranks = cells.groupBy("x").agg(sum("cnt").as("t"))
+          .withColumn("f", coalesce(sum("t").over(wx), lit(0L)))
+          .select(col("x"), col("t"), (col("f") * 2 + col("t") + 1).as("rank2"))
+          .localCheckpoint(eager = false) // rank join + tie term
+        val grp = cells.join(broadcast(ranks), "x")
+          .groupBy("lang").agg(sum("cnt").as("n_g"),
+            (sum(col("cnt") * col("rank2")) / 2.0 / sum("cnt")).as("mr"))
+          .localCheckpoint(eager = false) // both sides of the pair join
+        val tot = cells.agg(sum("cnt").cast("double").as("nn"))
+          .crossJoin(broadcast(ranks.agg(
+            sum(col("t").cast("double") * col("t") * col("t") - col("t"))
+              .as("tie"))))
+        val k = grp.agg(count(lit(1)).cast("double").as("k"))
+        val pairs = grp.select(col("lang").as("la"), col("n_g").as("na"),
+            col("mr").as("ma"))
+          .join(grp.select(col("lang").as("lb"), col("n_g").as("nb"),
+            col("mr").as("mb")), col("la") < col("lb"))
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(k))
+        val s2 = (col("nn") * (col("nn") + 1)
+          - col("tie") / (col("nn") - 1)) / 12.0 *
+          (lit(1.0) / col("na") + lit(1.0) / col("nb"))
+        val zc = pairs.withColumn("z",
+          when(s2 > 0, round((col("ma") - col("mb")) / sqrt(s2), 4)))
+        val xx = abs(col("z")) / sqrt(lit(2.0))
+        val t1 = lit(1.0) / (lit(1.0) + lit(0.3275911) * xx)
+        zc.withColumn("p",
+            when(col("z").isNull, lit(null).cast("double")).otherwise(round(
+              t1 * (lit(0.254829592) + t1 * (lit(-0.284496736)
+                + t1 * (lit(1.421413741) + t1 * (lit(-1.453152027)
+                + t1 * lit(1.061405429)))))
+              * exp(-xx * xx), 6)))
+          .withColumn("m", col("k") * (col("k") - 1) / 2)
+          .select(col("la"), col("lb"),
+            col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+            col("z"), col("p"),
+            when(col("p").isNotNull,
+              round(least(col("p") * col("m"), lit(1.0)), 6)).as("p_bonf"),
+            when(col("p").isNotNull,
+              (round(least(col("p") * col("m"), lit(1.0)), 6) < 0.05)
+                .cast("long")).as("reject_05"))
+          .orderBy("la", "lb")
+      },
+      Some("""WITH cells AS (SELECT lang, CAST(n_chars AS BIGINT) AS x,
+             |                      count(*) AS cnt
+             |               FROM documents GROUP BY lang, x),
+             |hx AS (SELECT x, sum(cnt) AS t FROM cells GROUP BY x),
+             |rk AS (SELECT x, t,
+             |         coalesce(sum(t) OVER (ORDER BY x ROWS BETWEEN
+             |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+             |           + t + 1 AS rank2
+             |       FROM hx),
+             |g AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_g,
+             |             sum(cnt * rank2) / 2.0 / sum(cnt) AS mr
+             |      FROM cells JOIN rk USING (x) GROUP BY lang),
+             |tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nn FROM cells),
+             |te AS (SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS tie FROM rk),
+             |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM g),
+             |pr AS (SELECT a.lang AS la, b.lang AS lb, a.n_g AS na, b.n_g AS nb,
+             |              a.mr AS ma, b.mr AS mb, nn, tie, k
+             |       FROM g a JOIN g b ON a.lang < b.lang, tt, te, kk),
+             |zz AS (SELECT *,
+             |         (nn * (nn + 1) - tie / (nn - 1)) / 12.0
+             |           * (1.0 / na + 1.0 / nb) AS s2
+             |       FROM pr),
+             |zc AS (SELECT *, CASE WHEN s2 > 0
+             |              THEN round((ma - mb) / sqrt(s2), 4) END AS z
+             |       FROM zz),
+             |pv AS (SELECT *, abs(z) / sqrt(2.0) AS xx,
+             |              1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t1
+             |       FROM zc),
+             |pp AS (SELECT *,
+             |         CASE WHEN z IS NULL THEN NULL ELSE round(
+             |           t1 * (0.254829592 + t1 * (-0.284496736
+             |             + t1 * (1.421413741 + t1 * (-1.453152027
+             |             + t1 * 1.061405429)))) * exp(-xx*xx), 6) END AS p
+             |       FROM pv)
+             |SELECT la, lb, na AS n_a, nb AS n_b, z, p,
+             |       CASE WHEN p IS NOT NULL
+             |            THEN round(least(p * (k * (k - 1) / 2), 1.0), 6)
+             |       END AS p_bonf,
+             |       CASE WHEN p IS NOT NULL THEN CAST(CASE WHEN
+             |         round(least(p * (k * (k - 1) / 2), 1.0), 6) < 0.05
+             |         THEN 1 ELSE 0 END AS BIGINT)
+             |       END AS reject_05
+             |FROM pp ORDER BY la, lb""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
     relational ++ eventsQ ++ experimentsQ ++ vectorStore ++ dedup ++ textQ ++
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
-      round10jQ
+      round10jQ ++ round10kQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

@@ -97,7 +97,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "samp_kfold", "dedup_bloom_incremental", "mm_video_keyframes",
     "text_extract_summary", "text_ngram_novelty",
     "dedup_band_curve", "pipe_tokenizer_fertility",
-    "stat_hosmer_lemeshow")
+    "stat_hosmer_lemeshow", "stat_dunn_test")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -141,7 +141,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "emb_anisotropy", "ann_jl_recall", "emb_twonn_id",
     "emb_participation_ratio", "emb_cka", "emb_knn_vote",
     "ann_ivf_recall_curve", "emb_hubness", "emb_top_eigen",
-    "emb_deflated_eigen", "emb_abtt")
+    "emb_deflated_eigen", "emb_abtt", "emb_align_uniform")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
@@ -215,7 +215,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_conformance", "ts_theil_u", "ts_runs_test", "stat_fisher_exact",
     "stat_bayes_ab", "stat_sprt", "stat_cmh",
     "ev_intervention_its", "ts_cointegration", "stat_lilliefors",
-    "priv_noisy_max")
+    "priv_noisy_max", "pipe_contract_events")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -369,6 +369,41 @@ class Round10dOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("is_true_max")).sum == 1L)
   }
 
+  test("alignment is non-negative and uniformity is non-positive") {
+    val r = run("emb_align_uniform").head
+    assert(r.getAs[Long]("n_pairs") > 0)
+    assert(r.getAs[Long]("n_align_pairs") <= r.getAs[Long]("n_pairs"))
+    // squared distances are >= 0; ln of a mean of exp(-2d2) <= 0
+    assert(r.getAs[Double]("alignment") >= 0.0)
+    assert(r.getAs[Double]("uniformity") <= 0.0)
+  }
+
+  test("event contract audit is internally consistent on clean data") {
+    val r = run("pipe_contract_events").head
+    val total = r.getAs[Long]("n_violations")
+    val parts = Seq("n_null_type", "n_unknown_type", "n_null_user",
+      "n_null_value", "n_nan_value", "n_value_range", "n_bad_props",
+      "n_ts_range").map(r.getAs[Long])
+    assert(parts.sum == total)
+    assert(r.getAs[Long]("n_rows") > 0)
+    // generated testdata honors its own contract
+    assert(total == 0L, s"violations on clean data: ${r.mkString(",")}")
+  }
+
+  test("Dunn pairwise tests cover every language pair exactly once") {
+    val rows = run("stat_dunn_test")
+    val k = rows.flatMap(r => Seq(r.getAs[String]("la"), r.getAs[String]("lb")))
+      .distinct.length
+    assert(rows.length == k * (k - 1) / 2, s"k=$k pairs=${rows.length}")
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("p"))) {
+        val p = r.getAs[Double]("p"); val pb = r.getAs[Double]("p_bonf")
+        assert(p >= 0.0 && p <= 1.0)
+        assert(pb >= p - 1e-9 && pb <= 1.0, "Bonferroni only inflates")
+      }
+    }
+  }
+
   test("ESS is between 1 and n_docs for every source") {
     val rows = run("samp_ess")
     assert(rows.nonEmpty)
