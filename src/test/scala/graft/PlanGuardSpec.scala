@@ -839,4 +839,49 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(p.contains("MapPartitions"), p)
   }
+
+  test("bloom screen probes via a BROADCAST semi-join, never a shuffled one") {
+    val p = plan("dedup_bloom_incremental")
+    // the filter is a ≤2^16-row position table: the probe must
+    // broadcast it (LeftSemi over BroadcastExchange), or a 100 TB
+    // batch pays a shuffle for a 64 KB filter
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ESS weights join the 64-bucket LLR table broadcast") {
+    val p = plan("samp_ess")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("Fisher/Bayes support sums explode bounded sequences — no cartesian, no window") {
+    Seq("stat_fisher_exact", "stat_bayes_ab").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Generate"), s"$q: $p") // the explode
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("Window"), s"$q: $p")
+    }
+  }
+
+  test("contract audit is ONE scan collapsing to a single aggregate") {
+    val p = plan("pipe_contract_events")
+    // all rules ride one conditional aggregate over one scan: no
+    // joins, no windows, no generate
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    // FormattedMode prints each scan once in the tree and once in the
+    // detail section; one Location: line = one physical scan
+    assert(p.split("Location:").length - 1 == 1,
+      s"exactly one events scan expected: $p")
+  }
+
+  test("ITS and cointegration fit from aggregates — no per-day window anywhere") {
+    Seq("ev_intervention_its", "ts_cointegration").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
 }
