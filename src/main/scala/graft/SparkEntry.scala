@@ -14738,13 +14738,175 @@ object SparkEntry {
              |       END AS reject_05
              |FROM pp ORDER BY la, lb""".stripMargin)))
 
+  private val round10lQ: Seq[(String, Q)] = Seq(
+    // exact sign test on paired pre/post per-user mean values
+    // (ev_cuped's calendar halves): distribution-free "did users
+    // move" with an EXACT two-sided binomial p — ties dropped, the
+    // tail sum bounded by min(n+, n-) runs through the shared
+    // Stirling lgamma (ln C(n,k) - n ln 2). The assumption-free
+    // companion to stat_mcnemar's χ² on a continuous outcome.
+    "stat_sign_test" -> Q(
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .filter(col("value").isNotNull && !isnan(col("value")))
+          .withColumn("day", expr("ts div 86400000000000"))
+          .localCheckpoint(eager = false) // bounds + the per-user halves
+        val bounds = ud.agg(min("day").as("mn"), max("day").as("mx"))
+        val diffs = ud.crossJoin(broadcast(bounds))
+          .withColumn("post",
+            (col("day") >= expr("(mn + mx + 1) div 2")).cast("long"))
+          .groupBy("user_id")
+          .agg(avg(when(col("post") === 0, col("value"))).as("pre"),
+               avg(when(col("post") === 1, col("value"))).as("post_v"))
+          .filter(col("pre").isNotNull && col("post_v").isNotNull &&
+            col("pre") =!= col("post_v"))
+        val cts = diffs.agg(
+          sum(when(col("post_v") > col("pre"), 1L).otherwise(0L)).as("n_up"),
+          sum(when(col("post_v") < col("pre"), 1L).otherwise(0L)).as("n_down"))
+          .withColumn("n", col("n_up") + col("n_down"))
+          .withColumn("kmin", least(col("n_up"), col("n_down")))
+        val terms = cts
+          .withColumn("k", explode(sequence(lit(0L), col("kmin"))))
+          .withColumn("lp",
+            lfCol(col("n").cast("double")) - lfCol(col("k").cast("double")) -
+            lfCol((col("n") - col("k")).cast("double")) -
+            col("n") * lit(math.log(2.0)))
+        terms.groupBy("n_up", "n_down", "n")
+          .agg(sum(exp(col("lp"))).as("tail"))
+          .select(col("n_up"), col("n_down"),
+            when(col("n") > 0,
+              round(least(lit(2.0) * col("tail"), lit(1.0)), 6)).as("p_exact"))
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, value, ts // 86400000000000 AS day
+              |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+              |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+              |ud AS (SELECT user_id,
+              |         avg(CASE WHEN day < (mn + mx + 1) // 2 THEN value END) AS pre,
+              |         avg(CASE WHEN day >= (mn + mx + 1) // 2 THEN value END) AS post_v
+              |       FROM ev, b GROUP BY user_id),
+              |df AS (SELECT * FROM ud
+              |       WHERE pre IS NOT NULL AND post_v IS NOT NULL AND pre <> post_v),
+              |ct AS (SELECT
+              |         CAST(sum(CASE WHEN post_v > pre THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+              |         CAST(sum(CASE WHEN post_v < pre THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+              |       FROM df),
+              |nn AS (SELECT *, n_up + n_down AS n, least(n_up, n_down) AS kmin
+              |       FROM ct),
+              |tm AS (SELECT *,
+              |         ${sqlLf("n")} - ${sqlLf("k")} - ${sqlLf("n - k")}
+              |           - n * ln(2.0) AS lp
+              |       FROM (SELECT *, CAST(unnest(generate_series(0, kmin)) AS BIGINT) AS k
+              |             FROM nn))
+              |SELECT n_up, n_down,
+              |       CASE WHEN n > 0
+              |            THEN round(least(2.0 * sum(exp(lp)), 1.0), 6)
+              |       END AS p_exact
+              |FROM tm GROUP BY n_up, n_down, n""".stripMargin)),
+
+    // DAU/MAU stickiness per 30-day window: the "how often do monthly
+    // users show up daily" engagement ratio — avg daily actives over
+    // the window's distinct actives. Two DISTINCT rollups (day grain
+    // and window grain) off one pass each; windows are fixed
+    // calendar buckets, never sliding fan-outs.
+    "ev_stickiness" -> Q(
+      (s, d) => {
+        val dd = Tables.events(s, d)
+          .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+          .distinct()
+          .localCheckpoint(eager = false) // day grain + window grain
+        val dau = dd.groupBy("day").agg(count(lit(1)).as("dau"))
+          .withColumn("w", expr("day div 30"))
+          .groupBy("w").agg(count(lit(1)).as("n_days"),
+            round(avg("dau"), 2).as("avg_dau"))
+        val mau = dd.withColumn("w", expr("day div 30"))
+          .groupBy("w").agg(countDistinct("user_id").as("mau"))
+        dau.join(mau, "w")
+          .select(col("w").as("window30"), col("n_days"), col("avg_dau"),
+            col("mau"),
+            round(col("avg_dau") / col("mau").cast("double"), 4)
+              .as("stickiness"))
+          .orderBy("window30")
+      },
+      Some("""WITH dd AS (SELECT DISTINCT ts // 86400000000000 AS day, user_id
+             |            FROM events),
+             |dau AS (SELECT day // 30 AS w, CAST(count(*) AS BIGINT) AS n_days,
+             |               round(avg(dau), 2) AS avg_dau
+             |        FROM (SELECT day, CAST(count(*) AS BIGINT) AS dau
+             |              FROM dd GROUP BY day)
+             |        GROUP BY 1),
+             |mau AS (SELECT day // 30 AS w,
+             |               CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+             |        FROM dd GROUP BY 1)
+             |SELECT w AS window30, n_days, avg_dau, mau,
+             |       round(avg_dau / CAST(mau AS DOUBLE), 4) AS stickiness
+             |FROM dau JOIN mau USING (w) ORDER BY window30""".stripMargin)),
+
+    // post-stratified estimation: a 10% hash sample's mean tokens/doc
+    // re-weighted so language strata match the corpus margins (the
+    // one-step raking every survey-grade metric pipeline applies
+    // before quoting sampled numbers) — reported NEXT to the naive
+    // sample mean and the true value, so the variance reduction is
+    // auditable. Margins are a |langs|-row broadcast; the sample scan
+    // is the only doc-scale pass.
+    "samp_poststratify" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          size(graft.text.TextPrimitives.tokens(col("text"))).cast("double")
+            .as("n_tok"))
+          .localCheckpoint(eager = false) // margins + truth + the sample
+        val marg = t.groupBy("lang").agg(count(lit(1)).cast("double").as("nl"))
+        val truth = t.agg(count(lit(1)).as("nn"),
+          round(avg("n_tok"), 4).as("truth"))
+        val samp = t.filter(
+          pmod(md5Long(concat(lit("ps:"), col("doc_id").cast("string"))),
+            lit(10)) === 0)
+        val perLang = samp.groupBy("lang")
+          .agg(count(lit(1)).cast("double").as("ml"),
+               avg("n_tok").as("mean_l"))
+        val est = perLang.join(broadcast(marg), "lang")
+          .crossJoin(broadcast(truth))
+          .agg(sum("ml").cast("long").as("n_sample"),
+               round(sum(col("ml") * col("mean_l")) / sum("ml"), 4)
+                 .as("est_unweighted"),
+               round(sum(col("nl") * col("mean_l")) / sum("nl"), 4)
+                 .as("est_poststrat"),
+               max("truth").as("truth"))
+        est.select(col("n_sample"), col("est_unweighted"),
+          col("est_poststrat"), col("truth"),
+          round(abs(col("est_unweighted") - col("truth")), 4).as("err_unw"),
+          round(abs(col("est_poststrat") - col("truth")), 4).as("err_ps"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS n_tok
+             |  FROM documents),
+             |marg AS (SELECT lang, CAST(count(*) AS DOUBLE) AS nl FROM t GROUP BY lang),
+             |tr AS (SELECT round(avg(n_tok), 4) AS truth FROM t),
+             |s AS (SELECT * FROM t
+             |      WHERE ('0x' || substr(md5('ps:' || doc_id::VARCHAR), 1, 15))::BIGINT
+             |            % 10 = 0),
+             |pl AS (SELECT lang, CAST(count(*) AS DOUBLE) AS ml,
+             |              avg(n_tok) AS mean_l
+             |       FROM s GROUP BY lang),
+             |e AS (SELECT CAST(sum(ml) AS BIGINT) AS n_sample,
+             |             round(sum(ml * mean_l) / sum(ml), 4) AS est_unweighted,
+             |             round(sum(nl * mean_l) / sum(nl), 4) AS est_poststrat,
+             |             max(truth) AS truth
+             |      FROM pl JOIN marg USING (lang), tr)
+             |SELECT n_sample, est_unweighted, est_poststrat, truth,
+             |       round(abs(est_unweighted - truth), 4) AS err_unw,
+             |       round(abs(est_poststrat - truth), 4) AS err_ps
+             |FROM e""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
     relational ++ eventsQ ++ experimentsQ ++ vectorStore ++ dedup ++ textQ ++
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
-      round10jQ ++ round10kQ
+      round10jQ ++ round10kQ ++ round10lQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

@@ -97,7 +97,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "samp_kfold", "dedup_bloom_incremental", "mm_video_keyframes",
     "text_extract_summary", "text_ngram_novelty",
     "dedup_band_curve", "pipe_tokenizer_fertility",
-    "stat_hosmer_lemeshow", "stat_dunn_test")
+    "stat_hosmer_lemeshow", "stat_dunn_test", "samp_poststratify")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -215,7 +215,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_conformance", "ts_theil_u", "ts_runs_test", "stat_fisher_exact",
     "stat_bayes_ab", "stat_sprt", "stat_cmh",
     "ev_intervention_its", "ts_cointegration", "stat_lilliefors",
-    "priv_noisy_max", "pipe_contract_events")
+    "priv_noisy_max", "pipe_contract_events",
+    "stat_sign_test", "ev_stickiness")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -404,6 +404,33 @@ class Round10dOpsSpec extends SparkSpec {
     }
   }
 
+  test("sign test p is an exact two-sided probability") {
+    val r = run("stat_sign_test").head
+    assert(r.getAs[Long]("n_up") + r.getAs[Long]("n_down") > 0)
+    val p = r.getAs[Double]("p_exact")
+    assert(p > 0.0 && p <= 1.0, s"p=$p")
+  }
+
+  test("stickiness is avg-DAU over MAU and lives in (0, 1]") {
+    val rows = run("ev_stickiness")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val st = r.getAs[Double]("stickiness")
+      // a window's daily actives never exceed its distinct actives
+      assert(st > 0.0 && st <= 1.0 + 1e-9, r.mkString(","))
+      assert(r.getAs[Long]("mau") >= r.getAs[Double]("avg_dau") - 1e-9)
+    }
+  }
+
+  test("post-stratified estimate reweights a real sample toward the truth") {
+    val r = run("samp_poststratify").head
+    assert(r.getAs[Long]("n_sample") > 0)
+    assert(r.getAs[Double]("err_unw") >= 0.0)
+    assert(r.getAs[Double]("err_ps") >= 0.0)
+    // both estimators are convex combinations of per-lang sample means
+    assert(r.getAs[Double]("est_poststrat") > 0.0)
+  }
+
   test("ESS is between 1 and n_docs for every source") {
     val rows = run("samp_ess")
     assert(rows.nonEmpty)
