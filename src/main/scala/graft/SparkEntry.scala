@@ -15000,5 +15000,10 @@ object SparkEntry {
     // NDCG retrieval eval, TextRank keyphrases, and the dense-kernel
     // kNN graph
     "emb_service_search", "stat_roc_auc", "ev_countmin", "text_ndcg",
-    "text_textrank", "ann_knn_graph")
+    "text_textrank", "ann_knn_graph",
+    // round-10 closing flagships: the broadcast bloom screen, the
+    // bounded-support exact test, the crawl-order novelty scan, and
+    // the 4096-cell eigen machinery
+    "dedup_bloom_incremental", "stat_fisher_exact", "text_ngram_novelty",
+    "emb_top_eigen")
 }
