@@ -14900,13 +14900,224 @@ object SparkEntry {
              |       round(abs(est_poststrat - truth), 4) AS err_ps
              |FROM e""".stripMargin)))
 
+  private val round10mQ: Seq[(String, Q)] = Seq(
+    // purchase-segment migration matrix between calendar halves: each
+    // user classified none/one/repeat in BOTH halves from ONE
+    // conditional per-user rollup, then the 3×3 transition counts —
+    // the "are repeat buyers persisting or churning" table next to
+    // ev_growth_accounting's new/retained/churned flow. Fixed
+    // thresholds, no quantile machinery, exact integer counts.
+    "ev_segment_migration" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .localCheckpoint(eager = false) // bounds + the per-user halves
+        val bounds = ev.agg(min("day").as("mn"), max("day").as("mx"))
+        val u = ev.crossJoin(broadcast(bounds))
+          .withColumn("post",
+            (col("day") >= expr("(mn + mx + 1) div 2")).cast("long"))
+          .groupBy("user_id")
+          .agg(sum(when(col("post") === 0 && col("event_type") === "purchase",
+                 1L).otherwise(0L)).as("pre_n"),
+               sum(when(col("post") === 1 && col("event_type") === "purchase",
+                 1L).otherwise(0L)).as("post_n"))
+        def seg(c: Column) = when(c === 0, "none")
+          .when(c === 1, "one").otherwise("repeat")
+        val m = u.select(seg(col("pre_n")).as("seg_pre"),
+          seg(col("post_n")).as("seg_post"))
+        val tot = m.agg(count(lit(1)).cast("double").as("nn"))
+        m.groupBy("seg_pre", "seg_post")
+          .agg(count(lit(1)).as("n_users"))
+          .crossJoin(broadcast(tot))
+          .select(col("seg_pre"), col("seg_post"), col("n_users"),
+            round(col("n_users") / col("nn"), 4).as("share"))
+          .orderBy("seg_pre", "seg_post")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |                   ts // 86400000000000 AS day FROM events),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+             |u AS (SELECT user_id,
+             |        sum(CASE WHEN day < (mn + mx + 1) // 2
+             |                  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pre_n,
+             |        sum(CASE WHEN day >= (mn + mx + 1) // 2
+             |                  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS post_n
+             |      FROM ev, b GROUP BY user_id),
+             |m AS (SELECT CASE WHEN pre_n = 0 THEN 'none'
+             |                  WHEN pre_n = 1 THEN 'one' ELSE 'repeat' END AS seg_pre,
+             |             CASE WHEN post_n = 0 THEN 'none'
+             |                  WHEN post_n = 1 THEN 'one' ELSE 'repeat' END AS seg_post
+             |      FROM u),
+             |t AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM m)
+             |SELECT seg_pre, seg_post, CAST(count(*) AS BIGINT) AS n_users,
+             |       round(count(*) / nn, 4) AS share
+             |FROM m, t GROUP BY seg_pre, seg_post, nn
+             |ORDER BY seg_pre, seg_post""".stripMargin)),
+
+    // seasonal-naive (y_{t-7}) forecast backtest per type — the
+    // weekly-pattern baseline ts_backtest's trailing mean and
+    // ts_theil_u's naive-1 both need to beat before any model ships.
+    // Scored only where BOTH lag-7 and lag-1 exist so the skill ratio
+    // compares on identical days; ONE rollup, two per-type lag
+    // windows over O(days) rows.
+    "ts_backtest_snaive" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val sc = daily
+          .withColumn("f7", lag("y", 7).over(w))
+          .withColumn("f1", lag("y", 1).over(w))
+          .filter(col("f7").isNotNull && col("f1").isNotNull)
+        sc.groupBy("event_type")
+          .agg(count(lit(1)).as("n_scored"),
+               sum(pow(col("f7") - col("y"), 2)).as("s7"),
+               sum(pow(col("f1") - col("y"), 2)).as("s1"),
+               sum(abs(col("f7") - col("y")) / col("y")).as("ape"))
+          .select(col("event_type"), col("n_scored"),
+            round(sqrt(col("s7") / col("n_scored")), 4).as("rmse_snaive"),
+            round(col("ape") / col("n_scored") * 100, 4).as("mape_snaive"),
+            round(sqrt(col("s1") / col("n_scored")), 4).as("rmse_naive1"),
+            when(col("s1") > 0,
+              round(lit(1.0) - sqrt(col("s7") / col("s1")), 4))
+              .as("skill_vs_naive1"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts // 86400000000000 AS day,
+             |         CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |sc AS (SELECT event_type, y,
+             |         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7,
+             |         lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1
+             |       FROM daily)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+             |       round(sqrt(sum((f7 - y)*(f7 - y)) / count(*)), 4) AS rmse_snaive,
+             |       round(sum(abs(f7 - y) / y) / count(*) * 100, 4) AS mape_snaive,
+             |       round(sqrt(sum((f1 - y)*(f1 - y)) / count(*)), 4) AS rmse_naive1,
+             |       CASE WHEN sum((f1 - y)*(f1 - y)) > 0
+             |            THEN round(1.0 - sqrt(sum((f7 - y)*(f7 - y))
+             |                       / sum((f1 - y)*(f1 - y))), 4)
+             |       END AS skill_vs_naive1
+             |FROM sc WHERE f7 IS NOT NULL AND f1 IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // dedup impact report per source: docs/tokens before vs after
+    // canonical (min-id) dedup on the SHARED cluster-label table —
+    // "what did dedup cost each source" is the number a data-mix
+    // owner signs off on. Labels are computed once (the
+    // dedup_clusters materialization); this query is two grouped
+    // passes over the bounded labeled subset.
+    "text_dedup_impact" -> Q(
+      (s, d) => {
+        val docs200 = docsUnder(s, d, 200)
+        val lbl = graft.dedup.Dedup.clusterLabelsShared(docs200, d, 5, 8, 2)
+        val t = docs200.select(col("doc_id"), col("source"),
+          size(graft.text.TextPrimitives.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+        t.join(lbl, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct("cluster").as("n_kept"),
+               sum("n_tok").as("tokens_total"),
+               sum(when(col("doc_id") === col("cluster"), col("n_tok"))
+                 .otherwise(0L)).as("tokens_kept"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            (col("n_docs") - col("n_kept")).as("n_removed"),
+            col("tokens_total"), col("tokens_kept"),
+            round((col("tokens_total") - col("tokens_kept"))
+              / col("tokens_total").cast("double"), 4)
+              .as("token_removed_share"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE sig AS (
+              |${graft.dedup.Dedup.minhashSigSql(5, 8, "doc_id < 200")}),
+              |bands AS (${(0 until 4).map(b =>
+                 s"SELECT doc_id, $b AS b, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS bv FROM sig")
+                 .mkString(" UNION ALL ")}),
+              |pairs AS (
+              |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+              |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+              |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db, da FROM pairs),
+              |reach(src, lbl) AS (
+              |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+              |  UNION
+              |  SELECT e.da, r.lbl FROM reach r JOIN edges e ON e.db = r.src),
+              |cl AS (SELECT src AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+              |       FROM reach GROUP BY src),
+              |t AS (SELECT doc_id, source,
+              |        CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+              |      FROM documents WHERE doc_id < 200)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(count(DISTINCT cluster) AS BIGINT) AS n_kept,
+              |       CAST(count(*) - count(DISTINCT cluster) AS BIGINT) AS n_removed,
+              |       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+              |       CAST(sum(CASE WHEN doc_id = cluster THEN n_tok ELSE 0 END) AS BIGINT)
+              |         AS tokens_kept,
+              |       round((sum(n_tok) - sum(CASE WHEN doc_id = cluster THEN n_tok ELSE 0 END))
+              |             / CAST(sum(n_tok) AS DOUBLE), 4) AS token_removed_share
+              |FROM t JOIN cl USING (doc_id)
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // multimodal data card: per modality (the engine's doc_id mod 3
+    // convention — text/audio/video), asset counts and total content
+    // units from the SAME deterministic stub metadata every mm_*
+    // operator derives (frames for video, samples+seconds for audio,
+    // chars for text) — ONE conditional map-side pass.
+    "mm_modality_card" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val t = Tables.documents(s, d)
+          .withColumn("hm", md5Long(col("text")))
+          .withColumn("modality",
+            when(col("doc_id") % 3 === 0, "text")
+              .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+          .withColumn("units",
+            when(col("doc_id") % 3 === 0, length(col("text")).cast("long"))
+              .when(col("doc_id") % 3 === 1, col("hm") % 2000000 + 1)
+              .otherwise(col("hm") % 240 + 1))
+          .withColumn("sr", when(col("doc_id") % 3 === 1,
+            element_at(array(lit(8000L), lit(16000L), lit(44100L)),
+              (col("hm") % 3 + 1).cast("int"))))
+        t.groupBy("modality")
+          .agg(count(lit(1)).as("n_assets"),
+               sum("units").as("total_units"),
+               round(avg(col("units").cast("double")), 2).as("avg_units"),
+               round(sum(when(col("sr").isNotNull,
+                 col("units") / col("sr").cast("double")).otherwise(0.0)), 2)
+                 .as("total_audio_sec"))
+          .orderBy("modality")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS hm,
+             |         CASE WHEN doc_id % 3 = 0 THEN 'text'
+             |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+             |         CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) AS BIGINT)
+             |              WHEN doc_id % 3 = 1
+             |                THEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 2000000 + 1
+             |              ELSE ('0x' || substr(md5(text), 1, 15))::BIGINT % 240 + 1
+             |         END AS units,
+             |         CASE WHEN doc_id % 3 = 1 THEN
+             |           ([8000, 16000, 44100])[CAST(('0x' || substr(md5(text), 1, 15))::BIGINT
+             |             % 3 AS INTEGER) + 1]
+             |         END AS sr
+             |  FROM documents)
+             |SELECT modality, CAST(count(*) AS BIGINT) AS n_assets,
+             |       CAST(sum(units) AS BIGINT) AS total_units,
+             |       round(avg(CAST(units AS DOUBLE)), 2) AS avg_units,
+             |       round(sum(CASE WHEN sr IS NOT NULL
+             |                 THEN units / CAST(sr AS DOUBLE) ELSE 0.0 END), 2)
+             |         AS total_audio_sec
+             |FROM t GROUP BY modality ORDER BY modality""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
     relational ++ eventsQ ++ experimentsQ ++ vectorStore ++ dedup ++ textQ ++
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
-      round10jQ ++ round10kQ ++ round10lQ
+      round10jQ ++ round10kQ ++ round10lQ ++ round10mQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

@@ -97,7 +97,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "samp_kfold", "dedup_bloom_incremental", "mm_video_keyframes",
     "text_extract_summary", "text_ngram_novelty",
     "dedup_band_curve", "pipe_tokenizer_fertility",
-    "stat_hosmer_lemeshow", "stat_dunn_test", "samp_poststratify")
+    "stat_hosmer_lemeshow", "stat_dunn_test", "samp_poststratify",
+    "text_dedup_impact", "mm_modality_card")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -216,7 +217,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_bayes_ab", "stat_sprt", "stat_cmh",
     "ev_intervention_its", "ts_cointegration", "stat_lilliefors",
     "priv_noisy_max", "pipe_contract_events",
-    "stat_sign_test", "ev_stickiness")
+    "stat_sign_test", "ev_stickiness",
+    "ev_segment_migration", "ts_backtest_snaive")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

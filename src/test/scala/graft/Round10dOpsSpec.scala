@@ -431,6 +431,56 @@ class Round10dOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("est_poststrat") > 0.0)
   }
 
+  test("segment migration shares sum to 1 over observed cells") {
+    val rows = run("ev_segment_migration")
+    assert(rows.nonEmpty)
+    val s = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(s - 1.0) < 1e-2, s"share mass $s")
+    val segs = Set("none", "one", "repeat")
+    rows.foreach { r =>
+      assert(segs(r.getAs[String]("seg_pre")) && segs(r.getAs[String]("seg_post")))
+    }
+  }
+
+  test("seasonal-naive skill compares the two baselines on identical days") {
+    val rows = run("ts_backtest_snaive")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r7 = r.getAs[Double]("rmse_snaive"); val r1 = r.getAs[Double]("rmse_naive1")
+      assert(r7 >= 0.0 && r1 >= 0.0)
+      if (!r.isNullAt(r.fieldIndex("skill_vs_naive1")) && r1 > 0) {
+        assert(math.abs(r.getAs[Double]("skill_vs_naive1") - (1.0 - r7 / r1)) < 1e-2,
+          r.mkString(","))
+      }
+    }
+  }
+
+  test("dedup impact keeps at most all docs and removes consistent token mass") {
+    val rows = run("text_dedup_impact")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_docs"); val nk = r.getAs[Long]("n_kept")
+      assert(nk >= 1 && nk <= nd, r.mkString(","))
+      assert(r.getAs[Long]("n_removed") == nd - nk)
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_total"))
+      val share = r.getAs[Double]("token_removed_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("modality card covers the three kinds with sane units") {
+    val rows = run("mm_modality_card")
+    assert(rows.map(_.getAs[String]("modality")).sorted.toSeq ==
+      Seq("audio", "text", "video"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_assets") > 0)
+      assert(r.getAs[Long]("total_units") > 0)
+      val sec = r.getAs[Double]("total_audio_sec")
+      if (r.getAs[String]("modality") == "audio") assert(sec > 0.0)
+      else assert(sec == 0.0)
+    }
+  }
+
   test("ESS is between 1 and n_docs for every source") {
     val rows = run("samp_ess")
     assert(rows.nonEmpty)
