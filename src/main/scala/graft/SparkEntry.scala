@@ -15111,13 +15111,178 @@ object SparkEntry {
              |         AS total_audio_sec
              |FROM t GROUP BY modality ORDER BY modality""".stripMargin)))
 
+  private val round10nQ: Seq[(String, Q)] = Seq(
+    // Burrows' Delta stylometric distance between sources (the
+    // authorship-attribution classic): per-source relative
+    // frequencies of the top-50 corpus words, z-scored per word
+    // across sources, Δ(a,b) = mean |z_a − z_b| — which sources
+    // "write alike" (near-duplicate FEEDS, not documents). Corpus
+    // work is two hash aggregates; the vocab is TakeOrdered-bounded
+    // at 50 and the pair frame is |sources|²·50.
+    "text_burrows_delta" -> Q(
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"),
+            explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
+          .localCheckpoint(eager = false) // vocab + per-source counts
+        val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cf"))
+          .orderBy(col("cf").desc, col("tok")).limit(50)
+          .select("tok")
+        val stot = tok.groupBy("source").agg(count(lit(1)).as("nt"))
+        val f = tok.join(broadcast(vocab), "tok")
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+          .join(broadcast(stot), "source")
+          .select(col("source"), col("tok"),
+            round(col("c") * 1000.0 / col("nt"), 6).as("f"))
+          .localCheckpoint(eager = false) // stats + both pair sides
+        val st = f.groupBy("tok")
+          .agg(avg("f").as("mu"), sqrt(var_pop("f")).as("sg"))
+          .filter(col("sg") > 0)
+        val z = f.join(broadcast(st), "tok")
+          .select(col("source"), col("tok"),
+            round((col("f") - col("mu")) / col("sg"), 6).as("z"))
+          .localCheckpoint(eager = false)
+        z.select(col("source").as("sa"), col("tok"), col("z").as("za"))
+          .join(z.select(col("source").as("sb"), col("tok"), col("z").as("zb")),
+            Seq("tok"))
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb")
+          .agg(count(lit(1)).as("n_terms"),
+               round(avg(abs(col("za") - col("zb"))), 4).as("delta"))
+          .orderBy(col("delta"), col("sa"), col("sb"))
+          .limit(15)
+      },
+      Some("""WITH tok AS (
+             |  SELECT source,
+             |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents),
+             |vocab AS (SELECT tok FROM (
+             |    SELECT tok, count(*) AS cf FROM tok GROUP BY tok
+             |    ORDER BY cf DESC, tok LIMIT 50)),
+             |stot AS (SELECT source, CAST(count(*) AS BIGINT) AS nt
+             |         FROM tok GROUP BY source),
+             |f AS MATERIALIZED (
+             |  SELECT source, tok, round(c * 1000.0 / nt, 6) AS f
+             |  FROM (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+             |        FROM tok JOIN vocab USING (tok) GROUP BY 1, 2)
+             |  JOIN stot USING (source)),
+             |st AS (SELECT tok, avg(f) AS mu, sqrt(var_pop(f)) AS sg
+             |       FROM f GROUP BY tok HAVING sqrt(var_pop(f)) > 0),
+             |z AS MATERIALIZED (
+             |  SELECT source, f.tok, round((f - mu) / sg, 6) AS z
+             |  FROM f JOIN st ON st.tok = f.tok)
+             |SELECT a.source AS sa, b.source AS sb,
+             |       CAST(count(*) AS BIGINT) AS n_terms,
+             |       round(avg(abs(a.z - b.z)), 4) AS delta
+             |FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY delta, sa, sb LIMIT 15""".stripMargin)),
+
+    // nearest-centroid classification accuracy per label: assign each
+    // embedding to its closest label centroid (the Rocchio
+    // classifier) and score against the true labels — the LINEAR
+    // separability read-out between emb_label_cohesion (how tight)
+    // and emb_knn_accuracy (how locally consistent). Centroids are a
+    // broadcast |labels|×64 table; per-vector work is an index join +
+    // one bounded per-vector rank window over |labels| rows.
+    "emb_centroid_classifier" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        val dims = emb.select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("label"), col("i").cast("long").as("i"),
+                  col("x").cast("double").as("x"))
+          .localCheckpoint(eager = false) // centroids + distance pass
+        val cent = dims.groupBy(col("label").as("cl"), col("i"))
+          .agg(round(avg("x"), 7).as("c"))
+        val d2 = dims.join(broadcast(cent), "i")
+          .groupBy("vec_id", "label", "cl")
+          .agg(round(sum(pow(col("x") - col("c"), 2)), 6).as("d2"))
+        val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))
+        d2.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("cl") === col("label"), 1L).otherwise(0L))
+                 .as("n_correct"))
+          .select(col("label"), col("n"), col("n_correct"),
+            round(col("n_correct") / col("n").cast("double"), 4).as("accuracy"))
+          .orderBy("label")
+      },
+      Some("""WITH dims AS MATERIALIZED (
+             |  SELECT vec_id, label,
+             |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |         CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |cent AS MATERIALIZED (
+             |  SELECT label AS cl, i, round(avg(x), 7) AS c
+             |  FROM dims GROUP BY 1, 2),
+             |d2 AS (SELECT vec_id, label, cl,
+             |              round(sum((x - c) * (x - c)), 6) AS d2
+             |       FROM dims JOIN cent USING (i) GROUP BY 1, 2, 3),
+             |pk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             |         ORDER BY d2, cl) AS rk
+             |       FROM d2)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN cl = label THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_correct,
+             |       round(sum(CASE WHEN cl = label THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 4) AS accuracy
+             |FROM pk WHERE rk = 1 GROUP BY label ORDER BY label""".stripMargin)),
+
+    // binomial overdispersion check of daily conversion: Pearson
+    // dispersion φ = Σ(x_d − n_d·p̂)²/(n_d·p̂(1−p̂)) / (D−1) over the
+    // per-day (active users, converted users) rollup — φ ≈ 1 means
+    // the binomial z-tests upstream are honest, φ >> 1 means
+    // clustered conversions and understated error bars. One DISTINCT
+    // per-(day,user) pass; everything after is |days| arithmetic.
+    "stat_overdispersion" -> Q(
+      (s, d) => {
+        val du = Tables.events(s, d)
+          .groupBy(expr("ts div 86400000000000").as("day"), col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        val daily = du.groupBy("day")
+          .agg(count(lit(1)).cast("double").as("n"),
+               sum("conv").cast("double").as("x"))
+          .localCheckpoint(eager = false) // pooled rate + the sum
+        val pool = daily.agg((sum("x") / sum("n")).as("p"),
+          count(lit(1)).cast("double").as("dd"))
+        daily.crossJoin(broadcast(pool))
+          .filter(col("p") > 0 && col("p") < 1 && col("dd") > 1)
+          .agg(max("dd").cast("long").as("n_days"),
+               round(max("p"), 6).as("p_pool"),
+               round(sum(pow(col("x") - col("n") * col("p"), 2)
+                 / (col("n") * col("p") * (lit(1.0) - col("p"))))
+                 / (max("dd") - 1), 4).as("phi"))
+          .withColumn("overdispersed", (col("phi") > 1.5).cast("long"))
+      },
+      Some("""WITH du AS (
+             |  SELECT ts // 86400000000000 AS day, user_id,
+             |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+             |  FROM events GROUP BY 1, 2),
+             |daily AS (SELECT day, CAST(count(*) AS DOUBLE) AS n,
+             |                 CAST(sum(conv) AS DOUBLE) AS x
+             |          FROM du GROUP BY day),
+             |pool AS (SELECT sum(x) / sum(n) AS p,
+             |                CAST(count(*) AS DOUBLE) AS dd
+             |         FROM daily),
+             |ag AS (SELECT CAST(max(dd) AS BIGINT) AS n_days,
+             |              round(max(p), 6) AS p_pool,
+             |              round(sum((x - n*p)*(x - n*p) / (n*p*(1.0 - p)))
+             |                    / (max(dd) - 1), 4) AS phi
+             |       FROM daily, pool
+             |       WHERE p > 0 AND p < 1 AND dd > 1)
+             |SELECT n_days, p_pool, phi,
+             |       CAST(CASE WHEN phi > 1.5 THEN 1 ELSE 0 END AS BIGINT)
+             |         AS overdispersed
+             |FROM ag""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
     relational ++ eventsQ ++ experimentsQ ++ vectorStore ++ dedup ++ textQ ++
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
-      round10jQ ++ round10kQ ++ round10lQ ++ round10mQ
+      round10jQ ++ round10kQ ++ round10lQ ++ round10mQ ++ round10nQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

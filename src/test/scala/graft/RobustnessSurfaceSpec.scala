@@ -98,7 +98,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "text_extract_summary", "text_ngram_novelty",
     "dedup_band_curve", "pipe_tokenizer_fertility",
     "stat_hosmer_lemeshow", "stat_dunn_test", "samp_poststratify",
-    "text_dedup_impact", "mm_modality_card")
+    "text_dedup_impact", "mm_modality_card", "text_burrows_delta")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -142,7 +142,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "emb_anisotropy", "ann_jl_recall", "emb_twonn_id",
     "emb_participation_ratio", "emb_cka", "emb_knn_vote",
     "ann_ivf_recall_curve", "emb_hubness", "emb_top_eigen",
-    "emb_deflated_eigen", "emb_abtt", "emb_align_uniform")
+    "emb_deflated_eigen", "emb_abtt", "emb_align_uniform",
+    "emb_centroid_classifier")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,
@@ -218,7 +219,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_intervention_its", "ts_cointegration", "stat_lilliefors",
     "priv_noisy_max", "pipe_contract_events",
     "stat_sign_test", "ev_stickiness",
-    "ev_segment_migration", "ts_backtest_snaive")
+    "ev_segment_migration", "ts_backtest_snaive", "stat_overdispersion")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -481,6 +481,36 @@ class Round10dOpsSpec extends SparkSpec {
     }
   }
 
+  test("Burrows delta is a non-negative distance over the shared vocab") {
+    val rows = run("text_burrows_delta")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("delta") >= 0.0)
+      assert(r.getAs[Long]("n_terms") <= 50)
+      assert(r.getAs[String]("sa") < r.getAs[String]("sb"))
+    }
+    val ds = rows.map(_.getAs[Double]("delta"))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, "ascending")
+  }
+
+  test("nearest-centroid accuracy is a per-label rate over all vectors") {
+    val rows = run("emb_centroid_classifier")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("overdispersion factor is positive") {
+    val r = run("stat_overdispersion").head
+    assert(r.getAs[Long]("n_days") > 1)
+    val p = r.getAs[Double]("p_pool")
+    assert(p > 0.0 && p < 1.0)
+    assert(r.getAs[Double]("phi") > 0.0)
+  }
+
   test("ESS is between 1 and n_docs for every source") {
     val rows = run("samp_ess")
     assert(rows.nonEmpty)
