@@ -15276,13 +15276,169 @@ object SparkEntry {
              |         AS overdispersed
              |FROM ag""".stripMargin)))
 
+  private val round10oQ: Seq[(String, Q)] = Seq(
+    // Hampel filter per type: a day is an outlier when it sits more
+    // than 3 scaled-MADs from the CENTERED rolling median (±3 days) —
+    // the robust spike detector that, unlike the 3σ ev_outliers, a
+    // single spike can't poison. Both the median and the MAD come
+    // from ONE bounded 7-element window list per row (sort + HOF
+    // arithmetic, identical element math on both engines); report is
+    // the per-type flag-rate rollup.
+    "ts_hampel" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-3, 3)
+        val sc = daily
+          .withColumn("arr", collect_list("y").over(w))
+          .filter(size(col("arr")) === 7)
+          .withColumn("med", element_at(sort_array(col("arr")), 4))
+          .withColumn("mad", element_at(sort_array(
+            expr("transform(arr, v -> abs(v - med))")), 4))
+          .withColumn("flag",
+            (abs(col("y") - col("med")) > lit(4.4478) * col("mad") &&
+             abs(col("y") - col("med")) > 0).cast("long"))
+        sc.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days_scored"),
+               sum("flag").as("n_flagged"),
+               round(sum("flag") / count(lit(1)).cast("double"), 4)
+                 .as("flag_rate"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts // 86400000000000 AS day,
+             |         CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |win AS (SELECT event_type, day, y,
+             |          list(y) OVER (PARTITION BY event_type ORDER BY day
+             |            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr
+             |        FROM daily),
+             |sc AS (SELECT *,
+             |         list_sort(arr)[4] AS med
+             |       FROM win WHERE len(arr) = 7),
+             |md AS (SELECT *,
+             |         list_sort(list_transform(arr, v -> abs(v - med)))[4] AS mad
+             |       FROM sc),
+             |fl AS (SELECT event_type,
+             |         CASE WHEN abs(y - med) > 4.4478 * mad AND abs(y - med) > 0
+             |              THEN 1 ELSE 0 END AS flag
+             |       FROM md)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_scored,
+             |       CAST(sum(flag) AS BIGINT) AS n_flagged,
+             |       round(sum(flag) / CAST(count(*) AS DOUBLE), 4) AS flag_rate
+             |FROM fl GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // A/B covariate balance table: standardized mean differences of
+    // per-user activity covariates between the hash arms — the
+    // randomization-health check causal analysis starts with
+    // (|SMD| < 0.1 = balanced). ONE per-user rollup, one wide
+    // conditional aggregate, then 3 rows of arithmetic; variances
+    // from raw sums so both engines run identical expressions.
+    "ev_covariate_balance" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val u = Tables.events(s, d)
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .groupBy("user_id", "arm")
+          .agg(count(lit(1)).cast("double").as("x1"),
+               sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                 .cast("double").as("x2"),
+               countDistinct(expr("ts div 86400000000000")).cast("double")
+                 .as("x3"))
+        def sums(a: Int, c: String) = Seq(
+          sum(when(col("arm") === a, 1.0).otherwise(0.0)),
+          sum(when(col("arm") === a, col(c)).otherwise(0.0)),
+          sum(when(col("arm") === a, col(c) * col(c)).otherwise(0.0)))
+        val g = u.agg(
+          sums(1, "x1")(0).as("n1"), sums(1, "x1")(1).as("s1_1"),
+          sums(1, "x1")(2).as("q1_1"), sums(0, "x1")(1).as("s0_1"),
+          sums(0, "x1")(2).as("q0_1"), sums(0, "x1")(0).as("n0"),
+          sums(1, "x2")(1).as("s1_2"), sums(1, "x2")(2).as("q1_2"),
+          sums(0, "x2")(1).as("s0_2"), sums(0, "x2")(2).as("q0_2"),
+          sums(1, "x3")(1).as("s1_3"), sums(1, "x3")(2).as("q1_3"),
+          sums(0, "x3")(1).as("s0_3"), sums(0, "x3")(2).as("q0_3"))
+        val rows = g.select(explode(array(
+          struct(lit("n_events").as("covariate"),
+            col("n1"), col("n0"), col("s1_1").as("s1"), col("q1_1").as("q1"),
+            col("s0_1").as("s0"), col("q0_1").as("q0")),
+          struct(lit("n_purchases").as("covariate"),
+            col("n1"), col("n0"), col("s1_2").as("s1"), col("q1_2").as("q1"),
+            col("s0_2").as("s0"), col("q0_2").as("q0")),
+          struct(lit("n_active_days").as("covariate"),
+            col("n1"), col("n0"), col("s1_3").as("s1"), col("q1_3").as("q1"),
+            col("s0_3").as("s0"), col("q0_3").as("q0")))).as("r"))
+          .select(col("r.*"))
+        rows.filter(col("n1") > 1 && col("n0") > 1)
+          .withColumn("m1", col("s1") / col("n1"))
+          .withColumn("m0", col("s0") / col("n0"))
+          .withColumn("v1",
+            (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1))
+          .withColumn("v0",
+            (col("q0") - col("s0") * col("s0") / col("n0")) / (col("n0") - 1))
+          .withColumn("sp", sqrt((col("v1") + col("v0")) / 2))
+          .select(col("covariate"),
+            col("n1").cast("long").as("n_t"), col("n0").cast("long").as("n_c"),
+            round(col("m1"), 4).as("mean_t"), round(col("m0"), 4).as("mean_c"),
+            when(col("sp") > 0,
+              round((col("m1") - col("m0")) / col("sp"), 4)).as("smd"),
+            when(col("sp") > 0,
+              (abs((col("m1") - col("m0")) / col("sp")) < 0.1).cast("long"))
+              .as("balanced"))
+          .orderBy("covariate")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         ('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm,
+             |         CAST(count(*) AS DOUBLE) AS x1,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS x2,
+             |         CAST(count(DISTINCT ts // 86400000000000) AS DOUBLE) AS x3
+             |  FROM events GROUP BY 1, 2),
+             |g AS (SELECT
+             |        sum(CASE WHEN arm = 1 THEN 1.0 ELSE 0.0 END) AS n1,
+             |        sum(CASE WHEN arm = 0 THEN 1.0 ELSE 0.0 END) AS n0,
+             |        sum(CASE WHEN arm = 1 THEN x1 ELSE 0 END) AS s1_1,
+             |        sum(CASE WHEN arm = 1 THEN x1*x1 ELSE 0 END) AS q1_1,
+             |        sum(CASE WHEN arm = 0 THEN x1 ELSE 0 END) AS s0_1,
+             |        sum(CASE WHEN arm = 0 THEN x1*x1 ELSE 0 END) AS q0_1,
+             |        sum(CASE WHEN arm = 1 THEN x2 ELSE 0 END) AS s1_2,
+             |        sum(CASE WHEN arm = 1 THEN x2*x2 ELSE 0 END) AS q1_2,
+             |        sum(CASE WHEN arm = 0 THEN x2 ELSE 0 END) AS s0_2,
+             |        sum(CASE WHEN arm = 0 THEN x2*x2 ELSE 0 END) AS q0_2,
+             |        sum(CASE WHEN arm = 1 THEN x3 ELSE 0 END) AS s1_3,
+             |        sum(CASE WHEN arm = 1 THEN x3*x3 ELSE 0 END) AS q1_3,
+             |        sum(CASE WHEN arm = 0 THEN x3 ELSE 0 END) AS s0_3,
+             |        sum(CASE WHEN arm = 0 THEN x3*x3 ELSE 0 END) AS q0_3
+             |      FROM u),
+             |rows_ AS (
+             |  SELECT 'n_events' AS covariate, n1, n0, s1_1 AS s1, q1_1 AS q1,
+             |         s0_1 AS s0, q0_1 AS q0 FROM g
+             |  UNION ALL
+             |  SELECT 'n_purchases', n1, n0, s1_2, q1_2, s0_2, q0_2 FROM g
+             |  UNION ALL
+             |  SELECT 'n_active_days', n1, n0, s1_3, q1_3, s0_3, q0_3 FROM g),
+             |c AS (SELECT *, s1/n1 AS m1, s0/n0 AS m0,
+             |             (q1 - s1*s1/n1) / (n1 - 1) AS v1,
+             |             (q0 - s0*s0/n0) / (n0 - 1) AS v0
+             |      FROM rows_ WHERE n1 > 1 AND n0 > 1),
+             |sm AS (SELECT *, sqrt((v1 + v0) / 2) AS sp FROM c)
+             |SELECT covariate, CAST(n1 AS BIGINT) AS n_t, CAST(n0 AS BIGINT) AS n_c,
+             |       round(m1, 4) AS mean_t, round(m0, 4) AS mean_c,
+             |       CASE WHEN sp > 0 THEN round((m1 - m0) / sp, 4) END AS smd,
+             |       CASE WHEN sp > 0 THEN CAST(CASE WHEN abs((m1 - m0) / sp) < 0.1
+             |            THEN 1 ELSE 0 END AS BIGINT) END AS balanced
+             |FROM sm ORDER BY covariate""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
     relational ++ eventsQ ++ experimentsQ ++ vectorStore ++ dedup ++ textQ ++
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
-      round10jQ ++ round10kQ ++ round10lQ ++ round10mQ ++ round10nQ
+      round10jQ ++ round10kQ ++ round10lQ ++ round10mQ ++ round10nQ ++
+      round10oQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

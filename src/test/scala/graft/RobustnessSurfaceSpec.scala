@@ -219,7 +219,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_intervention_its", "ts_cointegration", "stat_lilliefors",
     "priv_noisy_max", "pipe_contract_events",
     "stat_sign_test", "ev_stickiness",
-    "ev_segment_migration", "ts_backtest_snaive", "stat_overdispersion")
+    "ev_segment_migration", "ts_backtest_snaive", "stat_overdispersion",
+    "ts_hampel", "ev_covariate_balance")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

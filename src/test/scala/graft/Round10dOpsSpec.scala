@@ -511,6 +511,29 @@ class Round10dOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("phi") > 0.0)
   }
 
+  test("Hampel flag rate is a proper share of scored days") {
+    val rows = run("ts_hampel")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("flag_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_days_scored"))
+    }
+  }
+
+  test("covariate balance reports 3 covariates with hash arms balanced") {
+    val rows = run("ev_covariate_balance")
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_t") > 1 && r.getAs[Long]("n_c") > 1)
+      if (!r.isNullAt(r.fieldIndex("smd"))) {
+        // md5 arms are real randomization: imbalance beyond |SMD|=0.5
+        // would mean the hash assignment is broken
+        assert(math.abs(r.getAs[Double]("smd")) < 0.5, r.mkString(","))
+      }
+    }
+  }
+
   test("ESS is between 1 and n_docs for every source") {
     val rows = run("samp_ess")
     assert(rows.nonEmpty)
