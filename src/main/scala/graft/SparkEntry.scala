@@ -13394,7 +13394,7 @@ object SparkEntry {
     * lgamma, whose libm differs from anything Spark can express.
     * Absolute error < 1e-9 over the whole support.
     */
-  private def lgammaCol(x: Column): Column = {
+  private[graft] def lgammaCol(x: Column): Column = {
     val z = x + lit(6.0)
     val z5 = z * z * z * z * z
     (z - 0.5) * log(z) - z + lit(0.9189385332046727) +
@@ -13402,7 +13402,7 @@ object SparkEntry {
       lit(1.0) / (lit(1260.0) * z5) -
       log(x * (x + 1) * (x + 2) * (x + 3) * (x + 4) * (x + 5))
   }
-  private def lfCol(x: Column): Column = lgammaCol(x + lit(1.0))
+  private[graft] def lfCol(x: Column): Column = lgammaCol(x + lit(1.0))
 
   /** The same Stirling ln Γ(e+1) (log-factorial) as SQL text. */
   private def sqlLf(e: String): String = {

@@ -534,6 +534,23 @@ class Round10dOpsSpec extends SparkSpec {
     }
   }
 
+  test("Stirling log-factorial matches exact ln k! to 1e-9 over the whole support") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    // exact ln k! by summed logs (error ~ k ulps, far below the bound)
+    val exact = (0 to 300).scanLeft(0.0)((acc, k) =>
+      if (k == 0) 0.0 else acc + math.log(k)).tail
+    val got = s.range(301).select(col("id").cast("double").as("k"),
+        SparkEntry.lfCol(col("id").cast("double")).as("lf"))
+      .collect().map(r => r.getAs[Double]("k").toInt -> r.getAs[Double]("lf"))
+      .toMap
+    (1 to 300).foreach { k =>
+      val err = math.abs(got(k) - exact(k))
+      assert(err < 1e-9, s"k=$k err=$err")
+    }
+    assert(math.abs(got(0)) < 1e-9, s"lf(0)=ln 0! must be 0, got ${got(0)}")
+  }
+
   test("ESS is between 1 and n_docs for every source") {
     val rows = run("samp_ess")
     assert(rows.nonEmpty)
