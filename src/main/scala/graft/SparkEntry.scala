@@ -15431,6 +15431,119 @@ object SparkEntry {
              |            THEN 1 ELSE 0 END AS BIGINT) END AS balanced
              |FROM sm ORDER BY covariate""".stripMargin)))
 
+  private val round10pQ: Seq[(String, Q)] = Seq(
+    // Lincoln-Petersen / Chapman capture-recapture estimate of corpus
+    // size from TWO independent 10% hash samples — the "how big is
+    // the population really" estimator a crawler uses when it can
+    // only sample (and the sanity check that two sampling frames
+    // agree). Both marks and the overlap come from ONE map-side
+    // conditional aggregate; the Chapman correction removes the
+    // classic small-overlap bias. Reported next to the true count so
+    // the estimator's error is auditable.
+    "samp_capture_recapture" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val t = Tables.documents(s, d).select(
+          (pmod(md5Long(concat(lit("cra:"), col("doc_id").cast("string"))),
+            lit(10)) === 0).cast("long").as("a"),
+          (pmod(md5Long(concat(lit("crb:"), col("doc_id").cast("string"))),
+            lit(10)) === 0).cast("long").as("b"))
+        t.agg(count(lit(1)).as("n_true"),
+            sum("a").as("n1"), sum("b").as("n2"),
+            sum(col("a") * col("b")).as("n12"))
+          .select(col("n_true"), col("n1"), col("n2"), col("n12"),
+            when(col("n12") > 0,
+              round(col("n1") * col("n2") / col("n12").cast("double"), 2))
+              .as("n_lincoln"),
+            round((col("n1") + 1) * (col("n2") + 1)
+              / (col("n12") + 1).cast("double") - 1, 2).as("n_chapman"),
+            when(col("n12") > 0,
+              round(abs((col("n1") + 1) * (col("n2") + 1)
+                / (col("n12") + 1).cast("double") - 1 - col("n_true"))
+                / col("n_true"), 4)).as("rel_err_chapman"))
+      },
+      Some("""WITH t AS (
+             |  SELECT CASE WHEN ('0x' || substr(md5('cra:' || doc_id::VARCHAR), 1, 15))::BIGINT
+             |                   % 10 = 0 THEN 1 ELSE 0 END AS a,
+             |         CASE WHEN ('0x' || substr(md5('crb:' || doc_id::VARCHAR), 1, 15))::BIGINT
+             |                   % 10 = 0 THEN 1 ELSE 0 END AS b
+             |  FROM documents)
+             |SELECT CAST(count(*) AS BIGINT) AS n_true,
+             |       CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2,
+             |       CAST(sum(a * b) AS BIGINT) AS n12,
+             |       CASE WHEN sum(a * b) > 0
+             |            THEN round(sum(a) * sum(b) / CAST(sum(a * b) AS DOUBLE), 2)
+             |       END AS n_lincoln,
+             |       round((sum(a) + 1) * (sum(b) + 1)
+             |             / CAST(sum(a * b) + 1 AS DOUBLE) - 1, 2) AS n_chapman,
+             |       CASE WHEN sum(a * b) > 0 THEN
+             |         round(abs((sum(a) + 1) * (sum(b) + 1)
+             |               / CAST(sum(a * b) + 1 AS DOUBLE) - 1 - count(*))
+             |               / count(*), 4)
+             |       END AS rel_err_chapman
+             |FROM t""".stripMargin)),
+
+    // session-duration distribution: ev_sessionize's gap>30min ids
+    // rolled into wall-clock durations and bucketed into the product
+    // bands (<1m / 1-5m / 5-30m / 30m+) — the engagement-depth table
+    // next to ev_session_paths' what-they-did. One per-user window
+    // pass + one grouped rollup; single-event sessions land in <1m.
+    "ev_session_durations" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(1800000000000L), 1)
+              .otherwise(0))
+          .withColumn("sid", sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sid")
+          // integer floor division: `/` on longs is DOUBLE in Spark
+          // while the oracle's // floors
+          .agg(expr("(max(ts) - min(ts)) div 1000000000").as("dur_sec"))
+        val b = sess.withColumn("bucket",
+            when(col("dur_sec") < 60, "a_under_1m")
+              .when(col("dur_sec") < 300, "b_1m_to_5m")
+              .when(col("dur_sec") < 1800, "c_5m_to_30m")
+              .otherwise("d_over_30m"))
+          .localCheckpoint(eager = false) // totals + the bucket rollup
+        val tot = b.agg(count(lit(1)).cast("double").as("nn"))
+        b.groupBy("bucket").agg(count(lit(1)).as("n_sessions"),
+            round(avg(col("dur_sec").cast("double")), 2).as("avg_dur_sec"))
+          .crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_sessions"),
+            col("avg_dur_sec"),
+            round(col("n_sessions") / col("nn"), 4).as("share"))
+          .orderBy("bucket")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sid AS (SELECT user_id, ts,
+             |          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |        FROM g),
+             |sess AS (SELECT user_id, sid,
+             |           (max(ts) - min(ts)) // 1000000000 AS dur_sec
+             |         FROM sid GROUP BY user_id, sid),
+             |bk AS (SELECT *,
+             |         CASE WHEN dur_sec < 60 THEN 'a_under_1m'
+             |              WHEN dur_sec < 300 THEN 'b_1m_to_5m'
+             |              WHEN dur_sec < 1800 THEN 'c_5m_to_30m'
+             |              ELSE 'd_over_30m' END AS bucket
+             |       FROM sess),
+             |t AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM bk)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_sessions,
+             |       round(avg(CAST(dur_sec AS DOUBLE)), 2) AS avg_dur_sec,
+             |       round(count(*) / nn, 4) AS share
+             |FROM bk, t GROUP BY bucket, nn ORDER BY bucket""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
@@ -15438,7 +15551,7 @@ object SparkEntry {
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
       round10jQ ++ round10kQ ++ round10lQ ++ round10mQ ++ round10nQ ++
-      round10oQ
+      round10oQ ++ round10pQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

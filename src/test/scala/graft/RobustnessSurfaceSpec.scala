@@ -98,7 +98,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "text_extract_summary", "text_ngram_novelty",
     "dedup_band_curve", "pipe_tokenizer_fertility",
     "stat_hosmer_lemeshow", "stat_dunn_test", "samp_poststratify",
-    "text_dedup_impact", "mm_modality_card", "text_burrows_delta")
+    "text_dedup_impact", "mm_modality_card", "text_burrows_delta",
+    "samp_capture_recapture")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -220,7 +221,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "priv_noisy_max", "pipe_contract_events",
     "stat_sign_test", "ev_stickiness",
     "ev_segment_migration", "ts_backtest_snaive", "stat_overdispersion",
-    "ts_hampel", "ev_covariate_balance")
+    "ts_hampel", "ev_covariate_balance", "ev_session_durations")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -551,6 +551,31 @@ class Round10dOpsSpec extends SparkSpec {
     assert(math.abs(got(0)) < 1e-9, s"lf(0)=ln 0! must be 0, got ${got(0)}")
   }
 
+  test("capture-recapture estimates land near the true corpus size") {
+    val r = run("samp_capture_recapture").head
+    val nt = r.getAs[Long]("n_true")
+    assert(nt > 0)
+    assert(r.getAs[Long]("n12") <= math.min(r.getAs[Long]("n1"),
+      r.getAs[Long]("n2")))
+    // Chapman is defined even with zero overlap and is never negative
+    assert(r.getAs[Double]("n_chapman") >= 0.0)
+    if (!r.isNullAt(r.fieldIndex("rel_err_chapman"))) {
+      // two independent 10% frames estimate a 500+ corpus well within 2x
+      assert(r.getAs[Double]("rel_err_chapman") < 1.0, r.mkString(","))
+    }
+  }
+
+  test("session duration shares sum to 1 across the bands") {
+    val rows = run("ev_session_durations")
+    assert(rows.nonEmpty)
+    val s = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(s - 1.0) < 1e-2, s"share mass $s")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") > 0)
+      assert(r.getAs[Double]("avg_dur_sec") >= 0.0)
+    }
+  }
+
   test("ESS is between 1 and n_docs for every source") {
     val rows = run("samp_ess")
     assert(rows.nonEmpty)
