@@ -15542,7 +15542,72 @@ object SparkEntry {
              |SELECT bucket, CAST(count(*) AS BIGINT) AS n_sessions,
              |       round(avg(CAST(dur_sec AS DOUBLE)), 2) AS avg_dur_sec,
              |       round(count(*) / nn, 4) AS share
-             |FROM bk, t GROUP BY bucket, nn ORDER BY bucket""".stripMargin)))
+             |FROM bk, t GROUP BY bucket, nn ORDER BY bucket""".stripMargin)),
+
+    // Matryoshka recall-vs-dimension curve: top-10 recall of
+    // prefix-truncated cosine search at dims {8,16,32,64} against the
+    // full-dim truth for 3 probes — WHERE to cut the nested
+    // representation (vec_matryoshka fixes 16; this is the table that
+    // justifies it). One slice + one broadcast-score pass per dim;
+    // everything rank-bounded, no quadratic work.
+    "vec_matryoshka_curve" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val emb = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+        val qids = Seq(7L, 42L, 99L)
+        val truthW = Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id"))
+        val full = emb.crossJoin(broadcast(emb.filter(col("vec_id").isin(qids: _*))
+            .select(col("vec_id").as("qid"), col("embedding").as("qv"))))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            (round(score(col("embedding"), col("qv")), 6) + lit(0.0)).as("sc"))
+          .withColumn("rk", row_number().over(truthW)).filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id"))
+          .localCheckpoint(eager = false) // joined by all 4 dims
+        val parts = Seq(8, 16, 32, 64).map { dim =>
+          val e = emb.select(col("vec_id"), slice(col("embedding"), 1, dim).as("ed"))
+          val got = e.crossJoin(broadcast(e.filter(col("vec_id").isin(qids: _*))
+              .select(col("vec_id").as("qid"), col("ed").as("qv"))))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              (round(score(col("ed"), col("qv")), 6) + lit(0.0)).as("sc"))
+            .withColumn("rk", row_number().over(truthW)).filter(col("rk") <= 10)
+            .select(col("qid"), col("vec_id"))
+          got.join(full, Seq("qid", "vec_id"), "left_semi")
+            .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+            .select(col("qid"), lit(dim.toLong).as("dim"),
+              round(col("n_hits") / 10.0, 4).as("recall_at_10"))
+        }
+        parts.reduce(_ union _).orderBy("qid", "dim")
+      },
+      Some {
+        def top(name: String, d: Int) = {
+          val es = if (d == 64) "e.emb" else s"(e.emb)[1:$d]"
+          val qs = if (d == 64) "q.emb" else s"(q.emb)[1:$d]"
+          s"""$name AS MATERIALIZED (SELECT qid, vec_id FROM (
+             |  SELECT q.vec_id AS qid, e.vec_id,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY round(list_cosine_similarity($es, $qs), 6) + 0.0 DESC,
+             |                    e.vec_id) AS rk
+             |  FROM emb e, emb q
+             |  WHERE q.vec_id IN (7, 42, 99) AND e.vec_id <> q.vec_id)
+             |  WHERE rk <= 10)""".stripMargin
+        }
+        val dimCtes = Seq(8, 16, 32, 64).map(d => top(s"t$d", d)).mkString(",\n")
+        val unions = Seq(8, 16, 32, 64).map { d =>
+          s"""SELECT t.qid, CAST($d AS BIGINT) AS dim,
+             |       round(count(*) / 10.0, 4) AS recall_at_10
+             |FROM t$d t JOIN truth USING (qid, vec_id) GROUP BY t.qid""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH emb AS MATERIALIZED (
+           |  SELECT vec_id, embedding::DOUBLE[] AS emb
+           |  FROM embeddings WHERE embedding IS NOT NULL),
+           |${top("truth", 64)},
+           |$dimCtes
+           |$unions
+           |ORDER BY qid, dim""".stripMargin
+      }))
 
   // ---------------------------------------------------------------
 

@@ -144,7 +144,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "emb_participation_ratio", "emb_cka", "emb_knn_vote",
     "ann_ivf_recall_curve", "emb_hubness", "emb_top_eigen",
     "emb_deflated_eigen", "emb_abtt", "emb_align_uniform",
-    "emb_centroid_classifier")
+    "emb_centroid_classifier", "vec_matryoshka_curve")
 
   test("embeddings-only queries execute on degenerate vectors") {
     // zero-norm vector (cosine denominators), constant vector,

@@ -576,6 +576,19 @@ class Round10dOpsSpec extends SparkSpec {
     }
   }
 
+  test("Matryoshka curve recalls are shares and full-dim recall is exact") {
+    val rows = run("vec_matryoshka_curve")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(rec > 0.0 && rec <= 1.0, r.mkString(","))
+    }
+    // dim = 64 IS the truth ranking: recall must be exactly 1
+    rows.filter(_.getAs[Long]("dim") == 64L).foreach { r =>
+      assert(r.getAs[Double]("recall_at_10") == 1.0, r.mkString(","))
+    }
+  }
+
   test("ESS is between 1 and n_docs for every source") {
     val rows = run("samp_ess")
     assert(rows.nonEmpty)
