@@ -12499,43 +12499,71 @@ object SparkEntry {
     // unrelated signals? alpha = k/(k-1) * (1 - sum(var_i)/var_total)
     // over population variances - one map-side item projection (the
     // text_charclass regex-strip idiom) and ONE 4-variance aggregate.
+    // Cronbach's alpha over three doc-quality items. TWO-PASS centered
+    // variances (the stat_moments altitude, round 8): one-shot var_pop
+    // over doubles is partial-merge-order dependent and a value on the
+    // 4dp boundary flipped the hash between runs (round-10 verdict).
+    // Items rounded to 6 and means broadcast ROUNDED to 6 so both
+    // engines center on identical values; every addend of the second
+    // pass is small, making the 6dp/4dp rounds order-stable.
     "stat_cronbach" -> Q(
       (s, d) => {
         val t = col("text")
         val n = greatest(length(t), lit(1)).cast("double")
         val items = Tables.documents(s, d).select(
-          least(col("n_chars") / 2000.0, lit(1.0)).as("i1"),
-          (length(regexp_replace(t, "[^A-Za-z ]", "")) / n).as("i2"),
-          (length(regexp_replace(t, "[.,;:!?]", "")) / n).as("i3"))
-        items.agg(count(lit(1)).as("n_docs"),
-            var_pop("i1").as("v1"), var_pop("i2").as("v2"),
-            var_pop("i3").as("v3"),
-            var_pop(col("i1") + col("i2") + col("i3")).as("vt"))
+          round(least(col("n_chars") / 2000.0, lit(1.0)), 6).as("i1"),
+          round(length(regexp_replace(t, "[^A-Za-z ]", "")) / n, 6).as("i2"),
+          round(length(regexp_replace(t, "[.,;:!?]", "")) / n, 6).as("i3"))
+        val mus = items.agg(
+          round(sum("i1") / count(lit(1)), 6).as("m1"),
+          round(sum("i2") / count(lit(1)), 6).as("m2"),
+          round(sum("i3") / count(lit(1)), 6).as("m3"),
+          round(sum(col("i1") + col("i2") + col("i3")) / count(lit(1)), 6)
+            .as("mt"))
+        items.crossJoin(broadcast(mus))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(pow(col("i1") - col("m1"), 2)).as("s1"),
+            sum(pow(col("i2") - col("m2"), 2)).as("s2"),
+            sum(pow(col("i3") - col("m3"), 2)).as("s3"),
+            sum(pow(col("i1") + col("i2") + col("i3") - col("mt"), 2))
+              .as("st"))
           .select(col("n_docs"),
-            round(col("v1"), 6).as("var_len"),
-            round(col("v2"), 6).as("var_alpha"),
-            round(col("v3"), 6).as("var_nonpunct"),
-            when(col("vt") > 0,
+            round(col("s1") / col("n_docs"), 6).as("var_len"),
+            round(col("s2") / col("n_docs"), 6).as("var_alpha"),
+            round(col("s3") / col("n_docs"), 6).as("var_nonpunct"),
+            when(col("st") > 0,
               round(lit(1.5) * (lit(1.0)
-                - (col("v1") + col("v2") + col("v3")) / col("vt")), 4))
+                - (col("s1") + col("s2") + col("s3")) / col("st")), 4))
               .as("alpha"))
       },
-      Some("""WITH it AS (
-             |  SELECT least(n_chars / 2000.0, 1.0) AS i1,
-             |         length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
-             |           / CAST(greatest(length(text), 1) AS DOUBLE) AS i2,
-             |         length(regexp_replace(text, '[.,;:!?]', '', 'g'))
-             |           / CAST(greatest(length(text), 1) AS DOUBLE) AS i3
-             |  FROM documents)
-             |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             |       round(var_pop(i1), 6) AS var_len,
-             |       round(var_pop(i2), 6) AS var_alpha,
-             |       round(var_pop(i3), 6) AS var_nonpunct,
-             |       CASE WHEN var_pop(i1 + i2 + i3) > 0
-             |            THEN round(1.5 * (1.0 - (var_pop(i1) + var_pop(i2)
-             |              + var_pop(i3)) / var_pop(i1 + i2 + i3)), 4)
+      Some("""WITH it AS MATERIALIZED (
+             |  SELECT round(CAST(least(n_chars / 2000.0, 1.0) AS DOUBLE), 6) AS i1,
+             |         round(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+             |           / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS i2,
+             |         round(length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+             |           / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS i3
+             |  FROM documents),
+             |mus AS (
+             |  SELECT round(sum(i1) / count(*), 6) AS m1,
+             |         round(sum(i2) / count(*), 6) AS m2,
+             |         round(sum(i3) / count(*), 6) AS m3,
+             |         round(sum(i1 + i2 + i3) / count(*), 6) AS mt
+             |  FROM it),
+             |cm AS (
+             |  SELECT count(*) AS n_docs,
+             |         sum(pow(i1 - m1, 2)) AS s1,
+             |         sum(pow(i2 - m2, 2)) AS s2,
+             |         sum(pow(i3 - m3, 2)) AS s3,
+             |         sum(pow(i1 + i2 + i3 - mt, 2)) AS st
+             |  FROM it, mus)
+             |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+             |       round(s1 / n_docs, 6) AS var_len,
+             |       round(s2 / n_docs, 6) AS var_alpha,
+             |       round(s3 / n_docs, 6) AS var_nonpunct,
+             |       CASE WHEN st > 0
+             |            THEN round(1.5 * (1.0 - (s1 + s2 + s3) / st), 4)
              |       END AS alpha
-             |FROM it""".stripMargin)),
+             |FROM cm""".stripMargin)),
 
     // HITS hubs & authorities on the DIRECTED event-type transition
     // graph (the undirected eigencentrality can't separate "sends
@@ -13453,9 +13481,15 @@ object SparkEntry {
             lfCol((col("r1") - col("a")).cast("double")) -
             lfCol((col("c1") - col("a")).cast("double")) -
             lfCol((col("r2") - col("c1") + col("a")).cast("double")))
-        val terms = base
-          .withColumn("k", explode(sequence(
-            greatest(lit(0L), col("c1") - col("r2")), least(col("r1"), col("c1")))))
+        val based = base.localCheckpoint(eager = false) // bounds + terms
+        // hypergeometric support as a DISTRIBUTED spark.range (same
+        // rationale as stat_bayes_ab: one-row sequence() arrays don't
+        // survive production counts); 1-row bounded collect for bounds.
+        val bnd = based.select(
+          greatest(lit(0L), col("c1") - col("r2")).as("lo"),
+          least(col("r1"), col("c1")).as("hi")).collect()(0)
+        val terms = s.range(bnd.getLong(0), bnd.getLong(1) + 1L).toDF("k")
+          .crossJoin(broadcast(based))
           .withColumn("lpk",
             col("lconst") - lfCol(col("k").cast("double")) -
             lfCol((col("r1") - col("k")).cast("double")) -
@@ -13730,10 +13764,16 @@ object SparkEntry {
           sum(when(col("arm") === 1 && col("conv") === 1, 1L).otherwise(0L)).as("c_b"))
           .withColumn("aa", (col("c_a") + 1).cast("double"))
           .withColumn("ba", (col("n_a") - col("c_a") + 1).cast("double"))
-          .withColumn("ab2", (col("c_b") + 1).cast("double"))
           .withColumn("bb", (col("n_b") - col("c_b") + 1).cast("double"))
-        val terms = cts
-          .withColumn("i", explode(sequence(lit(0L), col("c_b"))))
+          .localCheckpoint(eager = false) // reused: bound read + terms
+        // support 0..c_b as a DISTRIBUTED spark.range — a one-row
+        // sequence() array caps at Spark's max array size and puts
+        // millions of elements on one task once c_b is production-
+        // scale. Reading the bound is a 1-row bounded collect (the
+        // graph_pagerank altitude).
+        val cB = cts.select(col("c_b")).collect()(0).getLong(0)
+        val terms = s.range(0L, cB + 1L).toDF("i")
+          .crossJoin(broadcast(cts))
           .withColumn("lt",
             lnB(col("aa") + col("i"), col("ba") + col("bb"))
               - log(col("bb") + col("i"))
@@ -14084,9 +14124,13 @@ object SparkEntry {
               (col("n") * col("n") * (col("n") - 1.0))).as("vr"),
           sum(col("a") * col("dd") / col("n")).as("rs"),
           sum(col("b") * col("c") / col("n")).as("ss"))
+        // continuity correction clamped at 0: when |num| < 0.5 the
+        // unclamped form would INFLATE chi2 to 0.25/vr on a near-
+        // perfect null instead of shrinking it toward 0
         val chi = agg.withColumn("chi2",
           when(col("vr") > 0,
-            round(pow(abs(col("num")) - 0.5, 2) / col("vr"), 4)))
+            round(pow(greatest(abs(col("num")) - 0.5, lit(0.0)), 2)
+              / col("vr"), 4)))
         val xx = sqrt(col("chi2") / 2)
         val t1 = lit(1.0) / (lit(1.0) + lit(0.3275911) * xx)
         chi.select(col("n_strata"), col("chi2"),
@@ -14118,7 +14162,8 @@ object SparkEntry {
              |              sum(a * dd / n) AS rs, sum(b * c / n) AS ss
              |       FROM sf),
              |ch AS (SELECT *, CASE WHEN vr > 0
-             |              THEN round(pow(abs(num) - 0.5, 2) / vr, 4) END AS chi2
+             |              THEN round(pow(greatest(abs(num) - 0.5, 0), 2) / vr, 4)
+             |              END AS chi2
              |       FROM ag),
              |pv AS (SELECT *, sqrt(chi2 / 2) AS xx,
              |              1.0 / (1.0 + 0.3275911 * sqrt(chi2 / 2)) AS t1
@@ -14453,9 +14498,18 @@ object SparkEntry {
           round(sum(pow(col("obs") - col("exps"), 2)
             / (col("exps") * (lit(1.0) - col("exps") / col("nb")))), 4)
             .as("hl_chi2"))
+        // HL df = n_bins - 2, NOT a hardcoded 8: the exps>0 filter can
+        // drop bins. Even-df chi-square survival exp(-h)·Σ_{k<m} h^k/k!
+        // with m = df/2 terms, CASE-gated so both engines unroll the
+        // same truncated sum (df floored to even, clamped ≥ 2).
         val h = col("hl_chi2") / 2
-        hl.select(col("n_bins"), col("hl_chi2"),
-          round(exp(-h) * (lit(1.0) + h + h * h / 2 + h * h * h / 6), 6)
+        val m = greatest(floor((col("n_bins") - lit(2)) / lit(2.0)), lit(1.0))
+        hl.select(col("n_bins"),
+          (m * 2).cast("long").as("df"), col("hl_chi2"),
+          round(exp(-h) * (lit(1.0)
+            + when(m > 1, h).otherwise(lit(0.0))
+            + when(m > 2, h * h / 2).otherwise(lit(0.0))
+            + when(m > 3, h * h * h / 6).otherwise(lit(0.0))), 6)
             .as("p_value"))
       },
       Some {
@@ -14485,12 +14539,16 @@ object SparkEntry {
            |hl AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
            |              round(sum((obs - exps)*(obs - exps)
            |                    / (exps * (1.0 - exps / nb))), 4) AS hl_chi2
-           |       FROM fb)
-           |SELECT n_bins, hl_chi2,
-           |       round(exp(-hl_chi2/2) * (1.0 + hl_chi2/2
-           |             + (hl_chi2/2)*(hl_chi2/2)/2
-           |             + (hl_chi2/2)*(hl_chi2/2)*(hl_chi2/2)/6), 6) AS p_value
-           |FROM hl""".stripMargin
+           |       FROM fb),
+           |mm AS (SELECT *, greatest(floor((n_bins - 2) / 2.0), 1.0) AS m,
+           |              hl_chi2 / 2 AS h
+           |       FROM hl)
+           |SELECT n_bins, CAST(m * 2 AS BIGINT) AS df, hl_chi2,
+           |       round(exp(-h) * (1.0
+           |             + CASE WHEN m > 1 THEN h ELSE 0.0 END
+           |             + CASE WHEN m > 2 THEN h*h/2 ELSE 0.0 END
+           |             + CASE WHEN m > 3 THEN h*h*h/6 ELSE 0.0 END), 6) AS p_value
+           |FROM mm""".stripMargin
       }),
 
     // ε=1 report-noisy-max release of the most common event type:

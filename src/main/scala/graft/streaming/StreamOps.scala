@@ -200,7 +200,15 @@ object StreamOps {
   def streamingBloomDedup(docs: Dataset[BloomDoc]): Dataset[BloomFlag] = {
     val s = docs.sparkSession
     import s.implicits._
-    def shard(h: String): Long = java.lang.Long.parseLong(h.take(8), 16) % 64
+    // shard from an MD5 of h (like positions() below) rather than
+    // parsing h as hex: a short or non-hex h would otherwise throw
+    // NumberFormatException inside groupByKey and kill the query
+    def shard(h: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$h:shard".getBytes("UTF-8"))
+      val top = md.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) >>> 4
+      top % 64L
+    }
     def positions(h: String): Seq[Int] = (0 to 2).map { k =>
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$h:$k".getBytes("UTF-8"))
