@@ -11078,29 +11078,20 @@ object SparkEntry {
     // iteration mapPartitions accumulator instead.
     "emb_participation_ratio" -> Q(
       (s, d) => {
-        val ex = Tables.embeddings(s, d)
-          .filter(col("embedding").isNotNull)
-          .select(col("embedding"), posexplode(col("embedding")).as(Seq("a", "xa")))
-          .select(col("a").cast("long").as("a"), col("xa").cast("double").as("xa"),
-                  posexplode(col("embedding")).as(Seq("b", "xb")))
-          .select(col("a"), col("b").cast("long").as("b"), col("xa"),
-                  col("xb").cast("double").as("xb"))
-        val cells = ex.groupBy("a", "b")
-          .agg(count(lit(1)).cast("double").as("n"),
-               sum(col("xa") * col("xb")).as("sxy"),
-               sum("xa").as("sxa"), sum("xb").as("sxb"))
-          .select(col("a"), col("b"), col("n"),
-            round(col("sxy") / col("n") -
-              (col("sxa") / col("n")) * (col("sxb") / col("n")), 7).as("cv"))
-        cells.agg(max("n").as("nv"), max("a").as("mxa"),
-            sum(when(col("a") === col("b"), col("cv")).otherwise(0.0)).as("trc"),
-            sum(col("cv") * col("cv")).as("trc2"))
-          .select(col("nv").cast("long").as("n_vecs"),
-            (col("mxa") + 1).as("dim"),
-            round(col("trc"), 6).as("tr_c"),
-            when(col("trc2") > 0,
-              round(col("trc") * col("trc") / col("trc2"), 4))
-              .otherwise(lit(null).cast("double")).as("pr_dim"))
+        // one-pass cross-moment aggregate + driver math on the
+        // bounded d² cells (CovMoments doc) — no N·d² row fan-out
+        import graft.embed.CovMoments._
+        import s.implicits._
+        val m = moments(Tables.embeddings(s, d))
+        val cv = covCells(m)
+        var trc = 0.0; var trc2 = 0.0
+        for (a <- 0 until m.dim; b <- 0 until m.dim) {
+          if (a == b) trc += cv(a)(b)
+          trc2 += cv(a)(b) * cv(a)(b)
+        }
+        Seq((m.n, m.dim.toLong, r(trc, 6),
+             if (trc2 > 0) Some(r(trc * trc / trc2, 4)) else None))
+          .toDF("n_vecs", "dim", "tr_c", "pr_dim")
       },
       Some("""WITH px AS (SELECT vec_id,
              |              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS a,
@@ -11302,31 +11293,24 @@ object SparkEntry {
     // index preserve structure" check behind vec_matryoshka.
     "emb_cka" -> Q(
       (s, d) => {
-        val ex = Tables.embeddings(s, d)
-          .filter(col("embedding").isNotNull)
-          .select(col("embedding"), posexplode(col("embedding")).as(Seq("a", "xa")))
-          .select(col("a").cast("long").as("a"), col("xa").cast("double").as("xa"),
-                  posexplode(col("embedding")).as(Seq("b", "xb")))
-          .select(col("a"), col("b").cast("long").as("b"), col("xa"),
-                  col("xb").cast("double").as("xb"))
-        ex.groupBy("a", "b")
-          .agg(count(lit(1)).cast("double").as("n"),
-               sum(col("xa") * col("xb")).as("sxy"),
-               sum("xa").as("sxa"), sum("xb").as("sxb"))
-          .select(col("a"), col("b"), col("n"),
-            round(col("sxy") / col("n") -
-              (col("sxa") / col("n")) * (col("sxb") / col("n")), 7).as("cv"))
-          .agg(max("n").as("nv"),
-            sum(col("cv") * col("cv")).as("fxx"),
-            sum(when(col("a") < 16 && col("b") < 16, col("cv") * col("cv"))
-              .otherwise(0.0)).as("fyy"),
-            sum(when(col("b") < 16, col("cv") * col("cv"))
-              .otherwise(0.0)).as("fxy"))
-          .select(col("nv").cast("long").as("n_vecs"),
-            lit(16L).as("dim_prefix"),
-            when(col("fxx") > 0 && col("fyy") > 0,
-              round(col("fxy") / (sqrt(col("fxx")) * sqrt(col("fyy"))), 4))
-              .otherwise(lit(null).cast("double")).as("cka"))
+        // one-pass cross-moment aggregate + driver math on the
+        // bounded d² cells (CovMoments doc) — no N·d² row fan-out
+        import graft.embed.CovMoments._
+        import s.implicits._
+        val m = moments(Tables.embeddings(s, d))
+        val cv = covCells(m)
+        var fxx = 0.0; var fyy = 0.0; var fxy = 0.0
+        for (a <- 0 until m.dim; b <- 0 until m.dim) {
+          val c2 = cv(a)(b) * cv(a)(b)
+          fxx += c2
+          fyy += (if (a < 16 && b < 16) c2 else 0.0)
+          fxy += (if (b < 16) c2 else 0.0)
+        }
+        Seq((m.n, 16L,
+             if (fxx > 0 && fyy > 0)
+               Some(r(fxy / (math.sqrt(fxx) * math.sqrt(fyy)), 4))
+             else None))
+          .toDF("n_vecs", "dim_prefix", "cka")
       },
       Some("""WITH px AS (SELECT vec_id,
              |              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS a,
@@ -12856,46 +12840,22 @@ object SparkEntry {
     // sign) and rounded to 7.
     "emb_top_eigen" -> Q(
       (s, d) => {
-        val ex = Tables.embeddings(s, d)
-          .filter(col("embedding").isNotNull)
-          .select(col("embedding"), posexplode(col("embedding")).as(Seq("a", "xa")))
-          .select(col("a").cast("long").as("a"), col("xa").cast("double").as("xa"),
-                  posexplode(col("embedding")).as(Seq("b", "xb")))
-          .select(col("a"), col("b").cast("long").as("b"), col("xa"),
-                  col("xb").cast("double").as("xb"))
-        val cells = ex.groupBy("a", "b")
-          .agg(count(lit(1)).cast("double").as("n"),
-               sum(col("xa") * col("xb")).as("sxy"),
-               sum("xa").as("sxa"), sum("xb").as("sxb"))
-          .select(col("a"), col("b"),
-            round(col("sxy") / col("n") -
-              (col("sxa") / col("n")) * (col("sxb") / col("n")), 7).as("cv"))
-          .localCheckpoint(eager = false) // 8 iterations + trace + Rayleigh
-        var v = cells.filter(col("a") === col("b"))
-          .select(col("a").as("i")).withColumn("x", lit(1.0))
-          .localCheckpoint(eager = false)
-        for (_ <- 1 to 8) {
-          val r = cells.join(v.select(col("i").as("b"), col("x")), "b")
-            .groupBy(col("a").as("i")).agg(sum(col("cv") * col("x")).as("raw"))
-          val nm = r.agg(sum(abs(col("raw"))).as("nm"))
-          v = r.crossJoin(broadcast(nm))
-            .select(col("i"), when(col("nm") === 0, lit(null).cast("double"))
-              .otherwise(round(col("raw") / col("nm"), 7)).as("x"))
-            .localCheckpoint(eager = false)
-        }
-        val num = cells
-          .join(v.select(col("i").as("a"), col("x").as("va")), "a")
-          .join(v.select(col("i").as("b"), col("x").as("vb")), "b")
-          .agg(sum(col("cv") * col("va") * col("vb")).as("num"))
-        val den = v.agg(sum(col("x") * col("x")).as("den"))
-        val tr = cells.filter(col("a") === col("b"))
-          .agg(sum("cv").as("trc"), (max("a") + 1).as("dim"))
-        tr.crossJoin(broadcast(num)).crossJoin(broadcast(den))
-          .select(col("dim").cast("long").as("dim"),
-            round(col("trc"), 6).as("tr_c"),
-            when(col("den") > 0, round(col("num") / col("den"), 6)).as("lambda1"),
-            when(col("den") > 0 && col("trc") > 0,
-              round(col("num") / col("den") / col("trc"), 4)).as("top_share"))
+        // ONE array-sum aggregate over the embeddings scan (no N·d²
+        // row fan-out), then the 8 power steps run driver-side on the
+        // bounded d² cells — kills both scale problems the
+        // double-posexplode + 8-cluster-job form had (CovMoments doc)
+        import graft.embed.CovMoments._
+        import s.implicits._
+        val cv = covCells(moments(Tables.embeddings(s, d)))
+        val dim = cv.length
+        val v = powerIterate(cv, 8)
+        val ray = rayleigh(cv, v)
+        var trc = 0.0
+        (0 until dim).foreach(i => trc += cv(i)(i))
+        Seq((dim.toLong, r(trc, 6),
+             ray.map(x => r(x, 6)),
+             ray.filter(_ => trc > 0).map(x => r(x / trc, 4))))
+          .toDF("dim", "tr_c", "lambda1", "top_share")
       },
       Some(s"""WITH px AS (SELECT vec_id,
               |              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS a,
@@ -13488,7 +13448,11 @@ object SparkEntry {
         val bnd = based.select(
           greatest(lit(0L), col("c1") - col("r2")).as("lo"),
           least(col("r1"), col("c1")).as("hi")).collect()(0)
-        val terms = s.range(bnd.getLong(0), bnd.getLong(1) + 1L).toDF("k")
+        // empty events → NULL bounds → empty support → 0 rows out
+        val (bLo, bHi) =
+          if (bnd.isNullAt(0) || bnd.isNullAt(1)) (0L, -1L)
+          else (bnd.getLong(0), bnd.getLong(1))
+        val terms = s.range(bLo, bHi + 1L).toDF("k")
           .crossJoin(broadcast(based))
           .withColumn("lpk",
             col("lconst") - lfCol(col("k").cast("double")) -
@@ -13644,63 +13608,34 @@ object SparkEntry {
     // over 4096 cells.
     "emb_deflated_eigen" -> Q(
       (s, d) => {
-        val ex = Tables.embeddings(s, d)
-          .filter(col("embedding").isNotNull)
-          .select(col("embedding"), posexplode(col("embedding")).as(Seq("a", "xa")))
-          .select(col("a").cast("long").as("a"), col("xa").cast("double").as("xa"),
-                  posexplode(col("embedding")).as(Seq("b", "xb")))
-          .select(col("a"), col("b").cast("long").as("b"), col("xa"),
-                  col("xb").cast("double").as("xb"))
-        val cells = ex.groupBy("a", "b")
-          .agg(count(lit(1)).cast("double").as("n"),
-               sum(col("xa") * col("xb")).as("sxy"),
-               sum("xa").as("sxa"), sum("xb").as("sxb"))
-          .select(col("a"), col("b"),
-            round(col("sxy") / col("n") -
-              (col("sxa") / col("n")) * (col("sxb") / col("n")), 7).as("cv"))
-          .localCheckpoint(eager = false)
-        def converge(cl: DataFrame): (DataFrame, DataFrame) = {
-          var v = cl.filter(col("a") === col("b"))
-            .select(col("a").as("i")).withColumn("x", lit(1.0))
-            .localCheckpoint(eager = false)
-          for (_ <- 1 to 8) {
-            val r = cl.join(v.select(col("i").as("b"), col("x")), "b")
-              .groupBy(col("a").as("i")).agg(sum(col("cv") * col("x")).as("raw"))
-            val nm = r.agg(sum(abs(col("raw"))).as("nm"))
-            v = r.crossJoin(broadcast(nm))
-              .select(col("i"), when(col("nm") === 0, lit(null).cast("double"))
-                .otherwise(round(col("raw") / col("nm"), 7)).as("x"))
-              .localCheckpoint(eager = false)
-          }
-          val lam = cl
-            .join(v.select(col("i").as("a"), col("x").as("va")), "a")
-            .join(v.select(col("i").as("b"), col("x").as("vb")), "b")
-            .agg(sum(col("cv") * col("va") * col("vb")).as("num"))
-            .crossJoin(broadcast(v.agg(sum(col("x") * col("x")).as("den"))))
-            .select(when(col("den") > 0, round(col("num") / col("den"), 6))
-              .as("lam"))
-          (v, lam)
+        // ONE cross-moment aggregate over the embeddings scan; both
+        // 8-step power iterations AND the deflation run driver-side
+        // on the bounded d² cells (CovMoments doc) — was the suite's
+        // slowest query purely from ~16 scheduled cluster jobs over a
+        // ≤4096-row frame
+        import graft.embed.CovMoments._
+        import s.implicits._
+        val cells = covCells(moments(Tables.embeddings(s, d)))
+        val dim = cells.length
+        def converge(cl: Array[Array[Double]])
+            : (Array[Double], Option[Double]) = {
+          val v = powerIterate(cl, 8)
+          (v, rayleigh(cl, v).map(x => r(x, 6)))
         }
         val (v1, l1) = converge(cells)
-        val cells2 = cells
-          .join(v1.select(col("i").as("a"), col("x").as("va")), "a")
-          .join(v1.select(col("i").as("b"), col("x").as("vb")), "b")
-          .crossJoin(broadcast(l1))
-          .select(col("a"), col("b"),
-            round(col("cv") - col("lam") * col("va") * col("vb"), 7).as("cv"))
-          .localCheckpoint(eager = false)
-        val (_, l2) = converge(cells2)
-        val tr = cells.filter(col("a") === col("b")).agg(sum("cv").as("trc"))
-        l1.select(col("lam").as("lambda1"))
-          .crossJoin(broadcast(l2.select(col("lam").as("lambda2"))))
-          .crossJoin(broadcast(tr))
-          .select(col("lambda1"), col("lambda2"),
-            when(col("lambda1") > 0,
-              round(lit(1.0) - col("lambda2") / col("lambda1"), 4))
-              .as("spectral_gap"),
-            when(col("trc") > 0,
-              round((col("lambda1") + col("lambda2")) / col("trc"), 4))
-              .as("top2_share"))
+        val res = l1 match {
+          case Some(lam1) if v1 != null =>
+            val cells2 = Array.tabulate(dim, dim)((a, b) =>
+              r(cells(a)(b) - lam1 * v1(a) * v1(b), 7))
+            val (_, l2) = converge(cells2)
+            var trc = 0.0
+            (0 until dim).foreach(i => trc += cells(i)(i))
+            (Some(lam1), l2,
+             l2.filter(_ => lam1 > 0).map(x => r(1.0 - x / lam1, 4)),
+             l2.filter(_ => trc > 0).map(x => r((lam1 + x) / trc, 4)))
+          case _ => (l1, None, None, None)
+        }
+        Seq(res).toDF("lambda1", "lambda2", "spectral_gap", "top2_share")
       },
       Some(s"""WITH px AS (SELECT vec_id,
               |              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS a,
@@ -13771,7 +13706,10 @@ object SparkEntry {
         // millions of elements on one task once c_b is production-
         // scale. Reading the bound is a 1-row bounded collect (the
         // graph_pagerank altitude).
-        val cB = cts.select(col("c_b")).collect()(0).getLong(0)
+        val ctsRow = cts.select(col("c_b")).collect()(0)
+        // empty events → NULL counts → empty support → 0 rows out
+        // (exactly what explode(sequence(0, NULL)) used to produce)
+        val cB = if (ctsRow.isNullAt(0)) -1L else ctsRow.getLong(0)
         val terms = s.range(0L, cB + 1L).toDF("i")
           .crossJoin(broadcast(cts))
           .withColumn("lt",
@@ -13990,62 +13928,78 @@ object SparkEntry {
     // the before/after scores use emb_anisotropy's exact Σ identity.
     "emb_abtt" -> Q(
       (s, d) => {
-        val ex0 = Tables.embeddings(s, d)
-          .filter(col("embedding").isNotNull)
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-          .select(col("vec_id"), col("i").cast("long").as("i"),
-                  col("x").cast("double").as("x"))
-          .localCheckpoint(eager = false) // mean + cells + both passes
-        val mu = ex0.groupBy("i")
-          .agg(round(sum("x") / count(lit(1)), 7).as("m"))
-          .localCheckpoint(eager = false)
-        val exc = ex0.join(broadcast(mu), "i")
-          .select(col("vec_id"), col("i"), (col("x") - col("m")).as("xc"))
-          .localCheckpoint(eager = false) // cells + projection + residual
-        val cells = exc.select(col("vec_id"), col("i").as("a"), col("xc").as("xa"))
-          .join(exc.select(col("vec_id"), col("i").as("b"), col("xc").as("xb")),
-            "vec_id")
-          .groupBy("a", "b")
-          .agg(round(sum(col("xa") * col("xb")) / count(lit(1)), 7).as("cv"))
-          .localCheckpoint(eager = false)
-        var v = cells.filter(col("a") === col("b"))
-          .select(col("a").as("i")).withColumn("v", lit(1.0))
-          .localCheckpoint(eager = false)
-        for (_ <- 1 to 8) {
-          val r = cells.join(v.select(col("i").as("b"), col("v")), "b")
-            .groupBy(col("a").as("i")).agg(sum(col("cv") * col("v")).as("raw"))
-          val nm = r.agg(sum(abs(col("raw"))).as("nm"))
-          v = r.crossJoin(broadcast(nm))
-            .select(col("i"), when(col("nm") === 0, lit(null).cast("double"))
-              .otherwise(round(col("raw") / col("nm"), 7)).as("v"))
-            .localCheckpoint(eager = false)
+        // all-but-the-top without the N·d² explode OR the exploded
+        // self-join: per-dim means (pass 1), CENTERED cross-moments
+        // (pass 2, Gramian kernel — centered so the addends match the
+        // oracle's join form, no raw-sum cancellation), power
+        // iteration driver-side on the bounded d² cells, then ONE
+        // kernel pass computes projection / residual / both
+        // anisotropy sums per row (CovMoments doc)
+        import graft.embed.CovMoments._
+        import s.implicits._
+        val embT = Tables.embeddings(s, d)
+        val m1 = moments(embT) // sxx unused here; same single pass
+        val vTop =
+          if (m1.n < 2) null
+          else {
+            val mu0 = m1.sx.map(x => r(x / m1.n, 7))
+            powerIterate(centeredCells(moments(embT, center = Some(mu0))), 8)
+          }
+        if (vTop == null) // degenerate corpus: the oracle emits 0 rows
+          Seq.empty[(Long, Double, Double, Double)]
+            .toDF("n_vecs", "aniso_before", "aniso_after", "reduction")
+        else {
+          val mu = m1.sx.map(x => r(x / m1.n, 7))
+          // one pass: per row xc = x − mu, p = round(Σ xc·v, 7),
+          // xr = xc − p·v; accumulate unit-vector per-dim sums +
+          // counts for BOTH the raw and residual anisotropy
+          type Acc = (Long, Array[Double], Long, Array[Double])
+          val (nB, suB, nA, suA) =
+            vectors(embT).rdd.treeAggregate(
+              (0L, null: Array[Double], 0L, null: Array[Double]): Acc)(
+              seqOp = { case ((nb0, sb0, na0, sa0), x) =>
+                val dd = x.length
+                val sb = if (sb0 == null) new Array[Double](dd) else sb0
+                val sa = if (sa0 == null) new Array[Double](dd) else sa0
+                val xc = new Array[Double](dd)
+                var i = 0; var p = 0.0
+                while (i < dd) {
+                  xc(i) = x(i) - mu(i); p += xc(i) * vTop(i); i += 1
+                }
+                val pr = r(p, 7)
+                val xr = new Array[Double](dd)
+                var nb = 0.0; var na = 0.0
+                i = 0
+                while (i < dd) {
+                  xr(i) = xc(i) - pr * vTop(i)
+                  nb += x(i) * x(i); na += xr(i) * xr(i); i += 1
+                }
+                nb = math.sqrt(nb); na = math.sqrt(na)
+                if (nb > 0) { i = 0; while (i < dd) { sb(i) += x(i) / nb; i += 1 } }
+                if (na > 0) { i = 0; while (i < dd) { sa(i) += xr(i) / na; i += 1 } }
+                (nb0 + (if (nb > 0) 1L else 0L), sb,
+                 na0 + (if (na > 0) 1L else 0L), sa)
+              },
+              combOp = { case ((n1, s1, m1c, t1), (n2, s2, m2c, t2)) =>
+                def madd(a: Array[Double], b: Array[Double]) =
+                  if (a == null) b else if (b == null) a
+                  else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+                (n1 + n2, madd(s1, s2), m1c + m2c, madd(t1, t2))
+              })
+          def aniso(n: Long, su: Array[Double]): Double = {
+            var s2 = 0.0; su.foreach(x => s2 += x * x)
+            r((s2 - n) / (n * (n - 1.0)), 6)
+          }
+          if (nB < 2 || nA < 2)
+            Seq.empty[(Long, Double, Double, Double)]
+              .toDF("n_vecs", "aniso_before", "aniso_after", "reduction")
+          else {
+            val ab = aniso(nB, suB)
+            val aa = aniso(nA, suA)
+            Seq((nB, ab, aa, r(ab - aa, 6)))
+              .toDF("n_vecs", "aniso_before", "aniso_after", "reduction")
+          }
         }
-        val proj = exc.join(broadcast(v), "i")
-          .groupBy("vec_id").agg(round(sum(col("xc") * col("v")), 7).as("p"))
-        val resid = exc.join(broadcast(v), "i")
-          .join(broadcast(proj), "vec_id")
-          .select(col("vec_id"), col("i"),
-            (col("xc") - col("p") * col("v")).as("xr"))
-          .localCheckpoint(eager = false) // norms + unit sums
-        def aniso(frame: DataFrame, valCol: String): DataFrame = {
-          val nrm = frame.groupBy("vec_id")
-            .agg(sqrt(sum(col(valCol) * col(valCol))).as("nrm"))
-            .filter(col("nrm") > 0)
-          val d2 = frame.join(broadcast(nrm), "vec_id")
-            .groupBy("i").agg(sum(col(valCol) / col("nrm")).as("su"))
-          val nR = nrm.agg(count(lit(1)).as("n"))
-          d2.crossJoin(broadcast(nR))
-            .agg(max("n").as("n"),
-              round((sum(col("su") * col("su")) - max(col("n")))
-                / (max(col("n")) * (max(col("n")) - lit(1.0))), 6).as("ac"))
-        }
-        val before = aniso(ex0, "x")
-          .select(col("n").as("n_vecs"), col("ac").as("aniso_before"))
-        val after = aniso(resid, "xr")
-          .select(col("ac").as("aniso_after"))
-        before.crossJoin(broadcast(after))
-          .select(col("n_vecs"), col("aniso_before"), col("aniso_after"),
-            round(col("aniso_before") - col("aniso_after"), 6).as("reduction"))
       },
       Some(s"""WITH ex0 AS MATERIALIZED (
               |  SELECT vec_id,

@@ -856,10 +856,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
-  test("Fisher/Bayes support sums explode bounded sequences — no cartesian, no window") {
+  test("Fisher/Bayes support sums are DISTRIBUTED ranges — no one-row array, no window") {
     Seq("stat_fisher_exact", "stat_bayes_ab").foreach { q =>
       val p = plan(q)
-      assert(p.contains("Generate"), s"$q: $p") // the explode
+      // the summation support is spark.range (scales past the array
+      // cap a one-row explode(sequence(...)) would hit), joined to
+      // the broadcast 1-row count frame
+      assert(p.contains("Range"), s"$q: $p")
+      assert(!p.contains("Generate"), s"$q: $p")
       assert(!p.contains("CartesianProduct"), s"$q: $p")
       assert(!p.contains("Window"), s"$q: $p")
     }
