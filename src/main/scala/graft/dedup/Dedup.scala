@@ -211,27 +211,65 @@ object Dedup {
     minhashOverSql(
       TextPrimitives.charShinglesSql("documents", "doc_id", "text", n, where), k)
 
-  /** Banded MinHash-LSH candidate pairs: k-signature split into bands
-    * of `rows` values; docs sharing any band are candidates. The
-    * shuffle key is (band_index, band_value) — constant bytes per doc.
+  /** Cap on LSH bucket membership. A degenerate corpus (N identical
+    * docs, a boilerplate band) puts N docs in ONE bucket: an
+    * N-element aggregation buffer on one task and N² exploded pairs.
+    * Buckets over the cap are SKIPPED for pair generation — their
+    * members are near-always boilerplate whose pairs are useless and
+    * quadratic — and surfaced by [[lshOverflow]] so the pipeline can
+    * log/re-band them. Test-scale buckets (≤ a few hundred docs) sit
+    * far below the cap, so capped and uncapped results coincide on
+    * the oracled queries.
     */
-  def minhashLshPairs(sig: DataFrame, k: Int, rows: Int): DataFrame = {
+  val DefaultMaxBucket = 1000
+
+  private def minhashBands(sig: DataFrame, k: Int, rows: Int,
+                           idAs: String = "doc_id"): DataFrame = {
     val nBands = k / rows
     val bandCols = (0 until nBands).map { b =>
       concat_ws("_", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
     }
+    sig.select(col("doc_id").as(idAs),
+      posexplode(array(bandCols: _*)).as(Seq("b", "bv")))
+  }
+
+  /** Banded MinHash-LSH candidate pairs: k-signature split into bands
+    * of `rows` values; docs sharing any band are candidates. The
+    * shuffle key is (band_index, band_value) — constant bytes per doc.
+    * Aggregation state per bucket is BOUNDED at maxBucket+1 members
+    * (the TopK bounded buffer, not an unbounded collect_list);
+    * over-cap buckets emit no pairs (see [[DefaultMaxBucket]]).
+    */
+  def minhashLshPairs(sig: DataFrame, k: Int, rows: Int,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // group docs per (band, bucket) then explode the member list into
     // pairs — the signature pipeline runs ONCE (a naive self-join
     // would execute it twice) and the shuffle carries one row per
-    // non-empty bucket.
-    val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("b", "bv")))
-    bands.groupBy("b", "bv").agg(collect_list("doc_id").as("ds"))
-      .filter(size(col("ds")) > 1)
+    // non-empty bucket. doc_id rides TopK's double score field —
+    // exact below 2^53.
+    val bands = minhashBands(sig, k, rows)
+    bands.groupBy("b", "bv")
+      .agg(graft.ops.TopK.topk(maxBucket + 1)(
+             col("doc_id").cast("double"), col("doc_id")).as("mem"),
+           count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+      .select(expr("transform(mem, x -> x.id)").as("ds"))
       .select(explode(col("ds")).as("da"), col("ds"))
       .select(col("da"), explode(col("ds")).as("db"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct().orderBy("da", "db")
   }
+
+  /** Overflow audit for [[minhashLshPairs]]: the (band, bucket) keys
+    * whose membership exceeds the cap, with exact sizes — the row a
+    * production run logs next to the capped pair output.
+    */
+  def lshOverflow(sig: DataFrame, k: Int, rows: Int,
+                  maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashBands(sig, k, rows).groupBy("b", "bv")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+      .orderBy(col("n_docs").desc, col("b"), col("bv"))
 
   /** Incremental MinHash-LSH: candidate pairs of a NEW batch against
     * an EXISTING corpus signature table — the daily-increment shape at
@@ -244,16 +282,22 @@ object Dedup {
     * Output: (da = corpus doc, db = batch doc), distinct.
     */
   def minhashLshPairsIncremental(corpusSig: DataFrame, batchSig: DataFrame,
-                                 k: Int, rows: Int): DataFrame = {
-    val nBands = k / rows
-    def bands(sig: DataFrame, idAs: String) = {
-      val bandCols = (0 until nBands).map { b =>
-        concat_ws("_", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
-      }
-      sig.select(col("doc_id").as(idAs),
-        posexplode(array(bandCols: _*)).as(Seq("b", "bv")))
-    }
-    bands(corpusSig, "da").join(bands(batchSig, "db"), Seq("b", "bv"))
+                                 k: Int, rows: Int,
+                                 maxBucket: Int = DefaultMaxBucket)
+      : DataFrame = {
+    val bc = minhashBands(corpusSig, k, rows, "da")
+    val bb = minhashBands(batchSig, k, rows, "db")
+    // a hot (band, bucket) key would fan the equi-join out to
+    // |corpus-bucket| × |batch-bucket|; keys over the cap on EITHER
+    // side are excluded via a broadcast anti-join (the overflow list
+    // is tiny by construction — see DefaultMaxBucket)
+    def hot(bands: DataFrame) = bands.groupBy("b", "bv")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select("b", "bv")
+    val hotKeys = hot(bc).union(hot(bb)).distinct()
+    bc.join(broadcast(hotKeys), Seq("b", "bv"), "left_anti")
+      .join(bb.join(broadcast(hotKeys), Seq("b", "bv"), "left_anti"),
+            Seq("b", "bv"))
       .filter(col("da") =!= col("db"))
       .select("da", "db").distinct().orderBy("da", "db")
   }
@@ -301,7 +345,8 @@ object Dedup {
     * quadratic formulation (spec-asserted); only the join shape
     * changes — the 100 TB-safe version.
     */
-  def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDist: Int,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val nB = maxDist + 1
     val sig = simhash(docs)
     val bandCols = (0 until nB).map { b =>
@@ -311,14 +356,22 @@ object Dedup {
     }
     val bands = sig.select(col("doc_id"), col("simhash"),
       posexplode(array(bandCols: _*)).as(Seq("b", "bv")))
+    // bucket state bounded at maxBucket+1 via the TopK buffer
+    // (doc_id rides the double score — exact below 2^53 — and the
+    // 64-bit simhash rides the id slot); over-cap buckets skipped,
+    // same policy as minhashLshPairs
     bands.groupBy("b", "bv")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .agg(graft.ops.TopK.topk(maxBucket + 1)(
+             col("doc_id").cast("double"), col("simhash")).as("mem"),
+           count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+      .select(col("mem").as("ds"))
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b2"))
-      .filter(col("a.doc_id") < col("b2.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b2.doc_id").as("db"),
-        expr("CAST(bit_count(a.simhash ^ b2.simhash) AS BIGINT)").as("dist"))
+      .filter(col("a.score") < col("b2.score"))
+      .select(col("a.score").cast("long").as("da"),
+        col("b2.score").cast("long").as("db"),
+        expr("CAST(bit_count(a.id ^ b2.id) AS BIGINT)").as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
       .orderBy("da", "db")

@@ -162,4 +162,60 @@ class DedupSpec extends SparkSpec {
     assert(res.count() > 0)
     assert(res.filter(col("score") < 0.4).count() == 0)
   }
+
+  test("adversarial identical-doc corpus: over-cap buckets are skipped and reported") {
+    val s = spark
+    import s.implicits._
+    // 60 IDENTICAL docs (every band collides in one bucket) plus a
+    // small honest near-dup pair — the degenerate corpus that used
+    // to put an unbounded member list on one task and emit N² pairs
+    val docs = ((0L until 60L).map(i => (i, "the same boilerplate text body"))
+      ++ Seq((100L, "unique alpha beta gamma delta text"),
+             (101L, "unique alpha beta gamma delta texts"))).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, 5, 8)
+    val capped = Dedup.minhashLshPairs(sig, 8, 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boilerplate bucket (60 > cap) emits NOTHING; the honest
+    // pair survives — bounded output, no N² blow-up
+    assert(!capped.exists { case (a, b) => a < 60 && b < 60 }, capped.take(5))
+    assert(capped.contains((100L, 101L)))
+    // ...and the overflow audit reports the skipped bucket with size
+    val over = Dedup.lshOverflow(sig, 8, 2, maxBucket = 10).collect()
+    assert(over.nonEmpty && over.forall(_.getAs[Long]("n_docs") == 60L),
+      over.mkString(","))
+    // with the cap above the corpus size the same call is uncapped
+    val uncapped = Dedup.minhashLshPairs(sig, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists { case (a, b) => a < 60 && b < 60 })
+    assert(Dedup.lshOverflow(sig, 8, 2).collect().isEmpty)
+  }
+
+  test("adversarial incremental LSH: hot buckets excluded on either side") {
+    val s = spark
+    import s.implicits._
+    val corpus = ((0L until 40L).map(i => (i, "the same boilerplate text body"))
+      :+ (90L, "unique alpha beta gamma delta text")).toDF("doc_id", "text")
+    val batch = ((200L until 240L).map(i => (i, "the same boilerplate text body"))
+      :+ (290L, "unique alpha beta gamma delta texts")).toDF("doc_id", "text")
+    val inc = Dedup.minhashLshPairsIncremental(
+      Dedup.minhashSignatures(corpus, 5, 8),
+      Dedup.minhashSignatures(batch, 5, 8), 8, 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 40×40 boilerplate fan-out is gone; the honest cross pair stays
+    assert(!inc.exists { case (a, b) => a < 40 && b >= 200 && b < 240 },
+      inc.take(5))
+    assert(inc.contains((90L, 290L)))
+  }
+
+  test("adversarial simhash corpus: capped buckets stay bounded, honest pairs survive") {
+    val s = spark
+    import s.implicits._
+    val docs = ((0L until 50L).map(i => (i, "identical words all over again"))
+      ++ Seq((100L, "some very different payload here"),
+             (101L, "some very different payload here"))).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(docs, 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a < 50 && b < 50 })
+    assert(capped.contains((100L, 101L)))
+  }
 }
