@@ -41,8 +41,18 @@ object CollectionStorage {
     // message wording is Spark-version-fragile; the condition is the
     // documented contract)
     val raw =
-      try spark.read.parquet(path)
-        .withColumn("user_id", col("user_id").cast("long"))
+      try {
+        val df = spark.read.parquet(path)
+        // partition-type inference reads numeric user dirs as int —
+        // cast those to the canonical long. STRING user ids (the
+        // reference's uuid-style `user_id: str`,
+        // document_ingestor.py:55–70) are kept as-is: a string-keyed
+        // collection stays string-keyed end-to-end.
+        df.schema("user_id").dataType match {
+          case org.apache.spark.sql.types.StringType => df
+          case _ => df.withColumn("user_id", col("user_id").cast("long"))
+        }
+      }
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if Option(e.getCondition).exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
@@ -199,7 +209,15 @@ object CollectionStorage {
     * partition is just its directory — a pure filesystem-metadata
     * operation, no Spark job. Idempotent.
     */
-  def ensureCollection(spark: SparkSession, path: String, userId: Long): Unit = {
+  def ensureCollection(spark: SparkSession, path: String, userId: Long): Unit =
+    ensureCollection(spark, path, userId.toString)
+
+  /** String-user-id form (the reference's uuid-style ids —
+    * document_ingestor.py:55–70 derives `user_<id>` per user; here
+    * the user id IS the partition value).
+    */
+  def ensureCollection(spark: SparkSession, path: String,
+                       userId: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/user_id=$userId")
     p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
     ()
@@ -209,12 +227,16 @@ object CollectionStorage {
     * [[listUserIds]] this sees empty collections created by
     * [[ensureCollection]], and never runs a job.
     */
-  def listCollectionDirs(spark: SparkSession, path: String): Seq[Long] = {
+  def listCollectionDirs(spark: SparkSession, path: String): Seq[Long] =
+    listCollectionNames(spark, path).map(_.toLong).sorted
+
+  /** String form of [[listCollectionDirs]] for uuid-keyed stores. */
+  def listCollectionNames(spark: SparkSession, path: String): Seq[String] = {
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     fs.listStatus(base)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("user_id="))
-      .map(_.getPath.getName.stripPrefix("user_id=").toLong)
+      .map(_.getPath.getName.stripPrefix("user_id="))
       .sorted.toSeq
   }
 }

@@ -43,7 +43,7 @@ object DocumentStore {
   /** Re-embed one chunk's new text and swap the vector in place
     * (reference update_chunk).
     */
-  def updateChunk(coll: DataFrame, userId: Long, docId: Long, chunkId: Long,
+  def updateChunk(coll: DataFrame, userId: Any, docId: Long, chunkId: Long,
                   newText: String): DataFrame = {
     val v = HashEmbedder.embedText(newText, Dim)
     VectorStore.updateVector(coll, userId, docId, chunkId,
@@ -54,14 +54,14 @@ object DocumentStore {
     * distributed embedder) and run cosine top-k in the user's
     * collection.
     */
-  def searchByText(coll: DataFrame, userId: Long, query: String,
+  def searchByText(coll: DataFrame, userId: Any, query: String,
                    limit: Int = 5, scoreThreshold: Double = 0.0): DataFrame =
     searchByTextOnDocs(coll, userId, Nil, query, limit, scoreThreshold)
 
   /** searchByText restricted to a doc-id set (reference
     * search_query_on_doc; empty set = no restriction).
     */
-  def searchByTextOnDocs(coll: DataFrame, userId: Long, docIds: Seq[Long],
+  def searchByTextOnDocs(coll: DataFrame, userId: Any, docIds: Seq[Long],
                          query: String, limit: Int = 5,
                          scoreThreshold: Double = 0.0): DataFrame = {
     val qv = HashEmbedder.embedText(query, Dim)

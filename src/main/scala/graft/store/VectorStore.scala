@@ -18,6 +18,13 @@ import graft.functions.VectorFunctions._
   * operator below is a partition-pruned scan; deletes/upserts rewrite
   * only the touched user partitions (dynamic partition overwrite).
   *
+  * `user_id` may equally be a STRING (the reference's uuid-style
+  * `user_id: str` — document_ingestor.py:55–70): every operator takes
+  * the user key as `Any`, and a string-keyed parquet collection
+  * partition-prunes exactly like a long-keyed one (StorageSpec proves
+  * both plans). [[collectionName]] maps a string id to the
+  * reference's Qdrant collection name for migrating callers.
+  *
   * All mutating ops are pure DataFrame → DataFrame transforms
   * (last-writer-wins merge, anti-join deletes); nothing collects to
   * the driver.
@@ -58,6 +65,14 @@ object VectorStore {
   private val materializedDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Reference collection-name mapping (document_ingestor.py:55–70):
+    * `user_<id>` with hyphens normalized to underscores. The engine
+    * partitions by the raw user id; this helper reproduces the
+    * reference's Qdrant collection naming for migrating callers.
+    */
+  def collectionName(userId: String): String =
+    "user_" + userId.replace('-', '_')
+
   /** SQL prelude mirroring [[points]] for the DuckDB oracles. */
   val pointsSql: String =
     """WITH points AS (
@@ -94,19 +109,19 @@ object VectorStore {
     * Partition-pruned + `limit` ⇒ a LocalLimit per partition then a
     * single-partition GlobalLimit — no full sort at scale.
     */
-  def scroll(coll: DataFrame, userId: Long, limit: Int): DataFrame =
+  def scroll(coll: DataFrame, userId: Any, limit: Int): DataFrame =
     coll.filter(col("user_id") === userId)
       .select(outCols(coll): _*)
       .orderBy("vector_id")
       .limit(limit)
 
-  def scrollDoc(coll: DataFrame, userId: Long, docId: Long, limit: Int): DataFrame =
+  def scrollDoc(coll: DataFrame, userId: Any, docId: Long, limit: Int): DataFrame =
     coll.filter(col("user_id") === userId && col("doc_id") === docId)
       .select(outCols(coll): _*)
       .orderBy("vector_id")
       .limit(limit)
 
-  def scrollChunk(coll: DataFrame, userId: Long, docId: Long, chunkId: Long,
+  def scrollChunk(coll: DataFrame, userId: Any, docId: Long, chunkId: Long,
                   limit: Int): DataFrame =
     coll.filter(col("user_id") === userId && col("doc_id") === docId &&
                 col("chunk_id") === chunkId)
@@ -121,7 +136,7 @@ object VectorStore {
     * page N never re-reads pages 1..N-1). The caller feeds the last
     * row's vector_id back as the next cursor.
     */
-  def scrollAfter(coll: DataFrame, userId: Long, cursor: Long,
+  def scrollAfter(coll: DataFrame, userId: Any, cursor: Long,
                   limit: Int): DataFrame =
     coll.filter(col("user_id") === userId && col("vector_id") > cursor)
       .select(outCols(coll): _*)
@@ -131,7 +146,7 @@ object VectorStore {
   /** Doc-set scroll; empty set matches everything (reference :527 — an
     * empty `should` filter matches all).
     */
-  def scrollDocs(coll: DataFrame, userId: Long, docIds: Seq[Long],
+  def scrollDocs(coll: DataFrame, userId: Any, docIds: Seq[Long],
                  limit: Int): DataFrame = {
     val base = coll.filter(col("user_id") === userId)
     val filtered =
@@ -143,13 +158,13 @@ object VectorStore {
 
   // ---- deletes (reference :146/:169/:192/:218/:239/:260) ----------
 
-  def deleteDoc(coll: DataFrame, userId: Long, docId: Long): DataFrame =
+  def deleteDoc(coll: DataFrame, userId: Any, docId: Long): DataFrame =
     coll.filter(!(col("user_id") === userId && col("doc_id") === docId))
 
-  def deleteDocByTitle(coll: DataFrame, userId: Long, title: String): DataFrame =
+  def deleteDocByTitle(coll: DataFrame, userId: Any, title: String): DataFrame =
     coll.filter(!(col("user_id") === userId && col("title") === title))
 
-  def deleteChunk(coll: DataFrame, userId: Long, docId: Long, chunkId: Long): DataFrame =
+  def deleteChunk(coll: DataFrame, userId: Any, docId: Long, chunkId: Long): DataFrame =
     coll.filter(!(col("user_id") === userId && col("doc_id") === docId &&
                   col("chunk_id") === chunkId))
 
@@ -158,10 +173,10 @@ object VectorStore {
     * document_ingestor.py:89–144) go through the same path —
     * nothing in the store depends on ids being integers.
     */
-  def deleteByIds(coll: DataFrame, userId: Long, vectorIds: Seq[Any]): DataFrame =
+  def deleteByIds(coll: DataFrame, userId: Any, vectorIds: Seq[Any]): DataFrame =
     coll.filter(!(col("user_id") === userId && col("vector_id").isin(vectorIds: _*)))
 
-  def deleteCollection(coll: DataFrame, userId: Long): DataFrame =
+  def deleteCollection(coll: DataFrame, userId: Any): DataFrame =
     coll.filter(col("user_id") =!= userId)
 
   // ---- upsert / update (reference :89/:114/:290) ------------------
@@ -184,7 +199,7 @@ object VectorStore {
   /** In-place vector replacement keyed by (user_id, doc_id, chunk_id)
     * (reference :290 update_vector). Pure projection — no shuffle.
     */
-  def updateVector(coll: DataFrame, userId: Long, docId: Long, chunkId: Long,
+  def updateVector(coll: DataFrame, userId: Any, docId: Long, chunkId: Long,
                    newVec: Column): DataFrame =
     coll.withColumn("embedding",
       when(col("user_id") === userId && col("doc_id") === docId &&
@@ -200,7 +215,7 @@ object VectorStore {
     * TakeOrderedAndProject: a per-partition k-heap, shuffling only k
     * rows per partition — no global sort at 100 TB.
     */
-  def search(coll: DataFrame, userId: Long, qdf: DataFrame, limit: Int,
+  def search(coll: DataFrame, userId: Any, qdf: DataFrame, limit: Int,
              scoreThreshold: Double = Double.NegativeInfinity,
              docIds: Seq[Long] = Nil): DataFrame = {
     val base = coll.filter(col("user_id") === userId)
@@ -245,7 +260,7 @@ object VectorStore {
     * construction) and partitioned by doc_id — never global; the
     * final ordering is a bounded TakeOrdered over one row per doc.
     */
-  def searchGrouped(coll: DataFrame, userId: Long, qdf: DataFrame,
+  def searchGrouped(coll: DataFrame, userId: Any, qdf: DataFrame,
                     groups: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("vector_id"))
@@ -265,7 +280,7 @@ object VectorStore {
     * association order is fixed (oracle-exact); example points are
     * excluded from the results.
     */
-  def recommend(coll: DataFrame, userId: Long, posIds: Seq[Long],
+  def recommend(coll: DataFrame, userId: Any, posIds: Seq[Long],
                 negIds: Seq[Long], limit: Int): DataFrame = {
     require(posIds.nonEmpty)
     val base = coll.filter(col("user_id") === userId)

@@ -171,4 +171,113 @@ class ServiceEmbedderSpec extends SparkSpec {
     assert(top.head.getAs[Long]("ckey") == 3000L, "self-match ranks first")
     assert(math.abs(top.head.getAs[Double]("score") - 1.0) < 1e-9)
   }
+
+  // ---- HttpEmbedClient against a local stub vectorizer ------------
+
+  /** Stub of the reference vectorizer API (document_ingestor.py:
+    * 587–633 protocol): `/vectorizer/string/` takes {"text": t} and
+    * answers {"vectorized text": "<json vector>"} (the vector is a
+    * JSON-ENCODED STRING, as the reference's json.loads implies);
+    * `/vectorizer/list/` takes {"texts": [...]}. Vectors are the
+    * deterministic hash embedding, so HTTP results are comparable to
+    * the in-process embedder. `failQueue` makes the next requests
+    * answer a given status first — the 429/503/timeout ladder.
+    */
+  private def withStubServer(dim: Int)(
+      body: (Int, java.util.concurrent.ConcurrentLinkedQueue[Integer],
+             AtomicInteger) => Unit): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val failQueue = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val hits = new AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def handler(single: Boolean): com.sun.net.httpserver.HttpHandler =
+      exchange => {
+        hits.incrementAndGet()
+        val fail = failQueue.poll()
+        if (fail != null) {
+          val msg = "injected".getBytes("UTF-8")
+          exchange.sendResponseHeaders(fail.intValue(), msg.length)
+          exchange.getResponseBody.write(msg)
+          exchange.close()
+        } else {
+          val req = mapper.readTree(exchange.getRequestBody)
+          val resp = mapper.createObjectNode()
+          if (single) {
+            val v = HashEmbedder.embedText(req.get("text").asText(), dim)
+            resp.put("vectorized text", mapper.writeValueAsString(v))
+          } else {
+            val ts = req.get("texts")
+            val vs: Array[Array[Double]] = (0 until ts.size())
+              .map(i => HashEmbedder.embedText(ts.get(i).asText(), dim))
+              .toArray
+            resp.put("vectorized texts", mapper.writeValueAsString(vs))
+          }
+          val out = mapper.writeValueAsBytes(resp)
+          exchange.getResponseHeaders.set("Content-Type", "application/json")
+          exchange.sendResponseHeaders(200, out.length)
+          exchange.getResponseBody.write(out)
+          exchange.close()
+        }
+      }
+    server.createContext("/vectorizer/string/", handler(single = true))
+    server.createContext("/vectorizer/list/", handler(single = false))
+    server.start()
+    try body(server.getAddress.getPort, failQueue, hits)
+    finally server.stop(0)
+  }
+
+  test("HTTP client embeds through the real wire protocol, equal to the hash embedder") {
+    withStubServer(64) { (port, _, hits) =>
+      val svc = new ServiceEmbedder(
+        new HttpEmbedClientFactory("127.0.0.1", port, 64), dim = 64,
+        batchSize = 16, backoffMs = 0L)
+      val viaHttp = svc.embedDocs(docs, "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Double](1)).toMap
+      val viaGroupBy = HashEmbedder.embedDocs(docs, "doc_id", "text", 64)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Double](1)).toMap
+      assert(viaHttp == viaGroupBy)
+      assert(hits.get() > 0)
+      // driver-side single text goes through /vectorizer/string/
+      assert(svc.embedText("alpha beta").toSeq ==
+        HashEmbedder.embedText("alpha beta", 64).toSeq)
+    }
+  }
+
+  test("HTTP 429/503 answers retry with backoff and recover") {
+    withStubServer(8) { (port, failQueue, hits) =>
+      failQueue.add(429); failQueue.add(503)
+      val svc = new ServiceEmbedder(
+        new HttpEmbedClientFactory("127.0.0.1", port, 8), dim = 8,
+        maxRetries = 3, backoffMs = 1L)
+      val v = svc.embedText("retry me")
+      assert(v.toSeq == HashEmbedder.embedText("retry me", 8).toSeq)
+      assert(hits.get() == 3, s"expected 2 failures + 1 success, got ${hits.get()}")
+    }
+  }
+
+  test("HTTP 400 is fatal immediately — no retry burn on protocol errors") {
+    withStubServer(8) { (port, failQueue, hits) =>
+      failQueue.add(400)
+      val svc = new ServiceEmbedder(
+        new HttpEmbedClientFactory("127.0.0.1", port, 8), dim = 8,
+        maxRetries = 3, backoffMs = 1L)
+      val e = intercept[RuntimeException](svc.embedText("bad"))
+      assert(!e.isInstanceOf[EmbedTransientException])
+      assert(e.getMessage.contains("400"))
+      assert(hits.get() == 1, s"400 must not retry, got ${hits.get()} requests")
+    }
+  }
+
+  test("HTTP connection refusal is transient: exhausts retries then surfaces") {
+    // a port with no listener — connection refused on every attempt
+    val deadPort = {
+      val ss = new java.net.ServerSocket(0)
+      val p = ss.getLocalPort; ss.close(); p
+    }
+    val svc = new ServiceEmbedder(
+      new HttpEmbedClientFactory("127.0.0.1", deadPort, 8,
+        requestTimeoutMs = 500L), dim = 8, maxRetries = 1, backoffMs = 1L)
+    intercept[EmbedTransientException](svc.embedText("nobody home"))
+  }
 }

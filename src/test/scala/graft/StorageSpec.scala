@@ -19,6 +19,54 @@ class StorageSpec extends SparkSpec {
     assert(pruned.count() == pts.filter(col("user_id") === 3).count())
   }
 
+  test("string (uuid-style) user ids: round-trip, pruning, and full op surface") {
+    // the reference's user_id is a string (document_ingestor.py:55–70,
+    // uuid-style throughout dev.ipynb) — a string-keyed collection
+    // must behave exactly like a long-keyed one
+    val dir = Files.createTempDirectory("graft-coll-uuid").toString + "/coll"
+    val uuids = Seq("3f1a9c2e-aaaa-4f00-9d77-000000000001",
+                    "3f1a9c2e-bbbb-4f00-9d77-000000000002")
+    val pts = VectorStore.points(spark, sfDir)
+      .filter(col("user_id") < 2)
+      .withColumn("user_id",
+        when(col("user_id") === 0, uuids(0)).otherwise(uuids(1)))
+    CollectionStorage.write(pts, dir)
+    val loaded = CollectionStorage.load(spark, dir)
+    // user_id survives as STRING, not a coerced long
+    assert(loaded.schema("user_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(loaded.count() == pts.count())
+    // per-user read partition-prunes on the string key
+    val pruned = loaded.filter(col("user_id") === uuids(0))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("user_id"),
+      s"expected partition pruning in:\n$plan")
+    assert(pruned.count() == pts.filter(col("user_id") === uuids(0)).count())
+    // the op surface takes string user keys directly
+    val n0 = VectorStore.scroll(loaded, uuids(0), 1000).count()
+    assert(n0 > 0 && n0 == pruned.count())
+    val afterDel = VectorStore.deleteDoc(loaded, uuids(0), 17L)
+    assert(afterDel.filter(col("user_id") === uuids(0) &&
+      col("doc_id") === 17).count() == 0)
+    assert(afterDel.filter(col("user_id") === uuids(1)).count() ==
+      pts.filter(col("user_id") === uuids(1)).count())
+    assert(DocumentStore.searchByText(loaded, uuids(0), "alpha", 3, 0.0)
+      .count() <= 3)
+    // dynamic partition overwrite rewrites only the touched uuid
+    CollectionStorage.overwriteUserPartitions(
+      afterDel.filter(col("user_id") === uuids(0)), dir)
+    val re = CollectionStorage.load(spark, dir)
+    assert(re.filter(col("user_id") === uuids(0) && col("doc_id") === 17)
+      .count() == 0)
+    assert(re.filter(col("user_id") === uuids(1)).count() ==
+      pts.filter(col("user_id") === uuids(1)).count())
+    // ensure + list string collections; reference name mapping
+    CollectionStorage.ensureCollection(spark, dir, "9e9e9e9e-cccc-4f00-9d77-3")
+    assert(CollectionStorage.listCollectionNames(spark, dir).toSet ==
+      (uuids :+ "9e9e9e9e-cccc-4f00-9d77-3").toSet)
+    assert(VectorStore.collectionName("ab-cd-ef") == "user_ab_cd_ef")
+  }
+
   test("dynamic partition overwrite touches only changed users") {
     val dir = Files.createTempDirectory("graft-coll2").toString + "/coll"
     val pts = VectorStore.points(spark, sfDir)
