@@ -22,6 +22,15 @@ object SparkEntry {
 
   private final case class Q(fn: QFn, sql: Option[String])
 
+  /** q_basket_pairs basket-size guard: orders with more than this
+    * many FREQUENT items are excluded before the quadratic per-order
+    * pairing (a giant basket is a bot artifact, and one is enough to
+    * blow the pair join up). Far above honest basket sizes (TPC-H ≤7
+    * lines/order), so capped and uncapped agree on real data —
+    * spec-pinned with a synthetic giant order in RelationalSpec.
+    */
+  val BasketCap = 100
+
   // ---------------------------------------------------------------
   // Relational / analytics core (SURVEY §2 #28–31)
   // ---------------------------------------------------------------
@@ -227,15 +236,25 @@ object SparkEntry {
              |FROM supplier JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
-    // approx sketch: HLL internals differ per engine, so no value
-    // oracle — the driver records a rows-only check; the error bound
-    // vs exact is spec-asserted (RelationalSpec).
+    // approx sketch: HLL internals differ per engine, so the raw
+    // estimate can't be value-oracled — instead the ERROR-BOUND
+    // DECISION is: both engines emit the exact distinct count plus a
+    // within-5% boolean (Spark derives it from its HLL++ estimate at
+    // rsd=0.02; the oracle's TRUE is the spec the sketch must meet).
+    // The estimate itself stays spec-asserted in RelationalSpec.
     "q_approx_distinct" -> Q(
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+             countDistinct(col("l_orderkey")).as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("approx_orders") - col("n_exact"))
+            <= col("n_exact") * 0.05).as("within_5pct"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+             |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+             |       TRUE AS within_5pct
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // EXISTS/semi-join shape (TPC-H Q4): orders with at least one
     // late-shipped lineitem, counted by priority
@@ -971,10 +990,15 @@ object SparkEntry {
     // self-join — the candidate-pair explosion runs over frequent
     // items only, the monotonicity argument that makes pair mining
     // tractable at catalog scale (an infrequent item can never be in
-    // a frequent pair, so pruning loses nothing). The basket list is
-    // checkpointed (read by the frequency agg AND both join sides);
-    // pairs need n_both ≥ 2; report = top-20 by lift, ordered on the
-    // ROUNDED value so a boundary pair cannot flip engines.
+    // a frequent pair, so pruning loses nothing). Baskets larger than
+    // BasketCap frequent items are EXCLUDED before pairing: one
+    // pathological giant order is quadratic, and a 100+-item "basket"
+    // is a crawler/bot artifact, not co-purchase signal (TPC-H
+    // baskets are ≤7 lines — the cap never binds on honest data and
+    // is mirrored in the oracle). The basket list is checkpointed
+    // (read by the frequency agg AND both join sides); pairs need
+    // n_both ≥ 2; report = top-20 by lift, ordered on the ROUNDED
+    // value so a boundary pair cannot flip engines.
     "q_basket_pairs" -> Q(
       (s, d) => {
         val li = Tables.lineitem(s, d)
@@ -983,8 +1007,13 @@ object SparkEntry {
         val freq = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
           .filter(col("c") >= 20)
         val fli = li.join(freq.select("l_partkey"), Seq("l_partkey"), "left_semi")
-        val pc = fli.select(col("l_orderkey"), col("l_partkey").as("pa"))
-          .join(fli.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          .localCheckpoint(eager = false) // size gate + both join sides
+        val okOrders = fli.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("bs"))
+          .filter(col("bs") <= SparkEntry.BasketCap).select("l_orderkey")
+        val bli = fli.join(okOrders, Seq("l_orderkey"), "left_semi")
+        val pc = bli.select(col("l_orderkey"), col("l_partkey").as("pa"))
+          .join(bli.select(col("l_orderkey"), col("l_partkey").as("pb")),
             "l_orderkey")
           .filter(col("pa") < col("pb"))
           .groupBy("pa", "pb").agg(count(lit(1)).as("n_both"))
@@ -1000,13 +1029,16 @@ object SparkEntry {
               / (col("n_a").cast("double") * col("n_b")), 4).as("lift"))
           .orderBy(col("lift").desc, col("pa"), col("pb")).limit(20)
       },
-      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      Some(s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
              |freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
              |         FROM li GROUP BY l_partkey HAVING count(*) >= 20),
-             |fli AS (SELECT li.* FROM li JOIN freq USING (l_partkey)),
+             |fli AS MATERIALIZED (SELECT li.* FROM li JOIN freq USING (l_partkey)),
+             |ok AS (SELECT l_orderkey FROM fli GROUP BY 1
+             |       HAVING count(*) <= ${SparkEntry.BasketCap}),
+             |bli AS (SELECT fli.* FROM fli JOIN ok USING (l_orderkey)),
              |pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
              |              CAST(count(*) AS BIGINT) AS n_both
-             |       FROM fli a JOIN fli b
+             |       FROM bli a JOIN bli b
              |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
              |       GROUP BY pa, pb HAVING count(*) >= 2),
              |no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li)
