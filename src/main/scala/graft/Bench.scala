@@ -48,10 +48,17 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
-    val benchSet: Seq[String] =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
-        SparkEntry.queries.keys.toSeq.sorted
-      else SparkEntry.headline.sorted
+    val benchSet: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+      // local iteration: time just the named queries (comma-separated
+      // name prefixes, same convention as Verify's filter arg)
+      case Some(f) =>
+        val ps = f.split(',').toSeq
+        SparkEntry.queries.keys.toSeq.filter(n => ps.exists(n.startsWith)).sorted
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+          SparkEntry.queries.keys.toSeq.sorted
+        else SparkEntry.headline.sorted
+    }
     // Warmup (not timed): run each benched query once at the tiny
     // sf0.001 so whole-stage codegen compilation + JIT for each plan
     // shape happens before the clock starts. The timed pass below

@@ -1007,14 +1007,17 @@ object SparkEntry {
         val freq = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
           .filter(col("c") >= 20)
         val fli = li.join(freq.select("l_partkey"), Seq("l_partkey"), "left_semi")
-          .localCheckpoint(eager = false) // size gate + both join sides
-        val okOrders = fli.groupBy("l_orderkey")
-          .agg(count(lit(1)).as("bs"))
-          .filter(col("bs") <= SparkEntry.BasketCap).select("l_orderkey")
-        val bli = fli.join(okOrders, Seq("l_orderkey"), "left_semi")
-        val pc = bli.select(col("l_orderkey"), col("l_partkey").as("pa"))
-          .join(bli.select(col("l_orderkey"), col("l_partkey").as("pb")),
-            "l_orderkey")
+        // ONE grouped pass per order, size-gated BEFORE the pair
+        // explode: the quadratic risk in basket mining is the C(n,2)
+        // pair fan-out, which the cap bounds at C(cap,2); the grouped
+        // list itself is linear in ONE order's size (order-bounded,
+        // not corpus-bounded — unlike the LSH buckets, which needed
+        // the TopK buffer because a bucket can hold the whole corpus)
+        val pc = fli.groupBy("l_orderkey")
+          .agg(collect_list("l_partkey").as("ps"))
+          .filter(size(col("ps")).between(2, SparkEntry.BasketCap))
+          .select(explode(col("ps")).as("pa"), col("ps"))
+          .select(col("pa"), explode(col("ps")).as("pb"))
           .filter(col("pa") < col("pb"))
           .groupBy("pa", "pb").agg(count(lit(1)).as("n_both"))
           .filter(col("n_both") >= 2)

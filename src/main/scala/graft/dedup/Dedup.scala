@@ -131,8 +131,10 @@ object Dedup {
   def ngramJaccardCapped(docs: DataFrame, n: Int, threshold: Double,
                          maxDf: Int): DataFrame = {
     val sh0 = TextPrimitives.charShingles(docs, "doc_id", "text", n)
+      .localCheckpoint(eager = false) // df pass + the capped join
     val df = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
     val sh = sh0.join(df.filter(col("df") <= maxDf), "sh").drop("df")
+      .localCheckpoint(eager = false) // cnt + both self-join sides
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
     val a = sh.select(col("doc_id").as("da"), col("sh"))
     val b = sh.select(col("doc_id").as("db"), col("sh"))
