@@ -93,4 +93,40 @@ class IngestSpec extends SparkSpec {
       "fake-image-bytes-1")
     assert(rows.map(_.getAs[Long]("length")).sameElements(Array(18L, 20L)))
   }
+
+  test("qdrant point-export import: collections land canonical, searchable, quarantined") {
+    def pt(id: String, doc: Long, chunk: Long, title: String, v: Seq[Double]) =
+      s"""{"id": $id, "vector": [${v.mkString(",")}], "payload": {"DocId": $doc, "ChunkId": $chunk, "Title": "$title"}}"""
+    val v1 = Seq(1.0, 0.0, 0.0, 0.0)
+    val v2 = Seq(0.0, 1.0, 0.0, 0.0)
+    val dir = writeFiles("graft-qdrant",
+      "user_7.jsonl" -> Seq(pt("701", 1, 0, "t1", v1),
+                            pt("702", 1, 1, "t1", v2),
+                            "not json at all").mkString("\n"),
+      "user_9.jsonl" -> pt("901", 5, 0, "t5", v2))
+    // whole-dir import: user ids from the reference's user_<id> names
+    val all = graft.sources.QdrantImport.readCollectionDumps(spark, dir)
+    assert(all.columns.toSeq == Seq("user_id", "vector_id", "doc_id",
+      "chunk_id", "title", "embedding"))
+    val rows = all.orderBy("vector_id").collect()
+    assert(rows.length == 3) // corrupt line quarantined, not imported
+    assert(rows.map(_.getAs[Long]("user_id")).toSeq == Seq(7L, 7L, 9L))
+    assert(rows.head.getAs[Long]("vector_id") == 701L &&
+           rows.head.getAs[Long]("doc_id") == 1L &&
+           rows.head.getAs[String]("title") == "t1")
+    // the quarantine audit sees exactly the malformed line
+    assert(graft.sources.QdrantImport
+      .corruptRecords(spark, s"$dir/user_7.jsonl").count() == 1)
+    // imported points serve the regular op surface
+    assert(graft.store.VectorStore.scroll(all, 7L, 10).count() == 2)
+    // ...and persist into the canonical partitioned layout
+    val out = java.nio.file.Files.createTempDirectory("graft-qimp").toString + "/coll"
+    graft.store.CollectionStorage.write(all, out)
+    assert(graft.store.CollectionStorage.listCollectionDirs(spark, out) ==
+      Seq(7L, 9L))
+    // uuid-style point ids import un-coerced with numericIds = false
+    val uu = graft.sources.QdrantImport.readPointsJsonl(
+      spark, s"$dir/user_9.jsonl", "9", numericIds = false).collect()
+    assert(uu.head.getAs[String]("vector_id") == "901")
+  }
 }
