@@ -15656,6 +15656,290 @@ object SparkEntry {
            |ORDER BY qid, dim""".stripMargin
       }))
 
+  private val round11Q: Seq[(String, Q)] = Seq(
+    // order-invariant dataset fingerprint per source: bit_xor of a
+    // per-row content hash + exact counts — the reproducibility
+    // manifest entry a training run pins ("same data?" answers in one
+    // scan, invariant to partitioning/file order/executor count,
+    // unlike any first-N or concatenation scheme). ONE hash aggregate.
+    "pipe_dataset_hash" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val h = md5Long(concat_ws("#", col("doc_id").cast("string"),
+          coalesce(col("lang"), lit("")), coalesce(col("text"), lit(""))))
+        Tables.documents(s, d)
+          .select(col("source"), h.as("h"), col("n_chars"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               expr("bit_xor(h)").as("fingerprint"),
+               sum("n_chars").as("n_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(bit_xor(('0x' || substr(md5(concat_ws('#',
+             |         CAST(doc_id AS VARCHAR), coalesce(lang, ''),
+             |         coalesce(text, ''))), 1, 15))::BIGINT) AS BIGINT)
+             |         AS fingerprint,
+             |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // unbiased Simpson diversity 1 − Σc(c−1)/(n(n−1)) of the token
+    // distribution per language — the concentration complement to
+    // text_entropy/text_ttr, EXACT in integers (no float sums to
+    // order-pin). Two hash aggregates.
+    "text_simpson" -> Q(
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
+        tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("lang")
+          .agg(sum("c").as("n"), sum(col("c") * (col("c") - 1)).as("rep"))
+          .filter(col("n") > 1)
+          .select(col("lang"), col("n").as("n_tok"),
+            round(lit(1.0) - col("rep") / (col("n") * (col("n") - 1))
+              .cast("double"), 6).as("simpson"))
+          .orderBy("lang")
+      },
+      Some("""WITH tc AS (
+             |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT lang,
+             |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY lang, tok),
+             |ag AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+             |              CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+             |       FROM tc GROUP BY lang)
+             |SELECT lang, n AS n_tok,
+             |       round(1.0 - rep / CAST(n * (n - 1) AS DOUBLE), 6) AS simpson
+             |FROM ag WHERE n > 1 ORDER BY lang""".stripMargin)),
+
+    // per-source KL(source ‖ corpus) over 64 hashed unigram buckets
+    // with add-one smoothing — "how far is this source's language
+    // from the mix" in nats, the divergence twin of samp_importance's
+    // LLR weights (same bucket basis). Per-source work is a 64-row
+    // broadcast join; the corpus side aggregates once.
+    "samp_kl" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val tok = Tables.documents(s, d)
+          .select(col("source"),
+            explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
+          .withColumn("b", md5Long(col("tok")) % 64)
+          .localCheckpoint(eager = false) // corpus + per-source aggs
+        val corpus0 = tok.groupBy("b").agg(count(lit(1)).as("cc"))
+        // smooth over the OCCUPIED bucket support (nb ≤ 64, and a
+        // small-vocab corpus occupies far fewer): add-one over a
+        // fixed 64 would leave both distributions sub-normalized on
+        // the dense grid and Gibbs' KL ≥ 0 silently breaks
+        val corpus = corpus0.crossJoin(broadcast(
+          corpus0.agg(sum("cc").as("tc"), count(lit(1)).as("nb"))))
+        val bySrc = tok.groupBy("source", "b").agg(count(lit(1)).as("cs"))
+        val tot = bySrc.groupBy("source").agg(sum("cs").as("ts"))
+        // DENSE source × occupied-bucket grid (≤ |sources|·64 rows):
+        // smoothing assigns mass to a source's EMPTY buckets too —
+        // dropping those terms also breaks KL ≥ 0
+        tot.crossJoin(broadcast(corpus))
+          .join(bySrc, Seq("source", "b"), "left").na.fill(0L, Seq("cs"))
+          .select(col("source"), col("ts"),
+            (((col("cs") + 1.0) / (col("ts") + col("nb"))) *
+             (log((col("cs") + 1.0) / (col("ts") + col("nb")))
+              - log((col("cc") + 1.0) / (col("tc") + col("nb"))))).as("term"))
+          .groupBy("source")
+          .agg(max("ts").as("n_tok"), round(sum("term"), 6).as("kl"))
+          .orderBy("source")
+      },
+      Some("""WITH tb AS (
+             |  SELECT source,
+             |         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b
+             |  FROM (SELECT source,
+             |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |        FROM documents)),
+             |corpus AS (SELECT b, CAST(count(*) AS BIGINT) AS cc FROM tb GROUP BY b),
+             |ctot AS (SELECT CAST(sum(cc) AS BIGINT) AS tc,
+             |                CAST(count(*) AS BIGINT) AS nb FROM corpus),
+             |bysrc AS (SELECT source, b, CAST(count(*) AS BIGINT) AS cs
+             |          FROM tb GROUP BY source, b),
+             |stot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts
+             |         FROM bysrc GROUP BY source),
+             |dense AS (SELECT source, ts, b, cc, tc, nb FROM stot, corpus, ctot),
+             |j AS (SELECT dense.*, coalesce(cs, 0) AS cs
+             |      FROM dense LEFT JOIN bysrc USING (source, b))
+             |SELECT source, CAST(max(ts) AS BIGINT) AS n_tok,
+             |       round(sum(((cs + 1.0) / (ts + nb)) *
+             |         (ln((cs + 1.0) / (ts + nb))
+             |          - ln((cc + 1.0) / (tc + nb)))), 6) AS kl
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    // deterministic Poisson bootstrap (the distributed bootstrap:
+    // Chamandy et al. / the standard Spark resampling trick): each
+    // row joins replicate b with weight ~ Poisson(1) drawn by
+    // inverse-CDF on a hash of (event_id, b) — no per-replicate
+    // shuffle, ×32 map-side fan-out, one hash aggregate to 32
+    // replicate means, CI = type-7 percentiles of the bounded
+    // 32-row frame. Replicate means rounded to 6 BEFORE the
+    // quantile so engines interpolate identical values.
+    "stat_bootstrap" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val ev = Tables.events(s, d)
+          .filter(col("value").isNotNull && !isnan(col("value")))
+          .filter(col("event_type") === "purchase")
+        val u = (pmod(md5Long(concat(lit("bs:"),
+            col("event_id").cast("string"), lit(":"), col("b").cast("string"))),
+            lit(1000000)).cast("double") + 0.5) / 1000000.0
+        val w = when(u < 0.367879, 0).when(u < 0.735759, 1)
+          .when(u < 0.919699, 2).when(u < 0.981012, 3)
+          .when(u < 0.996340, 4).when(u < 0.999406, 5).otherwise(6)
+        val reps = ev
+          .withColumn("b", explode(sequence(lit(0L), lit(31L))))
+          .withColumn("w", w.cast("double"))
+          .groupBy("b")
+          .agg(sum(col("w") * col("value")).as("sv"), sum("w").as("sw"))
+          .filter(col("sw") > 0)
+          .select(round(col("sv") / col("sw"), 6).as("mb"))
+        val obs = ev.agg(count(lit(1)).as("n_rows"),
+          round(avg("value"), 6).as("mean_value"))
+        obs.crossJoin(broadcast(reps.agg(
+            expr("percentile(mb, array(0.025D, 0.975D))").as("ps"))))
+          .select(col("n_rows"), col("mean_value"),
+            round(element_at(col("ps"), 1), 4).as("ci_lo"),
+            round(element_at(col("ps"), 2), 4).as("ci_hi"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, value FROM events
+             |  WHERE value IS NOT NULL AND NOT isnan(value)
+             |    AND event_type = 'purchase'),
+             |reps AS (
+             |  SELECT b,
+             |    CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1
+             |         WHEN u < 0.919699 THEN 2 WHEN u < 0.981012 THEN 3
+             |         WHEN u < 0.996340 THEN 4 WHEN u < 0.999406 THEN 5
+             |         ELSE 6 END AS w, value
+             |  FROM (SELECT event_id, value, CAST(b AS BIGINT) AS b,
+             |          ((('0x' || substr(md5('bs:' || CAST(event_id AS VARCHAR)
+             |            || ':' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+             |           + 0.5) / 1000000.0 AS u
+             |        FROM ev, (SELECT unnest(generate_series(0, 31)) AS b))),
+             |mb AS (SELECT round(sum(w * value) / sum(w), 6) AS mb
+             |       FROM reps GROUP BY b HAVING sum(w) > 0),
+             |ci AS (SELECT quantile_cont(mb, 0.025) AS lo,
+             |              quantile_cont(mb, 0.975) AS hi FROM mb),
+             |obs AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |               round(avg(value), 6) AS mean_value FROM ev)
+             |SELECT n_rows, mean_value, round(lo, 4) AS ci_lo,
+             |       round(hi, 4) AS ci_hi
+             |FROM obs, ci""".stripMargin)),
+
+    // self-normalized IPW (Hájek) estimate of the treatment effect on
+    // conversion, propensity stratified by activity band — the
+    // covariate-adjusted companion to ev_ab_test (here arms are
+    // hash-random so IPW ≈ the raw diff; the machinery is what a
+    // biased-assignment log needs). Per-user rollup → per-band
+    // propensities as ONE broadcast frame → conditional sums.
+    "ev_ipw" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val u = Tables.events(s, d)
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .groupBy("user_id", "arm")
+          .agg(count(lit(1)).as("n_ev"),
+               max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                 .as("y"))
+          .withColumn("band", least(expr("n_ev div 5"), lit(9L)))
+          .localCheckpoint(eager = false) // propensities + the sums
+        val prop = u.groupBy("band")
+          .agg(round(sum(when(col("arm") === 1, 1.0).otherwise(0.0))
+            / count(lit(1)), 6).as("e"))
+        val j = u.join(broadcast(prop), "band")
+          .filter(col("e") > 0 && col("e") < 1)
+        j.agg(count(lit(1)).as("n_users"),
+            round(sum(when(col("arm") === 1, col("y") / col("e"))
+                .otherwise(0.0))
+              / sum(when(col("arm") === 1, lit(1.0) / col("e"))
+                .otherwise(0.0)), 6).as("mu_t"),
+            round(sum(when(col("arm") === 0, col("y") / (lit(1.0) - col("e")))
+                .otherwise(0.0))
+              / sum(when(col("arm") === 0, lit(1.0) / (lit(1.0) - col("e")))
+                .otherwise(0.0)), 6).as("mu_c"))
+          .select(col("n_users"), col("mu_t"), col("mu_c"),
+            round(col("mu_t") - col("mu_c"), 6).as("ipw_ate"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+             |         CAST(count(*) AS BIGINT) AS n_ev,
+             |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+             |  FROM events GROUP BY 1, 2),
+             |ub AS (SELECT *, least(n_ev // 5, 9) AS band FROM u),
+             |prop AS (SELECT band,
+             |           round(sum(CASE WHEN arm = 1 THEN 1.0 ELSE 0.0 END)
+             |                 / count(*), 6) AS e
+             |         FROM ub GROUP BY band),
+             |j AS (SELECT * FROM ub JOIN prop USING (band)
+             |      WHERE e > 0 AND e < 1),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |         round(sum(CASE WHEN arm = 1 THEN y / e ELSE 0.0 END)
+             |           / sum(CASE WHEN arm = 1 THEN 1.0 / e ELSE 0.0 END), 6) AS mu_t,
+             |         round(sum(CASE WHEN arm = 0 THEN y / (1.0 - e) ELSE 0.0 END)
+             |           / sum(CASE WHEN arm = 0 THEN 1.0 / (1.0 - e) ELSE 0.0 END), 6) AS mu_c
+             |       FROM j)
+             |SELECT n_users, mu_t, mu_c, round(mu_t - mu_c, 6) AS ipw_ate
+             |FROM ag""".stripMargin)),
+
+    // bounce rate by session entry type: share of sessions that end
+    // after ONE event, keyed by what the session STARTED with — the
+    // landing-page health metric. Reuses the ev_sessionize gap
+    // machinery (per-user windows only); per-session rollup keeps
+    // first-event type via the min (ts, event_id, type) struct — no
+    // extra window pass.
+    "ev_bounce_rate" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(1800000000000L), 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+               min(struct(col("ts"), col("event_id"), col("event_type")))
+                 .as("first_ev"))
+        sess.groupBy(col("first_ev.event_type").as("entry_type"))
+          .agg(count(lit(1)).as("n_sessions"),
+               sum(when(col("n_events") === 1, 1L).otherwise(0L))
+                 .as("n_bounced"))
+          .select(col("entry_type"), col("n_sessions"), col("n_bounced"),
+            round(col("n_bounced") / col("n_sessions").cast("double"), 4)
+              .as("bounce_rate"))
+          .orderBy("entry_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g),
+             |se AS (
+             |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+             |         min({'ts': ts, 'eid': event_id, 'et': event_type}) AS first_ev
+             |  FROM s GROUP BY user_id, session_id),
+             |fe AS (SELECT (first_ev).et AS entry_type, n_events FROM se)
+             |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+             |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounced,
+             |       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 4) AS bounce_rate
+             |FROM fe GROUP BY entry_type ORDER BY entry_type""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
@@ -15663,7 +15947,7 @@ object SparkEntry {
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
       round10jQ ++ round10kQ ++ round10lQ ++ round10mQ ++ round10nQ ++
-      round10oQ ++ round10pQ
+      round10oQ ++ round10pQ ++ round11Q
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

@@ -64,6 +64,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_gini", "dedup_cluster_sizes", "pipe_interleave", "samp_ks_test",
     "samp_negative_sampling", "text_langid_eval", "dedup_lsh_eval",
     "dedup_df_profile", "samp_cluster_split",
+    "pipe_dataset_hash", "text_simpson", "samp_kl",
     "stat_theil", "text_burstiness", "text_source_similarity",
     "dedup_prefix_filter", "samp_group_sample",
     "stat_ols_fit", "stat_mwu", "text_js_div", "text_mi_chi2",
@@ -221,7 +222,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "priv_noisy_max", "pipe_contract_events",
     "stat_sign_test", "ev_stickiness",
     "ev_segment_migration", "ts_backtest_snaive", "stat_overdispersion",
-    "ts_hampel", "ev_covariate_balance", "ev_session_durations")
+    "ts_hampel", "ev_covariate_balance", "ev_session_durations",
+    "stat_bootstrap", "ev_ipw", "ev_bounce_rate")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-11 additions that the DuckDB oracle can't
+  * express (order-invariance, resampling physics, probability
+  * bounds).
+  */
+class Round11OpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
+
+  test("dataset fingerprint is invariant to partitioning and row order") {
+    val base = run("pipe_dataset_hash")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(base.nonEmpty)
+    // same rows, different physical layout → identical fingerprints
+    val shuffled = Tables.documents(spark, sfDir)
+      .orderBy(col("n_chars"), col("doc_id")).repartition(7)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp").toString
+    shuffled.write.parquet(s"$dir/documents.parquet")
+    val again = SparkEntry.queries("pipe_dataset_hash")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == base)
+    // one changed row flips its source's fingerprint
+    val mutated = Tables.documents(spark, sfDir)
+      .withColumn("text", when(col("doc_id") === 1, lit("tampered"))
+        .otherwise(col("text")))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-fp2").toString
+    mutated.write.parquet(s"$dir2/documents.parquet")
+    val tampered = SparkEntry.queries("pipe_dataset_hash")(spark, dir2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tampered != base)
+    assert(tampered.count { case (k, v) => base(k) != v } == 1,
+      "exactly one source fingerprint changes")
+  }
+
+  test("Simpson diversity is a probability and orders with concentration") {
+    val rows = run("text_simpson")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sdi = r.getAs[Double]("simpson")
+      assert(sdi >= 0.0 && sdi <= 1.0, r.mkString(","))
+      assert(r.getAs[Long]("n_tok") > 1)
+    }
+  }
+
+  test("per-source KL vs corpus is non-negative (Gibbs) and zero-ish for the mix") {
+    val rows = run("samp_kl")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // smoothing can push a tiny source slightly negative in theory;
+      // Gibbs holds for the smoothed distributions themselves
+      assert(r.getAs[Double]("kl") >= -1e-9, r.mkString(","))
+      assert(r.getAs[Long]("n_tok") > 0)
+    }
+  }
+
+  test("bootstrap CI brackets the observed mean with sane width") {
+    val r = run("stat_bootstrap").head
+    val m = r.getAs[Double]("mean_value")
+    val lo = r.getAs[Double]("ci_lo"); val hi = r.getAs[Double]("ci_hi")
+    assert(lo <= hi)
+    assert(lo <= m && m <= hi, s"mean $m outside [$lo, $hi]")
+    assert(r.getAs[Long]("n_rows") > 0)
+  }
+
+  test("IPW on hash-random arms reproduces the raw rate difference closely") {
+    val r = run("ev_ipw").head
+    assert(r.getAs[Long]("n_users") > 0)
+    val mt = r.getAs[Double]("mu_t"); val mc = r.getAs[Double]("mu_c")
+    assert(mt >= 0.0 && mt <= 1.0 && mc >= 0.0 && mc <= 1.0)
+    assert(math.abs(r.getAs[Double]("ipw_ate") - (mt - mc)) < 1e-9)
+    // arms are hash-random → stratified propensities ≈ marginal, so
+    // IPW must land near the unadjusted per-arm conversion diff
+    import graft.functions.VectorFunctions.md5Long
+    val raw = Tables.events(spark, sfDir)
+      .withColumn("arm",
+        md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+      .groupBy("user_id", "arm")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .groupBy("arm").agg(avg("y").as("rate"))
+      .collect().map(r2 => r2.getLong(0) -> r2.getDouble(1)).toMap
+    assert(math.abs((mt - mc) - (raw(1L) - raw(0L))) < 0.05,
+      s"ipw ${mt - mc} vs raw ${raw(1L) - raw(0L)}")
+  }
+
+  test("bounce rates are shares and bounced never exceeds sessions") {
+    val rows = run("ev_bounce_rate")
+    assert(rows.nonEmpty)
+    var sess = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_sessions"); val b = r.getAs[Long]("n_bounced")
+      assert(b >= 0 && b <= n, r.mkString(","))
+      val br = r.getAs[Double]("bounce_rate")
+      assert(br >= 0.0 && br <= 1.0)
+      sess += n
+    }
+    // entry-type rollup partitions the session universe
+    val total = SparkEntry.queries("ev_sessionize")(spark, sfDir).count()
+    assert(sess == total, s"$sess sessions vs $total")
+  }
+}
