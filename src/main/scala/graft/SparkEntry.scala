@@ -15940,6 +15940,160 @@ object SparkEntry {
              |             / CAST(count(*) AS DOUBLE), 4) AS bounce_rate
              |FROM fe GROUP BY entry_type ORDER BY entry_type""".stripMargin)))
 
+  private val round11bQ: Seq[(String, Q)] = Seq(
+    // C4-style intra-document dedup audit: per doc, sentence units
+    // (normalized) vs distinct units — the "repeated boilerplate
+    // inside one page" counter that precedes cross-doc dedup in every
+    // web-corpus pipeline. Pure map-side array math, exact integers.
+    "text_para_dedup" -> Q(
+      (s, d) => {
+        val units = transform(split(col("text"), "\\. "),
+          x => trim(lower(x)))
+        docsUnder(s, d, 200)
+          .select(col("doc_id"), size(units).cast("long").as("n_units"),
+            (size(units) - size(array_distinct(units))).cast("long")
+              .as("n_dup_units"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |       CAST(len(us) AS BIGINT) AS n_units,
+             |       CAST(len(us) - len(list_distinct(us)) AS BIGINT) AS n_dup_units
+             |FROM (SELECT doc_id,
+             |        list_transform(regexp_split_to_array(text, '\. '),
+             |          x -> trim(lower(x))) AS us
+             |      FROM documents WHERE doc_id < 200)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // cross-document boilerplate phrase mining: the token 8-grams
+    // shared by the most documents (df ≥ 3) — the REPORT twin of
+    // dedup_span_ngrams (which rewrites docs; this surfaces WHAT the
+    // boilerplate is, for a cleaning rule). One shingle explode + one
+    // hash aggregate; top-15 by document frequency, full-gram
+    // tiebreak so the limit cut is engine-deterministic.
+    "text_boilerplate" -> Q(
+      (s, d) => graft.text.TextPrimitives
+        .tokenShingles(Tables.documents(s, d), "doc_id", "text", 8)
+        .groupBy("sh")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 3)
+        .orderBy(col("df").desc, col("sh"))
+        .limit(15)
+        .select(substring(col("sh"), 1, 40).as("gram_prefix"), col("df")),
+      Some(s"""SELECT substr(sh, 1, 40) AS gram_prefix, df FROM (
+              |  SELECT sh, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              |  FROM (
+              |${graft.text.TextPrimitives.tokenShinglesSql("documents", "doc_id", "text", 8)})
+              |  GROUP BY sh HAVING count(DISTINCT doc_id) >= 3
+              |  ORDER BY df DESC, sh LIMIT 15)""".stripMargin)),
+
+    // what dedup buys: token counts before vs after canonical-doc
+    // selection on the SHARED cluster-label table (one CC pass,
+    // reused by dedup_clusters/keep_best/cluster_sizes — this row is
+    // ~free) — the headline number a dedup stage reports upward.
+    "pipe_dedup_savings" -> Q(
+      (s, d) => {
+        import graft.dedup.Dedup
+        val labels = Dedup.clusterLabelsShared(docsUnder(s, d, 200), d, 5, 8, 2)
+        val toks = docsUnder(s, d, 200).select(col("doc_id"),
+          size(graft.text.TextPrimitives.tokens(col("text"))).cast("long")
+            .as("nt"))
+        labels.join(toks, "doc_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") === col("cluster"), 1L).otherwise(0L))
+              .as("n_kept"),
+            sum("nt").as("tok_raw"),
+            sum(when(col("doc_id") === col("cluster"), col("nt"))
+              .otherwise(0L)).as("tok_kept"))
+          .select(col("n_docs"), col("n_kept"), col("tok_raw"),
+            col("tok_kept"),
+            round(lit(1.0) - col("tok_kept") / col("tok_raw").cast("double"), 4)
+              .as("savings_pct"))
+      },
+      Some(s"""WITH RECURSIVE sig AS (
+              |${graft.dedup.Dedup.minhashSigSql(5, 8, "doc_id < 200")}),
+              |bands AS (${(0 until 4).map(b =>
+                 s"SELECT doc_id, $b AS b, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS bv FROM sig")
+                 .mkString(" UNION ALL ")}),
+              |pairs AS (
+              |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+              |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+              |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db, da FROM pairs),
+              |reach(src, lbl) AS (
+              |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+              |  UNION
+              |  SELECT e.da, r.lbl FROM reach r JOIN edges e ON e.db = r.src),
+              |cc AS (SELECT src AS doc_id, min(lbl) AS cluster FROM reach GROUP BY src),
+              |tk AS (SELECT doc_id,
+              |         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS nt
+              |       FROM documents WHERE doc_id < 200)
+              |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(CASE WHEN doc_id = cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |       CAST(sum(nt) AS BIGINT) AS tok_raw,
+              |       CAST(sum(CASE WHEN doc_id = cluster THEN nt ELSE 0 END) AS BIGINT) AS tok_kept,
+              |       round(1.0 - sum(CASE WHEN doc_id = cluster THEN nt ELSE 0 END)
+              |             / CAST(sum(nt) AS DOUBLE), 4) AS savings_pct
+              |FROM cc JOIN tk USING (doc_id)""".stripMargin)),
+
+    // generalized-ESD-style anomaly peeling on daily event counts:
+    // 3 unrolled rounds of (μ, σ over the REMAINING days → flag the
+    // max |x−μ|/σ day → peel it) — the multi-outlier detector that
+    // survives masking, which one-shot 3σ (ev_outliers) does not.
+    // Every round is an aggregate + broadcast over the
+    // calendar-bounded daily frame; μ/σ rounded to 6 so both engines
+    // peel the identical trajectory.
+    "stat_esd" -> Q(
+      (s, d) => {
+        var daily = Tables.events(s, d)
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .localCheckpoint(eager = false)
+        val tops = (1 to 3).map { i =>
+          val st = daily.agg(round(avg("c"), 6).as("mu"),
+            round(stddev_pop(col("c")), 6).as("sd"))
+          val top = daily.crossJoin(broadcast(st))
+            .select(col("day"), col("c"),
+              when(col("sd") === 0, lit(null).cast("double"))
+                .otherwise(round(abs(col("c") - col("mu")) / col("sd"), 4))
+                .as("r_stat"))
+            .orderBy(col("r_stat").desc_nulls_last, col("day"))
+            .limit(1)
+            .select(lit(i.toLong).as("peel_round"), col("day"),
+              col("c").cast("long").as("n_events"), col("r_stat"))
+            .localCheckpoint(eager = false)
+          daily = daily.join(top.select("day"), Seq("day"), "left_anti")
+            .localCheckpoint(eager = false)
+          top
+        }
+        tops.reduce(_.union(_))
+          .withColumn("flagged", col("r_stat") > 3.0)
+          .orderBy("peel_round")
+      },
+      Some {
+        def rnd(i: Int, src: String) =
+          s"""s$i AS (SELECT round(avg(c), 6) AS mu,
+             |           round(stddev_pop(c), 6) AS sd FROM $src),
+             |t$i AS (SELECT CAST($i AS BIGINT) AS peel_round, day, c,
+             |          CASE WHEN sd = 0 THEN NULL
+             |               ELSE round(abs(c - mu) / sd, 4) END AS r_stat
+             |        FROM $src, s$i
+             |        ORDER BY r_stat DESC NULLS LAST, day LIMIT 1),
+             |d$i AS MATERIALIZED (SELECT $src.* FROM $src
+             |        WHERE day NOT IN (SELECT day FROM t$i))""".stripMargin
+        s"""WITH d0 AS MATERIALIZED (
+           |  SELECT ts // 86400000000000 AS day,
+           |         CAST(count(*) AS DOUBLE) AS c
+           |  FROM events GROUP BY 1),
+           |${rnd(1, "d0")},
+           |${rnd(2, "d1")},
+           |${rnd(3, "d2")}
+           |SELECT peel_round, CAST(day AS BIGINT) AS day,
+           |       CAST(c AS BIGINT) AS n_events, r_stat,
+           |       r_stat > 3.0 AS flagged
+           |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+           |      UNION ALL SELECT * FROM t3)
+           |ORDER BY peel_round""".stripMargin
+      }))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
@@ -15947,7 +16101,7 @@ object SparkEntry {
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
       round10jQ ++ round10kQ ++ round10lQ ++ round10mQ ++ round10nQ ++
-      round10oQ ++ round10pQ ++ round11Q
+      round10oQ ++ round10pQ ++ round11Q ++ round11bQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

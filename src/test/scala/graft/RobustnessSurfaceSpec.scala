@@ -65,6 +65,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "samp_negative_sampling", "text_langid_eval", "dedup_lsh_eval",
     "dedup_df_profile", "samp_cluster_split",
     "pipe_dataset_hash", "text_simpson", "samp_kl",
+    "text_para_dedup", "text_boilerplate", "pipe_dedup_savings",
     "stat_theil", "text_burstiness", "text_source_similarity",
     "dedup_prefix_filter", "samp_group_sample",
     "stat_ols_fit", "stat_mwu", "text_js_div", "text_mi_chi2",
@@ -223,7 +224,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_sign_test", "ev_stickiness",
     "ev_segment_migration", "ts_backtest_snaive", "stat_overdispersion",
     "ts_hampel", "ev_covariate_balance", "ev_session_durations",
-    "stat_bootstrap", "ev_ipw", "ev_bounce_rate")
+    "stat_bootstrap", "ev_ipw", "ev_bounce_rate", "stat_esd")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -85,6 +85,57 @@ class Round11OpsSpec extends SparkSpec {
       s"ipw ${mt - mc} vs raw ${raw(1L) - raw(0L)}")
   }
 
+  test("intra-doc dedup counts are consistent and detect a planted repeat") {
+    val rows = run("text_para_dedup")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_units") >= 0)
+      assert(r.getAs[Long]("n_dup_units") < r.getAs[Long]("n_units"),
+        r.mkString(","))
+    }
+    // a doc that repeats one sentence three times reports 2 dup units
+    val dir = java.nio.file.Files.createTempDirectory("graft-para").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, "Same sentence here. Same sentence here. Same sentence here. Unique tail"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("text_para_dedup")(spark, dir).head()
+    assert(r.getAs[Long]("n_units") == 4 && r.getAs[Long]("n_dup_units") == 2,
+      r.mkString(","))
+  }
+
+  test("boilerplate grams all clear the df floor and truncate to 40 chars") {
+    val rows = run("text_boilerplate")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") >= 3, r.mkString(","))
+      assert(r.getAs[String]("gram_prefix").length <= 40)
+    }
+  }
+
+  test("dedup savings reconcile with the shared cluster table") {
+    val r = run("pipe_dedup_savings").head
+    val nDocs = r.getAs[Long]("n_docs"); val nKept = r.getAs[Long]("n_kept")
+    assert(nKept >= 1 && nKept <= nDocs)
+    assert(r.getAs[Long]("tok_kept") <= r.getAs[Long]("tok_raw"))
+    val sv = r.getAs[Double]("savings_pct")
+    assert(sv >= 0.0 && sv < 1.0)
+    // kept docs = distinct clusters (the canonical member per cluster)
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sfDir)
+      .select("cluster").distinct().count()
+    assert(nKept == clusters, s"$nKept kept vs $clusters clusters")
+  }
+
+  test("ESD peeling removes three distinct days with non-negative R") {
+    val rows = run("stat_esd")
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("day")).distinct.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("peel_round") >= 1 && r.getAs[Long]("peel_round") <= 3)
+      if (!r.isNullAt(r.fieldIndex("r_stat")))
+        assert(r.getAs[Double]("r_stat") >= 0.0)
+    }
+  }
+
   test("bounce rates are shares and bounced never exceeds sessions") {
     val rows = run("ev_bounce_rate")
     assert(rows.nonEmpty)
