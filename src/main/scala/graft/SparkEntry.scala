@@ -16094,6 +16094,198 @@ object SparkEntry {
            |ORDER BY peel_round""".stripMargin
       }))
 
+  private val round11cQ: Seq[(String, Q)] = Seq(
+    // last-observation-carried-forward imputation per user (the
+    // telemetry-gap filler next to ts_gap_fill's dense spine):
+    // Spark's last(ignoreNulls) over the per-user ordered frame ==
+    // DuckDB's last_value IGNORE NULLS — no self-join, no fact-scale
+    // state beyond the running window. Per-user rollup keeps the
+    // report bounded.
+    "ts_locf" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables.events(s, d).filter(col("user_id") < 20)
+          .withColumn("filled", last(col("value"), ignoreNulls = true).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+            sum(when(col("value").isNull && col("filled").isNotNull, 1L)
+              .otherwise(0L)).as("n_filled"),
+            round(sum("filled"), 4).as("sum_filled"))
+          .orderBy("user_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, value,
+             |         last_value(value IGNORE NULLS) OVER (
+             |           PARTITION BY user_id ORDER BY ts, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+             |  FROM events WHERE user_id < 20)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |       CAST(sum(CASE WHEN value IS NULL AND filled IS NOT NULL
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+             |       round(sum(filled), 4) AS sum_filled
+             |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // int4 scalar quantization with nibble packing: 15-level per-dim
+    // codes, two codes per byte — 8× scan-I/O cut vs floats (the step
+    // past vec_scalar_quant's int8 when recall tolerates it). Params
+    // are the SAME one broadcast row; packing is exact integer
+    // arithmetic, so the oracle pins code bytes bit-for-bit.
+    "vec_int4_quant" -> Q(
+      (s, d) => {
+        val enc = Tables.embeddings(s, d)
+          .crossJoin(broadcast(graft.ann.Quant.params(Tables.embeddings(s, d))))
+          .withColumn("c4", transform(col("embedding"), (x, i) => {
+            val p = element_at(col("pp"), i + lit(1))
+            val mn = p.getField("mn"); val mx = p.getField("mx")
+            when(mx === mn, lit(0L))
+              .otherwise(round((x.cast("double") - mn) / (mx - mn) * 15.0, 0)
+                .cast("long"))
+          }))
+          .withColumn("packed", transform(
+            expr("sequence(0, size(c4) div 2 - 1)"),
+            k => element_at(col("c4"), (k * 2 + 1).cast("int")) * 16
+              + element_at(col("c4"), (k * 2 + 2).cast("int"))))
+        enc.select(col("vec_id"),
+            size(col("packed")).cast("long").as("n_bytes"),
+            aggregate(col("packed"), lit(0L), (a, c) => a + c).as("byte_sum"),
+            array_min(col("packed")).as("byte_min"),
+            array_max(col("packed")).as("byte_max"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             |                     unnest(embedding) AS x
+             |              FROM embeddings),
+             |p AS (SELECT i, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx
+             |      FROM dims GROUP BY i),
+             |codes AS (SELECT vec_id, i,
+             |                 CASE WHEN mx = mn THEN 0
+             |                      ELSE CAST(round((x::DOUBLE - mn) / (mx - mn) * 15.0) AS BIGINT)
+             |                 END AS c
+             |          FROM dims JOIN p USING (i)),
+             |cl AS (SELECT vec_id, list(c ORDER BY i) AS cs FROM codes GROUP BY vec_id),
+             |pk AS (SELECT vec_id,
+             |              list_transform(generate_series(0, len(cs) // 2 - 1),
+             |                k -> cs[2 * k + 1] * 16 + cs[2 * k + 2]) AS packed
+             |       FROM cl)
+             |SELECT vec_id, CAST(len(packed) AS BIGINT) AS n_bytes,
+             |       CAST(list_sum(packed) AS BIGINT) AS byte_sum,
+             |       CAST(list_min(packed) AS BIGINT) AS byte_min,
+             |       CAST(list_max(packed) AS BIGINT) AS byte_max
+             |FROM pk ORDER BY vec_id""".stripMargin)),
+
+    // mergeable running statistics: per-batch (n, mean, centered M2)
+    // partials combined by Chan's parallel formula — the discipline
+    // every incremental 100 TB statistics pipeline runs on (merge
+    // yesterday's partials with today's, never rescan). Both engines
+    // compute the SAME partials (means rounded 6, stat_moments
+    // two-pass centering) and the same merge arithmetic, so the
+    // result is order-pinned.
+    "stat_merge_partials" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("value").isNotNull && !isnan(col("value")))
+          .withColumn("batch", pmod(col("event_id"), lit(2)))
+          .localCheckpoint(eager = false) // means + centered pass
+        val mus = ev.groupBy("batch")
+          .agg(round(sum("value") / count(lit(1)), 6).as("mu"))
+        val parts = ev.join(broadcast(mus), "batch")
+          .groupBy("batch")
+          .agg(count(lit(1)).cast("double").as("n"), max("mu").as("mu"),
+               sum(pow(col("value") - col("mu"), 2)).as("m2"))
+        val w = parts.select(
+          sum(when(col("batch") === 0, col("n"))).as("na"),
+          sum(when(col("batch") === 0, col("mu"))).as("ma"),
+          sum(when(col("batch") === 0, col("m2"))).as("m2a"),
+          sum(when(col("batch") === 1, col("n"))).as("nb"),
+          sum(when(col("batch") === 1, col("mu"))).as("mb"),
+          sum(when(col("batch") === 1, col("m2"))).as("m2b"))
+        val nn = col("na") + col("nb")
+        val delta = col("mb") - col("ma")
+        w.select(col("na").cast("long").as("n_a"),
+          col("nb").cast("long").as("n_b"),
+          round(col("ma") + delta * col("nb") / nn, 6).as("mean_merged"),
+          round((col("m2a") + col("m2b")
+            + delta * delta * col("na") * col("nb") / nn) / nn, 6)
+            .as("var_merged"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id % 2 AS batch, value FROM events
+             |  WHERE value IS NOT NULL AND NOT isnan(value)),
+             |mus AS (SELECT batch, round(sum(value) / count(*), 6) AS mu
+             |        FROM ev GROUP BY batch),
+             |parts AS (SELECT batch, CAST(count(*) AS DOUBLE) AS n,
+             |                 max(mu) AS mu,
+             |                 sum(pow(value - mu, 2)) AS m2
+             |          FROM ev JOIN mus USING (batch) GROUP BY batch),
+             |w AS (SELECT
+             |        sum(CASE WHEN batch = 0 THEN n END) AS na,
+             |        sum(CASE WHEN batch = 0 THEN mu END) AS ma,
+             |        sum(CASE WHEN batch = 0 THEN m2 END) AS m2a,
+             |        sum(CASE WHEN batch = 1 THEN n END) AS nb,
+             |        sum(CASE WHEN batch = 1 THEN mu END) AS mb,
+             |        sum(CASE WHEN batch = 1 THEN m2 END) AS m2b
+             |      FROM parts)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |       round(ma + (mb - ma) * nb / (na + nb), 6) AS mean_merged,
+             |       round((m2a + m2b + (mb - ma) * (mb - ma) * na * nb
+             |              / (na + nb)) / (na + nb), 6) AS var_merged
+             |FROM w""".stripMargin)),
+
+    // modularity of the CC communities on the near-dup graph: every
+    // LSH edge is intra-community by construction, so
+    // Q = 1 − Σ_c (d_c / 2m)² — how far the dup clustering is from
+    // one hairball (Q→0 = one giant component, the signal that the
+    // banding is too loose). Degrees from the bounded pair table,
+    // labels from the SHARED cluster table (the CC pass stays
+    // amortized).
+    "graph_modularity" -> Q(
+      (s, d) => {
+        import graft.dedup.Dedup
+        val pairs = Dedup.minhashLshPairs(
+          Dedup.minhashSignaturesMapSide(docsUnder(s, d, 200), 5, 8), 8, 2)
+          .localCheckpoint(eager = false) // m + degrees
+        val labels = Dedup.clusterLabelsShared(docsUnder(s, d, 200), d, 5, 8, 2)
+        val deg = pairs.select(col("da").as("doc_id"))
+          .union(pairs.select(col("db").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+        val m = pairs.agg(count(lit(1)).cast("double").as("m"))
+        deg.join(labels, "doc_id")
+          .groupBy("cluster").agg(sum("deg").cast("double").as("dc"))
+          .crossJoin(broadcast(m))
+          .agg(max(col("m")).cast("long").as("n_edges"),
+               count(lit(1)).as("n_communities"),
+               round(lit(1.0) - sum(pow(col("dc") / (lit(2.0) * col("m")), 2)), 6)
+                 .as("modularity"))
+      },
+      Some(s"""WITH RECURSIVE sig AS (
+              |${graft.dedup.Dedup.minhashSigSql(5, 8, "doc_id < 200")}),
+              |bands AS (${(0 until 4).map(b =>
+                 s"SELECT doc_id, $b AS b, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS bv FROM sig")
+                 .mkString(" UNION ALL ")}),
+              |pairs AS (
+              |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+              |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+              |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db, da FROM pairs),
+              |reach(src, lbl) AS (
+              |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+              |  UNION
+              |  SELECT e.da, r.lbl FROM reach r JOIN edges e ON e.db = r.src),
+              |cc AS (SELECT src AS doc_id, min(lbl) AS cluster FROM reach GROUP BY src),
+              |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS deg
+              |        FROM (SELECT da AS doc_id FROM pairs
+              |              UNION ALL SELECT db FROM pairs)
+              |        GROUP BY doc_id),
+              |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM pairs),
+              |dc AS (SELECT cluster, CAST(sum(deg) AS DOUBLE) AS dc
+              |       FROM deg JOIN cc USING (doc_id) GROUP BY cluster)
+              |SELECT CAST(max(m) AS BIGINT) AS n_edges,
+              |       CAST(count(*) AS BIGINT) AS n_communities,
+              |       round(1.0 - sum(pow(dc / (2.0 * m), 2)), 6) AS modularity
+              |FROM dc, m""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
@@ -16101,7 +16293,7 @@ object SparkEntry {
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
       round10jQ ++ round10kQ ++ round10lQ ++ round10mQ ++ round10nQ ++
-      round10oQ ++ round10pQ ++ round11Q ++ round11bQ
+      round10oQ ++ round10pQ ++ round11Q ++ round11bQ ++ round11cQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

@@ -66,6 +66,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "dedup_df_profile", "samp_cluster_split",
     "pipe_dataset_hash", "text_simpson", "samp_kl",
     "text_para_dedup", "text_boilerplate", "pipe_dedup_savings",
+    "graph_modularity",
     "stat_theil", "text_burstiness", "text_source_similarity",
     "dedup_prefix_filter", "samp_group_sample",
     "stat_ols_fit", "stat_mwu", "text_js_div", "text_mi_chi2",
@@ -224,7 +225,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_sign_test", "ev_stickiness",
     "ev_segment_migration", "ts_backtest_snaive", "stat_overdispersion",
     "ts_hampel", "ev_covariate_balance", "ev_session_durations",
-    "stat_bootstrap", "ev_ipw", "ev_bounce_rate", "stat_esd")
+    "stat_bootstrap", "ev_ipw", "ev_bounce_rate", "stat_esd",
+    "ts_locf", "stat_merge_partials")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -136,6 +136,43 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("LOCF fills only gaps that have a preceding observation") {
+    val rows = run("ts_locf")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val nn = r.getAs[Long]("n_null")
+      assert(r.getAs[Long]("n_filled") <= nn && nn <= n, r.mkString(","))
+    }
+  }
+
+  test("int4 nibble-packed bytes stay in [0, 255] with d/2 bytes per vector") {
+    val rows = run("vec_int4_quant")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") == 32, r.mkString(",")) // d=64 → 32 B
+      assert(r.getAs[Long]("byte_min") >= 0L)
+      assert(r.getAs[Long]("byte_max") <= 255L)
+    }
+  }
+
+  test("Chan-merged partials reproduce whole-corpus mean and variance") {
+    val r = run("stat_merge_partials").head
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    val direct = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .agg(avg("value").as("m"), var_pop("value").as("v")).head()
+    assert(math.abs(r.getAs[Double]("mean_merged") - direct.getDouble(0)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("var_merged") - direct.getDouble(1)) < 1e-3)
+  }
+
+  test("dup-graph modularity is a proper fraction over CC communities") {
+    val r = run("graph_modularity").head
+    assert(r.getAs[Long]("n_edges") > 0)
+    assert(r.getAs[Long]("n_communities") >= 1)
+    val q = r.getAs[Double]("modularity")
+    assert(q >= 0.0 && q < 1.0, s"Q=$q")
+  }
+
   test("bounce rates are shares and bounced never exceeds sessions") {
     val rows = run("ev_bounce_rate")
     assert(rows.nonEmpty)
