@@ -710,4 +710,36 @@ object StreamOps {
         graft.store.CollectionStorage.overwriteUserPartitions(merged, collectionPath)
       }
       .start()
+
+  final case class LocfEvent(event_id: Long, ts: Long, user_id: Long,
+                             value: Option[Double])
+
+  final case class LocfPoint(user_id: Long, event_id: Long,
+                             value: Option[Double], filled: Option[Double])
+
+  /** Streaming twin of the batch `ts_locf` query: last-observation-
+    * carried-forward as ONE double of keyed state per user (the last
+    * non-null value seen). NULL values emit the carried observation;
+    * non-null values pass through and refresh the state. Same
+    * semantics as the batch last(ignoreNulls) running window under
+    * the per-key in-order arrival contract (batch-equivalence
+    * spec-pinned).
+    */
+  def streamingLocf(events: Dataset[LocfEvent]): Dataset[LocfPoint] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, LocfPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[Double]) =>
+          var last: Option[Double] = state.getOption
+          val out = it.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+            val filled = e.value.orElse(last)
+            e.value.foreach(v => last = Some(v))
+            LocfPoint(uid, e.event_id, e.value, filled)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
 }

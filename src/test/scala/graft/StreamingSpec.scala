@@ -874,4 +874,47 @@ class StreamingSpec extends SparkSpec {
       types.foreach { t => assert(est(t) >= exact(t), s"one-sided bound for $t") }
     } finally query.stop()
   }
+
+  test("streaming LOCF equals the batch last(ignoreNulls) window across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // per user: values with nulls interleaved, incl. a LEADING null
+    // (stays unfilled) and a null straddling a micro-batch boundary
+    // (must fill from carried state)
+    val evts = for (u <- 0L until 4L; i <- 0L until 10L) yield {
+      val v: Option[Double] =
+        if (i == 0 && u == 2) None        // leading null
+        else if (i % 3 == 1) None          // interior nulls
+        else Some(u * 100.0 + i)
+      StreamOps.LocfEvent(u * 100 + i, i, u, v)
+    }
+    // batch truth: last non-null at or before each event per user
+    val expected = evts.groupBy(_.user_id).flatMap { case (_, es) =>
+      var last: Option[Double] = None
+      es.sortBy(e => (e.ts, e.event_id)).map { e =>
+        val f = e.value.orElse(last)
+        e.value.foreach(v => last = Some(v))
+        e.event_id -> f
+      }
+    }.toMap
+    val input = MemoryStream[StreamOps.LocfEvent]
+    val query = StreamOps.streamingLocf(input.toDS())
+      .writeStream.format("memory").queryName("locf")
+      .outputMode(OutputMode.Append).start()
+    try {
+      Seq(evts.filter(_.ts < 4), evts.filter(e => e.ts >= 4 && e.ts < 7),
+          evts.filter(_.ts >= 7)).foreach { b =>
+        input.addData(b); query.processAllAvailable()
+      }
+      val got = s.sql("SELECT event_id, filled FROM locf").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(got.size == evts.size)
+      assert(got == expected)
+      // the leading null stays unfilled; a boundary-straddling null fills
+      assert(got(200L).isEmpty)
+      assert(got(204L).contains(203.0)) // ts=4 null? no: i%3==1 → ids 201,204,207 null
+    } finally query.stop()
+  }
 }
