@@ -16286,6 +16286,128 @@ object SparkEntry {
               |       round(1.0 - sum(pow(dc / (2.0 * m), 2)), 6) AS modularity
               |FROM dc, m""".stripMargin)))
 
+  private val round11dQ: Seq[(String, Q)] = Seq(
+    // negative-binomial fit of per-user event counts by method of
+    // moments (r = μ²/(σ²−μ), p = μ/σ²) — the "is activity
+    // overdispersed Poisson?" model card next to stat_overdispersion's
+    // yes/no. Variance via the two-pass centered-sum altitude
+    // (broadcast rounded means) so the 4dp report can't flake.
+    "stat_nb_fit" -> Q(
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).cast("double").as("c"))
+          .localCheckpoint(eager = false) // mean pass + centered pass
+        val mus = u.groupBy("event_type")
+          .agg(round(sum("c") / count(lit(1)), 6).as("mu"))
+        val st = u.join(broadcast(mus), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"), max("mu").as("mu"),
+               sum(pow(col("c") - col("mu"), 2)).as("m2"))
+          .withColumn("v", col("m2") / col("n_users"))
+        st.select(col("event_type"), col("n_users"),
+            round(col("mu"), 4).as("mean_c"),
+            round(col("v"), 4).as("var_c"),
+            when(col("v") > col("mu"),
+              round(col("mu") * col("mu") / (col("v") - col("mu")), 4))
+              .as("nb_r"),
+            when(col("v") > col("mu"), round(col("mu") / col("v"), 4))
+              .as("nb_p"))
+          .orderBy("event_type")
+      },
+      Some("""WITH u AS (
+             |  SELECT event_type, user_id, CAST(count(*) AS DOUBLE) AS c
+             |  FROM events GROUP BY 1, 2),
+             |mus AS (SELECT event_type, round(sum(c) / count(*), 6) AS mu
+             |        FROM u GROUP BY event_type),
+             |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             |              max(mu) AS mu, sum(pow(c - mu, 2)) AS m2
+             |       FROM u JOIN mus USING (event_type) GROUP BY event_type)
+             |SELECT event_type, n_users,
+             |       round(mu, 4) AS mean_c,
+             |       round(m2 / n_users, 4) AS var_c,
+             |       CASE WHEN m2 / n_users > mu
+             |            THEN round(mu * mu / (m2 / n_users - mu), 4) END AS nb_r,
+             |       CASE WHEN m2 / n_users > mu
+             |            THEN round(mu / (m2 / n_users), 4) END AS nb_p
+             |FROM st ORDER BY event_type""".stripMargin)),
+
+    // documents data contract: the quality gate a landing zone runs
+    // before promotion — ONE conditional aggregate (plus the Expand
+    // distinct for id uniqueness) over the scan, no joins. The
+    // events-side twin is pipe_contract_events.
+    "pipe_contract_docs" -> Q(
+      (s, d) => Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)).as("null_or_empty_text"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L)
+          .otherwise(0L)).as("bad_n_chars"),
+        sum(when(!col("lang").isin("en", "de", "fr", "es", "zh"), 1L)
+          .otherwise(0L)).as("unknown_lang"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_ids"),
+        sum(when(col("n_chars") < 0 || col("n_chars") > 1000000, 1L)
+          .otherwise(0L)).as("out_of_range_len")),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS null_or_empty_text,
+             |       CAST(sum(CASE WHEN n_chars <> length(text)
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS bad_n_chars,
+             |       CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS unknown_lang,
+             |       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup_ids,
+             |       CAST(sum(CASE WHEN n_chars < 0 OR n_chars > 1000000
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range_len
+             |FROM documents""".stripMargin)),
+
+    // t-closeness audit completing the k-anon / l-diversity triad on
+    // the SAME quasi-identifier frame (source × length-bin; sensitive
+    // = lang): per group, variational distance ½·Σ|p_g − p_global|
+    // over the DENSE group × lang grid (≤ |groups|·|langs| rows,
+    // zero-filled so absent langs count). violates at t > 0.3.
+    "priv_t_closeness" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), expr("n_chars DIV 500").as("len_bin"),
+            col("lang"))
+          .localCheckpoint(eager = false) // global + per-group passes
+        val glob = docs.groupBy("lang").agg(count(lit(1)).as("cg"))
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("tg"))))
+        val grp = docs.groupBy("source", "len_bin", "lang")
+          .agg(count(lit(1)).as("cs"))
+        val gtot = grp.groupBy("source", "len_bin").agg(sum("cs").as("ts"))
+        gtot.crossJoin(broadcast(glob))
+          .join(grp, Seq("source", "len_bin", "lang"), "left")
+          .na.fill(0L, Seq("cs"))
+          .groupBy("source", "len_bin")
+          .agg(max("ts").as("n"),
+            round(sum(abs(col("cs") / col("ts").cast("double")
+              - col("cg") / col("tg").cast("double"))) / 2, 4).as("t_dist"))
+          .select(col("source"), col("len_bin"), col("n").as("n_rows"),
+            col("t_dist"), (col("t_dist") > 0.3).as("violates_t03"))
+          .orderBy("source", "len_bin")
+      },
+      Some("""WITH q AS (SELECT source, n_chars // 500 AS len_bin, lang
+             |           FROM documents),
+             |gl AS (SELECT lang, CAST(count(*) AS BIGINT) AS cg FROM q GROUP BY lang),
+             |tg AS (SELECT CAST(count(*) AS BIGINT) AS tg FROM q),
+             |grp AS (SELECT source, len_bin, lang, CAST(count(*) AS BIGINT) AS cs
+             |        FROM q GROUP BY 1, 2, 3),
+             |gtot AS (SELECT source, len_bin, CAST(sum(cs) AS BIGINT) AS ts
+             |         FROM grp GROUP BY 1, 2),
+             |dense AS (SELECT gtot.source, gtot.len_bin, gtot.ts,
+             |                 gl.lang, gl.cg, tg.tg
+             |          FROM gtot, gl, tg),
+             |j AS (SELECT dense.*, coalesce(cs, 0) AS cs
+             |      FROM dense LEFT JOIN grp USING (source, len_bin, lang))
+             |SELECT source, len_bin, CAST(max(ts) AS BIGINT) AS n_rows,
+             |       round(sum(abs(cs / CAST(ts AS DOUBLE)
+             |             - cg / CAST(tg AS DOUBLE))) / 2, 4) AS t_dist,
+             |       round(sum(abs(cs / CAST(ts AS DOUBLE)
+             |             - cg / CAST(tg AS DOUBLE))) / 2, 4) > 0.3 AS violates_t03
+             |FROM j GROUP BY source, len_bin
+             |ORDER BY source, len_bin""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
@@ -16293,7 +16415,7 @@ object SparkEntry {
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
       round10jQ ++ round10kQ ++ round10lQ ++ round10mQ ++ round10nQ ++
-      round10oQ ++ round10pQ ++ round11Q ++ round11bQ ++ round11cQ
+      round10oQ ++ round10pQ ++ round11Q ++ round11bQ ++ round11cQ ++ round11dQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

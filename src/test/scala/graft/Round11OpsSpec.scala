@@ -173,6 +173,56 @@ class Round11OpsSpec extends SparkSpec {
     assert(q >= 0.0 && q < 1.0, s"Q=$q")
   }
 
+  test("NB fit is consistent: overdispersed types get positive r and p in (0,1]") {
+    val rows = run("stat_nb_fit")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") > 0)
+      if (!r.isNullAt(r.fieldIndex("nb_r"))) {
+        assert(r.getAs[Double]("nb_r") > 0.0, r.mkString(","))
+        assert(r.getAs[Double]("var_c") > r.getAs[Double]("mean_c"))
+      }
+      if (!r.isNullAt(r.fieldIndex("nb_p"))) {
+        val p = r.getAs[Double]("nb_p")
+        assert(p > 0.0 && p <= 1.0 + 1e-9, r.mkString(","))
+      }
+    }
+  }
+
+  test("docs contract passes clean generated data and catches planted violations") {
+    val r = run("pipe_contract_docs").head
+    assert(r.getAs[Long]("n_docs") > 0)
+    Seq("null_or_empty_text", "bad_n_chars", "unknown_lang", "dup_ids",
+        "out_of_range_len").foreach(c => assert(r.getAs[Long](c) == 0L, c))
+    // planted violations are counted
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-contract").toString
+    Seq((1L, "ok text", "en", "srcA", 7L),
+        (1L, "dup id", "en", "srcA", 6L),          // dup_ids
+        (3L, null.asInstanceOf[String], "en", "srcA", 0L), // null text
+        (4L, "short", "xx", "srcA", 5L),            // unknown_lang
+        (5L, "mismatch", "de", "srcA", 99L))        // bad_n_chars
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val v = SparkEntry.queries("pipe_contract_docs")(spark, dir).head()
+    assert(v.getAs[Long]("dup_ids") == 1L)
+    assert(v.getAs[Long]("null_or_empty_text") == 1L)
+    assert(v.getAs[Long]("unknown_lang") == 1L)
+    assert(v.getAs[Long]("bad_n_chars") >= 1L) // the null row also mismatches? null <> length(null) is null → not counted
+  }
+
+  test("t-closeness distances are proper (0 ≤ t ≤ 1) on the l-diversity QI frame") {
+    val rows = run("priv_t_closeness")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Double]("t_dist")
+      assert(t >= 0.0 && t <= 1.0 + 1e-9, r.mkString(","))
+      assert(r.getAs[Boolean]("violates_t03") == (t > 0.3))
+      assert(r.getAs[Long]("n_rows") > 0)
+    }
+  }
+
   test("bounce rates are shares and bounced never exceeds sessions") {
     val rows = run("ev_bounce_rate")
     assert(rows.nonEmpty)
