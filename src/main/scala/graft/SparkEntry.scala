@@ -15726,7 +15726,10 @@ object SparkEntry {
           .select(col("source"),
             explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
           .withColumn("b", md5Long(col("tok")) % 64)
-          .localCheckpoint(eager = false) // corpus + per-source aggs
+        // NOT checkpointed: the exploded token table is corpus-sized —
+        // recomputing the map-side explode for the corpus and
+        // per-source passes is far cheaper at 100 TB than
+        // materializing it (the samp_importance precedent)
         val corpus0 = tok.groupBy("b").agg(count(lit(1)).as("cc"))
         // smooth over the OCCUPIED bucket support (nb ≤ 64, and a
         // small-vocab corpus occupies far fewer): add-one over a
@@ -16369,8 +16372,7 @@ object SparkEntry {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("source"), expr("n_chars DIV 500").as("len_bin"),
-            col("lang"))
-          .localCheckpoint(eager = false) // global + per-group passes
+            col("lang")) // 3-col projection: recompute beats materializing
         val glob = docs.groupBy("lang").agg(count(lit(1)).as("cg"))
           .crossJoin(broadcast(docs.agg(count(lit(1)).as("tg"))))
         val grp = docs.groupBy("source", "len_bin", "lang")
