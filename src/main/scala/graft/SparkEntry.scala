@@ -16410,6 +16410,187 @@ object SparkEntry {
              |FROM j GROUP BY source, len_bin
              |ORDER BY source, len_bin""".stripMargin)))
 
+  private val round11eQ: Seq[(String, Q)] = Seq(
+    // 2×2 factorial experiment: two INDEPENDENT hash assignments per
+    // user, conversion per cell, interaction = difference of the A
+    // effects across B with a pooled binomial z — the "do features
+    // interact?" readout a platform running concurrent experiments
+    // needs next to the single-factor ev_ab_test. One per-user
+    // rollup → 4 cells of arithmetic.
+    "stat_factorial" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val u = Tables.events(s, d)
+          .withColumn("fa",
+            md5Long(concat(lit("fa:"), col("user_id").cast("string"))) % 2)
+          .withColumn("fb",
+            md5Long(concat(lit("fb:"), col("user_id").cast("string"))) % 2)
+          .groupBy("user_id", "fa", "fb")
+          .agg(max(when(col("event_type") === "purchase", 1.0).otherwise(0.0))
+            .as("y"))
+        def cell(a: Int, b: Int, c: Column) =
+          sum(when(col("fa") === a && col("fb") === b, c).otherwise(0.0))
+        val g = u.agg(
+          cell(0, 0, lit(1.0)).as("n00"), cell(0, 0, col("y")).as("c00"),
+          cell(0, 1, lit(1.0)).as("n01"), cell(0, 1, col("y")).as("c01"),
+          cell(1, 0, lit(1.0)).as("n10"), cell(1, 0, col("y")).as("c10"),
+          cell(1, 1, lit(1.0)).as("n11"), cell(1, 1, col("y")).as("c11"))
+        def p(n: String, c: String) = col(c) / col(n)
+        val inter = (p("n11", "c11") - p("n10", "c10")) -
+          (p("n01", "c01") - p("n00", "c00"))
+        val se = sqrt(
+          p("n00", "c00") * (lit(1.0) - p("n00", "c00")) / col("n00") +
+          p("n01", "c01") * (lit(1.0) - p("n01", "c01")) / col("n01") +
+          p("n10", "c10") * (lit(1.0) - p("n10", "c10")) / col("n10") +
+          p("n11", "c11") * (lit(1.0) - p("n11", "c11")) / col("n11"))
+        g.select(
+          (col("n00") + col("n01") + col("n10") + col("n11")).cast("long")
+            .as("n_users"),
+          round(p("n00", "c00"), 4).as("rate_00"),
+          round(p("n01", "c01"), 4).as("rate_01"),
+          round(p("n10", "c10"), 4).as("rate_10"),
+          round(p("n11", "c11"), 4).as("rate_11"),
+          round(inter, 6).as("interaction"),
+          when(se > 0, round(inter / se, 4)).as("z"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         ('0x' || substr(md5('fa:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS fa,
+             |         ('0x' || substr(md5('fb:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS fb,
+             |         max(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS y
+             |  FROM events GROUP BY 1, 2, 3),
+             |g AS (SELECT
+             |  sum(CASE WHEN fa = 0 AND fb = 0 THEN 1.0 ELSE 0.0 END) AS n00,
+             |  sum(CASE WHEN fa = 0 AND fb = 0 THEN y ELSE 0.0 END) AS c00,
+             |  sum(CASE WHEN fa = 0 AND fb = 1 THEN 1.0 ELSE 0.0 END) AS n01,
+             |  sum(CASE WHEN fa = 0 AND fb = 1 THEN y ELSE 0.0 END) AS c01,
+             |  sum(CASE WHEN fa = 1 AND fb = 0 THEN 1.0 ELSE 0.0 END) AS n10,
+             |  sum(CASE WHEN fa = 1 AND fb = 0 THEN y ELSE 0.0 END) AS c10,
+             |  sum(CASE WHEN fa = 1 AND fb = 1 THEN 1.0 ELSE 0.0 END) AS n11,
+             |  sum(CASE WHEN fa = 1 AND fb = 1 THEN y ELSE 0.0 END) AS c11
+             |  FROM u),
+             |e AS (SELECT *,
+             |        (c11/n11 - c10/n10) - (c01/n01 - c00/n00) AS inter,
+             |        sqrt((c00/n00) * (1.0 - c00/n00) / n00
+             |           + (c01/n01) * (1.0 - c01/n01) / n01
+             |           + (c10/n10) * (1.0 - c10/n10) / n10
+             |           + (c11/n11) * (1.0 - c11/n11) / n11) AS se
+             |      FROM g)
+             |SELECT CAST(n00 + n01 + n10 + n11 AS BIGINT) AS n_users,
+             |       round(c00/n00, 4) AS rate_00, round(c01/n01, 4) AS rate_01,
+             |       round(c10/n10, 4) AS rate_10, round(c11/n11, 4) AS rate_11,
+             |       round(inter, 6) AS interaction,
+             |       CASE WHEN se > 0 THEN round(inter / se, 4) END AS z
+             |FROM e""".stripMargin)),
+
+    // quantile treatment effects: per-arm quartiles of per-user spend
+    // — where in the distribution the treatment moves money, which
+    // the mean (ev_ab_test) hides. One per-user rollup; quartiles by
+    // the stat_percentiles type-7 parity.
+    "ev_qte" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val u = Tables.events(s, d)
+          .filter(col("value").isNotNull && !isnan(col("value")))
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .groupBy("user_id", "arm")
+          .agg(sum("value").as("spend"))
+        val g = u.groupBy("arm")
+          .agg(expr("percentile(spend, array(0.25D, 0.5D, 0.75D))").as("ps"))
+        val t = g.filter(col("arm") === 1)
+          .select(explode(expr(
+            "arrays_zip(array(0.25D, 0.5D, 0.75D), ps)")).as("e"))
+          .select(col("e.0").as("q"), round(col("e.ps"), 4).as("v_t"))
+        val c = g.filter(col("arm") === 0)
+          .select(explode(expr(
+            "arrays_zip(array(0.25D, 0.5D, 0.75D), ps)")).as("e"))
+          .select(col("e.0").as("q"), round(col("e.ps"), 4).as("v_c"))
+        t.join(c, "q")
+          .select(col("q"), col("v_t"), col("v_c"),
+            round(col("v_t") - col("v_c"), 4).as("qte"))
+          .orderBy("q")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+             |         sum(value) AS spend
+             |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+             |  GROUP BY 1, 2),
+             |g AS (SELECT
+             |        round(quantile_cont(spend, 0.25) FILTER (arm = 1), 4) AS t25,
+             |        round(quantile_cont(spend, 0.50) FILTER (arm = 1), 4) AS t50,
+             |        round(quantile_cont(spend, 0.75) FILTER (arm = 1), 4) AS t75,
+             |        round(quantile_cont(spend, 0.25) FILTER (arm = 0), 4) AS c25,
+             |        round(quantile_cont(spend, 0.50) FILTER (arm = 0), 4) AS c50,
+             |        round(quantile_cont(spend, 0.75) FILTER (arm = 0), 4) AS c75
+             |      FROM u)
+             |SELECT CAST(0.25 AS DOUBLE) AS q, t25 AS v_t, c25 AS v_c, round(t25 - c25, 4) AS qte FROM g
+             |UNION ALL
+             |SELECT CAST(0.5 AS DOUBLE), t50, c50, round(t50 - c50, 4) FROM g
+             |UNION ALL
+             |SELECT CAST(0.75 AS DOUBLE), t75, c75, round(t75 - c75, 4) FROM g
+             |ORDER BY q""".stripMargin)),
+
+    // event-study leads/lags around the ITS cut day: per relative day
+    // r ∈ [−5, 5], treated-minus-control conversion gap normalized to
+    // the r = −1 gap — flat pre-trend is the diff-in-diff validity
+    // check made visible. One conditional daily rollup; everything
+    // after runs on the ≤11-row frame with the baseline broadcast.
+    "ev_event_study" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val ev = Tables.events(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .localCheckpoint(eager = false) // bounds + the rollup
+        val bounds = ev.agg(min("day").as("mn"), max("day").as("mx"))
+          .withColumn("cut", col("mn") + expr("CAST((mx - mn + 1) div 2 AS BIGINT)"))
+        val daily = ev.crossJoin(broadcast(bounds))
+          .withColumn("rel", col("day") - col("cut"))
+          .filter(col("rel").between(-5, 5))
+          .groupBy("rel")
+          .agg(
+            round(sum(when(col("arm") === 1 && col("event_type") === "purchase",
+              1.0).otherwise(0.0)) /
+              nullif(sum(when(col("arm") === 1, 1.0).otherwise(0.0)), lit(0.0)),
+              6).as("rate_t"),
+            round(sum(when(col("arm") === 0 && col("event_type") === "purchase",
+              1.0).otherwise(0.0)) /
+              nullif(sum(when(col("arm") === 0, 1.0).otherwise(0.0)), lit(0.0)),
+              6).as("rate_c"))
+          .withColumn("gap", round(col("rate_t") - col("rate_c"), 6))
+          .localCheckpoint(eager = false) // baseline + the report
+        val base = daily.filter(col("rel") === -1)
+          .select(col("gap").as("gap_base"))
+        daily.crossJoin(broadcast(base))
+          .select(col("rel"), col("rate_t"), col("rate_c"),
+            round(col("gap") - col("gap_base"), 6).as("effect"))
+          .orderBy("rel")
+      },
+      Some("""WITH ev AS (
+             |  SELECT ts // 86400000000000 AS day, user_id, event_type,
+             |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+             |  FROM events),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+             |c AS (SELECT mn + (mx - mn + 1) // 2 AS cut FROM b),
+             |daily AS (
+             |  SELECT day - cut AS rel,
+             |         round(sum(CASE WHEN arm = 1 AND event_type = 'purchase'
+             |                        THEN 1.0 ELSE 0.0 END)
+             |               / nullif(sum(CASE WHEN arm = 1 THEN 1.0 ELSE 0.0 END), 0.0), 6) AS rate_t,
+             |         round(sum(CASE WHEN arm = 0 AND event_type = 'purchase'
+             |                        THEN 1.0 ELSE 0.0 END)
+             |               / nullif(sum(CASE WHEN arm = 0 THEN 1.0 ELSE 0.0 END), 0.0), 6) AS rate_c
+             |  FROM ev, c WHERE day - cut BETWEEN -5 AND 5
+             |  GROUP BY 1),
+             |g AS (SELECT *, round(rate_t - rate_c, 6) AS gap FROM daily),
+             |base AS (SELECT gap AS gap_base FROM g WHERE rel = -1)
+             |SELECT rel, rate_t, rate_c,
+             |       round(gap - gap_base, 6) AS effect
+             |FROM g, base ORDER BY rel""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
@@ -16417,7 +16598,7 @@ object SparkEntry {
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
       round10jQ ++ round10kQ ++ round10lQ ++ round10mQ ++ round10nQ ++
-      round10oQ ++ round10pQ ++ round11Q ++ round11bQ ++ round11cQ ++ round11dQ
+      round10oQ ++ round10pQ ++ round11Q ++ round11bQ ++ round11cQ ++ round11dQ ++ round11eQ
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

@@ -226,7 +226,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_segment_migration", "ts_backtest_snaive", "stat_overdispersion",
     "ts_hampel", "ev_covariate_balance", "ev_session_durations",
     "stat_bootstrap", "ev_ipw", "ev_bounce_rate", "stat_esd",
-    "ts_locf", "stat_merge_partials", "stat_nb_fit")
+    "ts_locf", "stat_merge_partials", "stat_nb_fit",
+    "stat_factorial", "ev_qte", "ev_event_study")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

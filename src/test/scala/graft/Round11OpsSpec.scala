@@ -223,6 +223,39 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("factorial cells are proper rates and interaction matches the cell algebra") {
+    val r = run("stat_factorial").head
+    assert(r.getAs[Long]("n_users") > 0)
+    val rates = Seq("rate_00", "rate_01", "rate_10", "rate_11")
+      .map(c => c -> r.getAs[Double](c))
+    rates.foreach { case (c, v) => assert(v >= 0.0 && v <= 1.0, s"$c=$v") }
+    val m = rates.toMap
+    assert(math.abs(r.getAs[Double]("interaction")
+      - ((m("rate_11") - m("rate_10")) - (m("rate_01") - m("rate_00")))) < 1e-3)
+  }
+
+  test("QTE quartiles are monotone within each arm") {
+    val rows = run("ev_qte").sortBy(_.getAs[Double]("q"))
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Double]("v_t")).sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.map(_.getAs[Double]("v_c")).sliding(2).forall(p => p(0) <= p(1)))
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("qte")
+        - (r.getAs[Double]("v_t") - r.getAs[Double]("v_c"))) < 1e-3)
+    }
+  }
+
+  test("event study is normalized to the r = -1 gap (zero effect there)") {
+    val rows = run("ev_event_study")
+    assert(rows.nonEmpty)
+    val atBase = rows.find(_.getAs[Long]("rel") == -1L)
+    assert(atBase.isDefined && math.abs(atBase.get.getAs[Double]("effect")) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rel") >= -5 && r.getAs[Long]("rel") <= 5)
+      assert(r.getAs[Double]("rate_t") >= 0.0 && r.getAs[Double]("rate_t") <= 1.0)
+    }
+  }
+
   test("bounce rates are shares and bounced never exceeds sessions") {
     val rows = run("ev_bounce_rate")
     assert(rows.nonEmpty)
