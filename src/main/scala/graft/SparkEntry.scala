@@ -16237,14 +16237,15 @@ object SparkEntry {
              |              / (na + nb)) / (na + nb), 6) AS var_merged
              |FROM w""".stripMargin)),
 
-    // modularity of the CC communities on the near-dup graph: every
-    // LSH edge is intra-community by construction, so
-    // Q = 1 − Σ_c (d_c / 2m)² — how far the dup clustering is from
-    // one hairball (Q→0 = one giant component, the signal that the
-    // banding is too loose). Degrees from the bounded pair table,
-    // labels from the SHARED cluster table (the CC pass stays
-    // amortized).
-    "graph_modularity" -> Q(
+    // modularity of the CC-COMMUNITY partition on the LSH near-dup
+    // graph (the companion to graph_modularity, which scores the
+    // SOURCE partition on the jaccard graph): every LSH edge is
+    // intra-community by construction, so Q = 1 − Σ_c (d_c/2m)² —
+    // how far the dup clustering is from one hairball (Q→0 = one
+    // giant component, the signal that the banding is too loose).
+    // Degrees from the bounded pair table, labels from the SHARED
+    // cluster table (the CC pass stays amortized).
+    "graph_cc_modularity" -> Q(
       (s, d) => {
         import graft.dedup.Dedup
         val pairs = Dedup.minhashLshPairs(
@@ -16363,12 +16364,13 @@ object SparkEntry {
              |                     THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range_len
              |FROM documents""".stripMargin)),
 
-    // t-closeness audit completing the k-anon / l-diversity triad on
-    // the SAME quasi-identifier frame (source × length-bin; sensitive
-    // = lang): per group, variational distance ½·Σ|p_g − p_global|
-    // over the DENSE group × lang grid (≤ |groups|·|langs| rows,
-    // zero-filled so absent langs count). violates at t > 0.3.
-    "priv_t_closeness" -> Q(
+    // NOMINAL-attribute t-closeness on the l-diversity QI frame
+    // (source × length-bin; sensitive = lang): variational distance
+    // ½·Σ|p_g − p_global| over the DENSE group × lang grid — the
+    // unordered-category companion to priv_t_closeness (whose
+    // ordered-EMD treats the NUMERIC length attribute). violates at
+    // t > 0.3.
+    "priv_t_nominal" -> Q(
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("source"), expr("n_chars DIV 500").as("len_bin"),
@@ -16599,6 +16601,14 @@ object SparkEntry {
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
       round10jQ ++ round10kQ ++ round10lQ ++ round10mQ ++ round10nQ ++
       round10oQ ++ round10pQ ++ round11Q ++ round11bQ ++ round11cQ ++ round11dQ ++ round11eQ
+
+  // a duplicate name would silently SHADOW an earlier operator in the
+  // queries map (last wins) — fail fast instead (this bit round 11:
+  // two re-registered names hid established queries for a session)
+  require(defs.map(_._1).distinct.size == defs.size,
+    "duplicate query names: " + defs.map(_._1)
+      .groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+      .mkString(", "))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = defs.map { case (n, q) => n -> q.fn }.toMap

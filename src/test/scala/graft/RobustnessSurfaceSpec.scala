@@ -66,7 +66,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "dedup_df_profile", "samp_cluster_split",
     "pipe_dataset_hash", "text_simpson", "samp_kl",
     "text_para_dedup", "text_boilerplate", "pipe_dedup_savings",
-    "graph_modularity", "pipe_contract_docs", "priv_t_closeness",
+    "graph_cc_modularity", "pipe_contract_docs", "priv_t_nominal",
     "stat_theil", "text_burstiness", "text_source_similarity",
     "dedup_prefix_filter", "samp_group_sample",
     "stat_ols_fit", "stat_mwu", "text_js_div", "text_mi_chi2",
@@ -81,7 +81,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "samp_poisson_bootstrap", "priv_dp_counts", "samp_strat_alloc",
     "priv_k_anonymity", "priv_l_diversity", "samp_horvitz_thompson",
     "text_heaps_fit", "stat_chi2_indep",
-    "graph_modularity", "pipe_contract_docs", "priv_t_closeness", "graph_jaccard_nbrs",
+    "graph_cc_modularity", "pipe_contract_docs", "priv_t_nominal", "graph_jaccard_nbrs",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
     "mm_patch_grid", "mm_shot_bounds",

@@ -166,7 +166,7 @@ class Round11OpsSpec extends SparkSpec {
   }
 
   test("dup-graph modularity is a proper fraction over CC communities") {
-    val r = run("graph_modularity").head
+    val r = run("graph_cc_modularity").head
     assert(r.getAs[Long]("n_edges") > 0)
     assert(r.getAs[Long]("n_communities") >= 1)
     val q = r.getAs[Double]("modularity")
@@ -213,7 +213,7 @@ class Round11OpsSpec extends SparkSpec {
   }
 
   test("t-closeness distances are proper (0 ≤ t ≤ 1) on the l-diversity QI frame") {
-    val rows = run("priv_t_closeness")
+    val rows = run("priv_t_nominal")
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val t = r.getAs[Double]("t_dist")
