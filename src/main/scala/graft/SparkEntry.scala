@@ -16593,6 +16593,175 @@ object SparkEntry {
              |       round(gap - gap_base, 6) AS effect
              |FROM g, base ORDER BY rel""".stripMargin)))
 
+  private val round11fQ: Seq[(String, Q)] = Seq(
+    // hapax-legomena profile per language: share of vocabulary seen
+    // exactly once (+ dis legomena) — the lexical-richness tail that
+    // TTR and Heaps' K summarize away, and the practical "is this
+    // corpus big enough for its vocabulary" gauge. Two hash
+    // aggregates, exact integers.
+    "text_hapax" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+          explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("dis"))
+        .select(col("lang"), col("vocab"), col("hapax"), col("dis"),
+          round(col("hapax") / col("vocab").cast("double"), 4)
+            .as("hapax_share"))
+        .orderBy("lang"),
+      Some("""WITH tc AS (
+             |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT lang,
+             |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY lang, tok)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+             |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+             |       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+             |       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 4) AS hapax_share
+             |FROM tc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Chao1 richness estimator per language: D + F1²/(2·F2) (or the
+    // bias-corrected F1(F1−1)/2 form when F2 = 0) — how many MORE
+    // types the corpus would surface with unbounded sampling; pairs
+    // with text_heaps_fit's growth-curve view off the same counts.
+    "samp_chao1" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+          explode(graft.text.TextPrimitives.tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("double").as("dv"),
+          sum(when(col("c") === 1, 1.0).otherwise(0.0)).as("f1"),
+          sum(when(col("c") === 2, 1.0).otherwise(0.0)).as("f2"))
+        .select(col("lang"), col("dv").cast("long").as("vocab"),
+          col("f1").cast("long").as("f1"), col("f2").cast("long").as("f2"),
+          round(when(col("f2") > 0,
+              col("dv") + col("f1") * col("f1") / (lit(2.0) * col("f2")))
+            .otherwise(col("dv")
+              + col("f1") * (col("f1") - 1) / 2.0), 2).as("chao1"))
+        .orderBy("lang"),
+      Some("""WITH tc AS (
+             |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT lang,
+             |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY lang, tok),
+             |f AS (SELECT lang, CAST(count(*) AS DOUBLE) AS dv,
+             |             sum(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END) AS f1,
+             |             sum(CASE WHEN c = 2 THEN 1.0 ELSE 0.0 END) AS f2
+             |      FROM tc GROUP BY lang)
+             |SELECT lang, CAST(dv AS BIGINT) AS vocab,
+             |       CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+             |       round(CASE WHEN f2 > 0 THEN dv + f1 * f1 / (2.0 * f2)
+             |                  ELSE dv + f1 * (f1 - 1) / 2.0 END, 2) AS chao1
+             |FROM f ORDER BY lang""".stripMargin)),
+
+    // Theil–Sen robust trend of daily purchase counts — the slope
+    // ESTIMATOR to ts_mann_kendall's trend TEST: median of all
+    // pairwise slopes over the calendar-bounded daily frame (days²
+    // pairs of a ≤100-row frame — never fact-scale), immune to the
+    // spike that drags OLS. Median by the type-7 percentile parity.
+    "ts_theil_sen" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+          .localCheckpoint(eager = false) // both sides of the pair join
+        val pairs = daily.toDF("d1", "y1")
+          .join(daily.toDF("d2", "y2"), col("d1") < col("d2"))
+          .select(((col("y2") - col("y1")) /
+            (col("d2") - col("d1")).cast("double")).as("slope"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5D)"), 4).as("ts_slope"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT ts // 86400000000000 AS day,
+             |         CAST(count(*) AS DOUBLE) AS y
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |p AS (SELECT (b.y - a.y) / CAST(b.day - a.day AS DOUBLE) AS slope
+             |      FROM daily a JOIN daily b ON a.day < b.day)
+             |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             |       round(quantile_cont(slope, 0.5), 4) AS ts_slope
+             |FROM p""".stripMargin)),
+
+    // OLS influence diagnostics on the daily trend: leverage
+    // h_i = 1/n + (x−x̄)²/Sxx and Cook's D per day (simple-regression
+    // closed forms — no matrix inverse), flagging D > 4/n — which
+    // days OWN the fitted trend, the honesty check behind
+    // ev_intervention_its-style fits. Two passes over the bounded
+    // daily frame with broadcast moments, all rounding pinned.
+    "stat_influence" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+          .localCheckpoint(eager = false) // moments + the per-day pass
+        val st = daily.agg(count(lit(1)).cast("double").as("n"),
+          round(avg("day"), 6).as("xb"), round(avg("y"), 6).as("yb"),
+          sum(col("day") * col("day")).as("sxx0"),
+          sum(col("day") * col("y")).as("sxy0"),
+          sum(col("day").cast("double")).as("sx"), sum("y").as("sy"))
+        val wi = daily.crossJoin(broadcast(st))
+          // nullif guards: a 1-2-day or constant-day frame has no
+          // regression to diagnose (degenerate fixtures) — every
+          // downstream column nulls out and the flag filter drops it
+          .withColumn("sxx", nullif(
+            col("sxx0") - col("sx") * col("sx") / col("n"), lit(0.0)))
+          .withColumn("b",
+            (col("sxy0") - col("sx") * col("sy") / col("n")) / col("sxx"))
+          .withColumn("a", col("yb") - col("b") * col("xb"))
+          .withColumn("e", col("y") - (col("a") + col("b") * col("day")))
+          .localCheckpoint(eager = false) // mse + the report
+        val mse = wi.agg(round(sum(col("e") * col("e"))
+          / nullif(max("n") - 2, lit(0.0)), 6).as("mse"))
+        wi.crossJoin(broadcast(mse))
+          .withColumn("h", lit(1.0) / col("n")
+            + (col("day") - col("xb")) * (col("day") - col("xb")) / col("sxx"))
+          .withColumn("cook", round(col("e") * col("e") * col("h")
+            / nullif(lit(2.0) * col("mse") * (lit(1.0) - col("h"))
+               * (lit(1.0) - col("h")), lit(0.0)), 4))
+          .filter(col("cook") > lit(4.0) / col("n"))
+          .select(col("day"), col("y").cast("long").as("n_events"),
+            round(col("h"), 4).as("leverage"), col("cook"))
+          .orderBy(col("cook").desc, col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT ts // 86400000000000 AS day,
+             |         CAST(count(*) AS DOUBLE) AS y
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |              round(avg(day), 6) AS xb, round(avg(y), 6) AS yb,
+             |              sum(CAST(day AS DOUBLE) * day) AS sxx0,
+             |              sum(day * y) AS sxy0,
+             |              sum(CAST(day AS DOUBLE)) AS sx, sum(y) AS sy
+             |       FROM daily),
+             |w AS (SELECT day, y, n, xb,
+             |             nullif(sxx0 - sx * sx / n, 0.0) AS sxx,
+             |             (sxy0 - sx * sy / n) / nullif(sxx0 - sx * sx / n, 0.0) AS b,
+             |             yb - (sxy0 - sx * sy / n)
+             |               / nullif(sxx0 - sx * sx / n, 0.0) * xb AS a
+             |      FROM daily, st),
+             |e AS (SELECT *, y - (a + b * day) AS e FROM w),
+             |m AS (SELECT round(sum(e * e) / nullif(max(n) - 2, 0.0), 6) AS mse FROM e),
+             |c AS (SELECT day, y, n,
+             |             1.0 / n + (day - xb) * (day - xb) / sxx AS h,
+             |             e, mse
+             |      FROM e, m)
+             |SELECT day, CAST(y AS BIGINT) AS n_events,
+             |       round(h, 4) AS leverage,
+             |       round(e * e * h / nullif(2.0 * mse * (1.0 - h) * (1.0 - h), 0.0), 4) AS cook
+             |FROM c
+             |WHERE round(e * e * h / nullif(2.0 * mse * (1.0 - h) * (1.0 - h), 0.0), 4)
+             |      > 4.0 / n
+             |ORDER BY cook DESC, day""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
@@ -16600,7 +16769,7 @@ object SparkEntry {
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
       round10jQ ++ round10kQ ++ round10lQ ++ round10mQ ++ round10nQ ++
-      round10oQ ++ round10pQ ++ round11Q ++ round11bQ ++ round11cQ ++ round11dQ ++ round11eQ
+      round10oQ ++ round10pQ ++ round11Q ++ round11bQ ++ round11cQ ++ round11dQ ++ round11eQ ++ round11fQ
 
   // a duplicate name would silently SHADOW an earlier operator in the
   // queries map (last wins) — fail fast instead (this bit round 11:

@@ -67,6 +67,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "pipe_dataset_hash", "text_simpson", "samp_kl",
     "text_para_dedup", "text_boilerplate", "pipe_dedup_savings",
     "graph_cc_modularity", "pipe_contract_docs", "priv_t_nominal",
+    "text_hapax", "samp_chao1",
     "stat_theil", "text_burstiness", "text_source_similarity",
     "dedup_prefix_filter", "samp_group_sample",
     "stat_ols_fit", "stat_mwu", "text_js_div", "text_mi_chi2",
@@ -81,7 +82,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "samp_poisson_bootstrap", "priv_dp_counts", "samp_strat_alloc",
     "priv_k_anonymity", "priv_l_diversity", "samp_horvitz_thompson",
     "text_heaps_fit", "stat_chi2_indep",
-    "graph_cc_modularity", "pipe_contract_docs", "priv_t_nominal", "graph_jaccard_nbrs",
+    "graph_cc_modularity", "pipe_contract_docs", "priv_t_nominal",
+    "text_hapax", "samp_chao1", "graph_jaccard_nbrs",
     "emb_norm_invariant",
     "mm_binary_meta", "mm_frame_sample", "mm_resize_box", "mm_audio_windows",
     "mm_patch_grid", "mm_shot_bounds",
@@ -227,7 +229,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ts_hampel", "ev_covariate_balance", "ev_session_durations",
     "stat_bootstrap", "ev_ipw", "ev_bounce_rate", "stat_esd",
     "ts_locf", "stat_merge_partials", "stat_nb_fit",
-    "stat_factorial", "ev_qte", "ev_event_study")
+    "stat_factorial", "ev_qte", "ev_event_study",
+    "ts_theil_sen", "stat_influence")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -256,6 +256,51 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("hapax counts nest inside the vocabulary and Chao1 dominates it") {
+    val hap = run("text_hapax")
+    assert(hap.nonEmpty)
+    hap.foreach { r =>
+      val v = r.getAs[Long]("vocab")
+      assert(r.getAs[Long]("hapax") + r.getAs[Long]("dis") <= v, r.mkString(","))
+      val sh = r.getAs[Double]("hapax_share")
+      assert(sh >= 0.0 && sh <= 1.0)
+    }
+    val chao = run("samp_chao1")
+    chao.foreach { r =>
+      // the richness estimate can only ADD unseen types
+      assert(r.getAs[Double]("chao1") >= r.getAs[Long]("vocab").toDouble - 1e-9,
+        r.mkString(","))
+    }
+  }
+
+  test("Theil-Sen slope is bracketed by the extreme pairwise slopes") {
+    val r = run("ts_theil_sen").head
+    assert(r.getAs[Long]("n_pairs") > 0)
+    // a median of slopes must lie within the observed slope range —
+    // recompute the extremes directly
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).cast("double").as("y")).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).sortBy(_._1)
+    val slopes = for (i <- daily.indices; j <- (i + 1) until daily.length)
+      yield (daily(j)._2 - daily(i)._2) / (daily(j)._1 - daily(i)._1)
+    val ts = r.getAs[Double]("ts_slope")
+    assert(ts >= slopes.min - 1e-6 && ts <= slopes.max + 1e-6)
+  }
+
+  test("influence flags only Cook's D over 4/n with proper leverage") {
+    val rows = run("stat_influence")
+    val n = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts div 86400000000000")).distinct().count().toDouble
+    rows.foreach { r =>
+      val h = r.getAs[Double]("leverage")
+      assert(h >= 1.0 / n - 1e-6 && h <= 1.0 + 1e-9, r.mkString(","))
+      assert(r.getAs[Double]("cook") > 4.0 / n)
+    }
+  }
+
   test("bounce rates are shares and bounced never exceeds sessions") {
     val rows = run("ev_bounce_rate")
     assert(rows.nonEmpty)
