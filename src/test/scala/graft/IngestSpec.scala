@@ -129,4 +129,23 @@ class IngestSpec extends SparkSpec {
       spark, s"$dir/user_9.jsonl", "9", numericIds = false).collect()
     assert(uu.head.getAs[String]("vector_id") == "901")
   }
+
+  test("qdrant export round-trips: write point dumps, re-import, frames equal") {
+    val pts = graft.store.VectorStore.points(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("user_id") < 3)
+    val dir = Files.createTempDirectory("graft-qexp").toString
+    val users = graft.sources.Export.writeQdrantPoints(pts, dir)
+    assert(users == Seq("0", "1", "2"))
+    assert(new java.io.File(s"$dir/user_1.jsonl").exists)
+    val back = graft.sources.QdrantImport.readCollectionDumps(spark, dir)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("vector_id"),
+       r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+       r.getAs[String]("title"), r.getSeq[Float](5).toSeq)
+    }.toSet
+    assert(canon(back) == canon(pts))
+    // and the re-import serves the op surface like the original
+    assert(graft.store.VectorStore.scroll(back, 1L, 10000).count() ==
+      pts.filter(org.apache.spark.sql.functions.col("user_id") === 1).count())
+  }
 }
