@@ -31,6 +31,18 @@ object SparkEntry {
     */
   val BasketCap = 100
 
+  /** Exact money sum: the per-row term rounds to 4dp and sums as
+    * DECIMAL, so group totals are ORDER-INVARIANT — a plain double
+    * sum's merge-order noise (~1e-8 on 1e5-scale revenue) lands a
+    * 2dp round on a half-cent boundary roughly once per few hundred
+    * grouped outputs per data generation (q9_profit at sf0.001 was
+    * the observed hit). Mirrored textually in every money oracle.
+    */
+  private def moneySumRaw(term: Column): Column =
+    sum(round(term, 4).cast("decimal(20,4)"))
+  private def moneySum(term: Column): Column =
+    round(moneySumRaw(term), 2).cast("double")
+
   // ---------------------------------------------------------------
   // Relational / analytics core (SURVEY §2 #28–31)
   // ---------------------------------------------------------------
@@ -44,9 +56,9 @@ object SparkEntry {
                 col("l_shipdate") <  ts("1997-01-01 00:00:00") &&
                 col("l_discount").between(0.05, 0.07) &&
                 col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
              count(lit(1)).as("n")),
-      Some("""SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+      Some("""SELECT CAST(round(sum(CAST(round(l_extendedprice*l_discount, 4) AS DECIMAL(20,4))), 2) AS DOUBLE) AS revenue,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -57,16 +69,16 @@ object SparkEntry {
         .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(round(sum("l_quantity"), 2).as("sum_qty"),
-             round(sum("l_extendedprice"), 2).as("sum_base_price"),
-             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+             moneySum(col("l_extendedprice")).as("sum_base_price"),
+             moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
              round(avg("l_quantity"), 4).as("avg_qty"),
              round(avg("l_discount"), 4).as("avg_disc"),
              count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
              |       round(sum(l_quantity),2) AS sum_qty,
-             |       round(sum(l_extendedprice),2) AS sum_base_price,
-             |       round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             |       CAST(round(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(20,4))), 2) AS DOUBLE) AS sum_base_price,
+             |       CAST(round(sum(CAST(round(l_extendedprice*(1-l_discount), 4) AS DECIMAL(20,4))), 2) AS DOUBLE) AS sum_disc_price,
              |       round(avg(l_quantity),4) AS avg_qty,
              |       round(avg(l_discount),4) AS avg_disc,
              |       CAST(count(*) AS BIGINT) AS count_order
@@ -82,11 +94,11 @@ object SparkEntry {
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy("o_orderkey")
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
       },
-      Some("""SELECT o_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      Some("""SELECT o_orderkey, CAST(round(sum(CAST(round(l_extendedprice*(1-l_discount), 4) AS DECIMAL(20,4))), 2) AS DOUBLE) AS revenue
              |FROM customer JOIN orders ON c_custkey=o_custkey
              |              JOIN lineitem ON l_orderkey=o_orderkey
              |WHERE c_mktsegment='BUILDING'
@@ -109,10 +121,10 @@ object SparkEntry {
                 col("l_suppkey") === col("s_suppkey") &&
                 col("c_nationkey") === col("s_nationkey"))
           .groupBy("n_name")
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
           .orderBy("n_name")
       },
-      Some("""SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      Some("""SELECT n_name, CAST(round(sum(CAST(round(l_extendedprice*(1-l_discount), 4) AS DECIMAL(20,4))), 2) AS DOUBLE) AS revenue
              |FROM customer JOIN orders ON c_custkey=o_custkey
              |              JOIN lineitem ON l_orderkey=o_orderkey
              |              JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
@@ -130,11 +142,11 @@ object SparkEntry {
           .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("l_year"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("volume"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
           .orderBy("n_name", "l_year")
       },
       Some("""SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS l_year,
-             |       round(sum(l_extendedprice*(1-l_discount)),2) AS volume
+             |       CAST(round(sum(CAST(round(l_extendedprice*(1-l_discount), 4) AS DECIMAL(20,4))), 2) AS DOUBLE) AS volume
              |FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
              |              JOIN nation ON s_nationkey=n_nationkey
              |WHERE n_name IN ('NATION_3','NATION_7')
@@ -164,12 +176,17 @@ object SparkEntry {
         .filter(col("l_shipdate") >= ts("1997-09-01 00:00:00") &&
                 col("l_shipdate") <  ts("1997-10-01 00:00:00"))
         .agg(round(
-          sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount")))
+          moneySumRaw(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
             .otherwise(0.0)) * 100.0 /
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_revenue")),
+          moneySumRaw(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("promo_revenue")),
       Some("""SELECT round(
-             |  sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) * 100.0 /
-             |  sum(l_extendedprice*(1-l_discount)), 4) AS promo_revenue
+             |  sum(CAST(round(CASE WHEN p_type = 'PROMO'
+             |      THEN l_extendedprice*(1-l_discount) ELSE 0.0 END, 4)
+             |      AS DECIMAL(20,4))) * 100.0 /
+             |  sum(CAST(round(l_extendedprice*(1-l_discount), 4)
+             |      AS DECIMAL(20,4))), 4) AS promo_revenue
              |FROM lineitem JOIN part ON l_partkey=p_partkey
              |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin)),
 
@@ -183,9 +200,9 @@ object SparkEntry {
            col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
            col("l_quantity").between(20, 30)))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
              count(lit(1)).as("n")),
-      Some("""SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      Some("""SELECT CAST(round(sum(CAST(round(l_extendedprice*(1-l_discount), 4) AS DECIMAL(20,4))), 2) AS DOUBLE) AS revenue,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM lineitem JOIN part ON l_partkey=p_partkey
              |WHERE (p_brand='Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -214,10 +231,10 @@ object SparkEntry {
           .agg((avg("l_quantity") * 0.5).as("half_avg"))
         l.join(broadcast(avgQty), col("l_partkey") === col("ap"))
           .filter(col("l_quantity") < col("half_avg"))
-          .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+          .agg(round(moneySumRaw(col("l_extendedprice")) / 7.0, 2).cast("double").as("avg_yearly"),
                count(lit(1)).as("n"))
       },
-      Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+      Some("""SELECT round(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(20,4))) / 7.0, 2) AS avg_yearly,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM lineitem l
              |JOIN (SELECT l_partkey AS ap, avg(l_quantity) * 0.5 AS half_avg
@@ -281,11 +298,11 @@ object SparkEntry {
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20),
       Some("""SELECT c_custkey, c_name, n_name,
-             |       round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             |       CAST(round(sum(CAST(round(l_extendedprice*(1-l_discount), 4) AS DECIMAL(20,4))), 2) AS DOUBLE) AS revenue
              |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
              |              JOIN customer ON o_custkey=c_custkey
              |              JOIN nation ON c_nationkey=n_nationkey
@@ -354,14 +371,16 @@ object SparkEntry {
           .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
           .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
           .agg(round(
-            sum(when(col("n_name") === "NATION_3", rev).otherwise(0.0)) / sum(rev),
-            6).as("share"))
+            moneySumRaw(when(col("n_name") === "NATION_3", rev).otherwise(0.0))
+              / moneySumRaw(rev), 6).cast("double").as("share"))
           .orderBy("l_year")
       },
       Some("""SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
-             |       round(sum(CASE WHEN n_name = 'NATION_3'
-             |                      THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) /
-             |             sum(l_extendedprice*(1-l_discount)), 6) AS share
+             |       round(sum(CAST(round(CASE WHEN n_name = 'NATION_3'
+             |                      THEN l_extendedprice*(1-l_discount)
+             |                      ELSE 0.0 END, 4) AS DECIMAL(20,4))) /
+             |             sum(CAST(round(l_extendedprice*(1-l_discount), 4)
+             |                 AS DECIMAL(20,4))), 6) AS share
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |              JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY l_year ORDER BY l_year""".stripMargin)),
@@ -378,7 +397,7 @@ object SparkEntry {
           .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("l_year"))
-          .agg(round(sum(rev), 2).as("revenue"))
+          .agg(moneySum(rev).as("revenue"))
           .withColumn("prev", lag("revenue", 1).over(w))
           .filter(col("prev").isNotNull)
           .select(col("n_name"), col("l_year"), col("revenue"),
@@ -387,7 +406,7 @@ object SparkEntry {
       },
       Some("""WITH r AS (
              |  SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS l_year,
-             |         round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+             |         CAST(round(sum(CAST(round(l_extendedprice*(1-l_discount), 4) AS DECIMAL(20,4))), 2) AS DOUBLE) AS revenue
              |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |                JOIN nation ON s_nationkey = n_nationkey
              |  GROUP BY n_name, l_year),
@@ -494,8 +513,8 @@ object SparkEntry {
                 col("l_shipdate") < ts("1997-01-01 00:00:00") &&
                 col("l_discount").between(0.02, 0.04) &&
                 col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
-      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue")),
+      Some("""SELECT CAST(round(sum(CAST(round(l_extendedprice * l_discount, 4) AS DECIMAL(20,4))), 2) AS DOUBLE) AS revenue
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -529,7 +548,7 @@ object SparkEntry {
           .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
                   col("l_shipdate") < ts("1996-04-01 00:00:00"))
           .groupBy(col("l_suppkey"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("total_revenue"))
         rev.crossJoin(broadcast(rev.agg(max("total_revenue").as("mr"))))
           .filter(col("total_revenue") === col("mr"))
@@ -538,7 +557,7 @@ object SparkEntry {
           .orderBy("s_suppkey")
       },
       Some("""WITH rev AS (
-             |  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             |  SELECT l_suppkey, CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))), 2) AS DOUBLE) AS total_revenue
              |  FROM lineitem
              |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              |    AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -656,12 +675,20 @@ object SparkEntry {
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          - col("p_retailprice") * col("l_quantity") * lit(0.6)), 2).as("profit"))
+        // per-row profit term rounded to 4 then summed EXACTLY as
+        // decimal: a double sum's last-ulp merge-order noise flipped
+        // the 2dp round at one sf0.001 group (507905.465 boundary) —
+        // identical rounded addends + exact decimal addition make the
+        // group total engine- and order-invariant
+        .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity") * lit(0.6), 4)
+            .cast("decimal(20,4)")), 2)
+          .cast("double").as("profit"))
         .orderBy(col("n_name"), col("o_year").desc),
       Some("""SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
-             |       round(sum(l_extendedprice*(1-l_discount)
-             |                 - p_retailprice*l_quantity*0.6), 2) AS profit
+             |       CAST(round(sum(CAST(round(l_extendedprice*(1-l_discount)
+             |                 - p_retailprice*l_quantity*0.6, 4)
+             |                 AS DECIMAL(20,4))), 2) AS DOUBLE) AS profit
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |              JOIN supplier ON l_suppkey = s_suppkey
              |              JOIN nation ON s_nationkey = n_nationkey
@@ -683,14 +710,14 @@ object SparkEntry {
           .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
             col("s_nationkey") === col("n_nationkey"))
           .groupBy("l_partkey")
-          .agg(round(sum("l_extendedprice"), 2).as("part_value"))
+          .agg(moneySum(col("l_extendedprice")).as("part_value"))
         v.crossJoin(broadcast(v.agg(sum("part_value").as("tot"))))
           .filter(col("part_value") > col("tot") * lit(0.001))
           .select(col("l_partkey").as("partkey"), col("part_value"))
           .orderBy(col("part_value").desc, col("partkey"))
       },
       Some("""WITH v AS (
-             |  SELECT l_partkey, round(sum(l_extendedprice),2) AS part_value
+             |  SELECT l_partkey, CAST(round(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(20,4))), 2) AS DOUBLE) AS part_value
              |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |                JOIN nation ON s_nationkey = n_nationkey
              |  WHERE n_name = 'NATION_7'
