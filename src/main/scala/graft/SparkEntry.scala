@@ -16789,6 +16789,334 @@ object SparkEntry {
              |      > 4.0 / n
              |ORDER BY cook DESC, day""".stripMargin)))
 
+  private val round11gQ: Seq[(String, Q)] = Seq(
+    // Friedman rank test across the three engagement event types,
+    // blocked by user — the nonparametric repeated-measures ANOVA
+    // (does a user's per-type spend RANK consistently?). The
+    // per-(user,type) statistic is an exact integer (cents sum), so
+    // midranks, rank sums, and Q are fully order-invariant — no
+    // float rounding anywhere before the final report. Windows are
+    // user-partitioned (≤3 rows per block); df = k−1 = 2, so the
+    // chi-square survival is the closed form exp(−Q/2).
+    "stat_friedman" -> Q(
+      (s, d) => {
+        val k = 3
+        val pt = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view", "purchase"))
+          .groupBy("user_id", "event_type")
+          .agg(sum(round(coalesce(col("value"), lit(0.0)) * 100, 0)
+            .cast("long")).as("v"))
+        val complete = pt
+          .withColumn("nt", count(lit(1)).over(Window.partitionBy("user_id")))
+          .filter(col("nt") === k)
+        val ranked = complete.withColumn("rk",
+          rank().over(Window.partitionBy("user_id").orderBy("v"))
+            + (count(lit(1)).over(Window.partitionBy("user_id", "v")) - 1)
+              / 2.0)
+        ranked.groupBy("event_type")
+          .agg(sum("rk").as("rj"), count(lit(1)).cast("double").as("n"))
+          .agg(max("n").as("nb"), sum(col("rj") * col("rj")).as("s2"))
+          .withColumn("q", round(lit(12.0) / (col("nb") * k * (k + 1))
+            * col("s2") - lit(3.0) * col("nb") * (k + 1), 4))
+          .select(col("nb").cast("long").as("n_blocks"),
+            col("q").as("q_stat"),
+            round(exp(-col("q") / 2), 6).as("p_value"))
+      },
+      Some("""WITH pt AS (
+             |  SELECT user_id, event_type,
+             |         CAST(sum(CAST(round(coalesce(value, 0.0) * 100, 0)
+             |           AS BIGINT)) AS BIGINT) AS v
+             |  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+             |  GROUP BY 1, 2),
+             |cb AS (SELECT *, count(*) OVER (PARTITION BY user_id) AS nt
+             |       FROM pt),
+             |rk AS (SELECT event_type,
+             |              rank() OVER (PARTITION BY user_id ORDER BY v)
+             |              + (count(*) OVER (PARTITION BY user_id, v) - 1)
+             |                / 2.0 AS rk
+             |       FROM cb WHERE nt = 3),
+             |rj AS (SELECT event_type, sum(rk) AS rj,
+             |              CAST(count(*) AS DOUBLE) AS n
+             |       FROM rk GROUP BY 1),
+             |ag AS (SELECT max(n) AS nb, sum(rj * rj) AS s2 FROM rj),
+             |q AS (SELECT nb,
+             |             round(12.0 / (nb * 3 * 4) * s2 - 3.0 * nb * 4, 4) AS q
+             |      FROM ag)
+             |SELECT CAST(nb AS BIGINT) AS n_blocks, q AS q_stat,
+             |       round(exp(-q / 2), 6) AS p_value
+             |FROM q""".stripMargin)),
+
+    // Bartlett's variance-homogeneity test of doc length across
+    // languages — the parametric chi-square companion to
+    // stat_levene's robust F on the same frame. All inputs are exact
+    // integer sums (n, Σx, Σx² of n_chars), so the group variances
+    // are bit-identical across engines and merge orders; the one
+    // libm ln() per group is absorbed by the final 4dp round.
+    // Statistic only (df = k−1 is data-dependent; no hardcoded df).
+    "stat_bartlett" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("n_chars").cast("long")).cast("double").as("sx"),
+          sum(col("n_chars").cast("long") * col("n_chars").cast("long"))
+            .cast("double").as("sxx"))
+        .filter(col("n") > 1)
+        .withColumn("s2",
+          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+        .agg(count(lit(1)).cast("double").as("k"), sum("n").as("nn"),
+          sum((col("n") - 1) * log(col("s2"))).as("sl"),
+          sum(lit(1.0) / (col("n") - 1)).as("si"),
+          sum((col("n") - 1) * col("s2")).as("sp0"))
+        .select(col("k").cast("long").as("k_groups"),
+          col("nn").cast("long").as("n_total"),
+          round(col("sp0") / (col("nn") - col("k")), 4).as("pooled_var"),
+          round(((col("nn") - col("k"))
+              * log(col("sp0") / (col("nn") - col("k"))) - col("sl"))
+            / (lit(1.0) + (col("si") - lit(1.0) / (col("nn") - col("k")))
+              / (lit(3.0) * (col("k") - 1))), 4).as("t_stat")),
+      Some("""WITH g AS (
+             |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+             |         CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) AS sx,
+             |         CAST(sum(CAST(n_chars AS BIGINT)
+             |           * CAST(n_chars AS BIGINT)) AS DOUBLE) AS sxx
+             |  FROM documents GROUP BY 1),
+             |v AS (SELECT lang, n, (sxx - sx * sx / n) / (n - 1) AS s2
+             |      FROM g WHERE n > 1),
+             |a AS (SELECT CAST(count(*) AS DOUBLE) AS k, sum(n) AS nn,
+             |             sum((n - 1) * ln(s2)) AS sl,
+             |             sum(1.0 / (n - 1)) AS si,
+             |             sum((n - 1) * s2) AS sp0
+             |      FROM v)
+             |SELECT CAST(k AS BIGINT) AS k_groups,
+             |       CAST(nn AS BIGINT) AS n_total,
+             |       round(sp0 / (nn - k), 4) AS pooled_var,
+             |       round(((nn - k) * ln(sp0 / (nn - k)) - sl)
+             |             / (1.0 + (si - 1.0 / (nn - k))
+             |               / (3.0 * (k - 1))), 4) AS t_stat
+             |FROM a""".stripMargin)),
+
+    // Hodges–Lehmann shift estimator between en and de doc lengths —
+    // the robust location-difference companion to stat_mwu's TEST on
+    // the same frame: the (lower weighted) median of all pairwise
+    // en−de differences, computed from the two value HISTOGRAMS so
+    // the cross is |values|², never rows² (the stat_gini bound). All
+    // arithmetic is exact integers — fully deterministic. The global
+    // cumsum window runs over the bounded distinct-diff grid
+    // (WindowGuard-allowlisted).
+    "stat_hodges_lehmann" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def hist(lang: String) = docs.filter(col("lang") === lang)
+          .groupBy(col("n_chars").cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val df0 = hist("en").toDF("va", "ca")
+          .crossJoin(hist("de").toDF("vb", "cb"))
+          .groupBy((col("va") - col("vb")).as("diff"))
+          .agg(sum(col("ca") * col("cb")).as("w"))
+        val wc = Window.orderBy("diff")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.orderBy("diff")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        df0.withColumn("cum", sum("w").over(wc))
+          .withColumn("tot", sum("w").over(wt))
+          .agg(max("tot").as("n_pairs"), count(lit(1)).as("n_diffs"),
+            min(when(col("cum") * 2 >= col("tot"), col("diff")))
+              .as("hl_shift"))
+      },
+      Some("""WITH ha AS (SELECT CAST(n_chars AS BIGINT) AS v,
+             |                   CAST(count(*) AS BIGINT) AS c
+             |            FROM documents WHERE lang = 'en' GROUP BY 1),
+             |hb AS (SELECT CAST(n_chars AS BIGINT) AS v,
+             |              CAST(count(*) AS BIGINT) AS c
+             |       FROM documents WHERE lang = 'de' GROUP BY 1),
+             |df AS (SELECT a.v - b.v AS diff,
+             |              CAST(sum(a.c * b.c) AS BIGINT) AS w
+             |       FROM ha a, hb b GROUP BY 1),
+             |cw AS (SELECT diff, w,
+             |              CAST(sum(w) OVER (ORDER BY diff
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |                AS BIGINT) AS cum,
+             |              CAST(sum(w) OVER () AS BIGINT) AS tot
+             |       FROM df)
+             |SELECT CAST(max(tot) AS BIGINT) AS n_pairs,
+             |       CAST(count(*) AS BIGINT) AS n_diffs,
+             |       CAST(min(CASE WHEN 2 * cum >= tot THEN diff END)
+             |         AS BIGINT) AS hl_shift
+             |FROM cw""".stripMargin)),
+
+    // SAX symbolization of the hourly event-rate series (Lin et al.
+    // 2003): per-type z-normalize, PAA over 4-hour frames, map to a
+    // 4-symbol alphabet at the N(0,1) quartile breakpoints ±0.6745,
+    // and report each type's 3 most common daily words — the motif
+    // view behind cheap whole-series indexing/anomaly grouping.
+    // Hourly counts are exact ints; μ is an exact int mean; only the
+    // σ pass sums rounded-mean deviations (round-6 absorbed).
+    "ts_sax" -> Q(
+      (s, d) => {
+        val hc = Tables.events(s, d)
+          .groupBy(col("event_type"), expr("ts div 3600000000000").as("hr"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .localCheckpoint(eager = false) // μ/σ pass + PAA pass
+        val st = hc.groupBy("event_type").agg(round(avg("c"), 6).as("mu"))
+        val st2 = hc.join(broadcast(st), "event_type")
+          .groupBy("event_type")
+          .agg(round(sqrt(avg((col("c") - col("mu")) * (col("c") - col("mu")))),
+            6).as("sd"), max("mu").as("mu"))
+        val sym = hc
+          .groupBy(col("event_type"), expr("hr div 24").as("day"),
+            expr("(hr % 24) div 4").as("slot"))
+          .agg(avg("c").as("pc"))
+          .join(broadcast(st2), "event_type")
+          .withColumn("z", round((col("pc") - col("mu"))
+            / nullif(col("sd"), lit(0.0)), 4))
+          .withColumn("sym", when(col("z") < -0.6745, "a")
+            .when(col("z") < 0, "b").when(col("z") < 0.6745, "c")
+            .otherwise("d"))
+        val words = sym.groupBy("event_type", "day")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("slot"), col("sym")))),
+            x => x.getField("sym")), "").as("word"))
+          .groupBy("event_type", "word")
+          .agg(count(lit(1)).as("n_days"))
+        words.withColumn("rk", row_number().over(Window
+            .partitionBy("event_type")
+            .orderBy(col("n_days").desc, col("word"))))
+          .filter(col("rk") <= 3)
+          .select(col("event_type"), col("word"), col("n_days"))
+          .orderBy(col("event_type"), col("n_days").desc, col("word"))
+      },
+      Some("""WITH hc AS (
+             |  SELECT event_type, ts // 3600000000000 AS hr,
+             |         CAST(count(*) AS DOUBLE) AS c
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type, round(avg(c), 6) AS mu
+             |       FROM hc GROUP BY 1),
+             |s2 AS (SELECT h.event_type,
+             |              round(sqrt(avg((c - mu) * (c - mu))), 6) AS sd,
+             |              max(mu) AS mu
+             |       FROM hc h JOIN st USING (event_type) GROUP BY 1),
+             |paa AS (SELECT event_type, hr // 24 AS day,
+             |               (hr % 24) // 4 AS slot, avg(c) AS pc
+             |        FROM hc GROUP BY 1, 2, 3),
+             |z AS (SELECT p.event_type, day, slot,
+             |             round((pc - mu) / nullif(sd, 0.0), 4) AS z
+             |      FROM paa p JOIN s2 USING (event_type)),
+             |sym AS (SELECT event_type, day, slot,
+             |               CASE WHEN z < -0.6745 THEN 'a'
+             |                    WHEN z < 0 THEN 'b'
+             |                    WHEN z < 0.6745 THEN 'c'
+             |                    ELSE 'd' END AS sym
+             |        FROM z),
+             |words AS (SELECT event_type, day,
+             |                 string_agg(sym, '' ORDER BY slot) AS word
+             |          FROM sym GROUP BY 1, 2),
+             |wc AS (SELECT event_type, word,
+             |              CAST(count(*) AS BIGINT) AS n_days
+             |       FROM words GROUP BY 1, 2),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             |                 ORDER BY n_days DESC, word) AS rk
+             |       FROM wc)
+             |SELECT event_type, word, n_days FROM rk WHERE rk <= 3
+             |ORDER BY event_type, n_days DESC, word""".stripMargin)),
+
+    // Per-token successor entropy for the 20 highest-flow tokens —
+    // the branching-factor view of the corpus LM surface (how
+    // predictable is the next token after "the"?), complementing
+    // text_entropy's doc-level unigram H and text_lm_score's bigram
+    // probabilities: H(next|w1) = ln n₁ − Σ c·ln c / n₁ off the
+    // bigram counts, exact integers into one libm ln (round-4).
+    "text_successor_entropy" -> Q(
+      (s, d) => {
+        val toks = graft.text.TextPrimitives.tokens(col("text"))
+        Tables.documents(s, d)
+          .select(explode(zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+          .groupBy("w1")
+          .agg(sum("c").as("total"), count(lit(1)).as("n_next"),
+            round(log(sum("c").cast("double"))
+              - sum(col("c") * log(col("c").cast("double"))) / sum("c"), 4)
+              .as("h_next"))
+          .orderBy(col("total").desc, col("w1"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT t[i] AS w1, t[i + 1] AS w2
+             |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+             |        FROM toks WHERE len(t) >= 2)),
+             |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+             |       FROM pairs GROUP BY 1, 2)
+             |SELECT w1, CAST(sum(c) AS BIGINT) AS total,
+             |       CAST(count(*) AS BIGINT) AS n_next,
+             |       round(ln(CAST(sum(c) AS DOUBLE))
+             |             - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4)
+             |         AS h_next
+             |FROM bc GROUP BY 1
+             |ORDER BY total DESC, w1 LIMIT 20""".stripMargin)),
+
+    // dHash perceptual near-dup (difference hash): 8×9 stub-decoded
+    // luminance grid per image, 64 bits = horizontal-neighbor
+    // gradients (px[r,c] < px[r,c+1]) — the gradient-structure
+    // complement to mm_image_ahash's global-mean bits, robust to
+    // uniform brightness shifts by construction. Same banded
+    // pair-join + per-image nearest-neighbor report; the decode is
+    // the deterministic md5 stub (no codec runtime in the sandbox),
+    // the plumbing — grid fan-out, bit compare, hamming NN — real.
+    "mm_image_dhash" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        def px(i: Column) =
+          md5Long(concat(col("text"), lit(":dpx"), i.cast("string"))) % 256
+        val bits = Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 1 && col("doc_id") < 120 &&
+                  col("text").isNotNull)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0L), lit(63L))).as("k"))
+          .withColumn("i1", expr("k div 8") * 9 + col("k") % 8)
+          .select(col("doc_id"), col("k"),
+            (px(col("i1")) < px(col("i1") + 1)).cast("long").as("bit"))
+          .localCheckpoint(eager = false) // both sides of the pair join
+        val ham = bits.select(col("doc_id").as("da"), col("k"),
+            col("bit").as("ba"))
+          .join(bits.select(col("doc_id").as("db"), col("k"),
+            col("bit").as("bb")), Seq("k"))
+          .filter(col("da") =!= col("db"))
+          .groupBy("da", "db")
+          .agg(sum(abs(col("ba") - col("bb"))).as("hamming"))
+        ham.withColumn("rk", row_number().over(
+            Window.partitionBy("da").orderBy(col("hamming"), col("db"))))
+          .filter(col("rk") === 1)
+          .select(col("da").as("doc_id"), col("db").as("nn_doc"),
+                  col("hamming").as("nn_hamming"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH imgs AS (SELECT doc_id, text FROM documents
+             |              WHERE doc_id % 3 = 1 AND doc_id < 120
+             |                AND text IS NOT NULL),
+             |ks AS (SELECT doc_id, text, CAST(k AS BIGINT) AS k,
+             |              (k // 8) * 9 + (k % 8) AS i1
+             |       FROM imgs, LATERAL (SELECT unnest(generate_series(0, 63)) AS k)),
+             |bits AS (SELECT doc_id, k,
+             |           CAST((('0x' || substr(md5(text || ':dpx' || CAST(i1 AS VARCHAR)), 1, 15))::BIGINT % 256)
+             |              < (('0x' || substr(md5(text || ':dpx' || CAST(i1 + 1 AS VARCHAR)), 1, 15))::BIGINT % 256)
+             |             AS BIGINT) AS bit
+             |         FROM ks),
+             |ham AS (SELECT a.doc_id AS da, b.doc_id AS db,
+             |               CAST(sum(abs(a.bit - b.bit)) AS BIGINT) AS hamming
+             |        FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id <> b.doc_id
+             |        GROUP BY 1, 2),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY da
+             |                   ORDER BY hamming, db) AS rk
+             |       FROM ham)
+             |SELECT da AS doc_id, db AS nn_doc, hamming AS nn_hamming
+             |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
@@ -16796,7 +17124,7 @@ object SparkEntry {
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
       round10jQ ++ round10kQ ++ round10lQ ++ round10mQ ++ round10nQ ++
-      round10oQ ++ round10pQ ++ round11Q ++ round11bQ ++ round11cQ ++ round11dQ ++ round11eQ ++ round11fQ
+      round10oQ ++ round10pQ ++ round11Q ++ round11bQ ++ round11cQ ++ round11dQ ++ round11eQ ++ round11fQ ++ round11gQ
 
   // a duplicate name would silently SHADOW an earlier operator in the
   // queries map (last wins) — fail fast instead (this bit round 11:
@@ -16903,5 +17231,9 @@ object SparkEntry {
     // bounded-support exact test, the crawl-order novelty scan, and
     // the 4096-cell eigen machinery
     "dedup_bloom_incremental", "stat_fisher_exact", "text_ngram_novelty",
-    "emb_top_eigen")
+    "emb_top_eigen",
+    // round-11 flagships: integer-exact blocked ranks, the SAX motif
+    // pipeline, the bigram branching-factor scan, and the gradient
+    // perceptual hash
+    "stat_friedman", "ts_sax", "text_successor_entropy", "mm_image_dhash")
 }

@@ -104,7 +104,9 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "dedup_band_curve", "pipe_tokenizer_fertility",
     "stat_hosmer_lemeshow", "stat_dunn_test", "samp_poststratify",
     "text_dedup_impact", "mm_modality_card", "text_burrows_delta",
-    "samp_capture_recapture")
+    "samp_capture_recapture",
+    "stat_bartlett", "stat_hodges_lehmann", "text_successor_entropy",
+    "mm_image_dhash")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -230,7 +232,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_bootstrap", "ev_ipw", "ev_bounce_rate", "stat_esd",
     "ts_locf", "stat_merge_partials", "stat_nb_fit",
     "stat_factorial", "ev_qte", "ev_event_study",
-    "ts_theil_sen", "stat_influence")
+    "ts_theil_sen", "stat_influence",
+    "stat_friedman", "ts_sax")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

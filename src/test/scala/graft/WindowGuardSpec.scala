@@ -43,6 +43,9 @@ class WindowGuardSpec extends SparkSpec {
     // midrank cumulative sum over the DISTINCT token-count histogram
     // (same values-never-rows bound as samp_ks_test / stat_gini)
     "stat_mwu",
+    // weighted-median cumsum over the DISTINCT pairwise-difference
+    // grid of two n_chars histograms (|values|², never rows²)
+    "stat_hodges_lehmann",
     // midrank cumulative sum over the DISTINCT 4dp-quality histogram
     // (values, never rows — AUC via the rank-sum identity)
     "stat_roc_auc",
