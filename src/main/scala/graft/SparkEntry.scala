@@ -17117,6 +17117,300 @@ object SparkEntry {
              |SELECT da AS doc_id, db AS nn_doc, hamming AS nn_hamming
              |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin)))
 
+  private val round11hQ: Seq[(String, Q)] = Seq(
+    // Tukey HSD post-hoc pairwise comparison of doc length across
+    // languages — the parametric studentized-range companion to
+    // stat_dunn_test's rank-based post-hoc, off the same exact
+    // integer power sums as stat_bartlett (group means and the
+    // pooled MSE are bit-identical across engines and merge orders).
+    // Statistic per pair; the k(k−1)/2 pair join runs on the
+    // ≤|langs|-row aggregate, never on rows.
+    "stat_tukey_hsd" -> Q(
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("n_chars").cast("long")).cast("double").as("sx"),
+            sum(col("n_chars").cast("long") * col("n_chars").cast("long"))
+              .cast("double").as("sxx"))
+          .filter(col("n") > 1)
+          .withColumn("m", col("sx") / col("n"))
+          .withColumn("ssw", col("sxx") - col("sx") * col("sx") / col("n"))
+          .localCheckpoint(eager = false) // MSE agg + the pair join
+        val mse = g.agg((sum("ssw") / (sum("n") - count(lit(1))))
+          .as("mse"))
+        g.select(col("lang").as("lang_a"), col("n").as("na"),
+            col("m").as("ma"))
+          .crossJoin(g.select(col("lang").as("lang_b"), col("n").as("nb"),
+            col("m").as("mb")))
+          .filter(col("lang_a") < col("lang_b"))
+          .crossJoin(broadcast(mse))
+          .select(col("lang_a"), col("lang_b"),
+            round(col("ma") - col("mb"), 4).as("mean_diff"),
+            round(abs(col("ma") - col("mb"))
+              / sqrt(col("mse") / 2 * (lit(1.0) / col("na")
+                + lit(1.0) / col("nb"))), 4).as("q_stat"))
+          .orderBy("lang_a", "lang_b")
+      },
+      Some("""WITH g AS (
+             |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+             |         CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) AS sx,
+             |         CAST(sum(CAST(n_chars AS BIGINT)
+             |           * CAST(n_chars AS BIGINT)) AS DOUBLE) AS sxx
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT lang, n, sx / n AS m,
+             |             sxx - sx * sx / n AS ssw
+             |      FROM g WHERE n > 1),
+             |ms AS (SELECT sum(ssw) / (sum(n) - count(*)) AS mse FROM w)
+             |SELECT a.lang AS lang_a, b.lang AS lang_b,
+             |       round(a.m - b.m, 4) AS mean_diff,
+             |       round(abs(a.m - b.m)
+             |             / sqrt(mse / 2 * (1.0 / a.n + 1.0 / b.n)), 4)
+             |         AS q_stat
+             |FROM w a, w b, ms
+             |WHERE a.lang < b.lang
+             |ORDER BY lang_a, lang_b""".stripMargin)),
+
+    // Two-sample Cramér–von Mises statistic en vs de doc length —
+    // completes the ECDF-distance trio beside samp_ks_test (sup) and
+    // stat_ad_test (tail-weighted): T = nm/(n+m)² · Σ c·(F1−F2)² over
+    // the merged value grid. ECDFs are exact-integer cumsums over the
+    // DISTINCT value histogram (the stat_mwu bound, WindowGuard-
+    // allowlisted); one final round absorbs division ulp.
+    "stat_cvm" -> Q(
+      (s, d) => {
+        val h = Tables.documents(s, d)
+          .filter(col("lang").isin("en", "de"))
+          .groupBy(col("n_chars").cast("long").as("v"))
+          .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"),
+            sum(when(col("lang") === "de", 1L).otherwise(0L)).as("c2"))
+        val wc = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        h.withColumn("f1", sum("c1").over(wc))
+          .withColumn("f2", sum("c2").over(wc))
+          .withColumn("n", sum("c1").over(wt))
+          .withColumn("m", sum("c2").over(wt))
+          .withColumn("dd", col("f1") / col("n").cast("double")
+            - col("f2") / col("m").cast("double"))
+          .agg(max("n").as("n"), max("m").as("m"),
+            sum((col("c1") + col("c2")).cast("double")
+              * col("dd") * col("dd")).as("s"))
+          .select(col("n").as("n_en"), col("m").as("n_de"),
+            round((col("n") * col("m")).cast("double")
+              / ((col("n") + col("m")) * (col("n") + col("m")))
+              * col("s"), 6).as("cvm_t"))
+      },
+      Some("""WITH h AS (
+             |  SELECT CAST(n_chars AS BIGINT) AS v,
+             |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS c1,
+             |         CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS c2
+             |  FROM documents WHERE lang IN ('en', 'de') GROUP BY 1),
+             |e AS (SELECT c1, c2,
+             |             CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN
+             |               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+             |             CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN
+             |               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2,
+             |             CAST(sum(c1) OVER () AS BIGINT) AS n,
+             |             CAST(sum(c2) OVER () AS BIGINT) AS m
+             |      FROM h),
+             |dd AS (SELECT c1, c2, n, m,
+             |              f1 / CAST(n AS DOUBLE) - f2 / CAST(m AS DOUBLE) AS dd
+             |       FROM e)
+             |SELECT CAST(max(n) AS BIGINT) AS n_en,
+             |       CAST(max(m) AS BIGINT) AS n_de,
+             |       round(CAST(max(n) * max(m) AS DOUBLE)
+             |             / ((max(n) + max(m)) * (max(n) + max(m)))
+             |             * sum((c1 + c2) * dd * dd), 6) AS cvm_t
+             |FROM dd""".stripMargin)),
+
+    // Weighted reciprocity of the event-type transition graph —
+    // min(w_ij, w_ji)/Σw_ij over the off-diagonal edges (Squartini
+    // et al. 2013's weighted form): do flows come back, or is the
+    // journey one-way? Runs on the ≤|types|² shared transition-cell
+    // table — zero additional fact scans.
+    "graph_reciprocity" -> Q(
+      (s, d) => {
+        val e = transitionCells(s, d).filter(col("to_type").isNotNull)
+          .filter(col("from_type") =!= col("to_type"))
+          .select(col("from_type").as("a"), col("to_type").as("b"),
+            col("n"))
+          .localCheckpoint(eager = false) // both sides of the reverse join
+        e.join(e.select(col("a").as("b"), col("b").as("a"),
+            col("n").as("nr")), Seq("a", "b"), "left")
+          .agg(count(lit(1)).as("n_edges"),
+            sum("n").cast("long").as("w_total"),
+            sum(least(col("n"), coalesce(col("nr"), lit(0L))))
+              .cast("long").as("w_recip"),
+            sum(when(col("nr").isNotNull, 1L).otherwise(0L))
+              .as("e_recip"))
+          .select(col("n_edges"), col("w_total"),
+            round(col("w_recip") / col("w_total").cast("double"), 4)
+              .as("w_reciprocity"),
+            round(col("e_recip") / col("n_edges").cast("double"), 4)
+              .as("e_reciprocity"))
+      },
+      Some("""WITH tr AS (
+             |  SELECT event_type AS a,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS b
+             |  FROM events),
+             |e AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+             |      FROM tr WHERE b IS NOT NULL AND a <> b GROUP BY 1, 2),
+             |j AS (SELECT e.a, e.b, e.n, r.n AS nr
+             |      FROM e LEFT JOIN e r ON e.a = r.b AND e.b = r.a)
+             |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             |       CAST(sum(n) AS BIGINT) AS w_total,
+             |       round(sum(least(n, coalesce(nr, 0)))
+             |             / CAST(sum(n) AS DOUBLE), 4) AS w_reciprocity,
+             |       round(sum(CASE WHEN nr IS NOT NULL THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 4) AS e_reciprocity
+             |FROM j""".stripMargin)),
+
+    // Weight-of-evidence encoding of source predicting the English
+    // label — the interpretable cousin of feat_target_encode:
+    // WOE_s = ln(((pos_s+.5)/pos)/((neg_s+.5)/neg)) with the
+    // information-value contribution per source; the standard
+    // credit-scoring screen for "which categories carry signal"
+    // (here: which sources skew English — the routing signal a
+    // lang-targeted training mix keys on). Exact integer counts into
+    // one ln per source (round-4); smoothing keeps empty cells finite.
+    "feat_woe" -> Q(
+      (s, d) => {
+        val g = Tables.documents(s, d).groupBy("source")
+          .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"),
+            sum(when(col("lang") === "en", 0L).otherwise(1L)).as("neg"))
+        val tot = g.agg(sum("pos").as("pt"), sum("neg").as("nt"))
+        g.crossJoin(broadcast(tot))
+          .withColumn("pd", (col("pos") + 0.5) / (col("pt") + 0.5))
+          .withColumn("pn", (col("neg") + 0.5) / (col("nt") + 0.5))
+          .select(col("source"), col("pos").as("n_en"),
+            col("neg").as("n_other"),
+            round(log(col("pd") / col("pn")), 4).as("woe"),
+            round((col("pd") - col("pn")) * log(col("pd") / col("pn")), 6)
+              .as("iv_term"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (
+             |  SELECT source,
+             |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS pos,
+             |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+             |           AS BIGINT) AS neg
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(pos) AS BIGINT) AS pt,
+             |             CAST(sum(neg) AS BIGINT) AS nt FROM g)
+             |SELECT source, pos AS n_en, neg AS n_other,
+             |       round(ln(((pos + 0.5) / (pt + 0.5))
+             |                / ((neg + 0.5) / (nt + 0.5))), 4) AS woe,
+             |       round(((pos + 0.5) / (pt + 0.5) - (neg + 0.5) / (nt + 0.5))
+             |             * ln(((pos + 0.5) / (pt + 0.5))
+             |                  / ((neg + 0.5) / (nt + 0.5))), 6) AS iv_term
+             |FROM g, t ORDER BY source""".stripMargin)),
+
+    // Incremental-processing shard diff: fingerprint the corpus into
+    // 16 stable hash shards (the pipe_shard_manifest keying), diff
+    // TODAY's manifest against a simulated YESTERDAY (docs with
+    // doc_id % 97 ≠ 0 — the deterministic stand-in for the previous
+    // snapshot), and report per-shard changed/unchanged — the ledger
+    // that lets a 100 TB daily pipeline re-process ONLY the shards
+    // whose content hash moved. Fingerprint = Σ md5Long(text) mod p
+    // per shard (exact bounded integers, order-invariant).
+    "pipe_incremental_shards" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val p = 1000000007L
+        def manifest(df: DataFrame) = df
+          .withColumn("shard",
+            md5Long(concat(lit("shard:"), col("doc_id").cast("string"))) % 16)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(md5Long(col("text")) % p).as("fp"))
+        val now = Tables.documents(s, d)
+        val prev = now.filter(col("doc_id") % 97 =!= 0)
+        manifest(now).toDF("shard", "n_now", "fp_now")
+          .join(manifest(prev).toDF("shard", "n_prev", "fp_prev"),
+            Seq("shard"), "full_outer")
+          .select(col("shard"),
+            coalesce(col("n_now"), lit(0L)).as("n_now"),
+            coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+            (coalesce(col("fp_now"), lit(-1L)) =!=
+              coalesce(col("fp_prev"), lit(-1L))).cast("long").as("changed"))
+          .orderBy("shard")
+      },
+      Some("""WITH nowm AS (
+             |  SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |           % 16 AS shard,
+             |         CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+             |           % 1000000007) AS BIGINT) AS fp
+             |  FROM documents GROUP BY 1),
+             |prevm AS (
+             |  SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |           % 16 AS shard,
+             |         CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+             |           % 1000000007) AS BIGINT) AS fp
+             |  FROM documents WHERE doc_id % 97 <> 0 GROUP BY 1)
+             |SELECT coalesce(n.shard, p.shard) AS shard,
+             |       coalesce(n.n_docs, 0) AS n_now,
+             |       coalesce(p.n_docs, 0) AS n_prev,
+             |       CAST(coalesce(n.fp, -1) <> coalesce(p.fp, -1) AS BIGINT)
+             |         AS changed
+             |FROM nowm n FULL OUTER JOIN prevm p ON n.shard = p.shard
+             |ORDER BY shard""".stripMargin)),
+
+    // Day-of-week × hour activity profile per event type: the peak
+    // cell, its traffic share, and the entropy of the 168-cell
+    // distribution (how concentrated is the weekly rhythm?) — the
+    // capacity-planning readout behind ts_seasonal's per-hour μ/σ
+    // baseline. Epoch-day arithmetic (no timezone semantics), exact
+    // integer counts, one agg + a ≤|types|-row window.
+    "ev_dow_hour" -> Q(
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            expr("(ts div 86400000000000) % 7").as("dow"),
+            expr("(ts div 3600000000000) % 24").as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cells.groupBy("event_type")
+          .agg(sum("n").as("tot"),
+            round(log(sum("n").cast("double"))
+              - sum(col("n") * log(col("n").cast("double"))) / sum("n"), 4)
+              .as("h_cells"))
+        cells.join(broadcast(tot), "event_type")
+          .withColumn("rk", row_number().over(Window
+            .partitionBy("event_type")
+            .orderBy(col("n").desc, col("dow"), col("hour"))))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("dow").as("peak_dow"),
+            col("hour").as("peak_hour"),
+            round(col("n") / col("tot").cast("double"), 4)
+              .as("peak_share"), col("h_cells"))
+          .orderBy("event_type")
+      },
+      Some("""WITH cells AS (
+             |  SELECT event_type, (ts // 86400000000000) % 7 AS dow,
+             |         (ts // 3600000000000) % 24 AS hour,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2, 3),
+             |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+             |               round(ln(CAST(sum(n) AS DOUBLE))
+             |                     - sum(n * ln(CAST(n AS DOUBLE))) / sum(n), 4)
+             |                 AS h_cells
+             |        FROM cells GROUP BY 1),
+             |rk AS (SELECT c.*, t.tot, t.h_cells,
+             |              row_number() OVER (PARTITION BY c.event_type
+             |                ORDER BY c.n DESC, c.dow, c.hour) AS rk
+             |       FROM cells c JOIN tot t USING (event_type))
+             |SELECT event_type, dow AS peak_dow, hour AS peak_hour,
+             |       round(n / CAST(tot AS DOUBLE), 4) AS peak_share,
+             |       h_cells
+             |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin)))
+
   // ---------------------------------------------------------------
 
   private val defs: Seq[(String, Q)] =
@@ -17124,7 +17418,7 @@ object SparkEntry {
       annQ ++ multimodalQ ++ round10Q ++ round10bQ ++ round10cQ ++ round10dQ ++
       round10eQ ++ round10fQ ++ round10gQ ++ round10hQ ++ round10iQ ++
       round10jQ ++ round10kQ ++ round10lQ ++ round10mQ ++ round10nQ ++
-      round10oQ ++ round10pQ ++ round11Q ++ round11bQ ++ round11cQ ++ round11dQ ++ round11eQ ++ round11fQ ++ round11gQ
+      round10oQ ++ round10pQ ++ round11Q ++ round11bQ ++ round11cQ ++ round11dQ ++ round11eQ ++ round11fQ ++ round11gQ ++ round11hQ
 
   // a duplicate name would silently SHADOW an earlier operator in the
   // queries map (last wins) — fail fast instead (this bit round 11:

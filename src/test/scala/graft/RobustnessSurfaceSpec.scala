@@ -106,7 +106,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "text_dedup_impact", "mm_modality_card", "text_burrows_delta",
     "samp_capture_recapture",
     "stat_bartlett", "stat_hodges_lehmann", "text_successor_entropy",
-    "mm_image_dhash")
+    "mm_image_dhash",
+    "stat_tukey_hsd", "stat_cvm", "feat_woe", "pipe_incremental_shards")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -233,7 +234,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ts_locf", "stat_merge_partials", "stat_nb_fit",
     "stat_factorial", "ev_qte", "ev_event_study",
     "ts_theil_sen", "stat_influence",
-    "stat_friedman", "ts_sax")
+    "stat_friedman", "ts_sax", "graph_reciprocity", "ev_dow_hour")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

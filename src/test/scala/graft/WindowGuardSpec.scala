@@ -46,6 +46,9 @@ class WindowGuardSpec extends SparkSpec {
     // weighted-median cumsum over the DISTINCT pairwise-difference
     // grid of two n_chars histograms (|values|², never rows²)
     "stat_hodges_lehmann",
+    // dual-ECDF cumsums over the DISTINCT n_chars histogram (the
+    // stat_mwu values-never-rows bound; CvM integral off the grid)
+    "stat_cvm",
     // midrank cumulative sum over the DISTINCT 4dp-quality histogram
     // (values, never rows — AUC via the rank-sum identity)
     "stat_roc_auc",
