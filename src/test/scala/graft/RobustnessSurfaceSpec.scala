@@ -107,7 +107,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "samp_capture_recapture",
     "stat_bartlett", "stat_hodges_lehmann", "text_successor_entropy",
     "mm_image_dhash",
-    "stat_tukey_hsd", "stat_cvm", "feat_woe", "pipe_incremental_shards")
+    "stat_tukey_hsd", "stat_cvm", "feat_woe", "pipe_incremental_shards",
+    "text_cooc_window", "graph_conductance")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -234,7 +235,9 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ts_locf", "stat_merge_partials", "stat_nb_fit",
     "stat_factorial", "ev_qte", "ev_event_study",
     "ts_theil_sen", "stat_influence",
-    "stat_friedman", "ts_sax", "graph_reciprocity", "ev_dow_hour")
+    "stat_friedman", "ts_sax", "graph_reciprocity", "ev_dow_hour",
+    "stat_mediation", "stat_logrank", "ev_lorenz_deciles",
+    "ts_peak_detect")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

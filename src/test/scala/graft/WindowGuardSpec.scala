@@ -49,6 +49,12 @@ class WindowGuardSpec extends SparkSpec {
     // dual-ECDF cumsums over the DISTINCT n_chars histogram (the
     // stat_mwu values-never-rows bound; CvM integral off the grid)
     "stat_cvm",
+    // per-arm risk-set suffix sums over the calendar-bounded
+    // lifetime-day grid (the ev_survival bound)
+    "stat_logrank",
+    // cumulative share over the fixed ≤10-row decile frame (the
+    // ev_qini / stat_psi constant-rows bound)
+    "ev_lorenz_deciles",
     // midrank cumulative sum over the DISTINCT 4dp-quality histogram
     // (values, never rows — AUC via the rank-sum identity)
     "stat_roc_auc",
