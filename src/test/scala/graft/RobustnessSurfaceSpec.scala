@@ -108,7 +108,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_bartlett", "stat_hodges_lehmann", "text_successor_entropy",
     "mm_image_dhash",
     "stat_tukey_hsd", "stat_cvm", "feat_woe", "pipe_incremental_shards",
-    "text_cooc_window", "graph_conductance")
+    "text_cooc_window", "graph_conductance",
+    "samp_raking", "pipe_stratified_shards")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -237,7 +238,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ts_theil_sen", "stat_influence",
     "stat_friedman", "ts_sax", "graph_reciprocity", "ev_dow_hour",
     "stat_mediation", "stat_logrank", "ev_lorenz_deciles",
-    "ts_peak_detect")
+    "ts_peak_detect",
+    "stat_breslow_day", "ev_type_overlap")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
