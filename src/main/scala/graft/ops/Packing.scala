@@ -111,6 +111,31 @@ object Packing {
       .drop("_brn_blk", "_brn_rin", "_brn_off")
   }
 
+  /** Inclusive global prefix sum of `valCol` in `idCol` order —
+    * the same two-level scan as [[packSequences]] (per-block running
+    * sum inside id DIV blockSize, plus a running offset over the
+    * per-block totals), exposed as a column instead of a pack
+    * assignment. `idCol` must be unique and integral, `valCol`
+    * non-negative integral; the sum is exact Long arithmetic.
+    */
+  def boundedCumSum(df: DataFrame, idCol: String, valCol: String,
+                    blockSize: Long, out: String): DataFrame = {
+    val keyed = df.withColumn("_bcs_v", col(valCol).cast("long"))
+      .withColumn("_bcs_blk", expr(s"$idCol DIV $blockSize"))
+    val wIn = Window.partitionBy("_bcs_blk").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlk = Window.orderBy("_bcs_blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-block totals: rows/blockSize rows — the reduced second level
+    val offs = keyed.groupBy("_bcs_blk").agg(sum("_bcs_v").as("_bcs_t"))
+      .withColumn("_bcs_off", coalesce(sum("_bcs_t").over(wBlk), lit(0L)))
+      .select("_bcs_blk", "_bcs_off")
+    keyed.withColumn("_bcs_c", sum("_bcs_v").over(wIn))
+      .join(broadcast(offs), "_bcs_blk")
+      .withColumn(out, col("_bcs_off") + col("_bcs_c"))
+      .drop("_bcs_blk", "_bcs_v", "_bcs_c", "_bcs_off")
+  }
+
   /** Length-bucketed batch shaping (the padding-waste killer for
     * variable-length training batches): bucket sequences by token-
     * length band, order each bucket by (tok, id), and cut batches of

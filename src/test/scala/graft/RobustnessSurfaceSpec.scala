@@ -109,7 +109,9 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "mm_image_dhash",
     "stat_tukey_hsd", "stat_cvm", "feat_woe", "pipe_incremental_shards",
     "text_cooc_window", "graph_conductance",
-    "samp_raking", "pipe_stratified_shards")
+    "samp_raking", "pipe_stratified_shards",
+    "graph_label_prop", "stat_icc", "samp_pps_systematic",
+    "stat_dagostino", "pipe_mixture_schedule", "text_kn_perplexity")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -239,7 +241,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_friedman", "ts_sax", "graph_reciprocity", "ev_dow_hour",
     "stat_mediation", "stat_logrank", "ev_lorenz_deciles",
     "ts_peak_detect",
-    "stat_breslow_day", "ev_type_overlap")
+    "stat_breslow_day", "ev_type_overlap", "stat_cochran_armitage",
+    "ev_episode_mining")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -32,6 +32,10 @@ class WindowGuardSpec extends SparkSpec {
     // same scan with score-derived blocks: the global window runs
     // over the ≤100-row bucket-total table (Packing.selectByTokenBudget)
     "samp_token_budget",
+    // second level of Packing.boundedCumSum's two-level prefix-sum
+    // scan: the global window runs over per-block totals, already
+    // reduced by blockSize
+    "samp_pps_systematic",
     // composes selectByTokenBudget — same ≤100-row bucket-total window
     "pipe_curate",
     // source-index rank over the grouped distinct-source table
