@@ -111,7 +111,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "text_cooc_window", "graph_conductance",
     "samp_raking", "pipe_stratified_shards",
     "graph_label_prop", "stat_icc", "samp_pps_systematic",
-    "stat_dagostino", "pipe_mixture_schedule", "text_kn_perplexity")
+    "stat_dagostino", "pipe_mixture_schedule", "text_kn_perplexity",
+    "stat_brunner_munzel", "stat_mood_median")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -242,7 +243,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_mediation", "stat_logrank", "ev_lorenz_deciles",
     "ts_peak_detect",
     "stat_breslow_day", "ev_type_overlap", "stat_cochran_armitage",
-    "ev_episode_mining")
+    "ev_episode_mining", "ts_holt_linear", "ts_segmented_trend")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -47,6 +47,10 @@ class WindowGuardSpec extends SparkSpec {
     // midrank cumulative sum over the DISTINCT token-count histogram
     // (same values-never-rows bound as samp_ks_test / stat_gini)
     "stat_mwu",
+    // NOTE stat_brunner_munzel carries the same values-never-rows
+    // global midrank cumsum, but its plan truncates at a lazy
+    // localCheckpoint so the guard cannot see the WindowExec —
+    // documented here instead of allowlisted.
     // weighted-median cumsum over the DISTINCT pairwise-difference
     // grid of two n_chars histograms (|values|², never rows²)
     "stat_hodges_lehmann",
@@ -105,6 +109,9 @@ class WindowGuardSpec extends SparkSpec {
     // U_t cumsum + argmax over the daily purchase rollup — bounded by
     // the calendar (|days| rows), facts collapsed first
     "ts_pettitt",
+    // the same Pettitt U_t cumsum feeding the per-segment OLS —
+    // calendar-bounded day frame
+    "ts_segmented_trend",
     // cumulative token/vocab sums over the ≤101-row block-checkpoint
     // frame (block width = maxId/100 — the window input is bounded by
     // construction at any corpus size)
