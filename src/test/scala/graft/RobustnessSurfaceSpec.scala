@@ -112,7 +112,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "samp_raking", "pipe_stratified_shards",
     "graph_label_prop", "stat_icc", "samp_pps_systematic",
     "stat_dagostino", "pipe_mixture_schedule", "text_kn_perplexity",
-    "stat_brunner_munzel", "stat_mood_median")
+    "stat_brunner_munzel", "stat_mood_median",
+    "stat_ancova", "stat_welch_anova", "priv_exp_mech")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -243,7 +244,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_mediation", "stat_logrank", "ev_lorenz_deciles",
     "ts_peak_detect",
     "stat_breslow_day", "ev_type_overlap", "stat_cochran_armitage",
-    "ev_episode_mining", "ts_holt_linear", "ts_segmented_trend")
+    "ev_episode_mining", "ts_holt_linear", "ts_segmented_trend",
+    "ts_periodogram")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

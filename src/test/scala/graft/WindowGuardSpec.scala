@@ -130,7 +130,10 @@ class WindowGuardSpec extends SparkSpec {
     // (the samp_ks_test bound: values, never rows)
     "stat_lilliefors",
     // released/true argmax ranks over the |event types|-row rollup
-    "priv_noisy_max")
+    "priv_noisy_max",
+    // Gumbel-max rank over the |sources| candidate table — bounded by
+    // the source domain, never rows (same bound as priv_noisy_max)
+    "priv_exp_mech")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
