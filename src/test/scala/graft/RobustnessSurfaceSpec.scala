@@ -113,7 +113,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "graph_label_prop", "stat_icc", "samp_pps_systematic",
     "stat_dagostino", "pipe_mixture_schedule", "text_kn_perplexity",
     "stat_brunner_munzel", "stat_mood_median",
-    "stat_ancova", "stat_welch_anova", "priv_exp_mech")
+    "stat_ancova", "stat_welch_anova", "priv_exp_mech",
+    "stat_lin_ccc", "stat_ridge_fit", "stat_vs_control")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -245,7 +246,9 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ts_peak_detect",
     "stat_breslow_day", "ev_type_overlap", "stat_cochran_armitage",
     "ev_episode_mining", "ts_holt_linear", "ts_segmented_trend",
-    "ts_periodogram")
+    "ts_periodogram",
+    "stat_binom_test", "stat_cochran_q", "stat_gamma_fit",
+    "stat_powerlaw_alpha")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
