@@ -159,6 +159,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "emb_participation_ratio", "emb_cka", "emb_knn_vote",
     "ann_ivf_recall_curve", "emb_hubness", "emb_top_eigen",
     "emb_deflated_eigen", "emb_abtt", "emb_align_uniform",
+    "ann_nn_descent",
     "emb_centroid_classifier", "vec_matryoshka_curve")
 
   test("embeddings-only queries execute on degenerate vectors") {
@@ -248,7 +249,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ev_episode_mining", "ts_holt_linear", "ts_segmented_trend",
     "ts_periodogram",
     "stat_binom_test", "stat_cochran_q", "stat_gamma_fit",
-    "stat_powerlaw_alpha")
+    "stat_powerlaw_alpha",
+    "ts_haar_energy", "stat_gpd_tail", "ev_user_similarity")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -133,7 +133,10 @@ class WindowGuardSpec extends SparkSpec {
     "priv_noisy_max",
     // Gumbel-max rank over the |sources| candidate table — bounded by
     // the source domain, never rows (same bound as priv_noisy_max)
-    "priv_exp_mech")
+    "priv_exp_mech",
+    // inverse-CDF percentile walk over the DISTINCT value-cents
+    // histogram (the stat_mwu bound: values, never rows)
+    "stat_gpd_tail")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
