@@ -115,7 +115,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_brunner_munzel", "stat_mood_median",
     "stat_ancova", "stat_welch_anova", "priv_exp_mech",
     "stat_lin_ccc", "stat_ridge_fit", "stat_vs_control",
-    "stat_mixture_em", "mm_image_phash", "graph_node2vec")
+    "stat_mixture_em", "mm_image_phash", "graph_node2vec",
+    "stat_logistic_irls")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>

@@ -44,7 +44,7 @@ class Round10dOpsSpec extends SparkSpec {
   test("Cronbach's alpha is at most 1 and item variances are non-negative") {
     val r = run("stat_cronbach").head
     assert(r.getAs[Long]("n_docs") > 0)
-    Seq("var_len", "var_alpha", "var_nonpunct").foreach { c =>
+    Seq("var_len", "var_tok", "var_vocab").foreach { c =>
       assert(r.getAs[Double](c) >= 0.0, c)
     }
     val a = r.getAs[Double]("alpha")

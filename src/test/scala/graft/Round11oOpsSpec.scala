@@ -48,9 +48,9 @@ class Round11oOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val oc = Option(r.getAs[java.lang.Double]("ols_chars"))
-      val op = Option(r.getAs[java.lang.Double]("ols_punct"))
+      val op = Option(r.getAs[java.lang.Double]("ols_vocab"))
       val rc = Option(r.getAs[java.lang.Double]("ridge_chars"))
-      val rp = Option(r.getAs[java.lang.Double]("ridge_punct"))
+      val rp = Option(r.getAs[java.lang.Double]("ridge_vocab"))
       for (a <- oc; b <- op; c <- rc; d <- rp) {
         val nOls = math.sqrt(a * a + b * b)
         val nRidge = math.sqrt(c * c + d * d)
