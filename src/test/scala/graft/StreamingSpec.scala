@@ -744,10 +744,12 @@ class StreamingSpec extends SparkSpec {
     // single-week users (churned next week)
     val activeWeeks = Map(0L -> Seq(0L, 1L, 2L), 1L -> Seq(0L, 2L),
       2L -> Seq(1L, 2L, 3L), 3L -> Seq(0L), 4L -> Seq(0L, 1L, 3L))
-    // two events per (user, week): the distinct/dedup path must fire
+    // 14 events per (user, week): the batch accounting counts a week
+    // as active only at >=14 events (round-11 heavy threshold), and
+    // the per-week dedup path must still fire on the repeats
     val evRows = for {
-      (u, wks) <- activeWeeks.toSeq; wk <- wks; r <- 0 to 1
-    } yield (u * 1000 + wk * 10 + r, wk * W + u * 1000L + r, u)
+      (u, wks) <- activeWeeks.toSeq; wk <- wks; r <- 0 to 13
+    } yield (u * 1000 + wk * 100 + r, wk * W + u * 1000L + r, u)
     val dir = java.nio.file.Files.createTempDirectory("graft-growth").toString
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
