@@ -252,7 +252,8 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "ts_periodogram",
     "stat_binom_test", "stat_cochran_q", "stat_gamma_fit",
     "stat_powerlaw_alpha",
-    "ts_haar_energy", "stat_gpd_tail", "ev_user_similarity")
+    "ts_haar_energy", "stat_gpd_tail", "ev_user_similarity",
+    "ts_kalman_level", "ts_hmm_forward")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row
