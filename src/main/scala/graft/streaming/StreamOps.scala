@@ -742,4 +742,50 @@ object StreamOps {
           out.iterator
       }
   }
+
+  final case class KalmanDay(series: String, t: Long, day: Long, v: Double)
+
+  /** (level, variance, whether any day was consumed yet). */
+  final case class KalmanState(level: Double, p: Double, started: Boolean)
+
+  final case class KalmanPoint(series: String, t: Long, day: Long,
+                               obs: Double, level: Double,
+                               gain: Option[Double])
+
+  /** Streaming twin of the batch `ts_kalman_level` fold: the filter
+    * state is TWO doubles per series (level, error variance) — O(1)
+    * regardless of stream length — and each arriving day emits the
+    * filtered level. Identical per-step 6/4dp rounding to the batch
+    * driver fold and the DuckDB RECURSIVE oracle, so replaying the
+    * daily rollup through this operator reproduces the batch table
+    * bit-for-bit (spec-pinned). Same per-key in-order arrival
+    * contract as [[streamingCusum]]; days inside one micro-batch are
+    * processed in t order.
+    */
+  def streamingKalman(days: Dataset[KalmanDay]): Dataset[KalmanPoint] = {
+    val s = days.sparkSession
+    import s.implicits._
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    days.groupByKey(_.series)
+      .flatMapGroupsWithState[KalmanState, KalmanPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (series, it, state: GroupState[KalmanState]) =>
+          var st = state.getOption.getOrElse(KalmanState(0.0, 10000.0, false))
+          val out = it.toSeq.sortBy(_.t).map { d =>
+            if (!st.started) {
+              st = KalmanState(d.v, 10000.0, started = true)
+              KalmanPoint(series, d.t, d.day, d.v, st.level, None)
+            } else {
+              val pp = st.p + 25.0
+              val kg = r6(pp / (pp + 100.0))
+              st = KalmanState(r4(st.level + kg * (d.v - st.level)),
+                r4((1 - kg) * pp), started = true)
+              KalmanPoint(series, d.t, d.day, d.v, st.level, Some(kg))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

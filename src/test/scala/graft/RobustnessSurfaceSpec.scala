@@ -253,7 +253,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_binom_test", "stat_cochran_q", "stat_gamma_fit",
     "stat_powerlaw_alpha",
     "ts_haar_energy", "stat_gpd_tail", "ev_user_similarity",
-    "ts_kalman_level", "ts_hmm_forward")
+    "ts_kalman_level", "ts_hmm_forward", "ts_garch11")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

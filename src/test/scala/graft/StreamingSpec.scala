@@ -919,4 +919,37 @@ class StreamingSpec extends SparkSpec {
       assert(got(204L).contains(203.0)) // ts=4 null? no: i%3==1 → ids 201,204,207 null
     } finally query.stop()
   }
+
+  test("streaming Kalman filter reproduces the batch fold bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // batch reference on the real sf0.001 daily series
+    val batch = SparkEntry.queries("ts_kalman_level")(s, sfDir).collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("day"),
+        r.getAs[Double]("obs"), r.getAs[Double]("level"),
+        Option(r.getAs[java.lang.Double]("gain")).map(_.doubleValue)))
+      .sortBy(_._1)
+    assert(batch.length >= 3)
+    val input = MemoryStream[StreamOps.KalmanDay]
+    val query = StreamOps.streamingKalman(input.toDS())
+      .writeStream.format("memory").queryName("kalman")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val days = batch.map { case (t, day, obs, _, _) =>
+        StreamOps.KalmanDay("events", t, day, obs) }
+      // three micro-batches: state must carry (level, p) across them
+      val cut1 = days.length / 3; val cut2 = 2 * days.length / 3
+      Seq(days.slice(0, cut1), days.slice(cut1, cut2), days.drop(cut2))
+        .foreach { b => input.addData(b.toSeq); query.processAllAvailable() }
+      val got = s.sql("SELECT t, day, obs, level, gain FROM kalman")
+        .collect()
+        .map(r => (r.getAs[Long]("t"), r.getAs[Long]("day"),
+          r.getAs[Double]("obs"), r.getAs[Double]("level"),
+          Option(r.getAs[java.lang.Double]("gain")).map(_.doubleValue)))
+        .sortBy(_._1)
+      assert(got.toSeq == batch.toSeq,
+        s"stream=${got.take(3).mkString(",")} batch=${batch.take(3).mkString(",")}")
+    } finally query.stop()
+  }
 }
