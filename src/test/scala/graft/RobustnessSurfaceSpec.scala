@@ -116,7 +116,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_ancova", "stat_welch_anova", "priv_exp_mech",
     "stat_lin_ccc", "stat_ridge_fit", "stat_vs_control",
     "stat_mixture_em", "mm_image_phash", "graph_node2vec",
-    "stat_logistic_irls")
+    "stat_logistic_irls", "stat_meta_analysis", "stat_brier_decomp")
 
   test("documents-only queries execute on a degenerate corpus") {
     val failures = docQueries.flatMap { name =>
@@ -253,7 +253,7 @@ class RobustnessSurfaceSpec extends SparkSpec {
     "stat_binom_test", "stat_cochran_q", "stat_gamma_fit",
     "stat_powerlaw_alpha",
     "ts_haar_energy", "stat_gpd_tail", "ev_user_similarity",
-    "ts_kalman_level", "ts_hmm_forward", "ts_garch11")
+    "ts_kalman_level", "ts_hmm_forward", "ts_garch11", "stat_holm")
 
   test("events-only queries execute on degenerate events") {
     import org.apache.spark.sql.Row

@@ -136,7 +136,10 @@ class WindowGuardSpec extends SparkSpec {
     "priv_exp_mech",
     // inverse-CDF percentile walk over the DISTINCT value-cents
     // histogram (the stat_mwu bound: values, never rows)
-    "stat_gpd_tail")
+    "stat_gpd_tail",
+    // Holm step-down rank/cummax over the |event types|-row p-value
+    // rollup (stat_fdr's bound)
+    "stat_holm")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
