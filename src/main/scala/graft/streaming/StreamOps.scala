@@ -743,6 +743,49 @@ object StreamOps {
       }
   }
 
+  final case class WinsEvent(event_id: Long, ts: Long, event_type: String,
+                             value: Double)
+
+  final case class WinsPoint(event_type: String, event_id: Long,
+                             value: Double, lo: Double, hi: Double,
+                             clipped: Double)
+
+  /** Streaming winsorize (the round-10 deferred item): per-type keyed
+    * state is the mergeable deterministic KLL sketch
+    * ([[graft.ops.QuantileSketch]]) — O(k·log(n/k)) values regardless
+    * of stream length, never the raw history. Each micro-batch folds
+    * its values in (ts, event_id) order and clips against the
+    * POST-update p05/p95 cutoffs ("winsorize against everything seen
+    * so far"). Exact percentiles are NOT incrementally computable, so
+    * the spec is an ERROR-BOUND spec, not an equivalence spec: the
+    * emitted cutoffs' true ranks sit within the sketch's measured
+    * 4·n/k rank-error headroom (QuantileSketchPropSpec's bound), and
+    * are exact whenever n ≤ k.
+    */
+  def streamingWinsorize(events: Dataset[WinsEvent], k: Int = 256)
+      : Dataset[WinsPoint] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val agg = new graft.ops.QuantileSketch.QuantileAggregator(
+      k, Seq(0.05, 0.95))
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[graft.ops.QuantileSketch.Sketch, WinsPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (et, it, state) =>
+          var sk = state.getOption.getOrElse(agg.zero)
+          val batch = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          batch.foreach(e => sk = agg.reduce(sk, e.value))
+          state.update(sk)
+          val qs = agg.finish(sk)
+          val lo = qs.head
+          val hi = qs(1)
+          batch.iterator.map { e =>
+            WinsPoint(et, e.event_id, e.value, lo, hi,
+              math.min(math.max(e.value, lo), hi))
+          }
+      }
+  }
+
   final case class KalmanDay(series: String, t: Long, day: Long, v: Double)
 
   /** (level, variance, whether any day was consumed yet). */

@@ -952,4 +952,51 @@ class StreamingSpec extends SparkSpec {
         s"stream=${got.take(3).mkString(",")} batch=${batch.take(3).mkString(",")}")
     } finally query.stop()
   }
+
+  test("streaming winsorize: sketch cutoffs within rank-error bound") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // "big": 3000 values force compaction at k=64; "small": 50 values
+    // stay under k, so its cutoffs must be EXACT
+    val rnd = new scala.util.Random(11)
+    val big = rnd.shuffle((1 to 3000).toList).zipWithIndex.map {
+      case (v, i) => StreamOps.WinsEvent(i.toLong, i.toLong, "big", v.toDouble)
+    }
+    val small = (1 to 50).map(i =>
+      StreamOps.WinsEvent(10000L + i, i.toLong, "small", i.toDouble))
+    val input = MemoryStream[StreamOps.WinsEvent]
+    val query = StreamOps.streamingWinsorize(input.toDS(), k = 64)
+      .writeStream.format("memory").queryName("wins")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val all = (big ++ small).sortBy(_.event_id)
+      val n3 = all.length / 3
+      Seq(all.take(n3), all.slice(n3, 2 * n3), all.drop(2 * n3)).foreach {
+        b => input.addData(b.toSeq); query.processAllAvailable()
+      }
+      // cutoffs of the LAST emitted row per key = full-stream state
+      val last = s.sql(
+          """SELECT event_type, lo, hi FROM (
+             SELECT event_type, lo, hi,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY event_id DESC) AS rk
+             FROM wins) WHERE rk = 1""").collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      // big key: true rank of each cutoff within 4*n/k of its target
+      val (blo, bhi) = last("big")
+      val n = 3000.0
+      val bound = 4.0 * n / 64
+      assert(math.abs(blo - math.ceil(0.05 * n)) <= bound, s"lo=$blo")
+      assert(math.abs(bhi - math.ceil(0.95 * n)) <= bound, s"hi=$bhi")
+      // small key (n=50 <= k): exact quantile_disc cutoffs
+      assert(last("small") == ((math.ceil(0.05 * 50), math.ceil(0.95 * 50))),
+        last("small").toString)
+      // every clipped value is inside [lo, hi] of its emission
+      val bad = s.sql(
+        "SELECT count(*) FROM wins WHERE clipped < lo OR clipped > hi")
+        .collect()(0).getLong(0)
+      assert(bad === 0L)
+    } finally query.stop()
+  }
 }
