@@ -109,6 +109,10 @@ class WindowGuardSpec extends SparkSpec {
     // U_t cumsum + argmax over the daily purchase rollup — bounded by
     // the calendar (|days| rows), facts collapsed first
     "ts_pettitt",
+    // PH cumsum + running min over the daily rollup in integer
+    // micro-units (the ts_pettitt bound: |days| rows, facts
+    // collapsed first)
+    "stat_page_hinkley",
     // the same Pettitt U_t cumsum feeding the per-segment OLS —
     // calendar-bounded day frame
     "ts_segmented_trend",
