@@ -51,6 +51,10 @@ class WindowGuardSpec extends SparkSpec {
     // global midrank cumsum, but its plan truncates at a lazy
     // localCheckpoint so the guard cannot see the WindowExec —
     // documented here instead of allowlisted.
+    // NOTE stat_youden likewise: the stat_roc_auc-bound cumulative
+    // sums over the DISTINCT 4dp-quality grid sit above a lazy
+    // localCheckpoint, invisible to the guard — documented, not
+    // allowlisted.
     // weighted-median cumsum over the DISTINCT pairwise-difference
     // grid of two n_chars histograms (|values|², never rows²)
     "stat_hodges_lehmann",
