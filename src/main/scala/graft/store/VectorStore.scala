@@ -229,6 +229,20 @@ object VectorStore {
     thresholded.orderBy(col("score").desc, col("vector_id")).limit(limit)
   }
 
+  /** Payload-filtered search (the reference's Qdrant `Filter` on
+    * payload fields, e.g. a FieldCondition on Title): an arbitrary
+    * predicate pushed BELOW scoring, so only matching points are ever
+    * scored — pre-filtering semantics, narrowing the partition-pruned
+    * collection scan before any vector math. The post-filter shortcut
+    * this avoids is audited by ann_filtered_recall.
+    */
+  def searchWhere(coll: DataFrame, userId: Any, qdf: DataFrame, limit: Int,
+                  predicate: Column): DataFrame =
+    coll.filter(col("user_id") === userId).filter(predicate)
+      .crossJoin(broadcast(qdf))
+      .select(outCols(coll) :+ score(col("embedding"), col("q")).as("score"): _*)
+      .orderBy(col("score").desc, col("vector_id")).limit(limit)
+
   /** Multi-tenant batched search: EVERY user's query answered in one
     * job — `queries` (user_id, q) joins the collection on user_id and
     * the per-user top-k comes from the map-side-bounded TopK

@@ -786,6 +786,64 @@ object StreamOps {
       }
   }
 
+  final case class PhDay(day: Long, x: Long)
+
+  /** (cumulative deviation sum, its running min) in integer micro-units. */
+  final case class PhState(cum: Long, mn: Long)
+
+  final case class PhPoint(day: Long, x: Long, ph: Double, alarm: Long)
+
+  /** Pinned Page–Hinkley baseline off a daily-count series — the SAME
+    * 6dp rounding trajectory as the batch `stat_page_hinkley`
+    * aggregate (exact integer power sums → μ, σ → δ = 0.05σ,
+    * λ = 3σ, reference term in integer micro-units). Returns
+    * (ref_u, lambda).
+    */
+  def phBaseline(daily: Seq[(Long, Long)]): (Long, Double) = {
+    val n = daily.size
+    val s1 = daily.map(d => BigInt(d._2)).sum
+    val s2 = daily.map(d => BigInt(d._2) * BigInt(d._2)).sum
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val mu = r6(s1.toDouble / n)
+    val sigma = r6(math.sqrt((BigInt(n) * s2 - s1 * s1).toDouble) / n)
+    val delta = r6(sigma * 0.05)
+    val lambda = r6(sigma * 3.0)
+    (math.floor((mu + delta) * 1e6 + 0.5).toLong, lambda)
+  }
+
+  /** Streaming twin of the batch `stat_page_hinkley` detector: the
+    * reference window (ref_u, λ) is trained batch-side and frozen — a
+    * drift detector's baseline is a constant by definition — and the
+    * keyed state is TWO longs (the cumulative deviation sum and its
+    * running min, both in integer micro-units). Integer state means
+    * replaying the daily rollup reproduces the batch PH column
+    * bit-for-bit across any micro-batch slicing (spec-pinned): there
+    * is no float accumulation to drift at batch boundaries. Same
+    * per-key in-order arrival contract as [[streamingKalman]]; days
+    * inside one micro-batch are processed in day order.
+    */
+  def streamingPageHinkley(days: Dataset[PhDay], refU: Long,
+                           lambda: Double): Dataset[PhPoint] = {
+    val s = days.sparkSession
+    import s.implicits._
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    days.groupByKey(_ => 0L)
+      .flatMapGroupsWithState[PhState, PhPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(PhState(0L, Long.MaxValue))
+          val out = it.toSeq.sortBy(_.day).map { d =>
+            val cum = st.cum + (d.x * 1000000L - refU)
+            val mn = math.min(st.mn, cum)
+            st = PhState(cum, mn)
+            val ph = r4((cum - mn).toDouble / 1e6)
+            PhPoint(d.day, d.x, ph, if (ph > lambda) 1L else 0L)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class KalmanDay(series: String, t: Long, day: Long, v: Double)
 
   /** (level, variance, whether any day was consumed yet). */

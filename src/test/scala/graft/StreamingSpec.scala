@@ -920,6 +920,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming Page-Hinkley reproduces the batch detector bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // batch reference on the real sf0.001 daily series
+    val batch = SparkEntry.queries("stat_page_hinkley")(s, sfDir).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("x"),
+        r.getAs[Double]("ph"), r.getAs[Long]("alarm")))
+      .sortBy(_._1)
+    assert(batch.length >= 3)
+    // the frozen baseline, re-derived through the same pinned math
+    val (refU, lambda) =
+      StreamOps.phBaseline(batch.toSeq.map(b => (b._1, b._2)))
+    val input = MemoryStream[StreamOps.PhDay]
+    val query = StreamOps.streamingPageHinkley(input.toDS(), refU, lambda)
+      .writeStream.format("memory").queryName("ph")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val days = batch.map { case (day, x, _, _) => StreamOps.PhDay(day, x) }
+      // three micro-batches: (cum, min) must carry across them
+      val cut1 = days.length / 3; val cut2 = 2 * days.length / 3
+      Seq(days.slice(0, cut1), days.slice(cut1, cut2), days.drop(cut2))
+        .foreach { b => input.addData(b.toSeq); query.processAllAvailable() }
+      val got = s.sql("SELECT day, x, ph, alarm FROM ph").collect()
+        .map(r => (r.getAs[Long]("day"), r.getAs[Long]("x"),
+          r.getAs[Double]("ph"), r.getAs[Long]("alarm")))
+        .sortBy(_._1)
+      assert(got.toSeq == batch.toSeq,
+        s"stream=${got.take(3).mkString(",")} batch=${batch.take(3).mkString(",")}")
+    } finally query.stop()
+  }
+
   test("streaming Kalman filter reproduces the batch fold bit-for-bit") {
     val s = spark
     import s.implicits._
