@@ -229,6 +229,21 @@ object VectorStore {
     thresholded.orderBy(col("score").desc, col("vector_id")).limit(limit)
   }
 
+  /** search_query(with_vectors = True) (reference
+    * document_ingestor.py:338): the scored results carry the stored
+    * vector alongside the payload — what a caller needs to re-rank
+    * client-side or chain into recommend-by-example without a second
+    * scroll round-trip. Same plan as [[search]] plus one projected
+    * column; vectors ride the existing partition-pruned scan.
+    */
+  def searchWithVectors(coll: DataFrame, userId: Any, qdf: DataFrame,
+                        limit: Int): DataFrame =
+    coll.filter(col("user_id") === userId)
+      .crossJoin(broadcast(qdf))
+      .select(outCols(coll) ++ Seq(col("embedding"),
+        score(col("embedding"), col("q")).as("score")): _*)
+      .orderBy(col("score").desc, col("vector_id")).limit(limit)
+
   /** Payload-filtered search (the reference's Qdrant `Filter` on
     * payload fields, e.g. a FieldCondition on Title): an arbitrary
     * predicate pushed BELOW scoring, so only matching points are ever

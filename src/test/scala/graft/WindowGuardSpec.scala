@@ -117,6 +117,9 @@ class WindowGuardSpec extends SparkSpec {
     // micro-units (the ts_pettitt bound: |days| rows, facts
     // collapsed first)
     "stat_page_hinkley",
+    // order-statistic cumsum over the DISTINCT residual-cents
+    // histogram (the samp_ks_test bound: values, never rows)
+    "stat_conformal",
     // the same Pettitt U_t cumsum feeding the per-segment OLS —
     // calendar-bounded day frame
     "ts_segmented_trend",
