@@ -120,6 +120,12 @@ class WindowGuardSpec extends SparkSpec {
     // order-statistic cumsum over the DISTINCT residual-cents
     // histogram (the samp_ks_test bound: values, never rows)
     "stat_conformal",
+    // BY step-up rank + bottom-up running min over per-event_type
+    // p-values (the stat_fdr bound: |types| rows, never events)
+    "stat_fdr_by",
+    // running max over the daily rollup (the ts_pettitt bound:
+    // |days| rows, facts collapsed first)
+    "ts_drawdown",
     // the same Pettitt U_t cumsum feeding the per-segment OLS —
     // calendar-bounded day frame
     "ts_segmented_trend",
