@@ -105,6 +105,8 @@ class WindowGuardSpec extends SparkSpec {
     "samp_strat_alloc",
     // rank-after-limit over the TakeOrdered top-10k vocab
     "text_vocab_coverage",
+    // rank-after-limit over the TakeOrdered top-20k train-half vocab
+    "text_oov_rate",
     // opened/fulfilled running sums over the |months|-row rollup
     "q_order_backlog",
     // BH rank over per-event_type p-values — |event types| rows,
