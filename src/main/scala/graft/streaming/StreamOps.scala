@@ -786,6 +786,36 @@ object StreamOps {
       }
   }
 
+  final case class CapEvent(event_id: Long, user_id: Long, day: Long, t: Long)
+
+  final case class CapDecision(event_id: Long, kept: Boolean)
+
+  /** Streaming frequency-cap ENFORCER (the online side of
+    * ev_freq_cap's what-if): one long of keyed state per (user, day) —
+    * how many events that key has admitted — and each arriving event
+    * gets an immediate keep/drop decision. Replaying a day through
+    * this operator keeps exactly the first `cap` events per key in
+    * (t, event_id) order, bit-equal to the batch rank rule across any
+    * micro-batch slicing (spec-pinned). Day-keyed state means expired
+    * keys are droppable by watermark in production.
+    */
+  def streamingFreqCap(ev: Dataset[CapEvent], cap: Int): Dataset[CapDecision] = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.groupByKey(e => (e.user_id, e.day))
+      .flatMapGroupsWithState[Long, CapDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(e => (e.t, e.event_id)).map { e =>
+            n += 1
+            CapDecision(e.event_id, n <= cap)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   final case class PhDay(day: Long, x: Long)
 
   /** (cumulative deviation sum, its running min) in integer micro-units. */

@@ -888,4 +888,26 @@ class PlanGuardSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: $p")
     }
   }
+
+  test("payload-filtered search prunes partitions AND pushes the payload predicate") {
+    val p = plan("vs_search_payload")
+    // pre-filter semantics: the title predicate reaches the scan, the
+    // user predicate prunes partitions, and the top-k is a
+    // TakeOrdered — never a global sort over scored points
+    assert(p.contains("PartitionFilters") && p.contains("user_id"), p)
+    assert(p.contains("StringStartsWith(title,t1)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortExec"), p)
+  }
+
+  // NOTE text_ngram_novelty's shuffle-elimination (row-local
+  // array_distinct, no gram-wide join — SURVEY §6 round-12) is not
+  // plan-pinnable here: its final plan truncates at the lazy
+  // localCheckpoint, hiding the inner exchanges from explainString.
+
+  test("quantized-recall eval broadcasts the bounded query set on both paths") {
+    val p = plan("vec_quant_recall")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

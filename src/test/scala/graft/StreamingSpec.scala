@@ -920,6 +920,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming freq-cap keeps exactly the first k per (user, day)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    // batch truth on real sf0.001 events: rank ≤ 3 per (user, day)
+    // in (ts, event_id) order
+    val ev = Tables.events(s, sfDir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 86400000000000").as("day"), col("ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "day").orderBy("ts", "event_id")
+    val truth = ev.withColumn("rk", row_number().over(w))
+      .select(col("event_id"), (col("rk") <= 3).as("kept"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val days = ev.orderBy("ts", "event_id").collect()
+      .map(r => StreamOps.CapEvent(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    val input = MemoryStream[StreamOps.CapEvent]
+    val query = StreamOps.streamingFreqCap(input.toDS(), cap = 3)
+      .writeStream.format("memory").queryName("fcap")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val cut1 = days.length / 3; val cut2 = 2 * days.length / 3
+      Seq(days.slice(0, cut1), days.slice(cut1, cut2), days.drop(cut2))
+        .foreach { b => input.addData(b.toSeq); query.processAllAvailable() }
+      val got = s.sql("SELECT event_id, kept FROM fcap").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got.size == truth.size)
+      assert(got == truth)
+      // and at least one key actually hit the cap on this corpus
+      assert(got.values.exists(!_))
+    } finally query.stop()
+  }
+
   test("streaming Page-Hinkley reproduces the batch detector bit-for-bit") {
     val s = spark
     import s.implicits._

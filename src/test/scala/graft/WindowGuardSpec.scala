@@ -128,6 +128,8 @@ class WindowGuardSpec extends SparkSpec {
     // running max over the daily rollup (the ts_pettitt bound:
     // |days| rows, facts collapsed first)
     "ts_drawdown",
+    // trailing 7-row band sums over the daily rollup (same bound)
+    "ts_bollinger",
     // the same Pettitt U_t cumsum feeding the per-segment OLS —
     // calendar-bounded day frame
     "ts_segmented_trend",
