@@ -786,6 +786,48 @@ object StreamOps {
       }
   }
 
+  final case class BollDay(day: Long, x: Long)
+
+  final case class BollState(ring: Seq[Long])
+
+  final case class BollPoint(day: Long, x: Long, mid: Double, lo: Double,
+                             hi: Double, breakout: Long)
+
+  /** Streaming twin of ts_bollinger: the keyed state is the last ≤7
+    * daily counts (a bounded integer ring — the ev_ewma_bounded
+    * discipline), and each full window emits the same 4/6dp-pinned
+    * band row the batch window computes, bit-equal across micro-batch
+    * slicings because the band math divides exact integers.
+    */
+  def streamingBollinger(days: Dataset[BollDay]): Dataset[BollPoint] = {
+    val s = days.sparkSession
+    import s.implicits._
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    days.groupByKey(_ => 0L)
+      .flatMapGroupsWithState[BollState, BollPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[BollState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Seq.empty[Long])
+          val out = it.toSeq.sortBy(_.day).flatMap { d =>
+            ring = (ring :+ d.x).takeRight(7)
+            if (ring.size < 7) None
+            else {
+              val s1 = ring.sum
+              val s2 = ring.map(v => v * v).sum
+              val mid = r4(s1.toDouble / 7)
+              val sd = r6(math.sqrt((7L * s2 - s1 * s1).toDouble / 42.0))
+              val lo = r4(mid - sd * 2)
+              val hi = r4(mid + sd * 2)
+              Some(BollPoint(d.day, d.x, mid, lo, hi,
+                if (d.x < lo || d.x > hi) 1L else 0L))
+            }
+          }
+          state.update(BollState(ring))
+          out.iterator
+      }
+  }
+
   final case class CapEvent(event_id: Long, user_id: Long, day: Long, t: Long)
 
   final case class CapDecision(event_id: Long, kept: Boolean)

@@ -920,6 +920,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming Bollinger bands reproduce the batch window bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val batch = SparkEntry.queries("ts_bollinger")(s, sfDir).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("x"),
+        r.getAs[Double]("mid"), r.getAs[Double]("lo"), r.getAs[Double]("hi"),
+        r.getAs[Long]("breakout")))
+      .sortBy(_._1)
+    assert(batch.length >= 3)
+    // feed the FULL daily series (the batch output starts at day 7)
+    val daily = Tables.events(s, sfDir)
+      .groupBy(org.apache.spark.sql.functions.expr(
+        "ts DIV 86400000000000").as("day"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("x"))
+      .orderBy("day").collect()
+      .map(r => StreamOps.BollDay(r.getLong(0), r.getLong(1)))
+    val input = MemoryStream[StreamOps.BollDay]
+    val query = StreamOps.streamingBollinger(input.toDS())
+      .writeStream.format("memory").queryName("boll")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val cut1 = daily.length / 3; val cut2 = 2 * daily.length / 3
+      Seq(daily.slice(0, cut1), daily.slice(cut1, cut2), daily.drop(cut2))
+        .foreach { b => input.addData(b.toSeq); query.processAllAvailable() }
+      val got = s.sql("SELECT day, x, mid, lo, hi, breakout FROM boll")
+        .collect()
+        .map(r => (r.getAs[Long]("day"), r.getAs[Long]("x"),
+          r.getAs[Double]("mid"), r.getAs[Double]("lo"), r.getAs[Double]("hi"),
+          r.getAs[Long]("breakout")))
+        .sortBy(_._1)
+      assert(got.toSeq == batch.toSeq,
+        s"stream=${got.take(2).mkString(",")} batch=${batch.take(2).mkString(",")}")
+    } finally query.stop()
+  }
+
   test("streaming freq-cap keeps exactly the first k per (user, day)") {
     val s = spark
     import s.implicits._
