@@ -130,6 +130,9 @@ class WindowGuardSpec extends SparkSpec {
     "ts_drawdown",
     // trailing 7-row band sums over the daily rollup (same bound)
     "ts_bollinger",
+    // probe rank over the ≤|cells| centroid frame (8 rows by
+    // construction — the deterministic-centroid bound)
+    "ann_scan_fraction",
     // the same Pettitt U_t cumsum feeding the per-segment OLS —
     // calendar-bounded day frame
     "ts_segmented_trend",
