@@ -133,6 +133,9 @@ class WindowGuardSpec extends SparkSpec {
     // probe rank over the ≤|cells| centroid frame (8 rows by
     // construction — the deterministic-centroid bound)
     "ann_scan_fraction",
+    // lag + q-period rolling sums over the daily rollup (the
+    // ts_pettitt bound: |days| rows, facts collapsed first)
+    "ts_variance_ratio",
     // the same Pettitt U_t cumsum feeding the per-segment OLS —
     // calendar-bounded day frame
     "ts_segmented_trend",
