@@ -52,6 +52,22 @@ object VectorFunctions {
     */
   def score(a: Column, b: Column): Column = round(cosineSim(a, b), 6) + lit(0.0)
 
+  /** Oracle-comparable projection of a float-vector column: each
+    * element as the integer round(x·10⁶) (half away from zero — the
+    * rounding both Spark's HALF_UP and DuckDB's round() apply to the
+    * identical IEEE product), comma-joined into ONE string. The
+    * verify harness cannot hash/sort a raw array column (pandas
+    * factorize rejects ndarrays), and float→string formatting is
+    * engine-specific — integer micro-codes are deterministic on both
+    * sides. DuckDB twin: [[graft.store.VectorStore.vecQ6Sql]]. The
+    * RAW array stays the user-facing API (spec-pinned bit-equal to
+    * the stored vector); this projection exists only to make vector
+    * outputs verifiable.
+    */
+  def vecQ6(v: Column): Column =
+    array_join(transform(v,
+      x => round(x.cast("double") * 1000000d, 0).cast("long").cast("string")), ",")
+
   /** Squared L2 distance (for IVF assignment). */
   def sqDist(a: Column, b: Column): Column =
     aggregate(

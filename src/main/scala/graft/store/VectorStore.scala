@@ -73,6 +73,15 @@ object VectorStore {
   def collectionName(userId: String): String =
     "user_" + userId.replace('-', '_')
 
+  /** DuckDB twin of [[graft.functions.VectorFunctions.vecQ6]]: the
+    * float vector as comma-joined integer micro-codes
+    * (round(x·10⁶) half away from zero on the identical IEEE double
+    * product — engine-agnostic, unlike float→string formatting).
+    */
+  def vecQ6Sql(c: String): String =
+    s"array_to_string(list_transform($c, " +
+      "x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',')"
+
   /** SQL prelude mirroring [[points]] for the DuckDB oracles. */
   val pointsSql: String =
     """WITH points AS (
@@ -112,6 +121,20 @@ object VectorStore {
   def scroll(coll: DataFrame, userId: Any, limit: Int): DataFrame =
     coll.filter(col("user_id") === userId)
       .select(outCols(coll): _*)
+      .orderBy("vector_id")
+      .limit(limit)
+
+  /** scroll(with_vectors = True) (reference document_ingestor.py:414,
+    * :429 — every scroll method takes the flag): the page carries the
+    * STORED vector untouched alongside the payload, what a caller
+    * re-embedding or exporting a collection needs without a second
+    * lookup. Same partition-pruned LocalLimit plan as [[scroll]] plus
+    * one projected column; VectorStoreSpec pins the array bit-equal
+    * to the stored embedding.
+    */
+  def scrollWithVectors(coll: DataFrame, userId: Any, limit: Int): DataFrame =
+    coll.filter(col("user_id") === userId)
+      .select(outCols(coll) :+ col("embedding"): _*)
       .orderBy("vector_id")
       .limit(limit)
 

@@ -146,6 +146,36 @@ class VectorStoreSpec extends SparkSpec {
     assert(merged.columns.contains("payload"))
   }
 
+  test("with_vectors surfaces return the STORED vector bit-equal") {
+    // reference semantics (document_ingestor.py:338/:414/:429):
+    // with_vectors = True returns stored vectors untouched. Join the
+    // returned arrays back to the collection by key and demand
+    // element-wise float equality — no re-normalization, no rounding.
+    // (The ORACLE projection vecQ6 is lossy by design; this pin keeps
+    // the raw API honest.)
+    def pinsStored(withVec: org.apache.spark.sql.DataFrame): Unit = {
+      val stored = pts.select(col("vector_id"), col("embedding").as("stored"))
+      val mismatches = withVec.select("vector_id", "embedding")
+        .join(stored, "vector_id")
+        .filter(not(col("embedding") <=> col("stored")))
+        .count()
+      assert(mismatches == 0)
+    }
+    val q = VectorStore.queryVecOf(spark, sfDir, 42)
+    val searched = VectorStore.searchWithVectors(pts, 2, q, 5)
+    assert(searched.columns.contains("embedding") && searched.count() == 5)
+    pinsStored(searched)
+    val scrolled = VectorStore.scrollWithVectors(pts, 3, 12)
+    assert(scrolled.columns.contains("embedding") && scrolled.count() == 12)
+    pinsStored(scrolled)
+    // and the scroll page is the same page scroll() returns, plus the
+    // vector column
+    val plain = VectorStore.scroll(pts, 3, 12).select("vector_id")
+      .collect().map(_.getLong(0)).toSeq
+    val withV = scrolled.select("vector_id").collect().map(_.getLong(0)).toSeq
+    assert(plain == withV)
+  }
+
   test("updateVector changes only the targeted key") {
     val nv = VectorStore.queryVecOf(spark, sfDir, 7)
       .select(transform(col("q"), x => -x).as("newv"))
