@@ -82,6 +82,35 @@ object Bench {
       graft.ann.AnnIndex.lshPartitioned(spark, sfDir, 6, 64).count()
       graft.ann.AnnIndex.ivfPartitioned(spark, sfDir, 4).count()
     } catch { case _: Throwable => }
+    // ...and the cross-query shared frames (transition cells, dedup
+    // label table) — built once per (JVM, dir), used by many queries
+    try SparkEntry.prewarmShared(spark, sfDir)
+    catch { case _: Throwable => }
+    // Per-query checkpoint eviction (§7-4): every query's lazy
+    // localCheckpoint blocks stay in the block manager after its
+    // timing, so inventory GROWTH inflated later queries' times
+    // within a bench session (cross-round drift tracked inventory
+    // size). After each query's runs, unpersist everything persisted
+    // since the fixtures — EXCEPT the shared frames above, whose
+    // truncated lineage cannot recompute (unpersisting them would
+    // turn later queries' reads into errors, not slowdowns).
+    def protectedIds: Set[Int] = {
+      def ids(dfs: Iterable[org.apache.spark.sql.DataFrame]): Set[Int] =
+        dfs.flatMap(_.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+        }).toSet
+      ids(SparkEntry.sharedCellFrames) ++
+        ids(graft.dedup.Dedup.sharedLabelFrames)
+    }
+    def evict(keep: Set[Int]): Unit = {
+      val prot = protectedIds
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keep.contains(id) && !prot.contains(id))
+          rdd.unpersist(blocking = false)
+      }
+    }
+    evict(Set.empty) // clear the warmup pass's per-query blocks
+    val fixtureIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     def time(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
@@ -90,6 +119,7 @@ object Bench {
     }
     val results = benchSet.map { name =>
       val ts = (1 to runs).map(_ => time(name)).sorted
+      evict(fixtureIds)
       name -> (ts(ts.size / 2), ts.head, ts.last)
     }
     // Medians at 3 decimals: the final line must stay well under the

@@ -96,6 +96,10 @@ object Ann {
   /** Exact CosineSimilarity-expression arithmetic: left-assoc i=0..n−1
     * over double-promoted elements, then Spark round to 6dp.
     */
+  /** Test access to the exact kernel score fn (tiled-equality spec). */
+  private[graft] def cosineRounded6Kernel: (Array[Double], Array[Double]) => Double =
+    cosineRounded6
+
   private val cosineRounded6: (Array[Double], Array[Double]) => Double = (v, qv) => {
     val n = math.min(v.length, qv.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -116,26 +120,43 @@ object Ann {
     -round6(math.sqrt(s))
   }
 
-  private def denseKernelTopK(emb: DataFrame, queries: DataFrame, k: Int,
-      scoreFn: (Array[Double], Array[Double]) => Double): DataFrame = {
+  /** Queries per kernel tile. The query side is collected and
+    * broadcast ONE TILE at a time, so driver and executor memory stay
+    * flat no matter how many queries the batch ships (the r12 caveat:
+    * an unbounded collect of the query side capped the kernel at
+    * driver-memory-many queries). 2^16 queries × 64-d doubles ≈ 34 MB
+    * per broadcast — comfortably under executor headroom while big
+    * enough that every oracle corpus stays on the one-collect path.
+    */
+  private[graft] val defaultKernelTile: Int =
+    sys.env.get("SPARK_GRAFT_KERNEL_TILE").map(_.toInt).getOrElse(1 << 16)
+
+  private[graft] def denseKernelTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      scoreFn: (Array[Double], Array[Double]) => Double,
+      tile: Int = defaultKernelTile): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // null vectors (failed embed jobs leave them behind) can't rank —
     // drop them on both sides, as the BNLJ's null-propagating cosine
     // effectively does
-    val q = queries.filter(col("qv").isNotNull)
+    val qDs = queries.filter(col("qv").isNotNull)
       .select(col("qid").cast("long").as("_1"),
               col("qv").cast("array<double>").as("_2"))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val bq = spark.sparkContext.broadcast(q)
-    val partials = emb.filter(col("embedding").isNotNull)
+      .as[(Long, Array[Double])]
+    val embP = emb.filter(col("embedding").isNotNull)
       .select(col("vec_id").cast("long").as("_1"),
               col("embedding").cast("array<double>").as("_2"))
       // the oracle corpora arrive as a single parquet split — spread
       // the kernel across cores (kernel output is partition-invariant)
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Double])]
-      .mapPartitions { rows =>
+    val agg = graft.ops.TopK.topk(k)
+    // one tile's kernel pass: broadcast its query block, emit ≤k
+    // partial candidates per (partition, query), merge with TopK
+    def tileTop(q: Array[(Long, Array[Double])])
+        : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Double])]]) = {
+      val bq = spark.sparkContext.broadcast(q)
+      val partials = embP.mapPartitions { rows =>
         val qs = bq.value
         val nq = qs.length
         val bufS = Array.fill(nq)(new Array[Double](k))
@@ -163,9 +184,33 @@ object Ann {
           (0 until bufN(qi)).iterator.map(j => (qs(qi)._1, bufS(qi)(j), bufI(qi)(j)))
         }
       }.toDF("qid", "score", "vec_id")
-    val agg = graft.ops.TopK.topk(k)
-    partials.groupBy("qid")
-      .agg(agg(col("score"), col("vec_id")).as("top"))
+      (partials.groupBy("qid").agg(agg(col("score"), col("vec_id")).as("top")), bq)
+    }
+    // fast path: the whole batch fits one tile (every oracle corpus
+    // does) — head(tile+1) both fetches it and detects overflow
+    val first = qDs.head(tile + 1)
+    val topPerQid: DataFrame =
+      if (first.length <= tile) tileTop(first.sortBy(_._1))._1
+      else {
+        // many-query batch: hash-tile the query side; each tile is
+        // collected, broadcast, computed EAGERLY (localCheckpoint),
+        // and its broadcast destroyed before the next tile collects —
+        // peak memory is one tile regardless of batch size. The
+        // corpus is re-scanned per tile (query tiles × corpus passes
+        // is the irreducible dense-kernel work at this altitude).
+        val nq = qDs.count()
+        val nTiles = ((nq + tile - 1) / tile).toInt
+        (0 until nTiles).map { b =>
+          val q = qDs
+            .filter(pmod(xxhash64(col("_1")), lit(nTiles.toLong)) === b)
+            .collect().sortBy(_._1)
+          val (t, bq) = tileTop(q)
+          val mat = t.localCheckpoint(eager = true)
+          bq.destroy()
+          mat
+        }.reduce(_ union _)
+      }
+    topPerQid
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.id").as("vec_id"), col("col.score").as("score"),
               (col("pos") + 1).cast("long").as("rnk"))

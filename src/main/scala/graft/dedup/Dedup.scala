@@ -572,6 +572,12 @@ object Dedup {
   private val labelCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.SparkContext, String), DataFrame]
 
+  /** The live shared label frames (bench evictor protection — their
+    * checkpoint blocks must never be unpersisted: truncated lineage
+    * cannot recompute).
+    */
+  def sharedLabelFrames: Iterable[DataFrame] = labelCache.values
+
   def clusterLabelsShared(docs: DataFrame, cacheKey: String,
                           n: Int, k: Int, rows: Int): DataFrame =
     labelCache.getOrElseUpdate(

@@ -50,15 +50,78 @@ object Multimodal {
   }
 
   /** Batched decode: one decoder instance per partition (the
-    * real-codec pattern — init once, stream records through).
+    * real-codec pattern — init once, stream records through). The
+    * codec is pluggable: [[decodeOne]] (deterministic stub, the
+    * oracle default) or [[imageIoCodec]] (REAL JDK image decode) run
+    * through the SAME mapPartitions path, so every mm_* operator
+    * downstream is codec-agnostic.
     */
-  def decodeMeta(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+  def decodeMeta(media: Dataset[MediaRecord],
+                 codec: MediaRecord => MediaMeta = decodeOne): Dataset[MediaMeta] = {
     val s = media.sparkSession
     import s.implicits._
     media.mapPartitions { it =>
-      // real codecs would be initialized here, once per partition
-      it.map(decodeOne)
+      // real codecs initialize here, once per partition
+      it.map(codec)
     }
+  }
+
+  /** REAL image decode: javax.imageio (PNG/JPEG/BMP/GIF readers are
+    * bundled with the JDK — no external dependency). Image payloads
+    * are decoded for true width/height; non-image kinds and
+    * undecodable byte streams fall back to the deterministic stub, so
+    * a mixed-modality table still decodes end-to-end. MultimodalSpec
+    * routes real PNG/JPEG byte streams through this codec via the
+    * same [[decodeMeta]] path the 15 mm_* operators use.
+    */
+  def imageIoCodec(r: MediaRecord): MediaMeta =
+    if (r.kind != "image") decodeOne(r)
+    else {
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.media))
+      catch { case _: java.io.IOException => null }
+      if (img == null) decodeOne(r)
+      else MediaMeta(r.doc_id, r.kind, r.media.length.toLong,
+        width = img.getWidth.toLong, height = img.getHeight.toLong,
+        n_frames = 1L)
+    }
+
+  /** Per-image luma statistics off REAL decoded pixels: mean BT.601
+    * luma (0.299R + 0.587G + 0.114B) over all pixels — the
+    * brightness/blank-frame filter a real curation pipeline runs
+    * right after decode. Undecodable payloads are dropped (a real
+    * pipeline quarantines them). Same partition-batched altitude as
+    * [[decodeMeta]]: decode never leaves the executor, one codec init
+    * per partition.
+    */
+  def imageLumaStats(media: Dataset[MediaRecord]): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val img = try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        catch { case _: java.io.IOException => null }
+        if (img == null) None
+        else {
+          var sum = 0.0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) +
+                     0.587 * ((rgb >> 8) & 0xff) +
+                     0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Some((r.doc_id, img.getWidth.toLong, img.getHeight.toLong,
+            sum / (img.getWidth.toLong * img.getHeight)))
+        }
+      }
+    }.toDF("doc_id", "width", "height", "mean_luma")
   }
 
   /** STUB feature extractor: binary payload → 64-d float embedding

@@ -30,6 +30,13 @@ class AnnSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(a.length == b.length && a.nonEmpty)
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+    // tiled path (tile far below the query count forces many hash
+    // tiles, eager per-tile compute, broadcast destroy between) must
+    // be row-identical too — tiling is a memory shape, not a result
+    val c = Ann.denseKernelTopK(emb, q, 5, Ann.cosineRounded6Kernel, tile = 37)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(a.length == c.length)
+    a.zip(c).foreach { case (x, y) => assert(x == y, s"tiled: $x != $y") }
   }
 
   test("LSH multiprobe recall vs brute force is meaningful") {

@@ -43,6 +43,17 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("retrieval-eval top-10 rides the TopK aggregate, not a qid window") {
+    // the r12 hot-partition finding: a row_number window partitioned
+    // by 5 qids sorts the whole scored corpus on 5 reducers; the TopK
+    // aggregate shuffles ≤10 rows/partition/query instead
+    Seq("text_ndcg", "text_map_mrr").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_topkaggregator"), s"$q: $p")
+      assert(!p.contains("row_number"), s"$q still windows: $p")
+    }
+  }
+
   test("dim-table joins broadcast, fact side never exchanges before filter") {
     val p = plan("q5_multi_join")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -173,6 +173,101 @@ class WindowGuardSpec extends SparkSpec {
     case other => other +: other.children.flatMap(walk)
   }
 
+  // ---- hot-partition windows (the r12 text_ndcg finding) -----------
+  //
+  // A PARTITIONED window slips the global-window guard, but when its
+  // partition key has a small constant domain (qid ∈ 1..5, arm ∈
+  // {0,1}, lang over a fixed lexicon) while its input is corpus-sized,
+  // the plan is the same scale bug in disguise: |domain| reducers each
+  // sort a corpus-sized slice while the rest of the cluster idles.
+  // Static analysis cannot know a column's cardinality, so the guard
+  // is structural: a window whose partition keys reference NONE of the
+  // data model's scaling identifiers (user_id, doc_id, order keys, …)
+  // AND whose input subtree reaches a fact-table scan with no
+  // cardinality-collapsing node (aggregate / limit / TakeOrdered) in
+  // between must carry an allowlist entry arguing why the key's
+  // domain grows with the data — new qid-shaped windows fail here.
+
+  /** Identifiers whose distinct count scales with the corpus: a window
+    * partitioned by any of these spreads over the whole cluster.
+    */
+  private val scalingKeys = Set(
+    "user_id", "doc_id", "vec_id", "vector_id", "chunk_id",
+    "o_orderkey", "l_orderkey", "o_custkey", "c_custkey", "s_suppkey",
+    "p_partkey", "l_partkey", "l_suppkey", "event_id", "session_id",
+    "pack_id", "id")
+
+  /** A key name counts as domain-scaling if it is one of the data
+    * model's identifiers or a boundedRowNumber block id (`*_blk` —
+    * domain = n/blockSize, partitions ≤ blockSize rows by
+    * construction, Packing.boundedRowNumber).
+    */
+  private def scalesWithData(ref: String): Boolean =
+    scalingKeys.exists(k => ref.startsWith(k)) || ref.endsWith("_blk")
+
+  /** Partitioned windows allowed over corpus-sized input — each with
+    * the domain-growth argument.
+    */
+  private val allowedPartitioned = Set(
+    // keep-first dedup gate partitioned by md5(text): the key IS a
+    // content hash, domain = |distinct documents| — scales 1:1 with
+    // the corpus, partitions are dup-cluster-sized
+    "pipe_filter_attrition",
+    // OHLC bars partitioned by (event_type, 1h bucket): the bucket
+    // domain grows with the data's time span, so reducers multiply as
+    // history accumulates; per-partition size is one hour of one type
+    "ts_ohlc")
+
+  private def isCollapse(p: SparkPlan): Boolean = {
+    val n = p.getClass.getSimpleName
+    n.contains("Aggregate") || n.contains("Limit") ||
+      n.contains("TakeOrdered")
+  }
+
+  /** Does this subtree reach a fact-table parquet scan without
+    * crossing a cardinality-collapsing node? Broadcast subtrees are
+    * skipped (the streamed side determines join output cardinality);
+    * RDD scans (localCheckpoint cuts) are treated as collapsed — every
+    * checkpointed frame in the inventory is an aggregated rollup.
+    */
+  private def corpusSized(p: SparkPlan): Boolean = p match {
+    case a: AdaptiveSparkPlanExec => corpusSized(a.executedPlan)
+    case _ if isCollapse(p) => false
+    case _ if p.getClass.getSimpleName.startsWith("Broadcast") &&
+              p.getClass.getSimpleName.contains("Exchange") => false
+    case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+      val paths = s.relation.location.rootPaths.mkString(",")
+      !(paths.contains("region") || paths.contains("nation"))
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      corpusSized(q.plan)
+    case other => other.children.exists(corpusSized)
+  }
+
+  private def hotPartitionedWindows(df: DataFrame): Seq[String] =
+    walk(df.queryExecution.executedPlan).collect {
+      case w: WindowExec if w.partitionSpec.nonEmpty =>
+        val refs = w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+          .map(_.replaceAll("#\\d+$", ""))
+        if (refs.exists(scalesWithData) || !corpusSized(w.child)) None
+        else Some(refs.distinct.mkString("|"))
+    }.flatten
+
+  test("no partitioned window keys a bounded domain over corpus-sized input") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val hot =
+        try hotPartitionedWindows(SparkEntry.queries(name)(spark, sfDir))
+        catch { case _: Throwable => Nil }
+      if (hot.nonEmpty) Some(s"$name[${hot.mkString(";")}]") else None
+    }
+    val unexpected = offenders.filterNot(o =>
+      allowedPartitioned(o.takeWhile(_ != '[')))
+    assert(unexpected.isEmpty,
+      s"partitioned windows whose key domain does not scale with the " +
+        s"corpus while their input does (the text_ndcg-r12 shape) — " +
+        s"rewrite on the TopK aggregate, collapse the input first, or " +
+        s"allowlist with a domain-growth argument: $unexpected")
+  }
+
   private def hasGlobalWindow(df: DataFrame): Boolean =
     walk(df.queryExecution.executedPlan).exists {
       case w: WindowExec => w.partitionSpec.isEmpty
