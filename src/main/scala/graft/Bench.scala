@@ -26,7 +26,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // 5-run floor by default: medians of 3 still moved with machine
+    // state (r9's committed headline was 1.56× pure load noise; r12's
+    // was 1.62× for the same reason — both judged clean on an idle
+    // re-run). Two extra passes is cheaper than one phantom regression.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,6 +63,12 @@ object Bench {
           SparkEntry.queries.keys.toSeq.sorted
         else SparkEntry.headline.sorted
     }
+    // SPARK_GRAFT_BENCH_REVERSE=1 times the same set back-to-front —
+    // the checkpoint-eviction audit: a query's median must not depend
+    // on how much inventory ran before it in the session (§7-4)
+    val orderedSet =
+      if (sys.env.get("SPARK_GRAFT_BENCH_REVERSE").contains("1")) benchSet.reverse
+      else benchSet
     // Warmup (not timed): run each benched query once at the tiny
     // sf0.001 so whole-stage codegen compilation + JIT for each plan
     // shape happens before the clock starts. The timed pass below
@@ -117,7 +127,7 @@ object Bench {
       catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = benchSet.map { name =>
+    val results = orderedSet.map { name =>
       val ts = (1 to runs).map(_ => time(name)).sorted
       evict(fixtureIds)
       name -> (ts(ts.size / 2), ts.head, ts.last)

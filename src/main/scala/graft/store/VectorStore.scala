@@ -179,6 +179,52 @@ object VectorStore {
       .limit(limit)
   }
 
+  /** Point retrieve by id list (the vector-DB `retrieve` API — the
+    * get-by-primary-key read beside scroll/search): partition-pruned
+    * scan + id IN-filter, stored vector included (retrieve implies
+    * with_vectors in the reference's client usage). Ordering by
+    * vector_id keeps pages deterministic.
+    */
+  def retrieve(coll: DataFrame, userId: Any, ids: Seq[Long]): DataFrame =
+    coll.filter(col("user_id") === userId && col("vector_id").isin(ids: _*))
+      .select(outCols(coll) :+ col("embedding"): _*)
+      .orderBy("vector_id")
+
+  /** Batched search (the vector-DB `search_batch` API): MANY query
+    * vectors against ONE user's collection in a single job — the
+    * collection is scanned once, every query scores map-side against
+    * the broadcast batch, and the per-query top-k comes from the
+    * bounded TopK aggregate (k rows/partition/query shuffled, never a
+    * global sort). `queries` is (qid, q). Output: (qid, rnk,
+    * vector_id, score).
+    */
+  def searchBatch(coll: DataFrame, userId: Any, queries: DataFrame,
+                  k: Int): DataFrame = {
+    val agg = graft.ops.TopK.topk(k)
+    coll.filter(col("user_id") === userId)
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), score(col("embedding"), col("q")).as("score"),
+              col("vector_id"))
+      .groupBy("qid")
+      .agg(agg(col("score"), col("vector_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+              col("col.id").as("vector_id"), col("col.score").as("score"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Facet counts over a payload field (the vector-DB `facet` API):
+    * distinct values of `field` in the user's collection with point
+    * counts, most-populous first. One partition-pruned hash aggregate.
+    */
+  def facetCounts(coll: DataFrame, userId: Any, field: String,
+                  limit: Int): DataFrame =
+    coll.filter(col("user_id") === userId)
+      .groupBy(field)
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy(col("n_points").desc, col(field))
+      .limit(limit)
+
   // ---- deletes (reference :146/:169/:192/:218/:239/:260) ----------
 
   def deleteDoc(coll: DataFrame, userId: Any, docId: Long): DataFrame =

@@ -146,6 +146,31 @@ class VectorStoreSpec extends SparkSpec {
     assert(merged.columns.contains("payload"))
   }
 
+  test("retrieve / searchBatch / facetCounts respect tenancy and bounds") {
+    // retrieve: only the requested ids, only user 4's points, vectors on
+    val got = VectorStore.retrieve(pts, 4, Seq(4L, 12L, 20L, 3L)) // 3 ∉ user 4
+      .collect()
+    assert(got.map(_.getAs[Long]("vector_id")).toSeq == Seq(4L, 12L, 20L))
+    assert(got.forall(_.getAs[Seq[Float]]("embedding").nonEmpty))
+    // searchBatch: every query answered, k rows each, ranks 1..k,
+    // scores descending, only user 2's points
+    val qs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(5L, 21L, 42L))
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+    val sb = VectorStore.searchBatch(pts, 2, qs, 4).collect()
+    assert(sb.length == 12)
+    sb.foreach(r => assert(r.getAs[Long]("vector_id") % 8 == 2))
+    sb.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to 4L))
+      val sc = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("score"))
+      assert(sc.sameElements(sc.sortBy(-_)))
+    }
+    // facetCounts: counts sum to the user's point count
+    val fc = VectorStore.facetCounts(pts, 3, "title", 1000).collect()
+    val total = fc.map(_.getAs[Long]("n_points")).sum
+    assert(total == pts.filter(col("user_id") === 3).count())
+  }
+
   test("with_vectors surfaces return the STORED vector bit-equal") {
     // reference semantics (document_ingestor.py:338/:414/:429):
     // with_vectors = True returns stored vectors untouched. Join the
