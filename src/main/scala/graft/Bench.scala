@@ -52,6 +52,12 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // the per-query checkpoint evictor (below) unpersists RDDs whose
+    // lineage is truncated — Spark WARNs "cannot be recomputed after
+    // unpersisting" per eviction, which is exactly the point (the
+    // blocks are per-query garbage, never reused); keep the tail clean
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     val benchSet: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
       // local iteration: time just the named queries (comma-separated
       // name prefixes, same convention as Verify's filter arg)
