@@ -35,6 +35,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("user_id"), p)
     val ps = plan("vs_scroll_doc")
     assert(ps.contains("PartitionFilters") && ps.contains("user_id"), ps)
+    // round-13 surfaces: retrieve / scroll-with-vectors / facet all
+    // prune on user_id too (the get/export/facet paths must never
+    // scan other tenants' partitions)
+    Seq("vs_retrieve_ids", "vs_scroll_vectors", "vs_facet_counts")
+      .foreach { q =>
+        val pq = plan(q)
+        assert(pq.contains("PartitionFilters") && pq.contains("user_id"),
+          s"$q: $pq")
+      }
+    // batched search additionally merges per-query via the bounded
+    // TopK partial aggregate — one pruned scan, never |queries| jobs
+    val pb = plan("vs_search_batch")
+    assert(pb.contains("PartitionFilters") && pb.contains("user_id"), pb)
+    assert(pb.contains("partial_topkaggregator"), pb)
   }
 
   test("batched ANN uses the map-side partial TopK aggregate") {
