@@ -134,8 +134,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = orderedSet.map { name =>
-      val ts = (1 to runs).map(_ => time(name)).sorted
-      evict(fixtureIds)
+      // evict after EACH timed run, not after the run set: runs 1..n-1
+      // of the same query would otherwise leave their localCheckpoint
+      // blocks behind and inflate runs 2..n — the within-query version
+      // of the cross-query drift this evictor exists to stop
+      val ts = (1 to runs).map { _ =>
+        val t = time(name); evict(fixtureIds); t
+      }.sorted
       name -> (ts(ts.size / 2), ts.head, ts.last)
     }
     // Medians at 3 decimals: the final line must stay well under the

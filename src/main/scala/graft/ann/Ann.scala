@@ -128,8 +128,21 @@ object Ann {
     * per broadcast — comfortably under executor headroom while big
     * enough that every oracle corpus stays on the one-collect path.
     */
-  private[graft] val defaultKernelTile: Int =
-    sys.env.get("SPARK_GRAFT_KERNEL_TILE").map(_.toInt).getOrElse(1 << 16)
+  private[graft] lazy val defaultKernelTile: Int =
+    sys.env.get("SPARK_GRAFT_KERNEL_TILE") match {
+      // lazy + explicit validation: a bad env value must surface as
+      // this message, not as an opaque ExceptionInInitializerError
+      // from the enclosing object's static init; tile <= 0 would
+      // corrupt the head(tile+1) probe and the per-tile hash math
+      case Some(v) =>
+        val t = try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_KERNEL_TILE must be a positive integer, got '$v'")
+        }
+        require(t > 0, s"SPARK_GRAFT_KERNEL_TILE must be > 0, got $t")
+        t
+      case None => 1 << 16
+    }
 
   private[graft] def denseKernelTopK(emb: DataFrame, queries: DataFrame, k: Int,
       scoreFn: (Array[Double], Array[Double]) => Double,
@@ -187,34 +200,140 @@ object Ann {
       (partials.groupBy("qid").agg(agg(col("score"), col("vec_id")).as("top")), bq)
     }
     // fast path: the whole batch fits one tile (every oracle corpus
-    // does) — head(tile+1) both fetches it and detects overflow
+    // does) — head(tile+1) both fetches it and detects overflow. One
+    // broadcast, ONE corpus scan — optimal for bounded query batches.
     val first = qDs.head(tile + 1)
     val topPerQid: DataFrame =
       if (first.length <= tile) tileTop(first.sortBy(_._1))._1
-      else {
-        // many-query batch: hash-tile the query side; each tile is
-        // collected, broadcast, computed EAGERLY (localCheckpoint),
-        // and its broadcast destroyed before the next tile collects —
-        // peak memory is one tile regardless of batch size. The
-        // corpus is re-scanned per tile (query tiles × corpus passes
-        // is the irreducible dense-kernel work at this altitude).
-        val nq = qDs.count()
-        val nTiles = ((nq + tile - 1) / tile).toInt
-        (0 until nTiles).map { b =>
-          val q = qDs
-            .filter(pmod(xxhash64(col("_1")), lit(nTiles.toLong)) === b)
-            .collect().sortBy(_._1)
-          val (t, bq) = tileTop(q)
-          val mat = t.localCheckpoint(eager = true)
-          bq.destroy()
-          mat
-        }.reduce(_ union _)
-      }
+      else
+        // many-query batch: the 2D block-matrix kernel — one corpus
+        // scan regardless of tile count (the r13 tiled loop re-scanned
+        // the corpus once per query tile). The head() probe above is
+        // the only extra query-side pass the overflow case pays.
+        blockedTop(emb, queries, k, scoreFn, tile)
     topPerQid
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.id").as("vec_id"), col("col.score").as("score"),
               (col("pos") + 1).cast("long").as("rnk"))
       .orderBy("qid", "rnk")
+  }
+
+  /** Corpus rows per kernel block on the blocked path: one block is
+    * one side of a block×tile kernel cell, held as primitive arrays
+    * in a single task (8192 rows × 64-d doubles ≈ 4 MB).
+    */
+  private[graft] val defaultKernelBlockRows: Int = 1 << 13
+
+  /** 2D block-matrix dense kernel (SUMMA-style): the huge-query-batch
+    * × huge-corpus case where neither side fits one broadcast.
+    *
+    * - The CORPUS is scanned ONCE: each partition is chunked into
+    *   blocks of ≤`blockRows` rows; blocks replicate to the query
+    *   tiles through the SHUFFLE, never by re-reading the source (the
+    *   r13 tiled loop paid query_tiles × corpus scans — at 100 TB
+    *   that multiplier is the whole job).
+    * - The QUERY side never touches the driver: rows hash into
+    *   ⌈nq/tile⌉ tiles with a distributed groupByKey (the r13 loop
+    *   collected each tile to the driver, which also made the result
+    *   sensitive to a non-deterministic query input; here each qid
+    *   lands in exactly one tile by hash, deterministically).
+    * - Work spreads over a 2D grid: the join key is (tile, slot)
+    *   where slot spreads a tile's blocks over `nSlots` reducers —
+    *   without the salt every block for a tile would land on ONE
+    *   reducer and serialize the kernel. Tiles replicate nSlots ways,
+    *   blocks nTiles ways: the classic 2D-matmul replication, volume
+    *   corpus×nTiles + queries×nSlots, moved once through the shuffle.
+    * - Partial-TopK on BOTH axes: each block×tile cell emits ≤k
+    *   candidates per query (bounded buffers, primitive arrays); the
+    *   TopK aggregate merges cells per qid. The union of per-block
+    *   top-k always contains the global top-k and the merge is
+    *   order-invariant with the shared (score desc, id asc)
+    *   tie-break, so output is row-equal to the one-broadcast path —
+    *   spec-pinned at adversarially small tile/block sizes (AnnSpec).
+    *
+    * This is the exact-scoring fallback; the LSH/IVF partition-pruned
+    * paths remain the first choice at corpus scale.
+    */
+  private[graft] def blockedTop(emb: DataFrame, queries: DataFrame, k: Int,
+      scoreFn: (Array[Double], Array[Double]) => Double,
+      tile: Int = defaultKernelTile,
+      blockRows: Int = defaultKernelBlockRows): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qDs = queries.filter(col("qv").isNotNull)
+      .select(col("qid").cast("long").as("_1"),
+              col("qv").cast("array<double>").as("_2"))
+      .as[(Long, Array[Double])]
+    val nq = qDs.count()
+    val nTiles = math.max(1L, (nq + tile - 1) / tile)
+    val nSlots = math.max(1, spark.sparkContext.defaultParallelism).toLong
+    // One kernel task per block×tile cell, FORCED by an explicit-N
+    // hash repartition of both join inputs on the cell key. Without
+    // it the kernel strands on a handful of tasks: the tile table
+    // has only nTiles non-empty partitions after groupByKey (the
+    // slot fan-out is map-side, so it never re-spreads), and AQE
+    // coalesces by shuffled BYTES — a few MB of packed tiles that
+    // carry minutes of per-cell compute read as "one partition" to
+    // it. REPARTITION_BY_NUM is the one shuffle origin AQE never
+    // coalesces, and with both sides hash-partitioned the same way
+    // the join adds no third exchange.
+    val nCells = math.max(nTiles * nSlots,
+      spark.sparkContext.defaultParallelism.toLong).toInt
+    // (tile, slot) -> packed query tile, replicated across the slots
+    val qTiles = qDs
+      .groupByKey { case (qid, _) =>
+        Math.floorMod(scala.util.hashing.byteswap64(qid), nTiles) }
+      .mapGroups { (t, it) => (t, it.toArray.sortBy(_._1)) }
+      .flatMap { case (t, qs) => (0L until nSlots).iterator.map(sl => (t * nSlots + sl, qs)) }
+      .repartition(nCells, col("_1"))
+    // (tile, slot) -> corpus block: ONE pass over the corpus; the
+    // slot comes from the task partition id so a partition's blocks
+    // spread deterministically without a second hash of the data
+    val blocks = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long").as("_1"),
+              col("embedding").cast("array<double>").as("_2"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val sl = org.apache.spark.TaskContext.getPartitionId().toLong % nSlots
+        it.grouped(blockRows).zipWithIndex.map { case (b, i) =>
+          ((i.toLong + sl) % nSlots, b.toArray)
+        }
+      }
+      .flatMap { case (sl, b) => (0L until nTiles).iterator.map(t => (t * nSlots + sl, b)) }
+      .repartition(nCells, col("_1"))
+    blocks.joinWith(qTiles, blocks("_1") === qTiles("_1"))
+      .flatMap { case ((_, block), (_, qs)) =>
+        // one block×tile kernel cell: same bounded-buffer insert and
+        // self-exclusion as the broadcast path's tileTop
+        val nqT = qs.length
+        val bufS = Array.fill(nqT)(new Array[Double](k))
+        val bufI = Array.fill(nqT)(new Array[Long](k))
+        val bufN = new Array[Int](nqT)
+        def insert(qi: Int, s: Double, id: Long): Unit = {
+          val n = bufN(qi); val ss = bufS(qi); val ii = bufI(qi)
+          var pos = 0
+          while (pos < n && (ss(pos) > s || (ss(pos) == s && ii(pos) < id))) pos += 1
+          if (pos >= k) return
+          val m = math.min(n + 1, k)
+          var j = m - 1
+          while (j > pos) { ss(j) = ss(j - 1); ii(j) = ii(j - 1); j -= 1 }
+          ss(pos) = s; ii(pos) = id; bufN(qi) = m
+        }
+        block.foreach { case (vid, v) =>
+          var qi = 0
+          while (qi < nqT) {
+            val (qid, qv) = qs(qi)
+            if (qid != vid) insert(qi, scoreFn(v, qv), vid)
+            qi += 1
+          }
+        }
+        (0 until nqT).iterator.flatMap { qi =>
+          (0 until bufN(qi)).iterator.map(j => (qs(qi)._1, bufS(qi)(j), bufI(qi)(j)))
+        }
+      }
+      .toDF("qid", "score", "vec_id")
+      .groupBy("qid")
+      .agg(graft.ops.TopK.topk(k)(col("score"), col("vec_id")).as("top"))
   }
 
   /** nPlanes deterministic random hyperplanes: (p, w: array<double>),

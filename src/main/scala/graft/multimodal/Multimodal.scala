@@ -77,9 +77,13 @@ object Multimodal {
   def imageIoCodec(r: MediaRecord): MediaMeta =
     if (r.kind != "image") decodeOne(r)
     else {
+      // NonFatal, not just IOException: ImageIO.read throws unchecked
+      // exceptions (NegativeArraySizeException, IllegalArgumentException)
+      // on corrupt/crafted headers — a malformed payload must fall back,
+      // not crash the job
       val img = try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.media))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) decodeOne(r)
       else MediaMeta(r.doc_id, r.kind, r.media.length.toLong,
         width = img.getWidth.toLong, height = img.getHeight.toLong,
@@ -101,7 +105,7 @@ object Multimodal {
       it.flatMap { r =>
         val img = try javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.media))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) None
         else {
           var sum = 0.0
@@ -122,6 +126,156 @@ object Multimodal {
         }
       }
     }.toDF("doc_id", "width", "height", "mean_luma")
+  }
+
+  /** REAL audio decode: javax.sound.sampled (PCM WAV/AIFF/AU readers
+    * ship with the JDK — no external dependency, same zero-dep rule
+    * as [[imageIoCodec]]). Audio payloads decode for true sample
+    * counts; metadata convention for audio rows: width = sample rate
+    * (Hz), height = channels, n_frames = PCM sample frames. Non-audio
+    * kinds and byte streams the JDK has no reader for fall back to
+    * the deterministic stub, so a mixed-modality table still decodes
+    * end-to-end — the exact seam the image path proved swappable.
+    */
+  def audioSysCodec(r: MediaRecord): MediaMeta =
+    if (r.kind != "audio") decodeOne(r)
+    else decodeAudioSamples(r.media) match {
+      case None => decodeOne(r)
+      case Some((sr, ch, samples)) =>
+        MediaMeta(r.doc_id, r.kind, r.media.length.toLong,
+          width = sr.toLong, height = ch.toLong,
+          n_frames = samples.length.toLong)
+    }
+
+  /** PCM decode to (sampleRate, channels, per-frame channel-averaged
+    * samples normalized to [−1, 1]). None when the JDK has no reader
+    * for the byte stream or the encoding isn't integer PCM — callers
+    * treat None as quarantine/fallback, never as a crash (NonFatal:
+    * crafted headers throw unchecked exceptions, same hazard as
+    * ImageIO).
+    */
+  private[graft] def decodeAudioSamples(
+      bytes: Array[Byte]): Option[(Float, Int, Array[Double])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val signed =
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned =
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = f.getSampleSizeInBits
+        if (!(signed || unsigned) || bits % 8 != 0 || bits > 32) None
+        else {
+          val raw = in.readAllBytes()
+          val bps = bits / 8
+          val ch = f.getChannels
+          val frameBytes = bps * ch
+          val n = raw.length / frameBytes
+          val full = (1L << (bits - 1)).toDouble
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var c = 0; var acc = 0.0
+            while (c < ch) {
+              val off = i * frameBytes + c * bps
+              var v = 0L
+              if (f.isBigEndian) {
+                var b = 0
+                while (b < bps) { v = (v << 8) | (raw(off + b) & 0xffL); b += 1 }
+              } else {
+                var b = bps - 1
+                while (b >= 0) { v = (v << 8) | (raw(off + b) & 0xffL); b -= 1 }
+              }
+              val s = if (signed) (v << (64 - bits)) >> (64 - bits)
+                      else v - (1L << (bits - 1)) // unsigned PCM recenters
+              acc += s / full
+              c += 1
+            }
+            out(i) = acc / ch
+            i += 1
+          }
+          Some((f.getSampleRate, ch, out))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL per-window audio energy off decoded PCM: RMS over fixed
+    * windows of `winSamples` frames (tail window partial) — the
+    * energy grid mm_audio_vad's segmenter consumes, computed from
+    * actual samples instead of the metadata stub. Undecodable audio
+    * payloads are dropped (a real pipeline quarantines them — same
+    * policy as [[imageLumaStats]]). Decode never leaves the executor;
+    * per-clip state is one window's running sum, so memory is O(1)
+    * per row regardless of clip length.
+    * Output: doc_id, win_idx, start_sample, end_sample, rms.
+    */
+  def audioEnergyWindows(media: Dataset[MediaRecord],
+                         winSamples: Int): DataFrame = {
+    require(winSamples > 0, s"winSamples must be > 0, got $winSamples")
+    val s = media.sparkSession
+    import s.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap { r =>
+        decodeAudioSamples(r.media) match {
+          case None => Iterator.empty
+          case Some((_, _, samples)) =>
+            val nWin = (samples.length + winSamples - 1) / winSamples
+            (0 until nWin).iterator.map { w =>
+              val start = w * winSamples
+              val end = math.min(start + winSamples, samples.length)
+              var ss = 0.0; var i = start
+              while (i < end) { ss += samples(i) * samples(i); i += 1 }
+              (r.doc_id, w.toLong, start.toLong, end.toLong,
+                math.sqrt(ss / (end - start)))
+            }
+        }
+      }
+    }.toDF("doc_id", "win_idx", "start_sample", "end_sample", "rms")
+  }
+
+  /** REAL voice-activity segments: windows whose RMS crosses
+    * `threshold` merge into maximal runs per clip. The merge is a
+    * per-clip linear pass inside the decode partition — bounded by
+    * one clip's window count, never the corpus.
+    * Output: doc_id, seg_idx, start_win, end_win (inclusive), n_win.
+    */
+  def audioVadSegments(media: Dataset[MediaRecord], winSamples: Int,
+                       threshold: Double): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap { r =>
+        decodeAudioSamples(r.media) match {
+          case None => Iterator.empty
+          case Some((_, _, samples)) =>
+            val nWin = (samples.length + winSamples - 1) / winSamples
+            val segs = scala.collection.mutable.ListBuffer
+              .empty[(Long, Long, Long, Long, Long)]
+            var segStart = -1L
+            var w = 0
+            while (w < nWin) {
+              val start = w * winSamples
+              val end = math.min(start + winSamples, samples.length)
+              var ss = 0.0; var i = start
+              while (i < end) { ss += samples(i) * samples(i); i += 1 }
+              val voiced = math.sqrt(ss / (end - start)) >= threshold
+              if (voiced && segStart < 0) segStart = w
+              if (!voiced && segStart >= 0) {
+                segs += ((r.doc_id, segs.size.toLong, segStart, w - 1L,
+                  w - segStart))
+                segStart = -1L
+              }
+              w += 1
+            }
+            if (segStart >= 0)
+              segs += ((r.doc_id, segs.size.toLong, segStart, nWin - 1L,
+                nWin - segStart))
+            segs.iterator
+        }
+      }
+    }.toDF("doc_id", "seg_idx", "start_win", "end_win", "n_win")
   }
 
   /** STUB feature extractor: binary payload → 64-d float embedding

@@ -78,4 +78,41 @@ object Skew {
       explode(sequence(lit(0L), lit(salt - 1L))))
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** The decision + result of [[profiledJoin]]: the top-1 key share
+    * measured (or supplied), and whether the salted path engaged.
+    */
+  final case class ProfiledJoin(df: DataFrame, top1Share: Double,
+                                salted: Boolean)
+
+  /** Profile-driven join — the wiring between the skew PROFILER
+    * (q_skew_profile's top-1 key share) and the REMEDY
+    * ([[saltedJoin]]): when the left side's hottest key holds more
+    * than `hotShare` of its rows, one reducer would receive that
+    * whole key in a plain shuffle join, so the salted path engages;
+    * below the threshold the plain join's single shuffle wins (no
+    * `salt`× replication of the right side).
+    *
+    * `knownTop1Share` short-circuits the measurement pass: at 100 TB
+    * the share comes from the standing q_skew_profile audit table,
+    * not a fresh scan per join — pass it in and nothing is re-read.
+    * Result rows are identical on both paths (spec-asserted in
+    * PlanGuardSpec over a corpus that actually crosses the
+    * threshold).
+    */
+  def profiledJoin(left: DataFrame, right: DataFrame, key: String,
+                   salt: Int, hotShare: Double = 0.2,
+                   knownTop1Share: Option[Double] = None): ProfiledJoin = {
+    val share = knownTop1Share.getOrElse {
+      val r = left.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(max("c").cast("double").as("mx"), sum("c").cast("double").as("n"))
+        .head()
+      if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+      else r.getDouble(0) / r.getDouble(1)
+    }
+    if (share > hotShare)
+      ProfiledJoin(saltedJoin(left, right, key, salt), share, salted = true)
+    else
+      ProfiledJoin(left.join(right, Seq(key)), share, salted = false)
+  }
 }

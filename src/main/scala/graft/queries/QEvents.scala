@@ -1,0 +1,1979 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.store.VectorStore
+import graft.store.VectorStore.pointsSql
+import graft.QDsl._
+
+/** SparkEntry query family (split from the single-file inventory
+  * in round 14 — same query names, same bodies; SparkEntry
+  * assembles the full map and the driver contract). */
+private[graft] object QEvents {
+
+
+  val eventsQ: Seq[(String, Q)] = Seq(
+    // `ts` is read as epoch-nanos Long (Tables.events) — gap and window
+    // arithmetic is exact integer math on both engines.
+    "ev_sessionize" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(1800000000000L), 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id,
+             |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+             |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    "ev_json_extract" -> Q(
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "ev_error_rate" -> Q(
+      (s, d) => {
+        val isErr = when(col("event_type") === "error", 1).otherwise(0)
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(isErr).as("n_errors"))
+          .filter(col("n_events") >= 20)
+          .withColumn("err_rate",
+            round(col("n_errors") * lit(1.0) / col("n_events"), 4))
+          .orderBy(col("err_rate").desc, col("user_id"))
+          .limit(5)
+      },
+      Some("""SELECT user_id, n_events, n_errors,
+             |       round(n_errors * 1.0 / n_events, 4) AS err_rate FROM (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+             |  FROM events GROUP BY user_id HAVING count(*) >= 20)
+             |ORDER BY err_rate DESC, user_id LIMIT 5""".stripMargin)),
+
+    // as-of join: each error event matched to the latest click at or
+    // before it (per user) — union + one ordered window pass, no
+    // inequality join (graft.ops.Joins.asofJoin)
+    "ev_asof_join" -> Q(
+      (s, d) => {
+        // µs resolution both sides: DuckDB truncates the nanos parquet
+        // to µs TIMESTAMP, so the oracle can't see sub-µs digits
+        val ev = Tables.events(s, d)
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ats"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), expr("ts DIV 1000").as("bts"), col("event_id"))
+          .groupBy("user_id", "bts").agg(max("event_id").as("click_id"))
+        graft.ops.Joins.asofJoin(errs, clicks, Seq("user_id"), "ats", "bts")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_err"),
+               count(col("asof.bts")).as("n_matched"),
+               sum(col("ats") - col("asof.bts")).as("sum_lag_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH a AS (SELECT user_id, event_id, epoch_us(ts) AS ats
+             |           FROM events WHERE event_type = 'error'),
+             |b AS (SELECT user_id, epoch_us(ts) AS bts, max(event_id) AS click_id
+             |      FROM events WHERE event_type = 'click' GROUP BY user_id, bts),
+             |j AS (SELECT a.user_id, a.ats, b.bts
+             |      FROM a ASOF LEFT JOIN b
+             |        ON a.user_id = b.user_id AND a.ats >= b.bts)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_err,
+             |       CAST(count(bts) AS BIGINT) AS n_matched,
+             |       CAST(sum(ats - bts) AS BIGINT) AS sum_lag_us
+             |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // range join: clicks attributed to the 5-minute window before each
+    // purchase — bucketed equi-join, not a nested-loop BETWEEN join
+    // (graft.ops.Joins.rangeJoinBucketed)
+    "ev_range_join" -> Q(
+      (s, d) => {
+        // µs resolution both sides (see ev_asof_join)
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), expr("ts DIV 1000").as("cts"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"),
+                  (expr("ts DIV 1000") - lit(300000000L)).as("st"),
+                  expr("ts DIV 1000").as("en"))
+        val pairs = graft.ops.Joins.rangeJoinBucketed(
+          clicks, purch, Seq("user_id"), "cts", "st", "en", 300000000L)
+        val pu = purch.groupBy("user_id").agg(count(lit(1)).as("n_purch"))
+        val pp = pairs.groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"), countDistinct("pid").as("n_purch_matched"))
+        pu.join(pp, Seq("user_id"), "left")
+          .select(col("user_id"), col("n_purch"),
+                  coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+                  coalesce(col("n_purch_matched"), lit(0L)).as("n_purch_matched"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, epoch_us(ts) AS cts
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pts
+             |      FROM events WHERE event_type = 'purchase'),
+             |pairs AS (SELECT p.user_id, p.pid FROM p JOIN c
+             |          ON p.user_id = c.user_id
+             |         AND c.cts BETWEEN p.pts - 300000000 AND p.pts),
+             |pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purch
+             |       FROM p GROUP BY user_id),
+             |pp AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             |              CAST(count(DISTINCT pid) AS BIGINT) AS n_purch_matched
+             |       FROM pairs GROUP BY user_id)
+             |SELECT pu.user_id, n_purch, coalesce(n_pairs, 0) AS n_pairs,
+             |       coalesce(n_purch_matched, 0) AS n_purch_matched
+             |FROM pu LEFT JOIN pp ON pu.user_id = pp.user_id
+             |ORDER BY pu.user_id""".stripMargin)),
+
+    // ordered string aggregation (deterministic: sorted before join)
+    "q_string_agg" -> Q(
+      (s, d) => Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("s_acctbal") > 9000)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+             array_join(sort_array(collect_list(col("s_name"))), ",").as("names"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+             |       string_agg(s_name, ',' ORDER BY s_name) AS names
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE s_acctbal > 9000
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // correlation / covariance per group
+    "stat_corr" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+             round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             |       round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // z-score outlier counting per event type (3σ rule)
+    // robust outliers: median absolute deviation (3×MAD rule) —
+    // immune to the heavy tail that inflates stddev in ev_outliers;
+    // med/mad rounded to 6 BEFORE the comparison so the boundary
+    // test is bit-identical in both engines
+    "stat_mad" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val med = ev.groupBy(col("event_type").as("et"))
+          .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+        val mad = ev.join(broadcast(med), col("event_type") === col("et"))
+          .select(col("event_type").as("et2"), abs(col("value") - col("med")).as("dev"))
+          .groupBy("et2")
+          .agg(round(expr("percentile(dev, 0.5D)"), 6).as("mad"))
+        ev.join(broadcast(med), col("event_type") === col("et"))
+          .join(broadcast(mad), col("event_type") === col("et2"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max("med").as("med"), max("mad").as("mad"),
+               sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+                 .otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH med AS (SELECT event_type AS et, round(quantile_cont(value, 0.5), 6) AS med
+             |             FROM events GROUP BY event_type),
+             |mad AS (SELECT event_type AS et2, round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+             |        FROM events JOIN med ON event_type = et GROUP BY event_type)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(med) AS med, max(mad) AS mad,
+             |       CAST(sum(CASE WHEN abs(value - med) > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM events JOIN med ON event_type = et JOIN mad ON event_type = et2
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // mergeable approximate-quantile sketch (deterministic KLL/MRL
+    // compactors, ops/QuantileSketch.scala): the sketch shuffles
+    // O(k·log(n/k)) values per partition instead of sorting the group.
+    // The oracled subset is bounded (≤ k values per group), where the
+    // sketch is provably EXACT under any partitioning and matches
+    // DuckDB quantile_disc bit-for-bit — the ev_heavy_hitters pattern;
+    // the rank-error bound under real compaction is property-tested
+    // (QuantileSketchPropSpec)
+    "stat_approx_quantiles" -> Q(
+      (s, d) => {
+        val qagg = graft.ops.QuantileSketch.approxQuantiles(
+          1024, Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        Tables.events(s, d).filter(col("user_id") < 40)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), qagg(col("value")).as("qs"))
+          .select(col("event_type"), col("n"),
+            element_at(col("qs"), 1).as("q10"),
+            element_at(col("qs"), 2).as("q25"),
+            element_at(col("qs"), 3).as("q50"),
+            element_at(col("qs"), 4).as("q75"),
+            element_at(col("qs"), 5).as("q90"),
+            element_at(col("qs"), 6).as("q99"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       quantile_disc(value, 0.1) AS q10,
+             |       quantile_disc(value, 0.25) AS q25,
+             |       quantile_disc(value, 0.5) AS q50,
+             |       quantile_disc(value, 0.75) AS q75,
+             |       quantile_disc(value, 0.9) AS q90,
+             |       quantile_disc(value, 0.99) AS q99
+             |FROM events WHERE user_id < 40
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // OHLC resampling: 1h bars per event type (open/close by first/
+    // last event in the bar, ties broken by event_id; per-bar windows
+    // are bounded, never global)
+    "ts_ohlc" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("value"), col("event_id"),
+                  expr("ts DIV 1000").as("ats"))
+          .withColumn("bucket", expr("ats DIV 3600000000"))
+        val wo = Window.partitionBy("event_type", "bucket")
+          .orderBy(col("ats"), col("event_id"))
+        val wc = Window.partitionBy("event_type", "bucket")
+          .orderBy(col("ats").desc, col("event_id").desc)
+        ev.withColumn("ro", row_number().over(wo))
+          .withColumn("rc", row_number().over(wc))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n"),
+               max(when(col("ro") === 1, col("value"))).as("open"),
+               round(max("value"), 4).as("high"),
+               round(min("value"), 4).as("low"),
+               max(when(col("rc") === 1, col("value"))).as("close"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+             |       max(CASE WHEN ro = 1 THEN value END) AS open,
+             |       round(max(value), 4) AS high, round(min(value), 4) AS low,
+             |       max(CASE WHEN rc = 1 THEN value END) AS close
+             |FROM (
+             |  SELECT event_type, value, epoch_us(ts) // 3600000000 AS bucket,
+             |         row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000
+             |                            ORDER BY epoch_us(ts), event_id) AS ro,
+             |         row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000
+             |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rc
+             |  FROM events)
+             |GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin)),
+
+    "ev_outliers" -> Q(
+      (s, d) => {
+        val stats = Tables.events(s, d).groupBy(col("event_type").as("et"))
+          .agg(avg("value").as("mu"), stddev("value").as("sd"))
+        Tables.events(s, d)
+          .join(broadcast(stats), col("event_type") === col("et"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(when(abs((col("value") - col("mu")) / col("sd")) > 3, 1L)
+                 .otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH stats AS (SELECT event_type AS et, avg(value) AS mu, stddev_samp(value) AS sd
+             |               FROM events GROUP BY event_type)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN abs((value - mu) / sd) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM events JOIN stats ON event_type = et
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // fixed-width histogram of a measure column (20 × 25-unit bins)
+    "ev_histogram" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(least(floor(col("value") / 25.0), lit(19.0)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("bin"),
+      Some("""SELECT CAST(least(floor(value / 25.0), 19.0) AS BIGINT) AS bin,
+             |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // heavy hitters via a mergeable Space-Saving sketch: m counters
+    // per map task, m rows per partition through the shuffle — the
+    // 100 TB answer to "top tokens" without grouping every distinct
+    // key. Oracled on the bounded event_type domain, where m exceeds
+    // the true distinct count and the sketch is provably exact
+    // (err = 0); the N/m frequency + error-bound guarantees on a
+    // genuinely-sketched domain are covered by HeavyHittersSpec.
+    "ev_heavy_hitters" -> Q(
+      (s, d) => Tables.events(s, d)
+        .agg(graft.ops.HeavyHitters.heavyHitters(64)(col("event_type")).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.key").as("key"), col("h.count").as("count"),
+          col("h.err").as("err"))
+        .orderBy(col("count").desc, col("key")),
+      Some("""SELECT event_type AS key, CAST(count(*) AS BIGINT) AS count,
+             |       CAST(0 AS BIGINT) AS err
+             |FROM events GROUP BY event_type
+             |ORDER BY count DESC, key""".stripMargin)),
+
+    // ordered funnel: signup → first click after signup → first
+    // purchase after that click, per user (µs both sides)
+    "ev_funnel" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ats"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ats").as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ats") >= col("t1"))
+          .groupBy("user_id").agg(min("ats").as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ats") >= col("t2"))
+          .groupBy("user_id").agg(min("ats").as("t3"))
+        s1.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ats FROM events),
+             |s1 AS (SELECT user_id, min(ats) AS t1 FROM ev
+             |       WHERE event_type = 'signup' GROUP BY user_id),
+             |s2 AS (SELECT ev.user_id, min(ats) AS t2 FROM ev JOIN s1 USING (user_id)
+             |       WHERE event_type = 'click' AND ats >= t1 GROUP BY ev.user_id),
+             |s3 AS (SELECT ev.user_id, min(ats) AS t3 FROM ev JOIN s2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND ats >= t2 GROUP BY ev.user_id)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_after,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_after""".stripMargin)),
+
+    // cohort retention: users active in their first day who return in
+    // any of days 2..7 (µs days both sides)
+    "ev_retention" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+        val d0 = ev.groupBy("user_id").agg(min("day").as("day0"))
+        // retained := a HEAVY (>=14-event) return week — with bare
+        // "appeared again" every user of this corpus retains (round-11
+        // degeneracy fix)
+        val ret = ev.join(d0, "user_id")
+          .filter(col("day") > col("day0") && col("day") <= col("day0") + 7)
+          .groupBy("user_id").agg(count(lit(1)).as("k"))
+          .filter(col("k") >= 14).select("user_id")
+        d0.agg(count(lit(1)).as("n_users"))
+          .crossJoin(ret.agg(count(lit(1)).as("n_retained")))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+             |d0 AS (SELECT user_id, min(day) AS day0 FROM ev GROUP BY user_id),
+             |ret AS (SELECT user_id FROM ev JOIN d0 USING (user_id)
+             |        WHERE day > day0 AND day <= day0 + 7
+             |        GROUP BY user_id HAVING count(*) >= 14)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d0) AS n_users,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM ret) AS n_retained""".stripMargin)),
+
+    // bounded-lookback EWMA per user (the streaming-safe form of
+    // exponential smoothing): 8 explicit lag terms with weights
+    // α(1-α)^k, α=0.5, normalized over the lags actually present.
+    // A truly recursive EWMA is order-dependent and non-mergeable;
+    // the bounded form is a fixed-size window expression — per-user
+    // partitions, 8-row frames, identical left-associated arithmetic
+    // on both engines
+    "ev_ewma_bounded" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val terms = (0 to 7).map { k =>
+          val lv = if (k == 0) col("value") else lag(col("value"), k).over(w)
+          val wk = lit(0.5 * math.pow(0.5, k))
+          (when(lv.isNotNull, lv * wk).otherwise(lit(0.0)),
+           when(lv.isNotNull, wk).otherwise(lit(0.0)))
+        }
+        val num = terms.map(_._1).reduceLeft(_ + _)
+        val den = terms.map(_._2).reduceLeft(_ + _)
+        // all-lags-null (e.g. a user whose every value is NULL) makes
+        // den 0 → NULL the smoothed value on both engines instead of
+        // inheriting a 0/0 convention
+        ev.withColumn("ewma",
+            when(den === 0, lit(null).cast("double")).otherwise(round(num / den, 4)))
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("event_id"), round(col("value"), 4).as("v"),
+                  col("ewma"))
+          .orderBy("user_id", "event_id")
+      },
+      Some {
+        val lags = (0 to 7).map { k =>
+          val lv = if (k == 0) "value"
+                   else s"lag(value, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+          (s"l$k", lv, 0.5 * math.pow(0.5, k))
+        }
+        val defs = lags.map { case (n, e, _) => s"$e AS $n" }.mkString(", ")
+        val num = lags.map { case (n, _, w) => s"CASE WHEN $n IS NOT NULL THEN $n * $w ELSE 0.0 END" }
+          .mkString(" + ")
+        val den = lags.map { case (n, _, w) => s"CASE WHEN $n IS NOT NULL THEN $w ELSE 0.0 END" }
+          .mkString(" + ")
+        s"""SELECT user_id, event_id, round(value, 4) AS v,
+           |       CASE WHEN ($den) = 0 THEN NULL
+           |            ELSE round(($num) / ($den), 4) END AS ewma
+           |FROM (SELECT user_id, event_id, value, $defs FROM events)
+           |WHERE user_id < 20
+           |ORDER BY user_id, event_id""".stripMargin
+      }),
+
+    // event-type transition matrix (Markov chain over each user's
+    // ordered event stream): lead() inside the per-user partition is
+    // bounded by session length; transition probabilities come from a
+    // broadcast per-from_type total join, NOT a global window — the
+    // counts table is |event_type|² rows regardless of corpus size
+    "ev_transitions" -> Q(
+      (s, d) => {
+        // derives from the shared transitionCells materialization:
+        // zero fact scans here — the lead() pass ran once per process
+        val pairs = transitionCells(s, d).filter(col("to_type").isNotNull)
+        val totals = pairs.groupBy("from_type").agg(sum("n").as("tot"))
+        pairs.join(broadcast(totals), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+                  round(col("n") / col("tot"), 4).as("p"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH tr AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |        FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+             |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY from_type)
+             |SELECT from_type, to_type, n, round(n * 1.0 / tot, 4) AS p
+             |FROM cnt JOIN tot USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // higher-moment distribution stats (skewness / excess kurtosis)
+    // per group, computed from raw power sums in ONE hash aggregate —
+    // the formulas are written identically on both sides so the
+    // engines agree bit-for-bit after rounding (built-in skewness()
+    // differs between engines on sample-vs-population convention)
+    "stat_moments" -> Q(
+      (s, d) => {
+        // TWO-PASS centered moments: a per-type mean (tiny broadcast)
+        // then sums of (v − μ)^k. Raw power sums cancel catastrophically
+        // on large-mean data (Σv⁴ − 4μΣv³ + … subtracts huge nearly-
+        // equal terms); the centered form keeps every addend small, so
+        // the 4-decimal round is stable under Spark's nondeterministic
+        // partial-agg order. The broadcast μ is ROUNDED to 6 so both
+        // engines center on the identical value. Zero-variance guard:
+        // a constant group NULLs skew/kurt on both engines rather than
+        // surfacing either's divide-by-zero convention.
+        val ev = Tables.events(s, d)
+        val mus = ev.groupBy("event_type")
+          .agg(round(sum("value") / count(lit(1)), 6).as("mu"))
+        val vr = col("m2s") / col("n")
+        ev.join(broadcast(mus), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("double").as("n"), max("mu").as("mu"),
+               sum(pow(col("value") - col("mu"), 2)).as("m2s"),
+               sum(pow(col("value") - col("mu"), 3)).as("m3s"),
+               sum(pow(col("value") - col("mu"), 4)).as("m4s"))
+          .select(col("event_type"), col("n").cast("long").as("n_rows"),
+                  round(col("mu"), 4).as("mean"),
+                  round(vr, 4).as("var_pop"),
+                  when(vr <= 0, lit(null).cast("double")).otherwise(
+                    round((col("m3s") / col("n")) / pow(vr, 1.5), 4)).as("skew"),
+                  when(vr <= 0, lit(null).cast("double")).otherwise(
+                    round((col("m4s") / col("n")) / pow(vr, 2) - lit(3), 4)).as("kurt"))
+          .orderBy("event_type")
+      },
+      Some("""WITH mus AS (
+             |  SELECT event_type, round(sum(value) / count(*), 6) AS mu
+             |  FROM events GROUP BY event_type),
+             |cm AS (
+             |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n, max(mu) AS mu,
+             |         sum(pow(value - mu, 2)) AS m2s,
+             |         sum(pow(value - mu, 3)) AS m3s,
+             |         sum(pow(value - mu, 4)) AS m4s
+             |  FROM events JOIN mus USING (event_type)
+             |  GROUP BY event_type)
+             |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+             |       round(mu, 4) AS mean,
+             |       round(m2s / n, 4) AS var_pop,
+             |       CASE WHEN m2s / n <= 0 THEN NULL ELSE
+             |         round((m3s / n) / pow(m2s / n, 1.5), 4) END AS skew,
+             |       CASE WHEN m2s / n <= 0 THEN NULL ELSE
+             |         round((m4s / n) / pow(m2s / n, 2) - 3, 4) END AS kurt
+             |FROM cm ORDER BY event_type""".stripMargin)),
+
+    // winsorized robust aggregation: per-type p01/p99 cutoffs as ONE
+    // tiny aggregate broadcast back (the text_ccnet_bins shape on the
+    // measure axis), values clipped map-side — the outlier-tolerant
+    // mean a metrics pipeline reports next to the raw one. Cutoffs
+    // rounded to 6 before the comparison so an interpolation ulp
+    // can't flip a boundary row on one engine only
+    "ev_winsorize" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cuts = ev.groupBy("event_type")
+          .agg(expr("percentile(value, array(0.01D, 0.99D))").as("ps"))
+          .select(col("event_type"), round(element_at(col("ps"), 1), 6).as("lo"),
+                  round(element_at(col("ps"), 2), 6).as("hi"))
+        // NULL measurements stay NULL: least/greatest SKIP nulls on
+        // both engines, so an unguarded clip would impute hi for a
+        // missing value and silently inflate mean_wins
+        ev.join(broadcast(cuts), "event_type")
+          .select(col("event_type"), col("value"),
+                  when(col("value").isNull, lit(null).cast("double"))
+                    .otherwise(greatest(least(col("value"), col("hi")), col("lo")))
+                    .as("wv"),
+                  when(col("value") < col("lo") || col("value") > col("hi"), 1)
+                    .otherwise(0).as("clipped"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("clipped").as("n_clipped"),
+               round(avg("value"), 4).as("mean_raw"),
+               round(avg("wv"), 4).as("mean_wins"))
+          .orderBy("event_type")
+      },
+      Some("""WITH cuts AS (
+             |  SELECT event_type, round(quantile_cont(value, 0.01), 6) AS lo,
+             |         round(quantile_cont(value, 0.99), 6) AS hi
+             |  FROM events GROUP BY event_type)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+             |       round(avg(value), 4) AS mean_raw,
+             |       round(avg(CASE WHEN value IS NULL THEN NULL
+             |                 ELSE greatest(least(value, hi), lo) END), 4) AS mean_wins
+             |FROM events JOIN cuts USING (event_type)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // last-touch attribution: every purchase credited to the campaign
+    // (props.k mod 10) of the user's latest click at or before it —
+    // one RUNNING per-user window (last(...ignoreNulls) over an
+    // incremental frame, O(1) per row in WindowExec), then a tiny
+    // groupBy; no self-join, no inequality join
+    "ev_attribution" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+                  col("value"),
+                  get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .withColumn("lck",
+            last(when(col("event_type") === "click", col("k")), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "purchase")
+          .select(coalesce(pmod(col("lck"), lit(10)), lit(-1L)).as("campaign"),
+                  col("value"))
+          .groupBy("campaign")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("revenue"))
+          .orderBy("campaign")
+      },
+      Some("""WITH a AS (
+             |  SELECT event_type, value,
+             |         last_value(CASE WHEN event_type = 'click'
+             |                    THEN json_extract_string(props, '$.k')::BIGINT END
+             |                    IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lck
+             |  FROM events)
+             |SELECT coalesce(((lck % 10) + 10) % 10, -1) AS campaign,
+             |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS revenue
+             |FROM a WHERE event_type = 'purchase'
+             |GROUP BY campaign ORDER BY campaign""".stripMargin)),
+
+    // RFM segmentation: per-user purchase frequency/monetary rolled
+    // into quintile scores against GLOBAL cutoffs computed as one
+    // 1-row aggregate and broadcast (the text_ccnet_bins idiom on the
+    // user axis); recency reported as average days-since-last-purchase
+    // per segment. Cutoffs rounded to 6 so an interpolation ulp can't
+    // move a user across a quintile edge on one engine only
+    "ev_rfm" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val mx = ev.agg(max("ts").as("mts"))
+        // a user whose every purchase value is NULL has m = NULL and
+        // would fall through all quintile predicates to otherwise(5) —
+        // exclude unknown-revenue users instead of mis-ranking them top
+        val pur = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("f"), round(sum("value"), 6).as("m"),
+               max("ts").as("uts"))
+          .filter(col("m").isNotNull)
+        val cuts = pur.agg(
+            expr("percentile(f, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fc"),
+            expr("percentile(m, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mc"))
+          .select((1 to 4).flatMap(k => Seq(
+            round(element_at(col("fc"), k), 6).as(s"fc$k"),
+            round(element_at(col("mc"), k), 6).as(s"mc$k"))): _*)
+        def score(v: Column, p: String): Column =
+          when(v <= col(p + "1"), 1).when(v <= col(p + "2"), 2)
+            .when(v <= col(p + "3"), 3).when(v <= col(p + "4"), 4).otherwise(5)
+        pur.crossJoin(broadcast(cuts)).crossJoin(broadcast(mx))
+          .select(score(col("f"), "fc").as("fscore"),
+                  score(col("m"), "mc").as("mscore"),
+                  expr("(mts - uts) DIV 86400000000000").as("rdays"))
+          .groupBy("fscore", "mscore")
+          .agg(count(lit(1)).as("n_users"),
+               round(avg("rdays"), 2).as("avg_recency_days"))
+          .orderBy("fscore", "mscore")
+      },
+      Some("""WITH pur AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS f,
+             |         round(sum(value), 6) AS m, max(epoch_ns(ts)) AS uts
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+             |  HAVING sum(value) IS NOT NULL),
+             |mx AS (SELECT max(epoch_ns(ts)) AS mts FROM events),
+             |cuts AS (SELECT round(quantile_cont(f, 0.2), 6) AS fc1,
+             |                round(quantile_cont(f, 0.4), 6) AS fc2,
+             |                round(quantile_cont(f, 0.6), 6) AS fc3,
+             |                round(quantile_cont(f, 0.8), 6) AS fc4,
+             |                round(quantile_cont(m, 0.2), 6) AS mc1,
+             |                round(quantile_cont(m, 0.4), 6) AS mc2,
+             |                round(quantile_cont(m, 0.6), 6) AS mc3,
+             |                round(quantile_cont(m, 0.8), 6) AS mc4
+             |         FROM pur)
+             |SELECT fscore, mscore, CAST(count(*) AS BIGINT) AS n_users,
+             |       round(avg(rdays), 2) AS avg_recency_days
+             |FROM (
+             |  SELECT CASE WHEN f <= fc1 THEN 1 WHEN f <= fc2 THEN 2
+             |              WHEN f <= fc3 THEN 3 WHEN f <= fc4 THEN 4 ELSE 5 END AS fscore,
+             |         CASE WHEN m <= mc1 THEN 1 WHEN m <= mc2 THEN 2
+             |              WHEN m <= mc3 THEN 3 WHEN m <= mc4 THEN 4 ELSE 5 END AS mscore,
+             |         (mts - uts) // 86400000000000 AS rdays
+             |  FROM pur, cuts, mx)
+             |GROUP BY fscore, mscore ORDER BY fscore, mscore""".stripMargin)),
+
+    // Benford first-digit audit (fraud/data-quality screen): leading
+    // digit via floor(v / 10^floor(log10 v)) — exact for powers of 10
+    // on both engines (Java documents log10(10^n) = n; glibc is
+    // correctly rounded) — vs the Benford expectation log10(1 + 1/d),
+    // with the per-digit chi-square contribution. One hash agg + a
+    // 1-row broadcast total; 9 output rows
+    "ev_benford" -> Q(
+      (s, d) => {
+        // NaN > 0 is TRUE on both engines, and DuckDB errors on
+        // CAST(NaN AS BIGINT) — screen NaN out explicitly
+        val pos = Tables.events(s, d)
+          .filter(col("value") > 0 && !isnan(col("value")))
+          .select(floor(col("value") / pow(lit(10.0), floor(log10(col("value")))))
+            .cast("long").as("digit"))
+        val tot = pos.agg(count(lit(1)).cast("double").as("n"))
+        val expP = round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+        pos.groupBy("digit").agg(count(lit(1)).as("obs"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("obs"),
+            round(col("obs") / col("n"), 4).as("obs_p"), expP.as("exp_p"),
+            round(col("n") * pow(col("obs") / col("n") - expP, 2) / expP, 4)
+              .as("chi2_term"))
+          .orderBy("digit")
+      },
+      Some("""WITH pos AS (
+             |  SELECT CAST(floor(value / pow(10.0, floor(log10(value)))) AS BIGINT) AS digit
+             |  FROM events WHERE value > 0 AND NOT isnan(value)),
+             |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pos)
+             |SELECT digit, CAST(count(*) AS BIGINT) AS obs,
+             |       round(count(*) / n, 4) AS obs_p,
+             |       round(log10(1.0 + 1.0 / digit), 6) AS exp_p,
+             |       round(n * pow(count(*) / n - round(log10(1.0 + 1.0 / digit), 6), 2)
+             |             / round(log10(1.0 + 1.0 / digit), 6), 4) AS chi2_term
+             |FROM pos, tot GROUP BY digit, n ORDER BY digit""".stripMargin)),
+
+    // DAU / rolling-7-day WAU: daily active users from one distinct
+    // agg; the weekly window is NOT a sliding distinct (not
+    // decomposable) but a bounded 7-way fan-out of the (day, user)
+    // DISTINCT pairs — each pair contributes to 7 target days, then
+    // one distinct agg per target day. Shuffle scales with active
+    // (day, user) pairs, never raw events
+    "ev_dau_wau" -> Q(
+      (s, d) => {
+        val du = Tables.events(s, d)
+          .select(expr("ts DIV 86400000000000").as("day"), col("user_id"))
+          .distinct()
+        // du is already distinct on (day, user): dau is a plain count
+        // (no second distinct expand); only the wau branch needs
+        // countDistinct because the fan-out duplicates users across
+        // target days
+        val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = du
+          .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+                  col("user_id"))
+          .groupBy("day").agg(countDistinct("user_id").as("wau"))
+        dau.join(wau, "day").orderBy("day")
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+             |  FROM events),
+             |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+             |        FROM du GROUP BY day),
+             |fan AS (SELECT CAST(unnest(generate_series(day, day + 6)) AS BIGINT) AS day,
+             |               user_id
+             |        FROM du),
+             |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+             |        FROM fan GROUP BY day)
+             |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+             |ORDER BY day""".stripMargin)),
+
+    // Pareto concentration: what share of all events comes from the
+    // top-decile users — the skew audit that motivates every salted
+    // aggregation in this engine. Cutoff = one 1-row percentile
+    // aggregate broadcast back (rounded to 6, the quintile idiom)
+    "ev_pareto" -> Q(
+      (s, d) => {
+        val cnt = Tables.events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("n"))
+        val cut = cnt.agg(round(expr("percentile(n, 0.9D)"), 6).as("c"),
+                          sum("n").as("tot"), count(lit(1)).as("n_users"))
+        cnt.crossJoin(broadcast(cut))
+          .groupBy("c", "tot", "n_users")
+          .agg(sum(when(col("n") >= col("c"), col("n")).otherwise(0L)).as("te"),
+               sum(when(col("n") >= col("c"), 1L).otherwise(0L)).as("top_users"))
+          .select(col("n_users"), col("top_users"),
+                  round(col("te") / col("tot").cast("double"), 4).as("top_share"),
+                  round(col("c"), 4).as("p90_cut"))
+      },
+      Some("""WITH cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+             |             FROM events GROUP BY user_id),
+             |cut AS (SELECT round(quantile_cont(n, 0.9), 6) AS c,
+             |               CAST(sum(n) AS BIGINT) AS tot,
+             |               CAST(count(*) AS BIGINT) AS n_users FROM cnt)
+             |SELECT n_users,
+             |       CAST(sum(CASE WHEN n >= c THEN 1 ELSE 0 END) AS BIGINT) AS top_users,
+             |       round(sum(CASE WHEN n >= c THEN n ELSE 0 END)
+             |             / CAST(tot AS DOUBLE), 4) AS top_share,
+             |       round(c, 4) AS p90_cut
+             |FROM cnt, cut GROUP BY n_users, c, tot""".stripMargin)),
+
+    // signup→purchase conversion latency: first event of each type per
+    // user (two tiny per-user aggs), then hour-latency percentiles —
+    // the funnel-timing complement to ev_funnel's ordering counts
+    "ev_conversion_lag" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def firstOf(t: String, as: String) = ev
+          .filter(col("event_type") === t)
+          .groupBy("user_id").agg(min("ts").as(as))
+        firstOf("signup", "su").join(firstOf("purchase", "pu"), "user_id")
+          .filter(col("pu") >= col("su"))
+          .select(((col("pu") - col("su")) / lit(3600000000000.0)).as("h"))
+          .agg(count(lit(1)).as("n_converted"),
+               expr("percentile(h, array(0.5D, 0.9D))").as("ps"))
+          .select(col("n_converted"),
+                  round(element_at(col("ps"), 1), 4).as("p50_h"),
+                  round(element_at(col("ps"), 2), 4).as("p90_h"))
+      },
+      Some("""WITH su AS (SELECT user_id, min(epoch_ns(ts)) AS su
+             |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |pu AS (SELECT user_id, min(epoch_ns(ts)) AS pu
+             |       FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+             |h AS (SELECT (pu - su) / 3600000000000.0 AS h
+             |      FROM su JOIN pu USING (user_id) WHERE pu >= su)
+             |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             |       round(quantile_cont(h, 0.5), 4) AS p50_h,
+             |       round(quantile_cont(h, 0.9), 4) AS p90_h
+             |FROM h""".stripMargin)),
+
+    "ev_window_agg" -> Q(
+      (s, d) => Tables.events(s, d)
+        .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("hour_bucket", "event_type"),
+      Some("""SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, event_type,
+             |       CAST(count(*) AS BIGINT) AS n, round(sum(value),4) AS sum_value
+             |FROM events GROUP BY hour_bucket, event_type
+             |ORDER BY hour_bucket, event_type""".stripMargin)),
+
+    // throttle-style debounce: an event is dropped when it arrives
+    // within 5 s of the PREVIOUS RAW event of the same (user, type) —
+    // one lag over the per-key window, exact integer nanos on both
+    // engines. The dedup a clickstream pipeline runs before counting.
+    "ev_debounce" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("kept",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(5000000000L), 1L).otherwise(0L))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_raw"), sum("kept").as("n_kept"))
+          .orderBy("event_type")
+      },
+      Some("""WITH k AS (
+             |  SELECT event_type,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 5000000000
+             |              THEN 1 ELSE 0 END AS kept
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw,
+             |       CAST(sum(kept) AS BIGINT) AS n_kept
+             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // top-10 session path prefixes: sessionize (gap>30min), take each
+    // session's first 3 event types in (ts, event_id) order, count
+    // paths. The per-session slice is bounded (3) and the path
+    // vocabulary ≤ |types|^3, so the final agg is tiny at any scale;
+    // sort_array on the collected (ts,event_id,type) structs makes
+    // the slice deterministic where collect_list alone is not.
+    "ev_session_paths" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(1800000000000L), 1).otherwise(0))
+          .withColumn("session_id",
+            sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+          .select(array_join(
+            expr("transform(slice(evs, 1, 3), x -> x.event_type)"), ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(10)
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g),
+             |r AS (SELECT user_id, session_id, event_type,
+             |             row_number() OVER (PARTITION BY user_id, session_id
+             |                                ORDER BY ts, event_id) AS rn
+             |      FROM s),
+             |p AS (SELECT user_id, session_id,
+             |             string_agg(event_type, '>' ORDER BY rn) AS path
+             |      FROM r WHERE rn <= 3 GROUP BY user_id, session_id)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n
+             |FROM p GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin)),
+
+    // full weekly cohort retention triangle (generalizes the single
+    // 7-day cell of ev_retention): cohort week = first active week,
+    // one row per (cohort, week offset). Active set is distinct
+    // (user, week) BEFORE the join, so shuffle ∝ active pairs; cohort
+    // sizes are a tiny broadcast frame.
+    "ev_cohort_triangle" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000 DIV 7").as("wk"))
+        val c0 = ev.groupBy("user_id").agg(min("wk").as("w0"))
+        val sz = c0.groupBy("w0").agg(count(lit(1)).as("n_cohort"))
+        // active cell := a HEAVY (>=14-event) week — bare incidence
+        // keeps every cell at 100% on this corpus (round-11 fix)
+        ev.groupBy("user_id", "wk").agg(count(lit(1)).as("k"))
+          .filter(col("k") >= 14).select("user_id", "wk")
+          .join(c0, "user_id")
+          .groupBy(col("w0"), (col("wk") - col("w0")).as("wk_off"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sz), "w0")
+          .select(col("w0"), col("wk_off"), col("n_active"),
+            round(col("n_active") / col("n_cohort"), 4).as("pct"))
+          .orderBy("w0", "wk_off")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS wk FROM events),
+             |c0 AS (SELECT user_id, min(wk) AS w0 FROM ev GROUP BY user_id),
+             |sz AS (SELECT w0, CAST(count(*) AS BIGINT) AS n_cohort FROM c0 GROUP BY w0),
+             |act AS (SELECT w0, wk - w0 AS wk_off, CAST(count(*) AS BIGINT) AS n_active
+             |        FROM (SELECT user_id, wk FROM ev
+             |              GROUP BY 1, 2 HAVING count(*) >= 14) du JOIN c0 USING (user_id)
+             |        GROUP BY w0, wk_off)
+             |SELECT w0, wk_off, n_active, round(n_active * 1.0 / n_cohort, 4) AS pct
+             |FROM act JOIN sz USING (w0) ORDER BY w0, wk_off""".stripMargin)),
+
+    // seasonal-baseline anomaly detection: the 3σ rule of ev_outliers
+    // but against a PER-HOUR-OF-DAY profile per type (≤ 24·|types|
+    // rows, broadcast), so a nightly lull doesn't mask a daytime
+    // spike. The profile is one agg over the facts; flagging is a
+    // broadcast join — two passes, no windows.
+    "ts_seasonal" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("hod", expr("(ts DIV 3600000000000) % 24"))
+        val prof = ev.groupBy(col("event_type").as("et"), col("hod").as("h"))
+          .agg(avg("value").as("mu"), stddev("value").as("sd"))
+        ev.join(broadcast(prof), col("event_type") === col("et") && col("hod") === col("h"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(when(abs((col("value") - col("mu")) / col("sd")) > 3, 1L)
+                 .otherwise(0L)).as("n_anom"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, value,
+             |                  (epoch_ns(ts) // 3600000000000) % 24 AS hod
+             |           FROM events),
+             |prof AS (SELECT event_type AS et, hod AS h, avg(value) AS mu,
+             |                stddev_samp(value) AS sd
+             |         FROM e GROUP BY et, h)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN abs((value - mu) / sd) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+             |FROM e JOIN prof ON event_type = et AND hod = h
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // association rules over per-user event-type sets: support /
+    // confidence / lift for every ordered type pair. The self-join is
+    // on user_id over the DISTINCT (user, type) table, so per-user
+    // fan-out is bounded by |types| choose 2 and the partial agg
+    // collapses to ≤ |types|² groups map-side; totals broadcast.
+    // Lift's n_a·n_b product goes through double — at 1e9 users a
+    // long×long product would wrap.
+    "ev_assoc_rules" -> Q(
+      (s, d) => {
+        // heavy (>=13-event) per-user type memberships: with bare
+        // incidence every user holds every type and all rules have
+        // support 1.0 (round-11 degeneracy fix, the stat_cochran_q
+        // threshold)
+        val ut = Tables.events(s, d).groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("k")).filter(col("k") >= 13)
+          .select("user_id", "event_type")
+        val nu = ut.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
+        val pair = ut.toDF("user_id", "ta").join(ut.toDF("user_id", "tb"), "user_id")
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("n_both"))
+        val cnt = ut.groupBy("event_type").agg(count(lit(1)).as("c"))
+        pair.join(broadcast(cnt.toDF("ta", "n_a")), "ta")
+          .join(broadcast(cnt.toDF("tb", "n_b")), "tb")
+          .crossJoin(broadcast(nu))
+          .select(col("ta"), col("tb"), col("n_both"),
+            round(col("n_both") / col("n_users"), 4).as("support"),
+            round(col("n_both") / col("n_a"), 4).as("conf"),
+            round(col("n_both").cast("double") * col("n_users")
+              / (col("n_a").cast("double") * col("n_b")), 4).as("lift"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH ut AS (SELECT user_id, event_type FROM events
+             |        GROUP BY 1, 2 HAVING count(*) >= 13),
+             |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+             |pair AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             |                CAST(count(*) AS BIGINT) AS n_both
+             |         FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |                           AND a.event_type < b.event_type
+             |         GROUP BY ta, tb),
+             |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY event_type)
+             |SELECT ta, tb, n_both,
+             |       round(n_both * 1.0 / n_users, 4) AS support,
+             |       round(n_both * 1.0 / ca.c, 4) AS conf,
+             |       round(CAST(n_both AS DOUBLE) * n_users / (CAST(ca.c AS DOUBLE) * cb.c), 4) AS lift
+             |FROM pair JOIN cnt ca ON ca.event_type = ta
+             |          JOIN cnt cb ON cb.event_type = tb
+             |          CROSS JOIN nu
+             |ORDER BY ta, tb""".stripMargin)),
+
+    // PageRank over the event-type transition graph, 10 fixed
+    // iterations (damping 0.85, no dangling redistribution — every
+    // observed type has outgoing mass here and the oracle mirrors the
+    // simplification). The data-scale work is ONE distributed pass
+    // building the ≤|types|²-row edge table; the power loop then runs
+    // driver-side over those bounded rows (the Ann-probe bounded-
+    // collect altitude) — composing 10 iterations into the plan
+    // re-derives the fact-table lineage per iteration, i.e. 10 full
+    // scans at 100 TB for a 5×5 matrix-vector product.
+    "graph_pagerank" -> Q(
+      (s, d) => {
+        // edge counts AND the node set both come from the shared
+        // transitionCells table (to_type-NULL rows kept there mean
+        // distinct from_type = distinct event_type over all events)
+        val cells0 = transitionCells(s, d)
+        val cntE = cells0
+          .filter(col("to_type").isNotNull && col("from_type").isNotNull)
+          .select(col("from_type").as("src"), col("to_type").as("dst"), col("n"))
+        val tot = cntE.groupBy("src").agg(sum("n").as("tot"))
+        val edges = cntE.join(broadcast(tot), "src")
+          .select(col("src"), col("dst"), (col("n") / col("tot")).as("p"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        val nodes = cells0.filter(col("from_type").isNotNull)
+          .select(col("from_type")).distinct()
+          .collect().map(_.getString(0)).sorted
+        val nN = nodes.length
+        var rank = nodes.map(t => t -> 1.0 / nN).toMap
+        for (_ <- 1 to 10) {
+          val inr = edges.groupBy(_._2).map { case (dst, es) =>
+            dst -> es.map(e => e._3 * rank(e._1)).sum }
+          rank = nodes.map(t => t -> (0.15 / nN + 0.85 * inr.getOrElse(t, 0.0))).toMap
+        }
+        import s.implicits._
+        rank.toSeq.sortBy(_._1).toDF("t", "r0")
+          .select(col("t"), round(col("r0"), 6).as("pr"))
+      },
+      Some(s"""WITH tr AS (
+              |  SELECT event_type AS src,
+              |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+              |  FROM events),
+              |cnt AS (SELECT src, dst, count(*) AS n FROM tr
+              |        WHERE dst IS NOT NULL AND src IS NOT NULL GROUP BY src, dst),
+              |tot AS (SELECT src, sum(n) AS tot FROM cnt GROUP BY src),
+              |e AS (SELECT src, dst, n * 1.0 / tot AS p FROM cnt JOIN tot USING (src)),
+              |nodes AS (SELECT DISTINCT event_type AS t FROM events
+              |          WHERE event_type IS NOT NULL),
+              |nn AS (SELECT count(*) AS nn FROM nodes),
+              |it0 AS (SELECT t, 1.0 / nn AS r FROM nodes, nn),
+              |${pagerankIterSql(10)}
+              |SELECT t, round(r, 6) AS pr FROM it10 ORDER BY t""".stripMargin)),
+
+    // SCD type-2 interval build: collapse each user's event stream
+    // into validity intervals of the current event type (the
+    // dimension-history construction warehouses run nightly). Change
+    // points survive a lag(type) filter; valid_to is lead(ts) over
+    // the FILTERED frame — two per-user windows over one fact scan,
+    // no self-join, no global sort; output ∝ type CHANGES, not events.
+    // valid_to is NULL on each user's open (current) interval.
+    "ev_scd2" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("pt", lag(col("event_type"), 1).over(w))
+          .filter(col("pt").isNull || !(col("pt") <=> col("event_type")))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          // μs, not ns: DuckDB truncates TIMESTAMP(NANOS) to micros on
+          // read, so emitted bounds must be micro-granular to compare
+          .select(col("user_id"), col("event_id"), col("event_type"),
+                  expr("ts DIV 1000").as("valid_from"),
+                  expr("valid_to DIV 1000").as("valid_to"))
+          .orderBy("user_id", "valid_from", "event_id")
+      },
+      Some("""WITH ch AS (
+             |  SELECT user_id, event_id, event_type, ts,
+             |         lag(event_type) OVER w AS pt,
+             |         CASE WHEN lag(event_type) OVER w IS NULL THEN 1
+             |              WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1
+             |              ELSE 0 END AS chg
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |iv AS (
+             |  SELECT user_id, event_id, event_type,
+             |         epoch_ns(ts) // 1000 AS valid_from,
+             |         epoch_ns(lead(ts) OVER (PARTITION BY user_id
+             |                                 ORDER BY ts, event_id)) // 1000 AS valid_to
+             |  FROM ch WHERE chg = 1)
+             |SELECT user_id, event_id, event_type, valid_from, valid_to
+             |FROM iv ORDER BY user_id, valid_from, event_id""".stripMargin)),
+
+    // lag-k autocorrelation (k = 1..3) of the hourly event-count
+    // series per type, computed on the AGGREGATED (type, hour) frame
+    // (≤ |types|·|hours| rows): the facts are scanned ONCE into the
+    // hourly rollup; lag alignment is an equi-join of that tiny frame
+    // with itself on hour+k — no window over facts, no dense spine.
+    // Hours missing from the series simply contribute no pair (the
+    // irregular-sampling ACF convention).
+    "ts_acf" -> Q(
+      (s, d) => {
+        // materialized once (the Dedup localCheckpoint idiom): both
+        // sides of the lag alignment read this tiny rollup, and the
+        // fact table must not be scanned twice to build it
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), expr("ts DIV 3600000000000").as("h"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .localCheckpoint(eager = false)
+        val a = hourly
+          .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
+        val b = hourly.select(col("event_type").as("et2"),
+          col("h").as("hb"), col("c").as("cb"))
+        // hb = h + k is an equality between a left expression and a
+        // right attribute, so Catalyst keys the shuffle on it — the
+        // join stays an equi-join on (type, aligned hour), never a
+        // per-type cross of hours
+        a.join(b, col("event_type") === col("et2") &&
+            col("hb") === col("h") + col("k"))
+          .groupBy("event_type", "k")
+          .agg(count(lit(1)).as("n_pairs"), round(corr("c", "cb"), 4).as("acf"))
+          .orderBy("event_type", "k")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+             |         CAST(count(*) AS DOUBLE) AS c
+             |  FROM events GROUP BY 1, 2),
+             |l AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS k),
+             |p AS (SELECT a.event_type, l.k, a.c AS ca, b.c AS cb
+             |      FROM hourly a CROSS JOIN l
+             |      JOIN hourly b ON b.event_type = a.event_type AND b.h = a.h + l.k)
+             |SELECT event_type, k, CAST(count(*) AS BIGINT) AS n_pairs,
+             |       round(corr(ca, cb), 4) AS acf
+             |FROM p GROUP BY event_type, k ORDER BY event_type, k""".stripMargin)),
+
+    // cross-correlation function clicks→purchases at lags −3..+3
+    // days: does click volume LEAD purchase volume (positive lag) or
+    // lag it — the campaign-attribution sanity check next to ts_acf.
+    // Both series come out of ONE conditional grouped pass over the
+    // facts (never two scans); the lag alignment is the ts_acf
+    // equi-join idiom (day+k on the left keys the shuffle), on the
+    // checkpointed O(days) frame.
+    "ts_ccf" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts DIV 86400000000000").as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+                 .cast("double").as("x"),
+               sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                 .cast("double").as("y"))
+          .localCheckpoint(eager = false) // both sides of the alignment
+        val a = daily.withColumn("k",
+          explode(array((-3 to 3).map(i => lit(i.toLong)): _*)))
+        val b = daily.select(col("day").as("db"), col("y").as("yb"))
+        a.join(b, col("db") === col("day") + col("k"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_pairs"), round(corr(col("x"), col("yb")), 4).as("ccf"))
+          .orderBy("k")
+      },
+      Some("""WITH daily AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1),
+             |l AS (SELECT CAST(unnest([-3, -2, -1, 0, 1, 2, 3]) AS BIGINT) AS k),
+             |p AS (SELECT l.k, a.x, b.y AS yb
+             |      FROM daily a CROSS JOIN l
+             |      JOIN daily b ON b.day = a.day + l.k)
+             |SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+             |       round(corr(x, yb), 4) AS ccf
+             |FROM p GROUP BY k ORDER BY k""".stripMargin)),
+
+    // Pettitt changepoint test on the daily purchase series: the
+    // rank-based (outlier-proof) "did the level shift, and when"
+    // test. s_t = Σ_j sign(v_t − v_j) comes from the |days|² pair
+    // frame — bounded by the CALENDAR squared (3650² ≈ 13M at a
+    // 10-year retention horizon), never by corpus rows — and
+    // U_t = cumsum(s_t) is the standard Pettitt recurrence. All
+    // integer arithmetic until the final p-value, so both engines
+    // agree bit-for-bit on K and the changepoint day.
+    "ts_pettitt" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts DIV 86400000000000").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("v"))
+          .localCheckpoint(eager = false) // pair frame ×2 + day count
+        val st = daily.select(col("day").as("t"), col("v").as("vt"))
+          .crossJoin(daily.select(col("v").as("vj")))
+          .groupBy("t")
+          .agg(sum(signum(col("vt") - col("vj"))).cast("long").as("s"))
+        val w = Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nn = daily.agg(count(lit(1)).as("n_days"))
+        st.withColumn("u", sum("s").over(w))
+          .withColumn("au", abs(col("u")))
+          .orderBy(col("au").desc, col("t")).limit(1)
+          .crossJoin(broadcast(nn))
+          .select(col("n_days"), col("t").as("cp_day"), col("au").as("k_stat"),
+            round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) * col("au") * col("au")
+              / (col("n_days").cast("double") * col("n_days") * col("n_days")
+                 + col("n_days").cast("double") * col("n_days")))), 6).as("p_value"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS v
+             |  FROM events GROUP BY 1),
+             |s AS (SELECT a.day AS t, CAST(sum(sign(a.v - b.v)) AS BIGINT) AS s
+             |      FROM daily a CROSS JOIN daily b GROUP BY a.day),
+             |u AS (SELECT t, CAST(sum(s) OVER (ORDER BY t
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS u
+             |      FROM s),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+             |best AS (SELECT t, abs(u) AS au FROM u ORDER BY au DESC, t LIMIT 1)
+             |SELECT n_days, t AS cp_day, au AS k_stat,
+             |       round(least(1.0, 2.0 * exp(-6.0 * au * au
+             |         / (CAST(n_days AS DOUBLE) * n_days * n_days
+             |            + CAST(n_days AS DOUBLE) * n_days))), 6) AS p_value
+             |FROM best, nn""".stripMargin)),
+
+    // longest consecutive-day activity streak per user (the
+    // gaps-and-islands idiom): distinct (user, day) first — so the
+    // window ranks DAYS, bounded by the calendar, never raw events —
+    // then island id = day − row_number, longest island per user,
+    // and a tiny histogram of streak lengths. The retention-quality
+    // metric DAU counts can't see.
+    "ev_streaks" -> Q(
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        ud.withColumn("island", col("day") - row_number().over(w))
+          .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+          .groupBy("user_id").agg(max("len").as("streak"))
+          .groupBy("streak").agg(count(lit(1)).as("n_users"))
+          .orderBy("streak")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+             |                   epoch_ns(ts) // 86400000000000 AS day
+             |            FROM events),
+             |i AS (SELECT user_id, day,
+             |             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+             |      FROM ud),
+             |st AS (SELECT user_id, CAST(max(len) AS BIGINT) AS streak FROM (
+             |         SELECT user_id, island, count(*) AS len
+             |         FROM i GROUP BY user_id, island)
+             |       GROUP BY user_id)
+             |SELECT streak, CAST(count(*) AS BIGINT) AS n_users
+             |FROM st GROUP BY streak ORDER BY streak""".stripMargin)),
+
+    // time-window-constrained funnel (signup → click ≤1h → purchase
+    // ≤1h after the click): the product-analytics variant where each
+    // step must happen within a window of the previous. Earliest-
+    // qualifying-chain semantics keeps it deterministic and each step
+    // is one filtered grouped-min + equi-join on user — the unbounded
+    // ev_funnel plan with one extra predicate, no windows, no
+    // self-join of the fact table.
+    "ev_funnel_windowed" -> Q(
+      (s, d) => {
+        val H = 3600000000L // 1h in micros
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ats"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ats").as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id")
+          .filter(col("ats") >= col("t1") && col("ats") <= col("t1") + H)
+          .groupBy("user_id").agg(min("ats").as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id")
+          .filter(col("ats") >= col("t2") && col("ats") <= col("t2") + H)
+          .groupBy("user_id").agg(min("ats").as("t3"))
+        s1.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click_1h")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase_1h")))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ats FROM events),
+             |s1 AS (SELECT user_id, min(ats) AS t1 FROM ev
+             |       WHERE event_type = 'signup' GROUP BY user_id),
+             |s2 AS (SELECT ev.user_id, min(ats) AS t2 FROM ev JOIN s1 USING (user_id)
+             |       WHERE event_type = 'click' AND ats >= t1 AND ats <= t1 + 3600000000
+             |       GROUP BY ev.user_id),
+             |s3 AS (SELECT ev.user_id, min(ats) AS t3 FROM ev JOIN s2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND ats >= t2 AND ats <= t2 + 3600000000
+             |       GROUP BY ev.user_id)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_1h,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_1h""".stripMargin)),
+
+    // time-decay multi-touch attribution: every click in the hour
+    // before a purchase shares the credit, weighted exp(−Δt/15min)
+    // and normalized per purchase. The click×purchase pairing is the
+    // bucketed range join (ops.Joins.rangeJoinBucketed — equi-join on
+    // (user, time bucket) + residual predicate, never a per-user
+    // cross), and the per-purchase normalizer is a grouped sum
+    // re-joined on pid. Output: when do the clicks that actually
+    // drive purchases happen (credit by click hour-of-day).
+    "ev_attribution_decay" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+                  expr("ts DIV 1000").as("ats"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ats").as("cts"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"),
+                  (col("ats") - lit(3600000000L)).as("st"),
+                  (col("ats") - 1).as("en"), col("ats").as("pts"))
+        val pairs = graft.ops.Joins.rangeJoinBucketed(
+            clicks, purch, Seq("user_id"), "cts", "st", "en", 3600000000L)
+          .withColumn("w",
+            exp((col("cts") - col("pts")).cast("double") / lit(900000000.0)))
+          .localCheckpoint(eager = false) // read again for the normalizer
+        val tot = pairs.groupBy("pid").agg(sum("w").as("sw"))
+        pairs.join(tot, "pid")
+          .withColumn("credit", col("w") / col("sw"))
+          .withColumn("hod", expr("(cts DIV 3600000000) % 24"))
+          .groupBy("hod")
+          .agg(round(sum("credit"), 4).as("credit"), count(lit(1)).as("n_pairs"))
+          .orderBy("hod")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ats
+             |           FROM events),
+             |c AS (SELECT user_id, ats AS cts FROM ev WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id AS pid, ats AS pts FROM ev
+             |      WHERE event_type = 'purchase'),
+             |pr AS (SELECT c.user_id, pid, cts, pts,
+             |              exp((cts - pts) / 900000000.0) AS w
+             |       FROM c JOIN p ON c.user_id = p.user_id
+             |        AND cts BETWEEN pts - 3600000000 AND pts - 1),
+             |tot AS (SELECT pid, sum(w) AS sw FROM pr GROUP BY pid)
+             |SELECT (cts // 3600000000) % 24 AS hod, round(sum(w / sw), 4) AS credit,
+             |       CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM pr JOIN tot USING (pid) GROUP BY hod ORDER BY hod""".stripMargin)),
+
+    // peak concurrent users per day: sessions (same 30-min gap as
+    // ev_sessionize) become ±1 sweep-line boundaries, and the running
+    // count is a TWO-PHASE prefix sum — a per-day window over that
+    // day's boundaries plus a carry-in equal to the net delta of all
+    // prior days (a #days-row aggregate, broadcast back). No global
+    // window ever touches the boundary set, so the plan scales with
+    // executors; ties at one instant order starts before ends
+    // (delta DESC), making the per-day max deterministic.
+    "ev_concurrency" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(1800000000000L), 1)
+              .otherwise(0))
+          .withColumn("sid",
+            sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts").as("st"), max("ts").as("en"))
+        val bounds = sess.select(col("st").as("t"), lit(1).as("delta"))
+          .unionAll(sess.select(col("en").as("t"), lit(-1).as("delta")))
+          .withColumn("day", expr("t DIV 86400000000000"))
+          .localCheckpoint(eager = false) // read twice: local run + carry
+        val wd = Window.partitionBy("day")
+          .orderBy(col("t"), col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val local = bounds.withColumn("run", sum("delta").over(wd))
+        val carry = bounds.groupBy("day").agg(sum("delta").as("net"))
+          .withColumn("carry",
+            coalesce(sum("net").over(Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("day", "carry")
+        local.join(broadcast(carry), "day")
+          .groupBy("day")
+          .agg(max(col("run") + col("carry")).as("peak"))
+          .orderBy("day")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, epoch_ns(ts) AS tns,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM g),
+             |iv AS (SELECT user_id, sid, min(tns) AS st, max(tns) AS en
+             |       FROM s GROUP BY user_id, sid),
+             |b AS (SELECT st AS t, 1 AS delta FROM iv
+             |      UNION ALL SELECT en, -1 FROM iv),
+             |r AS (SELECT t // 86400000000000 AS day,
+             |             sum(delta) OVER (ORDER BY t, delta DESC
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+             |      FROM b)
+             |SELECT day, CAST(max(conc) AS BIGINT) AS peak
+             |FROM r GROUP BY day ORDER BY day""".stripMargin)),
+
+    // bot / automation detection by inter-arrival regularity: humans
+    // are bursty (gap CV ≈ 1, Poisson-like — measured 0.78–1.12 on
+    // this corpus), schedulers are metronomes. One user-partitioned
+    // lag pass (hash-partitioned, never global) then a grouped
+    // moment aggregate; the CV is rounded to 6 BEFORE the threshold
+    // compare so a boundary user cannot flip on one engine's float
+    // summation order only.
+    "ev_bot_flags" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("gap",
+            (col("ts") - lag(col("ts"), 1).over(w)) / lit(1e9))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+               avg("gap").as("m"), stddev_samp(col("gap")).as("sd"))
+          .withColumn("cv", round(col("sd") / col("m"), 6))
+          .filter(col("n_events") >= 50 && col("cv") < 0.85)
+          .select(col("user_id"), col("n_events"),
+                  round(col("m"), 3).as("mean_gap_s"), round(col("cv"), 4).as("cv"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |         (epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+             |            (PARTITION BY user_id ORDER BY ts, event_id)) / 1e9 AS gap
+             |  FROM events),
+             |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |             avg(gap) AS m, round(stddev_samp(gap) / avg(gap), 6) AS cv
+             |      FROM g GROUP BY user_id)
+             |SELECT user_id, n_events, round(m, 3) AS mean_gap_s, round(cv, 4) AS cv
+             |FROM s WHERE n_events >= 50 AND cv < 0.85
+             |ORDER BY user_id""".stripMargin)),
+
+    // Kaplan–Meier survival of time-to-first-purchase after signup,
+    // right-censored at the corpus observation end. The heavy work is
+    // two per-user aggregates + one equi-join on user_id; the KM life
+    // table itself is |distinct day| rows, so the cumulative windows
+    // (trailing at-risk sum n_k = Σ_{j≥k}(d_j+c_j) — no global-N
+    // join — and the survival product as exp of summed logs) run on
+    // a days-bounded frame at ANY user count. A greatest(ε,·) floor
+    // under the log makes a last-day full-event bucket read S=0 on
+    // both engines instead of surfacing either's ln(0) convention.
+    "ev_survival" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("su"))
+          .localCheckpoint(eager = false) // reused by pu AND life: one signup scan
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts").join(su, "user_id")
+          .filter(col("ts") >= col("su"))
+          .groupBy("user_id").agg(min("ts").as("pu"))
+        val end = ev.agg(max("ts").as("te"))
+        val life = su.join(pu, Seq("user_id"), "left")
+          .crossJoin(broadcast(end))
+          .select(expr("(coalesce(pu, te) - su) div 86400000000000").as("day"),
+                  when(col("pu").isNotNull, 1L).otherwise(0L).as("e"))
+          .groupBy("day")
+          .agg(sum("e").as("n_event"), sum(lit(1L) - col("e")).as("n_cens"))
+        val wRisk = Window.orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val wSurv = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        life
+          .withColumn("n_risk", sum(col("n_event") + col("n_cens")).over(wRisk))
+          .withColumn("surv", round(exp(sum(log(greatest(lit(1e-300),
+            lit(1.0) - col("n_event") / col("n_risk")))).over(wSurv)), 4))
+          .select("day", "n_risk", "n_event", "n_cens", "surv")
+          .orderBy("day")
+      },
+      Some("""WITH su AS (SELECT user_id, min(epoch_ns(ts)) AS su
+             |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |pu AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS pu
+             |       FROM events e JOIN su ON su.user_id = e.user_id
+             |       WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= su.su
+             |       GROUP BY e.user_id),
+             |te AS (SELECT max(epoch_ns(ts)) AS te FROM events),
+             |life AS (SELECT (coalesce(pu, te) - su) // 86400000000000 AS day,
+             |                CASE WHEN pu IS NULL THEN 0 ELSE 1 END AS e
+             |         FROM su LEFT JOIN pu USING (user_id), te),
+             |tab AS (SELECT day, CAST(sum(e) AS BIGINT) AS n_event,
+             |               CAST(sum(1 - e) AS BIGINT) AS n_cens
+             |        FROM life GROUP BY day),
+             |rk AS (SELECT day, n_event, n_cens,
+             |              CAST(sum(n_event + n_cens) OVER (ORDER BY day
+             |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+             |       FROM tab)
+             |SELECT day, n_risk, n_event, n_cens,
+             |       round(exp(sum(ln(greatest(1e-300, 1 - n_event * 1.0 / n_risk)))
+             |         OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS surv
+             |FROM rk ORDER BY day""".stripMargin)),
+
+    // Stationary distribution of the event-type Markov chain: the
+    // ev_transitions row-stochastic matrix (probs rounded to 6 so
+    // both engines iterate identical inputs) power-iterated 12 rounds
+    // from uniform. The corpus is scanned ONCE into the checkpointed
+    // |types|² cells frame; each round is then a broadcast join of
+    // the |types|-row vector against it plus a tiny aggregate, so
+    // iteration cost is independent of event count. Per-round
+    // rounding to 7 pins the trajectory bit-for-bit across engines
+    // (partial-agg summation order differs; 1e-17 assoc noise never
+    // reaches the 7th decimal).
+    "ev_stationary" -> Q(
+      (s, d) => {
+        // shares the one-per-process lead() pass with ev_transitions /
+        // graph_pagerank (the round-9 super-linear edge, now amortized)
+        val pairs = transitionCells(s, d).filter(col("to_type").isNotNull)
+        val tot = pairs.groupBy("from_type").agg(sum("n").as("tt"))
+        val cells = pairs.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"),
+                  round(col("n") / col("tt"), 6).as("p"))
+          .localCheckpoint(eager = false) // read 13×, never re-scans events
+        val states = cells.select("from_type").distinct()
+        val kk = states.agg(count(lit(1)).as("k"))
+        var v = states.crossJoin(broadcast(kk))
+          .select(col("from_type").as("state"),
+                  round(lit(1.0) / col("k"), 7).as("v"))
+        for (_ <- 1 to 12)
+          v = cells.join(broadcast(v), cells("from_type") === v("state"))
+            .groupBy("to_type")
+            .agg(round(sum(col("p") * col("v")), 7).as("v"))
+            .withColumnRenamed("to_type", "state")
+        v.select(col("state"), round(col("v"), 4).as("pi")).orderBy("state")
+      },
+      Some(s"""WITH tr AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |cnt AS (SELECT from_type, to_type, count(*) AS n
+             |        FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+             |tot AS (SELECT from_type, sum(n) AS tt FROM cnt GROUP BY from_type),
+             |cells AS (SELECT from_type, to_type, round(n * 1.0 / tt, 6) AS p
+             |          FROM cnt JOIN tot USING (from_type)),
+             |kk AS (SELECT count(DISTINCT from_type) AS k FROM cells),
+             |v0 AS (SELECT DISTINCT from_type AS state, round(1.0 / k, 7) AS v
+             |       FROM cells, kk),
+             |${stationaryIterSql(12)}
+             |SELECT state, round(v, 4) AS pi FROM v12 ORDER BY state""".stripMargin)),
+
+    // CUSUM change-point scan on the per-type daily event-count
+    // series: C_k = Σ_{j≤k}(cnt_j − mean) peaks at the most likely
+    // level-shift day (Page's statistic without reset). The raw
+    // stream collapses in ONE grouped pass; every window then runs
+    // on the |types|×|days| daily frame. The per-type mean is
+    // rounded to 6 BEFORE subtraction so both engines accumulate
+    // identical deviations (integer counts − fixed-decimal mean →
+    // the ordered cumulative sum is bit-identical); the argmax
+    // tie-breaks to the earliest day.
+    "ts_cusum" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false) // |types|×|days| rows, read 2×: ONE event scan
+        val mu = daily.groupBy("event_type")
+          .agg(round(avg("cnt"), 6).as("mu"), count(lit(1)).as("n_days"))
+        val wc = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wr = Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum")).desc, col("day"))
+        daily.join(broadcast(mu), "event_type")
+          .withColumn("cusum", sum(col("cnt") - col("mu")).over(wc))
+          .withColumn("rk", row_number().over(wr))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("n_days"),
+                  col("day").as("change_day"),
+                  round(abs(col("cusum")), 4).as("max_abs_cusum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY event_type, day),
+             |mu AS (SELECT event_type, round(avg(cnt), 6) AS mu,
+             |              CAST(count(*) AS BIGINT) AS n_days
+             |       FROM daily GROUP BY event_type),
+             |cs AS (SELECT event_type, day, n_days,
+             |              sum(cnt - mu) OVER (PARTITION BY event_type ORDER BY day
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+             |       FROM daily JOIN mu USING (event_type)),
+             |rk AS (SELECT event_type, n_days, day, cusum,
+             |              row_number() OVER (PARTITION BY event_type
+             |                ORDER BY abs(cusum) DESC, day) AS rk
+             |       FROM cs)
+             |SELECT event_type, n_days, day AS change_day,
+             |       round(abs(cusum), 4) AS max_abs_cusum
+             |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin)),
+
+    // two-proportion z-test of an A/B split: arm assignment is the
+    // salted content-stable hash of user_id (the Sampling idiom — the
+    // assignment a real experiment framework would persist, and
+    // re-runs/repartitioning never move a user between arms),
+    // conversion = repeat purchaser (≥14 purchases; "any purchase"
+    // saturates on this corpus — every user converts and the pooled
+    // variance is 0). ONE per-user aggregate then a 2-row arm rollup
+    // collapsed map-side into the single stats row — no window, no
+    // join, corpus scanned once. A degenerate pool (0 or 1) NULLs z
+    // on both engines rather than surfacing a divide-by-zero.
+    "ev_ab_test" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val users = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg((sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 14).cast("long").as("conv"))
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+        users.agg(
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+            sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x_t"),
+            sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x_c"))
+          .select(col("n_t"), col("n_c"), col("x_t"), col("x_c"),
+            when(col("n_t") === 0, lit(null).cast("double"))
+              .otherwise(round(col("x_t") / col("n_t").cast("double"), 4)).as("cr_t"),
+            when(col("n_c") === 0, lit(null).cast("double"))
+              .otherwise(round(col("x_c") / col("n_c").cast("double"), 4)).as("cr_c"),
+            round((col("x_t") + col("x_c"))
+              / (col("n_t") + col("n_c")).cast("double"), 6).as("pool"))
+          .select(col("n_t"), col("n_c"), col("x_t"), col("x_c"),
+            col("cr_t"), col("cr_c"),
+            round(col("cr_t") - col("cr_c"), 4).as("lift"),
+            when(col("n_t") === 0 || col("n_c") === 0 ||
+                 col("pool") <= 0.0 || col("pool") >= 1.0,
+                lit(null).cast("double"))
+              .otherwise(round((col("x_t") / col("n_t").cast("double")
+                 - col("x_c") / col("n_c").cast("double"))
+                / sqrt(col("pool") * (lit(1.0) - col("pool"))
+                  * (lit(1.0) / col("n_t") + lit(1.0) / col("n_c"))), 4))
+              .as("z"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+             |              THEN 1 ELSE 0 END AS conv,
+             |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+             |  FROM events GROUP BY user_id),
+             |a AS (SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             |             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             |             CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_t,
+             |             CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_c
+             |      FROM u),
+             |b AS (SELECT *,
+             |             CASE WHEN n_t = 0 THEN NULL
+             |                  ELSE round(x_t / CAST(n_t AS DOUBLE), 4) END AS cr_t,
+             |             CASE WHEN n_c = 0 THEN NULL
+             |                  ELSE round(x_c / CAST(n_c AS DOUBLE), 4) END AS cr_c,
+             |             round((x_t + x_c) / CAST(n_t + n_c AS DOUBLE), 6) AS pool
+             |      FROM a)
+             |SELECT n_t, n_c, x_t, x_c, cr_t, cr_c,
+             |       round(cr_t - cr_c, 4) AS lift,
+             |       CASE WHEN n_t = 0 OR n_c = 0 OR pool <= 0.0 OR pool >= 1.0 THEN NULL
+             |            ELSE round((x_t / CAST(n_t AS DOUBLE) - x_c / CAST(n_c AS DOUBLE))
+             |             / sqrt(pool * (1.0 - pool) * (1.0 / n_t + 1.0 / n_c)), 4) END AS z
+             |FROM b""".stripMargin)),
+
+    // decile lift & cumulative gains: score users by activity volume,
+    // response = any purchase — "does the score rank responders to
+    // the top?" in the table a targeting/curation pipeline reads.
+    // Deciles come from BROADCAST interpolated-percentile cutoffs
+    // (rounded to 6 so both engines bucket identically), NEVER a
+    // global ntile sort; the only window runs over the ≤10 decile
+    // rows. Integer-valued scores tie heavily, so buckets are
+    // unequal by construction — lift is computed against each
+    // bucket's own size, which keeps the report honest under ties.
+    "ev_lift_gain" -> Q(
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+               (sum(when(col("event_type") === "purchase", 1L)
+                 .otherwise(0L)) >= 13).cast("long").as("resp"))
+          .localCheckpoint(eager = false) // read 2×: cutoffs + bucketing
+        val cuts = users.agg(expr(
+          "transform(percentile(n, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)), " +
+          "x -> round(x, 6))").as("bs"))
+        val bucketed = users.crossJoin(broadcast(cuts))
+          .withColumn("decile", lit(10) - expr(
+            "aggregate(bs, 0, (acc, b) -> acc + CASE WHEN n > b THEN 1 ELSE 0 END)"))
+        val tot = bucketed.agg(sum("resp").as("tr"), count(lit(1)).as("tn"))
+        val wCum = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketed.groupBy("decile")
+          .agg(count(lit(1)).as("n_users"), sum("resp").as("resp"))
+          .crossJoin(broadcast(tot))
+          .withColumn("cum_resp", sum("resp").over(wCum))
+          .select(col("decile"), col("n_users"),
+            round(col("resp") / col("n_users").cast("double"), 4).as("resp_rate"),
+            // zero-responder corpus: lift/gain undefined, NULL not ÷0
+            when(col("tr") === 0, lit(null).cast("double"))
+              .otherwise(round((col("resp") / col("n_users").cast("double"))
+                / (col("tr") / col("tn").cast("double")), 4)).as("lift"),
+            when(col("tr") === 0, lit(null).cast("double"))
+              .otherwise(round(col("cum_resp") / col("tr").cast("double"), 4))
+              .as("cum_gain"))
+          .orderBy("decile")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 13 AS BIGINT) AS resp
+             |  FROM events GROUP BY user_id),
+             |c AS (SELECT round(quantile_cont(n, 0.1), 6) AS b1, round(quantile_cont(n, 0.2), 6) AS b2,
+             |             round(quantile_cont(n, 0.3), 6) AS b3, round(quantile_cont(n, 0.4), 6) AS b4,
+             |             round(quantile_cont(n, 0.5), 6) AS b5, round(quantile_cont(n, 0.6), 6) AS b6,
+             |             round(quantile_cont(n, 0.7), 6) AS b7, round(quantile_cont(n, 0.8), 6) AS b8,
+             |             round(quantile_cont(n, 0.9), 6) AS b9
+             |      FROM u),
+             |bk AS (SELECT u.*, 10 - ((n > b1)::INT + (n > b2)::INT + (n > b3)::INT
+             |              + (n > b4)::INT + (n > b5)::INT + (n > b6)::INT
+             |              + (n > b7)::INT + (n > b8)::INT + (n > b9)::INT) AS decile
+             |       FROM u, c),
+             |tot AS (SELECT CAST(sum(resp) AS BIGINT) AS tr, CAST(count(*) AS BIGINT) AS tn FROM bk),
+             |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             |             CAST(sum(resp) AS BIGINT) AS resp
+             |      FROM bk GROUP BY decile)
+             |SELECT decile, n_users,
+             |       round(resp / CAST(n_users AS DOUBLE), 4) AS resp_rate,
+             |       CASE WHEN tr = 0 THEN NULL
+             |            ELSE round((resp / CAST(n_users AS DOUBLE)) / (tr / CAST(tn AS DOUBLE)), 4) END AS lift,
+             |       CASE WHEN tr = 0 THEN NULL
+             |            ELSE round(sum(resp) OVER (ORDER BY decile
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / CAST(tr AS DOUBLE), 4) END AS cum_gain
+             |FROM g, tot ORDER BY decile""".stripMargin)),
+
+    // rolling-origin forecast backtest: forecast each day's count per
+    // type as the trailing-7-day mean, score MAPE/RMSE/bias on every
+    // day with a full window — the evaluation harness that validates
+    // a capacity forecast before anyone trusts it. The stream
+    // collapses in ONE grouped pass; forecast + scoring windows all
+    // run on the checkpointed |types|×|days| frame. Forecasts round
+    // to 6 before the error metrics so both engines score identical
+    // residuals.
+    "ts_backtest" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false)
+        val wF = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-7, -1)
+        val wN = Window.partitionBy("event_type").orderBy("day")
+        daily
+          .withColumn("f", round(avg("cnt").over(wF), 6))
+          .withColumn("rn", row_number().over(wN))
+          .filter(col("rn") > 7)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_eval"),
+               round(avg(abs(col("f") - col("cnt")) / col("cnt")), 4).as("mape"),
+               round(sqrt(avg(pow(col("f") - col("cnt"), 2))), 4).as("rmse"),
+               round(avg(col("f") - col("cnt")), 4).as("bias"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY event_type, day),
+             |f AS (SELECT event_type, day, cnt,
+             |             round(avg(cnt) OVER (PARTITION BY event_type ORDER BY day
+             |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6) AS f,
+             |             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+             |      FROM daily)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+             |       round(avg(abs(f - cnt) / cnt), 4) AS mape,
+             |       round(sqrt(avg(pow(f - cnt, 2))), 4) AS rmse,
+             |       round(avg(f - cnt), 4) AS bias
+             |FROM f WHERE rn > 7 GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // minimum-detectable-effect curve for the ev_ab_test design:
+    // MDE(n) = (z_{α/2} + z_{power})·√(2p(1-p)/n) at α=0.05, 80%
+    // power, with the baseline p measured from the corpus (rounded to
+    // 6 so both engines plug in the same rate). ONE per-user pass for
+    // p; the curve is an explode over the n-grid of the single
+    // baseline row — the pre-experiment sizing table next to the
+    // post-experiment z-test.
+    "stat_mde_curve" -> Q(
+      (s, d) => {
+        val p = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg((sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 14).cast("long").as("conv"))
+          .agg(round(avg("conv"), 6).as("p"))
+        p.select(col("p"), explode(expr(
+            "array(1000L, 5000L, 10000L, 50000L, 100000L)")).as("n_per_arm"))
+          .select(col("n_per_arm"), col("p").as("baseline"),
+            when(col("p").isNull || col("p") <= 0.0 || col("p") >= 1.0,
+                lit(null).cast("double"))
+              .otherwise(round(lit(1.96 + 0.8416)
+                * sqrt(lit(2.0) * col("p") * (lit(1.0) - col("p"))
+                  / col("n_per_arm")), 6)).as("mde_abs"))
+          .withColumn("mde_rel",
+            when(col("mde_abs").isNull, lit(null).cast("double"))
+              .otherwise(round(col("mde_abs") / col("baseline"), 4)))
+          .orderBy("n_per_arm")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+             |              THEN 1 ELSE 0 END AS conv
+             |  FROM events GROUP BY user_id),
+             |p AS (SELECT round(avg(conv), 6) AS p FROM u),
+             |g AS (SELECT p, unnest([1000, 5000, 10000, 50000, 100000]) AS n_per_arm FROM p)
+             |SELECT CAST(n_per_arm AS BIGINT) AS n_per_arm, p AS baseline,
+             |       CASE WHEN p IS NULL OR p <= 0.0 OR p >= 1.0 THEN NULL
+             |            ELSE round((1.96 + 0.8416) * sqrt(2.0 * p * (1.0 - p) / n_per_arm), 6)
+             |       END AS mde_abs,
+             |       CASE WHEN p IS NULL OR p <= 0.0 OR p >= 1.0 THEN NULL
+             |            ELSE round(round((1.96 + 0.8416)
+             |              * sqrt(2.0 * p * (1.0 - p) / n_per_arm), 6) / p, 4)
+             |       END AS mde_rel
+             |FROM g ORDER BY n_per_arm""".stripMargin)),
+
+    // weekly growth accounting: every active user classified as
+    // new / retained / resurrected per week via ONE per-user lag
+    // pass (hash-partitioned window); churned(w) is derived as
+    // active(w-1) - retained(w) by joining the tiny |weeks| rollup
+    // to itself shifted one week — no second fact scan, no per-user
+    // churn window. Quick ratio NULL (not ÷0) when nothing churned.
+    "ev_growth_accounting" -> Q(
+      (s, d) => {
+        // active := a HEAVY (>=14-event) week — bare incidence keeps
+        // every user active every week on this corpus (round-11 fix)
+        val wkAct = Tables.events(s, d)
+          .select(col("user_id"), expr("ts DIV 86400000000000 DIV 7").as("wk"))
+          .groupBy("user_id", "wk").agg(count(lit(1)).as("k"))
+          .filter(col("k") >= 14).select("user_id", "wk")
+        val wU = Window.partitionBy("user_id").orderBy("wk")
+        val classified = wkAct
+          .withColumn("pw", lag("wk", 1).over(wU))
+          .groupBy("wk").agg(
+            count(lit(1)).as("n_active"),
+            sum(when(col("pw").isNull, 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("pw") === col("wk") - 1, 1L).otherwise(0L))
+              .as("n_retained"),
+            sum(when(col("pw").isNotNull && col("pw") < col("wk") - 1, 1L)
+              .otherwise(0L)).as("n_resurrected"))
+          .localCheckpoint(eager = false)
+        val prev = classified
+          .select((col("wk") + 1).as("wk"), col("n_active").as("prev_active"))
+        classified.join(prev, Seq("wk"), "left")
+          .withColumn("n_churned",
+            coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+          .withColumn("quick_ratio",
+            when(col("n_churned") > 0,
+              round((col("n_new") + col("n_resurrected")).cast("double")
+                / col("n_churned"), 4)))
+          .select("wk", "n_active", "n_new", "n_retained",
+            "n_resurrected", "n_churned", "quick_ratio")
+          .orderBy("wk")
+      },
+      Some("""WITH a AS (SELECT user_id,
+             |                  epoch_ns(ts) // 86400000000000 // 7 AS wk
+             |           FROM events GROUP BY 1, 2 HAVING count(*) >= 14),
+             |c AS (SELECT user_id, wk,
+             |             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS pw
+             |      FROM a),
+             |g AS (SELECT wk,
+             |        CAST(count(*) AS BIGINT) AS n_active,
+             |        CAST(sum(CASE WHEN pw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             |        CAST(sum(CASE WHEN pw = wk - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             |        CAST(sum(CASE WHEN pw IS NOT NULL AND pw < wk - 1 THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS n_resurrected
+             |      FROM c GROUP BY wk)
+             |SELECT g.wk, g.n_active, g.n_new, g.n_retained, g.n_resurrected,
+             |       CAST(coalesce(p.n_active, 0) - g.n_retained AS BIGINT) AS n_churned,
+             |       CASE WHEN coalesce(p.n_active, 0) - g.n_retained > 0
+             |            THEN round((g.n_new + g.n_resurrected) * 1.0
+             |                       / (coalesce(p.n_active, 0) - g.n_retained), 4)
+             |       END AS quick_ratio
+             |FROM g LEFT JOIN g p ON p.wk = g.wk - 1
+             |ORDER BY g.wk""".stripMargin)),
+
+    // classical additive decomposition of the daily event count:
+    // trend = centered 7-day moving average (RANGE frame on the day
+    // VALUE so calendar gaps shrink the window and the full-window
+    // filter drops them), seasonal = mean-centered day-of-week index
+    // from the detrended full-window rows, residual = the rest. The
+    // fact table collapses to |days| rows in ONE scan; every window
+    // and join after that runs on that tiny frame (the 7-row
+    // seasonal map broadcasts back). Detrended values average in
+    // EXACT micro-unit longs (×1e6), not doubles — double summation
+    // order differs between engines and flips the 6th decimal.
+    "ts_decompose" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(expr("ts DIV 86400000000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).cast("double").as("y"))
+        val wT = Window.orderBy("day").rangeBetween(-3, 3)
+        val trended = daily
+          .withColumn("n_win", count(lit(1)).over(wT))
+          .withColumn("trend", round(avg("y").over(wT), 6))
+          .filter(col("n_win") === 7)
+          .withColumn("dow", col("day") % 7)
+          .withColumn("det_l",
+            round((col("y") - col("trend")) * 1e6, 0).cast("long"))
+          .localCheckpoint(eager = false)
+        val seas = trended.groupBy("dow").agg(
+          round(sum("det_l").cast("double") / count(lit(1)) / 1e6, 6)
+            .as("s_raw"))
+        val m = seas.agg(
+          round(sum(round(col("s_raw") * 1e6, 0).cast("long")).cast("double")
+            / count(lit(1)) / 1e6, 6).as("s_mean"))
+        val seasAdj = seas.crossJoin(broadcast(m))
+          .select(col("dow"),
+            round(col("s_raw") - col("s_mean"), 6).as("seasonal"))
+        trended.join(broadcast(seasAdj), "dow")
+          .select(col("day"), col("dow"), col("y"), col("trend"),
+            col("seasonal"),
+            round(col("y") - col("trend") - col("seasonal"), 6).as("resid"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |                      CAST(count(*) AS DOUBLE) AS y
+             |               FROM events GROUP BY day),
+             |t AS (SELECT day, y,
+             |        count(*) OVER w AS n_win,
+             |        round(avg(y) OVER w, 6) AS trend
+             |      FROM daily
+             |      WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING
+             |                   AND 3 FOLLOWING)),
+             |f AS (SELECT day, day % 7 AS dow, y, trend,
+             |             CAST(round((y - trend) * 1000000) AS BIGINT) AS det_l
+             |      FROM t WHERE n_win = 7),
+             |sr AS (SELECT dow, round(sum(det_l) * 1.0 / count(*) / 1000000.0, 6) AS s_raw
+             |       FROM f GROUP BY dow),
+             |sm AS (SELECT round(sum(CAST(round(s_raw * 1000000) AS BIGINT)) * 1.0
+             |                     / count(*) / 1000000.0, 6) AS s_mean FROM sr),
+             |se AS (SELECT dow, round(s_raw - s_mean, 6) AS seasonal FROM sr, sm)
+             |SELECT f.day, f.dow, f.y, f.trend, se.seasonal,
+             |       round(f.y - f.trend - se.seasonal, 6) AS resid
+             |FROM f JOIN se USING (dow)
+             |ORDER BY f.day""".stripMargin)),
+
+    // Simpson's-paradox audit: hash-parity arms compared on a
+    // success rate pooled AND stratified by event_type, so a
+    // confounded rollup is visible as a sign flip between the
+    // `_pooled` and `_stratified` summary rows. ONE fact scan builds
+    // the |types|-row stratum frame (checkpointed — the three
+    // output shapes are all rollups of it); the stratified summary
+    // is the (n_a+n_b)-weighted average of per-stratum ROUNDED
+    // rates, so both engines combine identical cells. Empty arms
+    // yield NULL rates, never ÷0.
+    "ev_simpson" -> Q(
+      (s, d) => {
+        val base = Tables.events(s, d)
+          .select(col("event_type"),
+            when(col("user_id") % 2 === 0, 1).otherwise(0).as("grp_a"),
+            when(col("value") > 50.0, 1L).otherwise(0L).as("succ"))
+        val strata = base.groupBy("event_type").agg(
+            sum(when(col("grp_a") === 1, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("grp_a") === 1, col("succ")).otherwise(0L)).as("s_a"),
+            sum(when(col("grp_a") === 0, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("grp_a") === 0, col("succ")).otherwise(0L)).as("s_b"))
+          .withColumn("rate_a", when(col("n_a") > 0,
+            round(col("s_a").cast("double") / col("n_a"), 6)))
+          .withColumn("rate_b", when(col("n_b") > 0,
+            round(col("s_b").cast("double") / col("n_b"), 6)))
+          .localCheckpoint(eager = false)
+        val per = strata.select(col("event_type").as("scope"),
+          col("n_a"), col("n_b"), col("rate_a"), col("rate_b"),
+          round(col("rate_a") - col("rate_b"), 6).as("diff"))
+        val pooled = strata.agg(
+            sum("n_a").as("n_a"), sum("s_a").as("s_a"),
+            sum("n_b").as("n_b"), sum("s_b").as("s_b"))
+          .select(lit("_pooled").as("scope"), col("n_a"), col("n_b"),
+            when(col("n_a") > 0,
+              round(col("s_a").cast("double") / col("n_a"), 6)).as("rate_a"),
+            when(col("n_b") > 0,
+              round(col("s_b").cast("double") / col("n_b"), 6)).as("rate_b"))
+          .withColumn("diff", round(col("rate_a") - col("rate_b"), 6))
+        val stratW = strata.agg(
+            sum("n_a").as("n_a"), sum("n_b").as("n_b"),
+            round(sum((col("n_a") + col("n_b")) * col("rate_a"))
+              / sum(col("n_a") + col("n_b")), 6).as("ra"),
+            round(sum((col("n_a") + col("n_b")) * col("rate_b"))
+              / sum(col("n_a") + col("n_b")), 6).as("rb"))
+          .select(lit("_stratified").as("scope"), col("n_a"), col("n_b"),
+            col("ra").as("rate_a"), col("rb").as("rate_b"))
+          .withColumn("diff", round(col("rate_a") - col("rate_b"), 6))
+        per.unionByName(pooled).unionByName(stratW).orderBy("scope")
+      },
+      Some("""WITH base AS (SELECT event_type,
+             |                CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp_a,
+             |                CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS succ
+             |              FROM events),
+             |st AS (SELECT event_type,
+             |         CAST(sum(CASE WHEN grp_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |         sum(CASE WHEN grp_a = 1 THEN succ ELSE 0 END) AS s_a,
+             |         CAST(sum(CASE WHEN grp_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |         sum(CASE WHEN grp_a = 0 THEN succ ELSE 0 END) AS s_b
+             |       FROM base GROUP BY event_type),
+             |r AS (SELECT event_type, n_a, n_b, s_a, s_b,
+             |        CASE WHEN n_a > 0 THEN round(s_a * 1.0 / n_a, 6) END AS rate_a,
+             |        CASE WHEN n_b > 0 THEN round(s_b * 1.0 / n_b, 6) END AS rate_b
+             |      FROM st)
+             |SELECT event_type AS scope, n_a, n_b, rate_a, rate_b,
+             |       round(rate_a - rate_b, 6) AS diff
+             |FROM r
+             |UNION ALL
+             |SELECT '_pooled', CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT),
+             |       CASE WHEN sum(n_a) > 0 THEN round(sum(s_a) * 1.0 / sum(n_a), 6) END,
+             |       CASE WHEN sum(n_b) > 0 THEN round(sum(s_b) * 1.0 / sum(n_b), 6) END,
+             |       round(CASE WHEN sum(n_a) > 0 THEN round(sum(s_a) * 1.0 / sum(n_a), 6) END
+             |             - CASE WHEN sum(n_b) > 0 THEN round(sum(s_b) * 1.0 / sum(n_b), 6) END, 6)
+             |FROM r
+             |UNION ALL
+             |SELECT '_stratified', CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT),
+             |       round(sum((n_a + n_b) * rate_a) / sum(n_a + n_b), 6),
+             |       round(sum((n_a + n_b) * rate_b) / sum(n_a + n_b), 6),
+             |       round(round(sum((n_a + n_b) * rate_a) / sum(n_a + n_b), 6)
+             |             - round(sum((n_a + n_b) * rate_b) / sum(n_a + n_b), 6), 6)
+             |FROM r
+             |ORDER BY scope""".stripMargin)))
+}

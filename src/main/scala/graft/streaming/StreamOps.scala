@@ -378,7 +378,8 @@ object StreamOps {
 
   final case class Scd2Event(event_id: Long, ts: Long, user_id: Long,
                              event_type: String)
-  final case class Scd2State(eventId: Long, eventType: String, since: Long)
+  final case class Scd2State(eventId: Long, eventType: String, since: Long,
+                             frontier: Long)
   final case class Scd2Closed(user_id: Long, event_id: Long,
                               event_type: String, valid_from: Long,
                               valid_to: Long)
@@ -390,6 +391,19 @@ object StreamOps {
     * the still-open interval lives in state — exactly the batch
     * query's NULL-valid_to rows. Timestamps stay in nanos here; the
     * batch query emits micros only for its DuckDB oracle.
+    *
+    * LATE-DATA POLICY (spec-pinned in StreamingSpec): the state
+    * carries a per-user event-time frontier = the newest timestamp
+    * already processed; an event arriving in a later micro-batch
+    * with ts < frontier is DROPPED. Once an interval has been
+    * emitted to the append sink it cannot be retracted, so replaying
+    * history below the frontier could only corrupt the emitted
+    * timeline (a valid_to earlier than rows already downstream).
+    * Within one micro-batch, out-of-order events are fine — the
+    * group sorts by (ts, event_id) before folding. Production bounds
+    * how long state waits for stragglers with an upstream watermark;
+    * the drop rule here is what that watermark's lateness bound
+    * degrades to for events beyond it.
     */
   def streamingScd2(events: Dataset[Scd2Event]): Dataset[Scd2Closed] = {
     val s = events.sparkSession
@@ -399,15 +413,20 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, it, state: GroupState[Scd2State]) =>
           var cur = state.getOption
+          var frontier = cur.map(_.frontier).getOrElse(Long.MinValue)
           val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
-          it.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+          it.toSeq.sortBy(e => (e.ts, e.event_id))
+            .dropWhile(_.ts < frontier) // late vs a PRIOR batch: drop
+            .foreach { e =>
+            frontier = math.max(frontier, e.ts)
             cur match {
               case Some(st) if st.eventType != e.event_type =>
                 out += Scd2Closed(uid, st.eventId, st.eventType, st.since, e.ts)
-                cur = Some(Scd2State(e.event_id, e.event_type, e.ts))
-              case Some(_) => () // same type: the open interval continues
+                cur = Some(Scd2State(e.event_id, e.event_type, e.ts, frontier))
+              case Some(st) => // same type: the open interval continues
+                cur = Some(st.copy(frontier = frontier))
               case None =>
-                cur = Some(Scd2State(e.event_id, e.event_type, e.ts))
+                cur = Some(Scd2State(e.event_id, e.event_type, e.ts, frontier))
             }
           }
           cur.foreach(state.update)
@@ -446,7 +465,8 @@ object StreamOps {
   final case class CusumDay(event_type: String, day: Long, cnt: Long,
                             mu: Double)
 
-  final case class CusumState(cusum: Double, maxAbs: Double, argDay: Long)
+  final case class CusumState(cusum: Double, maxAbs: Double, argDay: Long,
+                              lastDay: Long)
 
   final case class CusumUpdate(event_type: String, day: Long, cusum: Double,
                                max_abs: Double, change_day: Long)
@@ -462,6 +482,16 @@ object StreamOps {
     * contract: per-type in-order days within and across batches
     * (same as [[sessionize]]); each day emits one update carrying
     * the changepoint-so-far.
+    *
+    * LATE-DATA POLICY (spec-pinned in StreamingSpec): the state
+    * carries the last processed day; a rollup row arriving in a
+    * later micro-batch with day <= lastDay is DROPPED — a cusum is a
+    * prefix sum, so accepting a late day out of order would fold it
+    * into the wrong prefix and silently shift every subsequent
+    * update (and a duplicate day would double-count). Within one
+    * micro-batch, days sort before folding, so intra-batch disorder
+    * is harmless. Production bounds lateness at the upstream
+    * windowed rollup's watermark; beyond it, this is the degrade.
     */
   def streamingCusum(days: Dataset[CusumDay]): Dataset[CusumUpdate] = {
     val s = days.sparkSession
@@ -470,12 +500,15 @@ object StreamOps {
       .flatMapGroupsWithState[CusumState, CusumUpdate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (et, it, state: GroupState[CusumState]) =>
-          var st = state.getOption.getOrElse(CusumState(0.0, -1.0, -1L))
-          val out = it.toSeq.sortBy(_.day).map { d =>
+          var st = state.getOption.getOrElse(
+            CusumState(0.0, -1.0, -1L, Long.MinValue))
+          val out = it.toSeq.sortBy(_.day)
+            .dropWhile(_.day <= st.lastDay) // late/duplicate day: drop
+            .map { d =>
             val c = st.cusum + (d.cnt - d.mu)
             st = if (math.abs(c) > st.maxAbs)
-              CusumState(c, math.abs(c), d.day)
-            else st.copy(cusum = c)
+              CusumState(c, math.abs(c), d.day, d.day)
+            else st.copy(cusum = c, lastDay = d.day)
             CusumUpdate(et, d.day, c, st.maxAbs, st.argDay)
           }
           state.update(st)
@@ -840,6 +873,17 @@ object StreamOps {
     * (t, event_id) order, bit-equal to the batch rank rule across any
     * micro-batch slicing (spec-pinned). Day-keyed state means expired
     * keys are droppable by watermark in production.
+    *
+    * LATE-DATA POLICY (spec-pinned in StreamingSpec): decisions are
+    * first-come-first-served STABLE — an admit already emitted is
+    * never revoked. An event arriving in a later micro-batch with an
+    * earlier `t` than events already admitted competes only for the
+    * REMAINING budget: it is kept iff the key's admit count is still
+    * under the cap, regardless of its timestamp rank. This is the
+    * only behavior an online enforcer can have (its keep/drop answers
+    * are acted on immediately); the batch what-if (`ev_freq_cap`)
+    * remains the timestamp-ranked ground truth for replays, and the
+    * two agree exactly whenever batches are time-ordered per key.
     */
   def streamingFreqCap(ev: Dataset[CapEvent], cap: Int): Dataset[CapDecision] = {
     val s = ev.sparkSession

@@ -30,13 +30,25 @@ class AnnSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(a.length == b.length && a.nonEmpty)
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
-    // tiled path (tile far below the query count forces many hash
-    // tiles, eager per-tile compute, broadcast destroy between) must
-    // be row-identical too — tiling is a memory shape, not a result
+    // overflow path (tile far below the query count) now routes to the
+    // 2D block-matrix kernel — must be row-identical too: blocking is
+    // a memory/shuffle shape, not a result
     val c = Ann.denseKernelTopK(emb, q, 5, Ann.cosineRounded6Kernel, tile = 37)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(a.length == c.length)
     a.zip(c).foreach { case (x, y) => assert(x == y, s"tiled: $x != $y") }
+    // blocked kernel pinned directly at adversarially small tile AND
+    // block sizes (many tiles × many blocks × salted slots): the
+    // partial-TopK-on-both-axes merge must still be exact
+    val d = Ann.blockedTop(emb, q, 5, Ann.cosineRounded6Kernel,
+        tile = 19, blockRows = 23)
+      .select(col("qid"), org.apache.spark.sql.functions.posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("vec_id"), col("col.score").as("score"),
+              (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(a.length == d.length)
+    a.zip(d).foreach { case (x, y) => assert(x == y, s"blocked: $x != $y") }
   }
 
   test("LSH multiprobe recall vs brute force is meaningful") {

@@ -86,6 +86,106 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.filter(_.doc_id == 4L).head.height == 4)
   }
 
+  test("REAL audio bytes decode through the same mapPartitions path") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // hand-built WAV byte streams with known sample counts and
+    // energies — the first ACTUAL audio-codec traffic across the
+    // mm_* seam (the JDK ships PCM WAV readers; javax.sound is the
+    // audio twin of the javax.imageio path above).
+    def wav16(sr: Float, ch: Int, frames: Array[Array[Short]]): Array[Byte] = {
+      val fmt = new AudioFormat(sr, 16, ch, true, false) // signed LE
+      val data = new Array[Byte](frames.length * ch * 2)
+      frames.zipWithIndex.foreach { case (f, i) =>
+        (0 until ch).foreach { c =>
+          val off = (i * ch + c) * 2
+          data(off) = (f(c) & 0xff).toByte
+          data(off + 1) = ((f(c) >> 8) & 0xff).toByte
+        }
+      }
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new ByteArrayInputStream(data), fmt, frames.length.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def wav8u(sr: Float, samples: Array[Int]): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+        sr, 8, 1, 1, sr, false)
+      val data = samples.map(v => (v & 0xff).toByte)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new ByteArrayInputStream(data), fmt, samples.length.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // clip 1: mono 8 kHz, 800 silent + 800 half-amplitude samples
+    //   (16384/32768 = 0.5 exactly — RMS is exact in doubles)
+    val clip1 = wav16(8000f, 1,
+      (Array.fill(800)(0) ++ Array.fill(800)(16384)).map(v => Array(v.toShort)))
+    // clip 2: stereo, L = 0.25, R = 0.75 → channel-averaged 0.5
+    val clip2 = wav16(16000f, 2,
+      Array.fill(600)(Array(8192.toShort, 24576.toShort)))
+    // clip 3: unsigned 8-bit, value 192 → (192 − 128)/128 = 0.5
+    val clip3 = wav8u(8000f, Array.fill(300)(192))
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio", clip1),
+      Multimodal.MediaRecord(2L, "audio", clip2),
+      Multimodal.MediaRecord(3L, "audio", clip3),
+      Multimodal.MediaRecord(4L, "audio", Array[Byte](9, 9, 9)), // garbage
+      Multimodal.MediaRecord(5L, "image", clip1)) // wrong kind → stub
+    val s = spark
+    import s.implicits._
+    val media = s.createDataset(recs).repartition(3)
+    // 1) real decode through decodeMeta — the same pluggable-codec
+    //    path every mm_* operator consumes (convention: width = Hz,
+    //    height = channels, n_frames = PCM sample frames)
+    val metas = Multimodal.decodeMeta(media, Multimodal.audioSysCodec)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas(1L).width == 8000L && metas(1L).height == 1L &&
+      metas(1L).n_frames == 1600L)
+    assert(metas(2L).width == 16000L && metas(2L).height == 2L &&
+      metas(2L).n_frames == 600L)
+    assert(metas(3L).width == 8000L && metas(3L).height == 1L &&
+      metas(3L).n_frames == 300L)
+    // garbage + non-audio fall back to the deterministic stub
+    assert(metas(4L) == Multimodal.decodeOne(recs(3)))
+    assert(metas(5L) == Multimodal.decodeOne(recs(4)))
+    // 2) real per-window RMS energies: clip 1 at 400-sample windows
+    //    is exactly [0, 0, 0.5, 0.5]; stereo averages channels to 0.5;
+    //    the tail window of clip 2 is partial (100 samples) yet exact
+    val en = Multimodal.audioEnergyWindows(media, 400).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(en((1L, 0L)) == ((0L, 400L, 0.0)))
+    assert(en((1L, 1L)) == ((400L, 800L, 0.0)))
+    assert(en((1L, 2L)) == ((800L, 1200L, 0.5)))
+    assert(en((1L, 3L)) == ((1200L, 1600L, 0.5)))
+    assert(en((2L, 0L)) == ((0L, 400L, 0.5)))
+    assert(en((2L, 1L)) == ((400L, 600L, 0.5))) // partial tail
+    assert(en((3L, 0L)) == ((0L, 300L, 0.5)))
+    assert(!en.keySet.exists(_._1 == 4L)) // undecodable quarantined
+    assert(!en.keySet.exists(_._1 == 5L)) // non-audio not in the fan-out
+    // 3) VAD over real energies: clip 1 crosses 0.25 exactly in
+    //    windows 2..3 → one merged segment
+    val vad = Multimodal.audioVadSegments(media, 400, 0.25).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(vad.filter(_._1 == 1L).map(_._2).toSeq == Seq((2L, 3L, 2L)))
+    assert(vad.filter(_._1 == 2L).map(_._2).toSeq == Seq((0L, 1L, 2L)))
+    // 4) parity with the mm_audio_windows grid: the fixed-10s window
+    //    formula applied to REAL decoded metadata (sr = width,
+    //    n_samples = n_frames) matches the engine's fan-out shape
+    Seq(1L, 2L, 3L).foreach { id =>
+      val m = metas(id)
+      val win = m.width * 10
+      val nWin = (m.n_frames + win - 1) / win
+      val grid = Multimodal.audioEnergyWindows(
+        media.filter(_.doc_id == id), win.toInt).collect()
+      assert(grid.length.toLong == nWin)
+      assert(grid.map(_.getLong(3)).max == m.n_frames)
+    }
+  }
+
   test("resize bounds dimensions; frame sampling fans out videos") {
     val media = Multimodal.asMediaTable(Tables.documents(spark, sfDir).limit(60))
     val meta = Multimodal.decodeMeta(media)

@@ -38,6 +38,45 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(p.contains("_salt"), p)
   }
 
+  test("skew profile wires into the salted remedy when top-1 share crosses") {
+    val s = spark
+    import s.implicits._
+    // a corpus where the profiler's own statistic crosses the
+    // threshold: one viral key holds 60% of the fact rows (the
+    // q_skew_profile top1_share), the rest spread over 200 keys
+    val hot = (0 until 600).map(i => (7L, i.toLong))
+    val cold = (0 until 400).map(i => ((i % 200) + 100L, i.toLong))
+    val fact = (hot ++ cold).toDF("k", "v")
+    val dim = (0 until 400).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    // the profile statistic itself (same formula as q_skew_profile)
+    val freq = fact.groupBy("k").count()
+    val top1 = freq.agg(max("count").cast("double") / sum("count")).head().getDouble(0)
+    assert(top1 > 0.2, s"fixture must cross the threshold, got $top1")
+    // profile -> remedy: the salted path must ENGAGE on this corpus...
+    val pj = Skew.profiledJoin(fact, dim, "k", salt = 8, hotShare = 0.2)
+    assert(pj.salted, s"top-1 share ${pj.top1Share} crossed 0.2 but the salted path did not engage")
+    assert(math.abs(pj.top1Share - top1) < 1e-12)
+    // ...the plan actually carries the salt in the join key...
+    val plan = pj.df.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), plan)
+    // ...and the result is row-identical to the plain join
+    val plain = fact.join(dim, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val salted = pj.df.select("k", "v", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain)
+    // uniform corpus: the profiler stays under threshold and the
+    // plain single-shuffle join is chosen (no salt replication)
+    val uniform = (0 until 1000).map(i => ((i % 200).toLong, i.toLong)).toDF("k", "v")
+    val pu = Skew.profiledJoin(uniform, dim, "k", salt = 8, hotShare = 0.2)
+    assert(!pu.salted && pu.top1Share <= 0.2)
+    assert(!pu.df.queryExecution.executedPlan.toString.contains("_salt"))
+    // the standing-audit fast path: a supplied share skips the scan
+    val pk = Skew.profiledJoin(fact, dim, "k", salt = 8, hotShare = 0.2,
+      knownTop1Share = Some(0.6))
+    assert(pk.salted && pk.top1Share == 0.6)
+  }
+
   test("bloom pruning keeps every matching key and drops most others") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val dim = Tables.orders(spark, sfDir)

@@ -1103,4 +1103,102 @@ class StreamingSpec extends SparkSpec {
       assert(bad === 0L)
     } finally query.stop()
   }
+
+  test("scd2 late events below the per-user frontier are dropped, not folded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val H = 3600000000000L
+    val input = MemoryStream[StreamOps.Scd2Event]
+    val query = StreamOps.streamingScd2(input.toDS())
+      .writeStream.format("memory").queryName("scd2late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: a(0h), a(1h), b(2h) -> closes (a: 0h..2h); frontier = 2h
+      input.addData(Seq(
+        StreamOps.Scd2Event(1L, 0L, 7L, "a"),
+        StreamOps.Scd2Event(2L, 1 * H, 7L, "a"),
+        StreamOps.Scd2Event(3L, 2 * H, 7L, "b")))
+      query.processAllAvailable()
+      // batch 2: a LATE type change at 1.5h (below the 2h frontier) must
+      // be dropped -- folding it would emit (b: 2h..1.5h), an interval
+      // that ends before it starts, behind rows already downstream.
+      // The on-time 3h event still closes the open b interval.
+      input.addData(Seq(
+        StreamOps.Scd2Event(4L, H + H / 2, 7L, "c"), // late: dropped
+        StreamOps.Scd2Event(5L, 3 * H, 7L, "c")))
+      query.processAllAvailable()
+      val got = s.sql("SELECT event_type, valid_from, valid_to FROM scd2late")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(("a", 0L, 2 * H), ("b", 2 * H, 3 * H)),
+        s"late event leaked into the timeline: $got")
+      // intra-batch disorder (same batch, shuffled order) is still fine:
+      // a second user's events arrive out of order WITHIN one batch
+      input.addData(Seq(
+        StreamOps.Scd2Event(11L, 2 * H, 8L, "y"),
+        StreamOps.Scd2Event(10L, 0L, 8L, "x")))
+      query.processAllAvailable()
+      val u8 = s.sql("SELECT event_type, valid_from, valid_to FROM scd2late " +
+          "WHERE user_id = 8").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(u8 == Set(("x", 0L, 2 * H)))
+    } finally query.stop()
+  }
+
+  test("cusum late and duplicate days are dropped, not double-counted") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamOps.CusumDay]
+    val query = StreamOps.streamingCusum(input.toDS())
+      .writeStream.format("memory").queryName("cusumlate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // mu = 4.0; days 0..4 counts 3,3,8,8,8 -> cusum -1,-2,2,6,10
+      val d = (c: Long, day: Long) => StreamOps.CusumDay("click", day, c, 4.0)
+      input.addData(Seq(d(3, 0), d(3, 1), d(8, 2), d(8, 3), d(8, 4)))
+      query.processAllAvailable()
+      // batch 2 replays day 4 (duplicate) and day 2 (late) alongside the
+      // on-time day 5: the replays must be dropped -- folding either
+      // would shift every later prefix sum
+      input.addData(Seq(d(8, 4), d(8, 2), d(8, 5)))
+      query.processAllAvailable()
+      val rows = s.sql("SELECT day, cusum FROM cusumlate ORDER BY day")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.map(_._1).toSeq == (0L to 5L).toSeq,
+        s"late/duplicate days re-emitted: ${rows.map(_._1).mkString(",")}")
+      // day 5 cusum = 10 + (8 - 4) = 14 -- exactly one fold of each day
+      assert(rows.last == ((5L, 14.0)), s"prefix shifted: ${rows.last}")
+    } finally query.stop()
+  }
+
+  test("freq-cap decisions are FCFS-stable under late arrivals") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamOps.CapEvent]
+    val query = StreamOps.streamingFreqCap(input.toDS(), cap = 2)
+      .writeStream.format("memory").queryName("fcaplate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 fills its budget in batch 1; user 2 admits one
+      input.addData(Seq(
+        StreamOps.CapEvent(1L, 1L, 0L, 10L),
+        StreamOps.CapEvent(2L, 1L, 0L, 20L),
+        StreamOps.CapEvent(4L, 2L, 0L, 10L)))
+      query.processAllAvailable()
+      // batch 2: late events with EARLIER t than already-admitted ones.
+      // user 1: budget exhausted -> dropped (no revocation of ids 1/2,
+      // even though rank-by-t would have kept id 3 over id 2).
+      // user 2: budget remains -> the late event is admitted.
+      input.addData(Seq(
+        StreamOps.CapEvent(3L, 1L, 0L, 5L),
+        StreamOps.CapEvent(5L, 2L, 0L, 5L)))
+      query.processAllAvailable()
+      val got = s.sql("SELECT event_id, kept FROM fcaplate").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == Map(1L -> true, 2L -> true, 3L -> false,
+        4L -> true, 5L -> true), s"FCFS stability violated: $got")
+    } finally query.stop()
+  }
 }
