@@ -1062,16 +1062,27 @@ private[graft] object QRelational {
           .localCheckpoint(eager = false)
         val first = o.groupBy("o_custkey").agg(min("m").as("m0"))
         val sizes = first.groupBy("m0").agg(count(lit(1)).as("n_cust"))
+        // revenue sums as exact DECIMAL (the engine-wide moneySum
+        // discipline): a plain double sum's merge-order noise landed
+        // the 4dp ltv round on a boundary at sf0.1 (456325.0353 vs
+        // .0352). The per-customer ltv then rounds in INTEGER
+        // micro-units — round(cum/n, 4) as ⌊(2·cum·10⁴ + n)/(2n)⌋ —
+        // because even with an exact cumulative, rounding the float
+        // quotient diverges on .5 boundaries (Spark's round rides
+        // BigDecimal.valueOf's shortest-string repr, DuckDB rounds
+        // the binary value). Float appears only at display, as
+        // exact_int/10⁴ — bit-identical on both engines.
         val rev = o.join(first, "o_custkey")
           .groupBy(col("m0"), (col("m") - col("m0")).as("age"))
-          .agg(round(sum("o_totalprice"), 6).as("rev"))
+          .agg(sum(round(col("o_totalprice"), 4).cast("decimal(20,4)")).as("rev"))
         val wC = Window.partitionBy("m0").orderBy("age")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         rev.join(broadcast(sizes), "m0")
           .withColumn("cum_rev", sum("rev").over(wC))
           .filter(col("age") <= 6)
           .select(col("m0").as("cohort_m"), col("age"), col("n_cust"),
-            round(col("cum_rev") / col("n_cust"), 4).as("ltv"))
+            expr("CAST((CAST(cum_rev * 10000 AS BIGINT) * 2 + n_cust) " +
+              "DIV (n_cust * 2) AS DOUBLE) / 10000.0").as("ltv"))
           .orderBy("cohort_m", "age")
       },
       Some("""WITH o AS (SELECT o_custkey,
@@ -1080,14 +1091,16 @@ private[graft] object QRelational {
              |           FROM orders),
              |f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey),
              |sz AS (SELECT m0, CAST(count(*) AS BIGINT) AS n_cust FROM f GROUP BY m0),
-             |rev AS (SELECT m0, m - m0 AS age, round(sum(o_totalprice), 6) AS rev
+             |rev AS (SELECT m0, m - m0 AS age,
+             |               sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))) AS rev
              |        FROM o JOIN f USING (o_custkey) GROUP BY m0, age),
              |c AS (SELECT m0, age, rev,
              |             sum(rev) OVER (PARTITION BY m0 ORDER BY age
              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
              |      FROM rev)
              |SELECT m0 AS cohort_m, age, n_cust,
-             |       round(cum_rev / n_cust, 4) AS ltv
+             |       CAST((CAST(cum_rev * 10000 AS BIGINT) * 2 + n_cust)
+             |            // (n_cust * 2) AS DOUBLE) / 10000.0 AS ltv
              |FROM c JOIN sz USING (m0) WHERE age <= 6
              |ORDER BY cohort_m, age""".stripMargin)),
 

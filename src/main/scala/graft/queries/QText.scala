@@ -2388,12 +2388,20 @@ private[graft] object QText {
               // corpus collapsing to ONE cumulative checkpoint gives
               // var_pop(lx)=0 and the OLS slope is undefined — NULL
               // it (and k/r2, which reuse it) rather than inherit
-              // either engine's divide-by-zero convention
-              when(col("vx") === 0, lit(null).cast("double"))
+              // either engine's divide-by-zero convention. The guard
+              // is a 1e-12 THRESHOLD, not equality: a saturated
+              // vocabulary (every term seen by the first checkpoint —
+              // the sf0.1 corpus does this) makes var_pop(ly)
+              // mathematically 0, but one engine's var_pop returns
+              // exact 0.0 while the other returns ~1e-28 float
+              // residue, so `= 0` guards diverge and the unguarded
+              // side emits a noise-ratio r2. Genuine log-variance
+              // across ≥2 growing checkpoints is orders above 1e-12.
+              when(col("vx") < 1e-12, lit(null).cast("double"))
                 .otherwise(round(col("cxy") / col("vx"), 4)).as("beta"),
-              when(col("vx") === 0, lit(null).cast("double"))
+              when(col("vx") < 1e-12, lit(null).cast("double"))
                 .otherwise(round(exp(col("ay") - col("cxy") / col("vx") * col("ax")), 4)).as("k"),
-              when(col("vx") === 0 || col("vy") === 0, lit(null).cast("double"))
+              when(col("vx") < 1e-12 || col("vy") < 1e-12, lit(null).cast("double"))
                 .otherwise(round(pow(col("cxy") / sqrt(col("vx") * col("vy")), 2), 4)).as("r2"))
         },
         Some("""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
@@ -2415,9 +2423,9 @@ private[graft] object QText {
                |             avg(lx) AS ax, avg(ly) AS ay, covar_pop(lx, ly) AS cxy,
                |             var_pop(lx) AS vx, var_pop(ly) AS vy FROM pts)
                |SELECT n_points,
-               |       CASE WHEN vx = 0 THEN NULL ELSE round(cxy / vx, 4) END AS beta,
-               |       CASE WHEN vx = 0 THEN NULL ELSE round(exp(ay - cxy / vx * ax), 4) END AS k,
-               |       CASE WHEN vx = 0 OR vy = 0 THEN NULL ELSE
+               |       CASE WHEN vx < 1e-12 THEN NULL ELSE round(cxy / vx, 4) END AS beta,
+               |       CASE WHEN vx < 1e-12 THEN NULL ELSE round(exp(ay - cxy / vx * ax), 4) END AS k,
+               |       CASE WHEN vx < 1e-12 OR vy < 1e-12 THEN NULL ELSE
                |         round(pow(cxy / sqrt(vx * vy), 2), 4) END AS r2
                |FROM s""".stripMargin)),
 
