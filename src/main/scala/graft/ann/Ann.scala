@@ -265,7 +265,20 @@ object Ann {
               col("qv").cast("array<double>").as("_2"))
       .as[(Long, Array[Double])]
     val nq = qDs.count()
-    val nTiles = math.max(1L, (nq + tile - 1) / tile)
+    // Dim-aware packing bounds: one tile row materializes tile×dim
+    // doubles in a single shuffle row / task, one block row
+    // blockRows×dim. The defaults are sized for ~64-d embeddings; at
+    // 1024-d they would make half-GB rows, so cap a tile row at
+    // ~32 MB and a block row at ~16 MB regardless of what the caller
+    // (or the env default) asks for. One head(1) probe reads the dim.
+    val dim = qDs.head(1).headOption.map(_._2.length).getOrElse(0)
+    val tileEff =
+      if (dim <= 0) tile
+      else math.max(1, math.min(tile, (32 << 20) / (dim * 8)))
+    val blockRowsEff =
+      if (dim <= 0) blockRows
+      else math.max(1, math.min(blockRows, (16 << 20) / (dim * 8)))
+    val nTiles = math.max(1L, (nq + tileEff - 1) / tileEff)
     val nSlots = math.max(1, spark.sparkContext.defaultParallelism).toLong
     // One kernel task per block×tile cell, FORCED by an explicit-N
     // hash repartition of both join inputs on the cell key. Without
@@ -295,7 +308,7 @@ object Ann {
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val sl = org.apache.spark.TaskContext.getPartitionId().toLong % nSlots
-        it.grouped(blockRows).zipWithIndex.map { case (b, i) =>
+        it.grouped(blockRowsEff).zipWithIndex.map { case (b, i) =>
           ((i.toLong + sl) % nSlots, b.toArray)
         }
       }

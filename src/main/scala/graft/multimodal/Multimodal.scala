@@ -5,11 +5,17 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.md5Long
 
 /** Multimodal column plumbing: media payloads as opaque `binary`
-  * columns with typed metadata, processed with a deterministic
-  * STUBBED decoder (image/audio codecs are not available in this
-  * container — see the builder brief). The Spark-side contract —
-  * schema, batching via mapPartitions, partition-sized work units —
-  * is real and spec-tested; only the codec call is faked.
+  * columns with typed metadata, processed through a pluggable codec
+  * seam. The deterministic stub ([[decodeOne]]) remains the oracle
+  * default; REAL zero-dependency codecs run through the SAME
+  * mapPartitions path for all three modalities: javax.imageio
+  * PNG/JPEG ([[imageIoCodec]]), javax.sound PCM WAV/AIFF
+  * ([[audioSysCodec]]), and an MJPEG-in-AVI container walk whose
+  * frames decode via ImageIO ([[videoAviCodec]]). Anything the JDK
+  * cannot decode falls back to the stub or is quarantined — never a
+  * crash. The Spark-side contract — schema, batching via
+  * mapPartitions, partition-sized work units — is identical for stub
+  * and real codecs, which is the point of the seam.
   */
 object Multimodal {
 
@@ -276,6 +282,168 @@ object Multimodal {
         }
       }
     }.toDF("doc_id", "seg_idx", "start_win", "end_win", "n_win")
+  }
+
+  /** REAL video decode for MJPEG-in-AVI: the AVI container is plain
+    * RIFF (fourcc + u32-LE size chunks) and each '00dc'/'00db' movi
+    * chunk of an MJPEG stream is a complete JPEG — so a pure-JVM
+    * container walk plus [[imageIoCodec]]'s javax.imageio path
+    * decodes real video frames with zero new dependencies. Returns
+    * (microSecPerFrame from avih, frame payloads) or None when the
+    * bytes are not a parseable AVI (callers fall back/quarantine —
+    * same policy as the image and audio seams). Bounds: the walk is
+    * one linear pass; malformed sizes terminate the walk rather than
+    * throw.
+    */
+  private[graft] def aviMjpegFrames(
+      bytes: Array[Byte]): Option[(Long, Vector[Array[Byte]])] = {
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+      ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def fcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") None
+    else {
+      var usPerFrame = 0L
+      val frames = Vector.newBuilder[Array[Byte]]
+      var nFrames = 0
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = fcc(p)
+          val sz = u32(p + 4)
+          val dataStart = p + 8
+          if (sz < 0 || sz > Int.MaxValue - dataStart || dataStart + sz > end)
+            return // malformed chunk: stop the walk, keep what parsed
+          val szI = sz.toInt
+          if (id == "LIST" && szI >= 4) walk(dataStart + 4, dataStart + szI)
+          else if (id == "avih" && szI >= 56) usPerFrame = u32(dataStart)
+          else if ((id.endsWith("dc") || id.endsWith("db")) && szI > 0) {
+            frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + szI)
+            nFrames += 1
+          }
+          p = dataStart + szI + (szI & 1) // chunks pad to even
+        }
+      }
+      walk(12, bytes.length)
+      val fs = frames.result()
+      if (fs.isEmpty) None else Some((usPerFrame, fs))
+    }
+  }
+
+  /** REAL video metadata off the MJPEG-AVI path: n_frames = actual
+    * movi frame count, width/height from the first decodable frame.
+    * Non-video kinds and unparseable/undecodable payloads fall back
+    * to the deterministic stub — the third modality through the SAME
+    * codec seam (image: round 13, audio + video: round 14).
+    */
+  def videoAviCodec(r: MediaRecord): MediaMeta =
+    if (r.kind != "video") decodeOne(r)
+    else aviMjpegFrames(r.media) match {
+      case None => decodeOne(r)
+      case Some((_, frames)) =>
+        val first = frames.iterator.map { f =>
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+          catch { case scala.util.control.NonFatal(_) => null }
+        }.find(_ != null)
+        first match {
+          case None => decodeOne(r)
+          case Some(img) => MediaMeta(r.doc_id, r.kind, r.media.length.toLong,
+            width = img.getWidth.toLong, height = img.getHeight.toLong,
+            n_frames = frames.size.toLong)
+        }
+    }
+
+  /** Per-frame BT.601 mean luma off REAL decoded video frames — the
+    * feature the shot-boundary detector consumes, computed from
+    * actual pixels (mm_shot_bounds' deterministic stub remains the
+    * oracle twin). Undecodable frames are skipped (frame-granular
+    * quarantine); clips that don't parse as AVI are dropped whole.
+    * Output: doc_id, frame_idx, width, height, mean_luma.
+    */
+  def videoFrameLumas(media: Dataset[MediaRecord]): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        aviMjpegFrames(r.media) match {
+          case None => Iterator.empty
+          case Some((_, frames)) =>
+            frames.iterator.zipWithIndex.flatMap { case (f, i) =>
+              val img = try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(f))
+              catch { case scala.util.control.NonFatal(_) => null }
+              if (img == null) None
+              else {
+                var sum = 0.0; var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    sum += 0.299 * ((rgb >> 16) & 0xff) +
+                           0.587 * ((rgb >> 8) & 0xff) +
+                           0.114 * (rgb & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                Some((r.doc_id, i.toLong, img.getWidth.toLong,
+                  img.getHeight.toLong,
+                  sum / (img.getWidth.toLong * img.getHeight)))
+              }
+            }
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "width", "height", "mean_luma")
+  }
+
+  /** REAL shot-boundary detection: a cut is a frame whose mean luma
+    * jumps more than `threshold` from its predecessor (the classic
+    * luma-delta detector), computed per clip inside the decode
+    * partition — state is one previous-luma double, bounded by the
+    * clip, never the corpus. Output: doc_id, n_frames, n_cuts,
+    * n_shots (mm_shot_bounds' shape, off real pixels).
+    */
+  def videoShotBounds(media: Dataset[MediaRecord],
+                      threshold: Double): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        aviMjpegFrames(r.media) match {
+          case None => Iterator.empty
+          case Some((_, frames)) =>
+            var prev = Double.NaN
+            var cuts = 0L
+            var n = 0L
+            frames.foreach { f =>
+              val img = try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(f))
+              catch { case scala.util.control.NonFatal(_) => null }
+              if (img != null) {
+                var sum = 0.0; var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    sum += 0.299 * ((rgb >> 16) & 0xff) +
+                           0.587 * ((rgb >> 8) & 0xff) +
+                           0.114 * (rgb & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                val luma = sum / (img.getWidth.toLong * img.getHeight)
+                if (!prev.isNaN && math.abs(luma - prev) > threshold) cuts += 1
+                prev = luma
+                n += 1
+              }
+            }
+            if (n == 0) None
+            else Some((r.doc_id, n, cuts, cuts + 1))
+        }
+      }
+    }.toDF("doc_id", "n_frames", "n_cuts", "n_shots")
   }
 
   /** STUB feature extractor: binary payload → 64-d float embedding

@@ -186,6 +186,80 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("REAL video frames decode through the MJPEG-AVI container path") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // hand-built AVI byte stream: RIFF('AVI ') { LIST hdrl { avih },
+    // LIST movi { 00dc = complete JPEG per frame } } -- the minimal
+    // well-formed MJPEG-AVI, assembled from first principles so the
+    // parser is tested against the container SPEC, not against its
+    // own writer
+    def jpegGray(level: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def u32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+            ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array[Byte]()
+      id.getBytes("US-ASCII") ++ u32(data.length.toLong) ++ data ++ pad
+    }
+    def list(kind: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ inner)
+    def avi(frames: Seq[Array[Byte]], usPerFrame: Long, w: Int, h: Int): Array[Byte] = {
+      val avih = u32(usPerFrame) ++ u32(0) ++ u32(0) ++ u32(0) ++
+        u32(frames.size.toLong) ++ u32(0) ++ u32(1) ++ u32(0) ++
+        u32(w.toLong) ++ u32(h.toLong) ++ Array.fill(16)(0.toByte)
+      val hdrl = list("hdrl", chunk("avih", avih))
+      val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ u32(body.length.toLong) ++ body
+    }
+    // 3 dark (luma 20) + 3 bright (luma 200) frames: one hard cut
+    val frames = Seq.fill(3)(jpegGray(20, 16, 12)) ++
+      Seq.fill(3)(jpegGray(200, 16, 12))
+    val clip = avi(frames, 40000L, 16, 12) // 25 fps
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "video", clip),
+      Multimodal.MediaRecord(2L, "video", Array[Byte](1, 2, 3)), // garbage
+      Multimodal.MediaRecord(3L, "audio", clip)) // wrong kind -> stub
+    val s = spark
+    import s.implicits._
+    val media = s.createDataset(recs).repartition(2)
+    // 1) container parse + first-frame decode through the codec seam
+    val metas = Multimodal.decodeMeta(media, Multimodal.videoAviCodec)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas(1L).n_frames == 6L)
+    assert(metas(1L).width == 16L && metas(1L).height == 12L)
+    assert(metas(2L) == Multimodal.decodeOne(recs(1))) // garbage -> stub
+    assert(metas(3L) == Multimodal.decodeOne(recs(2))) // non-video -> stub
+    // 2) per-frame REAL lumas: solid gray JPEGs decode within +-2
+    val lumas = Multimodal.videoFrameLumas(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(lumas.size == 6)
+    (0 until 3).foreach(i => assert(math.abs(lumas((1L, i.toLong)) - 20.0) <= 2.0,
+      s"frame $i luma ${lumas((1L, i.toLong))}"))
+    (3 until 6).foreach(i => assert(math.abs(lumas((1L, i.toLong)) - 200.0) <= 2.0,
+      s"frame $i luma ${lumas((1L, i.toLong))}"))
+    // 3) shot-boundary detection over real pixels: exactly one cut
+    val shots = Multimodal.videoShotBounds(media, threshold = 60.0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(shots(1L) == ((6L, 1L, 2L)), s"got ${shots.get(1L)}")
+    assert(!shots.contains(2L) && !shots.contains(3L))
+    // 4) a frame-granular quarantine: corrupt ONE movi frame payload
+    //    in place -- the other five still decode, the clip survives
+    val corrupt = avi(frames.updated(2, Array[Byte](9, 9, 9, 9)), 40000L, 16, 12)
+    val m2 = s.createDataset(Seq(Multimodal.MediaRecord(9L, "video", corrupt)))
+    val l2 = Multimodal.videoFrameLumas(m2).collect()
+    assert(l2.length == 5, s"expected 5 decodable frames, got ${l2.length}")
+  }
+
   test("resize bounds dimensions; frame sampling fans out videos") {
     val media = Multimodal.asMediaTable(Tables.documents(spark, sfDir).limit(60))
     val meta = Multimodal.decodeMeta(media)
