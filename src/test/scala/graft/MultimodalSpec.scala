@@ -172,6 +172,25 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(vad.filter(_._1 == 1L).map(_._2).toSeq == Seq((2L, 3L, 2L)))
     assert(vad.filter(_._1 == 2L).map(_._2).toSeq == Seq((0L, 1L, 2L)))
+    // 3b) big-endian path: AIFF is PCM_SIGNED big-endian in the JDK
+    //     writer — same samples as clip 1's voiced half, so RMS = 0.5
+    val fmtBe = new AudioFormat(8000f, 16, 1, true, true)
+    val beData = new Array[Byte](400 * 2)
+    (0 until 400).foreach { i =>
+      beData(i * 2) = ((16384 >> 8) & 0xff).toByte
+      beData(i * 2 + 1) = (16384 & 0xff).toByte
+    }
+    val bosBe = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new ByteArrayInputStream(beData), fmtBe, 400L),
+      AudioFileFormat.Type.AIFF, bosBe)
+    val aiff = Multimodal.MediaRecord(6L, "audio", bosBe.toByteArray)
+    val mBe = Multimodal.decodeMeta(s.createDataset(Seq(aiff)),
+      Multimodal.audioSysCodec).collect().head
+    assert(mBe.width == 8000L && mBe.height == 1L && mBe.n_frames == 400L)
+    val eBe = Multimodal.audioEnergyWindows(s.createDataset(Seq(aiff)), 400)
+      .collect().map(r => r.getDouble(4))
+    assert(eBe.toSeq == Seq(0.5), s"AIFF big-endian RMS: ${eBe.toSeq}")
     // 4) parity with the mm_audio_windows grid: the fixed-10s window
     //    formula applied to REAL decoded metadata (sr = width,
     //    n_samples = n_frames) matches the engine's fan-out shape
