@@ -224,6 +224,23 @@ object Ann {
     */
   private[graft] val defaultKernelBlockRows: Int = 1 << 13
 
+  /** [[bruteForceTopK]] through the 2D BLOCK-MATRIX kernel — exact
+    * cosine top-k whose corpus scan count is independent of the
+    * query-batch size (the huge-batch × huge-corpus path). Output and
+    * semantics identical to [[bruteForceTopK]]: same per-score
+    * rounding, same (score desc, id asc) tie-break — which is what
+    * lets the DuckDB oracle adjudicate this kernel directly
+    * (`ann_blocked_topk` forces multiple tiles AND blocks).
+    */
+  def bruteForceTopKBlocked(emb: DataFrame, queries: DataFrame, k: Int,
+      tile: Int = defaultKernelTile,
+      blockRows: Int = defaultKernelBlockRows): DataFrame =
+    blockedTop(emb, queries, k, cosineRounded6, tile, blockRows)
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("vec_id"), col("col.score").as("score"),
+              (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+
   /** 2D block-matrix dense kernel (SUMMA-style): the huge-query-batch
     * × huge-corpus case where neither side fits one broadcast.
     *

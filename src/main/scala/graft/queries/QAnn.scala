@@ -33,6 +33,28 @@ private[graft] object QAnn {
                |  FROM sc)
                |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
+      // the 2D block-matrix kernel under the DuckDB oracle (round 14):
+      // tile=17 / blockRows=129 force MANY tiles × MANY blocks on this
+      // corpus, so the oracle adjudicates the partial-TopK-on-both-axes
+      // merge itself, not just the fast path (AnnSpec pins row-equality
+      // separately; this row makes the kernel hash-gated every round)
+      "ann_blocked_topk" -> Q(
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+          val q = emb.filter(col("vec_id") < 64)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          Ann.bruteForceTopKBlocked(emb, q, 5, tile = 17, blockRows = 129)
+        },
+        Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               |           FROM embeddings WHERE vec_id < 64),
+               |sc AS (SELECT qid, e.vec_id,
+               |              round(list_cosine_similarity(e.embedding::DOUBLE[], qv), 6) + 0.0 AS score
+               |       FROM embeddings e, q WHERE e.vec_id <> qid)
+               |SELECT qid, vec_id, score, rnk FROM (
+               |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+               |  FROM sc)
+               |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
       // exact k-NN graph (k=5) with the two statistics SNN-style
       // clustering and SemDeDup audits read off it: per node, how many
       // of its top-5 are MUTUAL (it is also in their top-5) and how
