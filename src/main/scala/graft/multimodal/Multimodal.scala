@@ -213,8 +213,10 @@ object Multimodal {
     * actual samples instead of the metadata stub. Undecodable audio
     * payloads are dropped (a real pipeline quarantines them — same
     * policy as [[imageLumaStats]]). Decode never leaves the executor;
-    * per-clip state is one window's running sum, so memory is O(1)
-    * per row regardless of clip length.
+    * the window fold keeps one running sum, but decodeAudioSamples
+    * materializes the clip's full PCM sample array first, so memory
+    * is O(clip length) per row — fine for clip-sized media cells
+    * (the MediaRecord contract), not for unbounded streams.
     * Output: doc_id, win_idx, start_sample, end_sample, rms.
     */
   def audioEnergyWindows(media: Dataset[MediaRecord],
@@ -292,8 +294,9 @@ object Multimodal {
     * (microSecPerFrame from avih, frame payloads) or None when the
     * bytes are not a parseable AVI (callers fall back/quarantine —
     * same policy as the image and audio seams). Bounds: the walk is
-    * one linear pass; malformed sizes terminate the walk rather than
-    * throw.
+    * one linear pass with an explicit heap stack (no recursion — a
+    * crafted nest of LIST headers cannot StackOverflow the task);
+    * malformed sizes terminate the walk rather than throw.
     */
   private[graft] def aviMjpegFrames(
       bytes: Array[Byte]): Option[(Long, Vector[Array[Byte]])] = {
@@ -307,25 +310,41 @@ object Multimodal {
       var usPerFrame = 0L
       val frames = Vector.newBuilder[Array[Byte]]
       var nFrames = 0
-      def walk(start: Int, end: Int): Unit = {
-        var p = start
-        while (p + 8 <= end) {
+      // Iterative walk with an explicit (pos, end) stack: a crafted
+      // payload of deeply nested 12-byte LIST headers must not be able
+      // to overflow the JVM stack (untrusted media bytes fall back or
+      // quarantine, NEVER crash the task). Each LIST pushes one frame
+      // of two Ints; depth is bounded by bytes.length/12 heap entries.
+      val stack = new java.util.ArrayDeque[(Int, Int)]
+      stack.push((12, bytes.length))
+      while (!stack.isEmpty) {
+        var (p, end) = stack.pop()
+        var stop = false
+        while (!stop && p + 8 <= end) {
           val id = fcc(p)
           val sz = u32(p + 4)
           val dataStart = p + 8
           if (sz < 0 || sz > Int.MaxValue - dataStart || dataStart + sz > end)
-            return // malformed chunk: stop the walk, keep what parsed
-          val szI = sz.toInt
-          if (id == "LIST" && szI >= 4) walk(dataStart + 4, dataStart + szI)
-          else if (id == "avih" && szI >= 56) usPerFrame = u32(dataStart)
-          else if ((id.endsWith("dc") || id.endsWith("db")) && szI > 0) {
-            frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + szI)
-            nFrames += 1
+            stop = true // malformed chunk: stop this level, keep what parsed
+          else {
+            val szI = sz.toInt
+            if (id == "LIST" && szI >= 4) {
+              // resume this level after the LIST, then descend into it
+              stack.push((dataStart + szI + (szI & 1), end))
+              p = end // descend now; the pushed frame resumes the rest
+              stack.push((dataStart + 4, dataStart + szI))
+              stop = true
+            } else {
+              if (id == "avih" && szI >= 56) usPerFrame = u32(dataStart)
+              else if ((id.endsWith("dc") || id.endsWith("db")) && szI > 0) {
+                frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + szI)
+                nFrames += 1
+              }
+              p = dataStart + szI + (szI & 1) // chunks pad to even
+            }
           }
-          p = dataStart + szI + (szI & 1) // chunks pad to even
         }
       }
-      walk(12, bytes.length)
       val fs = frames.result()
       if (fs.isEmpty) None else Some((usPerFrame, fs))
     }

@@ -7,8 +7,15 @@ import org.apache.spark.sql.functions._
 /** Shared DSL for the SparkEntry query inventory: the (Spark fn,
   * oracle SQL) pair type, exact-money arithmetic, iterative-SQL
   * generators, and the cross-query shared frames (transition cells).
-  * Split out of the single-file SparkEntry in round 14 — bodies are
-  * unchanged; every query family imports this. */
+  * Split out of the single-file SparkEntry in round 14 — a pure move
+  * EXCEPT two deliberate determinism fixes that landed in the same
+  * commit range (for anyone bisecting result changes across the
+  * split): q_ltv_cohort moved its per-customer LTV division to
+  * INTEGER micro-units under the moneySum DECIMAL discipline, and
+  * text_heaps_fit's var_pop degeneracy guard became a 1e-12
+  * threshold on both engines (Spark returns exact 0.0 where DuckDB
+  * leaves ~1e-28 residue). Both oracles were rewritten to match.
+  * Every query family imports this. */
 private[graft] object QDsl {
 
 

@@ -295,9 +295,11 @@ object StreamOps {
   /** Ring of the last `lags-1` observed values per user, most recent
     * first; `mask(i)` false marks a null observation (which still
     * OCCUPIES a lag slot — matching the batch operator's row-based
-    * `lag()`).
+    * `lag()`). `frontier` is the newest event time already folded
+    * (round 15 — new checkpoint dir required, see [[Scd2State]]).
     */
-  final case class EwmaRing(vals: Array[Double], mask: Array[Boolean])
+  final case class EwmaRing(vals: Array[Double], mask: Array[Boolean],
+                            frontier: Long)
 
   final case class EwmaPoint(user_id: Long, event_id: Long,
                              v: Option[Double], ewma: Option[Double])
@@ -309,8 +311,18 @@ object StreamOps {
     * key — where a truly recursive EWMA's value depends on the entire
     * history. Weights are α(1-α)^k over the lags whose value is
     * non-null, renormalized (all-null window → null, same guard as
-    * the batch query). Assumes per-user in-order arrival (the
-    * sessionize contract); emits one smoothed point per input event.
+    * the batch query). Emits one smoothed point per input event.
+    *
+    * LATE-DATA POLICY (spec-pinned in StreamingSpec): the state
+    * carries a per-user event-time frontier; an event arriving in a
+    * later micro-batch with ts < frontier is DROPPED. The lag window
+    * is positional — a late event belongs in the MIDDLE of the ring,
+    * and points smoothed over the un-inserted ring have already been
+    * emitted to the append sink, so retro-inserting could only make
+    * state and emitted history disagree. Within one micro-batch,
+    * events sort by (ts, event_id) before folding, so intra-batch
+    * disorder is harmless. Production bounds lateness with an
+    * upstream watermark; beyond it, this is the degrade.
     */
   def streamingEwma(events: Dataset[EwmaEvent], alpha: Double = 0.5,
                     lags: Int = 8): Dataset[EwmaPoint] = {
@@ -325,7 +337,11 @@ object StreamOps {
               r.vals.lazyZip(r.mask).map((v, m) => if (m) Some(v) else None).toVector
             case None => Vector.empty
           }
-          val out = it.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+          var frontier = state.getOption.map(_.frontier).getOrElse(Long.MinValue)
+          val out = it.toSeq.sortBy(e => (e.ts, e.event_id))
+            .dropWhile(_.ts < frontier) // late vs a PRIOR batch: drop
+            .map { e =>
+            frontier = math.max(frontier, e.ts)
             val win = (e.value +: ring).take(lags)
             var num = 0.0; var den = 0.0
             win.zipWithIndex.foreach { case (ov, k) =>
@@ -341,7 +357,7 @@ object StreamOps {
             EwmaPoint(e.user_id, e.event_id, e.value, ewma)
           }
           state.update(EwmaRing(ring.map(_.getOrElse(0.0)).toArray,
-            ring.map(_.isDefined).toArray))
+            ring.map(_.isDefined).toArray, frontier))
           out.iterator
       }
   }
@@ -378,6 +394,15 @@ object StreamOps {
 
   final case class Scd2Event(event_id: Long, ts: Long, user_id: Long,
                              event_type: String)
+  /** CHECKPOINT COMPATIBILITY: round 14 added `frontier` here (and
+    * `lastDay` to [[CusumState]]); round 15 extended the late-data
+    * policies to [[EwmaRing]]/[[LocfState]]/[[BollState]]/[[PhState]]/
+    * [[KalmanState]]. Each addition changes that operator's
+    * flatMapGroupsWithState state encoder schema, so a streaming
+    * query restarted from a pre-change checkpoint will fail to decode
+    * its state — resume such queries with a NEW checkpoint directory.
+    * Policy for future field additions: same rule (new checkpoint
+    * dir), noted in the scaladoc of the state class that changed. */
   final case class Scd2State(eventId: Long, eventType: String, since: Long,
                              frontier: Long)
   final case class Scd2Closed(user_id: Long, event_id: Long,
@@ -750,28 +775,48 @@ object StreamOps {
   final case class LocfPoint(user_id: Long, event_id: Long,
                              value: Option[Double], filled: Option[Double])
 
+  /** (last non-null value, whether one exists, event-time frontier)
+    * — round 15 widened the bare Double state for the late-data
+    * frontier (new checkpoint dir required, see [[Scd2State]]). */
+  final case class LocfState(last: Double, hasLast: Boolean, frontier: Long)
+
   /** Streaming twin of the batch `ts_locf` query: last-observation-
-    * carried-forward as ONE double of keyed state per user (the last
-    * non-null value seen). NULL values emit the carried observation;
-    * non-null values pass through and refresh the state. Same
-    * semantics as the batch last(ignoreNulls) running window under
-    * the per-key in-order arrival contract (batch-equivalence
-    * spec-pinned).
+    * carried-forward, keyed state one (value, frontier) pair per
+    * user. NULL values emit the carried observation; non-null values
+    * pass through and refresh the state. Same semantics as the batch
+    * last(ignoreNulls) running window (batch-equivalence spec-pinned).
+    *
+    * LATE-DATA POLICY (spec-pinned in StreamingSpec): an event
+    * arriving in a later micro-batch with ts < frontier is DROPPED —
+    * its own fill row has been superseded (rows after it were already
+    * emitted using the then-current carry), and letting a STALE
+    * observation refresh the carry would corrupt every future fill
+    * (batch semantics carry the newest-by-time observation, not the
+    * newest-by-arrival). Within one micro-batch, events sort by
+    * (ts, event_id) before folding. Production bounds lateness with
+    * an upstream watermark; beyond it, this is the degrade.
     */
   def streamingLocf(events: Dataset[LocfEvent]): Dataset[LocfPoint] = {
     val s = events.sparkSession
     import s.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Double, LocfPoint](
+      .flatMapGroupsWithState[LocfState, LocfPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (uid, it, state: GroupState[Double]) =>
-          var last: Option[Double] = state.getOption
-          val out = it.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
-            val filled = e.value.orElse(last)
-            e.value.foreach(v => last = Some(v))
+        case (uid, it, state: GroupState[LocfState]) =>
+          var st = state.getOption.getOrElse(
+            LocfState(0.0, hasLast = false, Long.MinValue))
+          val out = it.toSeq.sortBy(e => (e.ts, e.event_id))
+            .dropWhile(_.ts < st.frontier) // late vs a PRIOR batch: drop
+            .map { e =>
+            val filled = e.value.orElse(if (st.hasLast) Some(st.last) else None)
+            st = e.value match {
+              case Some(v) => LocfState(v, hasLast = true,
+                math.max(st.frontier, e.ts))
+              case None => st.copy(frontier = math.max(st.frontier, e.ts))
+            }
             LocfPoint(uid, e.event_id, e.value, filled)
           }
-          last.foreach(state.update)
+          state.update(st)
           out.iterator
       }
   }
@@ -821,7 +866,9 @@ object StreamOps {
 
   final case class BollDay(day: Long, x: Long)
 
-  final case class BollState(ring: Seq[Long])
+  /** `lastDay` added round 15 for the late-data policy (new
+    * checkpoint dir required, see [[Scd2State]]). */
+  final case class BollState(ring: Seq[Long], lastDay: Long)
 
   final case class BollPoint(day: Long, x: Long, mid: Double, lo: Double,
                              hi: Double, breakout: Long)
@@ -831,6 +878,13 @@ object StreamOps {
     * discipline), and each full window emits the same 4/6dp-pinned
     * band row the batch window computes, bit-equal across micro-batch
     * slicings because the band math divides exact integers.
+    *
+    * LATE-DATA POLICY (spec-pinned in StreamingSpec): a rollup row
+    * arriving in a later micro-batch with day <= lastDay is DROPPED —
+    * the 7-day ring is positional, so folding a late or duplicate day
+    * would shift the window every subsequent (already-emitted) band
+    * was computed over. Same rule as [[streamingCusum]]; within one
+    * micro-batch, days sort before folding.
     */
   def streamingBollinger(days: Dataset[BollDay]): Dataset[BollPoint] = {
     val s = days.sparkSession
@@ -842,7 +896,11 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, it, state: GroupState[BollState]) =>
           var ring = state.getOption.map(_.ring).getOrElse(Seq.empty[Long])
-          val out = it.toSeq.sortBy(_.day).flatMap { d =>
+          var lastDay = state.getOption.map(_.lastDay).getOrElse(Long.MinValue)
+          val out = it.toSeq.sortBy(_.day)
+            .dropWhile(_.day <= lastDay) // late/duplicate day: drop
+            .flatMap { d =>
+            lastDay = d.day
             ring = (ring :+ d.x).takeRight(7)
             if (ring.size < 7) None
             else {
@@ -856,7 +914,7 @@ object StreamOps {
                 if (d.x < lo || d.x > hi) 1L else 0L))
             }
           }
-          state.update(BollState(ring))
+          state.update(BollState(ring, lastDay))
           out.iterator
       }
   }
@@ -904,8 +962,10 @@ object StreamOps {
 
   final case class PhDay(day: Long, x: Long)
 
-  /** (cumulative deviation sum, its running min) in integer micro-units. */
-  final case class PhState(cum: Long, mn: Long)
+  /** (cumulative deviation sum, its running min) in integer
+    * micro-units; `lastDay` added round 15 for the late-data policy
+    * (new checkpoint dir required, see [[Scd2State]]). */
+  final case class PhState(cum: Long, mn: Long, lastDay: Long)
 
   final case class PhPoint(day: Long, x: Long, ph: Double, alarm: Long)
 
@@ -934,9 +994,15 @@ object StreamOps {
     * running min, both in integer micro-units). Integer state means
     * replaying the daily rollup reproduces the batch PH column
     * bit-for-bit across any micro-batch slicing (spec-pinned): there
-    * is no float accumulation to drift at batch boundaries. Same
-    * per-key in-order arrival contract as [[streamingKalman]]; days
+    * is no float accumulation to drift at batch boundaries. Days
     * inside one micro-batch are processed in day order.
+    *
+    * LATE-DATA POLICY (spec-pinned in StreamingSpec): a row arriving
+    * in a later micro-batch with day <= lastDay is DROPPED — the PH
+    * statistic is a prefix sum with a running min, so a late day
+    * folded out of order lands in the wrong prefix (and a duplicate
+    * day double-counts), silently shifting every later emitted point.
+    * Same rule as [[streamingCusum]].
     */
   def streamingPageHinkley(days: Dataset[PhDay], refU: Long,
                            lambda: Double): Dataset[PhPoint] = {
@@ -947,11 +1013,14 @@ object StreamOps {
       .flatMapGroupsWithState[PhState, PhPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, it, state: GroupState[PhState]) =>
-          var st = state.getOption.getOrElse(PhState(0L, Long.MaxValue))
-          val out = it.toSeq.sortBy(_.day).map { d =>
+          var st = state.getOption.getOrElse(
+            PhState(0L, Long.MaxValue, Long.MinValue))
+          val out = it.toSeq.sortBy(_.day)
+            .dropWhile(_.day <= st.lastDay) // late/duplicate day: drop
+            .map { d =>
             val cum = st.cum + (d.x * 1000000L - refU)
             val mn = math.min(st.mn, cum)
-            st = PhState(cum, mn)
+            st = PhState(cum, mn, d.day)
             val ph = r4((cum - mn).toDouble / 1e6)
             PhPoint(d.day, d.x, ph, if (ph > lambda) 1L else 0L)
           }
@@ -962,8 +1031,11 @@ object StreamOps {
 
   final case class KalmanDay(series: String, t: Long, day: Long, v: Double)
 
-  /** (level, variance, whether any day was consumed yet). */
-  final case class KalmanState(level: Double, p: Double, started: Boolean)
+  /** (level, variance, whether any day was consumed yet, last folded
+    * step) — `lastT` added round 15 for the late-data policy (new
+    * checkpoint dir required, see [[Scd2State]]). */
+  final case class KalmanState(level: Double, p: Double, started: Boolean,
+                               lastT: Long)
 
   final case class KalmanPoint(series: String, t: Long, day: Long,
                                obs: Double, level: Double,
@@ -975,9 +1047,15 @@ object StreamOps {
     * filtered level. Identical per-step 6/4dp rounding to the batch
     * driver fold and the DuckDB RECURSIVE oracle, so replaying the
     * daily rollup through this operator reproduces the batch table
-    * bit-for-bit (spec-pinned). Same per-key in-order arrival
-    * contract as [[streamingCusum]]; days inside one micro-batch are
+    * bit-for-bit (spec-pinned). Days inside one micro-batch are
     * processed in t order.
+    *
+    * LATE-DATA POLICY (spec-pinned in StreamingSpec): a row arriving
+    * in a later micro-batch with t <= lastT for its series is
+    * DROPPED — the filter is a recursive fold, so a late step folded
+    * out of order (or a duplicate step folded twice) perturbs the
+    * level/variance trajectory behind points already emitted. Same
+    * rule as [[streamingCusum]].
     */
   def streamingKalman(days: Dataset[KalmanDay]): Dataset[KalmanPoint] = {
     val s = days.sparkSession
@@ -988,16 +1066,19 @@ object StreamOps {
       .flatMapGroupsWithState[KalmanState, KalmanPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (series, it, state: GroupState[KalmanState]) =>
-          var st = state.getOption.getOrElse(KalmanState(0.0, 10000.0, false))
-          val out = it.toSeq.sortBy(_.t).map { d =>
+          var st = state.getOption.getOrElse(
+            KalmanState(0.0, 10000.0, false, Long.MinValue))
+          val out = it.toSeq.sortBy(_.t)
+            .dropWhile(_.t <= st.lastT) // late/duplicate step: drop
+            .map { d =>
             if (!st.started) {
-              st = KalmanState(d.v, 10000.0, started = true)
+              st = KalmanState(d.v, 10000.0, started = true, d.t)
               KalmanPoint(series, d.t, d.day, d.v, st.level, None)
             } else {
               val pp = st.p + 25.0
               val kg = r6(pp / (pp + 100.0))
               st = KalmanState(r4(st.level + kg * (d.v - st.level)),
-                r4((1 - kg) * pp), started = true)
+                r4((1 - kg) * pp), started = true, d.t)
               KalmanPoint(series, d.t, d.day, d.v, st.level, Some(kg))
             }
           }

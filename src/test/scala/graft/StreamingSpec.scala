@@ -1201,4 +1201,171 @@ class StreamingSpec extends SparkSpec {
         4L -> true, 5L -> true), s"FCFS stability violated: $got")
     } finally query.stop()
   }
+
+  test("ewma late events below the per-user frontier are dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val H = 3600000000000L
+    val input = MemoryStream[StreamOps.EwmaEvent]
+    val query = StreamOps.streamingEwma(input.toDS())
+      .writeStream.format("memory").queryName("ewmalate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: values 10, 20, 30 at 0h/1h/2h; frontier = 2h
+      input.addData(Seq(
+        StreamOps.EwmaEvent(1L, 0L, 7L, Some(10.0)),
+        StreamOps.EwmaEvent(2L, 1 * H, 7L, Some(20.0)),
+        StreamOps.EwmaEvent(3L, 2 * H, 7L, Some(30.0))))
+      query.processAllAvailable()
+      // batch 2: a LATE value 99 at 1.5h must be dropped (the ring is
+      // positional -- it belongs in the middle of already-emitted
+      // history); the on-time 40 at 3h folds over [40,30,20,10] only
+      input.addData(Seq(
+        StreamOps.EwmaEvent(4L, H + H / 2, 7L, Some(99.0)), // late: dropped
+        StreamOps.EwmaEvent(5L, 3 * H, 7L, Some(40.0))))
+      query.processAllAvailable()
+      val got = s.sql("SELECT event_id, ewma FROM ewmalate").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == Set(1L, 2L, 3L, 5L),
+        s"late event leaked a smoothed point: ${got.keySet}")
+      // weights .5/.25/.125/.0625 over [40,30,20,10]:
+      // num = 30.625, den = .9375 -> 32.666... -> 32.6667 at 4dp
+      assert(got(5L) == 32.6667, s"late value polluted the ring: ${got(5L)}")
+    } finally query.stop()
+  }
+
+  test("locf late observations are dropped and never refresh the carry") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val H = 3600000000000L
+    val input = MemoryStream[StreamOps.LocfEvent]
+    val query = StreamOps.streamingLocf(input.toDS())
+      .writeStream.format("memory").queryName("locflate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: observe 1.0 at 0h, a null at 2h fills 1.0; frontier = 2h
+      input.addData(Seq(
+        StreamOps.LocfEvent(1L, 0L, 7L, Some(1.0)),
+        StreamOps.LocfEvent(2L, 2 * H, 7L, None)))
+      query.processAllAvailable()
+      // batch 2: a LATE 99.0 at 1h must be dropped -- by time order it
+      // is ALREADY superseded, so letting it refresh the carry would
+      // fill every future null with a stale value. The on-time null at
+      // 3h must still fill 1.0.
+      input.addData(Seq(
+        StreamOps.LocfEvent(3L, 1 * H, 7L, Some(99.0)), // late: dropped
+        StreamOps.LocfEvent(4L, 3 * H, 7L, None)))
+      query.processAllAvailable()
+      val got = s.sql("SELECT event_id, filled FROM locflate").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(got.keySet == Set(1L, 2L, 4L),
+        s"late event emitted a fill row: ${got.keySet}")
+      assert(got(4L) == Some(1.0),
+        s"stale late observation corrupted the carry: ${got(4L)}")
+    } finally query.stop()
+  }
+
+  test("bollinger late and duplicate days are dropped, not re-windowed") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamOps.BollDay]
+    val query = StreamOps.streamingBollinger(input.toDS())
+      .writeStream.format("memory").queryName("bolllate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: days 0..7, flat 5s then a 12 -- emits bands for days 6, 7
+      input.addData((0L to 6L).map(d => StreamOps.BollDay(d, 5L))
+        :+ StreamOps.BollDay(7L, 12L))
+      query.processAllAvailable()
+      // batch 2: duplicate day 7 and late day 3 must be dropped (the
+      // 7-day ring is positional); on-time day 8 folds over days 2..8
+      input.addData(Seq(
+        StreamOps.BollDay(7L, 12L), // duplicate: dropped
+        StreamOps.BollDay(3L, 99L), // late: dropped
+        StreamOps.BollDay(8L, 5L)))
+      query.processAllAvailable()
+      val got = s.sql("SELECT day, mid FROM bolllate ORDER BY day").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.map(_._1).toSeq == Seq(6L, 7L, 8L),
+        s"late/duplicate day re-emitted: ${got.map(_._1).mkString(",")}")
+      // day 8 ring = [5,5,5,5,5,12,5]: mid = 42/7 = 6.0 exactly; a
+      // folded 99 or double-folded 12 would shift it
+      assert(got.last == ((8L, 6.0)), s"ring shifted: ${got.last}")
+    } finally query.stop()
+  }
+
+  test("page-hinkley late and duplicate days are dropped, not double-folded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamOps.PhDay]
+    // frozen baseline: refU = 4.0 in micro-units, lambda high enough
+    // that alarms stay 0 (the statistic itself is what's asserted)
+    val query = StreamOps.streamingPageHinkley(input.toDS(), 4000000L, 100.0)
+      .writeStream.format("memory").queryName("phlate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // days 0..4 x = 3,3,8,8,8: cum = -1,-2,2,6,10; min = -2 from day 1
+      // -> ph = 0,0,4,8,12
+      input.addData(Seq(StreamOps.PhDay(0L, 3L), StreamOps.PhDay(1L, 3L),
+        StreamOps.PhDay(2L, 8L), StreamOps.PhDay(3L, 8L),
+        StreamOps.PhDay(4L, 8L)))
+      query.processAllAvailable()
+      // batch 2: duplicate day 4 and late day 2 must be dropped (a
+      // prefix sum folded out of order shifts every later point);
+      // on-time day 5 x=8 -> cum = 14, ph = 14 - (-2) = 16
+      input.addData(Seq(StreamOps.PhDay(4L, 8L), StreamOps.PhDay(2L, 8L),
+        StreamOps.PhDay(5L, 8L)))
+      query.processAllAvailable()
+      val got = s.sql("SELECT day, ph FROM phlate ORDER BY day").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.map(_._1).toSeq == (0L to 5L).toSeq,
+        s"late/duplicate day re-emitted: ${got.map(_._1).mkString(",")}")
+      assert(got.last == ((5L, 16.0)), s"prefix shifted: ${got.last}")
+    } finally query.stop()
+  }
+
+  test("kalman late and duplicate steps are dropped, not re-folded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamOps.KalmanDay]
+    val query = StreamOps.streamingKalman(input.toDS())
+      .writeStream.format("memory").queryName("kallate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(
+        StreamOps.KalmanDay("a", 0L, 0L, 10.0),
+        StreamOps.KalmanDay("a", 1L, 1L, 20.0)))
+      query.processAllAvailable()
+      // the expected trajectory, folded once per step with the
+      // operator's own 4/6dp rounding
+      def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      var level = 10.0; var p = 10000.0
+      Seq(20.0, 30.0).foreach { v =>
+        val pp = p + 25.0
+        val kg = r6(pp / (pp + 100.0))
+        level = r4(level + kg * (v - level)); p = r4((1 - kg) * pp)
+      }
+      // batch 2: a duplicate t=1 and a late t=0 must be dropped (a
+      // recursive fold applied twice perturbs the level/variance
+      // trajectory); the on-time t=2 folds exactly once
+      input.addData(Seq(
+        StreamOps.KalmanDay("a", 1L, 1L, 20.0), // duplicate: dropped
+        StreamOps.KalmanDay("a", 0L, 0L, 10.0), // late: dropped
+        StreamOps.KalmanDay("a", 2L, 2L, 30.0)))
+      query.processAllAvailable()
+      val got = s.sql("SELECT t, level FROM kallate ORDER BY t").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L),
+        s"late/duplicate step re-emitted: ${got.map(_._1).mkString(",")}")
+      assert(got.last == ((2L, level)),
+        s"trajectory perturbed: got ${got.last}, want (2, $level)")
+    } finally query.stop()
+  }
 }
