@@ -35,23 +35,19 @@ object SparkEntry {
     QRelational.relational ++ QEvents.eventsQ ++
       QExperiments.experimentsQ ++ QExperiments.vectorStore ++
       QDedup.dedup ++ QText.textQ ++ QAnn.annQ ++ QAnn.multimodalQ ++
-      QRound10a.round10Q ++ QRound10a.round10bQ ++ QRound10b.round10cQ ++
-      QRound10c.round10dQ ++ QRound10c.round10eQ ++ QRound10c.round10fQ ++
-      QRound10d.round10gQ ++ QRound10d.round10hQ ++ QRound10d.round10iQ ++
-      QRound10d.round10jQ ++ QRound10e.round10kQ ++ QRound10e.round10lQ ++
-      QRound10e.round10mQ ++ QRound10e.round10nQ ++ QRound10e.round10oQ ++
-      QRound10e.round10pQ ++ QRound11a.round11Q ++ QRound11a.round11bQ ++
-      QRound11a.round11cQ ++ QRound11a.round11dQ ++ QRound11a.round11eQ ++
-      QRound11a.round11fQ ++ QRound11b.round11gQ ++ QRound11b.round11hQ ++
-      QRound11b.round11iQ ++ QRound11c.round11jQ ++ QRound11c.round11kQ ++
-      QRound11c.round11lQ ++ QRound11c.round11mQ ++ QRound11c.round11nQ ++
-      QRound11d.round11oQ ++ QRound11d.round11pQ ++ QRound11d.round11qQ ++
-      QRound11e.round11rQ ++ QRound11e.round11sQ ++ QRound11e.round11tQ ++
-      QRound11e.round11uQ ++ QRound12a.round12Q ++ QRound12a.round12bQ ++
-      QRound12b.round12cQ ++ QRound12b.round12dQ ++ QRound12b.round12eQ ++
-      QRound12b.round12fQ ++ QRound12c.round12gQ ++ QRound12c.round12hQ ++
-      QRound12c.round12iQ ++ QRound12d.round12jQ ++ QRound12d.round12kQ ++
-      QRound13.round13Q
+      QStats.statsQ ++
+      QTimeSeries.tsQ ++
+      QGraph.graphQ ++
+      QPrivacy.privQ ++
+      QSampling.samplingQ ++
+      QTextCorpus.textCorpusQ ++
+      QEmbeddings.embeddingsQ ++
+      QMultimodal.mmQ ++
+      QEvents.eventsR ++
+      QDedup.dedupR ++
+      QAnn.annR ++
+      QRelational.relationalR ++
+      QExperiments.vectorStoreR
 
 
   // a duplicate name would silently SHADOW an earlier operator in the

@@ -954,4 +954,479 @@ private[graft] object QAnn {
              |       CAST(sum(CASE WHEN abs(feat - pf) > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
              |       CAST(sum(CASE WHEN abs(feat - pf) > 600 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_shots
              |FROM lg GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin)))
+
+  // regrouped from the round-named inventory files in round 15
+  // (pure move — same query names, same bodies)
+  val annR: Seq[(String, Q)] = Seq(
+    // IVF recall-vs-nprobe tuning curve: for 3 queries × nprobe ∈
+    // {1,2,4}, recall@10 of the probed cells' candidates against the
+    // brute-force truth, plus the candidate count actually scanned —
+    // the table that tells an operator WHERE to set nprobe (the
+    // recall/scan-cost tradeoff ann_ivf_probe fixes at 2). Centroids
+    // are ann_ivf_probe's deterministic first-4 convention; at scale
+    // the candidates come from the partition-pruned cell index, the
+    // shape here is the oracle-able truth for it.
+    "ann_ivf_recall_curve" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val wAssign = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))
+        val scored = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            score(col("embedding"), col("cv")).as("cs"))
+          .withColumn("rn", row_number().over(wAssign))
+          .localCheckpoint(eager = false) // assignment + probe lists
+        val assigned = scored.filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+        val qids = Seq(7L, 42L, 99L)
+        val qs = emb.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val wq = Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id"))
+        val truth = emb.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), score(col("embedding"), col("qv")).as("sc"))
+          .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id"))
+          .localCheckpoint(eager = false) // joined once per (q, nprobe)
+        val nps = s.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(4L)))
+          .toDF("nprobe")
+        val probes = scored.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("qid"), col("cid"), col("rn"))
+          .crossJoin(broadcast(nps)).filter(col("rn") <= col("nprobe"))
+          .select(col("qid"), col("cid"), col("nprobe"))
+        val cand = assigned.join(broadcast(probes), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .join(broadcast(qs), "qid")
+          .select(col("qid"), col("nprobe"), col("vec_id"),
+            score(col("embedding"), col("qv")).as("sc"))
+          .localCheckpoint(eager = false) // top-10 pass + count pass
+        val wc = Window.partitionBy("qid", "nprobe").orderBy(col("sc").desc, col("vec_id"))
+        val hits = cand.withColumn("rk", row_number().over(wc))
+          .filter(col("rk") <= 10)
+          .join(truth, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid", "nprobe").agg(count(lit(1)).as("n_hits"))
+        cand.groupBy("qid", "nprobe").agg(count(lit(1)).as("n_cand"))
+          .join(hits, Seq("qid", "nprobe"), "left")
+          .select(col("qid"), col("nprobe"), col("n_cand"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)) / lit(10.0), 4).as("recall_at_10"))
+          .orderBy("qid", "nprobe")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings
+             |           WHERE embedding IS NOT NULL),
+             |cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             |          FROM e WHERE vec_id < 4),
+             |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+             |             row_number() OVER (PARTITION BY e.vec_id
+             |               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) + 0.0 DESC, c.cid) AS rn
+             |           FROM e, cents c),
+             |assigned AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
+             |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+             |       FROM e WHERE vec_id IN (7, 42, 99)),
+             |truth AS (SELECT qid, vec_id FROM (
+             |    SELECT q.qid, e.vec_id,
+             |           row_number() OVER (PARTITION BY q.qid
+             |             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) + 0.0 DESC, e.vec_id) AS rk
+             |    FROM e, qs q WHERE e.vec_id <> q.qid)
+             |  WHERE rk <= 10),
+             |nps AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+             |probes AS (SELECT s.vec_id AS qid, s.cid, np.nprobe
+             |           FROM scored s, nps np
+             |           WHERE s.vec_id IN (7, 42, 99) AND s.rn <= np.nprobe),
+             |cand AS (SELECT p.qid, p.nprobe, a.vec_id,
+             |                round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) + 0.0 AS sc
+             |         FROM assigned a JOIN probes p USING (cid)
+             |         JOIN qs q ON q.qid = p.qid
+             |         WHERE a.vec_id <> p.qid),
+             |top AS (SELECT qid, nprobe, vec_id FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid, nprobe
+             |                ORDER BY sc DESC, vec_id) AS rk
+             |    FROM cand) WHERE rk <= 10),
+             |hits AS (SELECT t.qid, t.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+             |         FROM top t JOIN truth USING (qid, vec_id) GROUP BY 1, 2),
+             |nc AS (SELECT qid, nprobe, CAST(count(*) AS BIGINT) AS n_cand
+             |       FROM cand GROUP BY 1, 2)
+             |SELECT qid, nprobe, n_cand, coalesce(n_hits, 0) AS n_hits,
+             |       round(coalesce(n_hits, 0) / 10.0, 4) AS recall_at_10
+             |FROM nc LEFT JOIN hits USING (qid, nprobe)
+             |ORDER BY qid, nprobe""".stripMargin)),
+
+    // NN-descent graph refinement (Dong et al. 2011) — THE build
+    // primitive behind graph ANN indexes: start from a cheap ring
+    // seed k-NN graph, repeatedly score neighbors-of-neighbors (both
+    // directions) and keep the best 5, measure recall against the
+    // exact graph after each round. Candidate scoring touches ONLY
+    // the ≤55·n candidate edges (never the n² grid — that join is
+    // the bounded truth oracle, the same documented altitude as
+    // dedup_embed_cosine); two rounds shown converging. vec_ids are
+    // dense 0..n−1 by the testdata contract, so the ring is pure
+    // modular arithmetic — no global window anywhere.
+    "ann_nn_descent" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val f = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull && col("vec_id") < 300)
+          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+          .localCheckpoint(eager = false) // truth join + per-round scoring
+        val fa = f.select(col("id").as("a"), col("emb").as("ea"))
+        val fb = f.select(col("id").as("b"), col("emb").as("eb"))
+        def top5(scored: DataFrame): DataFrame = scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("a").orderBy(col("s").desc, col("b"))))
+          .filter(col("rk") <= 5).select("a", "b")
+        val truth = top5(fa.join(fb, col("a") =!= col("b"))
+            .withColumn("s", score(col("ea"), col("eb"))))
+          .localCheckpoint(eager = false) // 3 recall probes
+        val seed = f.select(col("id").as("a"))
+          .crossJoin(s.range(1L, 6L).toDF("i"))
+          .select(col("a"), pmod(col("a") + col("i"), lit(300L)).as("b"))
+        def scoreOf(g: DataFrame): DataFrame = g
+          .join(fa, "a").join(fb, "b")
+          .withColumn("s", score(col("ea"), col("eb")))
+          .select("a", "b", "s")
+        def refine(g: DataFrame): DataFrame = {
+          val rev = g.select(col("b").as("a"), col("a").as("b"))
+          val fwd = g.select(col("a"), col("b").as("m"))
+          val nn = fwd.join(g.select(col("a").as("m"), col("b")), "m")
+            .select("a", "b")
+            .union(fwd.join(rev.select(col("a").as("m"), col("b")), "m")
+              .select("a", "b"))
+          val cand = g.select("a", "b").union(rev).union(nn)
+            .filter(col("a") =!= col("b")).distinct()
+          top5(scoreOf(cand))
+        }
+        val r1 = refine(seed).localCheckpoint(eager = false)
+        val r2 = refine(r1)
+        val nt = truth.agg(count(lit(1)).as("n_truth"))
+        def rec(g: DataFrame, stage: String): DataFrame = g
+          .join(truth, Seq("a", "b"))
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(broadcast(nt))
+          .select(lit(stage).as("stage"), col("n_truth"),
+            round(col("n_hit") / col("n_truth").cast("double"), 4)
+              .as("recall"))
+        rec(seed, "0_seed").union(rec(r1, "1_round")).union(rec(r2, "2_round"))
+          .orderBy("stage")
+      },
+      Some("""WITH f AS MATERIALIZED (
+             |  SELECT vec_id AS id, embedding::DOUBLE[] AS emb
+             |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id < 300),
+             |p AS MATERIALIZED (
+             |  SELECT a.id AS a, b.id AS b,
+             |         round(list_cosine_similarity(a.emb, b.emb), 6) + 0.0 AS s
+             |  FROM f a JOIN f b ON a.id <> b.id),
+             |truth AS MATERIALIZED (
+             |  SELECT a, b FROM (SELECT a, b, row_number() OVER
+             |      (PARTITION BY a ORDER BY s DESC, b) AS rk FROM p)
+             |  WHERE rk <= 5),
+             |seed AS MATERIALIZED (
+             |  SELECT id AS a, (id + i) % 300 AS b
+             |  FROM f, (SELECT CAST(unnest(generate_series(1, 5)) AS BIGINT) AS i)),
+             |c1 AS (SELECT DISTINCT a, b FROM (
+             |         SELECT a, b FROM seed
+             |         UNION SELECT b AS a, a AS b FROM seed
+             |         UNION SELECT g1.a, g2.b FROM seed g1
+             |           JOIN seed g2 ON g1.b = g2.a
+             |         UNION SELECT g1.a, g2.a AS b FROM seed g1
+             |           JOIN seed g2 ON g1.b = g2.b)
+             |       WHERE a <> b),
+             |r1 AS MATERIALIZED (
+             |  SELECT a, b FROM (SELECT c1.a, c1.b, p.s, row_number() OVER
+             |      (PARTITION BY c1.a ORDER BY p.s DESC, c1.b) AS rk
+             |    FROM c1 JOIN p ON p.a = c1.a AND p.b = c1.b)
+             |  WHERE rk <= 5),
+             |c2 AS (SELECT DISTINCT a, b FROM (
+             |         SELECT a, b FROM r1
+             |         UNION SELECT b AS a, a AS b FROM r1
+             |         UNION SELECT g1.a, g2.b FROM r1 g1
+             |           JOIN r1 g2 ON g1.b = g2.a
+             |         UNION SELECT g1.a, g2.a AS b FROM r1 g1
+             |           JOIN r1 g2 ON g1.b = g2.b)
+             |       WHERE a <> b),
+             |r2 AS MATERIALIZED (
+             |  SELECT a, b FROM (SELECT c2.a, c2.b, p.s, row_number() OVER
+             |      (PARTITION BY c2.a ORDER BY p.s DESC, c2.b) AS rk
+             |    FROM c2 JOIN p ON p.a = c2.a AND p.b = c2.b)
+             |  WHERE rk <= 5),
+             |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+             |SELECT stage, n_truth, recall FROM (
+             |  SELECT '0_seed' AS stage, nt.n_truth,
+             |         round((SELECT count(*) FROM seed g JOIN truth t
+             |                ON t.a = g.a AND t.b = g.b)
+             |               / CAST(nt.n_truth AS DOUBLE), 4) AS recall FROM nt
+             |  UNION ALL
+             |  SELECT '1_round', nt.n_truth,
+             |         round((SELECT count(*) FROM r1 g JOIN truth t
+             |                ON t.a = g.a AND t.b = g.b)
+             |               / CAST(nt.n_truth AS DOUBLE), 4) FROM nt
+             |  UNION ALL
+             |  SELECT '2_round', nt.n_truth,
+             |         round((SELECT count(*) FROM r2 g JOIN truth t
+             |                ON t.a = g.a AND t.b = g.b)
+             |               / CAST(nt.n_truth AS DOUBLE), 4) FROM nt)
+             |ORDER BY stage""".stripMargin)),
+
+    // Post-filtering recall audit: for label-filtered search, how much
+    // of the TRUE filtered top-10 survives the
+    // "global top-50 → apply filter → take 10" shortcut every
+    // pre-filter-vs-post-filter ANN design debate is about. Exact
+    // cosine on both paths (the eval isolates the FILTER strategy,
+    // not index approximation); 5 query vectors, scores 6dp-pinned
+    // with vec_id tie-breaks, so both engines rank identically.
+    "ann_filtered_recall" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("ql"),
+            col("embedding").as("qv"))
+        val sc = emb.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("ql"), col("vec_id"), col("label"),
+            score(col("embedding"), col("qv")).as("sc"))
+          .localCheckpoint(eager = false) // truth ranks + global ranks
+        val wq = Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id"))
+        val truth = sc.filter(col("label") === col("ql"))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val post = sc.withColumn("rka", row_number().over(wq))
+          .filter(col("rka") <= 50 && col("label") === col("ql"))
+          .withColumn("rp", row_number().over(
+            Window.partitionBy("qid").orderBy("rka")))
+          .filter(col("rp") <= 10)
+          .select(col("qid"), col("vec_id").as("pv"))
+        truth.join(post,
+            truth("qid") === post("qid") && col("vec_id") === col("pv"),
+            "left")
+          .groupBy(truth("qid").as("qid"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(when(col("pv").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .withColumn("recall",
+            round(col("n_hit") / col("n_true").cast("double"), 4))
+          .orderBy("qid")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |sc AS (
+             |  SELECT q.qid, q.ql, e.vec_id, e.label,
+             |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) + 0.0 AS sc
+             |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+             |truth AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |           row_number() OVER (PARTITION BY qid
+             |             ORDER BY sc DESC, vec_id) AS rk
+             |    FROM sc WHERE label = ql)
+             |  WHERE rk <= 10),
+             |ga AS (
+             |  SELECT qid, ql, vec_id, label,
+             |         row_number() OVER (PARTITION BY qid
+             |           ORDER BY sc DESC, vec_id) AS rka
+             |  FROM sc),
+             |post AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |           row_number() OVER (PARTITION BY qid ORDER BY rka) AS rp
+             |    FROM ga WHERE rka <= 50 AND label = ql)
+             |  WHERE rp <= 10)
+             |SELECT t.qid, CAST(count(*) AS BIGINT) AS n_true,
+             |       CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_hit,
+             |       round(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 4) AS recall
+             |FROM truth t LEFT JOIN post p
+             |  ON p.qid = t.qid AND p.vec_id = t.vec_id
+             |GROUP BY t.qid ORDER BY t.qid""".stripMargin)),
+
+    // IVF cell-balance audit: per-cell population and deviation from
+    // the even share under the same deterministic-centroid cosine
+    // assignment ann_ivf_probe serves from — a skewed cell is tail
+    // latency (every probe touching it scans it all) and the signal
+    // to re-train or split. One assignment pass + a tiny rollup.
+    "ann_cell_balance" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val emb = Tables.embeddings(s, d)
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("sc").desc, col("cid"))
+        val assigned = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            score(col("embedding"), col("cv")).as("sc"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+          .localCheckpoint(eager = false) // total + per-cell rows
+        val tot = assigned.agg(sum("n_vecs").as("nn"), count(lit(1)).as("nc"))
+        assigned.crossJoin(broadcast(tot))
+          .select(col("cid"), col("n_vecs"),
+            round(col("n_vecs") / col("nn").cast("double"), 4).as("share"),
+            round(col("n_vecs").cast("double")
+              / (col("nn").cast("double") / col("nc")) - 1.0, 4).as("dev_pct"))
+          .orderBy("cid")
+      },
+      Some("""WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             |               FROM embeddings WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT e.vec_id, c.cid,
+             |         row_number() OVER (PARTITION BY e.vec_id
+             |           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) + 0.0 DESC, c.cid) AS rn
+             |  FROM embeddings e, cents c),
+             |a AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+             |      FROM scored WHERE rn = 1 GROUP BY cid),
+             |t AS (SELECT sum(n_vecs) AS nn, CAST(count(*) AS BIGINT) AS nc FROM a)
+             |SELECT cid, n_vecs,
+             |       round(n_vecs / CAST(nn AS DOUBLE), 4) AS share,
+             |       round(CAST(n_vecs AS DOUBLE)
+             |             / (CAST(nn AS DOUBLE) / nc) - 1.0, 4) AS dev_pct
+             |FROM a, t ORDER BY cid""".stripMargin)),
+
+    // IVF scan-fraction curve: corpus share scanned at nprobe 1..4
+    // under the serving assignment — the COST axis
+    // ann_ivf_recall_curve's recall axis trades against; together
+    // they are the efficiency frontier that picks nprobe. Cell sizes
+    // and probe ranks are ≤|cells| rows each; the curve is a
+    // conditional join-aggregate, no window over anything unbounded.
+    "ann_scan_fraction" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val emb = Tables.embeddings(s, d)
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val wv = Window.partitionBy("vec_id")
+          .orderBy(col("sc").desc, col("cid"))
+        val sizes = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            score(col("embedding"), col("cv")).as("sc"))
+          .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+          .groupBy("cid").agg(count(lit(1)).as("sz"))
+        val q = emb.filter(col("vec_id") === 42)
+          .select(col("embedding").as("qv"))
+        val probes = cents.crossJoin(broadcast(q))
+          .select(col("cid"), score(col("cv"), col("qv")).as("sc"))
+          .withColumn("prnk", row_number().over(
+            Window.orderBy(col("sc").desc, col("cid"))))
+        val tot = sizes.agg(sum("sz").as("nn"))
+        probes.join(sizes, "cid")
+          .withColumn("np", explode(array((1 to 4).map(i => lit(i.toLong)): _*)))
+          .groupBy("np")
+          .agg(sum(when(col("prnk") <= col("np"), col("sz")).otherwise(0L))
+            .as("n_scanned"))
+          .crossJoin(broadcast(tot))
+          .select(col("np").as("nprobe"), col("n_scanned"),
+            round(col("n_scanned") / col("nn").cast("double"), 4)
+              .as("scan_share"))
+          .orderBy("nprobe")
+      },
+      Some("""WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             |               FROM embeddings WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT e.vec_id, c.cid,
+             |         row_number() OVER (PARTITION BY e.vec_id
+             |           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) + 0.0 DESC, c.cid) AS rn
+             |  FROM embeddings e, cents c),
+             |sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz
+             |          FROM scored WHERE rn = 1 GROUP BY cid),
+             |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42),
+             |probes AS (
+             |  SELECT cid,
+             |         row_number() OVER (ORDER BY
+             |           round(list_cosine_similarity(c.cv, q.qv), 6) + 0.0 DESC,
+             |           cid) AS prnk
+             |  FROM cents c, q),
+             |tot AS (SELECT sum(sz) AS nn FROM sizes),
+             |np AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS np)
+             |SELECT np.np AS nprobe,
+             |       CAST(sum(CASE WHEN p.prnk <= np.np THEN s.sz ELSE 0 END)
+             |            AS BIGINT) AS n_scanned,
+             |       round(sum(CASE WHEN p.prnk <= np.np THEN s.sz ELSE 0 END)
+             |             / CAST(any_value(tot.nn) AS DOUBLE), 4) AS scan_share
+             |FROM probes p JOIN sizes s USING (cid), np, tot
+             |GROUP BY np.np ORDER BY nprobe""".stripMargin)),
+
+    // radius-search profile (the range-query semantics beside top-k):
+    // how many corpus vectors fall inside cosine ≥ τ balls around a
+    // query, for a τ sweep — the capacity-planning readout before
+    // choosing a score_threshold (reference search exposes one). ONE
+    // scan, conditional sums; self excluded.
+    "ann_epsilon_ball" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val q = Tables.embeddings(s, d).filter(col("vec_id") === 42)
+          .select(col("embedding").as("q"))
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 42)
+          .crossJoin(broadcast(q))
+          .select(score(col("embedding"), col("q")).as("sc"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("sc") >= 0.3, 1L).otherwise(0L)).as("n_03"),
+            sum(when(col("sc") >= 0.5, 1L).otherwise(0L)).as("n_05"),
+            sum(when(col("sc") >= 0.7, 1L).otherwise(0L)).as("n_07"),
+            round(max("sc"), 6).as("max_sc"),
+            round(avg("sc"), 6).as("avg_sc"))
+      },
+      Some(s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42),
+              |sc AS (SELECT ${sqlScore("e.embedding", "q.qv")} AS sc
+              |       FROM embeddings e, q WHERE e.vec_id <> 42)
+              |SELECT CAST(count(*) AS BIGINT) AS n,
+              |       CAST(sum(CASE WHEN sc >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_03,
+              |       CAST(sum(CASE WHEN sc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_05,
+              |       CAST(sum(CASE WHEN sc >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_07,
+              |       round(max(sc), 6) AS max_sc, round(avg(sc), 6) AS avg_sc
+              |FROM sc""".stripMargin)),
+
+    // LSH index-maintenance cost estimator: an upsert batch arrives —
+    // how many bucket PARTITIONS of the write-time-partitioned index
+    // get rewritten, and what is the write amplification
+    // (rows_rewritten / batch rows under dynamic partition overwrite)?
+    // The capacity answer that decides micro-batch sizing vs
+    // compaction cadence for a served ANN index. Buckets are the
+    // map-side bucketCol projection; every aggregate here is ≤2^6
+    // rows.
+    "ann_upsert_buckets" -> Q(
+      (s, d) => {
+        val all = graft.ann.Ann.withBucket(Tables.embeddings(s, d), 6, 64)
+          .select(col("vec_id"), col("bucket"))
+          .localCheckpoint(eager = false) // batch + per-bucket counts
+        val batch = all.filter(col("vec_id") % 40 === 0)
+        val touched = batch.select("bucket").distinct()
+        val bc = all.groupBy("bucket").agg(count(lit(1)).as("cb"))
+        val tot = bc.agg(count(lit(1)).as("n_buckets_total"))
+        val t = bc.join(broadcast(touched), "bucket")
+          .agg(count(lit(1)).as("n_buckets_touched"),
+               sum("cb").as("rows_rewritten"))
+        batch.agg(count(lit(1)).as("n_batch"))
+          .crossJoin(broadcast(t)).crossJoin(broadcast(tot))
+          .select(col("n_batch"), col("n_buckets_touched"),
+            col("n_buckets_total"), col("rows_rewritten"),
+            round(col("n_buckets_touched").cast("double")
+              / col("n_buckets_total"), 4).as("touched_frac"),
+            round(col("rows_rewritten").cast("double") / col("n_batch"), 4)
+              .as("write_amp"))
+      },
+      Some("""WITH planes AS (
+             |  SELECT p, list_transform(generate_series(0, 63), dd ->
+             |    (('0x' || substr(md5(concat_ws('_', 'pl', p, dd)), 1, 15))::BIGINT % 2001 - 1000) / 1000.0) AS w
+             |  FROM generate_series(0, 5) t(p)),
+             |b AS (
+             |  SELECT vec_id,
+             |         CAST(sum(CASE WHEN list_inner_product(embedding::DOUBLE[], w) > 0
+             |                       THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM embeddings, planes GROUP BY vec_id),
+             |batch AS (SELECT * FROM b WHERE vec_id % 40 = 0),
+             |touched AS (SELECT DISTINCT bucket FROM batch),
+             |bc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY bucket),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets_total FROM bc),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets_touched,
+             |             CAST(sum(cb) AS BIGINT) AS rows_rewritten
+             |      FROM bc JOIN touched USING (bucket)),
+             |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_batch FROM batch)
+             |SELECT n_batch, n_buckets_touched, n_buckets_total, rows_rewritten,
+             |       round(CAST(n_buckets_touched AS DOUBLE) / n_buckets_total, 4) AS touched_frac,
+             |       round(CAST(rows_rewritten AS DOUBLE) / n_batch, 4) AS write_amp
+             |FROM nb, t, tot""".stripMargin))
+  )
 }

@@ -763,4 +763,443 @@ private[graft] object QDedup {
                |       round(coalesce(n_dropped, 0) * 1.0 / n_vecs, 4) AS drop_frac
                |FROM n LEFT JOIN dn USING (cid) ORDER BY n.cid""".stripMargin)))
   }
+
+  // regrouped from the round-named inventory files in round 15
+  // (pure move — same query names, same bodies)
+  val dedupR: Seq[(String, Q)] = Seq(
+    // sorted-neighborhood blocking (Hernández & Stolfo 1995): docs
+    // sorted by (length-block, 24-char prefix key), each compared to
+    // its next 2 neighbors only — the classic entity-resolution
+    // candidate generator, O(n·w) pairs instead of O(n²). Candidates
+    // rescored by exact distinct-token Jaccard (map-side set HOFs on
+    // the bounded pair frame); the rank join is the ts_acf aligned
+    // equi-join idiom, keyed on (block, rank+k).
+    "dedup_sorted_nbrhood" -> Q(
+      (s, d) => {
+        import graft.text.TextPrimitives
+        val base = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), expr("n_chars DIV 64").as("blk"),
+                  lower(substring(trim(col("text")), 1, 24)).as("sk"),
+                  array_distinct(TextPrimitives.tokens(col("text"))).as("ts"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("blk").orderBy("sk", "doc_id")))
+          .localCheckpoint(eager = false) // both sides of the rank join
+        val a = base.withColumn("k", explode(array(lit(1), lit(2))))
+        val b = base.select(col("blk").as("blk2"), col("rn").as("rn2"),
+          col("doc_id").as("doc2"), col("ts").as("ts2"))
+        a.join(b, col("blk") === col("blk2") && col("rn2") === col("rn") + col("k"))
+          .withColumn("inter",
+            size(array_intersect(col("ts"), col("ts2"))).cast("double"))
+          .withColumn("uni",
+            (size(col("ts")) + size(col("ts2"))).cast("double") - col("inter"))
+          .filter(col("uni") > 0)
+          .select(least(col("doc_id"), col("doc2")).as("da"),
+                  greatest(col("doc_id"), col("doc2")).as("db"),
+                  round(col("inter") / col("uni"), 4).as("j_sn"))
+          .filter(col("j_sn") >= 0.5)
+          .orderBy("da", "db")
+      },
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT doc_id, n_chars // 64 AS blk,
+             |         lower(substr(trim(text), 1, 24)) AS sk,
+             |         list_distinct(
+             |           regexp_split_to_array(lower(trim(text)), '\s+')) AS ts,
+             |         row_number() OVER (PARTITION BY n_chars // 64
+             |           ORDER BY lower(substr(trim(text), 1, 24)), doc_id) AS rn
+             |  FROM documents WHERE text IS NOT NULL),
+             |k AS (SELECT unnest([1, 2]) AS k),
+             |pr AS (SELECT a.doc_id AS x, b.doc_id AS y, a.ts AS ta, b.ts AS tb
+             |       FROM base a CROSS JOIN k
+             |       JOIN base b ON b.blk = a.blk AND b.rn = a.rn + k.k),
+             |sc AS (SELECT x, y,
+             |         CAST(len(list_filter(ta, t -> list_contains(tb, t))) AS DOUBLE)
+             |           AS inter,
+             |         CAST(len(ta) + len(tb) AS DOUBLE) -
+             |           len(list_filter(ta, t -> list_contains(tb, t))) AS uni
+             |       FROM pr)
+             |SELECT least(x, y) AS da, greatest(x, y) AS db,
+             |       round(inter / uni, 4) AS j_sn
+             |FROM sc WHERE uni > 0 AND round(inter / uni, 4) >= 0.5
+             |ORDER BY da, db""".stripMargin)),
+
+    // content-defined chunking (the FastCDC/rsync family): cut the
+    // text wherever the rolling 8-gram hash ≡ 0 (mod 32) — boundaries
+    // move WITH the content, so an insertion early in a doc doesn't
+    // shift every later chunk the way fixed-width chunking does —
+    // then count duplicate chunks corpus-wide by content hash. The
+    // storage/transfer-dedup primitive next to the retrieval-oriented
+    // text_chunking; everything is map-side per doc except the final
+    // distinct-count (grams fan out ≤ len rows/doc, the per-doc
+    // boundary window is doc-bounded).
+    "dedup_cdc_chunks" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val docs = Tables.documents(s, d)
+          .filter(col("text").isNotNull && length(col("text")) >= 8)
+          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        val cuts = docs
+          .select(col("doc_id"), col("text"), col("len"),
+            explode(sequence(lit(1), col("len") - 7)).as("i"))
+          .filter(md5Long(expr("substring(text, i, 8)")) % 32 === 0)
+          .select(col("doc_id"), col("text"), col("len"), col("i"))
+          .union(docs.select(col("doc_id"), col("text"), col("len"),
+            lit(1).as("i")))
+          .distinct()
+        val wch = Window.partitionBy("doc_id").orderBy("i")
+        cuts
+          .withColumn("nxt", coalesce(lead("i", 1).over(wch), col("len") + 1))
+          .withColumn("clen", col("nxt") - col("i"))
+          .withColumn("chunk", expr("substring(text, i, clen)"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+               count(lit(1)).as("n_chunks"),
+               countDistinct(md5(col("chunk").cast("binary"))).as("n_unique"),
+               round(lit(1.0) - countDistinct(md5(col("chunk").cast("binary")))
+                 / count(lit(1)), 4).as("dedup_ratio"),
+               round(avg("clen"), 4).as("mean_len"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, text, length(text) AS len
+             |              FROM documents
+             |              WHERE text IS NOT NULL AND length(text) >= 8),
+             |pos AS (SELECT doc_id, text, len, CAST(i AS INTEGER) AS i
+             |        FROM docs, LATERAL (SELECT unnest(generate_series(1, len - 7)) AS i)),
+             |cuts AS (SELECT doc_id, text, len, i FROM pos
+             |         WHERE ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT % 32 = 0
+             |         UNION
+             |         SELECT doc_id, text, len, 1 FROM docs),
+             |ch AS (SELECT doc_id,
+             |              substr(text, i,
+             |                CAST(coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i),
+             |                              len + 1) - i AS INTEGER)) AS chunk,
+             |              coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i),
+             |                       len + 1) - i AS clen
+             |       FROM cuts)
+             |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |       CAST(count(*) AS BIGINT) AS n_chunks,
+             |       CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS n_unique,
+             |       round(1.0 - count(DISTINCT md5(chunk)) * 1.0 / count(*), 4)
+             |         AS dedup_ratio,
+             |       round(avg(clen), 4) AS mean_len
+             |FROM ch""".stripMargin)),
+
+    // near-dup threshold sensitivity curve: pair counts at Jaccard
+    // cutoffs {0.1,0.2,0.3,0.5,0.7} from ONE pairwise-Jaccard pass on
+    // the bounded subset — the tuning table a curator reads before
+    // committing a dedup threshold (how fast does the pair set
+    // explode as the bar drops?). Zero-count thresholds stay as rows.
+    "dedup_threshold_curve" -> Q(
+      (s, d) => {
+        val pj = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.1)
+          .localCheckpoint(eager = false) // one count pass per threshold
+        val th = s.createDataFrame(Seq(0.1, 0.2, 0.3, 0.5, 0.7).map(Tuple1(_)))
+          .toDF("thr")
+        val counts = pj.crossJoin(broadcast(th))
+          .filter(col("jaccard") >= col("thr"))
+          .groupBy("thr").agg(count(lit(1)).as("n_pairs"))
+        th.join(counts, Seq("thr"), "left")
+          .select(col("thr"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+          .orderBy("thr")
+      },
+      Some(s"""WITH s AS (
+              |${graft.text.TextPrimitives.charShinglesSql("documents", "doc_id", "text", 5, "doc_id < 120")}),
+              |c AS (SELECT doc_id, count(*) AS cnt FROM s GROUP BY doc_id),
+              |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+              |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |      GROUP BY da, db),
+              |pj AS (SELECT round(ni * 1.0 / (ca.cnt + cb.cnt - ni), 4) AS j
+              |       FROM i JOIN c ca ON ca.doc_id = da
+              |       JOIN c cb ON cb.doc_id = db
+              |       WHERE ni * 1.0 / (ca.cnt + cb.cnt - ni) >= 0.1),
+              |th AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.5, 0.7]) AS DOUBLE) AS thr),
+              |counts AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_pairs
+              |           FROM th JOIN pj ON j >= thr GROUP BY thr)
+              |SELECT thr, coalesce(n_pairs, 0) AS n_pairs
+              |FROM th LEFT JOIN counts USING (thr) ORDER BY thr""".stripMargin)),
+
+    // bloom-filter incremental dedup (the 100 TB daily-increment
+    // screen): a 2^16-bit / 3-hash bloom over the EXISTING corpus's
+    // content hashes, probed by the new batch — the filter is a
+    // DISTINCT bit-position table bounded by m (broadcastable at any
+    // corpus size), membership is "all 3 positions present" via one
+    // semi-join + HAVING, and the report quantifies exactly what a
+    // bloom buys: hits vs true dups vs false positives at the
+    // measured load factor. All-md5 arithmetic, bit-exact on both
+    // engines; the exact-dup flag comes from the content-hash set.
+    "dedup_bloom_incremental" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val ks = array(lit(0), lit(1), lit(2))
+        def positions(df: DataFrame) = df
+          .withColumn("h", md5(col("text")))
+          .select(col("doc_id"), col("h"), explode(ks).as("k"))
+          .withColumn("pos",
+            pmod(md5Long(concat(col("h"), lit(":"), col("k").cast("string"))),
+              lit(65536)))
+        val corpus = Tables.documents(s, d).filter(col("doc_id") < 150)
+        val batch = Tables.documents(s, d)
+          .filter(col("doc_id") >= 150 && col("doc_id") < 250)
+        val bloom = positions(corpus).select("pos").distinct()
+          .localCheckpoint(eager = false) // bits_set + the probe join
+        val corpusH = corpus.select(md5(col("text")).as("h")).distinct()
+        val probed = positions(batch)
+          .join(broadcast(bloom), Seq("pos"), "left_semi")
+          .groupBy("doc_id", "h").agg(count(lit(1)).as("n_pos_hit"))
+        val flags = batch.select(col("doc_id"), md5(col("text")).as("h"))
+          .join(probed.select(col("doc_id"), col("n_pos_hit")), Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_pos_hit"))
+          .withColumn("bloom_hit", (col("n_pos_hit") === 3).cast("long"))
+          .join(broadcast(corpusH.withColumn("exact", lit(1L))), Seq("h"), "left")
+          .na.fill(0L, Seq("exact"))
+        val bits = bloom.agg(count(lit(1)).as("bits_set"))
+        flags.agg(count(lit(1)).as("n_batch"),
+            sum("bloom_hit").as("n_bloom_hits"),
+            sum("exact").as("n_exact_dups"),
+            sum(when(col("bloom_hit") === 1 && col("exact") === 0, 1L)
+              .otherwise(0L)).as("n_false_pos"))
+          .crossJoin(broadcast(bits))
+          .select(col("n_batch"), col("n_bloom_hits"), col("n_exact_dups"),
+            col("n_false_pos"),
+            round(col("n_false_pos") / col("n_batch").cast("double"), 6)
+              .as("fp_rate"),
+            col("bits_set"),
+            round(col("bits_set") / lit(65536.0), 4).as("load_factor"))
+      },
+      Some("""WITH ks AS (SELECT CAST(unnest([0, 1, 2]) AS INT) AS k),
+             |cp AS (SELECT DISTINCT
+             |         ('0x' || substr(md5(md5(text) || ':' || k::VARCHAR), 1, 15))::BIGINT
+             |           % 65536 AS pos
+             |       FROM documents, ks WHERE doc_id < 150),
+             |bh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 150),
+             |bp AS (SELECT doc_id, md5(text) AS h, k,
+             |         ('0x' || substr(md5(md5(text) || ':' || k::VARCHAR), 1, 15))::BIGINT
+             |           % 65536 AS pos
+             |       FROM documents, ks WHERE doc_id >= 150 AND doc_id < 250),
+             |pr AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS n_pos_hit
+             |       FROM bp WHERE pos IN (SELECT pos FROM cp)
+             |       GROUP BY doc_id, h),
+             |fl AS (SELECT b.doc_id,
+             |              CASE WHEN coalesce(pr.n_pos_hit, 0) = 3 THEN 1 ELSE 0 END AS bloom_hit,
+             |              CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END AS exact
+             |       FROM (SELECT doc_id, md5(text) AS h FROM documents
+             |             WHERE doc_id >= 150 AND doc_id < 250) b
+             |       LEFT JOIN pr ON pr.doc_id = b.doc_id
+             |       LEFT JOIN bh ON bh.h = b.h),
+             |bits AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM cp)
+             |SELECT CAST(count(*) AS BIGINT) AS n_batch,
+             |       CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+             |       CAST(sum(exact) AS BIGINT) AS n_exact_dups,
+             |       CAST(sum(CASE WHEN bloom_hit = 1 AND exact = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_false_pos,
+             |       round(sum(CASE WHEN bloom_hit = 1 AND exact = 0 THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 6) AS fp_rate,
+             |       bits_set, round(bits_set / 65536.0, 4) AS load_factor
+             |FROM fl, bits GROUP BY bits_set""".stripMargin)),
+
+    // MinHash band-configuration tuning curve: the SAME 16-hash
+    // signatures grouped under (b,r) ∈ {(8,2),(4,4),(2,8)} — how many
+    // candidate pairs each config generates and how similar they
+    // estimate (mean matching-component share), next to the theory
+    // threshold (1/b)^(1/r). The tuning table behind
+    // dedup_minhash_lsh's fixed choice; signatures are computed ONCE,
+    // candidates stay bounded by the banding itself.
+    "dedup_band_curve" -> Q(
+      (s, d) => {
+        val sig = graft.dedup.Dedup.minhashSignatures(docsUnder(s, d, 200), 5, 16)
+          .localCheckpoint(eager = false) // 3 band groupings + est join
+        val configs = Seq((8, 2), (4, 4), (2, 8))
+        val estCols = (0 until 16).map(i =>
+          when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / 16.0
+        val parts = configs.map { case (b, r) =>
+          val bands = (0 until b).map { band =>
+            sig.select(col("doc_id"),
+              lit(band).as("band"),
+              concat_ws("_", (0 until r).map(j => col(s"m${band * r + j}")): _*)
+                .as("bv"))
+          }.reduce(_ union _)
+          val pairs = bands.as("x").join(bands.as("y"),
+              col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+            .distinct()
+          val sa = sig.toDF(sig.columns.map(c =>
+            if (c == "doc_id") "da" else s"a_$c"): _*)
+          val sb = sig.toDF(sig.columns.map(c =>
+            if (c == "doc_id") "db" else s"b_$c"): _*)
+          pairs.join(sa, "da").join(sb, "db")
+            .agg(count(lit(1)).as("n_cand"),
+                 round(avg(estCols), 4).as("avg_est_j"))
+            .select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
+              round(pow(lit(1.0) / b, lit(1.0) / r), 4).as("est_threshold"),
+              col("n_cand"), col("avg_est_j"))
+        }
+        parts.reduce(_ union _).orderBy("b")
+      },
+      Some {
+        val sigSql = graft.dedup.Dedup.minhashSigSql(5, 16, "doc_id < 200")
+        val est = (0 until 16).map(i =>
+          s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        def cfg(b: Int, r: Int): String = {
+          val bandSel = (0 until b).map { band =>
+            val bv = (0 until r).map(j => s"m${band * r + j}").mkString(", ")
+            s"SELECT doc_id, $band AS band, concat_ws('_', $bv) AS bv FROM sig"
+          }.mkString(" UNION ALL ")
+          s"""SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r,
+             |       round(power(1.0 / $b, 1.0 / $r), 4) AS est_threshold,
+             |       CAST(count(*) AS BIGINT) AS n_cand,
+             |       round(avg(($est) / 16.0), 4) AS avg_est_j
+             |FROM (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+             |      FROM ($bandSel) x JOIN ($bandSel) y
+             |        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+             |JOIN sig sa ON sa.doc_id = da
+             |JOIN sig sb ON sb.doc_id = db""".stripMargin
+        }
+        s"""WITH sig AS MATERIALIZED (
+           |$sigSql)
+           |${Seq((8, 2), (4, 4), (2, 8)).map { case (b, r) => cfg(b, r) }
+              .mkString("\n UNION ALL \n")}
+           |ORDER BY b""".stripMargin
+      }),
+
+    // Cross-source duplicate matrix off the SHARED cluster-label
+    // table (one CC pass now amortized across 5 readers): for every
+    // source pair, how many multi-doc near-dup clusters contain docs
+    // from both — the "is source B just a mirror of source A"
+    // pre-licensing / dedup-priority readout. Per-cluster source sets
+    // are ≤|sources| distinct rows per cluster, so the pair join is
+    // bounded by clusters × sources², never documents².
+    "dedup_cross_source" -> Q(
+      (s, d) => {
+        import graft.dedup.Dedup
+        val labels = Dedup.clusterLabelsShared(docsUnder(s, d, 200), d, 5, 8, 2)
+        val multi = labels.groupBy("cluster").agg(count(lit(1)).as("csz"))
+          .filter(col("csz") >= 2)
+        val cs = labels.join(multi, "cluster")
+          .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+          .select("cluster", "source").distinct()
+          .localCheckpoint(eager = false) // both sides of the pair join
+        cs.select(col("cluster"), col("source").as("src_a"))
+          .join(cs.select(col("cluster"), col("source").as("src_b")), "cluster")
+          .filter(col("src_a") <= col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH RECURSIVE sig AS (
+              |${graft.dedup.Dedup.minhashSigSql(5, 8, "doc_id < 200")}),
+              |bands AS (${(0 until 4).map(b =>
+                 s"SELECT doc_id, $b AS b, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS bv FROM sig")
+                 .mkString(" UNION ALL ")}),
+              |prs AS (
+              |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+              |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+              |edges AS (SELECT da, db FROM prs UNION ALL SELECT db, da FROM prs),
+              |reach(src, lbl) AS (
+              |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+              |  UNION
+              |  SELECT e.da, r.lbl FROM reach r JOIN edges e ON e.db = r.src),
+              |cc AS (SELECT src AS doc_id, min(lbl) AS cluster FROM reach GROUP BY src),
+              |mc AS (SELECT cluster FROM cc GROUP BY cluster HAVING count(*) >= 2),
+              |cs AS (SELECT DISTINCT cc.cluster, d.source
+              |       FROM cc JOIN mc USING (cluster)
+              |       JOIN documents d USING (doc_id))
+              |SELECT a.source AS src_a, b.source AS src_b,
+              |       CAST(count(*) AS BIGINT) AS n_clusters
+              |FROM cs a JOIN cs b ON a.cluster = b.cluster AND a.source <= b.source
+              |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin)),
+
+    // Winnowing fingerprints (Schleimer et al. 2003 — the MOSS
+    // algorithm): hash every 5-token gram, keep each window-of-4's
+    // MINIMUM hash (dedup'd), and candidate near-dup pairs are docs
+    // sharing ≥ 2 fingerprints. The guarantee minhash doesn't give:
+    // any shared run of ≥ 8 tokens is DETECTED (no per-band luck),
+    // with fingerprint density ~2/(w+1). Per-doc windows partition by
+    // doc (bounded by doc length); the pair join runs on the selected
+    // fingerprints only, orders of magnitude below the gram fan-out.
+    "dedup_winnowing" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        // tokenGrams doesn't carry the gram's order in the doc, and
+        // winnowing needs it — posexplode keeps the position
+        val docs = docsUnder(s, d, 200)
+          .select(col("doc_id"),
+            graft.text.TextPrimitives.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), posexplode(transform(
+            sequence(lit(0), greatest(size(col("toks")) - 5, lit(0))),
+            i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(5)))))
+            .as(Seq("pos", "g")))
+          .select(col("doc_id"), col("pos"), md5Long(col("g")).as("h"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(0, 3)
+        val fps = docs
+          .withColumn("wm", min("h").over(w))
+          .select(col("doc_id"), col("wm").as("fp")).distinct()
+          .localCheckpoint(eager = false) // stats + the pair join
+        val pairs = fps.select(col("doc_id").as("da"), col("fp"))
+          .join(fps.select(col("doc_id").as("db"), col("fp")), "fp")
+          .filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 2)
+        pairs.orderBy("da", "db")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+             |  FROM documents WHERE doc_id < 200),
+             |g AS (
+             |  SELECT doc_id, i AS pos,
+             |         ('0x' || substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 15))::BIGINT AS h
+             |  FROM (SELECT doc_id, t,
+             |               unnest(generate_series(0, greatest(len(t) - 5, 0))) AS i
+             |        FROM toks)),
+             |fp AS (
+             |  SELECT DISTINCT doc_id,
+             |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+             |  FROM g)
+             |SELECT a.doc_id AS da, b.doc_id AS db,
+             |       CAST(count(*) AS BIGINT) AS shared
+             |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY da, db HAVING count(*) >= 2
+             |ORDER BY da, db""".stripMargin)),
+
+    // Bloom-filter sizing table for the incremental-dedup screen
+    // (dedup_bloom_incremental's m is currently a constant): for the
+    // corpus' ACTUAL distinct-content-hash count, the k = b·ln2
+    // optimum and FPR = (1 − e^(−k/b))^k at 8/12/16/20 bits per key,
+    // with the memory bill — the ops table that picks the next
+    // rebuild's m. One distinct-count; the rest is 4-row arithmetic.
+    "dedup_bloom_sizing" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val n = Tables.documents(s, d)
+          .select(md5Long(col("text")).as("h")).distinct()
+          .agg(count(lit(1)).as("n_keys"))
+        n.withColumn("bits", explode(array(lit(8L), lit(12L), lit(16L), lit(20L))))
+          .withColumn("k_hashes",
+            round(col("bits") * 0.6931471805599453, 0).cast("long"))
+          .withColumn("fpr", round(
+            pow(lit(1.0) - exp(-col("k_hashes").cast("double") / col("bits")),
+              col("k_hashes").cast("double")), 6))
+          .withColumn("memory_mb",
+            round(col("n_keys") * col("bits") / 8.0 / 1e6, 2))
+          .select(col("bits").as("bits_per_key"), col("k_hashes"),
+            col("fpr"), col("memory_mb"), col("n_keys"))
+          .orderBy("bits_per_key")
+      },
+      Some("""WITH n AS (
+             |  SELECT CAST(count(DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT)
+             |              AS BIGINT) AS n_keys
+             |  FROM documents),
+             |b AS (SELECT CAST(unnest([8, 12, 16, 20]) AS BIGINT) AS bits),
+             |r AS (
+             |  SELECT bits, CAST(round(bits * 0.6931471805599453) AS BIGINT) AS k_hashes,
+             |         n_keys
+             |  FROM n, b)
+             |SELECT bits AS bits_per_key, k_hashes,
+             |       round(pow(1.0 - exp(-CAST(k_hashes AS DOUBLE) / bits),
+             |             CAST(k_hashes AS DOUBLE)), 6) AS fpr,
+             |       round(n_keys * bits / 8.0 / 1e6, 2) AS memory_mb,
+             |       n_keys
+             |FROM r ORDER BY bits_per_key""".stripMargin))
+  )
 }

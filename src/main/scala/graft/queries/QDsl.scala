@@ -384,4 +384,56 @@ private[graft] object QDsl {
        |    (SELECT CAST(v AS DOUBLE) AS v FROM dd WHERE rn = $k) x ON TRUE)"""
       .stripMargin
   }.mkString(",\n")
+
+  // -----------------------------------------------------------------
+  // Shared doc-quality oracle helpers (hoisted in round 15 from the
+  // block scopes of the former QRound10a/QRound12a files so the
+  // regrouped thematic files can all reference them)
+  // -----------------------------------------------------------------
+
+  /** SQL list literal of the engine's stopword lexicon. */
+  lazy val stopListSql: String =
+    graft.text.TextAnalytics.Stopwords.map(w => s"'$w'").mkString(",")
+
+  /** Oracle CTE: (doc_id, lang, source, quality) with the 4dp-rounded
+    * quality score — the bounded-distinct-value grid the distribution
+    * metrics aggregate on. */
+  lazy val qualityCteSql: String =
+    s"""q AS (
+       |  SELECT doc_id, lang, source,
+       |         round((least(n_tok, 100) / 100.0) *
+       |               (1.0 - punct_cnt * 1.0 / greatest(n_chars, 1)) *
+       |               (0.2 + 0.8 * (stop_cnt * 1.0 / greatest(n_tok, 1))), 4) AS quality
+       |  FROM (
+       |    SELECT doc_id, lang, source, length(text) AS n_chars,
+       |           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+       |           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |               t -> t IN ($stopListSql))) AS stop_cnt,
+       |           len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
+       |    FROM documents))""".stripMargin
+
+  /** Variant of [[qualityCteSql]] restricted to doc_id < 200 and
+    * keeping n_tok (the former QRound12a block's local twin). */
+  lazy val qualityCteD200Sql: String =
+    s"""q AS (
+       |  SELECT doc_id, lang, source,
+       |         CAST(n_tok AS BIGINT) AS n_tok,
+       |         round((least(n_tok, 100) / 100.0) *
+       |               (1.0 - punct_cnt * 1.0 / greatest(n_chars, 1)) *
+       |               (0.2 + 0.8 * (stop_cnt * 1.0 / greatest(n_tok, 1))), 4) AS quality
+       |  FROM (
+       |    SELECT doc_id, lang, source, length(text) AS n_chars,
+       |           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+       |           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |               t -> t IN ($stopListSql))) AS stop_cnt,
+       |           len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
+       |    FROM documents WHERE doc_id < 200))""".stripMargin
+
+  /** Spark twin of [[qualityCteSql]]: per-doc quality joined with the
+    * lang/source labels. */
+  def qualityWithLabels(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.text.TextAnalytics.qualityScores(docs).drop("n_tok")
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+  }
 }

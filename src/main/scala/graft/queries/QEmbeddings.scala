@@ -1,0 +1,1339 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.store.VectorStore
+import graft.store.VectorStore.pointsSql
+import graft.QDsl._
+
+/** Embedding-space analytics and vector-column audits — SparkEntry query family (regrouped from the round-named
+  * inventory files in round 15; same query names, same bodies —
+  * SparkEntry assembles the full map and the driver contract). */
+private[graft] object QEmbeddings {
+
+  val embeddingsQA: Seq[(String, Q)] = Seq(
+      // two-NN intrinsic-dimension estimate (Facco et al. 2017): the
+      // MLE id = n/Σln(r₂/r₁) from each vector's two nearest-neighbor
+      // distances — "how many dimensions does the embedding ACTUALLY
+      // use", the manifold complement to emb_anisotropy/emb_dim_stats.
+      // Distances round to 6dp (engine-identical ranking); zero-r₁
+      // duplicates are excluded as the estimator requires. The
+      // pairwise stage is the bounded-corpus oracle form; at scale the
+      // candidate pairs come from the LSH/IVF bucketed paths (same
+      // note as ann_knn_graph) with the estimator unchanged.
+      "emb_twonn_id" -> Q(
+        (s, d) => {
+          // dense kernel (negated-distance TopK merge) instead of a
+          // row_number window over the 4M-pair frame: the window
+          // formulation measured 43 s at sf0.1, the kernel ~1 s —
+          // same (dist asc, ib) ranking, oracle unchanged
+          graft.ann.Ann.nearestDistancesDense(Tables.embeddings(s, d), 2)
+            .groupBy(col("vec_id").as("ia"))
+            .agg(min(when(col("rnk") === 1, col("dist"))).as("r1"),
+                 min(when(col("rnk") === 2, col("dist"))).as("r2"))
+            .filter(col("r1") > 0)
+            .agg(count(lit(1)).as("n_used"),
+                 round(sum(log(col("r2") / col("r1"))), 6).as("sum_log_mu"))
+            .select(col("n_used"),
+              col("sum_log_mu"),
+              when(col("sum_log_mu") <= 0, lit(null).cast("double"))
+                .otherwise(round(col("n_used") / col("sum_log_mu"), 4)).as("id_hat"))
+        },
+        Some("""WITH p AS (
+               |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+               |         round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dist
+               |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+               |rk AS (SELECT ia, dist,
+               |              row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rnk
+               |       FROM p),
+               |nn AS (SELECT ia,
+               |              min(CASE WHEN rnk = 1 THEN dist END) AS r1,
+               |              min(CASE WHEN rnk = 2 THEN dist END) AS r2
+               |       FROM rk WHERE rnk <= 2 GROUP BY ia),
+               |a AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
+               |             round(sum(ln(r2 / r1)), 6) AS sum_log_mu
+               |      FROM nn WHERE r1 > 0)
+               |SELECT n_used, sum_log_mu,
+               |       CASE WHEN sum_log_mu <= 0 THEN NULL
+               |            ELSE round(n_used / sum_log_mu, 4) END AS id_hat
+               |FROM a""".stripMargin)),
+
+    // participation ratio PR = tr(C)²/tr(C²) of the embedding
+    // covariance — the eigen-free effective-dimension estimate
+    // (PR = d for isotropic, → 1 for rank-collapsed), the spectral
+    // companion to emb_anisotropy/emb_twonn_id that needs NO
+    // eigendecomposition: both traces come from the 64×64 cross-
+    // moment cells, a 4096-cell map-side-combinable aggregate (the
+    // ev_countmin posture). Cells rounded to 7 before squaring so
+    // partial-agg sum order can't reach the report. At reference
+    // dim 1024 the fan-out (1M cells) moves to the whitening/power-
+    // iteration mapPartitions accumulator instead.
+    "emb_participation_ratio" -> Q(
+      (s, d) => {
+        // one-pass cross-moment aggregate + driver math on the
+        // bounded d² cells (CovMoments doc) — no N·d² row fan-out
+        import graft.embed.CovMoments._
+        import s.implicits._
+        val m = moments(Tables.embeddings(s, d))
+        val cv = covCells(m)
+        var trc = 0.0; var trc2 = 0.0
+        for (a <- 0 until m.dim; b <- 0 until m.dim) {
+          if (a == b) trc += cv(a)(b)
+          trc2 += cv(a)(b) * cv(a)(b)
+        }
+        Seq((m.n, m.dim.toLong, r(trc, 6),
+             if (trc2 > 0) Some(r(trc * trc / trc2, 4)) else None))
+          .toDF("n_vecs", "dim", "tr_c", "pr_dim")
+      },
+      Some("""WITH px AS (SELECT vec_id,
+             |              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS a,
+             |              CAST(unnest(embedding) AS DOUBLE) AS xa
+             |            FROM embeddings WHERE embedding IS NOT NULL),
+             |cells AS (SELECT p.a, q.a AS b, CAST(count(*) AS DOUBLE) AS n,
+             |                 round(sum(p.xa * q.xa) / count(*) -
+             |                       (sum(p.xa) / count(*)) * (sum(q.xa) / count(*)), 7) AS cv
+             |          FROM px p JOIN px q ON p.vec_id = q.vec_id
+             |          GROUP BY 1, 2),
+             |ag AS (SELECT max(n) AS nv, max(a) AS mxa,
+             |              sum(CASE WHEN a = b THEN cv ELSE 0.0 END) AS trc,
+             |              sum(cv * cv) AS trc2
+             |       FROM cells)
+             |SELECT CAST(nv AS BIGINT) AS n_vecs, mxa + 1 AS dim,
+             |       round(trc, 6) AS tr_c,
+             |       CASE WHEN trc2 > 0 THEN round(trc * trc / trc2, 4) END AS pr_dim
+             |FROM ag""".stripMargin)),
+
+    // linear CKA between the full 64-d embedding and its 16-d
+    // Matryoshka prefix: ‖C_xy‖²F / (‖C_xx‖F·‖C_yy‖F), where every
+    // block is a sub-matrix of the ONE 64×64 covariance cell table
+    // (emb_participation_ratio's aggregate) because Y is a prefix of
+    // X — so the whole representation-similarity score is arithmetic
+    // over 4096 map-side-combinable cells. The "does the truncated
+    // index preserve structure" check behind vec_matryoshka.
+    "emb_cka" -> Q(
+      (s, d) => {
+        // one-pass cross-moment aggregate + driver math on the
+        // bounded d² cells (CovMoments doc) — no N·d² row fan-out
+        import graft.embed.CovMoments._
+        import s.implicits._
+        val m = moments(Tables.embeddings(s, d))
+        val cv = covCells(m)
+        var fxx = 0.0; var fyy = 0.0; var fxy = 0.0
+        for (a <- 0 until m.dim; b <- 0 until m.dim) {
+          val c2 = cv(a)(b) * cv(a)(b)
+          fxx += c2
+          fyy += (if (a < 16 && b < 16) c2 else 0.0)
+          fxy += (if (b < 16) c2 else 0.0)
+        }
+        Seq((m.n, 16L,
+             if (fxx > 0 && fyy > 0)
+               Some(r(fxy / (math.sqrt(fxx) * math.sqrt(fyy)), 4))
+             else None))
+          .toDF("n_vecs", "dim_prefix", "cka")
+      },
+      Some("""WITH px AS (SELECT vec_id,
+             |              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS a,
+             |              CAST(unnest(embedding) AS DOUBLE) AS xa
+             |            FROM embeddings WHERE embedding IS NOT NULL),
+             |cells AS (SELECT p.a, q.a AS b, CAST(count(*) AS DOUBLE) AS n,
+             |                 round(sum(p.xa * q.xa) / count(*) -
+             |                       (sum(p.xa) / count(*)) * (sum(q.xa) / count(*)), 7) AS cv
+             |          FROM px p JOIN px q ON p.vec_id = q.vec_id
+             |          GROUP BY 1, 2),
+             |ag AS (SELECT max(n) AS nv,
+             |              sum(cv * cv) AS fxx,
+             |              sum(CASE WHEN a < 16 AND b < 16 THEN cv * cv ELSE 0.0 END) AS fyy,
+             |              sum(CASE WHEN b < 16 THEN cv * cv ELSE 0.0 END) AS fxy
+             |       FROM cells)
+             |SELECT CAST(nv AS BIGINT) AS n_vecs, CAST(16 AS BIGINT) AS dim_prefix,
+             |       CASE WHEN fxx > 0 AND fyy > 0
+             |            THEN round(fxy / (sqrt(fxx) * sqrt(fyy)), 4) END AS cka
+             |FROM ag""".stripMargin)),
+
+    // k-NN majority-vote label consistency at k ∈ {1,3,5} — does
+    // more context help or hurt? (1-NN = emb_knn_accuracy's metric;
+    // diverging k=5 accuracy means noisy near-neighborhoods.) ONE
+    // broadcast scoring pass bounds rk ≤ 5; votes are per-(query,k)
+    // windows over ≤ 5 rows; ties break to the smallest label on
+    // both engines.
+    "emb_knn_vote" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val corpus = Tables.embeddings(s, d)
+          .select(col("vec_id").as("vb"), col("embedding").as("eb"),
+                  col("label").as("lb"))
+        val queries = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+          .select(col("vec_id").as("va"), col("embedding").as("ea"),
+                  col("label").as("la"))
+        val wq = Window.partitionBy("va").orderBy(col("sc").desc, col("vb"))
+        val top = corpus.crossJoin(broadcast(queries))
+          .filter(col("va") =!= col("vb"))
+          .select(col("va"), col("la"), col("vb"), col("lb"),
+            score(col("eb"), col("ea")).as("sc"))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= 5)
+          .localCheckpoint(eager = false) // one vote pass per k
+        val ks = s.createDataFrame(Seq(Tuple1(1L), Tuple1(3L), Tuple1(5L)))
+          .toDF("k")
+        val votes = top.crossJoin(broadcast(ks)).filter(col("rk") <= col("k"))
+          .groupBy("va", "la", "k", "lb").agg(count(lit(1)).as("c"))
+        val wv = Window.partitionBy("va", "k").orderBy(col("c").desc, col("lb"))
+        votes.withColumn("r2", row_number().over(wv)).filter(col("r2") === 1)
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_queries"),
+               sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_correct"))
+          .withColumn("acc", round(col("n_correct") / col("n_queries"), 4))
+          .orderBy("k")
+      },
+      Some("""WITH q AS (SELECT vec_id AS va, embedding AS ea, label AS la
+             |           FROM embeddings WHERE vec_id < 300),
+             |p AS (SELECT va, la, b.vec_id AS vb, b.label AS lb,
+             |             round(list_cosine_similarity(b.embedding::DOUBLE[], ea::DOUBLE[]), 6) + 0.0 AS sc
+             |      FROM q, embeddings b WHERE va <> b.vec_id),
+             |top AS (SELECT * FROM (
+             |          SELECT *, row_number() OVER (PARTITION BY va
+             |                      ORDER BY sc DESC, vb) AS rk
+             |          FROM p) WHERE rk <= 5),
+             |ks AS (SELECT CAST(unnest([1, 3, 5]) AS BIGINT) AS k),
+             |votes AS (SELECT va, la, k, lb, CAST(count(*) AS BIGINT) AS c
+             |          FROM top, ks WHERE rk <= k GROUP BY 1, 2, 3, 4),
+             |w AS (SELECT *, row_number() OVER (PARTITION BY va, k
+             |                  ORDER BY c DESC, lb) AS r2
+             |      FROM votes)
+             |SELECT k, CAST(count(*) AS BIGINT) AS n_queries,
+             |       CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             |       round(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS acc
+             |FROM w WHERE r2 = 1 GROUP BY k ORDER BY k""".stripMargin)),
+
+    // hubness audit of the embedding space (Radovanović 2010): the
+    // k-occurrence distribution N_5(x) off the dense-kernel 5-NN
+    // graph — high-dim spaces grow "hubs" that appear in everyone's
+    // neighbor lists and antihubs that appear in none, which silently
+    // skews kNN-based dedup/eval. Occurrence moments come from exact
+    // integer power sums (mean is k BY CONSTRUCTION — a free
+    // invariant); corpus-scale work is the one TopK kernel pass.
+    "emb_hubness" -> Q(
+      (s, d) => {
+        import graft.ann.Ann
+        val emb = Tables.embeddings(s, d)
+        val edges = Ann.bruteForceTopKDense(emb,
+            emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), 5)
+          .select(col("qid"), col("vec_id").as("nid"))
+        val occ = emb.select(col("vec_id"))
+          .join(edges.groupBy("nid").agg(count(lit(1)).as("occ")),
+            col("vec_id") === col("nid"), "left")
+          .na.fill(0L, Seq("occ"))
+        occ.agg(count(lit(1)).cast("double").as("n"),
+            sum("occ").as("s1"),
+            sum(col("occ") * col("occ")).as("s2"),
+            sum(col("occ") * col("occ") * col("occ")).as("s3"),
+            max("occ").as("mx"),
+            sum(when(col("occ") === 0, 1L).otherwise(0L)).as("anti"),
+            sum(when(col("occ") >= 10, 1L).otherwise(0L)).as("hubs"))
+          .withColumn("mu", col("s1") / col("n"))
+          .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+          .withColumn("m3", col("s3") / col("n")
+            - lit(3.0) * col("mu") * col("s2") / col("n")
+            + lit(2.0) * col("mu") * col("mu") * col("mu"))
+          .select(col("n").cast("long").as("n_vecs"),
+            round(col("mu"), 4).as("mean_occ"),
+            col("mx").as("max_occ"),
+            col("anti").as("n_antihubs"),
+            col("hubs").as("n_hubs"),
+            when(col("m2") > 0,
+              round(col("m3") / pow(col("m2"), 1.5), 4)).as("skew_occ"))
+      },
+      Some("""WITH sc AS (
+             |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+             |         round(list_cosine_similarity(e.embedding::DOUBLE[],
+             |               q.embedding::DOUBLE[]), 6) + 0.0 AS score
+             |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+             |ed AS MATERIALIZED (SELECT qid, nid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid
+             |           ORDER BY score DESC, nid) AS rnk FROM sc)
+             |  WHERE rnk <= 5),
+             |oc AS (SELECT e.vec_id,
+             |              coalesce(g.occ, 0) AS occ
+             |       FROM embeddings e LEFT JOIN
+             |         (SELECT nid, CAST(count(*) AS BIGINT) AS occ
+             |          FROM ed GROUP BY nid) g ON g.nid = e.vec_id),
+             |ag AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(occ) AS s1,
+             |              sum(occ*occ) AS s2, sum(occ*occ*occ) AS s3,
+             |              max(occ) AS mx,
+             |              sum(CASE WHEN occ = 0 THEN 1 ELSE 0 END) AS nanti,
+             |              sum(CASE WHEN occ >= 10 THEN 1 ELSE 0 END) AS hubs
+             |       FROM oc),
+             |mm AS (SELECT *, s1/n AS mu, s2/n - (s1/n)*(s1/n) AS m2,
+             |              s3/n - 3.0*(s1/n)*s2/n + 2.0*(s1/n)*(s1/n)*(s1/n) AS m3
+             |       FROM ag)
+             |SELECT CAST(n AS BIGINT) AS n_vecs, round(mu, 4) AS mean_occ,
+             |       CAST(mx AS BIGINT) AS max_occ,
+             |       CAST(nanti AS BIGINT) AS n_antihubs,
+             |       CAST(hubs AS BIGINT) AS n_hubs,
+             |       CASE WHEN m2 > 0 THEN round(m3 / power(m2, 1.5), 4)
+             |       END AS skew_occ
+             |FROM mm""".stripMargin)),
+
+    // top eigenvalue of the embedding covariance by 8 unrolled power
+    // iterations over the SAME 4096-cell cross-moment aggregate as
+    // emb_participation_ratio — λ₁/tr(C) is the "one direction owns
+    // the variance" share that PCA would report, without ever forming
+    // a dense matrix outside the bounded cell table. Corpus-scale work
+    // is ONE map-side-combinable aggregate; every iteration is a join
+    // over 4096 rows, L1-normalized (abs: eigenvector components carry
+    // sign) and rounded to 7.
+    "emb_top_eigen" -> Q(
+      (s, d) => {
+        // ONE array-sum aggregate over the embeddings scan (no N·d²
+        // row fan-out), then the 8 power steps run driver-side on the
+        // bounded d² cells — kills both scale problems the
+        // double-posexplode + 8-cluster-job form had (CovMoments doc)
+        import graft.embed.CovMoments._
+        import s.implicits._
+        val cv = covCells(moments(Tables.embeddings(s, d)))
+        val dim = cv.length
+        val v = powerIterate(cv, 8)
+        val ray = rayleigh(cv, v)
+        var trc = 0.0
+        (0 until dim).foreach(i => trc += cv(i)(i))
+        Seq((dim.toLong, r(trc, 6),
+             ray.map(x => r(x, 6)),
+             ray.filter(_ => trc > 0).map(x => r(x / trc, 4))))
+          .toDF("dim", "tr_c", "lambda1", "top_share")
+      },
+      Some(s"""WITH px AS (SELECT vec_id,
+              |              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS a,
+              |              CAST(unnest(embedding) AS DOUBLE) AS xa
+              |            FROM embeddings WHERE embedding IS NOT NULL),
+              |cells AS MATERIALIZED (
+              |  SELECT p.a, q.a AS b,
+              |         round(sum(p.xa * q.xa) / count(*) -
+              |               (sum(p.xa) / count(*)) * (sum(q.xa) / count(*)), 7) AS cv
+              |  FROM px p JOIN px q ON p.vec_id = q.vec_id
+              |  GROUP BY 1, 2),
+              |v0 AS MATERIALIZED (SELECT a AS i, 1.0 AS x FROM cells WHERE a = b),
+              |${covPowIterSql(8)},
+              |num AS (SELECT sum(c.cv * va.x * vb.x) AS num
+              |        FROM cells c JOIN v8 va ON va.i = c.a
+              |                     JOIN v8 vb ON vb.i = c.b),
+              |den AS (SELECT sum(x*x) AS den FROM v8),
+              |tr AS (SELECT sum(cv) AS trc, max(a) + 1 AS dim
+              |       FROM cells WHERE a = b)
+              |SELECT CAST(dim AS BIGINT) AS dim, round(trc, 6) AS tr_c,
+              |       CASE WHEN den > 0 THEN round(num / den, 6) END AS lambda1,
+              |       CASE WHEN den > 0 AND trc > 0
+              |            THEN round(num / den / trc, 4) END AS top_share
+              |FROM tr, num, den""".stripMargin)),
+
+    // second covariance eigenvalue by DEFLATION: converge v₁ (8
+    // rounds), subtract λ₁v₁v₁ᵀ cell-wise (λ₁ and v₁ rounded first so
+    // the deflated cells are engine-pinned), converge again — the
+    // spectral gap λ₂/λ₁ says whether emb_top_eigen's "one direction"
+    // story is real or the top two directions are degenerate. Still
+    // ONE corpus-scale aggregate; both iteration chains are joins
+    // over 4096 cells.
+    "emb_deflated_eigen" -> Q(
+      (s, d) => {
+        // ONE cross-moment aggregate over the embeddings scan; both
+        // 8-step power iterations AND the deflation run driver-side
+        // on the bounded d² cells (CovMoments doc) — was the suite's
+        // slowest query purely from ~16 scheduled cluster jobs over a
+        // ≤4096-row frame
+        import graft.embed.CovMoments._
+        import s.implicits._
+        val cells = covCells(moments(Tables.embeddings(s, d)))
+        val dim = cells.length
+        def converge(cl: Array[Array[Double]])
+            : (Array[Double], Option[Double]) = {
+          val v = powerIterate(cl, 8)
+          (v, rayleigh(cl, v).map(x => r(x, 6)))
+        }
+        val (v1, l1) = converge(cells)
+        val res = l1 match {
+          case Some(lam1) if v1 != null =>
+            val cells2 = Array.tabulate(dim, dim)((a, b) =>
+              r(cells(a)(b) - lam1 * v1(a) * v1(b), 7))
+            val (_, l2) = converge(cells2)
+            var trc = 0.0
+            (0 until dim).foreach(i => trc += cells(i)(i))
+            (Some(lam1), l2,
+             l2.filter(_ => lam1 > 0).map(x => r(1.0 - x / lam1, 4)),
+             l2.filter(_ => trc > 0).map(x => r((lam1 + x) / trc, 4)))
+          case _ => (l1, None, None, None)
+        }
+        Seq(res).toDF("lambda1", "lambda2", "spectral_gap", "top2_share")
+      },
+      Some(s"""WITH px AS (SELECT vec_id,
+              |              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS a,
+              |              CAST(unnest(embedding) AS DOUBLE) AS xa
+              |            FROM embeddings WHERE embedding IS NOT NULL),
+              |cells AS MATERIALIZED (
+              |  SELECT p.a, q.a AS b,
+              |         round(sum(p.xa * q.xa) / count(*) -
+              |               (sum(p.xa) / count(*)) * (sum(q.xa) / count(*)), 7) AS cv
+              |  FROM px p JOIN px q ON p.vec_id = q.vec_id
+              |  GROUP BY 1, 2),
+              |v0 AS MATERIALIZED (SELECT a AS i, 1.0 AS x FROM cells WHERE a = b),
+              |${covPowIterSql(8)},
+              |l1 AS (SELECT CASE WHEN den > 0 THEN round(num / den, 6) END AS lam
+              |       FROM (SELECT sum(c.cv * va.x * vb.x) AS num
+              |             FROM cells c JOIN v8 va ON va.i = c.a
+              |                          JOIN v8 vb ON vb.i = c.b),
+              |            (SELECT sum(x*x) AS den FROM v8)),
+              |cells2 AS MATERIALIZED (
+              |  SELECT c.a, c.b, round(c.cv - l1.lam * va.x * vb.x, 7) AS cv
+              |  FROM cells c JOIN v8 va ON va.i = c.a
+              |               JOIN v8 vb ON vb.i = c.b, l1),
+              |dv0 AS MATERIALIZED (SELECT a AS i, 1.0 AS x FROM cells2 WHERE a = b),
+              |${covPowIterSql(8, "cells2", "d")},
+              |l2 AS (SELECT CASE WHEN den > 0 THEN round(num / den, 6) END AS lam
+              |       FROM (SELECT sum(c.cv * va.x * vb.x) AS num
+              |             FROM cells2 c JOIN dv8 va ON va.i = c.a
+              |                           JOIN dv8 vb ON vb.i = c.b),
+              |            (SELECT sum(x*x) AS den FROM dv8)),
+              |tr AS (SELECT sum(cv) AS trc FROM cells WHERE a = b)
+              |SELECT l1.lam AS lambda1, l2.lam AS lambda2,
+              |       CASE WHEN l1.lam > 0
+              |            THEN round(1.0 - l2.lam / l1.lam, 4) END AS spectral_gap,
+              |       CASE WHEN trc > 0
+              |            THEN round((l1.lam + l2.lam) / trc, 4) END AS top2_share
+              |FROM l1, l2, tr""".stripMargin)),
+
+    // "All-but-the-top" embedding post-processing (Mu & Viswanath
+    // 2018): remove the mean and project out the top covariance
+    // direction, then re-measure anisotropy — the standard fix for
+    // the "all vectors point the same way" pathology emb_anisotropy
+    // diagnoses. μ and v₁ come from the SAME bounded machinery as
+    // emb_top_eigen (4096-cell aggregate + 8 pinned power rounds);
+    // the transform is an index-join over the 64-rows-per-vector
+    // explode — both engines run the identical relational shape, and
+    // the before/after scores use emb_anisotropy's exact Σ identity.
+    "emb_abtt" -> Q(
+      (s, d) => {
+        // all-but-the-top without the N·d² explode OR the exploded
+        // self-join: per-dim means (pass 1), CENTERED cross-moments
+        // (pass 2, Gramian kernel — centered so the addends match the
+        // oracle's join form, no raw-sum cancellation), power
+        // iteration driver-side on the bounded d² cells, then ONE
+        // kernel pass computes projection / residual / both
+        // anisotropy sums per row (CovMoments doc)
+        import graft.embed.CovMoments._
+        import s.implicits._
+        val embT = Tables.embeddings(s, d)
+        val m1 = moments(embT) // sxx unused here; same single pass
+        val vTop =
+          if (m1.n < 2) null
+          else {
+            val mu0 = m1.sx.map(x => r(x / m1.n, 7))
+            powerIterate(centeredCells(moments(embT, center = Some(mu0))), 8)
+          }
+        if (vTop == null) // degenerate corpus: the oracle emits 0 rows
+          Seq.empty[(Long, Double, Double, Double)]
+            .toDF("n_vecs", "aniso_before", "aniso_after", "reduction")
+        else {
+          val mu = m1.sx.map(x => r(x / m1.n, 7))
+          // one pass: per row xc = x − mu, p = round(Σ xc·v, 7),
+          // xr = xc − p·v; accumulate unit-vector per-dim sums +
+          // counts for BOTH the raw and residual anisotropy
+          type Acc = (Long, Array[Double], Long, Array[Double])
+          val (nB, suB, nA, suA) =
+            vectors(embT).rdd.treeAggregate(
+              (0L, null: Array[Double], 0L, null: Array[Double]): Acc)(
+              seqOp = { case ((nb0, sb0, na0, sa0), x) =>
+                val dd = x.length
+                val sb = if (sb0 == null) new Array[Double](dd) else sb0
+                val sa = if (sa0 == null) new Array[Double](dd) else sa0
+                val xc = new Array[Double](dd)
+                var i = 0; var p = 0.0
+                while (i < dd) {
+                  xc(i) = x(i) - mu(i); p += xc(i) * vTop(i); i += 1
+                }
+                val pr = r(p, 7)
+                val xr = new Array[Double](dd)
+                var nb = 0.0; var na = 0.0
+                i = 0
+                while (i < dd) {
+                  xr(i) = xc(i) - pr * vTop(i)
+                  nb += x(i) * x(i); na += xr(i) * xr(i); i += 1
+                }
+                nb = math.sqrt(nb); na = math.sqrt(na)
+                if (nb > 0) { i = 0; while (i < dd) { sb(i) += x(i) / nb; i += 1 } }
+                if (na > 0) { i = 0; while (i < dd) { sa(i) += xr(i) / na; i += 1 } }
+                (nb0 + (if (nb > 0) 1L else 0L), sb,
+                 na0 + (if (na > 0) 1L else 0L), sa)
+              },
+              combOp = { case ((n1, s1, m1c, t1), (n2, s2, m2c, t2)) =>
+                def madd(a: Array[Double], b: Array[Double]) =
+                  if (a == null) b else if (b == null) a
+                  else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+                (n1 + n2, madd(s1, s2), m1c + m2c, madd(t1, t2))
+              })
+          def aniso(n: Long, su: Array[Double]): Double = {
+            var s2 = 0.0; su.foreach(x => s2 += x * x)
+            r((s2 - n) / (n * (n - 1.0)), 6)
+          }
+          if (nB < 2 || nA < 2)
+            Seq.empty[(Long, Double, Double, Double)]
+              .toDF("n_vecs", "aniso_before", "aniso_after", "reduction")
+          else {
+            val ab = aniso(nB, suB)
+            val aa = aniso(nA, suA)
+            Seq((nB, ab, aa, r(ab - aa, 6)))
+              .toDF("n_vecs", "aniso_before", "aniso_after", "reduction")
+          }
+        }
+      },
+      Some(s"""WITH ex0 AS MATERIALIZED (
+              |  SELECT vec_id,
+              |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+              |         CAST(unnest(embedding) AS DOUBLE) AS x
+              |  FROM embeddings WHERE embedding IS NOT NULL),
+              |mu AS MATERIALIZED (
+              |  SELECT i, round(sum(x) / count(*), 7) AS m FROM ex0 GROUP BY i),
+              |exc AS MATERIALIZED (
+              |  SELECT vec_id, i, x - m AS xc FROM ex0 JOIN mu USING (i)),
+              |cells AS MATERIALIZED (
+              |  SELECT p.i AS a, q.i AS b,
+              |         round(sum(p.xc * q.xc) / count(*), 7) AS cv
+              |  FROM exc p JOIN exc q ON p.vec_id = q.vec_id
+              |  GROUP BY 1, 2),
+              |v0 AS MATERIALIZED (SELECT a AS i, 1.0 AS x FROM cells WHERE a = b),
+              |${covPowIterSql(8)},
+              |vv AS MATERIALIZED (SELECT i, x AS v FROM v8),
+              |proj AS MATERIALIZED (
+              |  SELECT vec_id, round(sum(xc * v), 7) AS p
+              |  FROM exc JOIN vv USING (i) GROUP BY vec_id),
+              |resid AS MATERIALIZED (
+              |  SELECT vec_id, i, xc - p * v AS xr
+              |  FROM exc JOIN vv USING (i) JOIN proj USING (vec_id)),
+              |nb AS MATERIALIZED (
+              |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex0
+              |  GROUP BY vec_id HAVING sqrt(sum(x * x)) > 0),
+              |sb AS (SELECT i, sum(x / nrm) AS su
+              |       FROM ex0 JOIN nb USING (vec_id) GROUP BY i),
+              |tb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nb),
+              |ab AS (SELECT n, round((sum(su * su) - n) / (n * (n - 1.0)), 6) AS ac
+              |       FROM sb, tb GROUP BY n),
+              |na AS MATERIALIZED (
+              |  SELECT vec_id, sqrt(sum(xr * xr)) AS nrm FROM resid
+              |  GROUP BY vec_id HAVING sqrt(sum(xr * xr)) > 0),
+              |sa AS (SELECT i, sum(xr / nrm) AS su
+              |       FROM resid JOIN na USING (vec_id) GROUP BY i),
+              |ta AS (SELECT CAST(count(*) AS BIGINT) AS n FROM na),
+              |aa AS (SELECT round((sum(su * su) - n) / (n * (n - 1.0)), 6) AS ac
+              |       FROM sa, ta GROUP BY n)
+              |SELECT ab.n AS n_vecs, ab.ac AS aniso_before, aa.ac AS aniso_after,
+              |       round(ab.ac - aa.ac, 6) AS reduction
+              |FROM ab, aa""".stripMargin)),
+
+    // Wang-Isola alignment & uniformity (ICML 2020) — THE two-number
+    // contrastive-embedding report: alignment = mean squared distance
+    // of same-label pairs (want small), uniformity = ln mean
+    // exp(−2‖x̂−ŷ‖²) over all pairs (want very negative = spread
+    // out). Computed exactly on the bounded oracle subset via the
+    // shared 6dp cosine (‖x̂−ŷ‖² = 2−2cos); the at-scale path is the
+    // same formula over LSH-bucket-sampled pairs (documented
+    // deliberate altitude, like dedup_embed_cosine).
+    "emb_align_uniform" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val f = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull && col("vec_id") < 200)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val pairs = f.select(col("vec_id").as("va"), col("label").as("la"),
+            col("embedding").as("ea"))
+          .join(f.select(col("vec_id").as("vb"), col("label").as("lb"),
+            col("embedding").as("eb")), col("va") < col("vb"))
+          .withColumn("d2", lit(2.0) - lit(2.0) * score(col("ea"), col("eb")))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+              .as("n_align_pairs"),
+            avg(when(col("la") === col("lb"), col("d2"))).as("al"),
+            avg(exp(lit(-2.0) * col("d2"))).as("un"))
+          .select(col("n_pairs"), col("n_align_pairs"),
+            round(col("al"), 4).as("alignment"),
+            round(log(col("un")), 4).as("uniformity"))
+      },
+      Some("""WITH f AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+             |           FROM embeddings
+             |           WHERE embedding IS NOT NULL AND vec_id < 200),
+             |p AS (SELECT a.label AS la, b.label AS lb,
+             |             2.0 - 2.0 * (round(list_cosine_similarity(a.emb, b.emb), 6) + 0.0) AS d2
+             |      FROM f a JOIN f b ON a.vec_id < b.vec_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             |       CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_align_pairs,
+             |       round(avg(CASE WHEN la = lb THEN d2 END), 4) AS alignment,
+             |       round(ln(avg(exp(-2.0 * d2))), 4) AS uniformity
+             |FROM p""".stripMargin)),
+
+    // nearest-centroid classification accuracy per label: assign each
+    // embedding to its closest label centroid (the Rocchio
+    // classifier) and score against the true labels — the LINEAR
+    // separability read-out between emb_label_cohesion (how tight)
+    // and emb_knn_accuracy (how locally consistent). Centroids are a
+    // broadcast |labels|×64 table; per-vector work is an index join +
+    // one bounded per-vector rank window over |labels| rows.
+    "emb_centroid_classifier" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        val dims = emb.select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("label"), col("i").cast("long").as("i"),
+                  col("x").cast("double").as("x"))
+          .localCheckpoint(eager = false) // centroids + distance pass
+        val cent = dims.groupBy(col("label").as("cl"), col("i"))
+          .agg(round(avg("x"), 7).as("c"))
+        val d2 = dims.join(broadcast(cent), "i")
+          .groupBy("vec_id", "label", "cl")
+          .agg(round(sum(pow(col("x") - col("c"), 2)), 6).as("d2"))
+        val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))
+        d2.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("cl") === col("label"), 1L).otherwise(0L))
+                 .as("n_correct"))
+          .select(col("label"), col("n"), col("n_correct"),
+            round(col("n_correct") / col("n").cast("double"), 4).as("accuracy"))
+          .orderBy("label")
+      },
+      Some("""WITH dims AS MATERIALIZED (
+             |  SELECT vec_id, label,
+             |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |         CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |cent AS MATERIALIZED (
+             |  SELECT label AS cl, i, round(avg(x), 7) AS c
+             |  FROM dims GROUP BY 1, 2),
+             |d2 AS (SELECT vec_id, label, cl,
+             |              round(sum((x - c) * (x - c)), 6) AS d2
+             |       FROM dims JOIN cent USING (i) GROUP BY 1, 2, 3),
+             |pk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             |         ORDER BY d2, cl) AS rk
+             |       FROM d2)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN cl = label THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_correct,
+             |       round(sum(CASE WHEN cl = label THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 4) AS accuracy
+             |FROM pk WHERE rk = 1 GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Corpus isotropy audit: mean pairwise cosine of the NORMALIZED
+    // embeddings and the mean-resultant norm R = ‖Σu‖/n — anisotropy
+    // (all vectors sharing a common direction, Mu & Viswanath 2018's
+    // narrow-cone pathology) inflates every similarity score and is
+    // the emb_abtt rationale measured as one number. The O(n²) pair
+    // average collapses through ‖Σu‖² = Σᵢⱼ⟨uᵢ,uⱼ⟩ to ONE linear pass:
+    // unit coordinates are pinned to 1e-7 units, so Σu per dim, its
+    // square, and Σ‖u‖² are all exact integers — no quadratic join,
+    // no float accumulation, bit-equal across engines.
+    "emb_isotropy" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.sqNorm
+        val dec = "decimal(38,0)"
+        val u = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            sqrt(sqNorm(col("embedding"))).as("nrm"))
+          .filter(col("nrm") > 0)
+          .select(posexplode(col("embedding")).as(Seq("i", "x")), col("nrm"))
+          .select(col("i"),
+            round(col("x").cast("double") / col("nrm") * 1e7, 0)
+              .cast("long").as("v"))
+          .localCheckpoint(eager = false) // per-dim sums + global Σv²
+        val dims = u.groupBy("i").agg(sum(col("v").cast(dec)).as("sv"))
+          .agg(sum(col("sv") * col("sv")).as("ssd"))
+        val glob = u.agg(sum((col("v") * col("v")).cast(dec)).as("s2"),
+          expr("count(1) div 64").as("n"))
+        dims.crossJoin(glob)
+          .select(col("n").as("n_vecs"),
+            round((col("ssd") - col("s2")).cast("double")
+              / (col("n").cast("double") * (col("n") - 1)) / 1e14, 6)
+              .as("avg_cos"),
+            round(sqrt(col("ssd").cast("double")) / col("n") / 1e7, 6)
+              .as("resultant_norm"))
+      },
+      Some("""WITH nv AS (
+             |  SELECT vec_id, embedding,
+             |         sqrt(list_inner_product(embedding::DOUBLE[],
+             |                                 embedding::DOUBLE[])) AS nrm
+             |  FROM embeddings),
+             |u AS (
+             |  SELECT CAST(round(CAST(x AS DOUBLE) / nrm * 1e7) AS BIGINT) AS v, i
+             |  FROM (SELECT nrm, generate_subscripts(embedding, 1) AS i,
+             |               unnest(embedding) AS x
+             |        FROM nv WHERE nrm > 0)),
+             |dims AS (SELECT i, sum(v) AS sv FROM u GROUP BY i),
+             |sq AS (SELECT sum(sv * sv) AS ssd FROM dims),
+             |gl AS (SELECT sum(v * v) AS s2,
+             |              CAST(count(*) // 64 AS BIGINT) AS n FROM u)
+             |SELECT n AS n_vecs,
+             |       round(CAST(ssd - s2 AS DOUBLE)
+             |             / (CAST(n AS DOUBLE) * (n - 1)) / 1e14, 6) AS avg_cos,
+             |       round(sqrt(CAST(ssd AS DOUBLE)) / n / 1e7, 6) AS resultant_norm
+             |FROM sq, gl""".stripMargin)),
+
+    // Permutation SIGNIFICANCE test for emb_drift's split-half shift:
+    // the observed statistic T = Σ_dims (mean_A − mean_B)² is ranked
+    // against 8 md5-relabeled null splits — "is the drift bigger than
+    // random relabeling produces", the missing p-value behind the
+    // drift monitor. ONE pass computes all 18 conditional per-dim
+    // means (6dp-pinned); each squared-shift term is pinned to
+    // 1e-12 units, so every T is an exact integer sum and the ≥
+    // comparisons rank identically on both engines.
+    "emb_drift_test" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val dec = "decimal(38,0)"
+        val P = 8
+        val base = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .withColumn("g0", (col("vec_id") % 2).cast("int"))
+        val armed = (0 until P).foldLeft(base) { (df, p) =>
+          df.withColumn(s"a$p",
+            (md5Long(concat(lit(s"dp$p:"), col("vec_id").cast("string"))) % 2)
+              .cast("int"))
+        }
+        def m(flag: Column, v: Int) =
+          round(avg(when(flag === v, col("x").cast("double"))), 6)
+        val aggs = Seq(m(col("g0"), 1).as("m1r"), m(col("g0"), 0).as("m0r")) ++
+          (0 until P).flatMap(p => Seq(
+            m(col(s"a$p"), 1).as(s"m1_$p"), m(col(s"a$p"), 0).as(s"m0_$p")))
+        val perDim = armed.groupBy("i").agg(aggs.head, aggs.tail: _*)
+        def tUnits(a: Column, b: Column) =
+          sum(round((a - b) * (a - b) * 1e12, 0).cast(dec))
+        val sums = perDim.agg(
+          (Seq(tUnits(col("m1r"), col("m0r")).as("sr")) ++
+            (0 until P).map(p =>
+              tUnits(col(s"m1_$p"), col(s"m0_$p")).as(s"s$p"))).head,
+          (Seq(tUnits(col("m1r"), col("m0r")).as("sr")) ++
+            (0 until P).map(p =>
+              tUnits(col(s"m1_$p"), col(s"m0_$p")).as(s"s$p"))).tail: _*)
+        val nGe = (0 until P).map(p =>
+          when(col(s"s$p") >= col("sr"), 1).otherwise(0))
+          .reduce(_ + _)
+        sums.select(
+          round(col("sr").cast("double") / 1e12, 6).as("t_obs"),
+          lit(P.toLong).as("n_perms"),
+          round((nGe + 1).cast("double") / (P + 1), 4).as("p_value"))
+      },
+      Some {
+        val P = 8
+        val armCols = (0 until P).map(p =>
+          s"('0x' || substr(md5('dp$p:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS a$p")
+          .mkString(",\n             ")
+        val meanCols = (Seq(
+          "round(avg(CASE WHEN g0 = 1 THEN x END), 6) AS m1r",
+          "round(avg(CASE WHEN g0 = 0 THEN x END), 6) AS m0r") ++
+          (0 until P).flatMap(p => Seq(
+            s"round(avg(CASE WHEN a$p = 1 THEN x END), 6) AS m1_$p",
+            s"round(avg(CASE WHEN a$p = 0 THEN x END), 6) AS m0_$p")))
+          .mkString(",\n             ")
+        val sumCols = (Seq(
+          "sum(CAST(round((m1r - m0r) * (m1r - m0r) * 1e12) AS BIGINT)) AS sr") ++
+          (0 until P).map(p =>
+            s"sum(CAST(round((m1_$p - m0_$p) * (m1_$p - m0_$p) * 1e12) AS BIGINT)) AS s$p"))
+          .mkString(",\n             ")
+        val ge = (0 until P).map(p =>
+          s"(CASE WHEN s$p >= sr THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH u AS (
+           |  SELECT vec_id, CAST(vec_id % 2 AS INTEGER) AS g0,
+           |             $armCols,
+           |         generate_subscripts(embedding, 1) AS i,
+           |         CAST(unnest(embedding) AS DOUBLE) AS x
+           |  FROM embeddings),
+           |pd AS (
+           |  SELECT i,
+           |             $meanCols
+           |  FROM u GROUP BY i),
+           |t AS (
+           |  SELECT $sumCols
+           |  FROM pd)
+           |SELECT round(CAST(sr AS DOUBLE) / 1e12, 6) AS t_obs,
+           |       CAST($P AS BIGINT) AS n_perms,
+           |       round(CAST(($ge + 1) AS DOUBLE) / ${P + 1}, 4) AS p_value
+           |FROM t""".stripMargin
+      })
+  )
+
+  val embeddingsQB: Seq[(String, Q)] = Seq(
+    // Embedding-norm distribution audit (p01/p25/p50/p75/p99 + mean):
+    // dot-product search silently favors long vectors, so the norm
+    // spread is the one-row check that decides between cosine and
+    // dot — and the before/after gate for emb_whiten. Norms pinned to
+    // 6dp before the type-7 percentiles so both engines interpolate
+    // identical values.
+    "emb_norm_quantiles" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.sqNorm
+        val n = Tables.embeddings(s, d)
+          .select(round(sqrt(sqNorm(col("embedding"))), 6).as("nrm"))
+        n.agg(count(lit(1)).as("n_vecs"),
+            round(avg("nrm"), 4).as("mean_norm"),
+            expr("percentile(nrm, array(0.01D, 0.25D, 0.5D, 0.75D, 0.99D))")
+              .as("ps"))
+          .select(col("n_vecs"), col("mean_norm"),
+            round(element_at(col("ps"), 1), 4).as("p01"),
+            round(element_at(col("ps"), 2), 4).as("p25"),
+            round(element_at(col("ps"), 3), 4).as("p50"),
+            round(element_at(col("ps"), 4), 4).as("p75"),
+            round(element_at(col("ps"), 5), 4).as("p99"))
+      },
+      Some("""WITH n AS (
+             |  SELECT round(sqrt(list_inner_product(embedding::DOUBLE[],
+             |                                       embedding::DOUBLE[])), 6) AS nrm
+             |  FROM embeddings)
+             |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+             |       round(avg(nrm), 4) AS mean_norm,
+             |       round(quantile_cont(nrm, 0.01), 4) AS p01,
+             |       round(quantile_cont(nrm, 0.25), 4) AS p25,
+             |       round(quantile_cont(nrm, 0.5), 4) AS p50,
+             |       round(quantile_cont(nrm, 0.75), 4) AS p75,
+             |       round(quantile_cont(nrm, 0.99), 4) AS p99
+             |FROM n""".stripMargin)),
+
+    // Top-5 most-correlated embedding dimension pairs off the
+    // Gramian's 7dp-pinned covariance cells (ONE aggregate pass, the
+    // emb_top_eigen kernel; pair scan is d²/2 driver-side) —
+    // correlated dimensions are redundant bits that PCA/Matryoshka
+    // truncation would reclaim; the pairwise view behind
+    // emb_participation_ratio's one-number summary.
+    "emb_dim_corr" -> Q(
+      (s, d) => {
+        import graft.embed.CovMoments._
+        import s.implicits._
+        val cv = covCells(moments(Tables.embeddings(s, d)))
+        val dim = cv.length
+        val pairs = for {
+          a <- 0 until dim; b <- (a + 1) until dim
+          if cv(a)(a) > 0 && cv(b)(b) > 0
+        } yield (a.toLong, b.toLong,
+          r(cv(a)(b) / math.sqrt(cv(a)(a) * cv(b)(b)), 4))
+        pairs.sortBy { case (a, b, c) => (-math.abs(c), a, b) }.take(5)
+          .toDF("dim_a", "dim_b", "corr")
+      },
+      Some("""WITH px AS (SELECT vec_id,
+             |              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS a,
+             |              CAST(unnest(embedding) AS DOUBLE) AS xa
+             |            FROM embeddings WHERE embedding IS NOT NULL),
+             |cells AS MATERIALIZED (
+             |  SELECT p.a, q.a AS b,
+             |         round(sum(p.xa * q.xa) / count(*) -
+             |               (sum(p.xa) / count(*)) * (sum(q.xa) / count(*)), 7) AS cv
+             |  FROM px p JOIN px q ON p.vec_id = q.vec_id
+             |  GROUP BY 1, 2),
+             |vr AS (SELECT a, cv AS v FROM cells WHERE a = b),
+             |co AS (
+             |  SELECT c.a AS dim_a, c.b AS dim_b,
+             |         round(c.cv / sqrt(va.v * vb.v), 4) AS corr
+             |  FROM cells c JOIN vr va ON va.a = c.a JOIN vr vb ON vb.a = c.b
+             |  WHERE c.a < c.b AND va.v > 0 AND vb.v > 0)
+             |SELECT dim_a, dim_b, corr FROM co
+             |ORDER BY abs(corr) DESC, dim_a, dim_b LIMIT 5""".stripMargin)),
+
+    // Curation shortlist: the 10 vectors farthest from their own
+    // label's centroid (6dp-pinned per-dim means, squared-L2 via the
+    // codegen'd fold) — mislabeled or corrupted embeddings surface
+    // here first; the per-ITEM actionable view behind
+    // emb_label_cohesion's per-label average. Centroids broadcast;
+    // the top-10 is a TakeOrdered, never a global sort.
+    "emb_outliers" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.sqDist
+        val emb = Tables.embeddings(s, d)
+        val cent = emb.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("label", "i")
+          .agg(round(avg(col("x").cast("double")), 6).as("m"))
+          .groupBy("label")
+          .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+            e => e.getField("m")).as("cent"))
+        emb.join(broadcast(cent), "label")
+          .select(col("vec_id"), col("label"),
+            round(sqDist(col("embedding"), col("cent")), 6).as("dist"))
+          .orderBy(col("dist").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH dims AS (SELECT vec_id, label,
+             |                     generate_subscripts(embedding, 1) AS i,
+             |                     CAST(unnest(embedding) AS DOUBLE) AS x
+             |              FROM embeddings),
+             |cent AS (SELECT label, i, round(avg(x), 6) AS m
+             |         FROM dims GROUP BY label, i),
+             |dist AS (
+             |  SELECT d.vec_id, d.label,
+             |         round(sum((d.x - c.m) * (d.x - c.m)), 6) AS dist
+             |  FROM dims d JOIN cent c ON c.label = d.label AND c.i = d.i
+             |  GROUP BY d.vec_id, d.label)
+             |SELECT vec_id, label, dist FROM dist
+             |ORDER BY dist DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Classification-margin profile: distance to own-label centroid
+    // vs the NEAREST other centroid, per label — negative margins are
+    // the confusable items emb_silhouette averages away; the margin
+    // histogram is what picks a nearest-centroid classifier's
+    // abstention threshold. Centroids 6dp-pinned and broadcast twice
+    // (own + all-other argmin); one corpus pass.
+    "emb_margin" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.sqDist
+        val emb = Tables.embeddings(s, d)
+        val cent = emb.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("label", "i")
+          .agg(round(avg(col("x").cast("double")), 6).as("m"))
+          .groupBy("label")
+          .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+            e => e.getField("m")).as("cent"))
+          .localCheckpoint(eager = false) // own join + other argmin
+        val own = emb.join(broadcast(cent), "label")
+          .select(col("vec_id"), col("label"),
+            round(sqDist(col("embedding"), col("cent")), 6).as("d_own"))
+        val others = emb.crossJoin(
+            broadcast(cent.select(col("label").as("ol"), col("cent"))))
+          .filter(col("label") =!= col("ol"))
+          .select(col("vec_id"),
+            round(sqDist(col("embedding"), col("cent")), 6).as("d"))
+          .groupBy("vec_id").agg(min("d").as("d_other"))
+        own.join(others, "vec_id")
+          .withColumn("margin", round(col("d_other") - col("d_own"), 6))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("margin") < 0, 1L).otherwise(0L)).as("n_negative"),
+            round(avg("margin"), 4).as("mean_margin"))
+          .withColumn("neg_share",
+            round(col("n_negative") / col("n_vecs").cast("double"), 4))
+          .orderBy("label")
+      },
+      Some("""WITH dims AS (SELECT vec_id, label,
+             |                     generate_subscripts(embedding, 1) AS i,
+             |                     CAST(unnest(embedding) AS DOUBLE) AS x
+             |              FROM embeddings),
+             |cent AS (SELECT label, i, round(avg(x), 6) AS m
+             |         FROM dims GROUP BY label, i),
+             |dist AS (
+             |  SELECT d.vec_id, d.label, c.label AS cl,
+             |         round(sum((d.x - c.m) * (d.x - c.m)), 6) AS dd
+             |  FROM dims d JOIN cent c ON c.i = d.i
+             |  GROUP BY d.vec_id, d.label, c.label),
+             |own AS (SELECT vec_id, label, dd AS d_own FROM dist WHERE label = cl),
+             |oth AS (SELECT vec_id, min(dd) AS d_other
+             |        FROM dist WHERE label <> cl GROUP BY vec_id),
+             |m AS (
+             |  SELECT o.label, round(t.d_other - o.d_own, 6) AS margin
+             |  FROM own o JOIN oth t USING (vec_id))
+             |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             |       CAST(sum(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_negative,
+             |       round(avg(margin), 4) AS mean_margin,
+             |       round(sum(CASE WHEN margin < 0 THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 4) AS neg_share
+             |FROM m GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Matryoshka recall-vs-dimension curve: top-10 recall of
+    // prefix-truncated cosine search at dims {8,16,32,64} against the
+    // full-dim truth for 3 probes — WHERE to cut the nested
+    // representation (vec_matryoshka fixes 16; this is the table that
+    // justifies it). One slice + one broadcast-score pass per dim;
+    // everything rank-bounded, no quadratic work.
+    "vec_matryoshka_curve" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val emb = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+        val qids = Seq(7L, 42L, 99L)
+        val truthW = Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id"))
+        val full = emb.crossJoin(broadcast(emb.filter(col("vec_id").isin(qids: _*))
+            .select(col("vec_id").as("qid"), col("embedding").as("qv"))))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            (round(score(col("embedding"), col("qv")), 6) + lit(0.0)).as("sc"))
+          .withColumn("rk", row_number().over(truthW)).filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id"))
+          .localCheckpoint(eager = false) // joined by all 4 dims
+        val parts = Seq(8, 16, 32, 64).map { dim =>
+          val e = emb.select(col("vec_id"), slice(col("embedding"), 1, dim).as("ed"))
+          val got = e.crossJoin(broadcast(e.filter(col("vec_id").isin(qids: _*))
+              .select(col("vec_id").as("qid"), col("ed").as("qv"))))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              (round(score(col("ed"), col("qv")), 6) + lit(0.0)).as("sc"))
+            .withColumn("rk", row_number().over(truthW)).filter(col("rk") <= 10)
+            .select(col("qid"), col("vec_id"))
+          got.join(full, Seq("qid", "vec_id"), "left_semi")
+            .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+            .select(col("qid"), lit(dim.toLong).as("dim"),
+              round(col("n_hits") / 10.0, 4).as("recall_at_10"))
+        }
+        parts.reduce(_ union _).orderBy("qid", "dim")
+      },
+      Some {
+        def top(name: String, d: Int) = {
+          val es = if (d == 64) "e.emb" else s"(e.emb)[1:$d]"
+          val qs = if (d == 64) "q.emb" else s"(q.emb)[1:$d]"
+          s"""$name AS MATERIALIZED (SELECT qid, vec_id FROM (
+             |  SELECT q.vec_id AS qid, e.vec_id,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY round(list_cosine_similarity($es, $qs), 6) + 0.0 DESC,
+             |                    e.vec_id) AS rk
+             |  FROM emb e, emb q
+             |  WHERE q.vec_id IN (7, 42, 99) AND e.vec_id <> q.vec_id)
+             |  WHERE rk <= 10)""".stripMargin
+        }
+        val dimCtes = Seq(8, 16, 32, 64).map(d => top(s"t$d", d)).mkString(",\n")
+        val unions = Seq(8, 16, 32, 64).map { d =>
+          s"""SELECT t.qid, CAST($d AS BIGINT) AS dim,
+             |       round(count(*) / 10.0, 4) AS recall_at_10
+             |FROM t$d t JOIN truth USING (qid, vec_id) GROUP BY t.qid""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH emb AS MATERIALIZED (
+           |  SELECT vec_id, embedding::DOUBLE[] AS emb
+           |  FROM embeddings WHERE embedding IS NOT NULL),
+           |${top("truth", 64)},
+           |$dimCtes
+           |$unions
+           |ORDER BY qid, dim""".stripMargin
+      }),
+
+    // int4 scalar quantization with nibble packing: 15-level per-dim
+    // codes, two codes per byte — 8× scan-I/O cut vs floats (the step
+    // past vec_scalar_quant's int8 when recall tolerates it). Params
+    // are the SAME one broadcast row; packing is exact integer
+    // arithmetic, so the oracle pins code bytes bit-for-bit.
+    "vec_int4_quant" -> Q(
+      (s, d) => {
+        val enc = Tables.embeddings(s, d)
+          .crossJoin(broadcast(graft.ann.Quant.params(Tables.embeddings(s, d))))
+          .withColumn("c4", transform(col("embedding"), (x, i) => {
+            val p = element_at(col("pp"), i + lit(1))
+            val mn = p.getField("mn"); val mx = p.getField("mx")
+            when(mx === mn, lit(0L))
+              .otherwise(round((x.cast("double") - mn) / (mx - mn) * 15.0, 0)
+                .cast("long"))
+          }))
+          .withColumn("packed", transform(
+            expr("sequence(0, size(c4) div 2 - 1)"),
+            k => element_at(col("c4"), (k * 2 + 1).cast("int")) * 16
+              + element_at(col("c4"), (k * 2 + 2).cast("int"))))
+        enc.select(col("vec_id"),
+            size(col("packed")).cast("long").as("n_bytes"),
+            aggregate(col("packed"), lit(0L), (a, c) => a + c).as("byte_sum"),
+            array_min(col("packed")).as("byte_min"),
+            array_max(col("packed")).as("byte_max"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             |                     unnest(embedding) AS x
+             |              FROM embeddings),
+             |p AS (SELECT i, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx
+             |      FROM dims GROUP BY i),
+             |codes AS (SELECT vec_id, i,
+             |                 CASE WHEN mx = mn THEN 0
+             |                      ELSE CAST(round((x::DOUBLE - mn) / (mx - mn) * 15.0) AS BIGINT)
+             |                 END AS c
+             |          FROM dims JOIN p USING (i)),
+             |cl AS (SELECT vec_id, list(c ORDER BY i) AS cs FROM codes GROUP BY vec_id),
+             |pk AS (SELECT vec_id,
+             |              list_transform(generate_series(0, len(cs) // 2 - 1),
+             |                k -> cs[2 * k + 1] * 16 + cs[2 * k + 2]) AS packed
+             |       FROM cl)
+             |SELECT vec_id, CAST(len(packed) AS BIGINT) AS n_bytes,
+             |       CAST(list_sum(packed) AS BIGINT) AS byte_sum,
+             |       CAST(list_min(packed) AS BIGINT) AS byte_min,
+             |       CAST(list_max(packed) AS BIGINT) AS byte_max
+             |FROM pk ORDER BY vec_id""".stripMargin)),
+
+    // recall@10 of int8-quantized candidate generation vs exact search
+    // (queries stay full-precision, corpus is the encode→decode
+    // round-trip): vec_quant_fidelity reports cosine DISTORTION, this
+    // reports what serving actually loses — the acceptance gate is
+    // "recall ≥ X", not "fidelity ≥ Y", because rank inversions, not
+    // absolute error, are what drop results. Exact 6dp-pinned scores
+    // on both paths with vec_id tie-breaks.
+    "vec_quant_recall" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val emb = Tables.embeddings(s, d)
+        val deq = graft.ann.Quant.decode(graft.ann.Quant.encode(emb))
+          .select(col("vec_id"), col("dequant"))
+        val qs = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val wq = Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id"))
+        val exact = emb.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), score(col("embedding"), col("qv")).as("sc"))
+          .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val quant = deq.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), score(col("dequant"), col("qv")).as("sc"))
+          .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id").as("pv"))
+        exact.join(quant,
+            exact("qid") === quant("qid") && col("vec_id") === col("pv"), "left")
+          .groupBy(exact("qid").as("qid"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(when(col("pv").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .withColumn("recall",
+            round(col("n_hit") / col("n_true").cast("double"), 4))
+          .orderBy("qid")
+      },
+      Some("""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             |                     unnest(embedding) AS x
+             |              FROM embeddings),
+             |p AS (SELECT i, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx
+             |      FROM dims GROUP BY i),
+             |rec AS (SELECT vec_id,
+             |          list(CASE WHEN mx = mn THEN mn
+             |               ELSE mn + round((x::DOUBLE - mn) / (mx - mn) * 255.0)
+             |                    * (mx - mn) / 255.0 END ORDER BY i) AS r
+             |        FROM dims JOIN p USING (i) GROUP BY vec_id),
+             |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+             |      FROM embeddings WHERE vec_id < 5),
+             |ex AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT q.qid, e.vec_id,
+             |           row_number() OVER (PARTITION BY q.qid ORDER BY
+             |             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) + 0.0 DESC,
+             |             e.vec_id) AS rk
+             |    FROM embeddings e, q WHERE e.vec_id <> q.qid)
+             |  WHERE rk <= 10),
+             |qt AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT q.qid, rec.vec_id,
+             |           row_number() OVER (PARTITION BY q.qid ORDER BY
+             |             round(list_cosine_similarity(rec.r, q.qv), 6) + 0.0 DESC,
+             |             rec.vec_id) AS rk
+             |    FROM rec, q WHERE rec.vec_id <> q.qid)
+             |  WHERE rk <= 10)
+             |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_true,
+             |       CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_hit,
+             |       round(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 4) AS recall
+             |FROM ex e LEFT JOIN qt t ON t.qid = e.qid AND t.vec_id = e.vec_id
+             |GROUP BY e.qid ORDER BY e.qid""".stripMargin)),
+
+    // Quantization code-utilization audit: per-dimension entropy and
+    // distinct-code count of the int8 scalar codes — dead codewords
+    // are wasted bits (a dimension whose 256 levels carry 2 bits of
+    // entropy wants fewer bits or a different transform; the audit
+    // behind vec_int4_quant's 8→4-bit decision). Exact integer code
+    // counts; c·ln c terms micro-unit-pinned (the text_entropy
+    // altitude).
+    "vec_code_entropy" -> Q(
+      (s, d) => {
+        val dec = "decimal(38,0)"
+        val codes = graft.ann.Quant.encode(Tables.embeddings(s, d))
+          .select(posexplode(col("codes")).as(Seq("i", "c")))
+          .groupBy(col("i").cast("long").as("i"), col("c"))
+          .agg(count(lit(1)).as("n"))
+        codes.groupBy("i")
+          .agg(sum(col("n")).as("nn"),
+            count(lit(1)).as("n_codes"),
+            sum(round(col("n") * log(col("n").cast("double")) * 1e6, 0)
+              .cast(dec)).as("sclc"))
+          .select(col("i"), col("n_codes"),
+            round((log(col("nn").cast("double"))
+              - col("sclc").cast("double") / 1e6 / col("nn"))
+              / log(lit(2.0)), 4).as("entropy_bits"))
+          .orderBy("i")
+      },
+      Some("""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             |                     unnest(embedding) AS x
+             |              FROM embeddings),
+             |p AS (SELECT i, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx
+             |      FROM dims GROUP BY i),
+             |codes AS (SELECT CAST(d.i - 1 AS BIGINT) AS i,
+             |                 CASE WHEN mx = mn THEN 0
+             |                      ELSE CAST(round((x::DOUBLE - mn) / (mx - mn) * 255.0) AS BIGINT)
+             |                 END AS c
+             |          FROM dims d JOIN p USING (i)),
+             |cnt AS (SELECT i, c, CAST(count(*) AS BIGINT) AS n
+             |        FROM codes GROUP BY i, c)
+             |SELECT i, CAST(count(*) AS BIGINT) AS n_codes,
+             |       round((ln(CAST(sum(n) AS DOUBLE))
+             |              - CAST(sum(CAST(round(n * ln(CAST(n AS DOUBLE)) * 1e6)
+             |                    AS BIGINT)) AS DOUBLE) / 1e6 / sum(n))
+             |             / ln(2.0), 4) AS entropy_bits
+             |FROM cnt GROUP BY i ORDER BY i""".stripMargin)),
+
+    // recall@10 of the int4 (15-level) round-trip vs exact search —
+    // the other end of vec_quant_recall's int8 gate: together with
+    // vec_code_entropy's bits-actually-used audit, the evidence for
+    // the 8→4-bit storage decision. Same 6dp-pinned scores and
+    // vec_id tie-breaks.
+    "vec_int4_recall" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val emb = Tables.embeddings(s, d)
+        val deq = emb
+          .crossJoin(broadcast(graft.ann.Quant.params(emb)))
+          .withColumn("dq", transform(col("embedding"), (x, i) => {
+            val p = element_at(col("pp"), i + lit(1))
+            val mn = p.getField("mn"); val mx = p.getField("mx")
+            when(mx === mn, mn)
+              .otherwise(mn + round((x.cast("double") - mn) / (mx - mn) * 15.0, 0)
+                * (mx - mn) / 15.0)
+          }))
+          .select(col("vec_id"), col("dq"))
+        val qs = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val wq = Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id"))
+        val exact = emb.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), score(col("embedding"), col("qv")).as("sc"))
+          .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val quant = deq.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), score(col("dq"), col("qv")).as("sc"))
+          .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id").as("pv"))
+        exact.join(quant,
+            exact("qid") === quant("qid") && col("vec_id") === col("pv"), "left")
+          .groupBy(exact("qid").as("qid"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(when(col("pv").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .withColumn("recall",
+            round(col("n_hit") / col("n_true").cast("double"), 4))
+          .orderBy("qid")
+      },
+      Some("""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             |                     unnest(embedding) AS x
+             |              FROM embeddings),
+             |p AS (SELECT i, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx
+             |      FROM dims GROUP BY i),
+             |rec AS (SELECT vec_id,
+             |          list(CASE WHEN mx = mn THEN mn
+             |               ELSE mn + round((x::DOUBLE - mn) / (mx - mn) * 15.0)
+             |                    * (mx - mn) / 15.0 END ORDER BY i) AS r
+             |        FROM dims JOIN p USING (i) GROUP BY vec_id),
+             |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+             |      FROM embeddings WHERE vec_id < 5),
+             |ex AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT q.qid, e.vec_id,
+             |           row_number() OVER (PARTITION BY q.qid ORDER BY
+             |             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) + 0.0 DESC,
+             |             e.vec_id) AS rk
+             |    FROM embeddings e, q WHERE e.vec_id <> q.qid)
+             |  WHERE rk <= 10),
+             |qt AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT q.qid, rec.vec_id,
+             |           row_number() OVER (PARTITION BY q.qid ORDER BY
+             |             round(list_cosine_similarity(rec.r, q.qv), 6) + 0.0 DESC,
+             |             rec.vec_id) AS rk
+             |    FROM rec, q WHERE rec.vec_id <> q.qid)
+             |  WHERE rk <= 10)
+             |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_true,
+             |       CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_hit,
+             |       round(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 4) AS recall
+             |FROM ex e LEFT JOIN qt t ON t.qid = e.qid AND t.vec_id = e.vec_id
+             |GROUP BY e.qid ORDER BY e.qid""".stripMargin)),
+
+    // Percentile-clipped int8 quantization vs plain min/max: clipping
+    // each dimension's range at p01/p99 before coding spends the 256
+    // levels on the mass instead of two outliers — the standard
+    // production trick, measured here as round-trip cosine fidelity
+    // side by side (clip wins whenever tails are heavy). Cutoffs are
+    // one 6dp-pinned type-7 percentile pass per dim, broadcast as a
+    // sorted struct array (the Quant.params idiom); codes are exact
+    // integers and both reconstructions share the same pinned params.
+    "vec_clipped_quant" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.score
+        val emb = Tables.embeddings(s, d)
+        val cuts = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("i")
+          .agg(round(expr("percentile(CAST(x AS DOUBLE), 0.01D)"), 6).as("lo"),
+            round(expr("percentile(CAST(x AS DOUBLE), 0.99D)"), 6).as("hi"),
+            round(min(col("x").cast("double")), 6).as("mn"),
+            round(max(col("x").cast("double")), 6).as("mx"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("i"), col("lo"), col("hi"),
+              col("mn"), col("mx")))),
+            e => struct(e.getField("lo").as("lo"), e.getField("hi").as("hi"),
+              e.getField("mn").as("mn"), e.getField("mx").as("mx"))).as("pp"))
+        def roundTrip(loF: String, hiF: String) =
+          transform(col("embedding"), (x, i) => {
+            val p = element_at(col("pp"), i + lit(1))
+            val lo = p.getField(loF); val hi = p.getField(hiF)
+            val clipped = least(greatest(x.cast("double"), lo), hi)
+            when(hi === lo, lo)
+              .otherwise(lo + round((clipped - lo) / (hi - lo) * 255.0, 0)
+                * (hi - lo) / 255.0)
+          })
+        emb.crossJoin(broadcast(cuts))
+          .select(
+            score(col("embedding"), roundTrip("lo", "hi")).as("fc"),
+            score(col("embedding"), roundTrip("mn", "mx")).as("fp"))
+          .agg(count(lit(1)).as("n_vectors"),
+            round(avg("fc"), 4).as("avg_fid_clipped"),
+            round(min("fc"), 4).as("min_fid_clipped"),
+            round(avg("fp"), 4).as("avg_fid_plain"),
+            round(min("fp"), 4).as("min_fid_plain"))
+      },
+      Some("""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             |                     CAST(unnest(embedding) AS DOUBLE) AS x
+             |              FROM embeddings),
+             |p AS (SELECT i, round(quantile_cont(x, 0.01), 6) AS lo,
+             |             round(quantile_cont(x, 0.99), 6) AS hi,
+             |             round(min(x), 6) AS mn, round(max(x), 6) AS mx
+             |      FROM dims GROUP BY i),
+             |rt AS (
+             |  SELECT vec_id,
+             |         list(CASE WHEN hi = lo THEN lo
+             |              ELSE lo + round((least(greatest(x, lo), hi) - lo)
+             |                   / (hi - lo) * 255.0) * (hi - lo) / 255.0
+             |              END ORDER BY i) AS rc,
+             |         list(CASE WHEN mx = mn THEN mn
+             |              ELSE mn + round((least(greatest(x, mn), mx) - mn)
+             |                   / (mx - mn) * 255.0) * (mx - mn) / 255.0
+             |              END ORDER BY i) AS rp
+             |  FROM dims JOIN p USING (i) GROUP BY vec_id),
+             |f AS (
+             |  SELECT round(list_cosine_similarity(e.embedding::DOUBLE[], rt.rc), 6) + 0.0 AS fc,
+             |         round(list_cosine_similarity(e.embedding::DOUBLE[], rt.rp), 6) + 0.0 AS fp
+             |  FROM embeddings e JOIN rt USING (vec_id))
+             |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+             |       round(avg(fc), 4) AS avg_fid_clipped,
+             |       round(min(fc), 4) AS min_fid_clipped,
+             |       round(avg(fp), 4) AS avg_fid_plain,
+             |       round(min(fp), 4) AS min_fid_plain
+             |FROM f""".stripMargin)),
+
+    // embedding-norm audit per label: min/avg/max L2 norm and the
+    // count outside ‖v‖ ∈ [0.99, 1.01] — cosine search silently
+    // tolerates un-normalized vectors but dot-product serving paths
+    // and PQ codebooks do NOT; this is the ingest gate that catches a
+    // mis-configured embedder before an index build bakes it in. One
+    // map-side norm + one hash aggregate.
+    "vec_norm_audit" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.l2Norm
+        Tables.embeddings(s, d)
+          .select(col("label"), l2Norm(col("embedding")).as("nrm"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(min("nrm"), 6).as("min_norm"),
+            round(avg("nrm"), 6).as("avg_norm"),
+            round(max("nrm"), 6).as("max_norm"),
+            sum(when(abs(col("nrm") - 1.0) > 0.01, 1L).otherwise(0L))
+              .as("n_unnormalized"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, CAST(count(*) AS BIGINT) AS n,
+             |       round(min(nrm), 6) AS min_norm,
+             |       round(avg(nrm), 6) AS avg_norm,
+             |       round(max(nrm), 6) AS max_norm,
+             |       CAST(sum(CASE WHEN abs(nrm - 1.0) > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_unnormalized
+             |FROM (SELECT label,
+             |        sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+             |      FROM embeddings)
+             |GROUP BY label ORDER BY label""".stripMargin))
+  )
+
+  val embeddingsQ: Seq[(String, Q)] = embeddingsQA ++ embeddingsQB
+}

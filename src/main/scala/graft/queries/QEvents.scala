@@ -1976,4 +1976,2150 @@ private[graft] object QEvents {
              |             - round(sum((n_a + n_b) * rate_b) / sum(n_a + n_b), 6), 6)
              |FROM r
              |ORDER BY scope""".stripMargin)))
+
+  // regrouped from the round-named inventory files in round 15
+  // (pure move — same query names, same bodies)
+  val eventsRA: Seq[(String, Q)] = Seq(
+      // count-min sketch (depth 4 × width 64, explicit md5 row-hash
+      // family) over event types, with per-key estimate vs exact truth
+      // on the bounded type domain. The sketch build is ONE map-side-
+      // combinable groupBy of d·N rows into ≤256 cells — mergeable
+      // across shards/days by cell-wise addition, which is the whole
+      // point of CMS at 100 TB (heavy-hitter counts without a
+      // per-key shuffle). overest ≥ 0 always (one-sided error), and
+      // the spec asserts the ε=e/w bound on the bounded domain.
+      "ev_countmin" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.md5Long
+          val depth = 4
+          val width = 64
+          val ev = Tables.events(s, d)
+          def cmCell = pmod(md5Long(concat(lit("cm"), col("d").cast("string"),
+            lit(":"), col("event_type"))), lit(width))
+          // cell build shared with the streaming twin (StreamingSpec
+          // asserts micro-batched cells equal these)
+          val cells = graft.streaming.StreamOps.countMinCells(ev, depth, width)
+          val keys = ev.groupBy("event_type").agg(count(lit(1)).as("exact"))
+          val keyCells = keys.select(col("event_type"), col("exact"),
+              explode(sequence(lit(0), lit(depth - 1))).as("d"))
+            .withColumn("cell", cmCell)
+          keyCells.join(cells, Seq("d", "cell"))
+            .groupBy("event_type")
+            .agg(max("exact").as("exact"), min("cnt").as("cms_est"))
+            .select(col("event_type"), col("exact"), col("cms_est"),
+              (col("cms_est") - col("exact")).as("overest"))
+            .orderBy("event_type")
+        },
+        Some("""WITH rows_ AS (
+               |  SELECT event_type, d,
+               |         ('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || ':' || event_type), 1, 15))::BIGINT % 64 AS cell
+               |  FROM events, (SELECT unnest(range(4)) AS d)),
+               |cells AS (SELECT d, cell, CAST(count(*) AS BIGINT) AS cnt
+               |          FROM rows_ GROUP BY d, cell),
+               |keys AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact
+               |         FROM events GROUP BY event_type),
+               |kc AS (SELECT event_type, exact, d,
+               |              ('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || ':' || event_type), 1, 15))::BIGINT % 64 AS cell
+               |       FROM keys, (SELECT unnest(range(4)) AS d))
+               |SELECT kc.event_type, CAST(max(exact) AS BIGINT) AS exact,
+               |       CAST(min(cnt) AS BIGINT) AS cms_est,
+               |       CAST(min(cnt) - max(exact) AS BIGINT) AS overest
+               |FROM kc JOIN cells ON kc.d = cells.d AND kc.cell = cells.cell
+               |GROUP BY kc.event_type ORDER BY kc.event_type""".stripMargin)),
+
+      // Qini/uplift curve by pre-period-activity decile: score users
+      // on first-half event volume, treat = md5 arm, response =
+      // second-half purchase — "does targeting high-score users
+      // concentrate the treatment effect?", the decision curve an
+      // uplift-targeting rollout reads. Deciles from BROADCAST
+      // percentile cutoffs (ev_lift_gain's shape, never a global
+      // ntile sort); the only window is the cumulative over ≤10
+      // decile rows, best deciles first. Qini_k = X_t − X_c·N_t/N_c
+      // on cumulative counts; NULL (not ÷0) when a cum control side
+      // is empty
+      "ev_qini" -> Q(
+        (s, d) => {
+          import graft.functions.VectorFunctions.md5Long
+          val ev = Tables.events(s, d)
+          val bounds = ev.agg(min(expr("ts div 86400000000000")).as("mn"),
+                              max(expr("ts div 86400000000000")).as("mx"))
+          val users = ev
+            .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+                    col("event_type"))
+            .crossJoin(broadcast(bounds))
+            // integer DIV, matching the oracle's `// 2` exactly even
+            // when mn+mx+1 is odd
+            .withColumn("post",
+              (col("day") >= expr("(mn + mx + 1) DIV 2")).cast("long"))
+            .groupBy("user_id")
+            .agg(sum(lit(1L) - col("post")).as("score"),
+                 (sum(when(col("post") === 1 && col("event_type") === "purchase",
+                   1L).otherwise(0L)) >= 7).cast("long").as("resp"))
+            .withColumn("arm",
+              md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+            .localCheckpoint(eager = false) // cutoffs + bucketing
+          val cuts = users.agg(expr(
+            "transform(percentile(score, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)), " +
+            "x -> round(x, 6))").as("bs"))
+          val bucketed = users.crossJoin(broadcast(cuts))
+            .withColumn("decile", lit(10) - expr(
+              "aggregate(bs, 0, (acc, b) -> acc + CASE WHEN score > b THEN 1 ELSE 0 END)"))
+          val wCum = Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          bucketed.groupBy("decile")
+            .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+                 sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+                 sum(when(col("arm") === 1, col("resp")).otherwise(0L)).as("x_t"),
+                 sum(when(col("arm") === 0, col("resp")).otherwise(0L)).as("x_c"))
+            .withColumn("cnt", sum("n_t").over(wCum))
+            .withColumn("cnc", sum("n_c").over(wCum))
+            .withColumn("cxt", sum("x_t").over(wCum))
+            .withColumn("cxc", sum("x_c").over(wCum))
+            .select(col("decile"), col("n_t"), col("n_c"), col("x_t"), col("x_c"),
+              when(col("n_t") === 0 || col("n_c") === 0, lit(null).cast("double"))
+                .otherwise(round(col("x_t") / col("n_t").cast("double")
+                  - col("x_c") / col("n_c").cast("double"), 4)).as("uplift"),
+              when(col("cnc") === 0, lit(null).cast("double"))
+                .otherwise(round(col("cxt")
+                  - col("cxc") * col("cnt").cast("double") / col("cnc"), 4)).as("qini"))
+            .orderBy("decile")
+        },
+        Some("""WITH b AS (SELECT min(ts // 86400000000000) AS mn,
+               |                  max(ts // 86400000000000) AS mx FROM events),
+               |u AS (
+               |  SELECT user_id,
+               |         CAST(sum(CASE WHEN (ts // 86400000000000) >= (mn + mx + 1) // 2
+               |                       THEN 0 ELSE 1 END) AS BIGINT) AS score,
+               |         CAST(sum(CASE WHEN (ts // 86400000000000) >= (mn + mx + 1) // 2
+               |                  AND event_type = 'purchase' THEN 1 ELSE 0 END) >= 7 AS BIGINT) AS resp,
+               |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+               |  FROM events, b GROUP BY user_id),
+               |c AS (SELECT round(quantile_cont(score, 0.1), 6) AS b1, round(quantile_cont(score, 0.2), 6) AS b2,
+               |             round(quantile_cont(score, 0.3), 6) AS b3, round(quantile_cont(score, 0.4), 6) AS b4,
+               |             round(quantile_cont(score, 0.5), 6) AS b5, round(quantile_cont(score, 0.6), 6) AS b6,
+               |             round(quantile_cont(score, 0.7), 6) AS b7, round(quantile_cont(score, 0.8), 6) AS b8,
+               |             round(quantile_cont(score, 0.9), 6) AS b9
+               |      FROM u),
+               |bk AS (SELECT u.*, 10 - ((score > b1)::INT + (score > b2)::INT + (score > b3)::INT
+               |              + (score > b4)::INT + (score > b5)::INT + (score > b6)::INT
+               |              + (score > b7)::INT + (score > b8)::INT + (score > b9)::INT) AS decile
+               |       FROM u, c),
+               |g AS (SELECT decile,
+               |             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               |             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+               |             CAST(sum(CASE WHEN arm = 1 THEN resp ELSE 0 END) AS BIGINT) AS x_t,
+               |             CAST(sum(CASE WHEN arm = 0 THEN resp ELSE 0 END) AS BIGINT) AS x_c
+               |      FROM bk GROUP BY decile),
+               |w AS (SELECT *,
+               |             CAST(sum(n_t) OVER o AS BIGINT) AS cnt, CAST(sum(n_c) OVER o AS BIGINT) AS cnc,
+               |             CAST(sum(x_t) OVER o AS BIGINT) AS cxt, CAST(sum(x_c) OVER o AS BIGINT) AS cxc
+               |      FROM g WINDOW o AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               |SELECT decile, n_t, n_c, x_t, x_c,
+               |       CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+               |            ELSE round(x_t / CAST(n_t AS DOUBLE) - x_c / CAST(n_c AS DOUBLE), 4) END AS uplift,
+               |       CASE WHEN cnc = 0 THEN NULL
+               |            ELSE round(cxt - cxc * CAST(cnt AS DOUBLE) / cnc, 4) END AS qini
+               |FROM w ORDER BY decile""".stripMargin)),
+
+      // inter-arrival time fit: exponential-rate MLE λ=1/mean over
+      // per-user event gaps + KS distance of the empirical gap CDF
+      // from Exp(λ̂) — the Poissonity check behind every queueing/
+      // capacity assumption. Gaps collapse to a DISTINCT-second
+      // histogram (the samp_ks_test bound: values, never rows);
+      // λ rounds to 10dp and the model CDF to 8dp so both engines
+      // score identical deviations. KS evaluated at the observed
+      // points (right-continuous form), documented + mirrored.
+      "ev_interarrival" -> Q(
+        (s, d) => {
+          val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          val gaps = Tables.events(s, d)
+            .withColumn("pts", lag("ts", 1).over(w))
+            .filter(col("pts").isNotNull)
+            .select(expr("(ts - pts) DIV 1000000000").as("gs"))
+          val h = gaps.groupBy("gs").agg(count(lit(1)).as("c"))
+            .localCheckpoint(eager = false) // stats + ECDF passes
+          val st = h.agg(sum("c").as("n"),
+            round(sum(col("gs") * col("c")) / sum("c").cast("double"), 6).as("m"))
+          val wc = Window.orderBy("gs").rowsBetween(Window.unboundedPreceding, 0)
+          h.crossJoin(broadcast(st))
+            .withColumn("lam", round(lit(1.0) / col("m"), 10))
+            .withColumn("femp", sum("c").over(wc) / col("n").cast("double"))
+            .withColumn("fexp",
+              round(lit(1.0) - exp(-col("lam") * col("gs")), 8))
+            .agg(max("n").as("n_gaps"), max(round(col("m"), 4)).as("mean_gap_s"),
+              max(col("lam")).as("lambda_per_s"),
+              round(max(abs(col("femp") - col("fexp"))), 4).as("ks_stat"))
+        },
+        Some("""WITH g AS (
+               |  SELECT (ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               |           // 1000000000 AS gs
+               |  FROM events),
+               |h AS (SELECT gs, CAST(count(*) AS BIGINT) AS c FROM g
+               |      WHERE gs IS NOT NULL GROUP BY gs),
+               |st AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+               |              round(sum(gs * c) / CAST(sum(c) AS DOUBLE), 6) AS m FROM h),
+               |e AS (SELECT gs, c, n, m, round(1.0 / m, 10) AS lam,
+               |             sum(c) OVER (ORDER BY gs) / CAST(n AS DOUBLE) AS femp
+               |      FROM h, st)
+               |SELECT CAST(max(n) AS BIGINT) AS n_gaps, max(round(m, 4)) AS mean_gap_s,
+               |       max(lam) AS lambda_per_s,
+               |       round(max(abs(femp - round(1.0 - exp(-lam * gs), 8))), 4) AS ks_stat
+               |FROM e""".stripMargin)),
+
+    // next-event majority-class baseline: predict argmax p(to|from)
+    // and score it — the sanity floor every sequence model must beat.
+    // Pure projection over the shared transitionCells table (zero
+    // fact scans here); ties break to the lexicographically first
+    // target on both engines.
+    "ev_markov_accuracy" -> Q(
+      (s, d) => {
+        val pairs = transitionCells(s, d).filter(col("to_type").isNotNull)
+        val wb = Window.partitionBy("from_type")
+          .orderBy(col("n").desc, col("to_type"))
+        val tot = pairs.groupBy("from_type").agg(sum("n").as("n_total"))
+        pairs.withColumn("rk", row_number().over(wb))
+          .filter(col("rk") === 1)
+          .join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type").as("best_to"),
+                  col("n").as("n_best"), col("n_total"),
+                  round(col("n") / col("n_total"), 4).as("acc"))
+          .orderBy("from_type")
+      },
+      Some("""WITH tr AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |        FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |best AS (SELECT from_type, to_type, n,
+             |           row_number() OVER (PARTITION BY from_type
+             |                              ORDER BY n DESC, to_type) AS rk
+             |         FROM cnt),
+             |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_total
+             |        FROM cnt GROUP BY 1)
+             |SELECT from_type, b.to_type AS best_to, b.n AS n_best, n_total,
+             |       round(b.n * 1.0 / n_total, 4) AS acc
+             |FROM best b JOIN tot USING (from_type)
+             |WHERE rk = 1 ORDER BY from_type""".stripMargin)),
+
+    // entropy rate of the event-type Markov chain: H = −Σᵢ πᵢ Σⱼ
+    // p_ij ln p_ij with π from the same 12 pinned power-iteration
+    // rounds as ev_stationary — how predictable is the NEXT event
+    // given the current one, on a 0 (deterministic) … ln k (uniform)
+    // scale. Everything iterates off the shared transitionCells
+    // materialization; rounded-to-0 cell probabilities (< 5e-7) are
+    // excluded from the p·ln p sum on BOTH engines.
+    "ev_markov_entropy" -> Q(
+      (s, d) => {
+        val pairs = transitionCells(s, d).filter(col("to_type").isNotNull)
+        val tot = pairs.groupBy("from_type").agg(sum("n").as("tt"))
+        val cells = pairs.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"),
+                  round(col("n") / col("tt"), 6).as("p"))
+          .localCheckpoint(eager = false) // 12 iteration reads + entropy pass
+        val states = cells.select("from_type").distinct()
+        val kk = states.agg(count(lit(1)).as("k"))
+        var v = states.crossJoin(broadcast(kk))
+          .select(col("from_type").as("state"),
+                  round(lit(1.0) / col("k"), 7).as("v"))
+        for (_ <- 1 to 12)
+          v = cells.join(broadcast(v), cells("from_type") === v("state"))
+            .groupBy("to_type")
+            .agg(round(sum(col("p") * col("v")), 7).as("v"))
+            .withColumnRenamed("to_type", "state")
+        val hi = cells.filter(col("p") > 0).groupBy("from_type")
+          .agg(round(-sum(col("p") * log(col("p"))), 6).as("h_i"))
+        val er = hi.join(v, hi("from_type") === v("state"))
+          .agg(round(sum(col("v") * col("h_i")), 4).as("entropy_rate"))
+        er.crossJoin(broadcast(kk))
+          .select(col("k").as("n_states"), col("entropy_rate"),
+                  when(col("k") > 1, round(log(col("k")), 4))
+                    .otherwise(lit(null).cast("double")).as("max_entropy"),
+                  when(col("k") > 1 && col("entropy_rate").isNotNull,
+                       round(col("entropy_rate") / round(log(col("k")), 4), 4))
+                    .otherwise(lit(null).cast("double")).as("efficiency"))
+      },
+      Some(s"""WITH tr AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |cnt AS (SELECT from_type, to_type, count(*) AS n
+             |        FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+             |tot AS (SELECT from_type, sum(n) AS tt FROM cnt GROUP BY from_type),
+             |cells AS MATERIALIZED (
+             |  SELECT from_type, to_type, round(n * 1.0 / tt, 6) AS p
+             |  FROM cnt JOIN tot USING (from_type)),
+             |kk AS (SELECT count(DISTINCT from_type) AS k FROM cells),
+             |v0 AS (SELECT DISTINCT from_type AS state, round(1.0 / k, 7) AS v
+             |       FROM cells, kk),
+             |${stationaryIterSql(12)},
+             |hh AS (SELECT from_type AS state, round(-sum(p * ln(p)), 6) AS h_i
+             |       FROM cells WHERE p > 0 GROUP BY from_type),
+             |er AS (SELECT round(sum(v.v * h_i), 4) AS entropy_rate
+             |       FROM v12 v JOIN hh USING (state))
+             |SELECT CAST(k AS BIGINT) AS n_states, entropy_rate,
+             |       CASE WHEN k > 1 THEN round(ln(k), 4) END AS max_entropy,
+             |       CASE WHEN k > 1 AND entropy_rate IS NOT NULL
+             |            THEN round(entropy_rate / round(ln(k), 4), 4)
+             |       END AS efficiency
+             |FROM er, kk""".stripMargin)),
+
+    // CUPED variance reduction (Deng et al. 2013): pre-period
+    // purchases as the covariate, θ = cov(X,Y)/var(X) estimated once
+    // globally (rounded to 6 on both engines), per-arm adjusted means
+    // + the realized variance-reduction factor. The experiment
+    // sensitivity upgrade every A/B platform ships; one fact rollup,
+    // θ and the pre-mean broadcast as a 1-row frame.
+    "ev_cuped" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val ud = Tables.events(s, d)
+          .groupBy(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+          .localCheckpoint(eager = false) // bounds + the per-user xy rollup
+        val bounds = ud.agg(min("day").as("mn"), max("day").as("mx"))
+        val uxy = ud.crossJoin(broadcast(bounds))
+          // div not /: Spark's long `/` is double division, which
+          // would ceil the midpoint when mn+mx+1 is odd while the
+          // oracle's `//` floors it (even on current testdata, but
+          // the split must not depend on that)
+          .withColumn("post", (col("day") >= expr("(mn + mx + 1) div 2")).cast("long"))
+          .groupBy("user_id")
+          .agg(sum(when(col("post") === 0, col("p")).otherwise(0L))
+                 .cast("double").as("x"),
+               sum(when(col("post") === 1, col("p")).otherwise(0L))
+                 .cast("double").as("y"))
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .localCheckpoint(eager = false) // theta pass + per-arm pass
+        val th = uxy.agg(
+          when(var_pop("x") > 0, round(covar_pop("x", "y") / var_pop("x"), 6))
+            .otherwise(lit(0.0)).as("theta"),
+          round(avg("x"), 6).as("x_bar"))
+        uxy.crossJoin(broadcast(th))
+          .withColumn("y_adj", col("y") - col("theta") * (col("x") - col("x_bar")))
+          .groupBy("arm")
+          .agg(count(lit(1)).as("n_users"),
+               round(avg("y"), 6).as("mean_y"),
+               round(avg("y_adj"), 6).as("mean_y_cuped"),
+               round(var_pop("y"), 6).as("var_y"),
+               round(var_pop("y_adj"), 6).as("var_y_cuped"),
+               when(var_pop("y") > 0,
+                    round(lit(1.0) - var_pop("y_adj") / var_pop("y"), 4))
+                 .otherwise(lit(null).cast("double")).as("var_reduction"))
+          .orderBy("arm")
+      },
+      Some("""WITH ud AS (
+             |  SELECT user_id, ts // 86400000000000 AS day,
+             |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+             |uxy AS MATERIALIZED (
+             |  SELECT user_id,
+             |         CAST(sum(CASE WHEN day >= (mn + mx + 1) // 2 THEN 0 ELSE p END)
+             |              AS DOUBLE) AS x,
+             |         CAST(sum(CASE WHEN day >= (mn + mx + 1) // 2 THEN p ELSE 0 END)
+             |              AS DOUBLE) AS y,
+             |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+             |           % 2 AS arm
+             |  FROM ud, b GROUP BY user_id),
+             |th AS (SELECT CASE WHEN var_pop(x) > 0
+             |                   THEN round(covar_pop(x, y) / var_pop(x), 6)
+             |                   ELSE 0.0 END AS theta,
+             |              round(avg(x), 6) AS x_bar
+             |       FROM uxy),
+             |adj AS (SELECT arm, y, y - theta * (x - x_bar) AS y_adj FROM uxy, th)
+             |SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             |       round(avg(y), 6) AS mean_y,
+             |       round(avg(y_adj), 6) AS mean_y_cuped,
+             |       round(var_pop(y), 6) AS var_y,
+             |       round(var_pop(y_adj), 6) AS var_y_cuped,
+             |       CASE WHEN var_pop(y) > 0
+             |            THEN round(1.0 - var_pop(y_adj) / var_pop(y), 4)
+             |       END AS var_reduction
+             |FROM adj GROUP BY arm ORDER BY arm""".stripMargin)),
+
+    // second-order Markov next-event model: trigram cells from ONE
+    // two-lead window pass, best next event per (prev2, prev1)
+    // context with its accuracy, vs the first-order baseline
+    // p(to | prev1) computed from the SAME trigram population's
+    // margins — lift > 0 is the memory the one-step ev_markov_accuracy
+    // model leaves on the table. Cells bounded by |types|³.
+    "ev_markov2" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val tri = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("t1", lead("event_type", 1).over(w))
+          .withColumn("t2", lead("event_type", 2).over(w))
+          .filter(col("t1").isNotNull && col("t2").isNotNull)
+          .groupBy(col("event_type").as("t0"), col("t1"), col("t2"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = false) // best-per-context + margins
+        val wb = Window.partitionBy("t0", "t1").orderBy(col("n").desc, col("t2"))
+        val tot = tri.groupBy("t0", "t1").agg(sum("n").as("n_total"))
+        val m1 = tri.groupBy("t1", "t2").agg(sum("n").as("m"))
+        val w1 = Window.partitionBy("t1").orderBy(col("m").desc, col("t2"))
+        val best1 = m1
+          .join(broadcast(m1.groupBy("t1").agg(sum("m").as("mt"))), "t1")
+          .withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
+          .select(col("t1"), round(col("m") / col("mt"), 4).as("acc1"))
+        tri.withColumn("rk", row_number().over(wb)).filter(col("rk") === 1)
+          .join(broadcast(tot), Seq("t0", "t1"))
+          .join(broadcast(best1), "t1")
+          .select(col("t0"), col("t1"), col("t2").as("best_to"),
+                  col("n").as("n_best"), col("n_total"),
+                  round(col("n") / col("n_total"), 4).as("acc2"), col("acc1"),
+                  round(round(col("n") / col("n_total"), 4) - col("acc1"), 4)
+                    .as("lift"))
+          .orderBy("t0", "t1")
+      },
+      Some("""WITH tr AS (
+             |  SELECT event_type AS t0,
+             |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+             |         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+             |  FROM events),
+             |tri AS (SELECT t0, t1, t2, CAST(count(*) AS BIGINT) AS n
+             |        FROM tr WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+             |        GROUP BY 1, 2, 3),
+             |tot AS (SELECT t0, t1, CAST(sum(n) AS BIGINT) AS n_total
+             |        FROM tri GROUP BY 1, 2),
+             |m1 AS (SELECT t1, t2, CAST(sum(n) AS BIGINT) AS m
+             |       FROM tri GROUP BY 1, 2),
+             |tot1 AS (SELECT t1, CAST(sum(m) AS BIGINT) AS mt FROM m1 GROUP BY 1),
+             |b1 AS (SELECT t1, acc1 FROM (
+             |         SELECT m1.t1, round(m * 1.0 / mt, 4) AS acc1,
+             |                row_number() OVER (PARTITION BY m1.t1
+             |                                   ORDER BY m DESC, t2) AS rk
+             |         FROM m1 JOIN tot1 USING (t1))
+             |       WHERE rk = 1),
+             |best AS (SELECT *, row_number() OVER (PARTITION BY t0, t1
+             |                     ORDER BY n DESC, t2) AS rk
+             |         FROM tri)
+             |SELECT b.t0, b.t1, b.t2 AS best_to, b.n AS n_best, t.n_total,
+             |       round(b.n * 1.0 / t.n_total, 4) AS acc2, b1.acc1,
+             |       round(round(b.n * 1.0 / t.n_total, 4) - b1.acc1, 4) AS lift
+             |FROM best b JOIN tot t USING (t0, t1) JOIN b1 USING (t1)
+             |WHERE b.rk = 1 ORDER BY t0, t1""".stripMargin)),
+
+    // power-law fit of the retention curve: mean cohort retention per
+    // week-of-age (ev_cohort_triangle's cells, age ≥ 1), OLS on the
+    // log-log grid → decay exponent + fitted week-1 retention + r².
+    // The "shape of forgetting" summary a growth team tracks as one
+    // number; the fit runs on ≤ |weeks| rows, n≥2 ∧ var>0 guarded.
+    "ev_retention_fit" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000 DIV 7").as("wk"))
+        val c0 = ev.groupBy("user_id").agg(min("wk").as("w0"))
+        val sz = c0.groupBy("w0").agg(count(lit(1)).as("n_cohort"))
+        // active week := >=14 events (bare incidence retains everyone)
+        val act = ev.groupBy("user_id", "wk").agg(count(lit(1)).as("k"))
+          .filter(col("k") >= 14).select("user_id", "wk")
+        val ages = act.join(c0, "user_id")
+          .groupBy(col("w0"), (col("wk") - col("w0")).as("wk_off"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sz), "w0")
+          .select(col("wk_off"),
+            round(col("n_active") / col("n_cohort"), 4).as("pct"))
+          .filter(col("wk_off") >= 1)
+          .groupBy("wk_off")
+          .agg(round(avg("pct"), 6).as("ret"))
+          .filter(col("ret") > 0)
+        val b = col("cxy") / col("vx")
+        val ok = col("np") >= 2 && col("vx") > 0
+        ages.select(log(col("wk_off").cast("double")).as("lx"),
+                    log(col("ret")).as("ly"))
+          .agg(count(lit(1)).cast("double").as("np"),
+               avg("lx").as("mx"), avg("ly").as("my"),
+               covar_pop("lx", "ly").as("cxy"), var_pop("lx").as("vx"),
+               var_pop("ly").as("vy"))
+          .select(col("np").cast("long").as("n_ages"),
+            when(ok, round(b, 4)).otherwise(lit(null).cast("double")).as("decay_exp"),
+            when(ok, round(exp(col("my") - b * col("mx")), 4))
+              .otherwise(lit(null).cast("double")).as("ret_w1_fit"),
+            when(ok && col("vy") > 0,
+              round(col("cxy") * col("cxy") / (col("vx") * col("vy")), 4))
+              .otherwise(lit(null).cast("double")).as("r2"))
+      },
+      Some("""WITH ev AS (SELECT user_id, ts // 1000 // 86400000000 // 7 AS wk
+             |            FROM events),
+             |c0 AS (SELECT user_id, min(wk) AS w0 FROM ev GROUP BY user_id),
+             |sz AS (SELECT w0, CAST(count(*) AS BIGINT) AS n_cohort
+             |       FROM c0 GROUP BY w0),
+             |cells AS (SELECT wk - w0 AS wk_off, CAST(count(*) AS BIGINT) AS n_active, w0
+             |          FROM (SELECT user_id, wk FROM ev
+             |                GROUP BY 1, 2 HAVING count(*) >= 14) du
+             |          JOIN c0 USING (user_id) GROUP BY w0, wk_off),
+             |ages AS (SELECT wk_off, round(avg(pct), 6) AS ret FROM (
+             |           SELECT wk_off, round(n_active * 1.0 / n_cohort, 4) AS pct
+             |           FROM cells JOIN sz USING (w0) WHERE wk_off >= 1)
+             |         GROUP BY wk_off HAVING round(avg(pct), 6) > 0),
+             |pts AS (SELECT ln(CAST(wk_off AS DOUBLE)) AS lx, ln(ret) AS ly
+             |        FROM ages),
+             |ag AS (SELECT CAST(count(*) AS DOUBLE) AS np, avg(lx) AS mx,
+             |              avg(ly) AS my, covar_pop(lx, ly) AS cxy,
+             |              var_pop(lx) AS vx, var_pop(ly) AS vy
+             |       FROM pts)
+             |SELECT CAST(np AS BIGINT) AS n_ages,
+             |       CASE WHEN np >= 2 AND vx > 0
+             |            THEN round(cxy / vx, 4) END AS decay_exp,
+             |       CASE WHEN np >= 2 AND vx > 0
+             |            THEN round(exp(my - (cxy / vx) * mx), 4) END AS ret_w1_fit,
+             |       CASE WHEN np >= 2 AND vx > 0 AND vy > 0
+             |            THEN round(cxy * cxy / (vx * vy), 4) END AS r2
+             |FROM ag""".stripMargin)),
+
+    // daily sample-ratio-mismatch trend: the ev_srm gate per day
+    // (distinct users per day × md5 arm, χ² vs 50/50 at the 0.001
+    // bar) — a ramp or assignment bug shows as WHEN the imbalance
+    // started, which the single global χ² can't say. |days| output
+    // rows, one distinct pass.
+    "ev_srm_daily" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val half = col("n").cast("double") / 2
+        Tables.events(s, d)
+          .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+          .distinct()
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .groupBy("day")
+          .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+               sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"))
+          .withColumn("n", col("n_t") + col("n_c"))
+          .withColumn("chi2",
+            when(col("n") > 0,
+              round(pow(col("n_t") - half, 2) / half
+                + pow(col("n_c") - half, 2) / half, 6))
+              .otherwise(lit(null).cast("double")))
+          .withColumn("srm_flag",
+            when(col("chi2").isNull, lit(null).cast("boolean"))
+              .otherwise(col("chi2") > 10.828)) // chi2(1) at alpha=0.001
+          .select(col("day"), col("n_t"), col("n_c"), col("chi2"), col("srm_flag"))
+          .orderBy("day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT ts // 86400000000000 AS day, user_id
+             |            FROM events),
+             |g AS (SELECT day,
+             |        CAST(sum(CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 1
+             |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             |        CAST(sum(CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+             |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+             |      FROM du GROUP BY day),
+             |z AS (SELECT day, n_t, n_c, n_t + n_c AS n,
+             |        CASE WHEN n_t + n_c > 0 THEN round(
+             |          pow(n_t - CAST(n_t + n_c AS DOUBLE) / 2, 2) / (CAST(n_t + n_c AS DOUBLE) / 2)
+             |          + pow(n_c - CAST(n_t + n_c AS DOUBLE) / 2, 2) / (CAST(n_t + n_c AS DOUBLE) / 2), 6)
+             |        END AS chi2
+             |      FROM g)
+             |SELECT day, n_t, n_c, chi2,
+             |       CASE WHEN chi2 IS NULL THEN NULL
+             |            ELSE chi2 > 10.828 END AS srm_flag
+             |FROM z ORDER BY day""".stripMargin)),
+
+    // session abandonment by exit event: ev_sessionize's session ids,
+    // each session keyed by its LAST event type (deterministic
+    // last-row pick) and whether it converted — the "where do users
+    // give up" table. Both windows are per-user; the session rollup
+    // is one grouped pass.
+    "ev_abandonment" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(1800000000000L), 1)
+              .otherwise(0))
+          .withColumn("sid", sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        val wLast = Window.partitionBy("user_id", "sid")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val per = sess
+          .withColumn("rl", row_number().over(wLast))
+          .groupBy("user_id", "sid")
+          .agg(max(when(col("rl") === 1, col("event_type"))).as("last_type"),
+               max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                 .as("conv"))
+        per.groupBy("last_type")
+          .agg(count(lit(1)).as("n_sessions"),
+               sum(lit(1L) - col("conv")).as("n_abandoned"))
+          .withColumn("abandon_rate",
+            round(col("n_abandoned") / col("n_sessions"), 4))
+          .orderBy("last_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sd AS (SELECT *,
+             |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+             |       FROM g),
+             |s AS (SELECT *,
+             |        row_number() OVER (PARTITION BY user_id, sid
+             |          ORDER BY ts DESC, event_id DESC) AS rl
+             |      FROM sd),
+             |per AS (SELECT user_id, sid,
+             |          max(CASE WHEN rl = 1 THEN event_type END) AS last_type,
+             |          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+             |        FROM s GROUP BY 1, 2)
+             |SELECT last_type, CAST(count(*) AS BIGINT) AS n_sessions,
+             |       CAST(sum(1 - conv) AS BIGINT) AS n_abandoned,
+             |       round(sum(1 - conv) * 1.0 / count(*), 4) AS abandon_rate
+             |FROM per GROUP BY last_type ORDER BY last_type""".stripMargin)),
+
+    // process-conformance audit (process mining): which observed
+    // event-type transitions fall OUTSIDE the declared process model?
+    // Pure projection over the SHARED transition cells — zero
+    // additional fact scans — with the model as a literal allowlist
+    // (the form a process owner writes down). The rate column is the
+    // one-number conformance KPI; the rows localize the deviations.
+    "ev_conformance" -> Q(
+      (s, d) => {
+        val allowed = Seq("signup>click", "click>click", "click>purchase",
+          "click>error", "error>click")
+        val cells = transitionCells(s, d).filter(col("to_type").isNotNull)
+          .select(col("from_type"), col("to_type"), col("n"))
+          .withColumn("is_allowed",
+            when(concat(col("from_type"), lit(">"), col("to_type"))
+              .isin(allowed: _*), 1L).otherwise(0L))
+          .localCheckpoint(eager = false) // totals + output rows
+        val tot = cells.agg(sum("n").as("tn"),
+          sum(when(col("is_allowed") === 1, col("n")).otherwise(0L)).as("cn"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("from_type"), col("to_type"), col("n"), col("is_allowed"),
+            round(col("cn") / col("tn").cast("double"), 4)
+              .as("conformance_rate"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH tr AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type, 1) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |cells AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+             |                 CASE WHEN from_type || '>' || to_type IN
+             |                   ('signup>click', 'click>click', 'click>purchase',
+             |                    'click>error', 'error>click')
+             |                 THEN 1 ELSE 0 END AS is_allowed
+             |          FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT sum(n) AS tn,
+             |               sum(CASE WHEN is_allowed = 1 THEN n ELSE 0 END) AS cn
+             |        FROM cells)
+             |SELECT from_type, to_type, n, CAST(is_allowed AS BIGINT) AS is_allowed,
+             |       round(cn / CAST(tn AS DOUBLE), 4) AS conformance_rate
+             |FROM cells, tot ORDER BY from_type, to_type""".stripMargin)),
+
+    // interrupted-time-series (segmented regression): fit daily
+    // purchases ~ day SEPARATELY before and after the calendar
+    // midpoint and report the level and slope discontinuities at the
+    // cut — the first-line causal read-out for "did the launch bend
+    // the curve". Both segment fits are CASE-filtered Gram sums in
+    // ONE aggregate over the daily rollup; exact integer sums feed
+    // the closed forms.
+    "ev_intervention_its" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+          .localCheckpoint(eager = false) // bounds + the segment sums
+        val bounds = daily.agg(min("day").as("mn"), max("day").as("mx"))
+        val t = daily.crossJoin(broadcast(bounds))
+          .withColumn("t", (col("day") - col("mn")).cast("double"))
+          .withColumn("t0", expr("CAST((mx - mn + 1) div 2 AS DOUBLE)"))
+          .withColumn("post", (col("t") >= col("t0")).cast("long"))
+        def seg(p: Int, c: String) = sum(when(col("post") === p,
+          expr(c)).otherwise(0.0))
+        val g = t.agg(max("t0").as("t0"),
+          sum(when(col("post") === 0, 1L).otherwise(0L)).cast("double").as("n1"),
+          seg(0, "t").as("sx1"), seg(0, "y").as("sy1"),
+          seg(0, "t*t").as("sxx1"), seg(0, "t*y").as("sxy1"),
+          sum(when(col("post") === 1, 1L).otherwise(0L)).cast("double").as("n2"),
+          seg(1, "t").as("sx2"), seg(1, "y").as("sy2"),
+          seg(1, "t*t").as("sxx2"), seg(1, "t*y").as("sxy2"))
+        def fit(n: String, sx: String, sy: String, sxx: String, sxy: String) = {
+          val dx = col(n) * col(sxx) - col(sx) * col(sx)
+          val b = (col(n) * col(sxy) - col(sx) * col(sy)) / dx
+          (dx, round(b, 6), round((col(sy) - b * col(sx)) / col(n), 6))
+        }
+        val (dx1, b1, a1) = fit("n1", "sx1", "sy1", "sxx1", "sxy1")
+        val (dx2, b2, a2) = fit("n2", "sx2", "sy2", "sxx2", "sxy2")
+        g.withColumn("ok", col("n1") >= 2 && col("n2") >= 2 &&
+            dx1 > 0 && dx2 > 0)
+          .select(col("n1").cast("long").as("n_pre"),
+            col("n2").cast("long").as("n_post"),
+            when(col("ok"), b1).as("slope_pre"),
+            when(col("ok"), b2).as("slope_post"),
+            when(col("ok"), round(b2 - b1, 6)).as("slope_change"),
+            when(col("ok"), round((a2 + b2 * col("t0")) - (a1 + b1 * col("t0")), 4))
+              .as("level_change"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT ts // 86400000000000 AS day,
+             |         CAST(count(*) AS DOUBLE) AS y
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+             |t AS (SELECT CAST(day - mn AS DOUBLE) AS t,
+             |             CAST((mx - mn + 1) // 2 AS DOUBLE) AS t0, y,
+             |             CASE WHEN day - mn >= (mx - mn + 1) // 2
+             |                  THEN 1 ELSE 0 END AS post
+             |      FROM daily, b),
+             |g AS (SELECT max(t0) AS t0,
+             |        CAST(sum(CASE WHEN post = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             |        sum(CASE WHEN post = 0 THEN t ELSE 0 END) AS sx1,
+             |        sum(CASE WHEN post = 0 THEN y ELSE 0 END) AS sy1,
+             |        sum(CASE WHEN post = 0 THEN t*t ELSE 0 END) AS sxx1,
+             |        sum(CASE WHEN post = 0 THEN t*y ELSE 0 END) AS sxy1,
+             |        CAST(sum(CASE WHEN post = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+             |        sum(CASE WHEN post = 1 THEN t ELSE 0 END) AS sx2,
+             |        sum(CASE WHEN post = 1 THEN y ELSE 0 END) AS sy2,
+             |        sum(CASE WHEN post = 1 THEN t*t ELSE 0 END) AS sxx2,
+             |        sum(CASE WHEN post = 1 THEN t*y ELSE 0 END) AS sxy2
+             |      FROM t),
+             |f AS (SELECT *,
+             |        n1*sxx1 - sx1*sx1 AS dx1, n2*sxx2 - sx2*sx2 AS dx2,
+             |        (n1 >= 2 AND n2 >= 2 AND n1*sxx1 - sx1*sx1 > 0
+             |         AND n2*sxx2 - sx2*sx2 > 0) AS ok
+             |      FROM g),
+             |c AS (SELECT *,
+             |        round((n1*sxy1 - sx1*sy1) / dx1, 6) AS b1,
+             |        round((n2*sxy2 - sx2*sy2) / dx2, 6) AS b2,
+             |        round((sy1 - (n1*sxy1 - sx1*sy1) / dx1 * sx1) / n1, 6) AS a1,
+             |        round((sy2 - (n2*sxy2 - sx2*sy2) / dx2 * sx2) / n2, 6) AS a2
+             |      FROM f)
+             |SELECT CAST(n1 AS BIGINT) AS n_pre, CAST(n2 AS BIGINT) AS n_post,
+             |       CASE WHEN ok THEN b1 END AS slope_pre,
+             |       CASE WHEN ok THEN b2 END AS slope_post,
+             |       CASE WHEN ok THEN round(b2 - b1, 6) END AS slope_change,
+             |       CASE WHEN ok THEN round((a2 + b2*t0) - (a1 + b1*t0), 4)
+             |       END AS level_change
+             |FROM c""".stripMargin))
+  )
+
+  val eventsRB: Seq[(String, Q)] = Seq(
+    // DAU/MAU stickiness per 30-day window: the "how often do monthly
+    // users show up daily" engagement ratio — avg daily actives over
+    // the window's distinct actives. Two DISTINCT rollups (day grain
+    // and window grain) off one pass each; windows are fixed
+    // calendar buckets, never sliding fan-outs.
+    "ev_stickiness" -> Q(
+      (s, d) => {
+        val dd = Tables.events(s, d)
+          .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+          .distinct()
+          .localCheckpoint(eager = false) // day grain + window grain
+        val dau = dd.groupBy("day").agg(count(lit(1)).as("dau"))
+          .withColumn("w", expr("day div 30"))
+          .groupBy("w").agg(count(lit(1)).as("n_days"),
+            round(avg("dau"), 2).as("avg_dau"))
+        val mau = dd.withColumn("w", expr("day div 30"))
+          .groupBy("w").agg(countDistinct("user_id").as("mau"))
+        dau.join(mau, "w")
+          .select(col("w").as("window30"), col("n_days"), col("avg_dau"),
+            col("mau"),
+            round(col("avg_dau") / col("mau").cast("double"), 4)
+              .as("stickiness"))
+          .orderBy("window30")
+      },
+      Some("""WITH dd AS (SELECT DISTINCT ts // 86400000000000 AS day, user_id
+             |            FROM events),
+             |dau AS (SELECT day // 30 AS w, CAST(count(*) AS BIGINT) AS n_days,
+             |               round(avg(dau), 2) AS avg_dau
+             |        FROM (SELECT day, CAST(count(*) AS BIGINT) AS dau
+             |              FROM dd GROUP BY day)
+             |        GROUP BY 1),
+             |mau AS (SELECT day // 30 AS w,
+             |               CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+             |        FROM dd GROUP BY 1)
+             |SELECT w AS window30, n_days, avg_dau, mau,
+             |       round(avg_dau / CAST(mau AS DOUBLE), 4) AS stickiness
+             |FROM dau JOIN mau USING (w) ORDER BY window30""".stripMargin)),
+
+    // purchase-segment migration matrix between calendar halves: each
+    // user classified none/one/repeat in BOTH halves from ONE
+    // conditional per-user rollup, then the 3×3 transition counts —
+    // the "are repeat buyers persisting or churning" table next to
+    // ev_growth_accounting's new/retained/churned flow. Fixed
+    // thresholds, no quantile machinery, exact integer counts.
+    "ev_segment_migration" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .localCheckpoint(eager = false) // bounds + the per-user halves
+        val bounds = ev.agg(min("day").as("mn"), max("day").as("mx"))
+        val u = ev.crossJoin(broadcast(bounds))
+          .withColumn("post",
+            (col("day") >= expr("(mn + mx + 1) div 2")).cast("long"))
+          .groupBy("user_id")
+          .agg(sum(when(col("post") === 0 && col("event_type") === "purchase",
+                 1L).otherwise(0L)).as("pre_n"),
+               sum(when(col("post") === 1 && col("event_type") === "purchase",
+                 1L).otherwise(0L)).as("post_n"))
+        def seg(c: Column) = when(c === 0, "none")
+          .when(c === 1, "one").otherwise("repeat")
+        val m = u.select(seg(col("pre_n")).as("seg_pre"),
+          seg(col("post_n")).as("seg_post"))
+        val tot = m.agg(count(lit(1)).cast("double").as("nn"))
+        m.groupBy("seg_pre", "seg_post")
+          .agg(count(lit(1)).as("n_users"))
+          .crossJoin(broadcast(tot))
+          .select(col("seg_pre"), col("seg_post"), col("n_users"),
+            round(col("n_users") / col("nn"), 4).as("share"))
+          .orderBy("seg_pre", "seg_post")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |                   ts // 86400000000000 AS day FROM events),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+             |u AS (SELECT user_id,
+             |        sum(CASE WHEN day < (mn + mx + 1) // 2
+             |                  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pre_n,
+             |        sum(CASE WHEN day >= (mn + mx + 1) // 2
+             |                  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS post_n
+             |      FROM ev, b GROUP BY user_id),
+             |m AS (SELECT CASE WHEN pre_n = 0 THEN 'none'
+             |                  WHEN pre_n = 1 THEN 'one' ELSE 'repeat' END AS seg_pre,
+             |             CASE WHEN post_n = 0 THEN 'none'
+             |                  WHEN post_n = 1 THEN 'one' ELSE 'repeat' END AS seg_post
+             |      FROM u),
+             |t AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM m)
+             |SELECT seg_pre, seg_post, CAST(count(*) AS BIGINT) AS n_users,
+             |       round(count(*) / nn, 4) AS share
+             |FROM m, t GROUP BY seg_pre, seg_post, nn
+             |ORDER BY seg_pre, seg_post""".stripMargin)),
+
+    // A/B covariate balance table: standardized mean differences of
+    // per-user activity covariates between the hash arms — the
+    // randomization-health check causal analysis starts with
+    // (|SMD| < 0.1 = balanced). ONE per-user rollup, one wide
+    // conditional aggregate, then 3 rows of arithmetic; variances
+    // from raw sums so both engines run identical expressions.
+    "ev_covariate_balance" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val u = Tables.events(s, d)
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .groupBy("user_id", "arm")
+          .agg(count(lit(1)).cast("double").as("x1"),
+               sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                 .cast("double").as("x2"),
+               countDistinct(expr("ts div 86400000000000")).cast("double")
+                 .as("x3"))
+        def sums(a: Int, c: String) = Seq(
+          sum(when(col("arm") === a, 1.0).otherwise(0.0)),
+          sum(when(col("arm") === a, col(c)).otherwise(0.0)),
+          sum(when(col("arm") === a, col(c) * col(c)).otherwise(0.0)))
+        val g = u.agg(
+          sums(1, "x1")(0).as("n1"), sums(1, "x1")(1).as("s1_1"),
+          sums(1, "x1")(2).as("q1_1"), sums(0, "x1")(1).as("s0_1"),
+          sums(0, "x1")(2).as("q0_1"), sums(0, "x1")(0).as("n0"),
+          sums(1, "x2")(1).as("s1_2"), sums(1, "x2")(2).as("q1_2"),
+          sums(0, "x2")(1).as("s0_2"), sums(0, "x2")(2).as("q0_2"),
+          sums(1, "x3")(1).as("s1_3"), sums(1, "x3")(2).as("q1_3"),
+          sums(0, "x3")(1).as("s0_3"), sums(0, "x3")(2).as("q0_3"))
+        val rows = g.select(explode(array(
+          struct(lit("n_events").as("covariate"),
+            col("n1"), col("n0"), col("s1_1").as("s1"), col("q1_1").as("q1"),
+            col("s0_1").as("s0"), col("q0_1").as("q0")),
+          struct(lit("n_purchases").as("covariate"),
+            col("n1"), col("n0"), col("s1_2").as("s1"), col("q1_2").as("q1"),
+            col("s0_2").as("s0"), col("q0_2").as("q0")),
+          struct(lit("n_active_days").as("covariate"),
+            col("n1"), col("n0"), col("s1_3").as("s1"), col("q1_3").as("q1"),
+            col("s0_3").as("s0"), col("q0_3").as("q0")))).as("r"))
+          .select(col("r.*"))
+        rows.filter(col("n1") > 1 && col("n0") > 1)
+          .withColumn("m1", col("s1") / col("n1"))
+          .withColumn("m0", col("s0") / col("n0"))
+          .withColumn("v1",
+            (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1))
+          .withColumn("v0",
+            (col("q0") - col("s0") * col("s0") / col("n0")) / (col("n0") - 1))
+          .withColumn("sp", sqrt((col("v1") + col("v0")) / 2))
+          .select(col("covariate"),
+            col("n1").cast("long").as("n_t"), col("n0").cast("long").as("n_c"),
+            round(col("m1"), 4).as("mean_t"), round(col("m0"), 4).as("mean_c"),
+            when(col("sp") > 0,
+              round((col("m1") - col("m0")) / col("sp"), 4)).as("smd"),
+            when(col("sp") > 0,
+              (abs((col("m1") - col("m0")) / col("sp")) < 0.1).cast("long"))
+              .as("balanced"))
+          .orderBy("covariate")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         ('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm,
+             |         CAST(count(*) AS DOUBLE) AS x1,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS x2,
+             |         CAST(count(DISTINCT ts // 86400000000000) AS DOUBLE) AS x3
+             |  FROM events GROUP BY 1, 2),
+             |g AS (SELECT
+             |        sum(CASE WHEN arm = 1 THEN 1.0 ELSE 0.0 END) AS n1,
+             |        sum(CASE WHEN arm = 0 THEN 1.0 ELSE 0.0 END) AS n0,
+             |        sum(CASE WHEN arm = 1 THEN x1 ELSE 0 END) AS s1_1,
+             |        sum(CASE WHEN arm = 1 THEN x1*x1 ELSE 0 END) AS q1_1,
+             |        sum(CASE WHEN arm = 0 THEN x1 ELSE 0 END) AS s0_1,
+             |        sum(CASE WHEN arm = 0 THEN x1*x1 ELSE 0 END) AS q0_1,
+             |        sum(CASE WHEN arm = 1 THEN x2 ELSE 0 END) AS s1_2,
+             |        sum(CASE WHEN arm = 1 THEN x2*x2 ELSE 0 END) AS q1_2,
+             |        sum(CASE WHEN arm = 0 THEN x2 ELSE 0 END) AS s0_2,
+             |        sum(CASE WHEN arm = 0 THEN x2*x2 ELSE 0 END) AS q0_2,
+             |        sum(CASE WHEN arm = 1 THEN x3 ELSE 0 END) AS s1_3,
+             |        sum(CASE WHEN arm = 1 THEN x3*x3 ELSE 0 END) AS q1_3,
+             |        sum(CASE WHEN arm = 0 THEN x3 ELSE 0 END) AS s0_3,
+             |        sum(CASE WHEN arm = 0 THEN x3*x3 ELSE 0 END) AS q0_3
+             |      FROM u),
+             |rows_ AS (
+             |  SELECT 'n_events' AS covariate, n1, n0, s1_1 AS s1, q1_1 AS q1,
+             |         s0_1 AS s0, q0_1 AS q0 FROM g
+             |  UNION ALL
+             |  SELECT 'n_purchases', n1, n0, s1_2, q1_2, s0_2, q0_2 FROM g
+             |  UNION ALL
+             |  SELECT 'n_active_days', n1, n0, s1_3, q1_3, s0_3, q0_3 FROM g),
+             |c AS (SELECT *, s1/n1 AS m1, s0/n0 AS m0,
+             |             (q1 - s1*s1/n1) / (n1 - 1) AS v1,
+             |             (q0 - s0*s0/n0) / (n0 - 1) AS v0
+             |      FROM rows_ WHERE n1 > 1 AND n0 > 1),
+             |sm AS (SELECT *, sqrt((v1 + v0) / 2) AS sp FROM c)
+             |SELECT covariate, CAST(n1 AS BIGINT) AS n_t, CAST(n0 AS BIGINT) AS n_c,
+             |       round(m1, 4) AS mean_t, round(m0, 4) AS mean_c,
+             |       CASE WHEN sp > 0 THEN round((m1 - m0) / sp, 4) END AS smd,
+             |       CASE WHEN sp > 0 THEN CAST(CASE WHEN abs((m1 - m0) / sp) < 0.1
+             |            THEN 1 ELSE 0 END AS BIGINT) END AS balanced
+             |FROM sm ORDER BY covariate""".stripMargin)),
+
+    // session-duration distribution: ev_sessionize's gap>30min ids
+    // rolled into wall-clock durations and bucketed into the product
+    // bands (<1m / 1-5m / 5-30m / 30m+) — the engagement-depth table
+    // next to ev_session_paths' what-they-did. One per-user window
+    // pass + one grouped rollup; single-event sessions land in <1m.
+    "ev_session_durations" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(1800000000000L), 1)
+              .otherwise(0))
+          .withColumn("sid", sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sid")
+          // integer floor division: `/` on longs is DOUBLE in Spark
+          // while the oracle's // floors
+          .agg(expr("(max(ts) - min(ts)) div 1000000000").as("dur_sec"))
+        val b = sess.withColumn("bucket",
+            when(col("dur_sec") < 60, "a_under_1m")
+              .when(col("dur_sec") < 300, "b_1m_to_5m")
+              .when(col("dur_sec") < 1800, "c_5m_to_30m")
+              .otherwise("d_over_30m"))
+          .localCheckpoint(eager = false) // totals + the bucket rollup
+        val tot = b.agg(count(lit(1)).cast("double").as("nn"))
+        b.groupBy("bucket").agg(count(lit(1)).as("n_sessions"),
+            round(avg(col("dur_sec").cast("double")), 2).as("avg_dur_sec"))
+          .crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_sessions"),
+            col("avg_dur_sec"),
+            round(col("n_sessions") / col("nn"), 4).as("share"))
+          .orderBy("bucket")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sid AS (SELECT user_id, ts,
+             |          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |        FROM g),
+             |sess AS (SELECT user_id, sid,
+             |           (max(ts) - min(ts)) // 1000000000 AS dur_sec
+             |         FROM sid GROUP BY user_id, sid),
+             |bk AS (SELECT *,
+             |         CASE WHEN dur_sec < 60 THEN 'a_under_1m'
+             |              WHEN dur_sec < 300 THEN 'b_1m_to_5m'
+             |              WHEN dur_sec < 1800 THEN 'c_5m_to_30m'
+             |              ELSE 'd_over_30m' END AS bucket
+             |       FROM sess),
+             |t AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM bk)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_sessions,
+             |       round(avg(CAST(dur_sec AS DOUBLE)), 2) AS avg_dur_sec,
+             |       round(count(*) / nn, 4) AS share
+             |FROM bk, t GROUP BY bucket, nn ORDER BY bucket""".stripMargin)),
+
+    // self-normalized IPW (Hájek) estimate of the treatment effect on
+    // conversion, propensity stratified by activity band — the
+    // covariate-adjusted companion to ev_ab_test (here arms are
+    // hash-random so IPW ≈ the raw diff; the machinery is what a
+    // biased-assignment log needs). Per-user rollup → per-band
+    // propensities as ONE broadcast frame → conditional sums.
+    "ev_ipw" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val u = Tables.events(s, d)
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .groupBy("user_id", "arm")
+          .agg(count(lit(1)).as("n_ev"),
+               max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                 .as("y"))
+          .withColumn("band", least(expr("n_ev div 5"), lit(9L)))
+          .localCheckpoint(eager = false) // propensities + the sums
+        val prop = u.groupBy("band")
+          .agg(round(sum(when(col("arm") === 1, 1.0).otherwise(0.0))
+            / count(lit(1)), 6).as("e"))
+        val j = u.join(broadcast(prop), "band")
+          .filter(col("e") > 0 && col("e") < 1)
+        j.agg(count(lit(1)).as("n_users"),
+            round(sum(when(col("arm") === 1, col("y") / col("e"))
+                .otherwise(0.0))
+              / sum(when(col("arm") === 1, lit(1.0) / col("e"))
+                .otherwise(0.0)), 6).as("mu_t"),
+            round(sum(when(col("arm") === 0, col("y") / (lit(1.0) - col("e")))
+                .otherwise(0.0))
+              / sum(when(col("arm") === 0, lit(1.0) / (lit(1.0) - col("e")))
+                .otherwise(0.0)), 6).as("mu_c"))
+          .select(col("n_users"), col("mu_t"), col("mu_c"),
+            round(col("mu_t") - col("mu_c"), 6).as("ipw_ate"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+             |         CAST(count(*) AS BIGINT) AS n_ev,
+             |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+             |  FROM events GROUP BY 1, 2),
+             |ub AS (SELECT *, least(n_ev // 5, 9) AS band FROM u),
+             |prop AS (SELECT band,
+             |           round(sum(CASE WHEN arm = 1 THEN 1.0 ELSE 0.0 END)
+             |                 / count(*), 6) AS e
+             |         FROM ub GROUP BY band),
+             |j AS (SELECT * FROM ub JOIN prop USING (band)
+             |      WHERE e > 0 AND e < 1),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |         round(sum(CASE WHEN arm = 1 THEN y / e ELSE 0.0 END)
+             |           / sum(CASE WHEN arm = 1 THEN 1.0 / e ELSE 0.0 END), 6) AS mu_t,
+             |         round(sum(CASE WHEN arm = 0 THEN y / (1.0 - e) ELSE 0.0 END)
+             |           / sum(CASE WHEN arm = 0 THEN 1.0 / (1.0 - e) ELSE 0.0 END), 6) AS mu_c
+             |       FROM j)
+             |SELECT n_users, mu_t, mu_c, round(mu_t - mu_c, 6) AS ipw_ate
+             |FROM ag""".stripMargin)),
+
+    // bounce rate by session entry type: share of sessions that end
+    // after ONE event, keyed by what the session STARTED with — the
+    // landing-page health metric. Reuses the ev_sessionize gap
+    // machinery (per-user windows only); per-session rollup keeps
+    // first-event type via the min (ts, event_id, type) struct — no
+    // extra window pass.
+    "ev_bounce_rate" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(1800000000000L), 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+               min(struct(col("ts"), col("event_id"), col("event_type")))
+                 .as("first_ev"))
+        sess.groupBy(col("first_ev.event_type").as("entry_type"))
+          .agg(count(lit(1)).as("n_sessions"),
+               sum(when(col("n_events") === 1, 1L).otherwise(0L))
+                 .as("n_bounced"))
+          .select(col("entry_type"), col("n_sessions"), col("n_bounced"),
+            round(col("n_bounced") / col("n_sessions").cast("double"), 4)
+              .as("bounce_rate"))
+          .orderBy("entry_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g),
+             |se AS (
+             |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+             |         min({'ts': ts, 'eid': event_id, 'et': event_type}) AS first_ev
+             |  FROM s GROUP BY user_id, session_id),
+             |fe AS (SELECT (first_ev).et AS entry_type, n_events FROM se)
+             |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+             |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounced,
+             |       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 4) AS bounce_rate
+             |FROM fe GROUP BY entry_type ORDER BY entry_type""".stripMargin)),
+
+    // quantile treatment effects: per-arm quartiles of per-user spend
+    // — where in the distribution the treatment moves money, which
+    // the mean (ev_ab_test) hides. One per-user rollup; quartiles by
+    // the stat_percentiles type-7 parity.
+    "ev_qte" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val u = Tables.events(s, d)
+          .filter(col("value").isNotNull && !isnan(col("value")))
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .groupBy("user_id", "arm")
+          .agg(sum("value").as("spend"))
+        val g = u.groupBy("arm")
+          .agg(expr("percentile(spend, array(0.25D, 0.5D, 0.75D))").as("ps"))
+        val t = g.filter(col("arm") === 1)
+          .select(explode(expr(
+            "arrays_zip(array(0.25D, 0.5D, 0.75D), ps)")).as("e"))
+          .select(col("e.0").as("q"), round(col("e.ps"), 4).as("v_t"))
+        val c = g.filter(col("arm") === 0)
+          .select(explode(expr(
+            "arrays_zip(array(0.25D, 0.5D, 0.75D), ps)")).as("e"))
+          .select(col("e.0").as("q"), round(col("e.ps"), 4).as("v_c"))
+        t.join(c, "q")
+          .select(col("q"), col("v_t"), col("v_c"),
+            round(col("v_t") - col("v_c"), 4).as("qte"))
+          .orderBy("q")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+             |         sum(value) AS spend
+             |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+             |  GROUP BY 1, 2),
+             |g AS (SELECT
+             |        round(quantile_cont(spend, 0.25) FILTER (arm = 1), 4) AS t25,
+             |        round(quantile_cont(spend, 0.50) FILTER (arm = 1), 4) AS t50,
+             |        round(quantile_cont(spend, 0.75) FILTER (arm = 1), 4) AS t75,
+             |        round(quantile_cont(spend, 0.25) FILTER (arm = 0), 4) AS c25,
+             |        round(quantile_cont(spend, 0.50) FILTER (arm = 0), 4) AS c50,
+             |        round(quantile_cont(spend, 0.75) FILTER (arm = 0), 4) AS c75
+             |      FROM u)
+             |SELECT CAST(0.25 AS DOUBLE) AS q, t25 AS v_t, c25 AS v_c, round(t25 - c25, 4) AS qte FROM g
+             |UNION ALL
+             |SELECT CAST(0.5 AS DOUBLE), t50, c50, round(t50 - c50, 4) FROM g
+             |UNION ALL
+             |SELECT CAST(0.75 AS DOUBLE), t75, c75, round(t75 - c75, 4) FROM g
+             |ORDER BY q""".stripMargin)),
+
+    // event-study leads/lags around the ITS cut day: per relative day
+    // r ∈ [−5, 5], treated-minus-control conversion gap normalized to
+    // the r = −1 gap — flat pre-trend is the diff-in-diff validity
+    // check made visible. One conditional daily rollup; everything
+    // after runs on the ≤11-row frame with the baseline broadcast.
+    "ev_event_study" -> Q(
+      (s, d) => {
+        import graft.functions.VectorFunctions.md5Long
+        val ev = Tables.events(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .withColumn("arm",
+            md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .localCheckpoint(eager = false) // bounds + the rollup
+        val bounds = ev.agg(min("day").as("mn"), max("day").as("mx"))
+          .withColumn("cut", col("mn") + expr("CAST((mx - mn + 1) div 2 AS BIGINT)"))
+        val daily = ev.crossJoin(broadcast(bounds))
+          .withColumn("rel", col("day") - col("cut"))
+          .filter(col("rel").between(-5, 5))
+          .groupBy("rel")
+          .agg(
+            round(sum(when(col("arm") === 1 && col("event_type") === "purchase",
+              1.0).otherwise(0.0)) /
+              nullif(sum(when(col("arm") === 1, 1.0).otherwise(0.0)), lit(0.0)),
+              6).as("rate_t"),
+            round(sum(when(col("arm") === 0 && col("event_type") === "purchase",
+              1.0).otherwise(0.0)) /
+              nullif(sum(when(col("arm") === 0, 1.0).otherwise(0.0)), lit(0.0)),
+              6).as("rate_c"))
+          .withColumn("gap", round(col("rate_t") - col("rate_c"), 6))
+          .localCheckpoint(eager = false) // baseline + the report
+        val base = daily.filter(col("rel") === -1)
+          .select(col("gap").as("gap_base"))
+        daily.crossJoin(broadcast(base))
+          .select(col("rel"), col("rate_t"), col("rate_c"),
+            round(col("gap") - col("gap_base"), 6).as("effect"))
+          .orderBy("rel")
+      },
+      Some("""WITH ev AS (
+             |  SELECT ts // 86400000000000 AS day, user_id, event_type,
+             |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+             |  FROM events),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+             |c AS (SELECT mn + (mx - mn + 1) // 2 AS cut FROM b),
+             |daily AS (
+             |  SELECT day - cut AS rel,
+             |         round(sum(CASE WHEN arm = 1 AND event_type = 'purchase'
+             |                        THEN 1.0 ELSE 0.0 END)
+             |               / nullif(sum(CASE WHEN arm = 1 THEN 1.0 ELSE 0.0 END), 0.0), 6) AS rate_t,
+             |         round(sum(CASE WHEN arm = 0 AND event_type = 'purchase'
+             |                        THEN 1.0 ELSE 0.0 END)
+             |               / nullif(sum(CASE WHEN arm = 0 THEN 1.0 ELSE 0.0 END), 0.0), 6) AS rate_c
+             |  FROM ev, c WHERE day - cut BETWEEN -5 AND 5
+             |  GROUP BY 1),
+             |g AS (SELECT *, round(rate_t - rate_c, 6) AS gap FROM daily),
+             |base AS (SELECT gap AS gap_base FROM g WHERE rel = -1)
+             |SELECT rel, rate_t, rate_c,
+             |       round(gap - gap_base, 6) AS effect
+             |FROM g, base ORDER BY rel""".stripMargin)),
+
+    // Day-of-week × hour activity profile per event type: the peak
+    // cell, its traffic share, and the entropy of the 168-cell
+    // distribution (how concentrated is the weekly rhythm?) — the
+    // capacity-planning readout behind ts_seasonal's per-hour μ/σ
+    // baseline. Epoch-day arithmetic (no timezone semantics), exact
+    // integer counts, one agg + a ≤|types|-row window.
+    "ev_dow_hour" -> Q(
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            expr("(ts div 86400000000000) % 7").as("dow"),
+            expr("(ts div 3600000000000) % 24").as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cells.groupBy("event_type")
+          .agg(sum("n").as("tot"),
+            round(log(sum("n").cast("double"))
+              - sum(col("n") * log(col("n").cast("double"))) / sum("n"), 4)
+              .as("h_cells"))
+        cells.join(broadcast(tot), "event_type")
+          .withColumn("rk", row_number().over(Window
+            .partitionBy("event_type")
+            .orderBy(col("n").desc, col("dow"), col("hour"))))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("dow").as("peak_dow"),
+            col("hour").as("peak_hour"),
+            round(col("n") / col("tot").cast("double"), 4)
+              .as("peak_share"), col("h_cells"))
+          .orderBy("event_type")
+      },
+      Some("""WITH cells AS (
+             |  SELECT event_type, (ts // 86400000000000) % 7 AS dow,
+             |         (ts // 3600000000000) % 24 AS hour,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2, 3),
+             |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+             |               round(ln(CAST(sum(n) AS DOUBLE))
+             |                     - sum(n * ln(CAST(n AS DOUBLE))) / sum(n), 4)
+             |                 AS h_cells
+             |        FROM cells GROUP BY 1),
+             |rk AS (SELECT c.*, t.tot, t.h_cells,
+             |              row_number() OVER (PARTITION BY c.event_type
+             |                ORDER BY c.n DESC, c.dow, c.hour) AS rk
+             |       FROM cells c JOIN tot t USING (event_type))
+             |SELECT event_type, dow AS peak_dow, hour AS peak_hour,
+             |       round(n / CAST(tot AS DOUBLE), 4) AS peak_share,
+             |       h_cells
+             |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin)),
+
+    // Lorenz curve of user activity in deciles — the FULL inequality
+    // profile beside ev_pareto's top-decile share and stat_gini's
+    // scalar: users bucketed by broadcast percentile cutoffs (no
+    // global sort of users), per-decile event share + cumulative.
+    // The ≤10-row cumulative window is WindowGuard-allowlisted.
+    "ev_lorenz_deciles" -> Q(
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false) // cutoffs + bucketing
+        val cuts = u.agg(expr(
+          "percentile(cnt, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+          .as("qs"))
+        val dec = u.crossJoin(broadcast(cuts))
+          .withColumn("decile", lit(1) + expr(
+            "aggregate(qs, 0, (acc, q) -> acc + CASE WHEN cnt > q THEN 1 ELSE 0 END)"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_users"), sum("cnt").as("n_events"))
+        val wCum = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        dec.withColumn("tot", sum("n_events").over(wTot))
+          .withColumn("cum", sum("n_events").over(wCum))
+          .select(col("decile"), col("n_users"), col("n_events"),
+            round(col("n_events") / col("tot").cast("double"), 4).as("share"),
+            round(col("cum") / col("tot").cast("double"), 4).as("cum_share"))
+          .orderBy("decile")
+      },
+      Some("""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+             |           FROM events GROUP BY 1),
+             |c AS (SELECT quantile_cont(cnt,
+             |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+             |      FROM u),
+             |dec AS (SELECT 1 + len(list_filter(qs, q -> cnt > q)) AS decile,
+             |               cnt
+             |        FROM u CROSS JOIN c),
+             |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             |             CAST(sum(cnt) AS BIGINT) AS n_events
+             |      FROM dec GROUP BY 1),
+             |w AS (SELECT *,
+             |             CAST(sum(n_events) OVER () AS BIGINT) AS tot,
+             |             CAST(sum(n_events) OVER (ORDER BY decile ROWS BETWEEN
+             |               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |      FROM g)
+             |SELECT CAST(decile AS INT) AS decile, n_users, n_events,
+             |       round(n_events / CAST(tot AS DOUBLE), 4) AS share,
+             |       round(cum / CAST(tot AS DOUBLE), 4) AS cum_share
+             |FROM w ORDER BY decile""".stripMargin)),
+
+    // Audience overlap between event types: distinct-user Jaccard
+    // for every type pair — which behaviors share an audience and
+    // which segment it (the user-set companion to ev_transitions'
+    // FLOW view). One distinct projection, a user equi-join bounded
+    // by ≤|types| fan-out per user, exact integers.
+    "ev_type_overlap" -> Q(
+      (s, d) => {
+        // "engaged" = strictly above the type's median per-user count
+        // (plain any-event membership is degenerate here: every user
+        // touches every type, all Jaccards = 1)
+        val c = Tables.events(s, d)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        val m = c.groupBy("event_type")
+          .agg(expr("percentile(cnt, 0.5D)").as("mc"))
+        val ut = c.join(broadcast(m), "event_type")
+          .filter(col("cnt") > col("mc"))
+          .select(col("user_id"), col("event_type"))
+          .localCheckpoint(eager = false) // both sides + totals
+        val tot = ut.groupBy("event_type").agg(count(lit(1)).as("nu"))
+        val inter = ut.toDF("user_id", "ta")
+          .join(ut.toDF("user_id", "tb"), "user_id")
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("n_both"))
+        inter
+          .join(broadcast(tot.toDF("ta", "na")), "ta")
+          .join(broadcast(tot.toDF("tb", "nb")), "tb")
+          .select(col("ta").as("type_a"), col("tb").as("type_b"),
+            col("n_both"),
+            round(col("n_both")
+              / (col("na") + col("nb") - col("n_both")).cast("double"), 4)
+              .as("jaccard"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type,
+             |                  CAST(count(*) AS BIGINT) AS cnt
+             |           FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, quantile_cont(cnt, 0.5) AS mc
+             |      FROM c GROUP BY 1),
+             |ut AS (SELECT user_id, c.event_type
+             |       FROM c JOIN m ON c.event_type = m.event_type
+             |       WHERE cnt > mc),
+             |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+             |        FROM ut GROUP BY 1),
+             |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |             CAST(count(*) AS BIGINT) AS n_both
+             |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |                         AND a.event_type < b.event_type
+             |      GROUP BY 1, 2)
+             |SELECT type_a, type_b, n_both,
+             |       round(n_both / CAST(ta.nu + tb.nu - n_both AS DOUBLE), 4)
+             |         AS jaccard
+             |FROM i JOIN tot ta ON i.type_a = ta.event_type
+             |       JOIN tot tb ON i.type_b = tb.event_type
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // Gap-constrained episode mining: for every ordered event-type
+    // pair, how many users do A then B within ONE HOUR — the
+    // time-window sequence view that ev_assoc_rules (same basket) and
+    // ev_markov2 (immediate adjacency) both miss. The Spark pair join
+    // probes only (same hour-bucket, next bucket) via a 2-way explode,
+    // so the join fan-out is bounded by per-user-per-hour activity —
+    // never the full per-user history squared. Confidence + lift off
+    // exact distinct-user counts.
+    "ev_episode_mining" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("hb", expr("ts div 3600000000000"))
+          .localCheckpoint(eager = false) // supports + both join sides
+        val nu = ev.agg(countDistinct("user_id").as("nu"))
+        val supp = ev.groupBy("event_type")
+          .agg(countDistinct("user_id").as("su"))
+        val a = ev.select(col("user_id"), col("event_type").as("ta"),
+            col("ts").as("tsa"), col("hb"))
+          .withColumn("jb", explode(array(col("hb"), col("hb") + 1)))
+          .drop("hb")
+        val b = ev.select(col("user_id"), col("event_type").as("tb"),
+          col("ts").as("tsb"), col("hb").as("jb"))
+        val pairs = a.join(b, Seq("user_id", "jb"))
+          .filter(col("tsb") > col("tsa")
+            && col("tsb") - col("tsa") <= 3600000000000L)
+          .groupBy("ta", "tb").agg(countDistinct("user_id").as("n_users"))
+        pairs
+          .join(broadcast(supp.toDF("ta", "sa")), "ta")
+          .join(broadcast(supp.toDF("tb", "sb")), "tb")
+          .crossJoin(broadcast(nu))
+          .select(col("ta").as("type_a"), col("tb").as("type_b"),
+            col("n_users"),
+            round(col("n_users") / col("sa").cast("double"), 4)
+              .as("confidence"),
+            round(col("n_users") * col("nu")
+              / (col("sa") * col("sb")).cast("double"), 4).as("lift"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, ts FROM events),
+             |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+             |       FROM ev),
+             |supp AS (SELECT event_type,
+             |                CAST(count(DISTINCT user_id) AS BIGINT) AS su
+             |         FROM ev GROUP BY 1),
+             |p AS (SELECT a.user_id, a.event_type AS ta, b.event_type AS tb
+             |      FROM ev a JOIN ev b ON a.user_id = b.user_id
+             |       AND b.ts > a.ts AND b.ts - a.ts <= 3600000000000),
+             |pairs AS (SELECT ta, tb,
+             |                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |          FROM p GROUP BY 1, 2)
+             |SELECT ta AS type_a, tb AS type_b, n_users,
+             |       round(n_users / CAST(sa.su AS DOUBLE), 4) AS confidence,
+             |       round(n_users * nu / CAST(sa.su * sb.su AS DOUBLE), 4)
+             |         AS lift
+             |FROM pairs JOIN supp sa ON pairs.ta = sa.event_type
+             |           JOIN supp sb ON pairs.tb = sb.event_type, nu
+             |ORDER BY type_a, type_b""".stripMargin))
+  )
+
+  val eventsRC: Seq[(String, Q)] = Seq(
+    // Behavioral similarity between the 20 most active users: cosine
+    // between per-user event-type count vectors (5 integer dims), the
+    // top-10 most similar pairs — the "which users behave alike"
+    // primitive behind lookalike audiences and bot-ring detection.
+    // The top-20 cut is a TakeOrdered (orderBy+limit — never a global
+    // window); the 20×20 pair join is constant-size; every dot/norm
+    // is an exact integer before ONE final division.
+    "ev_user_similarity" -> Q(
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v1"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("v2"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("v3"),
+            sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("v4"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("v5"))
+          .orderBy(col("n").desc, col("user_id")).limit(20)
+          .localCheckpoint(eager = false) // both sides of the pair join
+        def q(p: String) = (1 to 5).map(i => col(s"$p$i") * col(s"$p$i"))
+          .reduce(_ + _)
+        val a = u.select(col("user_id").as("ua") +:
+          (1 to 5).map(i => col(s"v$i").as(s"a$i")): _*)
+        val b = u.select(col("user_id").as("ub") +:
+          (1 to 5).map(i => col(s"v$i").as(s"b$i")): _*)
+        a.join(b, col("ua") < col("ub"))
+          .withColumn("dot", (1 to 5).map(i => col(s"a$i") * col(s"b$i"))
+            .reduce(_ + _))
+          .withColumn("qa", q("a")).withColumn("qb", q("b"))
+          .filter(col("qa") > 0 && col("qb") > 0)
+          .select(col("ua"), col("ub"),
+            round(col("dot") / sqrt(col("qa").cast("double") * col("qb")), 6)
+              .as("cosine"))
+          .orderBy(col("cosine").desc, col("ua"), col("ub")).limit(10)
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+             |         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+             |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS v5
+             |  FROM events GROUP BY 1
+             |  ORDER BY n DESC, user_id LIMIT 20)
+             |SELECT a.user_id AS ua, b.user_id AS ub,
+             |       round((a.v1*b.v1 + a.v2*b.v2 + a.v3*b.v3 + a.v4*b.v4
+             |              + a.v5*b.v5)
+             |             / sqrt(CAST(a.v1*a.v1 + a.v2*a.v2 + a.v3*a.v3
+             |                    + a.v4*a.v4 + a.v5*a.v5 AS DOUBLE)
+             |                  * (b.v1*b.v1 + b.v2*b.v2 + b.v3*b.v3
+             |                    + b.v4*b.v4 + b.v5*b.v5)), 6) AS cosine
+             |FROM u a JOIN u b ON a.user_id < b.user_id
+             |WHERE (a.v1*a.v1 + a.v2*a.v2 + a.v3*a.v3 + a.v4*a.v4 + a.v5*a.v5) > 0
+             |  AND (b.v1*b.v1 + b.v2*b.v2 + b.v3*b.v3 + b.v4*b.v4 + b.v5*b.v5) > 0
+             |ORDER BY cosine DESC, ua, ub LIMIT 10""".stripMargin)),
+
+    // Goh–Barabási burstiness B = (σ−μ)/(σ+μ) and memory coefficient
+    // M = corr(gap_t, gap_{t+1}) of per-user same-type interarrival
+    // seconds — the TWO-number signature separating bursty-human
+    // (B>0, M≈0), periodic-bot (B<0) and correlated-session traffic
+    // that stat_gamma_fit's shape parameter summarizes from one angle
+    // only. Integer-second gaps (stat_gamma_fit's frame) make every
+    // power/cross sum exact, so B and M come out of pure integer
+    // arithmetic into one sqrt — both engines agree bit-for-bit.
+    // Multiplying (σ−μ)/(σ+μ) through by n gives the all-integer form
+    // (√(n·Σg²−(Σg)²) − Σg) / (√(n·Σg²−(Σg)²) + Σg).
+    "ev_burstiness" -> Q(
+      (s, d) => {
+        val dec = "decimal(38,0)"
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id")
+        val gaps = Tables.events(s, d)
+          .withColumn("prev", lag("ts", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+            expr("(ts - prev) div 1000000000").as("g"))
+          .filter(col("g") > 0)
+          .localCheckpoint(eager = false) // moment pass + lag-pair pass
+        val mom = gaps.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("g").cast(dec)).as("sg"),
+            sum((col("g") * col("g")).cast(dec)).as("qg"))
+          .select(col("event_type"), col("n").as("n_gaps"),
+            sqrt((col("n") * col("qg") - col("sg") * col("sg")).cast("double"))
+              .as("rt"),
+            col("sg").cast("double").as("sgd"))
+          .select(col("event_type"), col("n_gaps"),
+            when(col("rt") + col("sgd") > 0,
+              round((col("rt") - col("sgd")) / (col("rt") + col("sgd")), 4))
+              .as("burstiness_b"))
+        val pr = gaps
+          .withColumn("pg", lag("g", 1).over(w))
+          .filter(col("pg").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("m"),
+            sum(col("pg").cast(dec)).as("sa"),
+            sum(col("g").cast(dec)).as("sb"),
+            sum((col("pg") * col("pg")).cast(dec)).as("saa"),
+            sum((col("g") * col("g")).cast(dec)).as("sbb"),
+            sum((col("pg") * col("g")).cast(dec)).as("sab"))
+          .select(col("event_type"),
+            (col("m") * col("sab") - col("sa") * col("sb")).cast("double").as("cv"),
+            (col("m") * col("saa") - col("sa") * col("sa")).cast("double").as("va"),
+            (col("m") * col("sbb") - col("sb") * col("sb")).cast("double").as("vb"))
+          .select(col("event_type"),
+            when(col("va") > 0 && col("vb") > 0,
+              round(col("cv") / (sqrt(col("va")) * sqrt(col("vb"))), 4))
+              .as("memory_m"))
+        mom.join(pr, Seq("event_type"), "left").orderBy("event_type")
+      },
+      Some("""WITH gp AS (
+             |  SELECT user_id, event_type, event_id, ts,
+             |         (ts - lag(ts, 1) OVER (PARTITION BY user_id, event_type
+             |            ORDER BY ts, event_id)) // 1000000000 AS g
+             |  FROM events),
+             |gaps AS (SELECT user_id, event_type, event_id, ts, g
+             |         FROM gp WHERE g > 0),
+             |mom AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             |         sqrt(CAST(count(*) * sum(g * g) - sum(g) * sum(g) AS DOUBLE)) AS rt,
+             |         CAST(sum(g) AS DOUBLE) AS sgd
+             |  FROM gaps GROUP BY event_type),
+             |b AS (SELECT event_type, n_gaps,
+             |        CASE WHEN rt + sgd > 0
+             |             THEN round((rt - sgd) / (rt + sgd), 4) END AS burstiness_b
+             |      FROM mom),
+             |pp AS (
+             |  SELECT event_type,
+             |         lag(g, 1) OVER (PARTITION BY user_id, event_type
+             |            ORDER BY ts, event_id) AS pg, g
+             |  FROM gaps),
+             |pc AS (
+             |  SELECT event_type,
+             |         CAST(count(*) * sum(pg * g) - sum(pg) * sum(g) AS DOUBLE) AS cv,
+             |         CAST(count(*) * sum(pg * pg) - sum(pg) * sum(pg) AS DOUBLE) AS va,
+             |         CAST(count(*) * sum(g * g) - sum(g) * sum(g) AS DOUBLE) AS vb
+             |  FROM pp WHERE pg IS NOT NULL GROUP BY event_type),
+             |m AS (SELECT event_type,
+             |        CASE WHEN va > 0 AND vb > 0
+             |             THEN round(cv / (sqrt(va) * sqrt(vb)), 4) END AS memory_m
+             |      FROM pc)
+             |SELECT b.event_type, b.n_gaps, b.burstiness_b, m.memory_m
+             |FROM b LEFT JOIN m USING (event_type)
+             |ORDER BY event_type""".stripMargin)),
+
+    // Engagement half-life: exponential-decay fit of cohort activity
+    // by account age (events at age k days after each user's first
+    // event), ln a_k regressed on k over the calendar-bounded age
+    // frame — THE retention one-number ("activity halves every h
+    // days") behind ev_retention's fixed-day checkpoints. ln terms
+    // pinned to integer micro-units before the OLS sums (the
+    // stat_powerlaw altitude), so slope and half-life are bit-equal.
+    "ev_half_life" -> Q(
+      (s, d) => {
+        val dec = "decimal(38,0)"
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+        val first = ev.groupBy("user_id").agg(min("day").as("fday"))
+        val ages = ev.join(first, "user_id")
+          .select((col("day") - col("fday")).as("k"))
+          .filter(col("k") <= 30)
+          .groupBy("k").agg(count(lit(1)).as("a"))
+          .select(col("k"), round(log(col("a").cast("double")) * 1e6, 0)
+            .cast("long").as("y"))
+        ages.agg(count(lit(1)).as("m"),
+            sum(col("k").cast(dec)).as("sk"),
+            sum(col("y").cast(dec)).as("sy"),
+            sum((col("k") * col("k")).cast(dec)).as("skk"),
+            sum((col("k") * col("y")).cast(dec)).as("sky"))
+          .select(col("m").as("n_ages"),
+            round((col("m") * col("sky") - col("sk") * col("sy")).cast("double")
+              / (col("m") * col("skk") - col("sk") * col("sk")).cast("double")
+              / 1e6, 6).as("slope"))
+          .select(col("n_ages"), col("slope"),
+            when(col("slope") < 0,
+              round(lit(-0.6931471805599453) / col("slope"), 2))
+              .as("half_life_days"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, ts // 86400000000000 AS day FROM events),
+             |f AS (SELECT user_id, min(day) AS fday FROM ev GROUP BY user_id),
+             |ag AS (
+             |  SELECT ev.day - f.fday AS k, CAST(count(*) AS BIGINT) AS a
+             |  FROM ev JOIN f USING (user_id)
+             |  WHERE ev.day - f.fday <= 30 GROUP BY 1),
+             |y AS (SELECT k, CAST(round(ln(CAST(a AS DOUBLE)) * 1e6) AS BIGINT) AS y
+             |      FROM ag),
+             |o AS (SELECT CAST(count(*) AS BIGINT) AS m, sum(k) AS sk, sum(y) AS sy,
+             |             sum(k * k) AS skk, sum(k * y) AS sky
+             |      FROM y),
+             |sl AS (SELECT m AS n_ages,
+             |         round(CAST(m * sky - sk * sy AS DOUBLE)
+             |               / CAST(m * skk - sk * sk AS DOUBLE) / 1e6, 6) AS slope
+             |       FROM o)
+             |SELECT n_ages, slope,
+             |       CASE WHEN slope < 0
+             |            THEN round(-0.6931471805599453 / slope, 2) END AS half_life_days
+             |FROM sl""".stripMargin)),
+
+    // Feature-adoption curve: cumulative distinct users per event
+    // type by day (each user counts at their FIRST day with the
+    // type — users collapse in the per-(user,type) agg first, so the
+    // running sum sees |types|·|days| rows, never events). The
+    // product-growth curve next to ev_dau_wau's activity view.
+    "ev_adoption_curve" -> Q(
+      (s, d) => {
+        val firstDay = Tables.events(s, d)
+          .groupBy("user_id", "event_type")
+          .agg(min(expr("ts DIV 86400000000000")).as("day"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("new_users"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        firstDay
+          .withColumn("cum_users", sum("new_users").over(w))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, event_type,
+             |         min(ts // 86400000000000) AS day
+             |  FROM events GROUP BY 1, 2),
+             |nd AS (SELECT event_type, day,
+             |              CAST(count(*) AS BIGINT) AS new_users
+             |       FROM f GROUP BY 1, 2)
+             |SELECT event_type, day, new_users,
+             |       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |         AS cum_users
+             |FROM nd ORDER BY event_type, day""".stripMargin)),
+
+    // Dobrushin total-variation diameter of the event-type transition
+    // matrix at t = 1 and t = 2: δ(t) = max over row pairs of
+    // ½·Σ_j |P^t(i,j) − P^t(i',j)| — δ near 1 means the next state
+    // still remembers the current one, δ(t) → 0 is the mixing-speed
+    // certificate behind ev_stationary's fixed point. All on the
+    // bounded ≤|types|² cell table (7dp-pinned probabilities and
+    // squared matrix), dense-gridded so absent transitions are real
+    // zeros.
+    "ev_mixing_tv" -> Q(
+      (s, d) => {
+        val cells0 = transitionCells(s, d)
+          .filter(col("to_type").isNotNull && col("from_type").isNotNull)
+        val tot = cells0.groupBy("from_type").agg(sum("n").as("tot"))
+        // probabilities live in integer 1e-7 units end-to-end: the
+        // matrix square and every TV row-sum are then EXACT integer
+        // arithmetic — a double Σ p·p would round 7dp differently
+        // under DuckDB's arbitrary aggregation order
+        val p1 = cells0.join(broadcast(tot), "from_type")
+          .select(col("from_type").as("i"), col("to_type").as("j"),
+            round(col("n") / col("tot") * 1e7, 0).cast("long").as("pu"))
+          .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+          .toMap
+        val types = p1.keys.map(_._1).toSeq.distinct.sorted
+        val p2 = (for (i <- types; j <- types) yield {
+          val v = types.map(k => p1.getOrElse((i, k), 0L)
+            * p1.getOrElse((k, j), 0L)).sum
+          ((i, j), math.floor(v / 1e7 + 0.5).toLong)
+        }).toMap
+        def diam(m: Map[(String, String), Long]) = (for {
+          a <- types; b <- types if a < b
+        } yield types.map(j =>
+            math.abs(m.getOrElse((a, j), 0L) - m.getOrElse((b, j), 0L))).sum)
+          .max
+        def tv(u: Long) = BigDecimal(u / 2e7)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import s.implicits._
+        Seq((1L, tv(diam(p1))), (2L, tv(diam(p2))))
+          .toDF("t", "tv_diameter").orderBy("t")
+      },
+      Some("""WITH tr AS (
+             |  SELECT event_type AS i,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS j
+             |  FROM events),
+             |cnt AS (SELECT i, j, count(*) AS n FROM tr
+             |        WHERE i IS NOT NULL AND j IS NOT NULL GROUP BY i, j),
+             |tot AS (SELECT i, sum(n) AS tot FROM cnt GROUP BY i),
+             |types AS (SELECT DISTINCT i AS t FROM cnt),
+             |grid AS (SELECT a.t AS i, b.t AS j FROM types a, types b),
+             |p1 AS (SELECT g.i, g.j,
+             |              coalesce(CAST(round(cnt.n * 1.0 / tot.tot * 1e7)
+             |                AS BIGINT), 0) AS pu
+             |       FROM grid g
+             |       LEFT JOIN cnt ON cnt.i = g.i AND cnt.j = g.j
+             |       LEFT JOIN tot ON tot.i = g.i),
+             |p2 AS (SELECT a.i, b.j,
+             |              CAST(floor(sum(a.pu * b.pu) / 1e7 + 0.5) AS BIGINT) AS pu
+             |       FROM p1 a JOIN p1 b ON a.j = b.i GROUP BY a.i, b.j),
+             |d1 AS (SELECT sum(abs(a.pu - b.pu)) AS s
+             |       FROM p1 a JOIN p1 b ON a.j = b.j AND a.i < b.i
+             |       GROUP BY a.i, b.i),
+             |d2 AS (SELECT sum(abs(a.pu - b.pu)) AS s
+             |       FROM p2 a JOIN p2 b ON a.j = b.j AND a.i < b.i
+             |       GROUP BY a.i, b.i)
+             |SELECT CAST(1 AS BIGINT) AS t,
+             |       round(max(s) / 2e7, 6) AS tv_diameter FROM d1
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), round(max(s) / 2e7, 6) FROM d2
+             |ORDER BY t""".stripMargin)),
+
+    // New-vs-returning daily active users: each day's DAU split by
+    // whether it is the user's FIRST day — the growth-vs-retention
+    // decomposition every product dashboard leads with (users
+    // collapse in the per-(user, day) distinct first, so the daily
+    // rollup never sees raw events).
+    "ev_new_returning" -> Q(
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+          .distinct()
+          .localCheckpoint(eager = false) // first-day agg + daily rollup
+        val first = ud.groupBy("user_id").agg(min("day").as("fday"))
+        ud.join(first, "user_id")
+          .groupBy("day")
+          .agg(count(lit(1)).as("dau"),
+            sum(when(col("day") === col("fday"), 1L).otherwise(0L))
+              .as("new_users"))
+          .withColumn("returning", col("dau") - col("new_users"))
+          .withColumn("new_share",
+            round(col("new_users") / col("dau").cast("double"), 4))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id, ts // 86400000000000 AS day FROM events),
+             |f AS (SELECT user_id, min(day) AS fday FROM ud GROUP BY user_id)
+             |SELECT day, CAST(count(*) AS BIGINT) AS dau,
+             |       CAST(sum(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS new_users,
+             |       CAST(count(*) - sum(CASE WHEN day = fday THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS returning,
+             |       round(sum(CASE WHEN day = fday THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 4) AS new_share
+             |FROM ud JOIN f USING (user_id)
+             |GROUP BY day ORDER BY day""".stripMargin)),
+
+    // Frequency-capping simulation: if each user's events were capped
+    // at k per day (k = 3, 5, 10), what share of raw volume survives —
+    // the ads/notification-policy what-if, computed from the
+    // per-(user, day) count rollup (never a second scan of facts).
+    "ev_freq_cap" -> Q(
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .groupBy(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        ud.agg(sum(col("c")).as("n_events"),
+            sum(least(col("c"), lit(3L))).as("k3"),
+            sum(least(col("c"), lit(5L))).as("k5"),
+            sum(least(col("c"), lit(10L))).as("k10"))
+          .select(col("n_events"),
+            round(col("k3") / col("n_events").cast("double"), 4).as("keep_cap3"),
+            round(col("k5") / col("n_events").cast("double"), 4).as("keep_cap5"),
+            round(col("k10") / col("n_events").cast("double"), 4)
+              .as("keep_cap10"))
+      },
+      Some("""WITH ud AS (
+             |  SELECT user_id, ts // 86400000000000 AS day,
+             |         CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2)
+             |SELECT CAST(sum(c) AS BIGINT) AS n_events,
+             |       round(sum(least(c, 3)) / CAST(sum(c) AS DOUBLE), 4) AS keep_cap3,
+             |       round(sum(least(c, 5)) / CAST(sum(c) AS DOUBLE), 4) AS keep_cap5,
+             |       round(sum(least(c, 10)) / CAST(sum(c) AS DOUBLE), 4) AS keep_cap10
+             |FROM ud""".stripMargin)),
+
+    // Attribution-window sensitivity: last-touch click credit per
+    // campaign at 1h / 6h / 24h lookbacks from ONE 24h bucketed range
+    // join (the narrower windows are conditional struct-maxes over
+    // the same pairs — no second join, no second shuffle). If credit
+    // shares swing with the window, the attribution model — not the
+    // campaign — is driving the numbers.
+    "ev_attribution_windows" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts DIV 1000").as("ats"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ats").as("cts"),
+            col("event_id").as("cid"),
+            coalesce(pmod(col("k"), lit(10)), lit(-1L)).as("campaign"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"),
+            (col("ats") - lit(86400000000L)).as("st"),
+            (col("ats") - 1).as("en"), col("ats").as("pts"))
+        val pairs = graft.ops.Joins.rangeJoinBucketed(
+            clicks, purch, Seq("user_id"), "cts", "st", "en", 86400000000L)
+          .withColumn("delta", col("pts") - col("cts"))
+        def credit(windowUs: Long) =
+          max(when(col("delta") <= windowUs,
+            struct(col("cts"), col("cid"), col("campaign"))))
+        val byPid = pairs.groupBy("pid")
+          .agg(credit(3600000000L).as("w1"),
+            credit(21600000000L).as("w6"),
+            credit(86400000000L).as("w24"))
+        Seq((1L, "w1"), (6L, "w6"), (24L, "w24")).map { case (h, c) =>
+          byPid.filter(col(c).isNotNull)
+            .groupBy(col(c).getField("campaign").as("campaign"))
+            .agg(count(lit(1)).as("n_credits"))
+            .select(lit(h).as("window_h"), col("campaign"), col("n_credits"))
+        }.reduce(_ unionAll _).orderBy("window_h", "campaign")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type, ts // 1000 AS ats,
+             |         json_extract_string(props, '$.k')::BIGINT AS k
+             |  FROM events),
+             |c AS (SELECT user_id, ats AS cts, event_id AS cid,
+             |             coalesce(((k % 10) + 10) % 10, -1) AS campaign
+             |      FROM ev WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id AS pid, ats AS pts
+             |      FROM ev WHERE event_type = 'purchase'),
+             |pr AS (SELECT pid, cts, cid, campaign, pts - cts AS delta
+             |       FROM c JOIN p ON c.user_id = p.user_id
+             |        AND cts BETWEEN pts - 86400000000 AND pts - 1),
+             |w AS (SELECT CAST(unnest([1, 6, 24]) AS BIGINT) AS window_h),
+             |rk AS (
+             |  SELECT w.window_h, pr.pid, pr.campaign,
+             |         row_number() OVER (PARTITION BY w.window_h, pr.pid
+             |           ORDER BY pr.cts DESC, pr.cid DESC) AS rn
+             |  FROM pr CROSS JOIN w
+             |  WHERE pr.delta <= w.window_h * 3600000000)
+             |SELECT window_h, campaign, CAST(count(*) AS BIGINT) AS n_credits
+             |FROM rk WHERE rn = 1
+             |GROUP BY window_h, campaign
+             |ORDER BY window_h, campaign""".stripMargin)),
+
+    // Conversion rate by touch depth: users bucketed by click count
+    // (3-wide bands, 15+ capped — SF-invariant under constant per-user
+    // density), share who purchased — the "how many touches
+    // before conversion" curve behind every frequency-cap and
+    // retargeting-budget debate. One per-user rollup, exact integers.
+    "ev_touch_conversion" -> Q(
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("clicks"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("purchased"))
+        u.withColumn("touch_bucket", least(expr("clicks div 3"), lit(5L)))
+          .groupBy("touch_bucket")
+          .agg(count(lit(1)).as("n_users"),
+            sum("purchased").as("n_converted"))
+          .withColumn("conv_rate",
+            round(col("n_converted") / col("n_users").cast("double"), 4))
+          .orderBy("touch_bucket")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+             |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchased
+             |  FROM events GROUP BY user_id)
+             |SELECT least(clicks // 3, 5) AS touch_bucket,
+             |       CAST(count(*) AS BIGINT) AS n_users,
+             |       CAST(sum(purchased) AS BIGINT) AS n_converted,
+             |       round(sum(purchased) / CAST(count(*) AS DOUBLE), 4) AS conv_rate
+             |FROM u GROUP BY 1 ORDER BY touch_bucket""".stripMargin)),
+
+    // Session-level conversion: share of sessions (ev_sessionize's
+    // 30-min gap rule) containing a purchase, by session length (1/2/3/4+ events) —
+    // the SESSION-grain funnel complement to ev_touch_conversion's
+    // user grain (long sessions that still don't convert are the UX
+    // bug; one-event sessions that do are the returning-buyer signal).
+    // Two per-user windows + one rollup, exact integers.
+    "ev_session_conversion" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+                 col("ts") - col("prev") > lit(1800000000000L), 1)
+              .otherwise(0))
+          .withColumn("sid",
+            sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("n_ev"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("converted"))
+        sess.withColumn("len_band", least(col("n_ev"), lit(4L)))
+          .groupBy("len_band")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum("converted").as("n_converted"))
+          .withColumn("conv_rate",
+            round(col("n_converted") / col("n_sessions").cast("double"), 4))
+          .orderBy("len_band")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, event_type,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_ev,
+             |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS converted
+             |  FROM s GROUP BY user_id, sid)
+             |SELECT least(n_ev, 4) AS len_band,
+             |       CAST(count(*) AS BIGINT) AS n_sessions,
+             |       CAST(sum(converted) AS BIGINT) AS n_converted,
+             |       round(sum(converted) / CAST(count(*) AS DOUBLE), 4) AS conv_rate
+             |FROM sess GROUP BY 1 ORDER BY len_band""".stripMargin)),
+
+    // Daily ARPU: purchase revenue per distinct active user by day —
+    // the one line every revenue dashboard opens with, assembled from
+    // two independent rollups of one scan shape (DAU from the
+    // per-(user, day) distinct, revenue under the exact 4dp-DECIMAL
+    // moneySum discipline so the series is order-invariant).
+    "ev_arpu_dau" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val dau = ev.select(col("user_id"),
+            expr("ts DIV 86400000000000").as("day")).distinct()
+          .groupBy("day").agg(count(lit(1)).as("dau"))
+        val rev = ev.filter(col("event_type") === "purchase" &&
+            col("value").isNotNull && !isnan(col("value")))
+          .groupBy(expr("ts DIV 86400000000000").as("day"))
+          .agg(moneySum(col("value")).as("revenue"))
+        dau.join(rev, Seq("day"), "left")
+          .na.fill(0.0, Seq("revenue"))
+          .withColumn("arpu", round(col("revenue") / col("dau"), 4))
+          .orderBy("day")
+      },
+      Some("""WITH dau AS (
+             |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM (
+             |    SELECT DISTINCT user_id, ts // 86400000000000 AS day
+             |    FROM events)
+             |  GROUP BY day),
+             |rev AS (
+             |  SELECT ts // 86400000000000 AS day,
+             |         CAST(round(sum(CAST(round(value, 4) AS DECIMAL(20,4))), 2)
+             |              AS DOUBLE) AS revenue
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND value IS NOT NULL
+             |    AND NOT isnan(value)
+             |  GROUP BY 1)
+             |SELECT dau.day, dau.dau, coalesce(rev.revenue, 0.0) AS revenue,
+             |       round(coalesce(rev.revenue, 0.0) / dau.dau, 4) AS arpu
+             |FROM dau LEFT JOIN rev USING (day) ORDER BY day""".stripMargin)),
+
+    // Weekend effect: weekday-vs-weekend per-day activity and value
+    // with the Welch z on daily totals — the staffing/campaign-timing
+    // question asked of every usage series. Day-of-week from epoch-day
+    // arithmetic ((day + 4) % 7 ≥ 5 — day 0 is a Thursday), exact
+    // integer daily counts into the two-sample machinery.
+    "ev_weekend_effect" -> Q(
+      (s, d) => {
+        val dec = "decimal(38,0)"
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts DIV 86400000000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("wk", (pmod(col("day") + 4, lit(7)) >= 5).cast("int"))
+        daily.groupBy("wk")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast(dec)).as("s1"),
+            sum((col("x") * col("x")).cast(dec)).as("s2"))
+          .select(col("wk"), col("n"),
+            round(col("s1").cast("double") / col("n"), 4).as("mean_daily"),
+            ((col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+              / (col("n").cast("double") * (col("n") - 1))).as("v"))
+          .agg(
+            sum(when(col("wk") === 0, col("n"))).as("n_weekday"),
+            sum(when(col("wk") === 1, col("n"))).as("n_weekend"),
+            sum(when(col("wk") === 0, col("mean_daily"))).as("mean_weekday"),
+            sum(when(col("wk") === 1, col("mean_daily"))).as("mean_weekend"),
+            sum(when(col("wk") === 0, col("v"))).as("v0"),
+            sum(when(col("wk") === 1, col("v"))).as("v1"))
+          .select(col("n_weekday"), col("n_weekend"),
+            col("mean_weekday"), col("mean_weekend"),
+            round((col("mean_weekend") - col("mean_weekday"))
+              / col("mean_weekday"), 4).as("lift"),
+            when(col("n_weekday") > 1 && col("n_weekend") > 1 &&
+                 col("v0") / col("n_weekday") + col("v1") / col("n_weekend") > 0,
+              round((col("mean_weekend") - col("mean_weekday"))
+                / sqrt(col("v0") / col("n_weekday")
+                  + col("v1") / col("n_weekend")), 4)).as("welch_z"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT ts // 86400000000000 AS day,
+             |         CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |g AS (
+             |  SELECT CASE WHEN ((day + 4) % 7 + 7) % 7 >= 5 THEN 1 ELSE 0 END AS wk,
+             |         CAST(count(*) AS BIGINT) AS n, sum(x) AS s1, sum(x * x) AS s2
+             |  FROM daily GROUP BY 1),
+             |m AS (
+             |  SELECT wk, n,
+             |         round(CAST(s1 AS DOUBLE) / n, 4) AS mean_daily,
+             |         CAST(n * s2 - s1 * s1 AS DOUBLE)
+             |           / (CAST(n AS DOUBLE) * (n - 1)) AS v
+             |  FROM g),
+             |p AS (
+             |  SELECT sum(CASE WHEN wk = 0 THEN n END) AS n_weekday,
+             |         sum(CASE WHEN wk = 1 THEN n END) AS n_weekend,
+             |         sum(CASE WHEN wk = 0 THEN mean_daily END) AS mean_weekday,
+             |         sum(CASE WHEN wk = 1 THEN mean_daily END) AS mean_weekend,
+             |         sum(CASE WHEN wk = 0 THEN v END) AS v0,
+             |         sum(CASE WHEN wk = 1 THEN v END) AS v1
+             |  FROM m)
+             |SELECT CAST(n_weekday AS BIGINT) AS n_weekday,
+             |       CAST(n_weekend AS BIGINT) AS n_weekend,
+             |       mean_weekday, mean_weekend,
+             |       round((mean_weekend - mean_weekday) / mean_weekday, 4) AS lift,
+             |       CASE WHEN n_weekday > 1 AND n_weekend > 1
+             |                 AND v0 / n_weekday + v1 / n_weekend > 0
+             |            THEN round((mean_weekend - mean_weekday)
+             |                 / sqrt(v0 / n_weekday + v1 / n_weekend), 4) END
+             |         AS welch_z
+             |FROM p""".stripMargin))
+  )
+
+  val eventsRD: Seq[(String, Q)] = Seq(
+    // (dow × hour) calendar heatmap of event traffic: counts and
+    // purchase share per cell — the staffing/anomaly dashboard grid
+    // (ev_weekend_effect's test decides IF weekends differ; this is
+    // the WHERE). One hash aggregate on integer epoch arithmetic,
+    // ≤168 output rows at any scale. dow 0 = Sunday.
+    "ev_calendar_profile" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(
+          pmod(expr("ts DIV 86400000000000") + 4, lit(7)).as("dow"),
+          pmod(expr("ts DIV 3600000000000"), lit(24)).as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .select(col("dow"), col("hour"), col("n_events"), col("n_purchases"),
+          round(col("n_purchases").cast("double") / col("n_events"), 6)
+            .as("purchase_share"))
+        .orderBy("dow", "hour"),
+      Some("""SELECT (ts // 86400000000000 + 4) % 7 AS dow,
+             |       (ts // 3600000000000) % 24 AS hour,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_purchases,
+             |       round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / count(*), 6) AS purchase_share
+             |FROM events GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin)),
+
+    // behavioral diversity per activity quartile: per-user event-type
+    // Shannon entropy (exact H = ln k − Σ c·ln c / k off the
+    // (user, type) count table, the text_entropy identity), averaged
+    // inside activity-quartile bands (broadcast exact-percentile
+    // cutoffs, the ev_rfm idiom — distribution-relative, so the bands
+    // stay informative at any traffic shape) — "do heavy users do
+    // MORE KINDS of things or one thing more often", the
+    // engagement-quality split a bare event count hides.
+    "ev_user_entropy" -> Q(
+      (s, d) => {
+        val ut = Tables.events(s, d)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        val u = ut.groupBy("user_id")
+          .agg(sum("c").as("k"),
+            sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+          .select(col("user_id"), col("k"),
+            round(log(col("k").cast("double"))
+              - col("clnc") / col("k").cast("double"), 6).as("h"))
+          .localCheckpoint(eager = false) // cutoff pass + banding pass
+        val cuts = u.agg(
+          round(expr("percentile(k, 0.25D)"), 6).as("c1"),
+          round(expr("percentile(k, 0.5D)"), 6).as("c2"),
+          round(expr("percentile(k, 0.75D)"), 6).as("c3"))
+        u.crossJoin(broadcast(cuts))
+          .withColumn("band",
+            when(col("k") <= col("c1"), 1L).when(col("k") <= col("c2"), 2L)
+              .when(col("k") <= col("c3"), 3L).otherwise(4L))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_users"),
+            round(avg("h"), 4).as("avg_entropy"),
+            round(avg(col("k").cast("double")), 4).as("avg_events"))
+          .orderBy("band")
+      },
+      Some("""WITH ut AS (
+             |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS k,
+             |             round(ln(CAST(sum(c) AS DOUBLE))
+             |               - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+             |                 / sum(c), 6) AS h
+             |      FROM ut GROUP BY user_id),
+             |cuts AS (SELECT round(quantile_cont(k, 0.25), 6) AS c1,
+             |                round(quantile_cont(k, 0.5), 6) AS c2,
+             |                round(quantile_cont(k, 0.75), 6) AS c3
+             |         FROM u),
+             |b AS (SELECT u.*, CASE WHEN k <= c1 THEN 1 WHEN k <= c2 THEN 2
+             |                       WHEN k <= c3 THEN 3 ELSE 4 END AS band
+             |      FROM u, cuts)
+             |SELECT CAST(band AS BIGINT) AS band,
+             |       CAST(count(*) AS BIGINT) AS n_users,
+             |       round(avg(h), 4) AS avg_entropy,
+             |       round(avg(CAST(k AS DOUBLE)), 4) AS avg_events
+             |FROM b GROUP BY band ORDER BY band""".stripMargin)),
+
+    // first-touch attribution: every purchase credited to the
+    // campaign of the user's EARLIEST click at or before it — the
+    // acquisition-credit mirror of ev_attribution's last-touch
+    // (conversion credit); marketers diff the two tables to see
+    // where journeys start vs where they close. Same O(1)-per-row
+    // running window (first(...ignoreNulls) over the incremental
+    // frame), same tiny groupBy.
+    "ev_first_touch" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+                  col("value"),
+                  get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .withColumn("fck",
+            first(when(col("event_type") === "click", col("k")), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "purchase")
+          .select(coalesce(pmod(col("fck"), lit(10)), lit(-1L)).as("campaign"),
+                  col("value"))
+          .groupBy("campaign")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("revenue"))
+          .orderBy("campaign")
+      },
+      Some("""WITH a AS (
+             |  SELECT event_type, value,
+             |         first_value(CASE WHEN event_type = 'click'
+             |                    THEN json_extract_string(props, '$.k')::BIGINT END
+             |                    IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fck
+             |  FROM events)
+             |SELECT coalesce(((fck % 10) + 10) % 10, -1) AS campaign,
+             |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS revenue
+             |FROM a WHERE event_type = 'purchase'
+             |GROUP BY campaign ORDER BY campaign""".stripMargin))
+  )
+
+  val eventsR: Seq[(String, Q)] = eventsRA ++ eventsRB ++ eventsRC ++ eventsRD
 }

@@ -574,4 +574,146 @@ private[graft] object QExperiments {
               |SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
               |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
               |FROM points GROUP BY user_id ORDER BY user_id""".stripMargin)))
+
+  // regrouped from the round-named inventory files in round 15
+  // (pure move — same query names, same bodies)
+  val vectorStoreR: Seq[(String, Q)] = Seq(
+    // payload-filtered search (the reference's Qdrant Filter on
+    // payload fields): predicate pushed below scoring so only matching
+    // points are scored — PRE-filtering, the semantics qdrant's
+    // filtered search has (and the correctness baseline
+    // ann_filtered_recall audits the post-filter shortcut against).
+    // Here: user 2's collection narrowed to Title prefix 't1'.
+    "vs_search_payload" -> Q(
+      (s, d) => VectorStore.searchWhere(
+        VectorStore.pointsPartitioned(s, d), userId = 2,
+        qdf = VectorStore.queryVecOf(s, d, 42), limit = 5,
+        predicate = col("title").startsWith("t1")),
+      Some(s"""$pointsSql,
+              |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
+              |SELECT vector_id, doc_id, chunk_id, title,
+              |       round(list_cosine_similarity(p.embedding::DOUBLE[], q.qv), 6) + 0.0 AS score
+              |FROM points p, q
+              |WHERE p.user_id = 2 AND title LIKE 't1%'
+              |ORDER BY score DESC, vector_id LIMIT 5""".stripMargin)),
+
+    // search_query(with_vectors = True) — the reference flag that
+    // returns stored vectors with the scored results (re-rank /
+    // recommend chaining without a second scroll). The API returns
+    // the untouched stored float array (VectorStoreSpec pins it
+    // bit-equal to the stored embedding); the ORACLE-compared output
+    // projects it as vecQ6 integer micro-codes because the verify
+    // harness cannot hash/sort a raw array column (r12's one red row:
+    // pandas factorize rejects ndarrays).
+    "vs_search_vectors" -> Q(
+      (s, d) => VectorStore.searchWithVectors(
+          VectorStore.pointsPartitioned(s, d), userId = 2,
+          qdf = VectorStore.queryVecOf(s, d, 42), limit = 5)
+        .withColumn("vec_q6", graft.functions.VectorFunctions.vecQ6(col("embedding")))
+        .drop("embedding"),
+      Some(s"""$pointsSql,
+              |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
+              |SELECT vector_id, doc_id, chunk_id, title,
+              |       round(list_cosine_similarity(p.embedding::DOUBLE[], q.qv), 6) + 0.0 AS score,
+              |       ${VectorStore.vecQ6Sql("p.embedding")} AS vec_q6
+              |FROM points p, q WHERE p.user_id = 2
+              |ORDER BY score DESC, vector_id LIMIT 5""".stripMargin)),
+
+    // scroll(with_vectors = True) — the reference flag on every
+    // scroll_* method (document_ingestor.py:414/:429): page the
+    // collection out WITH stored vectors (re-embedding / export).
+    // Same vecQ6 oracle convention as vs_search_vectors; the raw
+    // array API is spec-pinned in VectorStoreSpec.
+    "vs_scroll_vectors" -> Q(
+      (s, d) => VectorStore.scrollWithVectors(
+          VectorStore.pointsPartitioned(s, d), userId = 3, limit = 12)
+        .withColumn("vec_q6", graft.functions.VectorFunctions.vecQ6(col("embedding")))
+        .drop("embedding"),
+      Some(s"""$pointsSql
+              |SELECT vector_id, doc_id, chunk_id, title,
+              |       ${VectorStore.vecQ6Sql("embedding")} AS vec_q6
+              |FROM points WHERE user_id = 3
+              |ORDER BY vector_id LIMIT 12""".stripMargin)),
+
+    // Payload-filtered scroll (the reference's scroll with a Qdrant
+    // Filter): the title predicate prunes inside the partition-pruned
+    // user scan, vector_id paging order preserved — completing the
+    // payload-filter surface vs_search_payload opened on the search
+    // side.
+    "vs_scroll_payload" -> Q(
+      (s, d) => {
+        val coll = VectorStore.pointsPartitioned(s, d)
+        coll.filter(col("user_id") === 3 && col("title").startsWith("t1"))
+          .select(col("vector_id"), col("doc_id"), col("chunk_id"), col("title"))
+          .orderBy("vector_id").limit(10)
+      },
+      Some(s"""$pointsSql
+              |SELECT vector_id, doc_id, chunk_id, title FROM points
+              |WHERE user_id = 3 AND title LIKE 't1%'
+              |ORDER BY vector_id LIMIT 10""".stripMargin)),
+
+    // point retrieve by id list (the vector-DB `retrieve` API — the
+    // get-by-key read beside scroll/search): partition-pruned scan +
+    // id IN-filter, stored vectors along (vecQ6 oracle convention;
+    // raw array pinned in VectorStoreSpec). 444 % 8 = 4 keeps every
+    // id inside user 4's tenancy.
+    "vs_retrieve_ids" -> Q(
+      (s, d) => VectorStore.retrieve(
+          VectorStore.pointsPartitioned(s, d), 4, Seq(4L, 12L, 20L, 444L))
+        .withColumn("vec_q6", graft.functions.VectorFunctions.vecQ6(col("embedding")))
+        .drop("embedding"),
+      Some(s"""$pointsSql
+              |SELECT vector_id, doc_id, chunk_id, title,
+              |       ${VectorStore.vecQ6Sql("embedding")} AS vec_q6
+              |FROM points WHERE user_id = 4 AND vector_id IN (4, 12, 20, 444)
+              |ORDER BY vector_id""".stripMargin)),
+
+    // batched search (the vector-DB `search_batch` API): 3 query
+    // vectors against one user's collection in ONE job — one
+    // partition-pruned scan, map-side scoring against the broadcast
+    // batch, per-query top-k from the bounded TopK aggregate (k
+    // rows/partition/query shuffled — never |queries| separate jobs
+    // and never a global sort).
+    "vs_search_batch" -> Q(
+      (s, d) => VectorStore.searchBatch(
+        VectorStore.pointsPartitioned(s, d), 2,
+        Tables.embeddings(s, d).filter(col("vec_id").isin(5L, 21L, 42L))
+          .select(col("vec_id").as("qid"), col("embedding").as("q")), 5),
+      Some(s"""$pointsSql,
+              |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+              |       FROM embeddings WHERE vec_id IN (5, 21, 42)),
+              |sc AS (SELECT qs.qid, p.vector_id,
+              |              ${sqlScore("p.embedding", "qs.qv")} AS score
+              |       FROM points p, qs WHERE p.user_id = 2),
+              |rk AS (SELECT *, row_number() OVER (
+              |         PARTITION BY qid ORDER BY score DESC, vector_id) AS rnk
+              |       FROM sc)
+              |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vector_id, score
+              |FROM rk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
+    // facet counts over a payload field (the vector-DB `facet` API):
+    // distinct titles in the user's collection with point counts —
+    // ONE partition-pruned hash aggregate, ties broken by value.
+    "vs_facet_counts" -> Q(
+      (s, d) => VectorStore.facetCounts(
+        VectorStore.pointsPartitioned(s, d), 3, "title", 10),
+      Some(s"""$pointsSql
+              |SELECT title, CAST(count(*) AS BIGINT) AS n_points
+              |FROM points WHERE user_id = 3
+              |GROUP BY title ORDER BY n_points DESC, title LIMIT 10""".stripMargin)),
+
+    // exact point count with a payload filter (the vector-DB `count`
+    // API): matching points per collection for a title predicate —
+    // one pruned scan with the predicate pushed below any other work,
+    // |users| output rows.
+    "vs_count_filtered" -> Q(
+      (s, d) => VectorStore.pointsPartitioned(s, d)
+        .filter(col("title").startsWith("t1"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_points"))
+        .orderBy("user_id"),
+      Some(s"""$pointsSql
+              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_points
+              |FROM points WHERE title LIKE 't1%'
+              |GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
 }

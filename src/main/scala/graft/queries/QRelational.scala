@@ -1144,4 +1144,171 @@ private[graft] object QRelational {
              |               AND CURRENT ROW) AS BIGINT) AS backlog
              |FROM om FULL OUTER JOIN fm USING (m)
              |ORDER BY m""".stripMargin)))
+
+  // regrouped from the round-named inventory files in round 15
+  // (pure move — same query names, same bodies)
+  val relationalR: Seq[(String, Q)] = Seq(
+    // new-vs-returning revenue decomposition per month: each order
+    // credited to 'new' iff its month is the customer's first — the
+    // growth-accounting split for ORDERS (ev_growth_accounting covers
+    // events). Per-customer first month is one hash aggregate joined
+    // back on the scaling key; exact DECIMAL money sums.
+    "q_new_vs_returning" -> Q(
+      (s, d) => {
+        val dec = "decimal(38,0)"
+        val o = Tables.orders(s, d).select(col("o_custkey"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("m"),
+            // integer cents: money sums must be order-invariant
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .localCheckpoint(eager = false) // first-month pass + credit pass
+        val first = o.groupBy("o_custkey").agg(min("m").as("m0"))
+        o.join(first, "o_custkey")
+          .groupBy("m")
+          .agg(
+            sum(when(col("m") === col("m0"), col("cents"))
+              .otherwise(0L).cast(dec)).as("nc"),
+            sum(when(col("m") =!= col("m0"), col("cents"))
+              .otherwise(0L).cast(dec)).as("rc"),
+            countDistinct(when(col("m") === col("m0"), col("o_custkey")))
+              .as("new_cust"),
+            countDistinct(when(col("m") =!= col("m0"), col("o_custkey")))
+              .as("ret_cust"))
+          .select(col("m"),
+            round(col("nc").cast("double") / 100, 2).as("new_rev"),
+            round(col("rc").cast("double") / 100, 2).as("ret_rev"),
+            col("new_cust"), col("ret_cust"),
+            round(col("nc").cast("double")
+              / (col("nc") + col("rc")).cast("double"), 4).as("new_share"))
+          .orderBy("m")
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+             |                  year(o_orderdate) * 12 + month(o_orderdate) AS m,
+             |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |           FROM orders),
+             |f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey)
+             |SELECT m,
+             |       round(CAST(sum(CASE WHEN m = m0 THEN cents ELSE 0 END) AS DOUBLE) / 100, 2) AS new_rev,
+             |       round(CAST(sum(CASE WHEN m <> m0 THEN cents ELSE 0 END) AS DOUBLE) / 100, 2) AS ret_rev,
+             |       CAST(count(DISTINCT CASE WHEN m = m0 THEN o_custkey END) AS BIGINT) AS new_cust,
+             |       CAST(count(DISTINCT CASE WHEN m <> m0 THEN o_custkey END) AS BIGINT) AS ret_cust,
+             |       round(CAST(sum(CASE WHEN m = m0 THEN cents ELSE 0 END) AS DOUBLE)
+             |             / CAST(sum(cents) AS DOUBLE), 4) AS new_share
+             |FROM o JOIN f USING (o_custkey)
+             |GROUP BY m ORDER BY m""".stripMargin)),
+
+    // order-to-ship lag SLA per month: mean and EXACT p95 of
+    // (l_shipdate − o_orderdate) days — the fulfillment dashboard's
+    // core line. The p95 is an order statistic walked over the
+    // (month, lag) HISTOGRAM (lag is day-bounded — values, never
+    // rows, the stat_mwu discipline), so the window input stays
+    // ≤|lag domain| rows per month at any fact scale.
+    "q_ship_lag" -> Q(
+      (s, d) => {
+        val j = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("m"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag"))
+        val h = j.groupBy("m", "lag").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false) // totals + cumsum walk
+        val t = h.groupBy("m")
+          .agg(sum("cnt").as("n"), sum(col("lag") * col("cnt")).as("sl"))
+        val wc = Window.partitionBy("m").orderBy("lag")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("cum", sum("cnt").over(wc))
+          .join(broadcast(t), "m")
+          .filter(col("cum") >= ceil(col("n") * 0.95).cast("long"))
+          .groupBy("m")
+          .agg(max("n").as("n"),
+            round(max(col("sl").cast("double") / col("n")), 4).as("avg_lag_days"),
+            min("lag").as("p95_lag_days"))
+          .orderBy("m")
+      },
+      Some("""WITH j AS (
+             |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+             |         date_diff('day', CAST(o_orderdate AS DATE),
+             |                   CAST(l_shipdate AS DATE)) AS lag
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |h AS (SELECT m, lag, CAST(count(*) AS BIGINT) AS cnt
+             |      FROM j GROUP BY 1, 2),
+             |t AS (SELECT m, CAST(sum(cnt) AS BIGINT) AS n,
+             |             CAST(sum(lag * cnt) AS BIGINT) AS sl
+             |      FROM h GROUP BY m),
+             |c AS (SELECT h.*, sum(cnt) OVER (PARTITION BY m ORDER BY lag
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM h)
+             |SELECT m, max(n) AS n,
+             |       round(max(CAST(sl AS DOUBLE) / n), 4) AS avg_lag_days,
+             |       CAST(min(lag) AS BIGINT) AS p95_lag_days
+             |FROM c JOIN t USING (m)
+             |WHERE cum >= ceil(n * 0.95)
+             |GROUP BY m ORDER BY m""".stripMargin)),
+
+    // basket-size distribution: lines-per-order histogram with order
+    // share — the ops-planning shape behind picking batch sizes and
+    // the q_basket_pairs quadratic bound (pair work grows with the
+    // square of THIS tail). Two hash aggregates; output bounded by
+    // max basket size.
+    "q_basket_size_dist" -> Q(
+      (s, d) => {
+        val sizes = Tables.lineitem(s, d)
+          .groupBy("l_orderkey").agg(count(lit(1)).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_orders"))
+          .localCheckpoint(eager = false) // share denominator + rows
+        val tot = sizes.agg(sum("n_orders").as("t"))
+        sizes.crossJoin(broadcast(tot))
+          .select(col("k").as("lines_per_order"), col("n_orders"),
+            round(col("n_orders").cast("double") / col("t"), 6).as("share"))
+          .orderBy("lines_per_order")
+      },
+      Some("""WITH s AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+             |           FROM lineitem GROUP BY l_orderkey),
+             |h AS (SELECT k, CAST(count(*) AS BIGINT) AS n_orders FROM s GROUP BY k),
+             |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS t FROM h)
+             |SELECT k AS lines_per_order, n_orders,
+             |       round(CAST(n_orders AS DOUBLE) / t, 6) AS share
+             |FROM h, t ORDER BY lines_per_order""".stripMargin)),
+
+    // join-key skew profiler: frequency-distribution stats of the
+    // fact table's join keys (max/median/p99 key multiplicity, top-1
+    // key share) — the numbers that decide salting vs AQE skew-join
+    // BEFORE a 100-TB shuffle hits one reducer. The percentile walks
+    // the key-frequency table (|distinct keys| rows, never facts);
+    // one pass per audited key.
+    "q_skew_profile" -> Q(
+      (s, d) => {
+        def profile(keyCol: String): org.apache.spark.sql.DataFrame = {
+          val freq = Tables.lineitem(s, d)
+            .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+          freq.agg(count(lit(1)).as("n_keys"),
+              sum("c").as("n_rows"), max("c").as("max_cnt"),
+              round(expr("percentile(c, 0.5D)"), 4).as("p50_cnt"),
+              round(expr("percentile(c, 0.99D)"), 4).as("p99_cnt"))
+            .select(lit(keyCol).as("join_key"), col("n_keys"), col("n_rows"),
+              col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+              round(col("max_cnt").cast("double") / col("n_rows"), 6)
+                .as("top1_share"),
+              round(col("max_cnt") / col("p50_cnt"), 4).as("skew_ratio"))
+        }
+        profile("l_orderkey").union(profile("l_partkey"))
+          .union(profile("l_suppkey")).orderBy("join_key")
+      },
+      Some {
+        def p(k: String) =
+          s"""SELECT '$k' AS join_key, CAST(count(*) AS BIGINT) AS n_keys,
+             |       CAST(sum(c) AS BIGINT) AS n_rows,
+             |       CAST(max(c) AS BIGINT) AS max_cnt,
+             |       round(quantile_cont(c, 0.5), 4) AS p50_cnt,
+             |       round(quantile_cont(c, 0.99), 4) AS p99_cnt,
+             |       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top1_share,
+             |       round(max(c) / round(quantile_cont(c, 0.5), 4), 4) AS skew_ratio
+             |FROM (SELECT $k, CAST(count(*) AS BIGINT) AS c
+             |      FROM lineitem GROUP BY $k)""".stripMargin
+        Seq("l_orderkey", "l_partkey", "l_suppkey").map(p)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY join_key")
+      })
+  )
 }
