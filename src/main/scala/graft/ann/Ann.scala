@@ -224,6 +224,27 @@ object Ann {
     */
   private[graft] val defaultKernelBlockRows: Int = 1 << 13
 
+  /** Dim-aware packing bounds for the blocked kernel: one tile row
+    * materializes tile×dim doubles in a single shuffle row / task,
+    * one block row blockRows×dim. The defaults are sized for ~64-d
+    * embeddings; at 1024-d they would make half-GB rows, so cap a
+    * tile row at ~32 MB and a block row at ~16 MB regardless of what
+    * the caller (or the env default) asks for. At the reference's
+    * 1024-d this engages as (tileEff=4096, blockRowsEff=2048) —
+    * measured by ScaleRound15Ops (scan count stays ≡1, wall-clock
+    * linear in total scores; see SURVEY §6).
+    */
+  private[graft] def kernelPackingCaps(dim: Int, tile: Int,
+      blockRows: Int): (Int, Int) = {
+    val tileEff =
+      if (dim <= 0) tile
+      else math.max(1, math.min(tile, (32 << 20) / (dim * 8)))
+    val blockRowsEff =
+      if (dim <= 0) blockRows
+      else math.max(1, math.min(blockRows, (16 << 20) / (dim * 8)))
+    (tileEff, blockRowsEff)
+  }
+
   /** [[bruteForceTopK]] through the 2D BLOCK-MATRIX kernel — exact
     * cosine top-k whose corpus scan count is independent of the
     * query-batch size (the huge-batch × huge-corpus path). Output and
@@ -274,7 +295,8 @@ object Ann {
   private[graft] def blockedTop(emb: DataFrame, queries: DataFrame, k: Int,
       scoreFn: (Array[Double], Array[Double]) => Double,
       tile: Int = defaultKernelTile,
-      blockRows: Int = defaultKernelBlockRows): DataFrame = {
+      blockRows: Int = defaultKernelBlockRows,
+      nSlotsOverride: Option[Int] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val qDs = queries.filter(col("qv").isNotNull)
@@ -282,21 +304,20 @@ object Ann {
               col("qv").cast("array<double>").as("_2"))
       .as[(Long, Array[Double])]
     val nq = qDs.count()
-    // Dim-aware packing bounds: one tile row materializes tile×dim
-    // doubles in a single shuffle row / task, one block row
-    // blockRows×dim. The defaults are sized for ~64-d embeddings; at
-    // 1024-d they would make half-GB rows, so cap a tile row at
-    // ~32 MB and a block row at ~16 MB regardless of what the caller
-    // (or the env default) asks for. One head(1) probe reads the dim.
+    // Dim-aware packing bounds (see [[kernelPackingCaps]]). One
+    // head(1) probe reads the dim.
     val dim = qDs.head(1).headOption.map(_._2.length).getOrElse(0)
-    val tileEff =
-      if (dim <= 0) tile
-      else math.max(1, math.min(tile, (32 << 20) / (dim * 8)))
-    val blockRowsEff =
-      if (dim <= 0) blockRows
-      else math.max(1, math.min(blockRows, (16 << 20) / (dim * 8)))
+    val (tileEff, blockRowsEff) = kernelPackingCaps(dim, tile, blockRows)
     val nTiles = math.max(1L, (nq + tileEff - 1) / tileEff)
-    val nSlots = math.max(1, spark.sparkContext.defaultParallelism).toLong
+    // nSlots sets the grid's second axis — the SUMMA replication
+    // volume is corpus×nTiles + queries×nSlots, so more slots buy
+    // kernel parallelism with query-side (small side) replication.
+    // Default: one slot per core. Overridable for the nSlots
+    // sensitivity probe (ScaleRound15Ops) and for clusters where the
+    // query batch is so wide that queries×nSlots dominates (the §7
+    // p^1/2-grid note).
+    val nSlots = nSlotsOverride
+      .getOrElse(math.max(1, spark.sparkContext.defaultParallelism)).toLong
     // One kernel task per block×tile cell, FORCED by an explicit-N
     // hash repartition of both join inputs on the cell key. Without
     // it the kernel strands on a handful of tasks: the tile table

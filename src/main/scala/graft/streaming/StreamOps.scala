@@ -725,15 +725,30 @@ object StreamOps {
     * a static collection and emit top-k per query per micro-batch —
     * the online-serving face of the engine (the reference's
     * search_query endpoint, as a continuous pipeline).
+    *
+    * Each micro-batch routes through the dense-kernel dispatch
+    * ([[graft.ann.Ann.denseKernelTopK]]): a batch that fits one query
+    * tile (≤`tile` queries) broadcasts once and scans the collection
+    * once; a batch ABOVE the tile bound goes through the 2D
+    * block-matrix kernel ([[graft.ann.Ann.blockedTop]]) so a backfill
+    * or replay surge still pays ONE collection scan instead of one
+    * per query tile. Output is row-equal to the batch
+    * `Ann.bruteForceTopK` on the same (collection, batch) — same
+    * 6dp rounding, same (score desc, id asc) tie-break, same
+    * self-exclusion — spec-pinned at a forced multi-tile size
+    * (StreamingSpec "streaming search routes oversized micro-batches
+    * through the blocked kernel").
     */
-  def startStreamingSearch(queries: DataFrame, collection: DataFrame, k: Int)
+  def startStreamingSearch(queries: DataFrame, collection: DataFrame, k: Int,
+                           tile: Int = graft.ann.Ann.defaultKernelTile)
                           (onBatch: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          onBatch(graft.ann.Ann.bruteForceTopK(collection, batch, k))
+          onBatch(graft.ann.Ann.denseKernelTopK(collection, batch, k,
+            graft.ann.Ann.cosineRounded6Kernel, tile))
       }
       .start()
 

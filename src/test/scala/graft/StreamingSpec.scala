@@ -100,6 +100,40 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming search routes oversized micro-batches through the blocked kernel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val coll = Tables.embeddings(s, sfDir)
+    val qids = (0L until 11L).map(_ * 3 + 1)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double)]()
+    val input = MemoryStream[Long]
+    val queries = input.toDF().join(coll, col("value") === col("vec_id"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // tile=4 with an 11-query micro-batch: 3 tiles — above the tile
+    // bound, so the foreachBatch dispatch must take the blockedTop
+    // path (the head(tile+1) probe overflows), not the per-tile
+    // broadcast loop. Equality vs the batch bruteForceTopK pins that
+    // the serve path's kernel swap is invisible to the caller.
+    val query = StreamOps.startStreamingSearch(queries, coll, 3, tile = 4) { res =>
+      res.collect().foreach(r =>
+        buf.add((r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rnk"), r.getAs[Double]("score"))))
+    }
+    try {
+      input.addData(qids: _*)
+      query.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = buf.asScala.toSet
+      val q = coll.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val want = graft.ann.Ann.bruteForceTopK(coll, q, 3).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rnk"), r.getAs[Double]("score"))).toSet
+      assert(got == want && got.size == qids.size * 3)
+    } finally query.stop()
+  }
+
   test("streaming search: query stream scored against static collection") {
     val s = spark
     import s.implicits._
