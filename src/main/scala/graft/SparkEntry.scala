@@ -173,5 +173,10 @@ object SparkEntry {
     // vs BENCH_r13-era artifacts are valid on the first 70 names;
     // these 3 are new): the multi-query store fan-out, the join-key
     // skew profiler, and the exact-p95 ship-lag SLA
-    "vs_search_batch", "q_skew_profile", "q_ship_lag")
+    "vs_search_batch", "q_skew_profile", "q_ship_lag",
+    // round-15 flagship (landed r14, post-floor): the 2D block-matrix
+    // kernel's direct oracle query — the newest scale-critical
+    // operator joins the regression floor (shared-subtotal compares
+    // vs r14 artifacts stay valid on the first 73 names)
+    "ann_blocked_topk")
 }

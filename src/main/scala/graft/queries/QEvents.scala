@@ -1367,34 +1367,61 @@ private[graft] object QEvents {
     // are bursty (gap CV ≈ 1, Poisson-like — measured 0.78–1.12 on
     // this corpus), schedulers are metronomes. One user-partitioned
     // lag pass (hash-partitioned, never global) then a grouped
-    // moment aggregate; the CV is rounded to 6 BEFORE the threshold
-    // compare so a boundary user cannot flip on one engine's float
-    // summation order only.
+    // moment aggregate over EXACT INTEGER nano-gaps (Σg, Σg² as
+    // DECIMAL/HUGEINT): float appears only in the final
+    // sqrt/divide, which both engines compute from the same exact
+    // integers — the sf1 flush caught the float-aggregate form
+    // landing a 4dp display round on a .5 boundary (0.81095). The
+    // display rounds ride the exact-integer half-up idiom
+    // (mean_gap_s) and the ⌊x·10⁴+0.5⌋ fixed-point idiom (cv, which
+    // has an irrational sqrt numerator), never Spark/DuckDB round()
+    // of an aggregate-noisy quotient.
     "ev_bot_flags" -> Q(
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val dec = "decimal(38,0)"
         Tables.events(s, d)
-          .withColumn("gap",
-            (col("ts") - lag(col("ts"), 1).over(w)) / lit(1e9))
+          .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"),
-               avg("gap").as("m"), stddev_samp(col("gap")).as("sd"))
-          .withColumn("cv", round(col("sd") / col("m"), 6))
-          .filter(col("n_events") >= 50 && col("cv") < 0.85)
+               count(col("gap")).as("ng"),
+               sum(col("gap").cast(dec)).as("sg"),
+               sum((col("gap").cast(dec) * col("gap").cast(dec))).as("sq"))
+          .filter(col("n_events") >= 50)
+          .withColumn("m_ns", col("sg").cast("double") / col("ng"))
+          .withColumn("sd_ns", sqrt(
+            (col("ng") * col("sq") - col("sg") * col("sg")).cast("double")
+              / (col("ng") * (col("ng") - 1)).cast("double")))
+          .withColumn("cv",
+            floor(col("sd_ns") / col("m_ns") * 10000 + 0.5) / 10000.0)
+          .filter(col("cv") < 0.85)
           .select(col("user_id"), col("n_events"),
-                  round(col("m"), 3).as("mean_gap_s"), round(col("cv"), 4).as("cv"))
+            (expr("CAST((sg * 2 + ng * 1000000) DIV (ng * 2000000) AS DOUBLE)")
+              / 1000.0).as("mean_gap_s"),
+            col("cv"))
           .orderBy("user_id")
       },
       Some("""WITH g AS (
              |  SELECT user_id,
-             |         (epoch_ns(ts) - lag(epoch_ns(ts)) OVER
-             |            (PARTITION BY user_id ORDER BY ts, event_id)) / 1e9 AS gap
+             |         epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+             |            (PARTITION BY user_id ORDER BY ts, event_id) AS gap
              |  FROM events),
              |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-             |             avg(gap) AS m, round(stddev_samp(gap) / avg(gap), 6) AS cv
-             |      FROM g GROUP BY user_id)
-             |SELECT user_id, n_events, round(m, 3) AS mean_gap_s, round(cv, 4) AS cv
-             |FROM s WHERE n_events >= 50 AND cv < 0.85
+             |             count(gap) AS ng,
+             |             sum(CAST(gap AS HUGEINT)) AS sg,
+             |             sum(CAST(gap AS HUGEINT) * gap) AS sq
+             |      FROM g GROUP BY user_id),
+             |c AS (SELECT user_id, n_events, ng, sg,
+             |             floor(sqrt(CAST(ng * sq - sg * sg AS DOUBLE)
+             |                        / CAST(ng * (ng - 1) AS DOUBLE))
+             |                   / (CAST(sg AS DOUBLE) / ng) * 10000 + 0.5)
+             |               / 10000.0 AS cv
+             |      FROM s WHERE n_events >= 50)
+             |SELECT user_id, n_events,
+             |       CAST((sg * 2 + ng * 1000000) // (ng * 2000000) AS DOUBLE)
+             |         / 1000.0 AS mean_gap_s,
+             |       cv
+             |FROM c WHERE cv < 0.85
              |ORDER BY user_id""".stripMargin)),
 
     // Kaplan–Meier survival of time-to-first-purchase after signup,

@@ -157,12 +157,18 @@ private[graft] object QMultimodal {
           .groupBy("doc_id", "n_frames")
           .agg(sum("kf").as("n_keyframes"),
                max(when(col("kf") === 1, col("f"))).as("last_keyframe"))
+          // both ratios are integer/integer — round via the exact
+          // half-up idiom ⌊(2·p·scale + q)/(2q)⌋/scale instead of
+          // round(float quotient): the sf1 flush caught 179/40 =
+          // 4.475 landing EXACTLY on a 2dp .5 boundary, where
+          // Spark's shortest-string round and DuckDB's binary-value
+          // round disagree
           .select(col("doc_id"), col("n_frames"), col("n_keyframes"),
             col("last_keyframe"),
-            round(col("n_keyframes") / col("n_frames").cast("double"), 4)
-              .as("keep_ratio"),
-            round(col("n_frames") / col("n_keyframes").cast("double"), 2)
-              .as("mean_shot_len"))
+            (expr("CAST((n_keyframes * 20000 + n_frames) " +
+              "DIV (n_frames * 2) AS DOUBLE)") / 10000.0).as("keep_ratio"),
+            (expr("CAST((n_frames * 200 + n_keyframes) " +
+              "DIV (n_keyframes * 2) AS DOUBLE)") / 100.0).as("mean_shot_len"))
           .orderBy("doc_id")
       },
       Some("""WITH fr AS (
@@ -182,8 +188,10 @@ private[graft] object QMultimodal {
              |       FROM lg)
              |SELECT doc_id, n_frames, CAST(sum(kf) AS BIGINT) AS n_keyframes,
              |       CAST(max(CASE WHEN kf = 1 THEN f END) AS BIGINT) AS last_keyframe,
-             |       round(sum(kf) / CAST(n_frames AS DOUBLE), 4) AS keep_ratio,
-             |       round(n_frames / CAST(sum(kf) AS DOUBLE), 2) AS mean_shot_len
+             |       CAST((sum(kf) * 20000 + n_frames) // (n_frames * 2) AS DOUBLE)
+             |         / 10000.0 AS keep_ratio,
+             |       CAST((n_frames * 200 + sum(kf)) // (sum(kf) * 2) AS DOUBLE)
+             |         / 100.0 AS mean_shot_len
              |FROM kf GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin)),
 
     // multimodal data card: per modality (the engine's doc_id mod 3

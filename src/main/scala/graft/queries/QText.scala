@@ -3238,7 +3238,12 @@ private[graft] object QText {
       // factor; the fractional epoch admits each doc by deterministic
       // hash — so the emitted corpus is reproducible row-for-row and
       // the plan is scan → broadcast-join → explode, no shuffle of
-      // the fact table at all before the final count.
+      // the fact table at all before the final count. The admission
+      // threshold is floor()ed EXPLICITLY on both engines (the sf1
+      // flush caught DuckDB's CAST(double AS BIGINT) rounding to
+      // nearest where Spark's cast truncates — one hash bucket of
+      // docs flipped per source), and the display epochs ride the
+      // ⌊x·10⁴+0.5⌋ fixed-point idiom off the bit-equal sqrt.
       "pipe_epoch_mix" -> Q(
         (s, d) => {
           import graft.functions.VectorFunctions.md5Long
@@ -3251,12 +3256,13 @@ private[graft] object QText {
             .withColumn("n_copies", floor(col("ep")) +
               when(pmod(md5Long(concat(col("doc_id").cast("string"), lit("#mix"))),
                   lit(10000L))
-                < ((col("ep") - floor(col("ep"))) * 10000).cast("long"), 1L)
+                < floor((col("ep") - floor(col("ep"))) * 10000).cast("long"), 1L)
                 .otherwise(0L))
             .select(col("source"), col("n_s"), col("ep"),
               explode(sequence(lit(1L), col("n_copies"))).as("copy"))
             .groupBy("source")
-            .agg(max("n_s").as("n_docs"), round(max("ep"), 4).as("epochs"),
+            .agg(max("n_s").as("n_docs"),
+                 (floor(max("ep") * 10000 + 0.5) / 10000.0).as("epochs"),
                  count(lit(1)).as("n_emitted"))
             .orderBy("source")
         },
@@ -3269,9 +3275,10 @@ private[graft] object QText {
                |          FROM documents d JOIN eps USING (source)
                |          WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '#mix'), 1, 15))::BIGINT
                |                  % 10000
-               |                < CAST((ep - floor(ep)) * 10000 AS BIGINT)
+               |                < CAST(floor((ep - floor(ep)) * 10000) AS BIGINT)
                |          GROUP BY d.source)
-               |SELECT source, n_s AS n_docs, round(ep, 4) AS epochs,
+               |SELECT source, n_s AS n_docs,
+               |       floor(ep * 10000 + 0.5) / 10000.0 AS epochs,
                |       CAST(n_s * floor(ep) + coalesce(n_extra, 0) AS BIGINT) AS n_emitted
                |FROM eps LEFT JOIN extra USING (source) ORDER BY source""".stripMargin)),
 
