@@ -24,13 +24,19 @@ import org.apache.spark.sql.SparkSession
   *     grid points to know whether the default (one slot per core)
   *     is sane at the production shape.
   *
-  * runMain graft.ScaleRound15Ops [nCorpus] [dim] [nqBase]
+  * runMain graft.ScaleRound15Ops [nCorpus] [dim] [nqBase] [slots]
+  * (slots: comma-separated nSlots sweep order — run it both forward
+  * and REVERSED: all points share one JVM, so a monotone-in-time
+  * drift (GC/broadcast accretion) would masquerade as a slot effect)
   */
 object ScaleRound15Ops {
   def main(args: Array[String]): Unit = {
     val nCorpus = if (args.length > 0) args(0).toLong else 20000L
     val dim = if (args.length > 1) args(1).toInt else 1024
     val nqBase = if (args.length > 2) args(2).toLong else 2048L
+    val slotSweep =
+      if (args.length > 3) args(3).split(',').toSeq.map(_.toInt)
+      else Seq(4, 16, 32)
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
@@ -92,16 +98,26 @@ object ScaleRound15Ops {
           .select(col("qid"), explode(col("top"))).count()
       }
     }
-    // multi-tile size: the dispatch itself must route here
+    // dispatch straddle: at 1024-d the fast-path cap is 8192 queries
+    // (64 MB packed) — one point AT the cap (routes to the one-
+    // broadcast fast path; its win here is what justifies the cap
+    // being 2× the blocked tile) and one ABOVE it (the dispatch must
+    // route to the blocked kernel)
     val nqBig = nqBase * 4
-    timed("blocked(dispatched)", nqBig) {
+    val cap = graft.ann.Ann.fastPathCap(dim, graft.ann.Ann.defaultKernelTile)
+    timed(s"dispatched(${if (nqBig <= cap) "fast-path" else "blocked"})", nqBig) {
       graft.ann.Ann.denseKernelTopK(corpus, vecs(nqBig), 5,
+        graft.ann.Ann.cosineRounded6Kernel).count()
+    }
+    val nqOver = cap.toLong + nqBase
+    timed(s"dispatched(${if (nqOver <= cap) "fast-path" else "blocked"})", nqOver) {
+      graft.ann.Ann.denseKernelTopK(corpus, vecs(nqOver), 5,
         graft.ann.Ann.cosineRounded6Kernel).count()
     }
 
     // 3: nSlots sensitivity at the multi-tile size — replication
     // volume = corpus×nTiles (fixed here) + queries×nSlots (swept)
-    for (slots <- Seq(4, 16, 32)) {
+    for (slots <- slotSweep) {
       val qBytes = nqBig * dim * 8 * slots / (1 << 20)
       val s2 = timed(f"blocked nSlots=$slots (query repl ~$qBytes MB)", nqBig) {
         graft.ann.Ann.blockedTop(corpus, vecs(nqBig), 5,

@@ -200,11 +200,20 @@ object Ann {
       (partials.groupBy("qid").agg(agg(col("score"), col("vec_id")).as("top")), bq)
     }
     // fast path: the whole batch fits one tile (every oracle corpus
-    // does) — head(tile+1) both fetches it and detects overflow. One
+    // does) — head(cap+1) both fetches it and detects overflow. One
     // broadcast, ONE corpus scan — optimal for bounded query batches.
-    val first = qDs.head(tile + 1)
+    // The bound is DIM-AWARE (fastPathCap): the raw tile default
+    // (2^16) sized the driver collect for ~64-d queries; at the
+    // reference's 1024-d it would materialize 512 MB on the driver
+    // and broadcast it. ScaleRound15Ops measured the capped
+    // dispatch: a 32 MB broadcast tile is the fastest path at
+    // 1024-d, so the 64 MB cap keeps the fast path wherever it wins
+    // while bounding driver memory. One head(1) probe reads the dim.
+    val qDim = qDs.head(1).headOption.map(_._2.length).getOrElse(0)
+    val fastCap = fastPathCap(qDim, tile)
+    val first = qDs.head(fastCap + 1)
     val topPerQid: DataFrame =
-      if (first.length <= tile) tileTop(first.sortBy(_._1))._1
+      if (first.length <= fastCap) tileTop(first.sortBy(_._1))._1
       else
         // many-query batch: the 2D block-matrix kernel — one corpus
         // scan regardless of tile count (the r13 tiled loop re-scanned
@@ -234,6 +243,18 @@ object Ann {
     * measured by ScaleRound15Ops (scan count stays ≡1, wall-clock
     * linear in total scores; see SURVEY §6).
     */
+  /** Dim-aware bound on the one-broadcast fast path: the whole query
+    * batch is collected to the driver and broadcast, so the bound
+    * caps DRIVER memory (and broadcast size) at ~64 MB of packed
+    * query doubles — 2× the 32 MB tile measured fastest at 1024-d
+    * (ScaleRound15Ops), 8192 queries at the reference dim. An
+    * explicitly smaller caller tile always wins (specs force
+    * multi-tile with tile=4).
+    */
+  private[graft] def fastPathCap(dim: Int, tile: Int): Int =
+    if (dim <= 0) tile
+    else math.max(1, math.min(tile, (64 << 20) / (dim * 8)))
+
   private[graft] def kernelPackingCaps(dim: Int, tile: Int,
       blockRows: Int): (Int, Int) = {
     val tileEff =

@@ -51,6 +51,28 @@ class AnnSpec extends SparkSpec {
     a.zip(d).foreach { case (x, y) => assert(x == y, s"blocked: $x != $y") }
   }
 
+  test("fast-path dispatch bound is dim-aware") {
+    // the one-broadcast fast path collects the batch to the driver:
+    // its bound must shrink with dim so a 1024-d batch can never
+    // materialize the raw 2^16 default (512 MB) driver-side.
+    // 64 MB of packed doubles: 8192 rows at 1024-d, 131072 at 64-d
+    // (the caller tile still wins when smaller).
+    assert(Ann.fastPathCap(1024, Ann.defaultKernelTile) == 8192)
+    assert(Ann.fastPathCap(64, Ann.defaultKernelTile) == Ann.defaultKernelTile)
+    assert(Ann.fastPathCap(1024, 4) == 4)   // explicit spec tiles win
+    assert(Ann.fastPathCap(0, 123) == 123)  // empty batch: inert
+    // and the capped dispatch stays row-identical: force the cap to
+    // bite by setting tile just above the cap at a dim where the cap
+    // is tiny relative to the batch
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val a = Ann.bruteForceTopK(emb, q, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val b = Ann.denseKernelTopK(emb, q, 3, Ann.cosineRounded6Kernel, tile = 41)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"capped: $x != $y") }
+  }
+
   test("LSH multiprobe recall vs brute force is meaningful") {
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
     val q = emb.filter(col("vec_id").isin(qids: _*))
