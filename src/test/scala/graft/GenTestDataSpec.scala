@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the sf-corpus generator's SHAPE invariants (GenTestData) so a
+  * future edit can't silently drift the flush corpora away from the
+  * measured /root/testdata distributions: schemas, categorical
+  * domains, scaling curve, and the documents dup-injection structure
+  * that the dedup family's oracle sweeps rely on. Runs at sf=0.02 (a
+  * ~120k-row lineitem) into a temp dir — small enough for the suite,
+  * big enough that the 5%-near-dup / ~0.2%-exact-dup rates are
+  * populated.
+  */
+class GenTestDataSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-gen").toString
+    GenTestData.write(spark, d, 0.02)
+    d
+  }
+
+  test("row counts follow the measured scaling curve") {
+    def n(t: String): Long = spark.read.parquet(s"$dir/$t.parquet").count()
+    assert(n("region") == 5 && n("nation") == 25)
+    assert(n("customer") == 3000 && n("supplier") == 200 && n("part") == 4000)
+    assert(n("orders") == 30000 && n("lineitem") == 120000)
+    assert(n("events") == 20000 && n("documents") == 1000)
+    // embeddings grow 4x per 10x sf (the driver corpus's curve)
+    val v = n("embeddings")
+    assert(v >= 750 && v <= 850, s"embeddings count $v off the 4x-per-10x curve")
+  }
+
+  test("schemas and categorical domains match the reference corpus") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(li.columns.toSeq == Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"))
+    val flags = li.select("l_returnflag").distinct().collect().map(_.getString(0)).toSet
+    assert(flags == Set("A", "N", "R"))
+    val disc = li.agg(min("l_discount"), max("l_discount")).head()
+    assert(disc.getDouble(0) == 0.0 && disc.getDouble(1) == 0.1)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val types = ev.select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types == Set("click", "error", "purchase", "signup", "view"))
+    // ts spans Jan 2024 with sub-second precision (the TIMESTAMP the
+    // Tables.events nanos contract normalizes)
+    val span = ev.agg(min("ts").cast("date").cast("string"),
+      max("ts").cast("date").cast("string")).head()
+    assert(span.getString(0).startsWith("2024-01") &&
+      span.getString(1).startsWith("2024-01"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en", "de", "es", "fr", "zh"))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    assert(emb.schema("embedding").dataType.simpleString == "array<float>")
+    assert(emb.select(size(col("embedding"))).distinct().head().getInt(0) == 64)
+  }
+
+  test("documents carry the dup-injection structure the dedup sweeps need") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .localCheckpoint(eager = false)
+    val n = docs.count()
+    // ~5% near-dups: an original doc's text + the " dup" marker token
+    val near = docs.filter(col("text").endsWith(" dup")).count()
+    assert(near >= n / 40 && near <= n / 12, s"near-dup count $near of $n")
+    // near-dups really are copies: stripping the marker matches some
+    // other doc's text exactly
+    val stripped = docs.filter(col("text").endsWith(" dup"))
+      .select(expr("substring(text, 1, length(text) - 4)").as("base"),
+        col("doc_id").as("dup_id"))
+    val matched = stripped.join(docs, stripped("base") === docs("text")).count()
+    assert(matched >= near, s"only $matched of $near near-dups match a source")
+    // n_chars is derived from the final text (dup copies included)
+    assert(docs.filter(col("n_chars") =!= length(col("text"))).count() == 0)
+    // determinism: a second generation is byte-identical row-for-row
+    val d2 = java.nio.file.Files.createTempDirectory("graft-gen2").toString
+    GenTestData.write(spark, d2, 0.02)
+    val again = spark.read.parquet(s"$d2/documents.parquet")
+    assert(docs.exceptAll(again).isEmpty && again.exceptAll(docs).isEmpty)
+  }
+}
