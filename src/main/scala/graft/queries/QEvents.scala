@@ -3080,10 +3080,17 @@ private[graft] object QEvents {
              |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              |  FROM g),
              |se AS (
-             |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
-             |         min({'ts': ts, 'eid': event_id, 'et': event_type}) AS first_ev
+             |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
              |  FROM s GROUP BY user_id, session_id),
-             |fe AS (SELECT (first_ev).et AS entry_type, n_events FROM se)
+             |fs AS (
+             |  -- first event per session via a window, NOT min(struct):
+             |  -- DuckDB's nested-type min is exempt from memory_limit and
+             |  -- OOMs at sf3 (130 GB RSS on 3M grouped rows); windows spill
+             |  SELECT user_id, session_id, event_type AS entry_type
+             |  FROM s QUALIFY row_number() OVER (PARTITION BY user_id, session_id
+             |                                    ORDER BY ts, event_id) = 1),
+             |fe AS (SELECT entry_type, n_events
+             |       FROM fs JOIN se USING (user_id, session_id))
              |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
              |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounced,
              |       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)

@@ -802,17 +802,22 @@ private[graft] object QRelational {
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // CUBE over two dims
+    // total rides the engine-wide moneySum DECIMAL discipline: the
+    // sf3 flush caught the raw double sum's merge-order noise landing
+    // the cube's grand-total row (4.5M terms) on a 2dp boundary
     "agg_cube" -> Q(
       (s, d) => Tables.orders(s, d)
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
                 coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
                 col("n"), col("total"))
         .orderBy("st", "pri"),
       Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
              |       coalesce(o_orderpriority, 'ALL') AS pri,
-             |       CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice),2) AS total
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(round(sum(CAST(round(o_totalprice, 4) AS DECIMAL(20,4))), 2)
+             |            AS DOUBLE) AS total
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY st, pri""".stripMargin)),
 

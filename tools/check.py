@@ -27,8 +27,14 @@ def canon(rows, cols):
     out = [tuple(norm(r[i]) for i in order) for r in rows]
     return sorted(out, key=repr)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
+    # Bound DuckDB's memory so a big-SF window/join spills to disk
+    # instead of riding the default 80%-of-RAM limit into the OOM
+    # killer (observed at sf3: one query's spike killed the whole
+    # sweep). GRAFT_CHECK_MEM overrides.
+    con.sql(f"SET memory_limit='{os.environ.get('GRAFT_CHECK_MEM', '24GB')}'")
+    con.sql(f"SET temp_directory='{out_dir}/.duckdb_tmp'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
@@ -38,6 +44,9 @@ def main(sf_dir, out_dir):
         elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {n: s for n, s in oracle.items() if any(
+            n.startswith(p) for p in only)}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = f"{out_dir}/{name}"
@@ -90,4 +99,7 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional 3rd arg: comma-separated name prefixes (same convention
+    # as graft.Verify's filter) — local iteration / sweep resume
+    only = sys.argv[3].split(',') if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
