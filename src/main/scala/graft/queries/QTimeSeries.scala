@@ -2041,6 +2041,12 @@ private[graft] object QTimeSeries {
     // stat_page_hinkley's cumulative drift. Window sums are exact
     // integers (the band math divides identical integers on both
     // engines); days 1–6 have no band by construction.
+    // Band arithmetic in exact integer units end-to-end: the sf3
+    // flush caught round(mid + 2·sd, 4) landing on a .00005 display
+    // boundary. mid is the exact half-up of s1/7 in 1e-4 units; sd
+    // rides ⌊x·10⁶+0.5⌋ off the bit-equal sqrt (irrational); the
+    // bands then combine and re-round as pure integer arithmetic, so
+    // display AND the breakout compare are engine-identical.
     "ts_bollinger" -> Q(
       (s, d) => {
         val daily = Tables.events(s, d)
@@ -2052,15 +2058,17 @@ private[graft] object QTimeSeries {
           .withColumn("s1", sum("x").over(w))
           .withColumn("s2", sum(col("x") * col("x")).over(w))
           .filter(col("cnt") === 7)
+          .withColumn("mid_u", expr("(2 * s1 * 10000 + 7) DIV 14"))
+          .withColumn("sd_u", floor(sqrt((lit(7) * col("s2") - col("s1") * col("s1"))
+            .cast("double") / 42.0) * 1000000 + 0.5).cast("long"))
+          .withColumn("lo_u", expr("(2 * (mid_u * 100 - 2 * sd_u) + 100) DIV 200"))
+          .withColumn("hi_u", expr("(2 * (mid_u * 100 + 2 * sd_u) + 100) DIV 200"))
           .select(col("day"), col("x"),
-            round(col("s1").cast("double") / 7, 4).as("mid"),
-            round(sqrt((lit(7) * col("s2") - col("s1") * col("s1"))
-              .cast("double") / 42.0), 6).as("sd"))
-          .select(col("day"), col("x"), col("mid"),
-            round(col("mid") - col("sd") * 2, 4).as("lo"),
-            round(col("mid") + col("sd") * 2, 4).as("hi"))
-          .withColumn("breakout",
-            (col("x") < col("lo") || col("x") > col("hi")).cast("long"))
+            (col("mid_u").cast("double") / 10000.0).as("mid"),
+            (col("lo_u").cast("double") / 10000.0).as("lo"),
+            (col("hi_u").cast("double") / 10000.0).as("hi"),
+            (col("x") * 10000 < col("lo_u") || col("x") * 10000 > col("hi_u"))
+              .cast("long").as("breakout"))
           .orderBy("day")
       },
       Some("""WITH daily AS (
@@ -2076,15 +2084,21 @@ private[graft] object QTimeSeries {
              |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
              |b AS (
              |  SELECT day, x,
-             |         round(CAST(s1 AS DOUBLE) / 7, 4) AS mid,
-             |         round(sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE) / 42.0), 6) AS sd
-             |  FROM r WHERE cnt = 7)
-             |SELECT day, x, mid,
-             |       round(mid - sd * 2, 4) AS lo,
-             |       round(mid + sd * 2, 4) AS hi,
-             |       CAST(x < round(mid - sd * 2, 4)
-             |            OR x > round(mid + sd * 2, 4) AS BIGINT) AS breakout
-             |FROM b ORDER BY day""".stripMargin)),
+             |         (2 * s1 * 10000 + 7) // 14 AS mid_u,
+             |         CAST(floor(sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE) / 42.0)
+             |                    * 1000000 + 0.5) AS BIGINT) AS sd_u
+             |  FROM r WHERE cnt = 7),
+             |u AS (
+             |  SELECT day, x, mid_u,
+             |         (2 * (mid_u * 100 - 2 * sd_u) + 100) // 200 AS lo_u,
+             |         (2 * (mid_u * 100 + 2 * sd_u) + 100) // 200 AS hi_u
+             |  FROM b)
+             |SELECT day, x,
+             |       CAST(mid_u AS DOUBLE) / 10000.0 AS mid,
+             |       CAST(lo_u AS DOUBLE) / 10000.0 AS lo,
+             |       CAST(hi_u AS DOUBLE) / 10000.0 AS hi,
+             |       CAST(x * 10000 < lo_u OR x * 10000 > hi_u AS BIGINT) AS breakout
+             |FROM u ORDER BY day""".stripMargin)),
 
     // Lo–MacKinlay variance-ratio test of daily log-volume changes at
     // q = 2, 4: VR ≈ 1 under a random walk, < 1 mean-reverting, > 1
