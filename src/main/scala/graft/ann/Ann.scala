@@ -144,9 +144,54 @@ object Ann {
       case None => 1 << 16
     }
 
+  /** (id, vector) rows → (ids, end-offsets, flat values): the packed
+    * shape tiles and blocks take through the shuffle. Three primitive
+    * arrays serialize/deserialize as UnsafeArrayData memcpys; the
+    * equivalent Array[(Long, Array[Double])] pays an element-wise
+    * InternalRow walk on both sides (measured as most of the blocked
+    * kernel's constant factor, r15 probe). End-offsets rather than a
+    * single dim keep ragged batches exact.
+    */
+  private def packRows(rows: Array[(Long, Array[Double])])
+      : (Array[Long], Array[Int], Array[Double]) = {
+    val n = rows.length
+    val ids = new Array[Long](n); val ends = new Array[Int](n)
+    var total = 0; var i = 0
+    while (i < n) { ids(i) = rows(i)._1; total += rows(i)._2.length; ends(i) = total; i += 1 }
+    val flat = new Array[Double](total)
+    i = 0; var off = 0
+    while (i < n) {
+      val v = rows(i)._2
+      System.arraycopy(v, 0, flat, off, v.length); off += v.length; i += 1
+    }
+    (ids, ends, flat)
+  }
+
+  /** Inverse of [[packRows]]'s vector part: one slice per vector. */
+  private def unpackVecs(ends: Array[Int], flat: Array[Double]): Array[Array[Double]] = {
+    val out = new Array[Array[Double]](ends.length)
+    var i = 0; var start = 0
+    while (i < ends.length) {
+      out(i) = java.util.Arrays.copyOfRange(flat, start, ends(i))
+      start = ends(i); i += 1
+    }
+    out
+  }
+
+  /** Exact max vector length over a column — the ONE dim probe the
+    * kernels share. A distributed agg rather than head(1): the r15
+    * ADVICE case (a dim-0 first row on a batch whose later rows are
+    * wide) would make a head-row probe understate the dim and
+    * reinstate the unbounded driver collect the cap exists to stop.
+    */
+  private def maxDim(df: DataFrame, c: String): Int =
+    df.filter(col(c).isNotNull)
+      .agg(coalesce(max(size(col(c))), lit(0))).head.getInt(0)
+
   private[graft] def denseKernelTopK(emb: DataFrame, queries: DataFrame, k: Int,
       scoreFn: (Array[Double], Array[Double]) => Double,
-      tile: Int = defaultKernelTile): DataFrame = {
+      tile: Int = defaultKernelTile,
+      dimHint: Option[Int] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // null vectors (failed embed jobs leave them behind) can't rank —
@@ -208,18 +253,29 @@ object Ann {
     // and broadcast it. ScaleRound15Ops measured the capped
     // dispatch: a 32 MB broadcast tile is the fastest path at
     // 1024-d, so the 64 MB cap keeps the fast path wherever it wins
-    // while bounding driver memory. One head(1) probe reads the dim.
-    val qDim = qDs.head(1).headOption.map(_._2.length).getOrElse(0)
+    // while bounding driver memory. The dim comes from `dimHint`
+    // when the caller already knows it (streaming serve probes the
+    // collection ONCE at stream start instead of twice per
+    // micro-batch — r15 ADVICE) and from one exact [[maxDim]] job
+    // otherwise.
+    val qDim = dimHint.getOrElse(maxDim(queries, "qv"))
     val fastCap = fastPathCap(qDim, tile)
     val first = qDs.head(fastCap + 1)
+    // belt-and-braces against an understated dimHint: if the fetched
+    // rows carry vectors wider than declared, re-derive the cap from
+    // what was actually seen so routing (and blockedTop's packing
+    // caps) reflect the real row size
+    val obsDim = if (first.isEmpty) 0 else first.iterator.map(_._2.length).max
+    val effCap = if (obsDim > qDim) fastPathCap(obsDim, tile) else fastCap
     val topPerQid: DataFrame =
-      if (first.length <= fastCap) tileTop(first.sortBy(_._1))._1
+      if (first.length <= effCap) tileTop(first.sortBy(_._1))._1
       else
         // many-query batch: the 2D block-matrix kernel — one corpus
         // scan regardless of tile count (the r13 tiled loop re-scanned
         // the corpus once per query tile). The head() probe above is
         // the only extra query-side pass the overflow case pays.
-        blockedTop(emb, queries, k, scoreFn, tile)
+        blockedTop(emb, queries, k, scoreFn, tile,
+          dimHint = Some(math.max(qDim, obsDim)))
     topPerQid
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.id").as("vec_id"), col("col.score").as("score"),
@@ -296,19 +352,33 @@ object Ann {
     *   collected each tile to the driver, which also made the result
     *   sensitive to a non-deterministic query input; here each qid
     *   lands in exactly one tile by hash, deterministically).
-    * - Work spreads over a 2D grid: the join key is (tile, slot)
+    * - Work spreads over a 2D grid: the cell key is (tile, slot)
     *   where slot spreads a tile's blocks over `nSlots` reducers —
     *   without the salt every block for a tile would land on ONE
     *   reducer and serialize the kernel. Tiles replicate nSlots ways,
     *   blocks nTiles ways: the classic 2D-matmul replication, volume
     *   corpus×nTiles + queries×nSlots, moved once through the shuffle.
-    * - Partial-TopK on BOTH axes: each block×tile cell emits ≤k
-    *   candidates per query (bounded buffers, primitive arrays); the
-    *   TopK aggregate merges cells per qid. The union of per-block
-    *   top-k always contains the global top-k and the merge is
-    *   order-invariant with the shared (score desc, id asc)
-    *   tie-break, so output is row-equal to the one-broadcast path —
-    *   spec-pinned at adversarially small tile/block sizes (AnnSpec).
+    * - The kernel is a CO-PARTITIONED ZIP, not a join (r15 ask 1):
+    *   both sides hash-repartition on the cell key with the same
+    *   explicit cell count, and one function per partition
+    *   deserializes each tile replica ONCE, then STREAMS that cell's
+    *   blocks through it. The r14 joinWith formulation re-materialized
+    *   the packed tile row (32 MB at 1024-d) for EVERY joined
+    *   block×tile pair — at nTiles=1 that re-deserialization was a
+    *   measured 3.4× constant factor over the broadcast path on
+    *   identical FLOPs. A runtime alignment assert (Spark's own
+    *   Murmur3 long hash pmod nCells vs the task's partition id, both
+    *   sides) turns any future co-partitioning drift into a loud
+    *   failure instead of silently dropped candidates.
+    * - Partial-TopK on BOTH axes: each CELL emits ≤k candidates per
+    *   query — merged across all of the cell's blocks in-task, so the
+    *   final shuffle carries nSlots×k rows per query instead of the
+    *   r14 nBlocks×k; the TopK aggregate merges cells per qid. The
+    *   union of per-cell top-k always contains the global top-k and
+    *   the merge is order-invariant with the shared (score desc, id
+    *   asc) tie-break, so output is row-equal to the one-broadcast
+    *   path — spec-pinned at adversarially small tile/block sizes
+    *   (AnnSpec).
     *
     * This is the exact-scoring fallback; the LSH/IVF partition-pruned
     * paths remain the first choice at corpus scale.
@@ -317,17 +387,22 @@ object Ann {
       scoreFn: (Array[Double], Array[Double]) => Double,
       tile: Int = defaultKernelTile,
       blockRows: Int = defaultKernelBlockRows,
-      nSlotsOverride: Option[Int] = None): DataFrame = {
+      nSlotsOverride: Option[Int] = None,
+      dimHint: Option[Int] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val qDs = queries.filter(col("qv").isNotNull)
       .select(col("qid").cast("long").as("_1"),
               col("qv").cast("array<double>").as("_2"))
       .as[(Long, Array[Double])]
-    val nq = qDs.count()
-    // Dim-aware packing bounds (see [[kernelPackingCaps]]). One
-    // head(1) probe reads the dim.
-    val dim = qDs.head(1).headOption.map(_._2.length).getOrElse(0)
+    // ONE query-side probe job: count (for nTiles) and exact max dim
+    // (for the packing caps) from the same agg — a head-row dim probe
+    // would understate it on a batch whose first row is narrow (r15
+    // ADVICE). A caller's dimHint can only widen the bound.
+    val probe = queries.filter(col("qv").isNotNull)
+      .agg(count(lit(1)), coalesce(max(size(col("qv"))), lit(0))).head
+    val nq = probe.getLong(0)
+    val dim = math.max(dimHint.getOrElse(0), probe.getInt(1))
     val (tileEff, blockRowsEff) = kernelPackingCaps(dim, tile, blockRows)
     val nTiles = math.max(1L, (nq + tileEff - 1) / tileEff)
     // nSlots sets the grid's second axis — the SUMMA replication
@@ -339,24 +414,64 @@ object Ann {
     // p^1/2-grid note).
     val nSlots = nSlotsOverride
       .getOrElse(math.max(1, spark.sparkContext.defaultParallelism)).toLong
-    // One kernel task per block×tile cell, FORCED by an explicit-N
-    // hash repartition of both join inputs on the cell key. Without
-    // it the kernel strands on a handful of tasks: the tile table
+    // EXACTLY one kernel task per block×tile cell, FORCED by an
+    // explicit-N hash repartition of both kernel inputs on the cell
+    // key. The explicit N defeats two strandings: (a) the tile table
     // has only nTiles non-empty partitions after groupByKey (the
     // slot fan-out is map-side, so it never re-spreads), and AQE
     // coalesces by shuffled BYTES — a few MB of packed tiles that
     // carry minutes of per-cell compute read as "one partition" to
-    // it. REPARTITION_BY_NUM is the one shuffle origin AQE never
-    // coalesces, and with both sides hash-partitioned the same way
-    // the join adds no third exchange.
-    val nCells = math.max(nTiles * nSlots,
-      spark.sparkContext.defaultParallelism.toLong).toInt
+    // it (REPARTITION_BY_NUM is the one shuffle origin AQE never
+    // coalesces); (b) with nCells == #keys, RANDOM key hashing piles
+    // 2–3 cells onto one reducer while others sit empty, and the
+    // kernel's wall-clock is max-cells-per-task × per-cell time (the
+    // r16 probe measured this collision skew as the whole remaining
+    // blocked-vs-broadcast constant factor at nTiles=1 — serde and
+    // FLOPs were already at parity). So each logical cell gets a
+    // SEARCHED key that Spark's own Murmur3-pmod places in its own
+    // dedicated partition: perfect 1-cell-per-task placement through
+    // the stock Tungsten shuffle.
+    require(nTiles * nSlots <= (1L << 24),
+      s"blocked kernel grid $nTiles tiles x $nSlots slots exceeds 2^24 cells — " +
+        "pass a smaller nSlotsOverride (the SUMMA p^1/2-grid note, SURVEY §7)")
+    val nCells = (nTiles * nSlots).toInt
+    // cellKeys(c) = a long whose Murmur3(seed 42) pmod nCells == c;
+    // coupon-collector search, ~nCells·ln(nCells) cheap hashes
+    val cellKeys: Array[Long] = {
+      val out = new Array[Long](nCells)
+      val seen = new Array[Boolean](nCells)
+      var found = 0; var cand = 0L
+      val bound = math.max(1L << 20, nCells.toLong * 1000L)
+      while (found < nCells && cand < bound) {
+        val p = Math.floorMod(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(cand, 42), nCells)
+        if (!seen(p)) { seen(p) = true; out(p) = cand; found += 1 }
+        cand += 1
+      }
+      require(found == nCells,
+        s"cell-key search did not cover $nCells partitions within $bound candidates")
+      out
+    }
+    // Tiles and blocks ship through the shuffle as PACKED PRIMITIVE
+    // ARRAYS (ids, end-offsets, flat values) rather than
+    // Array[(Long, Array[Double])]: the nested-tuple encoder walks
+    // every element through an InternalRow (the r15 probe measured
+    // that serde, not the kernel, as most of the blocked path's
+    // 3.4× constant factor at nTiles=1 — a 32 MB tile replica ×
+    // nSlots is half a GB of element-wise encoding), while primitive
+    // arrays take UnsafeArrayData's fromPrimitiveArray memcpy on
+    // both serialize and deserialize.
     // (tile, slot) -> packed query tile, replicated across the slots
     val qTiles = qDs
       .groupByKey { case (qid, _) =>
         Math.floorMod(scala.util.hashing.byteswap64(qid), nTiles) }
-      .mapGroups { (t, it) => (t, it.toArray.sortBy(_._1)) }
-      .flatMap { case (t, qs) => (0L until nSlots).iterator.map(sl => (t * nSlots + sl, qs)) }
+      .mapGroups { (t, it) =>
+        val (ids, ends, flat) = packRows(it.toArray.sortBy(_._1))
+        (t, ids, ends, flat)
+      }
+      .flatMap { case (t, ids, ends, flat) =>
+        (0L until nSlots).iterator.map(sl =>
+          (cellKeys((t * nSlots + sl).toInt), ids, ends, flat)) }
       .repartition(nCells, col("_1"))
     // (tile, slot) -> corpus block: ONE pass over the corpus; the
     // slot comes from the task partition id so a partition's blocks
@@ -368,41 +483,83 @@ object Ann {
       .mapPartitions { it =>
         val sl = org.apache.spark.TaskContext.getPartitionId().toLong % nSlots
         it.grouped(blockRowsEff).zipWithIndex.map { case (b, i) =>
-          ((i.toLong + sl) % nSlots, b.toArray)
+          val (ids, ends, flat) = packRows(b.toArray)
+          ((i.toLong + sl) % nSlots, ids, ends, flat)
         }
       }
-      .flatMap { case (sl, b) => (0L until nTiles).iterator.map(t => (t * nSlots + sl, b)) }
+      .flatMap { case (sl, ids, ends, flat) =>
+        (0L until nTiles).iterator.map(t =>
+          (cellKeys((t * nSlots + sl).toInt), ids, ends, flat)) }
       .repartition(nCells, col("_1"))
-    blocks.joinWith(qTiles, blocks("_1") === qTiles("_1"))
-      .flatMap { case ((_, block), (_, qs)) =>
-        // one block×tile kernel cell: same bounded-buffer insert and
-        // self-exclusion as the broadcast path's tileTop
-        val nqT = qs.length
-        val bufS = Array.fill(nqT)(new Array[Double](k))
-        val bufI = Array.fill(nqT)(new Array[Long](k))
-        val bufN = new Array[Int](nqT)
-        def insert(qi: Int, s: Double, id: Long): Unit = {
-          val n = bufN(qi); val ss = bufS(qi); val ii = bufI(qi)
-          var pos = 0
-          while (pos < n && (ss(pos) > s || (ss(pos) == s && ii(pos) < id))) pos += 1
-          if (pos >= k) return
-          val m = math.min(n + 1, k)
-          var j = m - 1
-          while (j > pos) { ss(j) = ss(j - 1); ii(j) = ii(j - 1); j -= 1 }
-          ss(pos) = s; ii(pos) = id; bufN(qi) = m
-        }
-        block.foreach { case (vid, v) =>
-          var qi = 0
-          while (qi < nqT) {
-            val (qid, qv) = qs(qi)
-            if (qid != vid) insert(qi, scoreFn(v, qv), vid)
-            qi += 1
+    // Both sides carry the SAME HashPartitioning (cell key, nCells) —
+    // partition i of qTiles and partition i of blocks hold exactly
+    // the same cell keys, so the kernel is a partition ZIP: per
+    // partition, deserialize each tile replica once into primitive
+    // arrays, then stream the blocks through it. No join, no
+    // sort-merge of 32 MB rows, no per-pair tile re-deserialization.
+    val partials = qTiles.rdd.zipPartitions(blocks.rdd) { (tileIt, blockIt) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      def assertAligned(cell: Long, side: String): Unit = {
+        // Spark routes a bigint repartition column through
+        // Murmur3Hash(seed 42) pmod numPartitions; recompute it here
+        // so a co-partitioning drift (a future Spark changing the
+        // hash, an AQE rewrite of the exchange) fails loudly instead
+        // of silently dropping candidates.
+        val expect = Math.floorMod(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(cell, 42), nCells)
+        require(expect == pid,
+          s"blocked kernel $side cell $cell landed in partition $pid, " +
+            s"expected $expect of $nCells — co-partitioning broke")
+      }
+      // one bounded top-k state per cell in this partition (≈1 by
+      // construction: nCells ≥ nTiles×nSlots hash-spread)
+      val cells = new scala.collection.mutable.LongMap[
+        (Array[Long], Array[Array[Double]], Array[Array[Double]],
+         Array[Array[Long]], Array[Int])]()
+      tileIt.foreach { case (cell, qids, ends, flat) =>
+        assertAligned(cell, "tile")
+        cells.update(cell, (qids, unpackVecs(ends, flat),
+          Array.fill(qids.length)(new Array[Double](k)),
+          Array.fill(qids.length)(new Array[Long](k)),
+          new Array[Int](qids.length)))
+      }
+      blockIt.foreach { case (cell, vids, ends, flat) =>
+        assertAligned(cell, "block")
+        // a cell with no tile state is an EMPTY tile bucket (blocks
+        // replicate to every tile index; a small batch can leave some
+        // hash buckets without queries) — nothing to score
+        cells.get(cell).foreach { case (qids, qvs, bufS, bufI, bufN) =>
+          val nqT = qids.length
+          def insert(qi: Int, s: Double, id: Long): Unit = {
+            val n = bufN(qi); val ss = bufS(qi); val ii = bufI(qi)
+            var pos = 0
+            while (pos < n && (ss(pos) > s || (ss(pos) == s && ii(pos) < id))) pos += 1
+            if (pos >= k) return
+            val m = math.min(n + 1, k)
+            var j = m - 1
+            while (j > pos) { ss(j) = ss(j - 1); ii(j) = ii(j - 1); j -= 1 }
+            ss(pos) = s; ii(pos) = id; bufN(qi) = m
+          }
+          var r = 0; var start = 0
+          while (r < vids.length) {
+            val end = ends(r); val vid = vids(r)
+            val v = java.util.Arrays.copyOfRange(flat, start, end)
+            var qi = 0
+            while (qi < nqT) {
+              if (qids(qi) != vid) insert(qi, scoreFn(v, qvs(qi)), vid)
+              qi += 1
+            }
+            start = end; r += 1
           }
         }
-        (0 until nqT).iterator.flatMap { qi =>
-          (0 until bufN(qi)).iterator.map(j => (qs(qi)._1, bufS(qi)(j), bufI(qi)(j)))
+      }
+      cells.iterator.flatMap { case (_, (qids, _, bufS, bufI, bufN)) =>
+        qids.indices.iterator.flatMap { qi =>
+          (0 until bufN(qi)).iterator.map(j => (qids(qi), bufS(qi)(j), bufI(qi)(j)))
         }
       }
+    }
+    partials
       .toDF("qid", "score", "vec_id")
       .groupBy("qid")
       .agg(graft.ops.TopK.topk(k)(col("score"), col("vec_id")).as("top"))

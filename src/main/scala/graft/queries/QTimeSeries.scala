@@ -2046,7 +2046,12 @@ private[graft] object QTimeSeries {
     // boundary. mid is the exact half-up of s1/7 in 1e-4 units; sd
     // rides ⌊x·10⁶+0.5⌋ off the bit-equal sqrt (irrational); the
     // bands then combine and re-round as pure integer arithmetic, so
-    // display AND the breakout compare are engine-identical.
+    // display AND the breakout compare are engine-identical. Caveat:
+    // when a band numerator goes negative (sd > mid/2 makes lo < 0),
+    // Spark DIV and DuckDB // both truncate toward ZERO, so the
+    // negative-lo rounding is half-DOWN rather than half-up — still
+    // bit-identical across engines (which is what the gate needs),
+    // just not the half-up convention the positive range follows.
     "ts_bollinger" -> Q(
       (s, d) => {
         val daily = Tables.events(s, d)

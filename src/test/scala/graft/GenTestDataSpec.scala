@@ -11,10 +11,34 @@ import org.apache.spark.sql.functions._
   * big enough that the 5%-near-dup / ~0.2%-exact-dup rates are
   * populated.
   */
-class GenTestDataSpec extends SparkSpec {
+class GenTestDataSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  // generated corpora are tens of MB each — track and delete them
+  // after the suite instead of leaking them per test run
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def tempCorpusDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tmpDirs.synchronized { tmpDirs += d }
+    d
+  }
+
+  override def afterAll(): Unit = {
+    tmpDirs.foreach { d =>
+      val root = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    super.afterAll()
+  }
 
   private lazy val dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-gen").toString
+    val d = tempCorpusDir("graft-gen")
     GenTestData.write(spark, d, 0.02)
     d
   }
@@ -73,7 +97,7 @@ class GenTestDataSpec extends SparkSpec {
     // n_chars is derived from the final text (dup copies included)
     assert(docs.filter(col("n_chars") =!= length(col("text"))).count() == 0)
     // determinism: a second generation is byte-identical row-for-row
-    val d2 = java.nio.file.Files.createTempDirectory("graft-gen2").toString
+    val d2 = tempCorpusDir("graft-gen2")
     GenTestData.write(spark, d2, 0.02)
     val again = spark.read.parquet(s"$d2/documents.parquet")
     assert(docs.exceptAll(again).isEmpty && again.exceptAll(docs).isEmpty)

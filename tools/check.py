@@ -47,6 +47,11 @@ def main(sf_dir, out_dir, only=None):
     if only:
         oracle = {n: s for n, s in oracle.items() if any(
             n.startswith(p) for p in only)}
+        if not oracle:
+            # a typo'd prefix must not read as a green sweep: 0 pass /
+            # 0 fail exiting 0 looks like success while checking nothing
+            print(f"FAIL: filter {only} matched no oracle queries")
+            return 2
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = f"{out_dir}/{name}"
