@@ -1106,6 +1106,113 @@ private[graft] object QTextCorpus {
            |ORDER BY round""".stripMargin
       }),
 
+    // BPE APPLY at corpus scale (r15 ask 5): train 6 merges on the
+    // count-weighted top-2000 word types (the text_bpe_merges trainer,
+    // driver-side, bounded), then ENCODE the whole corpus into token
+    // ids — the step every pretraining pipeline runs between curation
+    // and packing. Scale shape (graft.text.Bpe): every string op runs
+    // once per DISTINCT word type (Heaps-bounded), the token stream
+    // only joins finished per-type encodings, ids are lexicographic
+    // symbol ranks (binary collation — engine-identical). The report
+    // pins the full encoding per lang: token counts, vocab size, and
+    // an order-sensitive integer checksum Σ wp·Σ(sp·id) over exact
+    // BIGINTs, so any id/merge/order divergence flips the hash gate.
+    "text_bpe_encode" -> Q(
+      (s, d) => {
+        import graft.text.Bpe
+        val toks = Bpe.tokenPositions(Tables.documents(s, d))
+          .localCheckpoint(eager = false) // read 2×: types + doc agg
+        val types = Bpe.wordTypes(toks)
+          .localCheckpoint(eager = false) // read 2×: trainer top + encode
+        val top = types.orderBy(col("wc").desc, col("w")).limit(2000)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val rules = Bpe.trainMerges(top, 6)
+        val enc = Bpe.encodeTypes(types, rules)
+          .localCheckpoint(eager = false) // read 2×: vocab + per-type ids
+        val sid = Bpe.symbolIds(enc)
+          .localCheckpoint(eager = false) // read 2×: id join + vocab size
+        val wenc = enc
+          .select(col("w"), posexplode(col("arr")).as(Seq("sp", "sym")))
+          .join(broadcast(sid), "sym")
+          .groupBy("w")
+          .agg(count(lit(1)).as("n_syms"),
+               sum((col("sp") + 1) * col("id")).as("wsum"))
+        val docagg = toks.join(wenc, "w")
+          .groupBy("doc_id", "lang")
+          .agg(sum("n_syms").as("ntok"), sum(col("wp") * col("wsum")).as("ck"))
+        val vs = sid.agg(count(lit(1)).as("vocab_size"))
+        docagg.crossJoin(broadcast(vs))
+          .groupBy("lang", "vocab_size")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+               sum("ck").as("checksum"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+                  col("vocab_size"), col("checksum"))
+          .orderBy("lang")
+      },
+      Some {
+        // trainer rounds (identical to text_bpe_merges' CTEs) ...
+        def roundCte(k: Int) =
+          s"""p$k AS (
+             |  SELECT arr[i] || ' ' || arr[i + 1] AS p, CAST(sum(wc) AS BIGINT) AS n
+             |  FROM (SELECT string_split(trim(sq), ' ') AS arr, wc FROM w${k - 1}),
+             |       LATERAL (SELECT unnest(range(1, len(arr))) AS i)
+             |  GROUP BY 1),
+             |m$k AS (SELECT p, n FROM p$k ORDER BY n DESC, p LIMIT 1),
+             |w$k AS (
+             |  SELECT replace(replace(sq, ' ' || m$k.p || ' ',
+             |             ' ' || replace(m$k.p, ' ', '') || ' '),
+             |           ' ' || m$k.p || ' ',
+             |           ' ' || replace(m$k.p, ' ', '') || ' ') AS sq, wc
+             |  FROM w${k - 1}, m$k)""".stripMargin
+        // ... and the same double-replace APPLIED to every word type
+        def applyCte(k: Int) =
+          s"""e$k AS (
+             |  SELECT w, replace(replace(sq, ' ' || m$k.p || ' ',
+             |             ' ' || replace(m$k.p, ' ', '') || ' '),
+             |           ' ' || m$k.p || ' ',
+             |           ' ' || replace(m$k.p, ' ', '') || ' ') AS sq
+             |  FROM e${k - 1}, m$k)""".stripMargin
+        val rounds = 1 to 6
+        s"""WITH tokraw AS (
+           |  SELECT doc_id, lang,
+           |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           |  FROM documents),
+           |tok AS (
+           |  SELECT doc_id, lang, CAST(i AS BIGINT) AS wp, toks[i] AS w
+           |  FROM tokraw, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+           |  WHERE toks[i] <> ''),
+           |types AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM tok GROUP BY w),
+           |vocab AS (SELECT w, wc FROM types ORDER BY wc DESC, w LIMIT 2000),
+           |w0 AS (SELECT ' ' || array_to_string(regexp_split_to_array(w, ''), ' ')
+           |              || ' ' AS sq, wc
+           |       FROM vocab),
+           |${rounds.map(roundCte).mkString(",\n")},
+           |e0 AS (SELECT w, ' ' || array_to_string(regexp_split_to_array(w, ''), ' ')
+           |              || ' ' AS sq
+           |       FROM types),
+           |${rounds.map(applyCte).mkString(",\n")},
+           |syms AS (SELECT w, string_split(trim(sq), ' ') AS arr FROM e6),
+           |sid AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id
+           |        FROM (SELECT DISTINCT unnest(arr) AS sym FROM syms)),
+           |wsym AS (SELECT w, i, arr[i] AS sym
+           |         FROM syms, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)),
+           |wenc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_syms,
+           |                CAST(sum(i * id) AS BIGINT) AS wsum
+           |         FROM wsym JOIN sid USING (sym) GROUP BY w),
+           |docagg AS (SELECT t.doc_id, t.lang,
+           |                  CAST(sum(e.n_syms) AS BIGINT) AS ntok,
+           |                  CAST(sum(t.wp * e.wsum) AS BIGINT) AS ck
+           |           FROM tok t JOIN wenc e USING (w) GROUP BY 1, 2),
+           |vs AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM sid)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           |       vs.vocab_size,
+           |       CAST(sum(ck) AS BIGINT) AS checksum
+           |FROM docagg, vs
+           |GROUP BY lang, vs.vocab_size
+           |ORDER BY lang""".stripMargin
+      }),
+
     // Held-out OOV-rate curve: vocabulary learned on the md5 half,
     // token coverage measured on the OTHER half at top-{1k, 5k, 20k}
     // — text_vocab_coverage's in-sample curve flatters the vocab;
