@@ -1338,7 +1338,14 @@ private[graft] object QStats {
           count(lit(1)).as("n_strata"),
           sum(col("a") - (col("a") + col("b")) * (col("a") + col("c")) / col("n"))
             .as("num"),
-          sum((col("a") + col("b")) * (col("c") + col("dd")) *
+          // the 4-margin product is computed in DOUBLE from the first
+          // factor (both engines, same left-assoc order): at sf10 the
+          // per-user event density pushes every first-day into one
+          // stratum, margins reach ~n/2 ≈ 75k and the raw 64-bit
+          // product overflows (caught by the sf10 flush; DuckDB's
+          // HUGEINT sums masked it oracle-side). Margins are ≤2^53 so
+          // each factor is exact; the result feeds double math anyway.
+          sum((col("a") + col("b")).cast("double") * (col("c") + col("dd")) *
               (col("a") + col("c")) * (col("b") + col("dd")) /
               (col("n") * col("n") * (col("n") - 1.0))).as("vr"),
           sum(col("a") * col("dd") / col("n")).as("rs"),
@@ -1376,7 +1383,7 @@ private[graft] object QStats {
              |       WHERE a + b + c + dd >= 2),
              |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
              |              sum(a - (a + b) * (a + c) / n) AS num,
-             |              sum((a + b) * (c + dd) * (a + c) * (b + dd)
+             |              sum(CAST(a + b AS DOUBLE) * (c + dd) * (a + c) * (b + dd)
              |                  / (n * n * (n - 1.0))) AS vr,
              |              sum(a * dd / n) AS rs, sum(b * c / n) AS ss
              |       FROM sf),

@@ -329,15 +329,16 @@ object StreamOps {
     val s = events.sparkSession
     import s.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[EwmaRing, EwmaPoint](
+      .flatMapGroupsWithState[VersionedState, EwmaPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (uid, it, state: GroupState[EwmaRing]) =>
-          var ring: Vector[Option[Double]] = state.getOption match {
+        case (uid, it, state: GroupState[VersionedState]) =>
+          val st0 = state.getOption.map(StateCodecs.EwmaCodec.decode)
+          var ring: Vector[Option[Double]] = st0 match {
             case Some(r) =>
               r.vals.lazyZip(r.mask).map((v, m) => if (m) Some(v) else None).toVector
             case None => Vector.empty
           }
-          var frontier = state.getOption.map(_.frontier).getOrElse(Long.MinValue)
+          var frontier = st0.map(_.frontier).getOrElse(Long.MinValue)
           val out = it.toSeq.sortBy(e => (e.ts, e.event_id))
             .dropWhile(_.ts < frontier) // late vs a PRIOR batch: drop
             .map { e =>
@@ -356,8 +357,9 @@ object StreamOps {
             ring = (e.value +: ring).take(lags - 1)
             EwmaPoint(e.user_id, e.event_id, e.value, ewma)
           }
-          state.update(EwmaRing(ring.map(_.getOrElse(0.0)).toArray,
-            ring.map(_.isDefined).toArray, frontier))
+          state.update(StateCodecs.EwmaCodec.encode(
+            EwmaRing(ring.map(_.getOrElse(0.0)).toArray,
+              ring.map(_.isDefined).toArray, frontier)))
           out.iterator
       }
   }
@@ -394,15 +396,20 @@ object StreamOps {
 
   final case class Scd2Event(event_id: Long, ts: Long, user_id: Long,
                              event_type: String)
-  /** CHECKPOINT COMPATIBILITY: round 14 added `frontier` here (and
-    * `lastDay` to [[CusumState]]); round 15 extended the late-data
-    * policies to [[EwmaRing]]/[[LocfState]]/[[BollState]]/[[PhState]]/
-    * [[KalmanState]]. Each addition changes that operator's
-    * flatMapGroupsWithState state encoder schema, so a streaming
-    * query restarted from a pre-change checkpoint will fail to decode
-    * its state — resume such queries with a NEW checkpoint directory.
-    * Policy for future field additions: same rule (new checkpoint
-    * dir), noted in the scaladoc of the state class that changed. */
+  /** CHECKPOINT COMPATIBILITY (r16): every state class that has ever
+    * evolved (this one and [[CusumState]] gained fields in r14;
+    * [[EwmaRing]]/[[LocfState]]/[[BollState]]/[[PhState]]/
+    * [[KalmanState]] in r15) now checkpoints through the
+    * [[VersionedState]] envelope — the stored schema is permanently
+    * (ver INT, payload BINARY) and field evolution happens in the
+    * operator's [[StateCodecs]] codec (bump `version`, decode older
+    * versions with defaults). Adding a field therefore NO LONGER
+    * requires a new checkpoint directory (the old rule, which
+    * silently discarded state). The envelope adoption itself was the
+    * one final schema break per operator; states stable since birth
+    * (SessionState, SeenState, …) adopt the envelope the same way on
+    * their first change. Both the old failure mode and the envelope's
+    * cross-version restart are pinned in StreamingSpec. */
   final case class Scd2State(eventId: Long, eventType: String, since: Long,
                              frontier: Long)
   final case class Scd2Closed(user_id: Long, event_id: Long,
@@ -434,10 +441,10 @@ object StreamOps {
     val s = events.sparkSession
     import s.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+      .flatMapGroupsWithState[VersionedState, Scd2Closed](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (uid, it, state: GroupState[Scd2State]) =>
-          var cur = state.getOption
+        case (uid, it, state: GroupState[VersionedState]) =>
+          var cur = state.getOption.map(StateCodecs.Scd2Codec.decode)
           var frontier = cur.map(_.frontier).getOrElse(Long.MinValue)
           val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
           it.toSeq.sortBy(e => (e.ts, e.event_id))
@@ -454,7 +461,7 @@ object StreamOps {
                 cur = Some(Scd2State(e.event_id, e.event_type, e.ts, frontier))
             }
           }
-          cur.foreach(state.update)
+          cur.foreach(s => state.update(StateCodecs.Scd2Codec.encode(s)))
           out.iterator
       }
   }
@@ -522,10 +529,10 @@ object StreamOps {
     val s = days.sparkSession
     import s.implicits._
     days.groupByKey(_.event_type)
-      .flatMapGroupsWithState[CusumState, CusumUpdate](
+      .flatMapGroupsWithState[VersionedState, CusumUpdate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (et, it, state: GroupState[CusumState]) =>
-          var st = state.getOption.getOrElse(
+        case (et, it, state: GroupState[VersionedState]) =>
+          var st = state.getOption.map(StateCodecs.CusumCodec.decode).getOrElse(
             CusumState(0.0, -1.0, -1L, Long.MinValue))
           val out = it.toSeq.sortBy(_.day)
             .dropWhile(_.day <= st.lastDay) // late/duplicate day: drop
@@ -536,7 +543,7 @@ object StreamOps {
             else st.copy(cusum = c, lastDay = d.day)
             CusumUpdate(et, d.day, c, st.maxAbs, st.argDay)
           }
-          state.update(st)
+          state.update(StateCodecs.CusumCodec.encode(st))
           out.iterator
       }
   }
@@ -825,10 +832,10 @@ object StreamOps {
     val s = events.sparkSession
     import s.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[LocfState, LocfPoint](
+      .flatMapGroupsWithState[VersionedState, LocfPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (uid, it, state: GroupState[LocfState]) =>
-          var st = state.getOption.getOrElse(
+        case (uid, it, state: GroupState[VersionedState]) =>
+          var st = state.getOption.map(StateCodecs.LocfCodec.decode).getOrElse(
             LocfState(0.0, hasLast = false, Long.MinValue))
           val out = it.toSeq.sortBy(e => (e.ts, e.event_id))
             .dropWhile(_.ts < st.frontier) // late vs a PRIOR batch: drop
@@ -841,7 +848,7 @@ object StreamOps {
             }
             LocfPoint(uid, e.event_id, e.value, filled)
           }
-          state.update(st)
+          state.update(StateCodecs.LocfCodec.encode(st))
           out.iterator
       }
   }
@@ -917,11 +924,12 @@ object StreamOps {
     def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     days.groupByKey(_ => 0L)
-      .flatMapGroupsWithState[BollState, BollPoint](
+      .flatMapGroupsWithState[VersionedState, BollPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, it, state: GroupState[BollState]) =>
-          var ring = state.getOption.map(_.ring).getOrElse(Seq.empty[Long])
-          var lastDay = state.getOption.map(_.lastDay).getOrElse(Long.MinValue)
+        case (_, it, state: GroupState[VersionedState]) =>
+          val st0 = state.getOption.map(StateCodecs.BollCodec.decode)
+          var ring = st0.map(_.ring).getOrElse(Seq.empty[Long])
+          var lastDay = st0.map(_.lastDay).getOrElse(Long.MinValue)
           val out = it.toSeq.sortBy(_.day)
             .dropWhile(_.day <= lastDay) // late/duplicate day: drop
             .flatMap { d =>
@@ -939,7 +947,7 @@ object StreamOps {
                 if (d.x < lo || d.x > hi) 1L else 0L))
             }
           }
-          state.update(BollState(ring, lastDay))
+          state.update(StateCodecs.BollCodec.encode(BollState(ring, lastDay)))
           out.iterator
       }
   }
@@ -1035,10 +1043,10 @@ object StreamOps {
     import s.implicits._
     def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
     days.groupByKey(_ => 0L)
-      .flatMapGroupsWithState[PhState, PhPoint](
+      .flatMapGroupsWithState[VersionedState, PhPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, it, state: GroupState[PhState]) =>
-          var st = state.getOption.getOrElse(
+        case (_, it, state: GroupState[VersionedState]) =>
+          var st = state.getOption.map(StateCodecs.PhCodec.decode).getOrElse(
             PhState(0L, Long.MaxValue, Long.MinValue))
           val out = it.toSeq.sortBy(_.day)
             .dropWhile(_.day <= st.lastDay) // late/duplicate day: drop
@@ -1049,7 +1057,7 @@ object StreamOps {
             val ph = r4((cum - mn).toDouble / 1e6)
             PhPoint(d.day, d.x, ph, if (ph > lambda) 1L else 0L)
           }
-          state.update(st)
+          state.update(StateCodecs.PhCodec.encode(st))
           out.iterator
       }
   }
@@ -1088,10 +1096,10 @@ object StreamOps {
     def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     days.groupByKey(_.series)
-      .flatMapGroupsWithState[KalmanState, KalmanPoint](
+      .flatMapGroupsWithState[VersionedState, KalmanPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (series, it, state: GroupState[KalmanState]) =>
-          var st = state.getOption.getOrElse(
+        case (series, it, state: GroupState[VersionedState]) =>
+          var st = state.getOption.map(StateCodecs.KalmanCodec.decode).getOrElse(
             KalmanState(0.0, 10000.0, false, Long.MinValue))
           val out = it.toSeq.sortBy(_.t)
             .dropWhile(_.t <= st.lastT) // late/duplicate step: drop
@@ -1107,7 +1115,7 @@ object StreamOps {
               KalmanPoint(series, d.t, d.day, d.v, st.level, Some(kg))
             }
           }
-          state.update(st)
+          state.update(StateCodecs.KalmanCodec.encode(st))
           out.iterator
       }
   }

@@ -9,6 +9,32 @@ import graft.streaming.StreamOps.{Event, SessionUpdate}
 object StreamingSpec {
   final case class Point(user_id: Long, vector_id: Long, doc_id: Long,
                          chunk_id: Long, title: String, embedding: Seq[Double])
+
+  // --- state-versioning fixtures (r15 ask 4) ---
+  // a keyed counter state in two shapes: V2 adds a field, the exact
+  // evolution that used to force a new checkpoint directory
+  final case class CtV1(n: Long)
+  final case class CtV2(n: Long, extra: Long)
+
+  // envelope codecs for the same evolution: V1 writes (n); V2 writes
+  // (n, extra) and reads V1 payloads with a default — the migration
+  // path the plain encoding cannot take
+  object CtCodecV1 extends graft.streaming.StateCodec[CtV1] {
+    val version = 1
+    def write(s: CtV1, out: java.io.DataOutputStream): Unit = out.writeLong(s.n)
+    def read(ver: Int, in: java.io.DataInputStream): CtV1 = CtV1(in.readLong())
+  }
+  object CtCodecV2 extends graft.streaming.StateCodec[CtV2] {
+    val version = 2
+    def write(s: CtV2, out: java.io.DataOutputStream): Unit = {
+      out.writeLong(s.n); out.writeLong(s.extra)
+    }
+    def read(ver: Int, in: java.io.DataInputStream): CtV2 = {
+      val n = in.readLong()
+      val extra = if (ver >= 2) in.readLong() else 1000L // default for old state
+      CtV2(n, extra)
+    }
+  }
 }
 
 class StreamingSpec extends SparkSpec {
@@ -1401,5 +1427,109 @@ class StreamingSpec extends SparkSpec {
       assert(got.last == ((2L, level)),
         s"trajectory perturbed: got ${got.last}, want (2, $level)")
     } finally query.stop()
+  }
+
+  test("plain state schema change breaks a checkpoint restart (pinned failure mode)") {
+    // The rule the VersionedState envelope exists to remove: a keyed
+    // counter checkpointed with CtV1(n) cannot restart with
+    // CtV2(n, extra) — Spark's state-schema compatibility check (or
+    // the state decoder) rejects the widened schema. This is exactly
+    // what the r14/r15 field additions hit.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import StreamingSpec.{CtV1, CtV2}
+    implicit val sqlCtx = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-plain").toString
+    val input = MemoryStream[Long]
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q1 = input.toDS().groupByKey(_ % 2)
+      .flatMapGroupsWithState[CtV1, Long](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, st: GroupState[CtV1]) =>
+          val n = st.getOption.map(_.n).getOrElse(0L) + it.size
+          st.update(CtV1(n)); Iterator.single(n)
+      }
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Long], _: Long) =>
+        b.collect().foreach(sink.add(_)); () }
+      .start()
+    input.addData(1L, 2L, 3L)
+    q1.processAllAvailable(); q1.stop()
+    assert(sink.size() == 2) // two key groups counted
+    // restart the SAME checkpoint with the WIDENED state class
+    val q2 = input.toDS().groupByKey(_ % 2)
+      .flatMapGroupsWithState[CtV2, Long](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, st: GroupState[CtV2]) =>
+          val cur = st.getOption.getOrElse(CtV2(0L, 0L))
+          val n = cur.n + it.size
+          st.update(CtV2(n, cur.extra)); Iterator.single(n)
+      }
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Long], _: Long) =>
+        b.collect().foreach(sink.add(_)); () }
+      .start()
+    input.addData(4L)
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    assert(ex != null, "widened plain state restarted cleanly — the envelope would be unnecessary")
+  }
+
+  test("versioned envelope: a field addition survives a checkpoint restart") {
+    // Same evolution as above, through VersionedState: the
+    // checkpointed schema is (ver, payload) in both runs, CodecV2
+    // decodes the V1 payload with a default — state carries over, no
+    // new checkpoint directory.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import graft.streaming.VersionedState
+    import StreamingSpec.{CtCodecV1, CtCodecV2, CtV1, CtV2}
+    implicit val sqlCtx = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-env").toString
+    val input = MemoryStream[Long]
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q1 = input.toDS().groupByKey(_ % 2)
+      .flatMapGroupsWithState[VersionedState, Long](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, st: GroupState[VersionedState]) =>
+          val n = st.getOption.map(CtCodecV1.decode).map(_.n).getOrElse(0L) + it.size
+          st.update(CtCodecV1.encode(CtV1(n)))
+          Iterator.single(n)
+      }
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Long], _: Long) =>
+        b.collect().foreach(n => sink.add((n, -1L))); () }
+      .start()
+    input.addData(1L, 2L, 3L) // keys: 1 -> {1,3}, 0 -> {2}
+    q1.processAllAvailable(); q1.stop()
+    sink.clear()
+    // restart with the V2 codec: reads v1 payloads (default extra),
+    // writes v2 — same envelope schema, so Spark restores the state
+    val q2 = input.toDS().groupByKey(_ % 2)
+      .flatMapGroupsWithState[VersionedState, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, st: GroupState[VersionedState]) =>
+          val cur = st.getOption.map(CtCodecV2.decode).getOrElse(CtV2(0L, 1000L))
+          val next = CtV2(cur.n + it.size, cur.extra + 1L)
+          st.update(CtCodecV2.encode(next))
+          Iterator.single((next.n, next.extra))
+      }
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+        b.collect().foreach(sink.add(_)); () }
+      .start()
+    input.addData(5L) // key 1: count was 2, becomes 3
+    q2.processAllAvailable(); q2.stop()
+    val got = sink.toArray(Array.empty[(Long, Long)]).toSeq
+    // old state decoded (count continues at 3) and the default
+    // filled the new field (1000 + 1)
+    assert(got == Seq((3L, 1001L)),
+      s"envelope restart lost or mis-decoded state: $got")
   }
 }
