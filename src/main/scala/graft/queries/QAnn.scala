@@ -93,27 +93,50 @@ private[graft] object QAnn {
                     coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
             .orderBy("vec_id")
         },
-        Some("""WITH sc AS (
-               |  SELECT q.vec_id AS qid, e.vec_id AS nid,
-               |         round(list_cosine_similarity(e.embedding::DOUBLE[],
-               |               q.embedding::DOUBLE[]), 6) + 0.0 AS score
-               |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
-               |ed AS (SELECT qid, nid FROM (
-               |    SELECT *, row_number() OVER (PARTITION BY qid
-               |           ORDER BY score DESC, nid) AS rnk FROM sc)
-               |  WHERE rnk <= 5),
-               |mu AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_mutual
-               |       FROM ed a JOIN ed b ON a.qid = b.nid AND a.nid = b.qid
-               |       GROUP BY a.qid),
-               |ho AS (SELECT qid,
-               |         CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT)
-               |           AS n_same_label
-               |       FROM ed JOIN embeddings ql ON ed.qid = ql.vec_id
-               |               JOIN embeddings nl ON ed.nid = nl.vec_id
-               |       GROUP BY qid)
-               |SELECT ho.qid AS vec_id, n_same_label,
-               |       CAST(coalesce(n_mutual, 0) AS BIGINT) AS n_mutual
-               |FROM ho LEFT JOIN mu USING (qid) ORDER BY vec_id""".stripMargin)),
+        // ORACLE SCALE IDIOM (sf10 flush): the per-qid top-5 is FIVE
+        // GREEDY max_by ROUNDS (argmax excluding prior picks), each a
+        // bounded streaming aggregate over the |V|² pair scan — the
+        // old window formulation materialized and SORTED the full
+        // pair table (1e9 rows at sf10), whose spill exceeded the
+        // box's disk and poisoned the sweep. max_by keeps one row of
+        // state per qid per round (measured 36 s/round at sf10,
+        // 24 GB, zero spill) — the engine's bounded-TopK discipline
+        // mirrored oracle-side. The (score DESC, nid ASC) tie-break
+        // rides one integer key: round-6dp score in 1e-6 units
+        // (exact — scores carry ≤6dp) shifted by 2^40 minus nid.
+        Some {
+          val key = "CAST(round(round(list_cosine_similarity(" +
+            "e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) * 1000000) " +
+            "AS BIGINT) * 1099511627776 - e.vec_id"
+          def round(k: Int): String = {
+            val excl =
+              if (k == 1) ""
+              else (1 until k).map(j =>
+                s"""  AND NOT EXISTS (SELECT 1 FROM g$j
+                   |    WHERE g$j.qid = q.vec_id AND g$j.nid = e.vec_id)""".stripMargin)
+                .mkString("\n", "\n", "")
+            s"""g$k AS (
+               |  SELECT q.vec_id AS qid, max_by(e.vec_id, $key) AS nid
+               |  FROM embeddings e, embeddings q
+               |  WHERE e.vec_id <> q.vec_id$excl
+               |  GROUP BY 1)""".stripMargin
+          }
+          s"""WITH ${(1 to 5).map(round).mkString(",\n")},
+             |ed AS (${(1 to 5).map(k => s"SELECT qid, nid FROM g$k")
+                        .mkString("\n  UNION ALL ")}),
+             |mu AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_mutual
+             |       FROM ed a JOIN ed b ON a.qid = b.nid AND a.nid = b.qid
+             |       GROUP BY a.qid),
+             |ho AS (SELECT qid,
+             |         CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS n_same_label
+             |       FROM ed JOIN embeddings ql ON ed.qid = ql.vec_id
+             |               JOIN embeddings nl ON ed.nid = nl.vec_id
+             |       GROUP BY qid)
+             |SELECT ho.qid AS vec_id, n_same_label,
+             |       CAST(coalesce(n_mutual, 0) AS BIGINT) AS n_mutual
+             |FROM ho LEFT JOIN mu USING (qid) ORDER BY vec_id""".stripMargin
+        }),
 
       // MMR diversified re-ranking (λ=0.5): relevant-but-diverse top-5
       // out of a top-20 cosine pool — the greedy loop is a pure

@@ -27,7 +27,7 @@ def canon(rows, cols):
     out = [tuple(norm(r[i]) for i in order) for r in rows]
     return sorted(out, key=repr)
 
-def main(sf_dir, out_dir, only=None):
+def connect(sf_dir, out_dir):
     con = duckdb.connect()
     # Bound DuckDB's memory so a big-SF window/join spills to disk
     # instead of riding the default 80%-of-RAM limit into the OOM
@@ -43,6 +43,17 @@ def main(sf_dir, out_dir, only=None):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
         elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+# errors that poison the CONNECTION (allocator/spill state), not just
+# the query: observed in the sf10 sweep, where one oracle's failed
+# 77 GB spill cascaded "bad allocation" into every later query on the
+# same connection. Reconnect + retry once before recording a FAIL.
+POISON = ("Out of Memory", "No space left", "IO Error",
+          "bad allocation")
+
+def main(sf_dir, out_dir, only=None):
+    con = connect(sf_dir, out_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
         oracle = {n: s for n, s in oracle.items() if any(
@@ -60,17 +71,32 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        try:
-            o = con.sql(sql)
-            ocols, orows = [c.lower() for c in o.columns], o.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error {e}")
+        err = None
+        for attempt in (0, 1):
+            try:
+                o = con.sql(sql)
+                ocols, orows = [c.lower() for c in o.columns], o.fetchall()
+                otypes = [str(t).upper() for t in o.types]
+                s = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+                scols, srows = [c.lower() for c in s.columns], s.fetchall()
+                stypes = [str(t).upper() for t in s.types]
+                err = None
+                break
+            except Exception as e:
+                err = e
+                if attempt == 0 and any(p in str(e) for p in POISON):
+                    print(f"RETRY {name}: reconnecting after: {e}")
+                    try:
+                        con.close()
+                    except Exception:
+                        pass
+                    con = connect(sf_dir, out_dir)
+                else:
+                    break
+        if err is not None:
+            print(f"FAIL {name}: oracle error {err}")
             n_fail += 1
             continue
-        otypes = [str(t).upper() for t in o.types]
-        s = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-        scols, srows = [c.lower() for c in s.columns], s.fetchall()
-        stypes = [str(t).upper() for t in s.types]
         if sorted(ocols) != sorted(scols):
             print(f"FAIL {name}: cols oracle={sorted(ocols)} spark={sorted(scols)}")
             n_fail += 1
