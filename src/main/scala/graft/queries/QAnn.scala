@@ -115,7 +115,11 @@ private[graft] object QAnn {
                 s"""  AND NOT EXISTS (SELECT 1 FROM g$j
                    |    WHERE g$j.qid = q.vec_id AND g$j.nid = e.vec_id)""".stripMargin)
                 .mkString("\n", "\n", "")
-            s"""g$k AS (
+            // MATERIALIZED: each round's 32k-row pick table must be
+            // computed ONCE — plain CTEs inline into every later
+            // round's NOT EXISTS, re-evaluating the pair scan
+            // 2^rounds-1 times (measured: ~20 min vs ~3 at sf10)
+            s"""g$k AS MATERIALIZED (
                |  SELECT q.vec_id AS qid, max_by(e.vec_id, $key) AS nid
                |  FROM embeddings e, embeddings q
                |  WHERE e.vec_id <> q.vec_id$excl
