@@ -94,40 +94,44 @@ private[graft] object QAnn {
             .orderBy("vec_id")
         },
         // ORACLE SCALE IDIOM (sf10 flush): the per-qid top-5 is FIVE
-        // GREEDY max_by ROUNDS (argmax excluding prior picks), each a
-        // bounded streaming aggregate over the |V|² pair scan — the
-        // old window formulation materialized and SORTED the full
-        // pair table (1e9 rows at sf10), whose spill exceeded the
-        // box's disk and poisoned the sweep. max_by keeps one row of
-        // state per qid per round (measured 36 s/round at sf10,
-        // 24 GB, zero spill) — the engine's bounded-TopK discipline
-        // mirrored oracle-side. The (score DESC, nid ASC) tie-break
-        // rides one integer key: round-6dp score in 1e-6 units
-        // (exact — scores carry ≤6dp) shifted by 2^40 minus nid.
+        // GREEDY max ROUNDS over one strictly-ordered integer KEY —
+        // each round a bounded streaming aggregate over the |V|² pair
+        // scan. The old window formulation materialized and SORTED
+        // the full pair table (1e9 rows at sf10), whose spill
+        // exceeded the box's disk and poisoned the sweep; a NOT
+        // EXISTS exclusion spilled the same way (DuckDB builds the
+        // mark-join hash on the 1e9-row side). The key makes both
+        // joins unnecessary: key = (round-6dp score in 1e-6 units,
+        // shifted non-negative) · 2^40 − nid is STRICTLY decreasing
+        // in (score DESC, nid ASC) rank order, so round k is just
+        // max(key) below the qid's round-(k−1) threshold — the only
+        // join is 32k×32k on qid — and nid decodes arithmetically:
+        // s = ⌈key/2^40⌉ (integer form), nid = s·2^40 − key.
+        // Each round's pick table is MATERIALIZED (plain CTEs would
+        // inline and re-run the pair scan 2^rounds−1 times).
         Some {
-          val key = "CAST(round(round(list_cosine_similarity(" +
+          val B = "1099511627776" // 2^40 > any vec_id
+          val key = "(CAST(round(round(list_cosine_similarity(" +
             "e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) * 1000000) " +
-            "AS BIGINT) * 1099511627776 - e.vec_id"
-          def round(k: Int): String = {
-            val excl =
-              if (k == 1) ""
-              else (1 until k).map(j =>
-                s"""  AND NOT EXISTS (SELECT 1 FROM g$j
-                   |    WHERE g$j.qid = q.vec_id AND g$j.nid = e.vec_id)""".stripMargin)
-                .mkString("\n", "\n", "")
-            // MATERIALIZED: each round's 32k-row pick table must be
-            // computed ONCE — plain CTEs inline into every later
-            // round's NOT EXISTS, re-evaluating the pair scan
-            // 2^rounds-1 times (measured: ~20 min vs ~3 at sf10)
-            s"""g$k AS MATERIALIZED (
-               |  SELECT q.vec_id AS qid, max_by(e.vec_id, $key) AS nid
-               |  FROM embeddings e, embeddings q
-               |  WHERE e.vec_id <> q.vec_id$excl
-               |  GROUP BY 1)""".stripMargin
-          }
+            s"AS BIGINT) + 2000000) * $B - e.vec_id"
+          def round(k: Int): String =
+            if (k == 1)
+              s"""g1 AS MATERIALIZED (
+                 |  SELECT q.vec_id AS qid, max($key) AS k
+                 |  FROM embeddings e, embeddings q
+                 |  WHERE e.vec_id <> q.vec_id
+                 |  GROUP BY 1)""".stripMargin
+            else
+              s"""g$k AS MATERIALIZED (
+                 |  SELECT q.vec_id AS qid, max($key) AS k
+                 |  FROM embeddings e, embeddings q, g${k - 1}
+                 |  WHERE e.vec_id <> q.vec_id AND g${k - 1}.qid = q.vec_id
+                 |    AND $key < g${k - 1}.k
+                 |  GROUP BY 1)""".stripMargin
+          def decode(k: Int): String =
+            s"""SELECT qid, ((k + $B - 1) // $B) * $B - k AS nid FROM g$k"""
           s"""WITH ${(1 to 5).map(round).mkString(",\n")},
-             |ed AS (${(1 to 5).map(k => s"SELECT qid, nid FROM g$k")
-                        .mkString("\n  UNION ALL ")}),
+             |ed AS (${(1 to 5).map(decode).mkString("\n  UNION ALL ")}),
              |mu AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_mutual
              |       FROM ed a JOIN ed b ON a.qid = b.nid AND a.nid = b.qid
              |       GROUP BY a.qid),
