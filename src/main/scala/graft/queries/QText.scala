@@ -475,19 +475,23 @@ private[graft] object QText {
         (s, d) => graft.text.TextAnalytics
           .tokenDropout(Tables.documents(s, d), 10)
           .orderBy("doc_id"),
+        // ORACLE SCALE IDIOM (sf10 flush): ARRAY-NATIVE per row — the
+        // explode + string_agg(ORDER BY i) form buffers the ordered
+        // aggregate un-offloadably in DuckDB 1.0 and blew the 48 GB
+        // budget at 500k docs; list_where over a per-position hash
+        // mask rebuilds the same augmented text with zero fan-out and
+        // streaming memory.
         Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
                |           FROM documents),
-               |e AS (SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok FROM t),
-               |k AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS aug,
-               |             count(*) AS n_kept
-               |      FROM e
-               |      WHERE ('0x' || substr(md5('aug:' || CAST(doc_id AS VARCHAR) || ':'
-               |              || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 10 <> 0
-               |      GROUP BY doc_id)
-               |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_orig,
-               |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
-               |       ('0x' || substr(md5(coalesce(k.aug, '')), 1, 15))::BIGINT AS h_aug
-               |FROM t LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin)),
+               |k AS (SELECT doc_id, t,
+               |        list_where(t, list_transform(range(1, len(t) + 1), i ->
+               |          ('0x' || substr(md5('aug:' || CAST(doc_id AS VARCHAR) || ':'
+               |             || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 10 <> 0)) AS kept
+               |      FROM t)
+               |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_orig,
+               |       CAST(len(kept) AS BIGINT) AS n_kept,
+               |       ('0x' || substr(md5(array_to_string(kept, ' ')), 1, 15))::BIGINT AS h_aug
+               |FROM k ORDER BY doc_id""".stripMargin)),
 
       // temperature (α=0.5) language rebalancing: kept counts ∝
       // sqrt(original counts), smallest language kept fully — sqrt is

@@ -85,12 +85,25 @@ def main(sf_dir, out_dir, only=None):
             except Exception as e:
                 err = e
                 if attempt == 0 and any(p in str(e) for p in POISON):
-                    print(f"RETRY {name}: reconnecting after: {e}")
+                    print(f"RETRY {name}: reconnecting after: {e}", flush=True)
+                    # the old instance's buffer pool must actually be
+                    # RELEASED before a new 48 GB-budget instance comes
+                    # up, or the reconnect itself OOMs (observed: the
+                    # replacement connection failed a 2 KB allocation
+                    # while the poisoned instance lingered un-collected)
                     try:
                         con.close()
                     except Exception:
                         pass
-                    con = connect(sf_dir, out_dir)
+                    del con
+                    import gc, time
+                    gc.collect()
+                    time.sleep(3)
+                    try:
+                        con = connect(sf_dir, out_dir)
+                    except Exception as e2:
+                        gc.collect(); time.sleep(10)
+                        con = connect(sf_dir, out_dir)
                 else:
                     break
         if err is not None:
