@@ -93,45 +93,12 @@ private[graft] object QAnn {
                     coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
             .orderBy("vec_id")
         },
-        // ORACLE SCALE IDIOM (sf10 flush): the per-qid top-5 is FIVE
-        // GREEDY max ROUNDS over one strictly-ordered integer KEY —
-        // each round a bounded streaming aggregate over the |V|² pair
-        // scan. The old window formulation materialized and SORTED
-        // the full pair table (1e9 rows at sf10), whose spill
-        // exceeded the box's disk and poisoned the sweep; a NOT
-        // EXISTS exclusion spilled the same way (DuckDB builds the
-        // mark-join hash on the 1e9-row side). The key makes both
-        // joins unnecessary: key = (round-6dp score in 1e-6 units,
-        // shifted non-negative) · 2^40 − nid is STRICTLY decreasing
-        // in (score DESC, nid ASC) rank order, so round k is just
-        // max(key) below the qid's round-(k−1) threshold — the only
-        // join is 32k×32k on qid — and nid decodes arithmetically:
-        // s = ⌈key/2^40⌉ (integer form), nid = s·2^40 − key.
-        // Each round's pick table is MATERIALIZED (plain CTEs would
-        // inline and re-run the pair scan 2^rounds−1 times).
+        // ORACLE SCALE IDIOM (sf10 flush): the per-qid top-5 rides
+        // the shared greedy max-threshold CTE chain (QDsl.knnEdgeCtes
+        // — see its scaladoc for why the window and NOT-EXISTS
+        // formulations both spilled past the box's disk at 1e9 pairs).
         Some {
-          val B = "1099511627776" // 2^40 > any vec_id
-          val key = "(CAST(round(round(list_cosine_similarity(" +
-            "e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) * 1000000) " +
-            s"AS BIGINT) + 2000000) * $B - e.vec_id"
-          def round(k: Int): String =
-            if (k == 1)
-              s"""g1 AS MATERIALIZED (
-                 |  SELECT q.vec_id AS qid, max($key) AS k
-                 |  FROM embeddings e, embeddings q
-                 |  WHERE e.vec_id <> q.vec_id
-                 |  GROUP BY 1)""".stripMargin
-            else
-              s"""g$k AS MATERIALIZED (
-                 |  SELECT q.vec_id AS qid, max($key) AS k
-                 |  FROM embeddings e, embeddings q, g${k - 1}
-                 |  WHERE e.vec_id <> q.vec_id AND g${k - 1}.qid = q.vec_id
-                 |    AND $key < g${k - 1}.k
-                 |  GROUP BY 1)""".stripMargin
-          def decode(k: Int): String =
-            s"""SELECT qid, ((k + $B - 1) // $B) * $B - k AS nid FROM g$k"""
-          s"""WITH ${(1 to 5).map(round).mkString(",\n")},
-             |ed AS (${(1 to 5).map(decode).mkString("\n  UNION ALL ")}),
+          s"""WITH ${QDsl.knnEdgeCtes()},
              |mu AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_mutual
              |       FROM ed a JOIN ed b ON a.qid = b.nid AND a.nid = b.qid
              |       GROUP BY a.qid),

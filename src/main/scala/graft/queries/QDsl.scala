@@ -32,6 +32,50 @@ private[graft] object QDsl {
     */
   val BasketCap = 100
 
+  /** DuckDB CTE chain for the exact per-qid 5-NN edge list over the
+    * full embeddings cross product — the ORACLE-SIDE twin of the
+    * engine's bounded-TopK discipline (sf10 flush idiom; shared by
+    * ann_knn_graph and emb_hubness).
+    *
+    * Window (`row_number PARTITION BY qid` over |V|² pairs) and
+    * NOT-EXISTS formulations both spilled past the box's disk at
+    * sf10 (1e9 rows: the window sorts them; the mark join builds its
+    * hash on them). This form needs NO pair-side state: the sort key
+    * (round-6dp score in 1e-6 units, shifted non-negative) · 2^40 −
+    * nid is STRICTLY decreasing in (score DESC, nid ASC) rank order,
+    * so greedy round k is max(key) below the qid's round-(k−1)
+    * threshold — the only join is |V|×|V| on qid — and nid decodes
+    * arithmetically (s = ⌈key/2^40⌉ in integer form, nid = s·2^40 −
+    * key). Each round's |V|-row pick table is MATERIALIZED (plain
+    * CTEs would inline and re-run the pair scan 2^rounds−1 times).
+    * Measured at sf10 (32k vecs, 1e9 pairs/round): ~90 s/round, zero
+    * spill. Emits CTEs g1..gK and `ed(qid, nid)`.
+    */
+  def knnEdgeCtes(k: Int = 5): String = {
+    val B = "1099511627776" // 2^40 > any vec_id
+    val key = "(CAST(round(round(list_cosine_similarity(" +
+      "e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) * 1000000) " +
+      s"AS BIGINT) + 2000000) * $B - e.vec_id"
+    def round(r: Int): String =
+      if (r == 1)
+        s"""g1 AS MATERIALIZED (
+           |  SELECT q.vec_id AS qid, max($key) AS k
+           |  FROM embeddings e, embeddings q
+           |  WHERE e.vec_id <> q.vec_id
+           |  GROUP BY 1)""".stripMargin
+      else
+        s"""g$r AS MATERIALIZED (
+           |  SELECT q.vec_id AS qid, max($key) AS k
+           |  FROM embeddings e, embeddings q, g${r - 1}
+           |  WHERE e.vec_id <> q.vec_id AND g${r - 1}.qid = q.vec_id
+           |    AND $key < g${r - 1}.k
+           |  GROUP BY 1)""".stripMargin
+    def decode(r: Int): String =
+      s"""SELECT qid, ((k + $B - 1) // $B) * $B - k AS nid FROM g$r"""
+    s"""${(1 to k).map(round).mkString(",\n")},
+       |ed AS (${(1 to k).map(decode).mkString("\n  UNION ALL ")})""".stripMargin
+  }
+
   /** Exact money sum: the per-row term rounds to 4dp and sums as
     * DECIMAL, so group totals are ORDER-INVARIANT — a plain double
     * sum's merge-order noise (~1e-8 on 1e5-scale revenue) lands a

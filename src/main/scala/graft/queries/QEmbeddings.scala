@@ -244,15 +244,10 @@ private[graft] object QEmbeddings {
             when(col("m2") > 0,
               round(col("m3") / pow(col("m2"), 1.5), 4)).as("skew_occ"))
       },
-      Some("""WITH sc AS (
-             |  SELECT q.vec_id AS qid, e.vec_id AS nid,
-             |         round(list_cosine_similarity(e.embedding::DOUBLE[],
-             |               q.embedding::DOUBLE[]), 6) + 0.0 AS score
-             |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
-             |ed AS MATERIALIZED (SELECT qid, nid FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY qid
-             |           ORDER BY score DESC, nid) AS rnk FROM sc)
-             |  WHERE rnk <= 5),
+      // the 5-NN edge list rides the shared greedy max-threshold CTE
+      // chain (QDsl.knnEdgeCtes) — the |V|²-window form spilled past
+      // the box's disk at sf10 (same class as ann_knn_graph)
+      Some(s"""WITH ${QDsl.knnEdgeCtes()},
              |oc AS (SELECT e.vec_id,
              |              coalesce(g.occ, 0) AS occ
              |       FROM embeddings e LEFT JOIN
