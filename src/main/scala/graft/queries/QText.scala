@@ -674,30 +674,43 @@ private[graft] object QText {
           val tf = Tables.documents(s, d)
             .select(col("doc_id"), explode(t).as("term"))
             .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-          val stats = tf.groupBy("term")
+            .localCheckpoint(eager = false) // read 2×: top terms + postings
+          val top = tf.groupBy("term").agg(count(lit(1)).as("df2"))
+            .orderBy(col("df2").desc, col("term")).limit(20)
+          // the top-20 semi-join sits BELOW the posting build (sf10
+          // flush): per-term aggregates are semi-filter-invariant, and
+          // materializing postings for EVERY term means a multi-MB
+          // collect_list per stopword at 500k docs — on both engines
+          val stats = tf.join(top.select("term"), Seq("term"), "left_semi")
+            .groupBy("term")
             .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
                  array_join(transform(array_sort(collect_list(
                      struct(col("doc_id"), col("tf")))),
                    e => concat_ws(":", e.getField("doc_id"), e.getField("tf"))),
                    ",").as("postings"))
-          val top = tf.groupBy("term").agg(count(lit(1)).as("df2"))
-            .orderBy(col("df2").desc, col("term")).limit(20)
-          stats.join(top, Seq("term"), "left_semi")
+          stats
             .select(col("term"), col("df"), col("cf"), col("postings"))
             .orderBy(col("df").desc, col("term"))
         },
+        // same bound oracle-side: the ordered string_agg is DuckDB
+        // 1.0's un-offloadable aggregate (the aug_token_dropout
+        // class), so it must only ever run over the 20 surviving
+        // terms' rows, never the full (term, doc) table
         Some("""WITH tf AS (
                |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
                |  FROM (SELECT doc_id,
                |               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
                |        FROM documents)
                |  GROUP BY term, doc_id),
+               |top AS (SELECT term FROM (
+               |  SELECT term, count(*) AS df2 FROM tf GROUP BY term
+               |  ORDER BY df2 DESC, term LIMIT 20)),
                |stats AS (
                |  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
                |         string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
-               |  FROM tf GROUP BY term)
+               |  FROM tf JOIN top USING (term) GROUP BY term)
                |SELECT term, df, cf, postings FROM stats
-               |ORDER BY df DESC, term LIMIT 20""".stripMargin)),
+               |ORDER BY df DESC, term""".stripMargin)),
 
       // Zipf's-law fit over the top-100 vocabulary: closed-form least
       // squares of ln(freq) on ln(rank). The regression runs on a
