@@ -1407,20 +1407,33 @@ private[graft] object QStats {
     // toward zero — the TLS slope is the closed-form top eigendirection
     // of the 2×2 centered covariance, reported NEXT to OLS so the
     // attenuation is visible. ONE hash aggregate of 5 sums per group.
+    // Power sums in EXACT INTEGERS (sf10 flush): float Σx², Σxy, Σy²
+    // over 24M rows/group carry merge-order noise, and the centered
+    // differences (dyy − dxx) cancel catastrophically — the 6dp
+    // slope_tls round diverged at sf10 (…033 vs …035). Quantity is
+    // integral and price is exact cents, so the five sums are
+    // BIGINT/DECIMAL(38,0); the double math runs ONCE on exact
+    // aggregates in identical expression order on both engines.
     "stat_deming" -> Q(
       (s, d) => {
         val t = Tables.lineitem(s, d).select(col("l_returnflag"),
-          col("l_quantity").cast("double").as("x"),
-          (col("l_extendedprice") / 1000.0).as("y"))
+          col("l_quantity").cast("long").as("x"),
+          expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))").as("yu"))
         t.groupBy("l_returnflag")
-          .agg(count(lit(1)).cast("double").as("n"),
-               sum("x").as("sx"), sum("y").as("sy"),
-               sum(expr("x*x")).as("sxx"), sum(expr("x*y")).as("sxy"),
-               sum(expr("y*y")).as("syy"))
+          .agg(count(lit(1)).as("nl"),
+               sum("x").as("sxi"), sum(expr("x*x")).as("sxxi"),
+               sum("yu").as("syu"), sum(expr("x*yu")).as("sxyu"),
+               sum(expr("yu*yu")).as("syyu"))
+          .withColumn("n", col("nl").cast("double"))
+          .withColumn("sx", col("sxi").cast("double"))
+          .withColumn("sy", col("syu").cast("double") / 100000.0)
+          .withColumn("sxx", col("sxxi").cast("double"))
+          .withColumn("sxy", col("sxyu").cast("double") / 100000.0)
+          .withColumn("syy", col("syyu").cast("double") / 10000000000.0)
           .withColumn("dxx", col("sxx") - col("sx") * col("sx") / col("n"))
           .withColumn("dyy", col("syy") - col("sy") * col("sy") / col("n"))
           .withColumn("dxy", col("sxy") - col("sx") * col("sy") / col("n"))
-          .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          .select(col("l_returnflag"), col("nl").as("n_rows"),
             when(col("dxx") > 0, round(col("dxy") / col("dxx"), 6))
               .as("slope_ols"),
             when(col("dxy") =!= 0, round(
@@ -1430,16 +1443,24 @@ private[graft] object QStats {
               / (lit(2.0) * col("dxy")), 6)).as("slope_tls"))
           .orderBy("l_returnflag")
       },
-      Some("""WITH t AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
-             |                  l_extendedprice / 1000.0 AS y FROM lineitem),
-             |g AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
-             |             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
-             |             sum(x*y) AS sxy, sum(y*y) AS syy
+      Some("""WITH t AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+             |                  CAST(round(l_extendedprice * 100) AS HUGEINT) AS yu
+             |           FROM lineitem),
+             |g AS (SELECT l_returnflag, count(*) AS nl,
+             |             sum(x) AS sxi, sum(x*x) AS sxxi,
+             |             sum(yu) AS syu, sum(x*yu) AS sxyu, sum(yu*yu) AS syyu
              |      FROM t GROUP BY 1),
+             |dd AS (SELECT l_returnflag, nl, CAST(nl AS DOUBLE) AS n,
+             |              CAST(sxi AS DOUBLE) AS sx,
+             |              CAST(syu AS DOUBLE) / 100000.0 AS sy,
+             |              CAST(sxxi AS DOUBLE) AS sxx,
+             |              CAST(sxyu AS DOUBLE) / 100000.0 AS sxy,
+             |              CAST(syyu AS DOUBLE) / 10000000000.0 AS syy
+             |       FROM g),
              |c AS (SELECT *, sxx - sx*sx/n AS dxx, syy - sy*sy/n AS dyy,
              |             sxy - sx*sy/n AS dxy
-             |      FROM g)
-             |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+             |      FROM dd)
+             |SELECT l_returnflag, CAST(nl AS BIGINT) AS n_rows,
              |       CASE WHEN dxx > 0 THEN round(dxy / dxx, 6) END AS slope_ols,
              |       CASE WHEN dxy <> 0 THEN round(
              |         (dyy - dxx + sqrt(pow(dyy - dxx, 2) + 4.0*dxy*dxy))

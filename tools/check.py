@@ -52,8 +52,30 @@ def connect(sf_dir, out_dir):
 POISON = ("Out of Memory", "No space left", "IO Error",
           "bad allocation")
 
+def reconnect(old, sf_dir, out_dir):
+    """Tear down `old` and build a fresh instance, persistently: a
+    dying 48 GB buffer pool can take seconds to actually release, and
+    the replacement's first allocations fail until it does (observed
+    twice in the sf10 sweep)."""
+    import gc, time
+    try:
+        old.close()
+    except Exception:
+        pass
+    del old
+    last = None
+    for i in range(5):
+        gc.collect()
+        time.sleep(3 + 5 * i)
+        try:
+            return connect(sf_dir, out_dir)
+        except Exception as e:
+            last = e
+    raise last
+
 def main(sf_dir, out_dir, only=None):
     con = connect(sf_dir, out_dir)
+    since_rotate = 0
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
         oracle = {n: s for n, s in oracle.items() if any(
@@ -71,6 +93,14 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
+        # long sweeps accumulate buffer-pool state across hundreds of
+        # heavy oracles until a query that runs fine on a FRESH
+        # instance (text_search_e2e: 8 s / <40 GB standalone) dies with
+        # "bad allocation" — rotate the connection periodically
+        since_rotate += 1
+        if since_rotate >= 50:
+            con = reconnect(con, sf_dir, out_dir)
+            since_rotate = 0
         err = None
         for attempt in (0, 1):
             try:
@@ -84,26 +114,17 @@ def main(sf_dir, out_dir, only=None):
                 break
             except Exception as e:
                 err = e
-                if attempt == 0 and any(p in str(e) for p in POISON):
-                    print(f"RETRY {name}: reconnecting after: {e}", flush=True)
-                    # the old instance's buffer pool must actually be
-                    # RELEASED before a new 48 GB-budget instance comes
-                    # up, or the reconnect itself OOMs (observed: the
-                    # replacement connection failed a 2 KB allocation
-                    # while the poisoned instance lingered un-collected)
-                    try:
-                        con.close()
-                    except Exception:
-                        pass
-                    del con
-                    import gc, time
-                    gc.collect()
-                    time.sleep(3)
-                    try:
-                        con = connect(sf_dir, out_dir)
-                    except Exception as e2:
-                        gc.collect(); time.sleep(10)
-                        con = connect(sf_dir, out_dir)
+                if any(p in str(e) for p in POISON):
+                    # a poisoned instance must not outlive this query
+                    # either way: retry once on a fresh connection, and
+                    # if that also fails, still hand the NEXT query a
+                    # clean instance instead of the dead one
+                    if attempt == 0:
+                        print(f"RETRY {name}: reconnecting after: {e}", flush=True)
+                    con = reconnect(con, sf_dir, out_dir)
+                    since_rotate = 0
+                    if attempt == 1:
+                        break
                 else:
                     break
         if err is not None:
