@@ -829,34 +829,31 @@ private[graft] object QDedup {
     // shift every later chunk the way fixed-width chunking does —
     // then count duplicate chunks corpus-wide by content hash. The
     // storage/transfer-dedup primitive next to the retrieval-oriented
-    // text_chunking; everything is map-side per doc except the final
-    // distinct-count (grams fan out ≤ len rows/doc, the per-doc
-    // boundary window is doc-bounded).
+    // text_chunking. Zero-shuffle chunking: the whole gram-scan →
+    // chunk-hash pipeline is ONE compiled CdcChunks expression call
+    // per document (functions/CdcKernel.scala) emitting
+    // array<struct<h: md5, clen>>, so the text is consumed inside the
+    // expression and only (doc_id, 16-byte hash, clen) rows exist
+    // after the explode — nothing document-sized reaches the final
+    // distinct-count aggregate's shuffle. Measured history of the
+    // rejected shapes is in CdcKernel's scaladoc (r16 explode+Window
+    // shipped text through two shuffles; the HOF and posexplode forms
+    // were zero-shuffle but 1.2–2.1× slower, interpreted lambdas and
+    // intra-task Generate copies respectively).
     "dedup_cdc_chunks" -> Q(
       (s, d) => {
-        import graft.functions.VectorFunctions.md5Long
-        val docs = Tables.documents(s, d)
+        import graft.functions.CdcChunks
+        Tables.documents(s, d)
           .filter(col("text").isNotNull && length(col("text")) >= 8)
-          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-        val cuts = docs
-          .select(col("doc_id"), col("text"), col("len"),
-            explode(sequence(lit(1), col("len") - 7)).as("i"))
-          .filter(md5Long(expr("substring(text, i, 8)")) % 32 === 0)
-          .select(col("doc_id"), col("text"), col("len"), col("i"))
-          .union(docs.select(col("doc_id"), col("text"), col("len"),
-            lit(1).as("i")))
-          .distinct()
-        val wch = Window.partitionBy("doc_id").orderBy("i")
-        cuts
-          .withColumn("nxt", coalesce(lead("i", 1).over(wch), col("len") + 1))
-          .withColumn("clen", col("nxt") - col("i"))
-          .withColumn("chunk", expr("substring(text, i, clen)"))
+          .select(col("doc_id"),
+            explode(CdcChunks(col("text"), 8, 32)).as("c"))
+          .select(col("doc_id"), col("c.h").as("h"), col("c.clen").as("clen"))
           .agg(countDistinct(col("doc_id")).as("n_docs"),
                count(lit(1)).as("n_chunks"),
-               countDistinct(md5(col("chunk").cast("binary"))).as("n_unique"),
-               round(lit(1.0) - countDistinct(md5(col("chunk").cast("binary")))
+               countDistinct(col("h")).as("n_unique"),
+               round(lit(1.0) - countDistinct(col("h"))
                  / count(lit(1)), 4).as("dedup_ratio"),
-               round(avg("clen"), 4).as("mean_len"))
+               round(avg(col("clen")), 4).as("mean_len"))
       },
       Some("""WITH docs AS (SELECT doc_id, text, length(text) AS len
              |              FROM documents

@@ -935,4 +935,23 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("CDC chunking is zero-shuffle until the final aggregate — text never rides an exchange") {
+    // r17 rewrite: cut positions are a per-row filter(sequence) HOF,
+    // chunks come from zip_with on the array and its shifted self,
+    // and each chunk is md5'd INSIDE the lambda — so only
+    // (doc_id, hash, clen) reaches the distinct-count aggregate. The
+    // r16 shape (gram explode → distinct → per-doc Window) shipped
+    // the full document text through two shuffles.
+    val p = plan("dedup_cdc_chunks")
+    assert(!p.contains("Window"), p)
+    // formatted mode prints one "(n) Exchange" detail block per
+    // shuffle, each with an "Input [k]: [...]" attribute list — no
+    // block may carry the text column or a chunk string
+    val blocks = p.split("\n\n").filter(_.linesIterator.next().matches("\\(\\d+\\) Exchange.*"))
+    assert(blocks.nonEmpty, p) // the final distinct-agg still shuffles (tiny rows)
+    blocks.foreach { b =>
+      assert(!b.contains("text#") && !b.contains("chunk#"), s"text rides a shuffle:\n$b")
+    }
+  }
 }
