@@ -258,7 +258,20 @@ object Ann {
     // collection ONCE at stream start instead of twice per
     // micro-batch — r15 ADVICE) and from one exact [[maxDim]] job
     // otherwise.
-    val qDim = dimHint.getOrElse(maxDim(queries, "qv"))
+    // a caller's dimHint is a claim, not a measurement (streaming
+    // serve probes the COLLECTION at stream start, not this batch) —
+    // validate it against a small pilot before sizing the fastCap
+    // collect by it, else an understated hint inflates the 64 MB
+    // driver cap by trueDim/hintDim during the head(cap+1) fetch
+    // itself (r16 ADVICE). The pilot is a bounded 64-row fetch; the
+    // post-collect obsDim re-check below stays as the final guard.
+    val qDim = dimHint match {
+      case Some(h) =>
+        val pilot = qDs.head(64)
+        val pd = if (pilot.isEmpty) 0 else pilot.iterator.map(_._2.length).max
+        math.max(h, pd)
+      case None => maxDim(queries, "qv")
+    }
     val fastCap = fastPathCap(qDim, tile)
     val first = qDs.head(fastCap + 1)
     // belt-and-braces against an understated dimHint: if the fetched
@@ -431,8 +444,13 @@ object Ann {
     // SEARCHED key that Spark's own Murmur3-pmod places in its own
     // dedicated partition: perfect 1-cell-per-task placement through
     // the stock Tungsten shuffle.
-    require(nTiles * nSlots <= (1L << 24),
-      s"blocked kernel grid $nTiles tiles x $nSlots slots exceeds 2^24 cells — " +
+    // practical ceiling 2^20 (not the 2^24 the key search could
+    // cover): the key table is 8 bytes/cell and rides a BROADCAST to
+    // every kernel task, and >1M cells means >1M tasks of a kernel
+    // whose whole point is minutes-per-cell compute — a grid that
+    // size is a mis-parameterization, not a workload (r16 ADVICE)
+    require(nTiles * nSlots <= (1L << 20),
+      s"blocked kernel grid $nTiles tiles x $nSlots slots exceeds 2^20 cells — " +
         "pass a smaller nSlotsOverride (the SUMMA p^1/2-grid note, SURVEY §7)")
     val nCells = (nTiles * nSlots).toInt
     // cellKeys(c) = a long whose Murmur3(seed 42) pmod nCells == c;
@@ -452,6 +470,12 @@ object Ann {
         s"cell-key search did not cover $nCells partitions within $bound candidates")
       out
     }
+    // ship the key table as a broadcast, not a closure capture: both
+    // flatMaps below reference it, and a captured Array[Long] would
+    // ride inside each serialized task binary (8 MB at the 2^20
+    // ceiling, once per task) instead of once per executor (r16
+    // ADVICE)
+    val bcCellKeys = spark.sparkContext.broadcast(cellKeys)
     // Tiles and blocks ship through the shuffle as PACKED PRIMITIVE
     // ARRAYS (ids, end-offsets, flat values) rather than
     // Array[(Long, Array[Double])]: the nested-tuple encoder walks
@@ -471,7 +495,7 @@ object Ann {
       }
       .flatMap { case (t, ids, ends, flat) =>
         (0L until nSlots).iterator.map(sl =>
-          (cellKeys((t * nSlots + sl).toInt), ids, ends, flat)) }
+          (bcCellKeys.value((t * nSlots + sl).toInt), ids, ends, flat)) }
       .repartition(nCells, col("_1"))
     // (tile, slot) -> corpus block: ONE pass over the corpus; the
     // slot comes from the task partition id so a partition's blocks
@@ -489,7 +513,7 @@ object Ann {
       }
       .flatMap { case (sl, ids, ends, flat) =>
         (0L until nTiles).iterator.map(t =>
-          (cellKeys((t * nSlots + sl).toInt), ids, ends, flat)) }
+          (bcCellKeys.value((t * nSlots + sl).toInt), ids, ends, flat)) }
       .repartition(nCells, col("_1"))
     // Both sides carry the SAME HashPartitioning (cell key, nCells) —
     // partition i of qTiles and partition i of blocks hold exactly

@@ -29,7 +29,12 @@ object JCodecSeam {
   /** True iff JCodec is on the classpath. */
   lazy val available: Boolean =
     try { Class.forName("org.jcodec.api.FrameGrab"); true }
-    catch { case _: ClassNotFoundException => false }
+    // Throwable-but-VM-fatal: a PARTIAL or ABI-broken jar surfaces as
+    // NoClassDefFoundError / ExceptionInInitializerError /
+    // UnsatisfiedLinkError, none of which ClassNotFoundException (or
+    // NonFatal) covers — the quarantine-not-crash contract applies to
+    // a bad jar as much as to a bad payload (r16 ADVICE)
+    catch { case _: Exception | _: LinkageError => false }
 
   /** (width, height, totalFrames) of an H.264/MP4 payload via JCodec,
     * or None when the jar is absent or the payload undecodable.
@@ -59,7 +64,12 @@ object JCodecSeam {
       val h = pic.getClass.getMethod("getHeight").invoke(pic)
         .asInstanceOf[java.lang.Integer].longValue()
       Some((w, h, math.max(nFrames, 1L)))
-    } catch { case NonFatal(_) => None }
+    } catch {
+      // LinkageError escapes NonFatal, but a partial jar can throw it
+      // from any lazily-loaded class on the reflective path above —
+      // quarantine (None -> deterministic stub), don't crash the task
+      case NonFatal(_) | (_: LinkageError) => None
+    }
 
   /** The pluggable-codec seam value for [[Multimodal.decodeMeta]]:
     * JCodec when present, the deterministic stub otherwise — a mixed

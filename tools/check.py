@@ -101,12 +101,22 @@ def main(sf_dir, out_dir, only=None):
         if since_rotate >= 50:
             con = reconnect(con, sf_dir, out_dir)
             since_rotate = 0
-        err = None
+        # two separate steps with distinct FAIL labels (r16 ADVICE: a
+        # corrupt Spark parquet used to be mislabeled 'oracle error',
+        # and a poison error during the cheap result read re-executed
+        # the expensive oracle SQL on retry). Oracle rows are fetched
+        # into Python lists, so a reconnect between the steps is safe
+        # and the retry re-runs only the step that failed.
+        err, stage, o_done = None, "oracle", False
         for attempt in (0, 1):
             try:
-                o = con.sql(sql)
-                ocols, orows = [c.lower() for c in o.columns], o.fetchall()
-                otypes = [str(t).upper() for t in o.types]
+                if not o_done:
+                    stage = "oracle"
+                    o = con.sql(sql)
+                    ocols, orows = [c.lower() for c in o.columns], o.fetchall()
+                    otypes = [str(t).upper() for t in o.types]
+                    o_done = True
+                stage = "spark result"
                 s = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
                 scols, srows = [c.lower() for c in s.columns], s.fetchall()
                 stypes = [str(t).upper() for t in s.types]
@@ -120,7 +130,8 @@ def main(sf_dir, out_dir, only=None):
                     # if that also fails, still hand the NEXT query a
                     # clean instance instead of the dead one
                     if attempt == 0:
-                        print(f"RETRY {name}: reconnecting after: {e}", flush=True)
+                        print(f"RETRY {name}: reconnecting after {stage} error: {e}",
+                              flush=True)
                     con = reconnect(con, sf_dir, out_dir)
                     since_rotate = 0
                     if attempt == 1:
@@ -128,7 +139,7 @@ def main(sf_dir, out_dir, only=None):
                 else:
                     break
         if err is not None:
-            print(f"FAIL {name}: oracle error {err}")
+            print(f"FAIL {name}: {stage} error {err}")
             n_fail += 1
             continue
         if sorted(ocols) != sorted(scols):
