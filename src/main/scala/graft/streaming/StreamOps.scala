@@ -1119,4 +1119,53 @@ object StreamOps {
           out.iterator
       }
   }
+
+  final case class BpeDoc(doc_id: Long, lang: String, text: String)
+
+  /** Streaming twin of the batch `text_bpe_encode` apply stage:
+    * encode NEW documents against a FROZEN tokenizer (merge rules +
+    * symbol-id vocabulary trained by Bpe on the existing corpus).
+    * Completes the train→encode→pack story for incremental corpora
+    * (r16 ask 5): the trainer stays a batch job; arriving documents
+    * tokenize through the frozen artifact with ZERO streaming state.
+    *
+    * Shape: Bpe.applyMerges is a pure projection (a codegen'd
+    * double-replace chain per rule), so each document row encodes
+    * end-to-end inside per-row expressions — tokens → per-word merge
+    * chain → symbol ids — and the bounded symbol vocabulary
+    * (≤ |alphabet| + rounds entries) arrives as ONE static map row
+    * through a broadcast stream-static join, the
+    * [[graft.embed.ServiceEmbedder]] / [[streamingSeasonalFlags]]
+    * idiom.
+    * No groupBy, no watermark, no state store: the encoder is
+    * embarrassingly parallel at any document rate, and refreshing
+    * the tokenizer is restarting the query with new static sides.
+    *
+    * OOV POLICY (spec-pinned): a symbol outside the frozen
+    * vocabulary (an unseen character, or an unseen pairing left
+    * unmerged) yields NO id — try_element_at's null is filtered out,
+    * matching what the batch re-train would only fix by growing the
+    * vocabulary. Word ORDER and intra-word symbol order are
+    * preserved exactly as the batch (wp, sp) sort.
+    */
+  def streamingBpeEncode(docs: Dataset[BpeDoc], rules: Seq[String],
+                         symIds: DataFrame): DataFrame = {
+    import graft.text.{Bpe, TextPrimitives}
+    // one static row: the whole bounded vocabulary as a map column
+    val symMap = symIds.agg(map_from_entries(
+      sort_array(collect_list(struct(col("sym"), col("id"))))).as("symmap"))
+    docs.toDF()
+      .crossJoin(broadcast(symMap))
+      .select(col("doc_id"), col("lang"),
+        filter(TextPrimitives.tokens(col("text")), w => w =!= lit(""))
+          .as("ws"),
+        col("symmap"))
+      .select(col("doc_id"), col("lang"),
+        flatten(transform(col("ws"), w =>
+          transform(
+            split(trim(Bpe.applyMerges(Bpe.spacedChars(w), rules)), " "),
+            sym => try_element_at(col("symmap"), sym)))).as("ids0"))
+      .select(col("doc_id"), col("lang"),
+        filter(col("ids0"), x => x.isNotNull).as("ids"))
+  }
 }

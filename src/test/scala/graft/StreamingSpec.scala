@@ -1532,4 +1532,80 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((3L, 1001L)),
       s"envelope restart lost or mis-decoded state: $got")
   }
+
+  test("streaming BPE encode against a frozen tokenizer equals the batch encode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.text.Bpe
+    val docs = Tables.documents(s, sfDir)
+      .filter(col("doc_id") < 150 && col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("text"))
+    // freeze the tokenizer batch-side: rules from the top types,
+    // symbol ids over the FULL type table (so nothing is OOV here —
+    // the OOV drop is pinned separately below)
+    val toks = Bpe.tokenPositions(docs)
+    val types = Bpe.wordTypes(toks).localCheckpoint(eager = false)
+    val top = types.orderBy(col("wc").desc, col("w")).limit(2000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rules = Bpe.trainMerges(top, 6)
+    val sid = Bpe.symbolIds(Bpe.encodeTypes(types, rules))
+      .localCheckpoint(eager = false)
+    val expected = Bpe.encodeDocs(docs, 6, 2000)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](2))).toMap
+    val rows = docs.collect().map(r =>
+      StreamOps.BpeDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[StreamOps.BpeDoc]
+    val query = StreamOps.streamingBpeEncode(input.toDS(), rules, sid)
+      .writeStream.format("memory").queryName("bpe")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, second) = rows.partition(_.doc_id % 2 == 0)
+      input.addData(first.toSeq)
+      query.processAllAvailable()
+      input.addData(second.toSeq)
+      query.processAllAvailable()
+      val got = s.sql("SELECT doc_id, ids FROM bpe").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      assert(got.keySet == expected.keySet)
+      val diff = expected.keys.filter(k => got(k) != expected(k))
+      assert(diff.isEmpty, s"ids differ for docs ${diff.take(3).toSeq}")
+    } finally query.stop()
+  }
+
+  test("streaming BPE encode drops OOV symbols (unseen characters yield no id)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.text.Bpe
+    // tokenizer frozen on a toy corpus: alphabet {a,b,space}, one merge
+    val types = Seq(("abab", 5L), ("ab", 3L)).toDF("w", "wc")
+    val rules = Bpe.trainMerges(Array(("abab", 5L), ("ab", 3L)), 2)
+    val sid = Bpe.symbolIds(Bpe.encodeTypes(types, rules))
+      .localCheckpoint(eager = false)
+    val knownSyms = sid.collect().map(_.getString(0)).toSet
+    val input = MemoryStream[StreamOps.BpeDoc]
+    val query = StreamOps.streamingBpeEncode(input.toDS(), rules, sid)
+      .writeStream.format("memory").queryName("bpeoov")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // "abab" encodes fully; "zq" is ALL unseen characters -> empty
+      // ids; "abz" keeps ab's id, drops z
+      input.addData(
+        StreamOps.BpeDoc(1, "en", "abab"),
+        StreamOps.BpeDoc(2, "en", "zq"),
+        StreamOps.BpeDoc(3, "en", "abz"))
+      query.processAllAvailable()
+      val got = s.sql("SELECT doc_id, ids FROM bpeoov").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      val idToSym = sid.collect().map(r => (r.getLong(1), r.getString(0))).toMap
+      // "abab" merges to the single symbol "abab"
+      assert(got(1L).map(idToSym) == Seq("abab"))
+      assert(got(2L).isEmpty, s"OOV-only doc must yield no ids: ${got(2L)}")
+      // "abz": the ab survives as its merged symbol, the z drops
+      assert(got(3L).map(idToSym) == Seq("ab"))
+      // every emitted id maps back to a known symbol
+      assert(got.values.flatten.forall(id => knownSyms(idToSym(id))))
+    } finally query.stop()
+  }
 }
