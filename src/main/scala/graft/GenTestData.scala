@@ -36,20 +36,44 @@ object GenTestData {
   private def ui(salt: String, n: Long): org.apache.spark.sql.Column =
     pmod(xxhash64(lit(salt), col("id")), lit(n))
 
+  /** Zipf(s)-distributed long in [0,n) — the skew knob (r16 ask 2).
+    * Rank via the Pareto inverse transform floor(u^(-1/(s-1))),
+    * clamped to the domain: rank 0's share is 1 − 2^−(s−1) (~29% at
+    * s = 1.5), rank k's ∝ k^−s asymptotically — the hot-key property
+    * guaranteed at 100 TB that the uniform flush corpora never
+    * exercised. s ≤ 1 (incl. the default 0) falls through to the
+    * uniform draw, byte-identical to the pre-knob generator.
+    */
+  private def zi(salt: String, n: Long, s: Double): org.apache.spark.sql.Column =
+    if (s <= 1.0) ui(salt, n)
+    else {
+      val u = ((pmod(xxhash64(lit(salt), col("id")), lit(1000000007L))
+        .cast("double") + 1.0) / 1000000007.0) // (0, 1]
+      least(lit(n - 1), floor(pow(u, lit(-1.0 / (s - 1.0)))).cast("long") - 1)
+    }
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: GenTestData <outDir> [sf]")
+    require(args.nonEmpty, "usage: GenTestData <outDir> [sf] [skew]")
     val out = args(0)
     val sf = if (args.length > 1) args(1).toDouble else 1.0
+    val skew = if (args.length > 2) args(2).toDouble else 0.0
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    write(spark, out, sf)
+    write(spark, out, sf, skew)
     spark.stop()
   }
 
-  def write(spark: SparkSession, out: String, sf: Double): Unit = {
+  /** skew > 1 draws the high-cardinality keys (events.user_id,
+    * orders.o_custkey, lineitem's three join keys, documents.source)
+    * from [[zi]] and weights event_type ~60/15/10/8/7 instead of
+    * uniform; skew = 0 (default) is the original uniform generator,
+    * byte-identical.
+    */
+  def write(spark: SparkSession, out: String, sf: Double,
+            skew: Double = 0.0): Unit = {
     val nCust = (150000 * sf).toLong
     val nSupp = (10000 * sf).toLong
     val nPart = (200000 * sf).toLong
@@ -112,7 +136,7 @@ object GenTestData {
     val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
     save(spark.range(nOrders).select(
       col("id").as("o_orderkey"),
-      ui("o_cust", nCust).as("o_custkey"),
+      zi("o_cust", nCust, skew).as("o_custkey"),
       element_at(lit(Array("O", "P", "F")), (ui("o_st", 3) + 1).cast("int"))
         .as("o_orderstatus"),
       round(lit(1000.0) + u("o_tp") * 499000.0, 2).as("o_totalprice"),
@@ -126,9 +150,9 @@ object GenTestData {
     // orderdate-draw + 1..95 days (measured span 1995-01-02..
     // 2001-11-04, lag vs own order both signs)
     save(spark.range(nLine).select(
-      ui("l_ok", nOrders).as("l_orderkey"),
-      ui("l_pk", nPart).as("l_partkey"),
-      ui("l_sk", nSupp).as("l_suppkey"),
+      zi("l_ok", nOrders, skew).as("l_orderkey"),
+      zi("l_pk", nPart, skew).as("l_partkey"),
+      zi("l_sk", nSupp, skew).as("l_suppkey"),
       (ui("l_ln", 7) + 1).cast("int").as("l_linenumber"),
       (ui("l_qt", 50) + 1).cast("double").as("l_quantity"),
       round(lit(900.0) + u("l_ep") * 104100.0, 2).as("l_extendedprice"),
@@ -149,9 +173,16 @@ object GenTestData {
       timestamp_micros((lit(1704067200000000L) +
         pmod(xxhash64(lit("e_ts"), col("id")), lit(30L * 86400 * 1000000)))
         .cast("long")).as("ts"),
-      ui("e_us", nUsers).as("user_id"),
-      element_at(lit(Array("click", "error", "purchase", "signup", "view")),
-        (ui("e_ty", 5) + 1).cast("int")).as("event_type"),
+      zi("e_us", nUsers, skew).as("user_id"),
+      (if (skew <= 1.0)
+        element_at(lit(Array("click", "error", "purchase", "signup", "view")),
+          (ui("e_ty", 5) + 1).cast("int"))
+      else
+        // zipf-weighted categorical: one hot type (~60%), full domain
+        // preserved so every type-keyed oracle still has rows
+        when(u("e_ty") < 0.60, "click").when(u("e_ty") < 0.75, "view")
+          .when(u("e_ty") < 0.85, "purchase").when(u("e_ty") < 0.93, "signup")
+          .otherwise("error")).as("event_type"),
       round(-log(lit(1.0) - u("e_va")) * 50.0, 2).as("value"),
       format_string("{\"k\": %d}", ui("e_k", 100)).as("props")), "events")
 
@@ -172,7 +203,7 @@ object GenTestData {
       when(u("d_lang") < 0.4, "en").when(u("d_lang") < 0.55, "de")
         .when(u("d_lang") < 0.70, "es").when(u("d_lang") < 0.85, "fr")
         .otherwise("zh").as("lang"),
-      concat(lit("src"), ui("d_src", 20)).as("source"),
+      concat(lit("src"), zi("d_src", 20, skew)).as("source"),
       // dup roles: 0 = original, 1 = near-dup (+" dup"), 2 = exact dup
       when(ui("d_role", 1000) < 50, 1)
         .when(ui("d_role", 1000) >= 998, 2).otherwise(0).as("role"),

@@ -102,4 +102,38 @@ class GenTestDataSpec extends SparkSpec
     val again = spark.read.parquet(s"$d2/documents.parquet")
     assert(docs.exceptAll(again).isEmpty && again.exceptAll(docs).isEmpty)
   }
+
+  test("skew knob: zipfian keys hit top-1 share >= 20%, domains intact, default unchanged") {
+    val d = tempCorpusDir("graft-gen-skew")
+    GenTestData.write(spark, d, 0.02, skew = 1.5)
+    def top1Share(table: String, key: String): Double = {
+      val df = spark.read.parquet(s"$d/$table.parquet")
+      val top = df.groupBy(key).count().orderBy(col("count").desc)
+        .head.getLong(1).toDouble
+      top / df.count()
+    }
+    // the r16 ask's bar: zipfian user/join keys, top-1 share >= 20%
+    assert(top1Share("events", "user_id") >= 0.2)
+    assert(top1Share("lineitem", "l_orderkey") >= 0.2)
+    assert(top1Share("lineitem", "l_partkey") >= 0.2)
+    assert(top1Share("lineitem", "l_suppkey") >= 0.2)
+    assert(top1Share("orders", "o_custkey") >= 0.2)
+    // hot event type ~60%, full five-type domain preserved so every
+    // type-keyed oracle still has rows
+    val ev = spark.read.parquet(s"$d/events.parquet")
+    val tt = ev.groupBy("event_type").count().orderBy(col("count").desc).head
+    assert(tt.getString(0) == "click" && tt.getLong(1).toDouble / ev.count() >= 0.5)
+    assert(ev.select("event_type").distinct().count() == 5)
+    // keys stay inside their referential domains (clamped zipf)
+    val nOrders = spark.read.parquet(s"$d/orders.parquet").count()
+    val okRange = spark.read.parquet(s"$d/lineitem.parquet")
+      .agg(min("l_orderkey"), max("l_orderkey")).head
+    assert(okRange.getLong(0) >= 0 && okRange.getLong(1) < nOrders)
+    // the default-skew corpus is untouched by the knob: its top user
+    // holds a sliver, not a fifth
+    val ev0 = spark.read.parquet(s"$dir/events.parquet")
+    val top0 = ev0.groupBy("user_id").count().orderBy(col("count").desc)
+      .head.getLong(1).toDouble
+    assert(top0 / ev0.count() < 0.05)
+  }
 }

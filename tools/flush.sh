@@ -8,10 +8,13 @@
 #
 # usage: tools/flush.sh <sf> [workdir] [cpus] [driver_mem] [prefixes]
 #   sf          scale factor, e.g. 10 (sf1 = 6M-row lineitem)
-#   workdir     default /tmp/flush_sf<sf>; holds corpus/ vout/ logs
+#   workdir     default /tmp/flush_sf<sf>[_skew<z>]; holds corpus/ vout/ logs
 #   cpus        local[N] for Verify (default 16 — leave headroom)
 #   driver_mem  forked-JVM -Xmx for Gen/Verify (default 28g)
 #   prefixes    comma-separated query-name prefixes (resume a sweep)
+#   GRAFT_GEN_SKEW=<s>  env: zipf exponent for the generator's skew
+#               knob (r16 ask 2) — keys go zipfian (top-1 share
+#               1-2^-(s-1)); unset/0 = the uniform corpus
 #
 # Re-runs are incremental: an existing corpus is reused (delete the
 # workdir for a clean run). Exit status is check.py's (non-zero on
@@ -20,7 +23,12 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SF="${1:?usage: tools/flush.sh <sf> [workdir] [cpus] [driver_mem] [prefixes]}"
-WORK="${2:-/tmp/flush_sf${SF}}"
+SKEW="${GRAFT_GEN_SKEW:-0}"
+if [ "$SKEW" != "0" ]; then
+  WORK="${2:-/tmp/flush_sf${SF}_skew${SKEW}}"
+else
+  WORK="${2:-/tmp/flush_sf${SF}}"
+fi
 CPUS="${3:-16}"
 MEM="${4:-28g}"
 PREFIXES="${5:-}"
@@ -32,7 +40,7 @@ if [ -f "$CORPUS/lineitem.parquet/_SUCCESS" ] || [ -f "$CORPUS/lineitem.parquet"
   echo "[flush] reusing corpus at $CORPUS"
 else
   echo "[flush] generating sf=$SF corpus at $CORPUS"
-  SPARK_DRIVER_MEM="$MEM" sbt -batch "runMain graft.GenTestData $CORPUS $SF" \
+  SPARK_DRIVER_MEM="$MEM" sbt -batch "runMain graft.GenTestData $CORPUS $SF $SKEW" \
     > "$WORK/gen.log" 2>&1 || { tail -20 "$WORK/gen.log"; exit 1; }
   tail -2 "$WORK/gen.log"
 fi
