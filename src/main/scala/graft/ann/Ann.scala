@@ -320,9 +320,28 @@ object Ann {
     * explicitly smaller caller tile always wins (specs force
     * multi-tile with tile=4).
     */
+  /** Fast-path driver-memory bound in MB (default 64). Deployment
+    * knob for the dispatch-crossover tradeoff (SURVEY §5 round-17):
+    * on a big-driver cluster, raising this moves the bounded ~1.3×
+    * blocked-penalty region out of reach of realistic batches; the
+    * 64 MB default is the conservative local[32] floor.
+    */
+  private[graft] lazy val fastPathMb: Long =
+    sys.env.get("SPARK_GRAFT_FASTPATH_MB") match {
+      case Some(v) =>
+        val m = try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_FASTPATH_MB must be a positive integer, got '$v'")
+        }
+        require(m > 0, s"SPARK_GRAFT_FASTPATH_MB must be > 0, got $m")
+        m
+      case None => 64L
+    }
+
   private[graft] def fastPathCap(dim: Int, tile: Int): Int =
     if (dim <= 0) tile
-    else math.max(1, math.min(tile, (64 << 20) / (dim * 8)))
+    else math.max(1,
+      math.min(tile.toLong, (fastPathMb << 20) / (dim * 8)).toInt)
 
   private[graft] def kernelPackingCaps(dim: Int, tile: Int,
       blockRows: Int): (Int, Int) = {
