@@ -103,9 +103,14 @@ class GenTestDataSpec extends SparkSpec
     assert(docs.exceptAll(again).isEmpty && again.exceptAll(docs).isEmpty)
   }
 
-  test("skew knob: zipfian keys hit top-1 share >= 20%, domains intact, default unchanged") {
+  private lazy val skewDir: String = {
     val d = tempCorpusDir("graft-gen-skew")
     GenTestData.write(spark, d, 0.02, skew = 1.5)
+    d
+  }
+
+  test("skew knob: zipfian keys hit top-1 share >= 20%, domains intact, default unchanged") {
+    val d = skewDir
     def top1Share(table: String, key: String): Double = {
       val df = spark.read.parquet(s"$d/$table.parquet")
       val top = df.groupBy(key).count().orderBy(col("count").desc)
@@ -135,5 +140,29 @@ class GenTestDataSpec extends SparkSpec
     val top0 = ev0.groupBy("user_id").count().orderBy(col("count").desc)
       .head.getLong(1).toDouble
     assert(top0 / ev0.count() < 0.05)
+  }
+
+  test("profiledJoin engages salting on the skewed corpus, stays plain on uniform") {
+    // the r16 ask's point: the skew machinery had only ever met
+    // synthetic crossing corpora in unit specs — here it meets the
+    // GENERATOR's zipf output. top-1 l_orderkey share ~29% at s=1.5
+    // crosses the 20% hotShare bar; the uniform corpus (~Poisson(4)
+    // per key) stays far under it.
+    val ordS = spark.read.parquet(s"$skewDir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val pjS = graft.ops.Skew.profiledJoin(
+      spark.read.parquet(s"$skewDir/lineitem.parquet"), ordS, "l_orderkey", 8)
+    assert(pjS.salted && pjS.top1Share >= 0.2,
+      s"skewed corpus: salted=${pjS.salted} share=${pjS.top1Share}")
+    val ordU = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val pjU = graft.ops.Skew.profiledJoin(
+      spark.read.parquet(s"$dir/lineitem.parquet"), ordU, "l_orderkey", 8)
+    assert(!pjU.salted && pjU.top1Share < 0.05,
+      s"uniform corpus: salted=${pjU.salted} share=${pjU.top1Share}")
+    // both forms return the same joined row count (salting is a
+    // plan-shape change, not a semantics change)
+    assert(pjS.df.count() ==
+      spark.read.parquet(s"$skewDir/lineitem.parquet").join(ordS, Seq("l_orderkey")).count())
   }
 }
