@@ -3784,64 +3784,80 @@ private[graft] object QEvents {
              |FROM ud""".stripMargin)),
 
     // Attribution-window sensitivity: last-touch click credit per
-    // campaign at 1h / 6h / 24h lookbacks from ONE 24h bucketed range
-    // join (the narrower windows are conditional struct-maxes over
-    // the same pairs — no second join, no second shuffle). If credit
-    // shares swing with the window, the attribution model — not the
-    // campaign — is driving the numbers.
+    // campaign at 1h / 6h / 24h lookbacks. ONE as-of join, no pair
+    // materialization: last-touch only ever needs the LATEST click
+    // before each purchase — and any EARLIER click has a strictly
+    // larger delta, so if the latest click misses a window, every
+    // click does. The narrower windows are therefore delta-filters
+    // over the SAME as-of candidate. (The r16 form materialized every
+    // (click, purchase) pair within 24h via a bucketed range join;
+    // the round-17 skewed flush measured that quadratic at 1032 s on
+    // a zipfian sf3 corpus — a 29%-hot user is ~0.5M clicks × ~90k
+    // purchases — while this form is one shuffle + one ordered window
+    // pass, linear in the hot user's rows.) If credit shares swing
+    // with the window, the attribution model — not the campaign — is
+    // driving the numbers.
     "ev_attribution_windows" -> Q(
       (s, d) => {
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("event_id"), col("event_type"),
             expr("ts DIV 1000").as("ats"),
             get_json_object(col("props"), "$.k").cast("long").as("k"))
+        // one click row per (user, cts): at equal cts the r16 struct
+        // max picked max cid (event_id is unique, campaign never
+        // compared) — same reduction here, BEFORE the as-of so the
+        // window's last() has a deterministic winner
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ats").as("cts"),
-            col("event_id").as("cid"),
-            coalesce(pmod(col("k"), lit(10)), lit(-1L)).as("campaign"))
+            struct(col("event_id").as("cid"),
+              coalesce(pmod(col("k"), lit(10)), lit(-1L)).as("campaign"))
+              .as("cc"))
+          .groupBy("user_id", "cts").agg(max("cc").as("cc"))
         val purch = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id").as("pid"),
-            (col("ats") - lit(86400000000L)).as("st"),
             (col("ats") - 1).as("en"), col("ats").as("pts"))
-        val pairs = graft.ops.Joins.rangeJoinBucketed(
-            clicks, purch, Seq("user_id"), "cts", "st", "en", 86400000000L)
-          .withColumn("delta", col("pts") - col("cts"))
+        val asof = graft.ops.Joins.asofJoin(
+            purch, clicks, Seq("user_id"), "en", "cts")
+          .withColumn("delta", col("pts") - col("asof.cts"))
         def credit(windowUs: Long) =
-          max(when(col("delta") <= windowUs,
-            struct(col("cts"), col("cid"), col("campaign"))))
-        val byPid = pairs.groupBy("pid")
-          .agg(credit(3600000000L).as("w1"),
-            credit(21600000000L).as("w6"),
-            credit(86400000000L).as("w24"))
+          when(col("asof").isNotNull && col("delta") <= windowUs,
+            col("asof.cc.campaign"))
+        val byPid = asof.select(
+          credit(3600000000L).as("w1"),
+          credit(21600000000L).as("w6"),
+          credit(86400000000L).as("w24"))
+          .localCheckpoint(eager = false) // read 3×: one per window
         Seq((1L, "w1"), (6L, "w6"), (24L, "w24")).map { case (h, c) =>
           byPid.filter(col(c).isNotNull)
-            .groupBy(col(c).getField("campaign").as("campaign"))
+            .groupBy(col(c).as("campaign"))
             .agg(count(lit(1)).as("n_credits"))
             .select(lit(h).as("window_h"), col("campaign"), col("n_credits"))
         }.reduce(_ unionAll _).orderBy("window_h", "campaign")
       },
+      // oracle via DuckDB\'s native ASOF JOIN — the r16 pair-join
+      // oracle was ITSELF quadratic and died spilling >60 GB on the
+      // skewed sf3 corpus (same escape class as the sf10 ledger\'s
+      // "quadratic-window oracles"); clicks pre-reduce to one row per
+      // (user, cts) with arg_max(campaign, cid), the r16 struct-max
+      // tie-break
       Some("""WITH ev AS (
              |  SELECT user_id, event_id, event_type, ts // 1000 AS ats,
              |         json_extract_string(props, '$.k')::BIGINT AS k
              |  FROM events),
-             |c AS (SELECT user_id, ats AS cts, event_id AS cid,
-             |             coalesce(((k % 10) + 10) % 10, -1) AS campaign
-             |      FROM ev WHERE event_type = 'click'),
-             |p AS (SELECT user_id, event_id AS pid, ats AS pts
+             |c AS (SELECT user_id, ats AS cts,
+             |             arg_max(coalesce(((k % 10) + 10) % 10, -1), event_id)
+             |               AS campaign
+             |      FROM ev WHERE event_type = 'click' GROUP BY user_id, ats),
+             |p AS (SELECT user_id, event_id AS pid, ats AS pts, ats - 1 AS en
              |      FROM ev WHERE event_type = 'purchase'),
-             |pr AS (SELECT pid, cts, cid, campaign, pts - cts AS delta
-             |       FROM c JOIN p ON c.user_id = p.user_id
-             |        AND cts BETWEEN pts - 86400000000 AND pts - 1),
-             |w AS (SELECT CAST(unnest([1, 6, 24]) AS BIGINT) AS window_h),
-             |rk AS (
-             |  SELECT w.window_h, pr.pid, pr.campaign,
-             |         row_number() OVER (PARTITION BY w.window_h, pr.pid
-             |           ORDER BY pr.cts DESC, pr.cid DESC) AS rn
-             |  FROM pr CROSS JOIN w
-             |  WHERE pr.delta <= w.window_h * 3600000000)
-             |SELECT window_h, campaign, CAST(count(*) AS BIGINT) AS n_credits
-             |FROM rk WHERE rn = 1
-             |GROUP BY window_h, campaign
+             |a AS (SELECT p.pid, p.pts, c.cts, c.campaign
+             |      FROM p ASOF JOIN c
+             |        ON p.user_id = c.user_id AND p.en >= c.cts),
+             |w AS (SELECT CAST(unnest([1, 6, 24]) AS BIGINT) AS window_h)
+             |SELECT w.window_h, a.campaign, CAST(count(*) AS BIGINT) AS n_credits
+             |FROM a CROSS JOIN w
+             |WHERE a.pts - a.cts <= w.window_h * 3600000000
+             |GROUP BY w.window_h, a.campaign
              |ORDER BY window_h, campaign""".stripMargin)),
 
     // Conversion rate by touch depth: users bucketed by click count
