@@ -3368,23 +3368,37 @@ private[graft] object QEvents {
     // exact distinct-user counts.
     "ev_episode_mining" -> Q(
       (s, d) => {
+        // episode (a then b within 1h) existence per user via ONE
+        // range-frame window pass — NOT a self-join: the r16 form
+        // paired events through hour-bucketed (user, bucket) keys,
+        // which is quadratic in the hot user\'s rate (the round-17
+        // skewed flush measured ~2B pair-candidates for a 29%-hot
+        // user at sf3; the matching DuckDB pair-join oracle ground
+        // for >30 min). The frame [ts−1h, ts−1] is EXACTLY the
+        // original predicate (strict tsb > tsa included — same-ts
+        // rows fall outside the −1 bound), and one conditional max
+        // per type turns "any qualifying a before this b" into a
+        // null test. Linear in events; the hot-user partition is one
+        // sliding-frame sort, not a pair blow-up.
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("event_type"), col("ts"))
-          .withColumn("hb", expr("ts div 3600000000000"))
-          .localCheckpoint(eager = false) // supports + both join sides
+          .localCheckpoint(eager = false) // supports + the window side
         val nu = ev.agg(countDistinct("user_id").as("nu"))
         val supp = ev.groupBy("event_type")
           .agg(countDistinct("user_id").as("su"))
-        val a = ev.select(col("user_id"), col("event_type").as("ta"),
-            col("ts").as("tsa"), col("hb"))
-          .withColumn("jb", explode(array(col("hb"), col("hb") + 1)))
-          .drop("hb")
-        val b = ev.select(col("user_id"), col("event_type").as("tb"),
-          col("ts").as("tsb"), col("hb").as("jb"))
-        val pairs = a.join(b, Seq("user_id", "jb"))
-          .filter(col("tsb") > col("tsa")
-            && col("tsb") - col("tsa") <= 3600000000000L)
-          .groupBy("ta", "tb").agg(countDistinct("user_id").as("n_users"))
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val w = Window.partitionBy("user_id").orderBy("ts")
+          .rangeBetween(-3600000000000L, -1L)
+        val flagged = ev.select(
+          Seq(col("user_id"), col("event_type").as("tb")) ++ types.map(t =>
+            max(when(col("event_type") === t, col("ts"))).over(w)
+              .isNotNull.as(s"m_$t")): _*)
+        val pairs = flagged.select(col("user_id"), col("tb"),
+            explode(array(types.map(t =>
+              struct(lit(t).as("ta"), col(s"m_$t").as("m"))): _*)).as("x"))
+          .filter(col("x.m"))
+          .groupBy(col("x.ta").as("ta"), col("tb"))
+          .agg(countDistinct("user_id").as("n_users"))
         pairs
           .join(broadcast(supp.toDF("ta", "sa")), "ta")
           .join(broadcast(supp.toDF("tb", "sb")), "tb")
@@ -3397,15 +3411,29 @@ private[graft] object QEvents {
               / (col("sa") * col("sb")).cast("double"), 4).as("lift"))
           .orderBy("type_a", "type_b")
       },
+      // oracle mirrors the range-frame window form (the r16 pair-join
+      // oracle was itself skew-quadratic — same escape class as the
+      // attribution-windows one)
       Some("""WITH ev AS (SELECT user_id, event_type, ts FROM events),
              |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
              |       FROM ev),
              |supp AS (SELECT event_type,
              |                CAST(count(DISTINCT user_id) AS BIGINT) AS su
              |         FROM ev GROUP BY 1),
-             |p AS (SELECT a.user_id, a.event_type AS ta, b.event_type AS tb
-             |      FROM ev a JOIN ev b ON a.user_id = b.user_id
-             |       AND b.ts > a.ts AND b.ts - a.ts <= 3600000000000),
+             |f AS (SELECT user_id, event_type AS tb,
+             |        max(CASE WHEN event_type = 'click' THEN ts END) OVER w AS m_click,
+             |        max(CASE WHEN event_type = 'error' THEN ts END) OVER w AS m_error,
+             |        max(CASE WHEN event_type = 'purchase' THEN ts END) OVER w AS m_purchase,
+             |        max(CASE WHEN event_type = 'signup' THEN ts END) OVER w AS m_signup,
+             |        max(CASE WHEN event_type = 'view' THEN ts END) OVER w AS m_view
+             |      FROM ev
+             |      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |        RANGE BETWEEN 3600000000000 PRECEDING AND 1 PRECEDING)),
+             |p AS (SELECT user_id, tb, u.ta
+             |      FROM f, LATERAL (SELECT
+             |        unnest(['click','error','purchase','signup','view']) AS ta,
+             |        unnest([m_click, m_error, m_purchase, m_signup, m_view]) AS m) u
+             |      WHERE u.m IS NOT NULL),
              |pairs AS (SELECT ta, tb,
              |                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |          FROM p GROUP BY 1, 2)
