@@ -562,18 +562,28 @@ private[graft] object QRelational {
           .orderBy(col("numwait").desc, col("s_name"))
           .limit(10)
       },
-      Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      // oracle in the same per-order-aggregate derivation as the
+      // engine (EXISTS(other supplier) = n_supp > 1; NOT EXISTS(other
+      // R-supplier) = exactly one distinct R-supplier, necessarily
+      // this row's): the literal correlated-EXISTS form is quadratic
+      // in the hot order's line count — the round-17 skewed flush's
+      // 29%-hot l_orderkey put DuckDB's mark-join residual at ~5.2M²
+      // pair evaluations and it ground for 15+ min before being
+      // killed (same escape class as the attribution/episode pair
+      // oracles)
+      Some("""WITH po AS (
+             |  SELECT l_orderkey FROM (
+             |    SELECT l_orderkey, l_suppkey,
+             |           max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+             |    FROM lineitem GROUP BY 1, 2)
+             |  GROUP BY l_orderkey
+             |  HAVING count(*) > 1 AND sum(has_r) = 1)
+             |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
              |FROM lineitem l1
              |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
              |JOIN supplier ON s_suppkey = l1.l_suppkey
+             |JOIN po ON po.l_orderkey = l1.l_orderkey
              |WHERE l1.l_returnflag = 'R'
-             |  AND EXISTS (SELECT 1 FROM lineitem l2
-             |              WHERE l2.l_orderkey = l1.l_orderkey
-             |                AND l2.l_suppkey <> l1.l_suppkey)
-             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-             |                  WHERE l3.l_orderkey = l1.l_orderkey
-             |                    AND l3.l_suppkey <> l1.l_suppkey
-             |                    AND l3.l_returnflag = 'R')
              |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)),
 
     // min-cost supplier per part within a region (TPC-H Q2 shape:
