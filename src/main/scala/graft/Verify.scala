@@ -44,7 +44,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    // ALWAYS the full map, even under a prefix filter: check.py does
+    // its own prefix filtering, and a filtered re-dump must not strip
+    // the sweep artifact's other 550+ oracles (a resumed/partial
+    // Verify into an existing vout would otherwise corrupt it).
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -214,12 +214,20 @@ private[graft] object QEvents {
     // sketch is provably EXACT under any partitioning and matches
     // DuckDB quantile_disc bit-for-bit — the ev_heavy_hitters pattern;
     // the rank-error bound under real compaction is property-tested
-    // (QuantileSketchPropSpec)
+    // (QuantileSketchPropSpec).
+    // The bound must hold by CONSTRUCTION, not corpus shape: the
+    // original `user_id < 40` subset was small only because user ids
+    // were uniform — the skewed sf3 flush (zipf s=1.5) put 1.5M rows
+    // per group behind it, compaction engaged, and the approximate
+    // answers diverged from quantile_disc. `event_id < 2000` bounds
+    // the subset at ≤2000 rows for ANY key/type distribution and any
+    // SF, and k=2048 keeps n ≤ k per group even if one type took the
+    // whole subset.
     "stat_approx_quantiles" -> Q(
       (s, d) => {
         val qagg = graft.ops.QuantileSketch.approxQuantiles(
-          1024, Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
-        Tables.events(s, d).filter(col("user_id") < 40)
+          2048, Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        Tables.events(s, d).filter(col("event_id") < 2000)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), qagg(col("value")).as("qs"))
           .select(col("event_type"), col("n"),
@@ -238,7 +246,7 @@ private[graft] object QEvents {
              |       quantile_disc(value, 0.75) AS q75,
              |       quantile_disc(value, 0.9) AS q90,
              |       quantile_disc(value, 0.99) AS q99
-             |FROM events WHERE user_id < 40
+             |FROM events WHERE event_id < 2000
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // OHLC resampling: 1h bars per event type (open/close by first/

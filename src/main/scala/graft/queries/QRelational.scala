@@ -744,30 +744,51 @@ private[graft] object QRelational {
              |ORDER BY s_name""".stripMargin)),
 
     // analytic-window breadth: lead/lag/percent_rank/cume_dist per
-    // customer order history (partitioned — never global)
+    // customer order history (partitioned — never global). The order
+    // keys carry the unique o_orderkey tiebreaker, so rank ≡
+    // row_number and percent_rank/cume_dist are EXACTLY (rn−1)/(n−1)
+    // and rn/n — and their 4dp display rides the exact-integer
+    // half-up idiom ⌊(2·p·scale + q) DIV (2q)⌋/scale instead of
+    // round(double): the skewed sf3 flush (zipf s=1.5) made the
+    // o_custkey<50 head a 3.4M-row partition, where round(cume_dist)
+    // landed on the .00005 double boundary 21 times and Spark's
+    // shortest-string round disagreed with DuckDB's binary-value
+    // round — the same class the sf1 flush caught on keep_ratio.
     "win_analytics" -> Q(
       (s, d) => {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        val w2 = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wn = Window.partitionBy("o_custkey")
         Tables.orders(s, d).filter(col("o_custkey") < 50)
           .select(col("o_custkey"), col("o_orderkey"),
             lag("o_totalprice", 1).over(w).as("prev_price"),
             lead("o_totalprice", 1).over(w).as("next_price"),
-            round(percent_rank().over(
-              Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))), 4)
-              .as("pr"),
-            round(cume_dist().over(
-              Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))), 4)
+            row_number().over(w2).cast("long").as("rn"),
+            count(lit(1)).over(wn).as("n"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("prev_price"), col("next_price"),
+            when(col("n") === 1, lit(0.0)).otherwise(
+              expr("CAST(((rn - 1) * 20000 + (n - 1)) DIV ((n - 1) * 2) AS DOUBLE)")
+                / 10000.0).as("pr"),
+            (expr("CAST((rn * 20000 + n) DIV (n * 2) AS DOUBLE)") / 10000.0)
               .as("cd"))
           .orderBy("o_custkey", "o_orderkey")
       },
-      Some("""SELECT o_custkey, o_orderkey,
-             |  lag(o_totalprice, 1) OVER w1 AS prev_price,
-             |  lead(o_totalprice, 1) OVER w1 AS next_price,
-             |  round(percent_rank() OVER w2, 4) AS pr,
-             |  round(cume_dist() OVER w2, 4) AS cd
-             |FROM orders WHERE o_custkey < 50
-             |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-             |       w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      Some("""WITH base AS (
+             |  SELECT o_custkey, o_orderkey,
+             |    lag(o_totalprice, 1) OVER w1 AS prev_price,
+             |    lead(o_totalprice, 1) OVER w1 AS next_price,
+             |    row_number() OVER w2 AS rn,
+             |    count(*) OVER (PARTITION BY o_custkey) AS n
+             |  FROM orders WHERE o_custkey < 50
+             |  WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |         w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey))
+             |SELECT o_custkey, o_orderkey, prev_price, next_price,
+             |  CASE WHEN n = 1 THEN 0.0 ELSE
+             |    CAST(((rn - 1) * 20000 + (n - 1)) // ((n - 1) * 2) AS DOUBLE)
+             |      / 10000.0 END AS pr,
+             |  CAST((rn * 20000 + n) // (n * 2) AS DOUBLE) / 10000.0 AS cd
+             |FROM base
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // explicit GROUPING SETS with grouping_id disambiguation
