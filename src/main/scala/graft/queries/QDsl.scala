@@ -397,10 +397,17 @@ private[graft] object QDsl {
   }
   private[graft] def lfCol(x: Column): Column = lgammaCol(x + lit(1.0))
 
-  /** The same Stirling ln Γ(e+1) (log-factorial) as SQL text. */
+  /** The same Stirling ln Γ(e+1) (log-factorial) as SQL text.
+    * The argument is forced to DOUBLE first: DuckDB types the `1.0`
+    * literal as DECIMAL, so with a BIGINT argument the shift-down
+    * product x·(x+1)·…·(x+5) ran in DECIMAL(38) — margins⁶ fit at
+    * sf10 (1.1e37) and OVERFLOWED at sf30 (8e39, the flush catch).
+    * The engine's lfCol is pure double, so the cast also makes the
+    * parity structural (identical IEEE tree), which the decimal
+    * product only approximated. */
   def sqlLf(e: String): String = {
-    val x = s"(($e) + 1.0)"
-    val z = s"(($e) + 7.0)"
+    val x = s"(CAST(($e) AS DOUBLE) + 1.0)"
+    val z = s"(CAST(($e) AS DOUBLE) + 7.0)"
     s"(($z - 0.5) * ln($z) - $z + 0.9189385332046727" +
       s" + 1.0/(12.0*$z) - 1.0/(360.0*$z*$z*$z)" +
       s" + 1.0/(1260.0*($z*$z*$z*$z*$z))" +

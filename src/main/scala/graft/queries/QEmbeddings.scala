@@ -40,17 +40,37 @@ private[graft] object QEmbeddings {
               when(col("sum_log_mu") <= 0, lit(null).cast("double"))
                 .otherwise(round(col("n_used") / col("sum_log_mu"), 4)).as("id_hat"))
         },
-        Some("""WITH p AS (
-               |  SELECT a.vec_id AS ia, b.vec_id AS ib,
-               |         round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dist
-               |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
-               |rk AS (SELECT ia, dist,
-               |              row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rnk
-               |       FROM p),
-               |nn AS (SELECT ia,
-               |              min(CASE WHEN rnk = 1 THEN dist END) AS r1,
-               |              min(CASE WHEN rnk = 2 THEN dist END) AS r2
-               |       FROM rk WHERE rnk <= 2 GROUP BY ia),
+        // Oracle: the sf10-flush bounded-TopK idiom (QDsl.knnEdgeCtes),
+        // distance-ASCENDING twin. The old row_number window over the
+        // |V|² pair frame spilled past the box's disk at sf30 (62k
+        // vecs = 3.8e9 pairs; dedup_embed_cosine's windowLESS pair
+        // join streams fine — it is the rank's pair-side state that
+        // kills). Greedy min-key rounds need NO pair-side state: key
+        // = dist6·2^40 + vec_id is strictly increasing in (dist ASC,
+        // ib ASC) rank order (dist6 = 6dp distance in 1e-6 units ≤
+        // ~2.3e6 here, bound dist < 8.38 for int64 — distances are ≤
+        // 2·max‖v‖ = 2.21 on this corpus), so r1 = decode(min key),
+        // r2 = decode(min key above round-1's), each round one
+        // qid-grouped MIN over the pair scan, MATERIALIZED.
+        // m/1e6 is the correctly-rounded double of the 6dp decimal —
+        // the same value round(list_distance, 6) returned before.
+        Some("""WITH g1 AS MATERIALIZED (
+               |  SELECT q.vec_id AS qid,
+               |         min(CAST(round(round(list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) * 1000000) AS BIGINT) * 1099511627776 + e.vec_id) AS k
+               |  FROM embeddings e, embeddings q
+               |  WHERE e.vec_id <> q.vec_id
+               |  GROUP BY 1),
+               |g2 AS MATERIALIZED (
+               |  SELECT q.vec_id AS qid,
+               |         min(CAST(round(round(list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) * 1000000) AS BIGINT) * 1099511627776 + e.vec_id) AS k
+               |  FROM embeddings e, embeddings q, g1
+               |  WHERE e.vec_id <> q.vec_id AND g1.qid = q.vec_id
+               |    AND CAST(round(round(list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) * 1000000) AS BIGINT) * 1099511627776 + e.vec_id > g1.k
+               |  GROUP BY 1),
+               |nn AS (SELECT g1.qid,
+               |              CAST(g1.k // 1099511627776 AS DOUBLE) / 1000000.0 AS r1,
+               |              CAST(g2.k // 1099511627776 AS DOUBLE) / 1000000.0 AS r2
+               |       FROM g1 JOIN g2 ON g1.qid = g2.qid),
                |a AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
                |             round(sum(ln(r2 / r1)), 6) AS sum_log_mu
                |      FROM nn WHERE r1 > 0)
