@@ -1733,24 +1733,34 @@ private[graft] object QStats {
     // tail sum bounded by min(n+, n-) runs through the shared
     // Stirling lgamma (ln C(n,k) - n ln 2). The assumption-free
     // companion to stat_mcnemar's χ² on a continuous outcome.
+    // The up/down/tie classification is exact-rational: value is
+    // cent-quantized by the generator, so mean_post vs mean_pre is
+    // decided by cross-multiplied LONG cent sums (s_post·c_pre vs
+    // s_pre·c_post) — a float avg() would let summation order pick
+    // the side of a true tie (one user flipped at the sf30 flush).
     "stat_sign_test" -> Q(
       (s, d) => {
         val ud = Tables.events(s, d)
           .filter(col("value").isNotNull && !isnan(col("value")))
           .withColumn("day", expr("ts div 86400000000000"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
           .localCheckpoint(eager = false) // bounds + the per-user halves
         val bounds = ud.agg(min("day").as("mn"), max("day").as("mx"))
         val diffs = ud.crossJoin(broadcast(bounds))
           .withColumn("post",
             (col("day") >= expr("(mn + mx + 1) div 2")).cast("long"))
           .groupBy("user_id")
-          .agg(avg(when(col("post") === 0, col("value"))).as("pre"),
-               avg(when(col("post") === 1, col("value"))).as("post_v"))
-          .filter(col("pre").isNotNull && col("post_v").isNotNull &&
-            col("pre") =!= col("post_v"))
+          .agg(sum(when(col("post") === 0, col("cents"))).as("s_pre"),
+               count(when(col("post") === 0, lit(1))).as("c_pre"),
+               sum(when(col("post") === 1, col("cents"))).as("s_post"),
+               count(when(col("post") === 1, lit(1))).as("c_post"))
+          .filter(col("c_pre") > 0 && col("c_post") > 0 &&
+            col("s_pre") * col("c_post") =!= col("s_post") * col("c_pre"))
         val cts = diffs.agg(
-          sum(when(col("post_v") > col("pre"), 1L).otherwise(0L)).as("n_up"),
-          sum(when(col("post_v") < col("pre"), 1L).otherwise(0L)).as("n_down"))
+          sum(when(col("s_post") * col("c_pre") > col("s_pre") * col("c_post"),
+            1L).otherwise(0L)).as("n_up"),
+          sum(when(col("s_post") * col("c_pre") < col("s_pre") * col("c_post"),
+            1L).otherwise(0L)).as("n_down"))
           .withColumn("n", col("n_up") + col("n_down"))
           .withColumn("kmin", least(col("n_up"), col("n_down")))
         val terms = cts
@@ -1766,18 +1776,23 @@ private[graft] object QStats {
               round(least(lit(2.0) * col("tail"), lit(1.0)), 6)).as("p_exact"))
       },
       Some(s"""WITH ev AS (
-              |  SELECT user_id, value, ts // 86400000000000 AS day
+              |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+              |         ts // 86400000000000 AS day
               |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
               |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
               |ud AS (SELECT user_id,
-              |         avg(CASE WHEN day < (mn + mx + 1) // 2 THEN value END) AS pre,
-              |         avg(CASE WHEN day >= (mn + mx + 1) // 2 THEN value END) AS post_v
+              |         sum(CASE WHEN day < (mn + mx + 1) // 2 THEN cents END) AS s_pre,
+              |         count(CASE WHEN day < (mn + mx + 1) // 2 THEN 1 END) AS c_pre,
+              |         sum(CASE WHEN day >= (mn + mx + 1) // 2 THEN cents END) AS s_post,
+              |         count(CASE WHEN day >= (mn + mx + 1) // 2 THEN 1 END) AS c_post
               |       FROM ev, b GROUP BY user_id),
-              |df AS (SELECT * FROM ud
-              |       WHERE pre IS NOT NULL AND post_v IS NOT NULL AND pre <> post_v),
+              |df AS (SELECT * FROM ud WHERE c_pre > 0 AND c_post > 0
+              |       AND s_pre * c_post <> s_post * c_pre),
               |ct AS (SELECT
-              |         CAST(sum(CASE WHEN post_v > pre THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
-              |         CAST(sum(CASE WHEN post_v < pre THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+              |         CAST(sum(CASE WHEN s_post * c_pre > s_pre * c_post
+              |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+              |         CAST(sum(CASE WHEN s_post * c_pre < s_pre * c_post
+              |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_down
               |       FROM df),
               |nn AS (SELECT *, n_up + n_down AS n, least(n_up, n_down) AS kmin
               |       FROM ct),
