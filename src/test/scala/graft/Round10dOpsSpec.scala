@@ -411,6 +411,53 @@ class Round10dOpsSpec extends SparkSpec {
     assert(p > 0.0 && p <= 1.0, s"p=$p")
   }
 
+  test("sign test ties are decided exactly, not by float summation noise") {
+    // The sf30 escape: a user whose pre/post means are rationally EQUAL
+    // must be dropped as a tie, but avg(double) can disagree with
+    // itself across addition orders. The crafted trap below fails the
+    // float formulation deterministically — (0.1+0.2)/2 is
+    // 0.15000000000000002 in IEEE754 while (0.15+0.15)/2 is 0.15, so
+    // an avg-based classifier counts user 1 as "up"; the exact
+    // cross-multiplied cent-sum idiom (s_post·c_pre vs s_pre·c_post)
+    // must call it a tie. User 4 ties across UNEQUAL halves
+    // (mean 1.50 from 2 vs 1 observations), pinning the
+    // cross-multiplication itself.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val day = 86400000000000L
+    val rows = Seq(
+      Row(1L, 0L * day, 1L, "view", 0.10, "{}"),
+      Row(2L, 0L * day, 1L, "view", 0.20, "{}"),
+      Row(3L, 1L * day, 1L, "view", 0.15, "{}"),
+      Row(4L, 1L * day, 1L, "view", 0.15, "{}"),
+      Row(5L, 0L * day, 2L, "view", 1.00, "{}"),
+      Row(6L, 1L * day, 2L, "view", 2.00, "{}"),
+      Row(7L, 0L * day, 3L, "view", 2.00, "{}"),
+      Row(8L, 1L * day, 3L, "view", 0.50, "{}"),
+      Row(9L, 0L * day, 4L, "view", 1.00, "{}"),
+      Row(10L, 0L * day, 4L, "view", 2.00, "{}"),
+      Row(11L, 1L * day, 4L, "view", 1.50, "{}"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-signtie").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.parquet(s"$dir/events.parquet")
+    try {
+      val r = SparkEntry.queries("stat_sign_test")(spark, dir).head
+      assert(r.getAs[Long]("n_up") == 1L, s"tie user counted: $r")
+      assert(r.getAs[Long]("n_down") == 1L, r.toString)
+      // n=2, kmin=1: p = 2·(C(2,0)+C(2,1))/4 = 1.5 clamped to 1
+      assert(r.getAs[Double]("p_exact") == 1.0, r.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("stickiness is avg-DAU over MAU and lives in (0, 1]") {
     val rows = run("ev_stickiness")
     assert(rows.nonEmpty)
