@@ -67,8 +67,13 @@ object Packing {
                           buckets: Int = 100): DataFrame = {
     val blk = greatest(least(floor(col(scoreCol) * buckets),
       lit(buckets - 1)), lit(0)).cast("long")
+    // r17: the slim (id, tok, score, blk) projection is read by BOTH
+    // the per-bucket cumsum and the offset aggregate — checkpoint it
+    // so the (possibly expensive) upstream subtree runs once, not
+    // twice (guide §1.2: don't recompute what you already computed)
     val d = docs.select(col(idCol), col(tokCol).cast("long").as("tok"),
       col(scoreCol), blk.as("_blk"))
+      .localCheckpoint(eager = false)
     val wIn = Window.partitionBy("_blk")
       .orderBy(col(scoreCol).desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

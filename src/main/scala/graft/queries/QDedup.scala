@@ -23,7 +23,7 @@ private[graft] object QDedup {
                |FROM documents GROUP BY h ORDER BY h""".stripMargin)),
 
       "dedup_ngram_jaccard" -> Q(
-        (s, d) => Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25),
+        (s, d) => QDsl.dupEdges(s, d),
         Some(s"""WITH s AS (
                 |${graft.text.TextPrimitives.charShinglesSql("documents", "doc_id", "text", 5, "doc_id < 120")}),
                 |c AS (SELECT doc_id, count(*) AS cnt FROM s GROUP BY doc_id),
@@ -64,7 +64,7 @@ private[graft] object QDedup {
       // three-way self-join, proving orientation loses nothing.
       "graph_triangles" -> Q(
         (s, d) => {
-          val e0 = Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+          val e0 = QDsl.dupEdges(s, d)
             .select(col("da"), col("db")) // canonical: da < db, unique
             // four consumers (degrees, orientation, closure, count):
             // checkpoint so the shingle join runs ONCE, not per branch
@@ -133,21 +133,26 @@ private[graft] object QDedup {
       // in-core degree.
       "graph_kcore" -> Q(
         (s, d) => {
-          var edges = Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
-            .select(col("da"), col("db"))
-            .localCheckpoint(eager = false)
+          // r17: the 6 peeling rounds fold DRIVER-side over the
+          // collected bounded edge list (≤C(120,2) rows by
+          // construction) — pure integer degree counts and set
+          // filters, so the fold is EXACTLY the in-plan result with
+          // ~18 jobs (degree agg + two semi-joins + checkpoint per
+          // round) removed. The corpus-scale shingle join still runs
+          // once, distributed.
+          var es = QDsl.dupEdges(s, d)
+            .select(col("da"), col("db")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
           for (_ <- 1 to 6) {
-            val keep = edges
-              .select(explode(array(col("da"), col("db"))).as("v"))
-              .groupBy("v").agg(count(lit(1)).as("dg"))
-              .filter(col("dg") >= 2).select("v")
-            edges = edges
-              .join(keep.withColumnRenamed("v", "da"), Seq("da"), "left_semi")
-              .join(keep.withColumnRenamed("v", "db"), Seq("db"), "left_semi")
-              .localCheckpoint(eager = false) // read twice next round
+            val keep = es.flatMap(e => Seq(e._1, e._2))
+              .groupBy(identity).collect { case (v, g) if g.size >= 2 => v }
+              .toSet
+            es = es.filter(e => keep(e._1) && keep(e._2))
           }
-          edges.select(explode(array(col("da"), col("db"))).as("v"))
-            .groupBy("v").agg(count(lit(1)).as("core_deg"))
+          import s.implicits._
+          es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+            .map { case (v, g) => (v, g.size.toLong) }.toSeq
+            .toDF("v", "core_deg")
             .orderBy("v")
         },
         Some(s"""WITH s AS (
@@ -232,7 +237,7 @@ private[graft] object QDedup {
       // runs ONCE; everything after is O(|E|) with no shuffle join.
       "graph_assort" -> Q(
         (s, d) => {
-          val e0 = Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+          val e0 = QDsl.dupEdges(s, d)
             .select(col("da"), col("db"))
             // three consumers (degrees, directed copies, edge count)
             .localCheckpoint(eager = false)
@@ -279,7 +284,7 @@ private[graft] object QDedup {
       // global sort at scale.
       "graph_adamic_adar" -> Q(
         (s, d) => {
-          val e0 = Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+          val e0 = QDsl.dupEdges(s, d)
             .select(col("da"), col("db"))
             .localCheckpoint(eager = false) // nbr expansion + anti-join back
           val nb = e0.select(col("da").as("z"), col("db").as("x"))
@@ -322,7 +327,7 @@ private[graft] object QDedup {
       // chain" probe a curator runs on a suspicious component.
       "graph_bfs" -> Q(
         (s, d) => {
-          val e0 = Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+          val e0 = QDsl.dupEdges(s, d)
             .select(col("da"), col("db"))
             .localCheckpoint(eager = false)
           val nbr = e0.select(col("da").as("v"), col("db").as("n"))

@@ -1504,24 +1504,34 @@ private[graft] object QEvents {
     "ev_stationary" -> Q(
       (s, d) => {
         // shares the one-per-process lead() pass with ev_transitions /
-        // graph_pagerank (the round-9 super-linear edge, now amortized)
-        val pairs = transitionCells(s, d).filter(col("to_type").isNotNull)
-        val tot = pairs.groupBy("from_type").agg(sum("n").as("tt"))
-        val cells = pairs.join(broadcast(tot), "from_type")
-          .select(col("from_type"), col("to_type"),
-                  round(col("n") / col("tt"), 6).as("p"))
-          .localCheckpoint(eager = false) // read 13×, never re-scans events
-        val states = cells.select("from_type").distinct()
-        val kk = states.agg(count(lit(1)).as("k"))
-        var v = states.crossJoin(broadcast(kk))
-          .select(col("from_type").as("state"),
-                  round(lit(1.0) / col("k"), 7).as("v"))
+        // graph_pagerank (the round-9 super-linear edge, now amortized).
+        // r17: the 12 power rounds fold DRIVER-side over the collected
+        // ≤|types|² cells (the graph_pagerank / emb_top_eigen
+        // altitude) — the in-plan form paid 12 broadcast-exchange jobs
+        // for a |types|-row vector product, ~100 ms scheduling floor
+        // each, and at 100 TB re-derived nothing (cells are already a
+        // bounded materialization). Join semantics replicated exactly:
+        // v₀ spans distinct from_type (k counts a null group too; a
+        // null state never matches the equi-join), each round keys the
+        // vector by the to_types its contributing cells reach. Per-
+        // round round-to-7 pins the trajectory (the argument the
+        // in-plan version already relied on across engines).
+        val rows = transitionCells(s, d).filter(col("to_type").isNotNull)
+          .select("from_type", "to_type", "n").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val tt = rows.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+        def r(x: Double, sc: Int) = graft.embed.CovMoments.r(x, sc)
+        val cells = rows.map { case (f, t, n) => (f, t, r(n.toDouble / tt(f), 6)) }
+        val k = cells.map(_._1).distinct.length
+        var v: Map[String, Double] = cells.map(_._1).distinct
+          .filter(_ != null).map(_ -> r(1.0 / k, 7)).toMap
         for (_ <- 1 to 12)
-          v = cells.join(broadcast(v), cells("from_type") === v("state"))
-            .groupBy("to_type")
-            .agg(round(sum(col("p") * col("v")), 7).as("v"))
-            .withColumnRenamed("to_type", "state")
-        v.select(col("state"), round(col("v"), 4).as("pi")).orderBy("state")
+          v = cells.filter(c => c._1 != null && v.contains(c._1)).groupBy(_._2)
+            .map { case (to, cs) =>
+              to -> r(cs.sortBy(_._1).map(c => c._3 * v(c._1)).sum, 7) }
+        import s.implicits._
+        v.toSeq.sortBy(_._1).toDF("state", "vv")
+          .select(col("state"), round(col("vv"), 4).as("pi")).orderBy("state")
       },
       Some(s"""WITH tr AS (
              |  SELECT event_type AS from_type,
@@ -2246,33 +2256,38 @@ private[graft] object QEvents {
     // excluded from the p·ln p sum on BOTH engines.
     "ev_markov_entropy" -> Q(
       (s, d) => {
-        val pairs = transitionCells(s, d).filter(col("to_type").isNotNull)
-        val tot = pairs.groupBy("from_type").agg(sum("n").as("tt"))
-        val cells = pairs.join(broadcast(tot), "from_type")
-          .select(col("from_type"), col("to_type"),
-                  round(col("n") / col("tt"), 6).as("p"))
-          .localCheckpoint(eager = false) // 12 iteration reads + entropy pass
-        val states = cells.select("from_type").distinct()
-        val kk = states.agg(count(lit(1)).as("k"))
-        var v = states.crossJoin(broadcast(kk))
-          .select(col("from_type").as("state"),
-                  round(lit(1.0) / col("k"), 7).as("v"))
+        // r17: folded DRIVER-side over the collected ≤|types|² cells —
+        // the ev_stationary rewrite's twin (same 12-round trajectory,
+        // same join-semantics replication, same round-7 pinning); the
+        // in-plan form paid ~14 broadcast-exchange jobs for bounded
+        // vector products. See ev_stationary above for the altitude
+        // argument.
+        val rows = transitionCells(s, d).filter(col("to_type").isNotNull)
+          .select("from_type", "to_type", "n").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val tt = rows.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+        def r(x: Double, sc: Int) = graft.embed.CovMoments.r(x, sc)
+        val cells = rows.map { case (f, t, n) => (f, t, r(n.toDouble / tt(f), 6)) }
+        val k = cells.map(_._1).distinct.length
+        var v: Map[String, Double] = cells.map(_._1).distinct
+          .filter(_ != null).map(_ -> r(1.0 / k, 7)).toMap
         for (_ <- 1 to 12)
-          v = cells.join(broadcast(v), cells("from_type") === v("state"))
-            .groupBy("to_type")
-            .agg(round(sum(col("p") * col("v")), 7).as("v"))
-            .withColumnRenamed("to_type", "state")
-        val hi = cells.filter(col("p") > 0).groupBy("from_type")
-          .agg(round(-sum(col("p") * log(col("p"))), 6).as("h_i"))
-        val er = hi.join(v, hi("from_type") === v("state"))
-          .agg(round(sum(col("v") * col("h_i")), 4).as("entropy_rate"))
-        er.crossJoin(broadcast(kk))
-          .select(col("k").as("n_states"), col("entropy_rate"),
-                  when(col("k") > 1, round(log(col("k")), 4))
-                    .otherwise(lit(null).cast("double")).as("max_entropy"),
-                  when(col("k") > 1 && col("entropy_rate").isNotNull,
-                       round(col("entropy_rate") / round(log(col("k")), 4), 4))
-                    .otherwise(lit(null).cast("double")).as("efficiency"))
+          v = cells.filter(c => c._1 != null && v.contains(c._1)).groupBy(_._2)
+            .map { case (to, cs) =>
+              to -> r(cs.sortBy(_._1).map(c => c._3 * v(c._1)).sum, 7) }
+        val hi = cells.filter(c => c._1 != null && c._3 > 0).groupBy(_._1)
+          .map { case (f, cs) =>
+            f -> r(-cs.sortBy(_._2).map(c => c._3 * math.log(c._3)).sum, 6) }
+        val common = hi.keySet intersect v.keySet
+        val er: Option[Double] =
+          if (common.isEmpty) None
+          else Some(r(common.toSeq.sorted.map(st => v(st) * hi(st)).sum, 4))
+        val maxEnt = if (k > 1) Some(r(math.log(k.toDouble), 4)) else None
+        val eff =
+          if (k > 1 && er.isDefined) Some(r(er.get / maxEnt.get, 4)) else None
+        import s.implicits._
+        Seq((k.toLong, er, maxEnt, eff))
+          .toDF("n_states", "entropy_rate", "max_entropy", "efficiency")
       },
       Some(s"""WITH tr AS (
              |  SELECT event_type AS from_type,

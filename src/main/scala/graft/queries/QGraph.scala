@@ -21,7 +21,7 @@ private[graft] object QGraph {
       // closed triangle credits all three corners via one explode.
       "graph_local_cc" -> Q(
         (s, d) => {
-          val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+          val e0 = dupEdges(s, d)
             .select(col("da"), col("db"))
             .localCheckpoint(eager = false) // degrees + orientation + closure
           val deg = e0.select(explode(array(col("da"), col("db"))).as("v"))
@@ -86,7 +86,7 @@ private[graft] object QGraph {
     // 1-row α frame broadcasts onto the ≤log2(n)-row histogram.
     "graph_degree_dist" -> Q(
       (s, d) => {
-        val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+        val e0 = dupEdges(s, d)
           .select(col("da"), col("db"))
           .localCheckpoint(eager = false) // degrees read by hist AND alpha
         val deg = e0.select(explode(array(col("da"), col("db"))).as("v"))
@@ -122,7 +122,7 @@ private[graft] object QGraph {
     // bounded edge build; k sweep is a 3-row literal cross.
     "graph_rich_club" -> Q(
       (s, d) => {
-        val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+        val e0 = dupEdges(s, d)
           .select(col("da"), col("db"))
           .localCheckpoint(eager = false) // degrees + edge filter
         val deg = e0.select(explode(array(col("da"), col("db"))).as("v"))
@@ -171,26 +171,31 @@ private[graft] object QGraph {
     // shingle-join edge build; each round is O(E) shuffle.
     "graph_eigencentrality" -> Q(
       (s, d) => {
-        val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
-          .select(col("da"), col("db"))
-          .localCheckpoint(eager = false)
-        val nbr = e0.select(col("da").as("v"), col("db").as("n"))
-          .union(e0.select(col("db").as("v"), col("da").as("n")))
-          .localCheckpoint(eager = false) // read once per round
-        val nodes = nbr.select(col("v")).distinct()
-        val nn = nodes.agg(count(lit(1)).cast("double").as("nn"))
-        var x = nodes.crossJoin(broadcast(nn))
-          .select(col("v"), round(lit(1.0) / col("nn"), 7).as("c"))
-          .localCheckpoint(eager = false)
+        // r17: the 6 power rounds fold DRIVER-side over the collected
+        // bounded edge list (≤C(120,2) rows by construction — the
+        // graph_pagerank / emb_top_eigen altitude); the in-plan form
+        // paid ~18 jobs (join + agg + total + checkpoint per round)
+        // of ~100 ms scheduling floor each for |V|-row products.
+        // Same arithmetic: unrounded neighbor sums, global L1 total,
+        // round-7 per round (order pinned by the rounding, as the
+        // DuckDB twin's different summation order already requires).
+        val es = dupEdges(s, d)
+          .select(col("da"), col("db")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val nbrs = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+          .groupBy(_._1).map { case (v, g) => v -> g.map(_._2).sorted }
+        val nodes = nbrs.keys.toSeq.sorted
+        def r7(x: Double) = graft.embed.CovMoments.r(x, 7)
+        val nn = nodes.length.toDouble
+        var x: Map[Long, Double] = nodes.map(_ -> r7(1.0 / nn)).toMap
         for (_ <- 1 to 6) {
-          val raw = nbr.join(x.select(col("v").as("n"), col("c")), "n")
-            .groupBy("v").agg(sum("c").as("raw"))
-          val tot = raw.agg(sum("raw").as("t"))
-          x = raw.crossJoin(broadcast(tot))
-            .select(col("v"), round(col("raw") / col("t"), 7).as("c"))
-            .localCheckpoint(eager = false) // next round + final sort
+          val raw = nodes.map(v => v -> nbrs(v).map(x).sum)
+          val t = raw.map(_._2).sum
+          x = raw.map { case (v, rw) => v -> r7(rw / t) }.toMap
         }
-        x.orderBy(col("c").desc, col("v")).limit(10)
+        import s.implicits._
+        x.toSeq.sortBy(_._1).toDF("v", "c")
+          .orderBy(col("c").desc, col("v")).limit(10)
           .select(col("v").as("doc_id"), col("c").as("centrality"))
       },
       Some(s"""WITH ${dupEdgesSql(120, 0.25)},
@@ -213,38 +218,38 @@ private[graft] object QGraph {
     // rounded to 7 per half-step so the trajectory is engine-pinned.
     "graph_hits" -> Q(
       (s, d) => {
+        // r17: the 4 a/h rounds fold DRIVER-side over the collected
+        // ≤|types|² cells (the ev_stationary rewrite's twin) — the
+        // in-plan form paid ~24 jobs (two half-steps, each join + agg
+        // + total + checkpoint). Arithmetic replicated: L1 total over
+        // the reached side, missing nodes contribute raw 0, round-7
+        // per half-step. The in-plan sm=0→null branch is unreachable
+        // on a nonempty cell table (wt ≥ 1, h₀ = 1, and each
+        // normalized vector keeps L1 mass ~1 on the source side), so
+        // the positive path is the whole behavior.
         val e = transitionCells(s, d)
           .filter(col("to_type").isNotNull && col("from_type").isNotNull)
-          .select(col("from_type").as("u"), col("to_type").as("v"),
-                  col("n").cast("double").as("wt"))
-          .localCheckpoint(eager = false) // read in all 8 half-steps
-        val nodes = e.select(col("u").as("t"))
-          .union(e.select(col("v").as("t"))).distinct()
-          .localCheckpoint(eager = false)
-        var h = nodes.withColumn("h", lit(1.0))
-          .localCheckpoint(eager = false)
-        var a: DataFrame = null
+          .select(col("from_type"), col("to_type"), col("n").cast("double"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+        def r7(x: Double) = graft.embed.CovMoments.r(x, 7)
+        val byV = e.groupBy(_._2)
+        val byU = e.groupBy(_._1)
+        var h: Map[String, Double] = nodes.map(_ -> 1.0).toMap
+        var a: Map[String, Double] = Map.empty
         for (_ <- 1 to 4) {
-          val ar = e.join(h.select(col("t").as("u"), col("h")), "u")
-            .groupBy(col("v").as("t")).agg(sum(col("wt") * col("h")).as("raw"))
-          val at = ar.agg(sum("raw").as("sm"))
-          a = nodes.join(ar, Seq("t"), "left").na.fill(0.0, Seq("raw"))
-            .crossJoin(broadcast(at))
-            .select(col("t"), when(col("sm") === 0, lit(null).cast("double"))
-              .otherwise(round(col("raw") / col("sm"), 7)).as("a"))
-            .localCheckpoint(eager = false)
-          val hr = e.join(a.select(col("t").as("v"), col("a")), "v")
-            .groupBy(col("u").as("t")).agg(sum(col("wt") * col("a")).as("raw"))
-          val ht = hr.agg(sum("raw").as("sm"))
-          h = nodes.join(hr, Seq("t"), "left").na.fill(0.0, Seq("raw"))
-            .crossJoin(broadcast(ht))
-            .select(col("t"), when(col("sm") === 0, lit(null).cast("double"))
-              .otherwise(round(col("raw") / col("sm"), 7)).as("h"))
-            .localCheckpoint(eager = false)
+          val ar = byV.map { case (v, g) =>
+            v -> g.sortBy(_._1).map(t => t._3 * h(t._1)).sum }
+          val at = ar.toSeq.sortBy(_._1).map(_._2).sum
+          a = nodes.map(t => t -> r7(ar.getOrElse(t, 0.0) / at)).toMap
+          val hr = byU.map { case (u, g) =>
+            u -> g.sortBy(_._2).map(t => t._3 * a(t._2)).sum }
+          val ht = hr.toSeq.sortBy(_._1).map(_._2).sum
+          h = nodes.map(t => t -> r7(hr.getOrElse(t, 0.0) / ht)).toMap
         }
-        h.join(a, "t")
-          .select(col("t").as("event_type"), col("h").as("hub"),
-                  col("a").as("authority"))
+        import s.implicits._
+        nodes.map(t => (t, h(t), a(t))).toSeq
+          .toDF("event_type", "hub", "authority")
           .orderBy("event_type")
       },
       Some(s"""WITH tr AS (
@@ -269,24 +274,26 @@ private[graft] object QGraph {
     // the |E|-row neighbor table, rounded to 7 per round.
     "graph_katz" -> Q(
       (s, d) => {
-        val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
-          .select(col("da"), col("db"))
-          .localCheckpoint(eager = false)
-        val nbr = e0.select(col("da").as("v"), col("db").as("n"))
-          .union(e0.select(col("db").as("v"), col("da").as("n")))
-          .localCheckpoint(eager = false) // read once per round
-        val nodes = nbr.select(col("v")).distinct()
-          .localCheckpoint(eager = false)
-        var x = nodes.withColumn("c", lit(1.0))
-          .localCheckpoint(eager = false)
-        for (_ <- 1 to 6) {
-          val sm = nbr.join(x.select(col("v").as("n"), col("c")), "n")
-            .groupBy("v").agg(sum("c").as("sm"))
-          x = nodes.join(sm, Seq("v"), "left").na.fill(0.0, Seq("sm"))
-            .select(col("v"), round(lit(1.0) + lit(0.1) * col("sm"), 7).as("c"))
-            .localCheckpoint(eager = false) // next round + final sort
-        }
-        x.orderBy(col("c").desc, col("v")).limit(10)
+        // r17: 6 rounds folded DRIVER-side over the collected bounded
+        // edge list (see graph_eigencentrality above — same altitude,
+        // same ~18-job in-plan cost removed). Every node has ≥1
+        // neighbor by construction of nbr, so the left-join fill(0)
+        // path is the getOrElse below; round-7 per round pins the
+        // trajectory.
+        val es = dupEdges(s, d)
+          .select(col("da"), col("db")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val nbrs = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+          .groupBy(_._1).map { case (v, g) => v -> g.map(_._2).sorted }
+        val nodes = nbrs.keys.toSeq.sorted
+        def r7(x: Double) = graft.embed.CovMoments.r(x, 7)
+        var x: Map[Long, Double] = nodes.map(_ -> 1.0).toMap
+        for (_ <- 1 to 6)
+          x = nodes.map { v =>
+            v -> r7(1.0 + 0.1 * nbrs(v).map(x).sum) }.toMap
+        import s.implicits._
+        x.toSeq.sortBy(_._1).toDF("v", "c")
+          .orderBy(col("c").desc, col("v")).limit(10)
           .select(col("v").as("doc_id"), col("c").as("katz"))
       },
       Some(s"""WITH ${dupEdgesSql(120, 0.25)},
@@ -307,29 +314,33 @@ private[graft] object QGraph {
     // near-dup components are shallow.
     "graph_closeness" -> Q(
       (s, d) => {
-        val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
-          .select(col("da"), col("db"))
-          .localCheckpoint(eager = false)
-        val nbr = e0.select(col("da").as("v"), col("db").as("n"))
-          .union(e0.select(col("db").as("v"), col("da").as("n")))
-          .localCheckpoint(eager = false) // read once per round
-        var dt = nbr.select(col("v")).distinct()
-          .select(col("v").as("src"), col("v").as("nd"))
-          .withColumn("depth", lit(0L))
-          .localCheckpoint(eager = false)
-        for (k <- 1 to 4) {
-          val fr = dt.filter(col("depth") === (k - 1).toLong)
-          val nxt = fr.join(nbr, col("nd") === col("v"))
-            .select(col("src"), col("n").as("nd")).distinct()
-            .join(dt, Seq("src", "nd"), "left_anti")
-            .withColumn("depth", lit(k.toLong))
-          dt = dt.union(nxt)
-            .localCheckpoint(eager = false) // next round reads twice
-        }
-        dt.filter(col("depth") > 0)
-          .groupBy("src")
-          .agg(count(lit(1)).as("n_reached"),
-               round(sum(lit(1.0) / col("depth")), 4).as("harmonic"))
+        // r17: the 4 multi-source BFS rounds fold DRIVER-side over the
+        // collected bounded edge list — frontier expansion, distinct
+        // and the seen-set anti-join are exact set operations, so the
+        // (src, nd, depth) table is EXACTLY the in-plan one with ~12
+        // jobs (join + distinct + anti-join + checkpoint per round)
+        // removed. The harmonic sum adds 1/depth terms (depth ∈ 1..4)
+        // per src; round-4 pins the total as before.
+        val es = dupEdges(s, d)
+          .select(col("da"), col("db")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val nbrs = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+          .groupBy(_._1).map { case (v, g) => v -> g.map(_._2).distinct }
+        def r4(x: Double) = graft.embed.CovMoments.r(x, 4)
+        import s.implicits._
+        nbrs.keys.toSeq.sorted.map { src =>
+          var seen = Map(src -> 0L)
+          var frontier = Seq(src)
+          for (k <- 1 to 4) {
+            val nxt = frontier.flatMap(nbrs(_)).distinct
+              .filterNot(seen.contains)
+            seen = seen ++ nxt.map(_ -> k.toLong)
+            frontier = nxt
+          }
+          val reached = seen.toSeq.filter(_._2 > 0).sortBy(_._1)
+          (src, reached.size.toLong,
+            r4(reached.map(1.0 / _._2).sum))
+        }.toDF("src", "n_reached", "harmonic")
           .orderBy(col("harmonic").desc, col("src"))
           .limit(10)
           .select(col("src").as("doc_id"), col("n_reached"), col("harmonic"))
@@ -501,24 +512,29 @@ private[graft] object QGraph {
     // the community size profile.
     "graph_label_prop" -> Q(
       (s, d) => {
-        val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
-          .select(col("da"), col("db"))
-        val nbr = e0.select(col("da").as("v"), col("db").as("n"))
-          .union(e0.select(col("db").as("v"), col("da").as("n")))
-          .localCheckpoint(eager = false) // read every round
-        var lab = nbr.select(col("v")).distinct()
-          .withColumn("label", col("v"))
-        for (_ <- 1 to 4) {
-          val cand = nbr
-            .join(lab.select(col("v").as("n"), col("label")), "n")
-            .groupBy("v", "label").agg(count(lit(1)).as("c"))
-          val mx = cand.groupBy("v").agg(max("c").as("mc"))
-          lab = cand.join(mx, "v").filter(col("c") === col("mc"))
-            .groupBy("v").agg(min("label").as("label"))
-            .localCheckpoint(eager = false) // next round + final count
-        }
-        lab.groupBy("label").agg(count(lit(1)).as("size"))
-          .select(col("label").as("community"), col("size"))
+        // r17: 4 rounds folded DRIVER-side over the collected bounded
+        // edge list — pure integer semantics (neighbor-label counts,
+        // max, min tie-break), so the fold is EXACTLY the in-plan
+        // result with ~16 jobs (join + 3 aggregates + checkpoint per
+        // round) removed. Every node keeps a label each round (all
+        // neighbors are labeled nodes), matching the join closure.
+        val es = dupEdges(s, d)
+          .select(col("da"), col("db")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val nbrs = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+          .groupBy(_._1).map { case (v, g) => v -> g.map(_._2) }
+        var lab: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+        for (_ <- 1 to 4)
+          lab = nbrs.map { case (v, ns) =>
+            val cnt = ns.map(lab).groupBy(identity)
+              .map { case (l, g) => l -> g.size }
+            val mc = cnt.values.max
+            v -> cnt.collect { case (l, c) if c == mc => l }.min
+          }
+        import s.implicits._
+        lab.values.groupBy(identity)
+          .map { case (l, g) => (l, g.size.toLong) }.toSeq
+          .toDF("community", "size")
           .orderBy(col("size").desc, col("community"))
       },
       Some(s"""WITH ${dupEdgesSql(120, 0.25)},
@@ -540,7 +556,7 @@ private[graft] object QGraph {
     "graph_node2vec" -> Q(
       (s, d) => {
         import graft.functions.VectorFunctions.md5Long
-        val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+        val e0 = dupEdges(s, d)
           .select(col("da"), col("db"))
           .localCheckpoint(eager = false)
         val adj = e0.select(col("da").as("v"), col("db").as("w"))

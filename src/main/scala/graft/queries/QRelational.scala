@@ -608,10 +608,16 @@ private[graft] object QRelational {
           .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
             col("n_regionkey") === col("r_regionkey"))
           .groupBy("l_partkey", "l_suppkey").agg(min("unit").as("cost"))
-        val mc = sc.groupBy(col("l_partkey").as("mc_partkey"))
-          .agg(min("cost").as("min_cost"))
-        sc.join(mc, col("l_partkey") === col("mc_partkey") &&
-                    col("cost") === col("min_cost"))
+        // r17: per-part min as a window on the (l_partkey) exchange the
+        // old min-aggregate needed anyway — the self-join re-ran the
+        // whole lineitem⨝supplier⨝nation⨝region subtree a second time
+        // (Catalyst does not dedup common subtrees across a join).
+        // min over doubles is order-exact; the filter keeps exactly the
+        // join's (cost = min_cost) rows.
+        val wp = Window.partitionBy("l_partkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        sc.withColumn("min_cost", min("cost").over(wp))
+          .filter(col("cost") === col("min_cost"))
           .join(Tables.part(s, d).filter(col("p_size") === 11),
             col("l_partkey") === col("p_partkey"))
           .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
@@ -1055,12 +1061,21 @@ private[graft] object QRelational {
         // list itself is linear in ONE order's size (order-bounded,
         // not corpus-bounded — unlike the LSH buckets, which needed
         // the TopK buffer because a bucket can hold the whole corpus)
+        // r17: generate each unordered pair ONCE (posexplode + strict-
+        // suffix slice → C(n,2) rows) instead of the n² explode×explode
+        // + value filter — half the generated rows and array copies,
+        // all codegen (no interpreted HOF lambda — the cdc-kernel
+        // lesson). Basket items are distinct, so (least, greatest) of a
+        // position-pair enumerates exactly the value-ordered pairs the
+        // old filter kept; the grouped counts are identical integers.
         val pc = fli.groupBy("l_orderkey")
           .agg(collect_list("l_partkey").as("ps"))
           .filter(size(col("ps")).between(2, QDsl.BasketCap))
-          .select(explode(col("ps")).as("pa"), col("ps"))
-          .select(col("pa"), explode(col("ps")).as("pb"))
-          .filter(col("pa") < col("pb"))
+          .select(posexplode(col("ps")).as(Seq("i", "pa")), col("ps"))
+          .select(col("pa"), explode(slice(col("ps"), col("i") + 2,
+            greatest(size(col("ps")) - col("i") - 1, lit(0)))).as("pb"))
+          .select(least(col("pa"), col("pb")).as("pa"),
+                  greatest(col("pa"), col("pb")).as("pb"))
           .groupBy("pa", "pb").agg(count(lit(1)).as("n_both"))
           .filter(col("n_both") >= 2)
         val no = li.select("l_orderkey").distinct()
@@ -1264,13 +1279,22 @@ private[graft] object QRelational {
               .cast("long").as("m"),
             datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag"))
         val h = j.groupBy("m", "lag").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(eager = false) // totals + cumsum walk
-        val t = h.groupBy("m")
-          .agg(sum("cnt").as("n"), sum(col("lag") * col("cnt")).as("sl"))
+        // r17: totals ride the SAME per-month exchange as the cumsum
+        // (guide §2.4 — two operations keyed the same way share one
+        // exchange): the unordered full-partition window computes
+        // n/sl beside the ordered cumulative window, replacing the
+        // checkpoint + separate aggregate + broadcast join-back.
+        // Integer sums — bit-identical per month either way.
+        val wm = Window.partitionBy("m")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         val wc = Window.partitionBy("m").orderBy("lag")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // cum FIRST: the ordered window establishes the (m, lag) sort;
+        // the unordered full-partition windows then reuse it (planned
+        // after, they'd otherwise insert a second per-month sort)
         h.withColumn("cum", sum("cnt").over(wc))
-          .join(broadcast(t), "m")
+          .withColumn("n", sum("cnt").over(wm))
+          .withColumn("sl", sum(col("lag") * col("cnt")).over(wm))
           .filter(col("cum") >= ceil(col("n") * 0.95).cast("long"))
           .groupBy("m")
           .agg(max("n").as("n"),

@@ -429,7 +429,11 @@ private[graft] object QText {
           val q = graft.text.TextAnalytics.qualityScores(scrubbed)
             .join(docs.select(col("doc_id"), col("lang")), "doc_id")
             .filter(col("quality") >= 0.1)
+          // r17: surv feeds the budget scan AND the final lang
+          // join-back — checkpoint it so the PII-regex + quality +
+          // rebalance subtree runs once instead of twice
           val surv = graft.ops.Sampling.temperatureRebalance(q, "lang", "doc_id")
+            .localCheckpoint(eager = false)
           val kept = graft.ops.Packing.selectByTokenBudget(
             surv, "doc_id", "n_tok", "quality", 8000L)
           kept.join(surv.select("doc_id", "lang"), "doc_id")
@@ -1329,7 +1333,7 @@ private[graft] object QText {
         (s, d) => {
           val docs = docsUnder(s, d, 120)
           val toks = graft.text.TextPrimitives.tokens(col("text"))
-          val pairs = graft.dedup.Dedup.ngramJaccard(docs, 5, 0.25)
+          val pairs = dupEdges(s, d)
             .select(col("da"), col("db"))
             .localCheckpoint(eager = false) // unigram + bigram overlap joins
           val uni = docs.select(col("doc_id"), explode(toks).as("w"))
@@ -2565,7 +2569,7 @@ private[graft] object QText {
       "graph_modularity" -> Q(
         (s, d) => {
           val docs = docsUnder(s, d, 120)
-          val e0 = graft.dedup.Dedup.ngramJaccard(docs, 5, 0.25)
+          val e0 = dupEdges(s, d)
             .select(col("da"), col("db"))
             .localCheckpoint(eager = false) // read for deg, intra, AND m
           val src = docs.select(col("doc_id"), col("source"))
@@ -2620,7 +2624,7 @@ private[graft] object QText {
       // inclusion-exclusion, so one grouped count per pair suffices
       "graph_jaccard_nbrs" -> Q(
         (s, d) => {
-          val e0 = graft.dedup.Dedup.ngramJaccard(docsUnder(s, d, 120), 5, 0.25)
+          val e0 = dupEdges(s, d)
             .select(col("da"), col("db"))
             .localCheckpoint(eager = false)
           val nb = e0.select(col("da").as("z"), col("db").as("x"))
@@ -2969,23 +2973,31 @@ private[graft] object QText {
       "stat_cohens_kappa" -> Q(
         (s, d) => {
           val docs = Tables.documents(s, d)
-          val cells = TextAnalytics.languageId(docs)
+          // r17: the confusion matrix is ≤|langs|² cells — the three
+          // 1-row aggregates + broadcast crosses fold DRIVER-side over
+          // one collect (the bounded-frame altitude; 4 jobs → 1).
+          // Arithmetic replicated: exact long marginal products, the
+          // same unrounded po/pe feeding kappa, round-4 at the end.
+          val cl = TextAnalytics.languageId(docs)
             .join(docs.select(col("doc_id"), col("lang")), "doc_id")
             .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
-            .localCheckpoint(eager = false) // read three times below
-          val tot = cells.agg(sum("n").cast("double").as("nn"))
-          val diag = cells.filter(col("lang") === col("pred_lang"))
-            .agg(coalesce(sum("n"), lit(0L)).cast("double").as("nd"))
-          val marg = cells.groupBy("lang").agg(sum("n").as("r"))
-            .join(cells.groupBy("pred_lang").agg(sum("n").as("c")),
-                  col("lang") === col("pred_lang"))
-            .agg(coalesce(sum(col("r") * col("c")), lit(0L))
-              .cast("double").as("rc"))
-          val po = col("nd") / col("nn")
-          val pe = col("rc") / (col("nn") * col("nn"))
-          broadcast(tot).crossJoin(broadcast(diag)).crossJoin(broadcast(marg))
-            .select(round(po, 4).as("po"), round(pe, 4).as("pe"),
-                    round((po - pe) / (lit(1.0) - pe), 4).as("kappa"))
+            .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          def r4(x: Double) = graft.embed.CovMoments.r(x, 4)
+          val out: (Option[Double], Option[Double], Option[Double]) =
+            if (cl.isEmpty) (None, None, None)
+            else {
+              val nn = cl.map(_._3).sum.toDouble
+              val nd = cl.filter(t => t._1 == t._2).map(_._3).sum.toDouble
+              val rM = cl.groupBy(_._1).map { case (l, g) => l -> g.map(_._3).sum }
+              val cM = cl.groupBy(_._2).map { case (l, g) => l -> g.map(_._3).sum }
+              val rc = (rM.keySet intersect cM.keySet).toSeq.sorted
+                .map(l => rM(l) * cM(l)).sum.toDouble
+              val po = nd / nn
+              val pe = rc / (nn * nn)
+              (Some(r4(po)), Some(r4(pe)), Some(r4((po - pe) / (1.0 - pe))))
+            }
+          import s.implicits._
+          Seq(out).toDF("po", "pe", "kappa")
         },
         Some {
           def cnt(words: Seq[String]) =

@@ -43,21 +43,28 @@ private[graft] object QTextCorpus {
           // monotone in doc_id, so the (sc desc, eid asc) comparator
           // keeps the window formulation's doc_id tie-break).
           val tk = graft.ops.TopK.topk(10)
+          // r17: the TopK buffer and the corpus-wide relevant count are
+          // BOTH per-qid aggregates over `scored` — fusing them into one
+          // groupBy halves the embed+score subtree (Catalyst does not
+          // dedup the common subtree across a self-join) and removes
+          // the top⨝rel join exchange. Both are order-invariant
+          // (bounded TopK comparator / integer sum) — results identical.
           val top = scored
             .select(col("qid"), col("sc"),
               (col("doc_id") * 2 +
-                when(col("lang") === col("qlang"), 1L).otherwise(0L)).as("eid"))
-            .groupBy("qid").agg(tk(col("sc"), col("eid")).as("top"))
-            .select(col("qid"), posexplode(col("top")))
-            .select(col("qid"), (col("pos") + 1).as("rnk"),
+                when(col("lang") === col("qlang"), 1L).otherwise(0L)).as("eid"),
+              when(col("lang") === col("qlang"), 1L).otherwise(0L).as("relflag"))
+            .groupBy("qid").agg(tk(col("sc"), col("eid")).as("top"),
+              sum("relflag").as("n_rel"))
+            .select(col("qid"), col("n_rel"), posexplode(col("top")))
+            .select(col("qid"), col("n_rel"), (col("pos") + 1).as("rnk"),
               (col("col.id") % 2).as("rel"))
             .groupBy("qid")
             .agg(sum("rel").as("n_rel_top10"),
               sum(when(col("rel") === 1,
-                lit(1.0) / log2(col("rnk") + 1)).otherwise(0.0)).as("dcg"))
-          val rel = scored.groupBy("qid")
-            .agg(sum(when(col("lang") === col("qlang"), 1L).otherwise(0L)).as("n_rel"))
-          top.join(rel, "qid")
+                lit(1.0) / log2(col("rnk") + 1)).otherwise(0.0)).as("dcg"),
+              max("n_rel").as("n_rel"))
+          top
             .withColumn("idcg", expr(
               "aggregate(sequence(1, int(least(10, n_rel))), 0D, (a, i) -> a + 1.0 / log2(i + 1))"))
             .select(col("qid"), col("n_rel_top10"),
@@ -117,20 +124,26 @@ private[graft] object QTextCorpus {
           val vocab = docs.select(explode(col("a")).as("tok"))
             .groupBy("tok").agg(count(lit(1)).as("freq"))
             .orderBy(col("freq").desc, col("tok")).limit(150)
-          def pairs(k: Int) = docs.select(explode(zip_with(
-              slice(col("a"), lit(1), greatest(size(col("a")) - k, lit(0))),
-              slice(col("a"), lit(k + 1), greatest(size(col("a")) - k, lit(0))),
-              (x, y) => concat(x, lit(" "), y))).as("p"))
-            .select(split(col("p"), " ").as("sp"))
-            .select(element_at(col("sp"), 1).as("x"), element_at(col("sp"), 2).as("y"))
-          val e0 = pairs(1).union(pairs(2))
+          // r17: the vocab is collected ONCE (the driver loop needs the
+          // node list anyway) and membership becomes a 150-element
+          // InSet filter — each broadcast join previously re-ran the
+          // vocab aggregate as its own broadcast-exchange job. The two
+          // offset streams fuse into ONE explode over the concatenated
+          // zip arrays (halves the pass over the checkpointed token
+          // arrays) and pairs ride as structs instead of concat +
+          // re-split strings. Same pair multiset, same integer counts.
+          val nodes = vocab.select("tok").collect().map(_.getString(0)).sorted
+          def zp(k: Int) = zip_with(
+            slice(col("a"), lit(1), greatest(size(col("a")) - k, lit(0))),
+            slice(col("a"), lit(k + 1), greatest(size(col("a")) - k, lit(0))),
+            (x, y) => struct(x.as("x"), y.as("y")))
+          val e0 = docs.select(explode(concat(zp(1), zp(2))).as("p"))
+            .select(col("p.x").as("x"), col("p.y").as("y"))
             .filter(col("x") =!= col("y"))
             .select(least(col("x"), col("y")).as("src"),
                     greatest(col("x"), col("y")).as("dst"))
-            .join(broadcast(vocab.select(col("tok").as("src"))), "src")
-            .join(broadcast(vocab.select(col("tok").as("dst"))), "dst")
+            .filter(col("src").isin(nodes: _*) && col("dst").isin(nodes: _*))
             .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-          val nodes = vocab.select("tok").collect().map(_.getString(0)).sorted
           val canon = e0.collect()
             .map(r => (r.getAs[String]("src"), r.getAs[String]("dst"), r.getAs[Long]("w")))
             .sortBy(t => (t._1, t._2))

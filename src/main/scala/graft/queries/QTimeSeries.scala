@@ -974,17 +974,23 @@ private[graft] object QTimeSeries {
         val hc = Tables.events(s, d)
           .groupBy(col("event_type"), expr("ts div 3600000000000").as("hr"))
           .agg(count(lit(1)).cast("double").as("c"))
-          .localCheckpoint(eager = false) // μ/σ pass + PAA pass
-        val st = hc.groupBy("event_type").agg(round(avg("c"), 6).as("mu"))
-        val st2 = hc.join(broadcast(st), "event_type")
-          .groupBy("event_type")
-          .agg(round(sqrt(avg((col("c") - col("mu")) * (col("c") - col("mu")))),
-            6).as("sd"), max("mu").as("mu"))
-        val sym = hc
+        // r17: μ and σ become full-partition windows on the per-type
+        // exchange the plan needs anyway, and ride the PAA groupBy as
+        // max() of a per-type constant — replacing the checkpoint, the
+        // two aggregate jobs and their broadcast join-backs (guide
+        // §2.4). Every groupBy downstream keys on a superset of
+        // event_type, so ONE exchange serves the entire tail. Same μ/σ
+        // values (round-6 pins the trajectory, as the oracle's
+        // different summation order already requires).
+        val wt = Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val hs = hc.withColumn("mu", round(avg("c").over(wt), 6))
+          .withColumn("sd", round(sqrt(
+            avg((col("c") - col("mu")) * (col("c") - col("mu"))).over(wt)), 6))
+        val sym = hs
           .groupBy(col("event_type"), expr("hr div 24").as("day"),
             expr("(hr % 24) div 4").as("slot"))
-          .agg(avg("c").as("pc"))
-          .join(broadcast(st2), "event_type")
+          .agg(avg("c").as("pc"), max("mu").as("mu"), max("sd").as("sd"))
           .withColumn("z", round((col("pc") - col("mu"))
             / nullif(col("sd"), lit(0.0)), 4))
           .withColumn("sym", when(col("z") < -0.6745, "a")

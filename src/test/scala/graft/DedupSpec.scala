@@ -218,4 +218,19 @@ class DedupSpec extends SparkSpec {
     assert(!capped.exists { case (a, b) => a < 50 && b < 50 })
     assert(capped.contains((100L, 101L)))
   }
+
+  test("shared dupEdges: memoized per (session, dir), content ≡ fresh ngramJaccard") {
+    // r17: fifteen queries read the canonical near-dup edge table via
+    // QDsl.dupEdges instead of rebuilding the shingle join each —
+    // pin (a) the memoization (same frame back on a second call) and
+    // (b) that the shared frame's rows are EXACTLY a fresh build's
+    val dir = "/root/testdata/sf0.001"
+    val shared = QDsl.dupEdges(spark, dir)
+    assert(QDsl.dupEdges(spark, dir) eq shared)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val fresh = Dedup.ngramJaccard(
+      QDsl.docsUnder(spark, dir, 120), 5, 0.25)
+    assert(rows(shared) == rows(fresh))
+  }
 }

@@ -423,12 +423,16 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("Welch t / kappa reduce to crosses of broadcast single-row aggregates") {
-    for (q <- Seq("stat_welch_ttest", "stat_cohens_kappa")) {
-      val p = plan(q)
-      assert(p.contains("Scan ExistingRDD"), s"$q lost its checkpoint:\n$p")
-      assert("Scan parquet".r.findAllIn(p).size == 0,
-        s"$q re-scans the corpus around its checkpoint:\n$p")
-    }
+    val p = plan("stat_welch_ttest")
+    assert(p.contains("Scan ExistingRDD"), s"welch lost its checkpoint:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 0,
+      s"welch re-scans the corpus around its checkpoint:\n$p")
+    // r17: kappa's ≤|langs|² confusion cells fold DRIVER-side — its
+    // plan is a LocalTableScan (zero distributed scans, zero joins)
+    val pk = plan("stat_cohens_kappa")
+    assert(pk.contains("LocalTableScan"), pk)
+    assert("Scan parquet".r.findAllIn(pk).size == 0, pk)
+    assert(!pk.contains("Join"), pk)
   }
 
   test("ANOVA is one scan + two aggregates: no join, no window") {
@@ -492,12 +496,17 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("stationary distribution iterates off the checkpointed cells: zero rescans") {
+    // r17: the 12 power rounds fold DRIVER-side over the collected
+    // bounded cells (the graph_pagerank altitude) — the final plan is
+    // a LocalTableScan: zero distributed scans, zero joins, zero
+    // exchanges beyond the output sort. The old guard pinned 12
+    // broadcast-join rounds; the new one pins that NOTHING reads the
+    // corpus in the emitted plan (the one fact scan lives in the
+    // shared transitionCells materialization).
     val p = plan("ev_stationary")
     assert("Scan parquet".r.findAllIn(p).size == 0, p)
-    assert(p.contains("Scan ExistingRDD"), p)
-    // 12 power-iteration rounds, each a broadcast join of the tiny vector
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 12, p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("CUSUM collapses the stream once; windows run on the daily frame") {
@@ -517,9 +526,14 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("k-core peels checkpointed edges: the shingle join never re-runs") {
+    // r17: the 6 peeling rounds fold DRIVER-side over the collected
+    // bounded edge list — the final plan is a LocalTableScan (zero
+    // distributed scans; the one shingle join lives in the shared
+    // dupEdges materialization, run once per (session, dir))
     val p = plan("graph_kcore")
-    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("LocalTableScan"), p)
     assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(!p.contains("Join"), p)
   }
 
   test("vocab coverage bounds ranking with TakeOrdered off the checkpointed vocab") {
