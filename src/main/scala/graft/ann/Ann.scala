@@ -74,6 +74,15 @@ object Ann {
   def bruteForceTopKDense(emb: DataFrame, queries: DataFrame, k: Int): DataFrame =
     denseKernelTopK(emb, queries, k, Ann.cosineRounded6)
 
+  /** [[bruteForceTopKDense]] without the final (qid, rnk) global sort
+    * — for callers that consume the edge LIST (joins/aggregates where
+    * row order is irrelevant): the orderBy cost a range exchange plus
+    * its sampling pass before ann_knn_graph's checkpoint (r17).
+    */
+  def bruteForceTopKDenseUnordered(emb: DataFrame, queries: DataFrame,
+      k: Int): DataFrame =
+    denseKernelTopK(emb, queries, k, Ann.cosineRounded6, ordered = false)
+
   /** k smallest ROUNDED-6dp euclidean distances per vector against the
     * whole table (self excluded) — the two-NN intrinsic-dimension
     * input. Same dense kernel; TopK merges on the NEGATED distance so
@@ -191,7 +200,8 @@ object Ann {
   private[graft] def denseKernelTopK(emb: DataFrame, queries: DataFrame, k: Int,
       scoreFn: (Array[Double], Array[Double]) => Double,
       tile: Int = defaultKernelTile,
-      dimHint: Option[Int] = None): DataFrame = {
+      dimHint: Option[Int] = None,
+      ordered: Boolean = true): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // null vectors (failed embed jobs leave them behind) can't rank —
@@ -289,11 +299,11 @@ object Ann {
         // the only extra query-side pass the overflow case pays.
         blockedTop(emb, queries, k, scoreFn, tile,
           dimHint = Some(math.max(qDim, obsDim)))
-    topPerQid
+    val out = topPerQid
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.id").as("vec_id"), col("col.score").as("score"),
               (col("pos") + 1).cast("long").as("rnk"))
-      .orderBy("qid", "rnk")
+    if (ordered) out.orderBy("qid", "rnk") else out
   }
 
   /** Corpus rows per kernel block on the blocked path: one block is

@@ -70,27 +70,35 @@ private[graft] object QAnn {
           val emb = Tables.embeddings(s, d)
           // dense kernel: all-vectors-as-queries is the case where the
           // BNLJ row-per-pair cost dominates (AnnSpec pins row-equality
-          // with bruteForceTopK; ~10× at the 2000-query oracle corpus)
-          val edges = Ann.bruteForceTopKDense(emb,
+          // with bruteForceTopK; ~10× at the 2000-query oracle corpus).
+          // r17: unordered edge build (downstream is joins/aggregates —
+          // the orderBy cost a range exchange + sampling pass before
+          // the checkpoint), and mutuality + homophily fused into ONE
+          // aggregate over the edge list: the reversed-edge left join
+          // flags mutual edges on the same rows the label joins ride,
+          // so the second aggregate + the aggregate-vs-aggregate outer
+          // join disappear (2 HashAggregate chains + SMJ → 1 chain;
+          // n_mutual = Σ flag ≡ the old count-per-qid with its
+          // coalesce(_, 0) — every qid keeps ≥1 row in both forms)
+          val edges = Ann.bruteForceTopKDenseUnordered(emb,
               emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), 5)
             .select(col("qid"), col("vec_id").as("nid"))
-            .localCheckpoint(eager = false) // read 3×: mutual (both sides) + homophily
-          val mutual = edges.as("a")
-            .join(edges.as("b"),
-              col("a.qid") === col("b.nid") && col("a.nid") === col("b.qid"))
-            .groupBy(col("a.qid")).agg(count(lit(1)).as("n_mutual"))
+            .localCheckpoint(eager = false) // read 2×: forward + reversed
           val lbl = emb.select(col("vec_id"), col("label"))
-          val homo = edges
+          val rev = edges.select(col("nid").as("qid"), col("qid").as("nid"),
+            lit(1L).as("rev"))
+          edges
             .join(broadcast(lbl.select(col("vec_id").as("qid"),
                                        col("label").as("ql"))), "qid")
             .join(broadcast(lbl.select(col("vec_id").as("nid"),
                                        col("label").as("nl"))), "nid")
+            .join(rev, Seq("qid", "nid"), "left")
             .groupBy("qid")
             .agg(sum(when(col("ql") === col("nl"), 1).otherwise(0))
-              .as("n_same_label"))
-          homo.join(mutual, Seq("qid"), "left")
+                .as("n_same_label"),
+              coalesce(sum(col("rev")), lit(0L)).as("n_mutual"))
             .select(col("qid").as("vec_id"), col("n_same_label"),
-                    coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+                    col("n_mutual"))
             .orderBy("vec_id")
         },
         // ORACLE SCALE IDIOM (sf10 flush): the per-qid top-5 rides
@@ -1063,49 +1071,64 @@ private[graft] object QAnn {
     // modular arithmetic — no global window anywhere.
     "ann_nn_descent" -> Q(
       (s, d) => {
-        import graft.functions.VectorFunctions.score
-        val f = Tables.embeddings(s, d)
+        // r17: the whole refinement folds DRIVER-side over the ONE
+        // distributed pass (the ≤300-row bounded pool collect) — the
+        // in-plan form chained ~20 jobs (truth join + window, two
+        // refine rounds of 4 joins + distinct + window each, three
+        // recall probes) over frames bounded by construction at
+        // ≤55·300 candidate edges. Scoring reuses the spec-pinned
+        // kernel fn (cosineRounded6Kernel ≡ the score() expression ≡
+        // the oracle's list_cosine_similarity round-6), every other
+        // step is integer/set arithmetic, and the final round-4 is
+        // Spark's own BigDecimal HALF_UP — bit-identical output.
+        val pool = Tables.embeddings(s, d)
           .filter(col("embedding").isNotNull && col("vec_id") < 300)
-          .select(col("vec_id").as("id"), col("embedding").as("emb"))
-          .localCheckpoint(eager = false) // truth join + per-round scoring
-        val fa = f.select(col("id").as("a"), col("emb").as("ea"))
-        val fb = f.select(col("id").as("b"), col("emb").as("eb"))
-        def top5(scored: DataFrame): DataFrame = scored
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("a").orderBy(col("s").desc, col("b"))))
-          .filter(col("rk") <= 5).select("a", "b")
-        val truth = top5(fa.join(fb, col("a") =!= col("b"))
-            .withColumn("s", score(col("ea"), col("eb"))))
-          .localCheckpoint(eager = false) // 3 recall probes
-        val seed = f.select(col("id").as("a"))
-          .crossJoin(s.range(1L, 6L).toDF("i"))
-          .select(col("a"), pmod(col("a") + col("i"), lit(300L)).as("b"))
-        def scoreOf(g: DataFrame): DataFrame = g
-          .join(fa, "a").join(fb, "b")
-          .withColumn("s", score(col("ea"), col("eb")))
-          .select("a", "b", "s")
-        def refine(g: DataFrame): DataFrame = {
-          val rev = g.select(col("b").as("a"), col("a").as("b"))
-          val fwd = g.select(col("a"), col("b").as("m"))
-          val nn = fwd.join(g.select(col("a").as("m"), col("b")), "m")
-            .select("a", "b")
-            .union(fwd.join(rev.select(col("a").as("m"), col("b")), "m")
-              .select("a", "b"))
-          val cand = g.select("a", "b").union(rev).union(nn)
-            .filter(col("a") =!= col("b")).distinct()
+          .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        val embOf = pool.toMap
+        val ids = pool.map(_._1)
+        val sc = graft.ann.Ann.cosineRounded6Kernel
+        // per-a top-5 by (score desc, b asc) — the row_number() tie
+        // order of the in-plan window, exact on round-6 doubles
+        def top5(scored: Seq[(Long, Long, Double)]): Seq[(Long, Long)] =
+          scored.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+            g.sortBy { case (_, b, sv) => (-sv, b) }.take(5)
+              .map { case (a, b, _) => (a, b) }
+          }
+        val truth = top5(for {
+          (a, ea) <- pool.toSeq; (b, eb) <- pool if a != b
+        } yield (a, b, sc(ea, eb))).toSet
+        val seed: Seq[(Long, Long)] =
+          for { a <- ids.toSeq; i <- 1L to 5L } yield (a, (a + i) % 300L)
+        // inner-join closure of the in-plan scoreOf: candidates whose
+        // endpoint is outside the pool drop (fa/fb were inner joins)
+        def scoreOf(g: Seq[(Long, Long)]): Seq[(Long, Long, Double)] =
+          g.collect { case (a, b) if embOf.contains(a) && embOf.contains(b) =>
+            (a, b, sc(embOf(a), embOf(b))) }
+        def refine(g: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+          val rev = g.map { case (a, b) => (b, a) }
+          val byA = g.groupBy(_._1)   // m -> (m, b) rows of g
+          val byB = g.groupBy(_._2)   // m -> (a, m) rows of g
+          val nn = g.flatMap { case (a, m) =>
+            byA.getOrElse(m, Nil).map { case (_, b) => (a, b) } } ++
+            g.flatMap { case (a, m) =>
+              byB.getOrElse(m, Nil).map { case (b, _) => (a, b) } }
+          val cand = (g ++ rev ++ nn).filter { case (a, b) => a != b }.distinct
           top5(scoreOf(cand))
         }
-        val r1 = refine(seed).localCheckpoint(eager = false)
+        val r1 = refine(seed)
         val r2 = refine(r1)
-        val nt = truth.agg(count(lit(1)).as("n_truth"))
-        def rec(g: DataFrame, stage: String): DataFrame = g
-          .join(truth, Seq("a", "b"))
-          .agg(count(lit(1)).as("n_hit"))
-          .crossJoin(broadcast(nt))
-          .select(lit(stage).as("stage"), col("n_truth"),
-            round(col("n_hit") / col("n_truth").cast("double"), 4)
-              .as("recall"))
-        rec(seed, "0_seed").union(rec(r1, "1_round")).union(rec(r2, "2_round"))
+        val nTruth = truth.size.toLong
+        def rec(g: Seq[(Long, Long)], stage: String): (String, Long, Double) = {
+          val nHit = g.count(truth.contains)
+          (stage, nTruth,
+            java.math.BigDecimal.valueOf(nHit.toDouble / nTruth)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+        }
+        import s.implicits._
+        Seq(rec(seed, "0_seed"), rec(r1, "1_round"), rec(r2, "2_round"))
+          .toDF("stage", "n_truth", "recall")
           .orderBy("stage")
       },
       Some("""WITH f AS MATERIALIZED (

@@ -179,20 +179,26 @@ private[graft] object QEmbeddings {
     // both engines.
     "emb_knn_vote" -> Q(
       (s, d) => {
-        import graft.functions.VectorFunctions.score
-        val corpus = Tables.embeddings(s, d)
-          .select(col("vec_id").as("vb"), col("embedding").as("eb"),
-                  col("label").as("lb"))
-        val queries = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-          .select(col("vec_id").as("va"), col("embedding").as("ea"),
-                  col("label").as("la"))
-        val wq = Window.partitionBy("va").orderBy(col("sc").desc, col("vb"))
-        val top = corpus.crossJoin(broadcast(queries))
-          .filter(col("va") =!= col("vb"))
-          .select(col("va"), col("la"), col("vb"), col("lb"),
-            score(col("eb"), col("ea")).as("sc"))
-          .withColumn("rk", row_number().over(wq))
-          .filter(col("rk") <= 5)
+        // r17: the top-5 comes from the dense kernel's map-side
+        // bounded TopK (≤5 partial candidates per partition per
+        // query) instead of shuffling the full |corpus|×300 scored
+        // cross product into a row_number window — the same
+        // (score desc, id asc) selection AND the same rnk values
+        // (kernel row-equality to the BNLJ form is spec-asserted;
+        // the generator never emits null embeddings, so the kernel's
+        // null-drop ≡ the window's nulls-last here). Labels re-attach
+        // by broadcast onto the 1500-row edge list.
+        val emb = Tables.embeddings(s, d)
+        val lbl = emb.select(col("vec_id"), col("label"))
+        val top = graft.ann.Ann.bruteForceTopKDenseUnordered(emb,
+            emb.filter(col("vec_id") < 300)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")), 5)
+          .select(col("qid").as("va"), col("vec_id").as("vb"),
+            col("rnk").as("rk"))
+          .join(broadcast(lbl.select(col("vec_id").as("va"),
+            col("label").as("la"))), "va")
+          .join(broadcast(lbl.select(col("vec_id").as("vb"),
+            col("label").as("lb"))), "vb")
           .localCheckpoint(eager = false) // one vote pass per k
         val ks = s.createDataFrame(Seq(Tuple1(1L), Tuple1(3L), Tuple1(5L)))
           .toDF("k")

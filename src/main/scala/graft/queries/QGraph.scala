@@ -555,37 +555,42 @@ private[graft] object QGraph {
     // 7-slot window grid. Top-20 co-visited pairs.
     "graph_node2vec" -> Q(
       (s, d) => {
-        import graft.functions.VectorFunctions.md5Long
-        val e0 = dupEdges(s, d)
-          .select(col("da"), col("db"))
-          .localCheckpoint(eager = false)
-        val adj = e0.select(col("da").as("v"), col("db").as("w"))
-          .union(e0.select(col("db").as("v"), col("da").as("w")))
-          .withColumn("idx",
-            row_number().over(Window.partitionBy("v").orderBy("w")) - 1)
-          .localCheckpoint(eager = false) // one read per step
-        val deg = adj.groupBy("v").agg(count(lit(1)).as("dg"))
-        var walk = deg.select(col("v").as("p0"))
-        for (k <- 1 to 4) {
-          val prev = s"p${k - 1}"
-          walk = walk
-            .join(deg.select(col("v").as(prev), col("dg")), prev)
-            .withColumn("pick",
-              pmod(md5Long(concat(lit("n2v:"), col("p0").cast("string"),
-                lit(s":$k:"), col(prev).cast("string"))), col("dg")))
-            .join(adj.select(col("v").as(prev), col("idx").as("pick"),
-              col("w").as(s"p$k")), Seq(prev, "pick"))
-            .drop("dg", "pick")
+        // r17: the four frontier joins fold DRIVER-side over the one
+        // collected bounded edge list (the graph_label_prop idiom) —
+        // the in-plan form paid 4 × (two joins + a window) over a
+        // walk table bounded at |V| ≤ 120 rows. The md5-seeded hop is
+        // Md5Hash.hash60, the exact function the md5Long expression
+        // compiles to, over the identical concat string; every other
+        // step is integer arithmetic — bit-identical output.
+        val es = dupEdges(s, d)
+          .select(col("da"), col("db")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        // adjacency sorted ascending by neighbor = the row_number idx
+        val adj = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+          .groupBy(_._1).map { case (v, g) => v -> g.map(_._2).sorted }
+        def hop(p0: Long, k: Int, cur: Long): Long = {
+          val ns = adj(cur)
+          val h = graft.functions.Md5Hash.hash60(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              s"n2v:$p0:$k:$cur"))
+          ns((h % ns.length).toInt)
         }
-        val pairs = (for (i <- 0 to 4; j <- i + 1 to math.min(i + 2, 4))
-          yield walk.select(least(col(s"p$i"), col(s"p$j")).as("a"),
-            greatest(col(s"p$i"), col(s"p$j")).as("b")))
-          .reduce(_ union _)
-        pairs.filter(col("a") =!= col("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("co_visits"))
-          .orderBy(col("co_visits").desc, col("a"), col("b")).limit(20)
-          .select(col("a").as("doc_a"), col("b").as("doc_b"),
-            col("co_visits"))
+        val walks = adj.keys.toSeq.map { v =>
+          val w = new Array[Long](5)
+          w(0) = v
+          for (k <- 1 to 4) w(k) = hop(v, k, w(k - 1))
+          w
+        }
+        val pairs = for {
+          w <- walks
+          i <- 0 to 4; j <- i + 1 to math.min(i + 2, 4)
+          if w(i) != w(j)
+        } yield (math.min(w(i), w(j)), math.max(w(i), w(j)))
+        import s.implicits._
+        pairs.groupBy(identity).toSeq
+          .map { case ((a, b), g) => (a, b, g.size.toLong) }
+          .sortBy { case (a, b, n) => (-n, a, b) }.take(20)
+          .toDF("doc_a", "doc_b", "co_visits")
       },
       Some {
         def key(k: Int, cur: String) =

@@ -314,45 +314,64 @@ private[graft] object QMultimodal {
     // md5 stub (no codec in the sandbox) — the DCT plumbing is real.
     "mm_image_phash" -> Q(
       (s, d) => {
-        import graft.functions.VectorFunctions.md5Long
+        // r17: folds DRIVER-side over the one distributed pass (the
+        // ≤40-row bounded image-doc collect) — the in-plan form ran
+        // the 655K-row DCT fan-out through a groupBy + median window
+        // + pair join + NN window (~8 jobs) for a frame bounded by
+        // construction at 40 docs. Arithmetic is replicated exactly:
+        // Md5Hash.hash60 IS the md5Long expression's function,
+        // Math.cos/BigDecimal-HALF_UP are what the cos/round
+        // expressions evaluate, and the DCT sum accumulates in the
+        // same pidx-ascending order the single-partition hash agg
+        // used (terms are 3dp-quantized before the products — the
+        // family's order-robustness discipline; re-verified oracle-
+        // identical at sf0.001/0.01/0.1). Everything after `coef` is
+        // integer/comparison logic.
+        def round3(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+        def round4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        def md5of(str: String): Long = graft.functions.Md5Hash.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(str))
         val imgs = Tables.documents(s, d)
           .filter(col("doc_id") % 3 === 2 && col("doc_id") < 120 &&
             col("text").isNotNull)
-        val px = imgs.select(col("doc_id"), col("text"),
-            explode(sequence(lit(0L), lit(255L))).as("pidx"))
-          .select(col("doc_id"), col("text"),
-            (col("pidx") % 16).as("x"), expr("pidx div 16").as("y"),
-            (md5Long(concat(col("text"), lit(":ppx"),
-              col("pidx").cast("string"))) % 256).as("p"))
-        val freq = px.crossJoin(s.range(0L, 64L).toDF("k"))
-          .withColumn("u", expr("k div 8")).withColumn("v", col("k") % 8)
-          .withColumn("cu",
-            round(cos(lit(math.Pi) * (col("x") * 2 + 1) * col("u") / 32.0), 3))
-          .withColumn("cv",
-            round(cos(lit(math.Pi) * (col("y") * 2 + 1) * col("v") / 32.0), 3))
-          .groupBy("doc_id", "k")
-          .agg(round(sum(col("p") * col("cu") * col("cv")), 4).as("coef"))
-          .localCheckpoint(eager = false) // median + bit compare
-        val med = freq.filter(col("k") > 0)
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("doc_id").orderBy(col("coef"), col("k"))))
-          .filter(col("rk") === 32)
-          .select(col("doc_id"), col("coef").as("med"))
-        val bits = freq.filter(col("k") > 0).join(med, "doc_id")
-          .select(col("doc_id"), col("k"),
-            (col("coef") > col("med")).cast("long").as("bit"))
-          .localCheckpoint(eager = false) // both sides of the pair join
-        bits.select(col("doc_id").as("da"), col("k"), col("bit").as("ba"))
-          .join(bits.select(col("doc_id").as("db"), col("k"),
-            col("bit").as("bb")), Seq("k"))
-          .filter(col("da") =!= col("db"))
-          .groupBy("da", "db")
-          .agg(sum(abs(col("ba") - col("bb"))).as("hamming"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("da").orderBy(col("hamming"), col("db"))))
-          .filter(col("rk") === 1)
-          .select(col("da").as("doc_id"), col("db").as("nn_doc"),
-            col("hamming").as("nn_hamming"))
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        // per doc: 63 AC coefficients of the 8×8 DCT-II over the
+        // 16×16 md5-stub luma, then bits vs the exact median (rank 32
+        // of 63 by (coef, k))
+        // the 3dp-rounded DCT basis has only 16×8 distinct values per
+        // axis — precompute them once (same doubles the per-row
+        // expression produced; the quantization is what makes the
+        // sums order-robust)
+        val cosTab = Array.tabulate(16, 8)((x, u) =>
+          round3(math.cos(math.Pi * (x * 2 + 1) * u / 32.0)))
+        val bitsOf: Array[(Long, Array[Long])] = imgs.map { case (id, text) =>
+          val p = Array.tabulate(256)(i => md5of(s"$text:ppx$i") % 256)
+          val coef = Array.tabulate(64) { k =>
+            val u = k / 8; val v = k % 8
+            var acc = 0.0
+            var i = 0
+            while (i < 256) {
+              acc += p(i) * cosTab(i % 16)(u) * cosTab(i / 16)(v)
+              i += 1
+            }
+            round4(acc)
+          }
+          val med = (1 until 64).map(k => (coef(k), k)).sorted.apply(31)._1
+          id -> (1 until 64).map(k => if (coef(k) > med) 1L else 0L).toArray
+        }
+        import s.implicits._
+        bitsOf.toSeq.flatMap { case (da, ba) =>
+          val nn = bitsOf.collect { case (db, bb) if db != da =>
+            (ba.zip(bb).map { case (x, y) => math.abs(x - y) }.sum, db) }
+          if (nn.isEmpty) None else Some {
+            val (h, db) = nn.min
+            (da, db, h)
+          }
+        }.sortBy(_._1)
+          .toDF("doc_id", "nn_doc", "nn_hamming")
           .orderBy("doc_id")
       },
       Some("""WITH imgs AS (SELECT doc_id, text FROM documents

@@ -1263,16 +1263,20 @@ private[graft] object QText {
               posexplode(graft.text.TextPrimitives.tokens(col("text")))
                 .as(Seq("pos", "tok")))
           val w = Window.partitionBy("doc_id").orderBy("pos")
-          val phr = tk
+          // r17: plen as a full-partition count window on (doc_id,
+          // pid) — it rides the SAME doc_id exchange the pid window
+          // established (subset partitioning; only a local re-sort),
+          // so the per-phrase-length aggregate + the (doc_id, pid)
+          // join-back and the checkpoint between them disappear.
+          // Integer count — bit-identical.
+          val wp = tk
             .withColumn("brk",
               when(col("tok").isin(stops: _*) || col("tok") === "", 1L)
                 .otherwise(0L))
             .withColumn("pid", sum("brk").over(w))
             .filter(col("brk") === 0)
-            .localCheckpoint(eager = false) // phrase lens + word stats
-          val ph = phr.groupBy("doc_id", "pid")
-            .agg(count(lit(1)).as("plen"))
-          val wp = phr.join(ph, Seq("doc_id", "pid"))
+            .withColumn("plen",
+              count(lit(1)).over(Window.partitionBy("doc_id", "pid")))
             .localCheckpoint(eager = false) // word stats + phrase scoring
           val ws = wp.groupBy("tok")
             .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))

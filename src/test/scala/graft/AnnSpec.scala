@@ -51,6 +51,24 @@ class AnnSpec extends SparkSpec {
     a.zip(d).foreach { case (x, y) => assert(x == y, s"blocked: $x != $y") }
   }
 
+  test("unordered dense kernel: same row SET, no final range sort") {
+    // r17: edge-list consumers (ann_knn_graph, emb_knn_vote) skip the
+    // (qid, rnk) orderBy — the row multiset must be unchanged; only
+    // the range-partitioned sort (and its sampling pass) is gone
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val a = Ann.bruteForceTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val u = Ann.bruteForceTopKDenseUnordered(emb, q, 5)
+    val b = u.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+    val plan = u.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   test("fast-path dispatch bound is dim-aware") {
     // the one-broadcast fast path collects the batch to the driver:
     // its bound must shrink with dim so a 1024-d batch can never

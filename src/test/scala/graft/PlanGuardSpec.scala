@@ -968,4 +968,43 @@ class PlanGuardSpec extends SparkSpec {
       assert(!b.contains("text#") && !b.contains("chunk#"), s"text rides a shuffle:\n$b")
     }
   }
+
+  test("nn-descent refinement folds driver-side over the one bounded pool collect") {
+    // r17: truth/seed/two refine rounds/recall probes fold over the
+    // ≤300-row pool (the graph_label_prop altitude) — the final plan
+    // is a LocalTableScan: zero distributed scans, zero joins, zero
+    // windows; the one distributed pass is the bounded collect itself
+    val p = plan("ann_nn_descent")
+    assert(p.contains("LocalTableScan"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("node2vec walks fold driver-side over the shared dup-edge collect") {
+    val p = plan("graph_node2vec")
+    assert(p.contains("LocalTableScan"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("image phash folds driver-side over the bounded image collect") {
+    // ≤40 image docs; the DCT/median/pair-hamming pipeline is exact
+    // integer/quantized arithmetic over them — zero distributed work
+    // beyond the collect and the output sort
+    val p = plan("mm_image_phash")
+    assert(p.contains("LocalTableScan"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("knn graph: mutuality and homophily ride ONE aggregate over the edge list") {
+    // r17: the reversed-edge LEFT join flags mutual edges on the same
+    // rows the broadcast label joins ride — one HashAggregate chain
+    // (partial + final), no SortMergeJoin, no aggregate-vs-aggregate
+    // outer join (the old shape ran two aggregate chains into an SMJ)
+    val p = plan("ann_knn_graph")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin LeftOuter"), p)
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).size == 2, p)
+  }
 }
