@@ -1122,8 +1122,13 @@ private[graft] object QAnn {
         val nTruth = truth.size.toLong
         def rec(g: Seq[(Long, Long)], stage: String): (String, Long, Double) = {
           val nHit = g.count(truth.contains)
+          // Spark's round() passes NaN/Infinity through (the empty-
+          // table 0/0 case must keep executing, as the in-plan form
+          // did — RobustnessSurfaceSpec)
+          val r = nHit.toDouble / nTruth
           (stage, nTruth,
-            java.math.BigDecimal.valueOf(nHit.toDouble / nTruth)
+            if (r.isNaN || r.isInfinite) r
+            else java.math.BigDecimal.valueOf(r)
               .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
         }
         import s.implicits._

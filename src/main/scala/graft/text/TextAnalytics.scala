@@ -124,40 +124,18 @@ object TextAnalytics {
     * combinable, no global state.
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    // r17: one tokenize pass with the 1/2/3-gram streams TAGGED into a
-    // single explode, then per-(doc, n) aggregates pivoted per doc —
-    // replacing three full tokenize+shuffle passes and two joins
-    // (guide §1.2: fewer passes; §2.3: one map-side-combinable
-    // shuffle). Gram generation per n is byte-identical to
-    // tokenGrams, so every count matches; tokenGrams emits ≥1 row per
-    // doc for every n (short docs yield truncated grams), so the
-    // old inner joins never dropped a doc — the null filter below
-    // pins that contract anyway.
-    def gramsOf(n: Int) = transform(
-      sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
-      i => struct(lit(n).as("n"),
-        concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))).as("g")))
-    docs.select(col("doc_id"), TextPrimitives.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        explode(concat(gramsOf(1), gramsOf(2), gramsOf(3))).as("p"))
-      .select(col("doc_id"), col("p.n").as("n"), col("p.g").as("g"))
-      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n")
-      .agg(max("c").as("mx"), sum("c").as("sm"), count(lit(1)).as("ng"),
-        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup"))
-      .groupBy("doc_id")
-      .agg(
-        round(max(when(col("n") === 1, col("mx")))
-          / max(when(col("n") === 1, col("sm"))), 4).as("top_tok_frac"),
-        round(max(when(col("n") === 1, col("ng")))
-          / max(when(col("n") === 1, col("sm"))), 4).as("ttr"),
-        round(max(when(col("n") === 2, col("mx")))
-          / max(when(col("n") === 2, col("sm"))), 4).as("top_bigram_frac"),
-        round(max(when(col("n") === 3, col("dup")))
-          / max(when(col("n") === 3, col("sm"))), 4).as("dup_trigram_frac"))
-      .filter(col("top_tok_frac").isNotNull && col("top_bigram_frac").isNotNull
-        && col("dup_trigram_frac").isNotNull)
-      .orderBy("doc_id")
+    def gramCounts(n: Int) =
+      TextPrimitives.tokenGrams(docs, "doc_id", "text", n)
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val uni = gramCounts(1).groupBy("doc_id").agg(
+      round(max("c") / sum("c"), 4).as("top_tok_frac"),
+      round(count(lit(1)) / sum("c"), 4).as("ttr"))
+    val bi = gramCounts(2).groupBy("doc_id").agg(
+      round(max("c") / sum("c"), 4).as("top_bigram_frac"))
+    val tri = gramCounts(3).groupBy("doc_id").agg(
+      round(coalesce(sum(when(col("c") > 1, col("c"))), lit(0)) / sum("c"), 4)
+        .as("dup_trigram_frac"))
+    uni.join(bi, Seq("doc_id")).join(tri, Seq("doc_id")).orderBy("doc_id")
   }
 
   /** DuckDB twin of [[repetitionStats]]. */
